@@ -1,0 +1,40 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession bootstrap: every entry point (Verify, Bench,
+  * server, tests) builds its session here so semantics-critical config
+  * is uniform.
+  *
+  *  - UTC session TZ + ANSI mode: aligns Catalyst semantics with the
+  *    DuckDB oracle (SURVEY §2-B legend) — error-on-overflow, strict
+  *    casts, identical wall-clock timestamps.
+  *  - AQE on: runtime re-plan (broadcast promotion, skew-join split,
+  *    partition coalescing) is the 100 TB story — plans written here
+  *    are declarative and AQE adapts them per-scale.
+  *  - shuffle.partitions defaults to the local core count; on a real
+  *    cluster this is overridden by job conf, and AQE coalescing makes
+  *    the static value non-critical.
+  *  - nanosAsLong: the events fixture carries parquet TIMESTAMP(NANOS)
+  *    which the vectorized reader rejects; read as Long and normalize
+  *    in [[Tables]].
+  */
+object GraftSession {
+  def builder(master: String, cores: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
+    val spark = builder(s"local[$cores]", cores).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.registerAll(spark)
+    spark
+  }
+}

@@ -1,0 +1,167 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The dialect layer (SURVEY §2-B.8 / §4.3): DuckDB function names
+  * registered as thin aliases over Catalyst's native (codegen'd)
+  * expressions, plus the genuinely-new expressions (typeof, product,
+  * vector math). Registered per-session; everything stays inside
+  * whole-stage codegen because each alias resolves to the *same*
+  * Expression tree the Spark-native name would produce.
+  */
+object GraftFunctions {
+
+  /** DuckDB strftime/strptime %-codes → Spark datetime pattern. */
+  def translateStrftime(f: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var literal = new StringBuilder
+    def flush(): Unit = {
+      if (literal.nonEmpty) {
+        val s = literal.toString
+        // quote any run containing pattern-reserved letters
+        if (s.exists(_.isLetter)) sb.append("'").append(s.replace("'", "''")).append("'")
+        else sb.append(s)
+        literal = new StringBuilder
+      }
+    }
+    while (i < f.length) {
+      if (f.charAt(i) == '%' && i + 1 < f.length) {
+        flush()
+        f.charAt(i + 1) match {
+          case 'Y' => sb.append("yyyy")
+          case 'y' => sb.append("yy")
+          case 'm' => sb.append("MM")
+          case 'd' => sb.append("dd")
+          case 'H' => sb.append("HH")
+          case 'I' => sb.append("hh")
+          case 'M' => sb.append("mm")
+          case 'S' => sb.append("ss")
+          case 'f' => sb.append("SSSSSS")
+          case 'g' => sb.append("SSS")
+          case 'p' => sb.append("a")
+          case 'j' => sb.append("DDD")
+          case 'a' => sb.append("EEE")
+          case 'A' => sb.append("EEEE")
+          case 'b' => sb.append("MMM")
+          case 'B' => sb.append("MMMM")
+          case 'Z' => sb.append("zzz")
+          case 'z' => sb.append("XXX")
+          case '%' => literal.append('%')
+          case c   => literal.append(c) // unknown code: keep verbatim
+        }
+        i += 2
+      } else { literal.append(f.charAt(i)); i += 1 }
+    }
+    flush()
+    sb.toString
+  }
+
+  private def litString(e: Expression, fn: String): String = e match {
+    case Literal(s: UTF8String, StringType) => s.toString
+    case _ => throw new IllegalArgumentException(
+      s"$fn: format must be a string literal, got $e")
+  }
+
+  /** name → (target Spark function, argument rewrite). */
+  private val aliases: Seq[(String, String, Seq[Expression] => Seq[Expression])] = {
+    val id = identity[Seq[Expression]] _
+    Seq(
+      // string family
+      ("string_split", "split", id),
+      ("str_split", "split", id),
+      ("string_to_array", "split", id),
+      ("string_split_regex", "split", id),
+      ("regexp_matches", "rlike", id),
+      ("strpos", "instr", id),
+      ("list_reverse", "reverse", id),
+      ("ucase", "upper", id),
+      ("lcase", "lower", id),
+      ("prefix", "startswith", id),
+      ("suffix", "endswith", id),
+      ("starts_with", "startswith", id),
+      ("ends_with", "endswith", id),
+      ("format", "format_string", id),
+      ("printf", "format_string", id),
+      // list family (DuckDB list_* → Spark array functions; both 1-based)
+      ("list_value", "array", id),
+      ("list_pack", "array", id),
+      ("list_extract", "element_at", id),
+      ("list_element", "element_at", id),
+      ("list_contains", "array_contains", id),
+      ("list_has", "array_contains", id),
+      ("array_length", "size", id),
+      ("len", "length", id),
+      ("list_concat", "concat", id),
+      ("list_cat", "concat", id),
+      ("list_distinct", "array_distinct", id),
+      ("list_unique", "array_distinct", id),
+      ("list_sort", "sort_array", id),
+      ("list_transform", "transform", id),
+      ("list_apply", "transform", id),
+      ("list_filter", "filter", id),
+      ("array_position", "array_position", id),
+      ("list_position", "array_position", id),
+      ("list_indexof", "array_position", id),
+      ("list_aggregate", "aggregate", id),
+      ("unnest", "explode", id),
+      ("generate_series", "sequence", id),
+      // struct / map
+      ("struct_pack", "named_struct", id),
+      ("map_from_entries", "map_from_entries", id),
+      ("cardinality", "size", id),
+      // json
+      ("json_extract", "get_json_object", id),
+      ("json_extract_string", "get_json_object", id),
+      ("json_array_length", "json_array_length", id),
+      ("json_structure", "schema_of_json", id),
+      // hash / crypto
+      ("sha256", "sha2", es => es :+ Literal(256)),
+      ("hash", "xxhash64", id),
+      // date/time
+      ("strftime", "date_format",
+        es => Seq(es.head, Literal(UTF8String.fromString(
+          translateStrftime(litString(es(1), "strftime"))), StringType))),
+      ("strptime", "to_timestamp",
+        es => Seq(es.head, Literal(UTF8String.fromString(
+          translateStrftime(litString(es(1), "strptime"))), StringType))),
+      ("epoch", "unix_timestamp", id),
+      ("epoch_ms", "unix_millis", id),
+      ("dayname", "dayname", id),
+      ("monthname", "monthname", id),
+      // catalog macro (reference pg_server.go:42)
+      ("currentdatabase", "current_database", id)
+    )
+  }
+
+  /** Two of the three server-defined macros (reference pg_server.go:40-41);
+    * currentDatabase() is in the alias table above. */
+  private val macros: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    ("array_positions", _ => Literal(0)),
+    ("timezone", _ => Literal(UTF8String.fromString("utc"), StringType))
+  )
+
+  def registerAll(spark: SparkSession): Unit = synchronized {
+    val reg = spark.sessionState.functionRegistry
+
+    reg.createOrReplaceTempFunction("typeof", es => TypeOf(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("vector_dot", es => VectorDot(es.head, es(1)), "scala_udf")
+    spark.udf.register("product", udaf(ProductAgg))
+
+    aliases.foreach { case (name, target, rewrite) =>
+      reg.lookupFunctionBuilder(FunctionIdentifier(target)) match {
+        case Some(builder) =>
+          reg.createOrReplaceTempFunction(name, es => builder(rewrite(es)), "scala_udf")
+        case None => // target missing in this Spark — skip quietly
+      }
+    }
+    macros.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+  }
+}

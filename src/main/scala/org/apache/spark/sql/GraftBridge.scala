@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Access point for the handful of `private[sql]` helpers an extension
+  * library legitimately needs: Column ↔ Expression conversion (the
+  * Spark 4 Column is a Connect-compatible facade, so the classic
+  * converter lives behind package-private API).
+  */
+object GraftBridge {
+  def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
