@@ -17,10 +17,17 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # tz-naive everywhere (spark writes NTZ; duckdb returns naive)
+    import datetime
     for c in df.columns:
-        if pd.api.types.is_datetime64tz_dtype(df[c]):
+        # tz-naive everywhere (spark writes NTZ; duckdb returns naive)
+        if isinstance(df[c].dtype, pd.DatetimeTZDtype):
             df[c] = df[c].dt.tz_localize(None)
+        # pandas renders DuckDB DATE as datetime64 but parquet DATE as
+        # datetime.date objects — coerce both to Timestamp for compare
+        elif df[c].dtype == object and df[c].map(
+                lambda v: isinstance(v, datetime.date) or pd.isna(v)).all() \
+                and df[c].notna().any():
+            df[c] = pd.to_datetime(df[c])
     return df.reset_index(drop=True)
 
 
