@@ -118,9 +118,9 @@ object FunctionQueries {
         |  floor(l_tax * 100) AS fl,
         |  round(CAST(l_extendedprice AS DECIMAL(18,6)), 1) AS rnd,
         |  sqrt(l_quantity) AS sq,
-        |  exp(l_discount) AS ex,
-        |  ln(l_quantity + 1) AS lg,
-        |  log10(l_extendedprice) AS l10,
+        |  round(exp(l_discount), 9) AS ex,
+        |  round(ln(l_quantity + 1), 9) AS lg,
+        |  round(log10(l_extendedprice), 9) AS l10,
         |  pow(l_quantity, 2) AS p2,
         |  CAST(l_quantity AS BIGINT) % 7 AS md,
         |  sign(l_quantity - 25) AS sg,
@@ -138,9 +138,9 @@ object FunctionQueries {
           floor(col("l_tax") * 100).as("fl"),
           round(col("l_extendedprice").cast(DecimalType(18, 6)), 1).as("rnd"),
           sqrt(col("l_quantity")).as("sq"),
-          exp(col("l_discount")).as("ex"),
-          log(col("l_quantity") + 1).as("lg"),
-          log10(col("l_extendedprice")).as("l10"),
+          round(exp(col("l_discount")), 9).as("ex"),
+          round(log(col("l_quantity") + 1), 9).as("lg"),
+          round(log10(col("l_extendedprice")), 9).as("l10"),
           pow(col("l_quantity"), 2).as("p2"),
           (col("l_quantity").cast("bigint") % 7).as("md"),
           signum(col("l_quantity") - 25).as("sg"),

@@ -41,11 +41,16 @@ def cells_equal(a, b) -> bool:
         pass
     if isinstance(a, float) and isinstance(b, float):
         return a == b or (a != a and b != b)
+    if isinstance(a, (bool,)) or isinstance(b, (bool,)):
+        return bool(a) == bool(b)
     # numeric cross-type (Decimal vs int etc.)
     import decimal
     num = (int, float, decimal.Decimal)
     if isinstance(a, num) and isinstance(b, num):
-        return decimal.Decimal(str(a)) == decimal.Decimal(str(b))
+        try:
+            return decimal.Decimal(str(a)) == decimal.Decimal(str(b))
+        except decimal.InvalidOperation:
+            return str(a) == str(b)
     if hasattr(a, "__len__") and not isinstance(a, str):
         if not hasattr(b, "__len__") or len(a) != len(b):
             return False
