@@ -1,0 +1,215 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.engine.Tables
+import QueryDef.{q, qNoOracle}
+
+/** Aggregation surface (SURVEY §2-B.4): grouping sets/rollup/cube,
+  * ordered string/array aggregation, arg-min/max, statistical moments,
+  * exact percentiles, bit/bool reductions, product.
+  *
+  * Determinism: every floating aggregate whose partial-merge order
+  * differs between Spark (map-side partial + exchange) and DuckDB
+  * (morsel-parallel) is rounded to a precision coarser than the
+  * worst-case merge-order wobble (~1 ulp of the running sum) but far
+  * finer than the data's signal. Moment aggregates (stddev/var/corr)
+  * round to 4 decimals at 1e5 magnitude; unit-magnitude corr rounds
+  * to 9. Ordered collections sort inside the aggregate so the shuffle's
+  * arrival order is irrelevant — at scale this is the only way
+  * collect_list-style results can be stable at all.
+  */
+object AggQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    q("q_agg_rollup",
+      """SELECT l_returnflag, l_linestatus,
+        |  grouping(l_returnflag) AS g1, grouping(l_linestatus) AS g2,
+        |  count(*) AS n,
+        |  sum(CAST(l_quantity AS DECIMAL(18,6))) AS qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY g1, g2, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      t.lineitem
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("long").as("g1"),
+          grouping(col("l_linestatus")).cast("long").as("g2"),
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 6))).as("qty"))
+        .orderBy(col("g1"), col("g2"),
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    q("q_agg_cube",
+      """SELECT o_orderstatus, o_orderpriority,
+        |  grouping(o_orderstatus) AS g1, grouping(o_orderpriority) AS g2,
+        |  count(*) AS n,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,6))) AS total
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY g1, g2, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      t.orders
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping(col("o_orderstatus")).cast("long").as("g1"),
+          grouping(col("o_orderpriority")).cast("long").as("g2"),
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 6))).as("total"))
+        .orderBy(col("g1"), col("g2"),
+          col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    },
+
+    q("q_agg_grouping_sets",
+      """SELECT l_returnflag, l_suppkey % 10 AS sk,
+        |  grouping(l_returnflag) AS g1,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_suppkey % 10), ())
+        |ORDER BY g1, l_returnflag NULLS FIRST, sk NULLS FIRST""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      Tables(s, dir) // views registered
+      s.sql(
+        """SELECT l_returnflag, l_suppkey % 10 AS sk,
+          |  grouping(l_returnflag) AS g1,
+          |  count(*) AS n
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_suppkey % 10), ())
+          |ORDER BY g1, l_returnflag ASC NULLS FIRST, sk ASC NULLS FIRST""".stripMargin)
+    },
+
+    q("q_agg_stats",
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_extendedprice), 4) AS sd_s,
+        |  round(stddev_pop(l_extendedprice), 4) AS sd_p,
+        |  round(var_samp(l_quantity), 6) AS var_s,
+        |  round(var_pop(l_quantity), 6) AS var_p,
+        |  round(corr(l_quantity, l_extendedprice), 9) AS cor,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_s,
+        |  round(covar_pop(l_quantity, l_extendedprice), 4) AS cov_p,
+        |  round(avg(l_extendedprice), 5) AS mean
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      t.lineitem.groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_extendedprice")), 4).as("sd_s"),
+          round(stddev_pop(col("l_extendedprice")), 4).as("sd_p"),
+          round(var_samp(col("l_quantity")), 6).as("var_s"),
+          round(var_pop(col("l_quantity")), 6).as("var_p"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 9).as("cor"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_s"),
+          round(covar_pop(col("l_quantity"), col("l_extendedprice")), 4).as("cov_p"),
+          round(avg(col("l_extendedprice")), 5).as("mean"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    q("q_agg_argminmax",
+      """SELECT o_orderstatus,
+        |  max_by(o_orderkey, o_totalprice) AS best_order,
+        |  min_by(o_orderkey, o_totalprice) AS worst_order,
+        |  max(o_totalprice) AS best_price,
+        |  min(o_totalprice) AS worst_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      t.orders.groupBy(col("o_orderstatus"))
+        .agg(
+          max_by(col("o_orderkey"), col("o_totalprice")).as("best_order"),
+          min_by(col("o_orderkey"), col("o_totalprice")).as("worst_order"),
+          max(col("o_totalprice")).as("best_price"),
+          min(col("o_totalprice")).as("worst_price"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    q("q_agg_string_agg",
+      """SELECT n_regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS names,
+        |  count(*) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      t.nation.groupBy(col("n_regionkey"))
+        .agg(
+          array_join(array_sort(collect_list(col("n_name"))), ",").as("names"),
+          count(lit(1)).as("n"))
+        .orderBy(col("n_regionkey"))
+    },
+
+    q("q_agg_array_agg",
+      """SELECT c_nationkey,
+        |  list_sort(list(c_custkey)) AS custs,
+        |  len(list(c_custkey)) AS n
+        |FROM (SELECT * FROM customer WHERE c_custkey <= 60)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      t.customer.filter(col("c_custkey") <= 60)
+        .groupBy(col("c_nationkey"))
+        .agg(
+          sort_array(collect_list(col("c_custkey"))).as("custs"),
+          size(collect_list(col("c_custkey"))).cast("long").as("n"))
+        .orderBy(col("c_nationkey"))
+    },
+
+    q("q_agg_percentile",
+      """SELECT l_returnflag,
+        |  round(median(l_quantity), 6) AS med,
+        |  round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+        |  round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      t.lineitem.groupBy(col("l_returnflag"))
+        .agg(
+          round(percentile(col("l_quantity"), lit(0.5)), 6).as("med"),
+          round(percentile(col("l_quantity"), lit(0.25)), 6).as("p25"),
+          round(percentile(col("l_quantity"), lit(0.75)), 6).as("p75"),
+          round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90_price"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    q("q_agg_bitbool",
+      """SELECT o_orderstatus,
+        |  bool_and(o_totalprice > 1000) AS all_big,
+        |  bool_or(o_totalprice > 300000) AS any_huge,
+        |  bit_and(o_custkey) AS band,
+        |  bit_or(o_custkey) AS bor,
+        |  bit_xor(o_custkey) AS bxor
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      t.orders.groupBy(col("o_orderstatus"))
+        .agg(
+          bool_and(col("o_totalprice") > 1000).as("all_big"),
+          bool_or(col("o_totalprice") > 300000).as("any_huge"),
+          bit_and(col("o_custkey")).as("band"),
+          bit_or(col("o_custkey")).as("bor"),
+          bit_xor(col("o_custkey")).as("bxor"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    q("q_agg_product",
+      """SELECT l_returnflag,
+        |  round(product(1 + l_discount), 4) AS growth
+        |FROM lineitem WHERE l_orderkey <= 50
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      // product() is our custom Aggregator (graft.functions.ProductAgg):
+      // mergeable buffer -> partial+final just like a built-in agg.
+      graft.functions.GraftFunctions.registerAll(s)
+      t.lineitem.filter(col("l_orderkey") <= 50)
+        .groupBy(col("l_returnflag"))
+        .agg(round(expr("product(1 + l_discount)"), 4).as("growth"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Different HLL sketches on each side -> exact-match impossible by
+    // construction; declared rows-only (driver's weaker check), and the
+    // spec asserts the 2% relative-error bound instead.
+    qNoOracle("q_agg_approx_distinct") { (s, dir) =>
+      val t = Tables(s, dir)
+      t.orders.groupBy(col("o_orderstatus"))
+        .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"))
+        .orderBy(col("o_orderstatus"))
+    }
+  )
+}

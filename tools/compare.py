@@ -24,21 +24,29 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].dt.tz_localize(None)
         # pandas renders DuckDB DATE as datetime64 but parquet DATE as
         # datetime.date objects — coerce both to Timestamp for compare
-        elif df[c].dtype == object and df[c].map(
-                lambda v: isinstance(v, datetime.date) or pd.isna(v)).all() \
-                and df[c].notna().any():
-            df[c] = pd.to_datetime(df[c])
+        elif df[c].dtype == object:
+            def _dateish(v):
+                if isinstance(v, datetime.date):
+                    return True
+                try:
+                    return bool(pd.isna(v))
+                except (TypeError, ValueError):
+                    return False
+            if df[c].map(_dateish).all() and df[c].notna().any():
+                df[c] = pd.to_datetime(df[c])
     return df.reset_index(drop=True)
 
 
 def cells_equal(a, b) -> bool:
-    if pd.isna(a) and pd.isna(b):
+    def isna(v):
+        try:
+            return bool(pd.isna(v))
+        except (TypeError, ValueError):
+            return False  # arrays etc. are never NA as a whole
+    if isna(a) and isna(b):
         return True
-    try:
-        if pd.isna(a) != pd.isna(b):
-            return False
-    except (TypeError, ValueError):
-        pass
+    if isna(a) != isna(b):
+        return False
     if isinstance(a, float) and isinstance(b, float):
         return a == b or (a != a and b != b)
     if isinstance(a, (bool,)) or isinstance(b, (bool,)):
