@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.engine.Tables
+import QueryDef.q
+
+/** Window surface (SURVEY §2-B.5): analytic functions ± IGNORE NULLS,
+  * ROWS/RANGE frames, distribution functions, QUALIFY-style top-n.
+  *
+  * Every window ORDER BY used for value-carrying functions
+  * (lead/lag/frames/running sums) is made total by a unique tie-break
+  * key — without it Spark's and DuckDB's within-peer row order is
+  * engine-dependent and results legitimately differ. Running sums over
+  * doubles go through DECIMAL so the frame's accumulation order is
+  * arithmetic-exact on both engines.
+  */
+object WindowQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    q("q_win_leadlag",
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_orderkey) OVER w AS prev_ok,
+        |  lead(o_orderkey) OVER w AS next_ok,
+        |  lag(o_orderkey, 2, -1) OVER w AS prev2,
+        |  first_value(o_orderkey) OVER w AS first_ok,
+        |  last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok,
+        |  nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey LIMIT 600""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t.orders.select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_ok"),
+        lead(col("o_orderkey"), 1).over(w).as("next_ok"),
+        lag(col("o_orderkey"), 2, -1).over(w).as("prev2"),
+        first(col("o_orderkey")).over(w).as("first_ok"),
+        last(col("o_orderkey")).over(wAll).as("last_ok"),
+        nth_value(col("o_orderkey"), 2).over(wAll).as("second_ok"))
+        .orderBy(col("o_custkey"), col("o_orderkey")).limit(600)
+    },
+
+    q("q_win_running",
+      """SELECT l_orderkey, l_linenumber,
+        |  sum(CAST(l_quantity AS DECIMAL(18,6)))
+        |    OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_qty,
+        |  round(CAST(avg(CAST(l_quantity AS DECIMAL(18,6)))
+        |    OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey
+        |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS mov_avg,
+        |  count(*) OVER (PARTITION BY l_orderkey) AS n_lines
+        |FROM lineitem WHERE l_orderkey <= 500
+        |ORDER BY l_orderkey, l_linenumber, run_qty LIMIT 800""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val byLine = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"), col("l_partkey"))
+      t.lineitem.filter(col("l_orderkey") <= 500)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity").cast(DecimalType(18, 6)))
+            .over(byLine.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("run_qty"),
+          round(avg(col("l_quantity").cast(DecimalType(18, 6)))
+            .over(byLine.rowsBetween(-2, Window.currentRow)).cast("double"), 6).as("mov_avg"),
+          count(lit(1)).over(Window.partitionBy(col("l_orderkey"))).as("n_lines"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("run_qty")).limit(800)
+    },
+
+    q("q_win_range_frame",
+      """SELECT o_orderkey, o_custkey, od,
+        |  count(*) OVER (ORDER BY od RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW) AS n_7d
+        |FROM (SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS od
+        |      FROM orders WHERE o_orderkey <= 2000)
+        |ORDER BY od, o_orderkey LIMIT 600""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      Tables(s, dir)
+      // RANGE with interval offsets needs SQL (DataFrame rangeBetween is
+      // long-typed); the global ORDER BY window is bounded by the <=2000
+      // filter — at scale this shape requires a partition key, which the
+      // 7-day-count-per-key variant in q_evt_session covers.
+      s.sql(
+        """SELECT o_orderkey, o_custkey, od,
+          |  count(*) OVER (ORDER BY od RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW) AS n_7d
+          |FROM (SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS od
+          |      FROM orders WHERE o_orderkey <= 2000)
+          |ORDER BY od, o_orderkey LIMIT 600""".stripMargin)
+    },
+
+    q("q_win_distribution",
+      """SELECT p_partkey, p_size,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 9) AS pr,
+        |  round(cume_dist() OVER w, 9) AS cd
+        |FROM part
+        |WINDOW w AS (ORDER BY p_size, p_partkey)
+        |ORDER BY p_partkey LIMIT 500""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val w = Window.orderBy(col("p_size"), col("p_partkey"))
+      t.part.select(
+        col("p_partkey"), col("p_size"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 9).as("pr"),
+        round(cume_dist().over(w), 9).as("cd"))
+        .orderBy(col("p_partkey")).limit(500)
+    },
+
+    q("q_win_qualify",
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      // QUALIFY (DuckDB ext.) = window + filter on the window column —
+      // the rewrite SURVEY §4.3 prescribes.
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t.orders
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"))
+    },
+
+    q("q_win_ignore_nulls",
+      """SELECT event_id, user_id,
+        |  last_value(big_val IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS last_big
+        |FROM (SELECT event_id, user_id, ts,
+        |        CASE WHEN value > 150 THEN value END AS big_val
+        |      FROM events)
+        |ORDER BY user_id, event_id LIMIT 800""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t.events
+        .withColumn("big_val", when(col("value") > 150, col("value")))
+        .select(
+          col("event_id"), col("user_id"),
+          last(col("big_val"), ignoreNulls = true).over(w).as("last_big"))
+        .orderBy(col("user_id"), col("event_id")).limit(800)
+    }
+  )
+}
