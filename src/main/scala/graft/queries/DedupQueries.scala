@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.functions.VectorFunctions
+import QueryDef.q
+
+/** Deduplication suite over `documents` / `embeddings` — the
+  * training-data-pipeline extension surface (builder prompt; not in the
+  * reference, which stops at SQL pass-through).
+  *
+  * All five strategies are expressed as pure relational dataflow so the
+  * same plan scales from 500 docs to 10^9:
+  *  - exact:     hash-groupBy on content digest — one shuffle.
+  *  - jaccard:   shingle inverted index → pair-join → set algebra. The
+  *               join key is the shingle, so only docs sharing a
+  *               shingle ever meet (no O(n²) cross).
+  *  - minhash:   k=8 md5-derived min-hashes → 4 bands of 2 → bucket
+  *               join on band key. Candidate generation is linear in
+  *               corpus size; only same-bucket docs pair up.
+  *  - simhash:   16-bit sign-aggregated fingerprint; near-dups collide
+  *               on the exact fingerprint — dedup becomes a groupBy.
+  *  - embedding: cosine over a blocking key (label ≈ IVF cell) with a
+  *               codegen'd double-fold dot product (VectorDot); DuckDB's
+  *               list_dot_product over DOUBLE[] is bit-identical, which
+  *               the oracle exploits.
+  *
+  * Shingling/minhash primitives use only engine-portable building
+  * blocks (string_split, md5, lexicographic min) so the DuckDB oracle
+  * states the EXACT same computation — these are hash-matched, not
+  * rows-only.
+  */
+object DedupQueries {
+
+  /** doc_id + distinct 3-word shingles, one row per (doc, shingle). */
+  private def shingles(docs: DataFrame): DataFrame = {
+    val w = docs.select(col("doc_id"), split(col("text"), " ").as("words"))
+    w.select(col("doc_id"),
+        explode(sequence(lit(1), size(col("words")) - 2)).as("i"),
+        col("words"))
+      .select(col("doc_id"),
+        concat_ws(" ",
+          element_at(col("words"), col("i")),
+          element_at(col("words"), col("i") + 1),
+          element_at(col("words"), col("i") + 2)).as("sh"))
+      .distinct()
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    q("q_dedup_exact",
+      """SELECT source,
+        |  count(*) AS n_docs,
+        |  count(DISTINCT md5(text)) AS n_uniq,
+        |  count(*) - count(DISTINCT md5(text)) AS n_dups,
+        |  min(doc_id) AS first_doc
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      t.documents.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_uniq"),
+          (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dups"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("source"))
+    },
+
+    q("q_dedup_jaccard",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS sh
+        |       FROM w, UNNEST(generate_series(1, len(words)-2)) AS t(i)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT d1, d2, round(i * 1.0 / (sa.n + sb.n - i), 9) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON d1 = sa.doc_id
+        |JOIN sizes sb ON d2 = sb.doc_id
+        |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+        |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val sh = shingles(t.documents)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val a = sh.select(col("doc_id").as("d1"), col("sh"))
+      val b = sh.select(col("doc_id").as("d2"), col("sh"))
+      val inter = a.join(b, a("sh") === b("sh") && col("d1") < col("d2"))
+        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
+      inter
+        .join(sizes.select(col("doc_id").as("d1"), col("n").as("na")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("n").as("nb")), "d2")
+        .withColumn("jac_raw", col("i") * 1.0 / (col("na") + col("nb") - col("i")))
+        .filter(col("jac_raw") >= 0.5)
+        .select(col("d1"), col("d2"), round(col("jac_raw"), 9).as("jaccard"))
+        .orderBy(col("d1"), col("d2"))
+    },
+
+    q("q_dedup_minhash_lsh",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS sh
+        |       FROM w, UNNEST(generate_series(1, len(words)-2)) AS t(i)),
+        |seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
+        |sigs AS (SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS mh
+        |         FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+        |bands AS (SELECT doc_id, seed // 2 AS band,
+        |            string_agg(mh, ',' ORDER BY seed) AS bkey
+        |          FROM sigs GROUP BY doc_id, seed // 2),
+        |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |          FROM bands a JOIN bands b
+        |            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+        |SELECT d1, d2 FROM pairs ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val sh = shingles(t.documents)
+      val sigs = sh
+        .select(col("doc_id"), explode(sequence(lit(0), lit(7))).as("seed"), col("sh"))
+        .groupBy(col("doc_id"), col("seed"))
+        .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("sh")))).as("mh"))
+      val bands = sigs
+        .withColumn("band", expr("seed div 2"))
+        .groupBy(col("doc_id"), col("band"))
+        // sort by seed inside the band: collect (seed, mh), sort, join
+        .agg(array_join(transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
+          x => x.getField("mh")), ",").as("bkey"))
+      val a = bands.select(col("doc_id").as("d1"), col("band"), col("bkey"))
+      val b = bands.select(col("doc_id").as("d2"), col("band").as("band2"), col("bkey").as("bkey2"))
+      a.join(b, col("band") === col("band2") && col("bkey") === col("bkey2")
+          && col("d1") < col("d2"))
+        .select(col("d1"), col("d2")).distinct()
+        .orderBy(col("d1"), col("d2"))
+    },
+
+    q("q_dedup_simhash",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |wd AS (SELECT DISTINCT doc_id, unnest(words) AS word FROM w),
+        |digits AS (SELECT doc_id, word, j,
+        |             strpos('0123456789abcdef', substr(md5(word), j, 1)) - 1 AS v
+        |           FROM wd, UNNEST(generate_series(1, 4)) AS tj(j)),
+        |bits AS (SELECT doc_id, (j - 1) * 4 + k AS b,
+        |           CASE WHEN (v // CAST(pow(2, k) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END AS wt
+        |         FROM digits, UNNEST(generate_series(0, 3)) AS tk(k)),
+        |bitvals AS (SELECT doc_id, b, CASE WHEN sum(wt) > 0 THEN 1 ELSE 0 END AS bit
+        |            FROM bits GROUP BY doc_id, b),
+        |fps AS (SELECT doc_id, sum(bit * CAST(pow(2, b) AS BIGINT)) AS fp
+        |        FROM bitvals GROUP BY doc_id)
+        |SELECT f.doc_id, f.fp, g.grp_size
+        |FROM fps f
+        |JOIN (SELECT fp, count(*) AS grp_size FROM fps GROUP BY fp) g ON f.fp = g.fp
+        |ORDER BY f.doc_id""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val wd = t.documents
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .distinct()
+      val digits = wd
+        .select(col("doc_id"), col("word"), explode(sequence(lit(1), lit(4))).as("j"))
+        .withColumn("v", expr("instr('0123456789abcdef', substr(md5(word), j, 1)) - 1"))
+      val bits = digits
+        .select(col("doc_id"), col("v"), col("j"), explode(sequence(lit(0), lit(3))).as("k"))
+        .select(col("doc_id"),
+          ((col("j") - 1) * 4 + col("k")).as("b"),
+          when(expr("(v div CAST(pow(2, k) AS BIGINT)) % 2") === 1, 1).otherwise(-1).as("wt"))
+      val fps = bits
+        .groupBy(col("doc_id"), col("b"))
+        .agg(when(sum(col("wt")) > 0, 1).otherwise(0).as("bit"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("bit") * expr("CAST(pow(2, b) AS BIGINT)")).as("fp"))
+      val groups = fps.groupBy(col("fp")).agg(count(lit(1)).as("grp_size"))
+      fps.join(groups, "fp")
+        .select(col("doc_id"), col("fp"), col("grp_size"))
+        .orderBy(col("doc_id"))
+    },
+
+    q("q_dedup_embedding",
+      """SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+        |    sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) *
+        |         list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 9) AS cos
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+        |    sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) *
+        |         list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) >= 0.35
+        |ORDER BY v1, v2""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val a = t.embeddings.select(col("vec_id").as("v1"), col("label"), col("embedding").as("e1"))
+      val b = t.embeddings.select(col("vec_id").as("v2"), col("label").as("label2"), col("embedding").as("e2"))
+      val cosc = VectorFunctions.cosineSimilarity(col("e1"), col("e2"))
+      a.join(b, col("label") === col("label2") && col("v1") < col("v2"))
+        .withColumn("cos_raw", cosc)
+        .filter(col("cos_raw") >= 0.35)
+        .select(col("v1"), col("v2"), round(col("cos_raw"), 9).as("cos"))
+        .orderBy(col("v1"), col("v2"))
+    }
+  )
+}
