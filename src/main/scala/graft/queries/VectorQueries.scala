@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.functions.VectorFunctions
+import QueryDef.q
+
+/** Similarity search over the embeddings table (builder-prompt
+  * extension surface): brute-force exact top-k as the baseline, plus
+  * two sub-linear scale paths — sign-bit LSH bucketing and IVF with
+  * data-derived centroids.
+  *
+  * Scale shape:
+  *  - brute force: queries are broadcast (tiny side), corpus streams —
+  *    one pass over 100 TB, per-query top-k via partial heaps
+  *    (TakeOrderedAndProject inside the window/rank). Exact recall,
+  *    linear cost.
+  *  - LSH: bucket id from 8 axis sign bits → candidates share a
+  *    bucket → equi-join. Cost drops ~256× at equal recall for
+  *    near-duplicate-grade neighbors.
+  *  - IVF: per-label centroid (rounded so both engines' float
+  *    merge order yields identical cells), nearest-cell probe, search
+  *    within cell — the classic inverted-file layout; on a cluster the
+  *    cell id becomes the partition key.
+  *
+  * All cosine math uses the codegen'd VectorDot double fold —
+  * bit-identical to DuckDB's list_dot_product over DOUBLE[], so these
+  * are hash-matched, not rows-only.
+  */
+object VectorQueries {
+
+  private def cosSql(a: String, b: String): String =
+    s"""list_dot_product(CAST($a.embedding AS DOUBLE[]), CAST($b.embedding AS DOUBLE[])) /
+       |    sqrt(list_dot_product(CAST($a.embedding AS DOUBLE[]), CAST($a.embedding AS DOUBLE[])) *
+       |         list_dot_product(CAST($b.embedding AS DOUBLE[]), CAST($b.embedding AS DOUBLE[])))""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+
+    q("q_ann_bruteforce",
+      s"""SELECT q_id, vec_id, cos FROM (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         |    round(${cosSql("q", "c")}, 9) AS cos,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${cosSql("q", "c")} DESC, c.vec_id) AS rk
+         |  FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+         |  JOIN embeddings c ON c.vec_id <> q.vec_id
+         |)
+         |WHERE rk <= 5
+         |ORDER BY q_id, cos DESC, vec_id""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val queries = t.embeddings.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val corpus = t.embeddings.select(col("vec_id"), col("embedding").as("ce"))
+      val cos = VectorFunctions.cosineSimilarity(col("qe"), col("ce"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos_raw").desc, col("vec_id"))
+      corpus.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+        .withColumn("cos_raw", cos)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("vec_id"), round(col("cos_raw"), 9).as("cos"))
+        .orderBy(col("q_id"), col("cos").desc, col("vec_id"))
+    },
+
+    q("q_ann_lsh",
+      s"""WITH buckets AS (
+         |  SELECT vec_id, embedding,
+         |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+         |    (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+         |    (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+         |    (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) +
+         |    (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) +
+         |    (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) +
+         |    (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END) +
+         |    (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+         |  FROM embeddings
+         |)
+         |SELECT q_id, vec_id, bucket, cos FROM (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id, q.bucket AS bucket,
+         |    round(${cosSql("q", "c")}, 9) AS cos,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${cosSql("q", "c")} DESC, c.vec_id) AS rk
+         |  FROM (SELECT * FROM buckets WHERE vec_id < 20) q
+         |  JOIN buckets c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+         |)
+         |WHERE rk <= 3
+         |ORDER BY q_id, cos DESC, vec_id""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val bucketExpr = (1 to 8).map(i =>
+        when(element_at(col("embedding"), i) > 0, 1 << (i - 1)).otherwise(0))
+        .reduce[Column](_ + _)
+      val buckets = t.embeddings.select(col("vec_id"), col("embedding"), bucketExpr.as("bucket"))
+      val queries = buckets.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("bucket"))
+      val corpus = buckets.select(col("vec_id"), col("embedding").as("ce"), col("bucket").as("cb"))
+      val cos = VectorFunctions.cosineSimilarity(col("qe"), col("ce"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos_raw").desc, col("vec_id"))
+      corpus.join(broadcast(queries),
+          col("cb") === col("bucket") && col("vec_id") =!= col("q_id"))
+        .withColumn("cos_raw", cos)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("q_id"), col("vec_id"), col("bucket"), round(col("cos_raw"), 9).as("cos"))
+        .orderBy(col("q_id"), col("cos").desc, col("vec_id"))
+    },
+
+    q("q_ann_ivf",
+      """WITH dims AS (
+        |  SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS c
+        |  FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+        |  GROUP BY label, i
+        |),
+        |centroids AS (
+        |  SELECT label, list(c ORDER BY i) AS centroid FROM dims GROUP BY label
+        |),
+        |assign AS (
+        |  SELECT q.vec_id AS q_id, ct.label AS cell,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_dot_product(CAST(q.embedding AS DOUBLE[]), ct.centroid) /
+        |        sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) *
+        |             list_dot_product(ct.centroid, ct.centroid)) DESC, ct.label) AS rk
+        |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q CROSS JOIN centroids ct
+        |)
+        |SELECT q_id, cell, count(*) AS cell_size
+        |FROM assign JOIN embeddings e ON e.label = assign.cell
+        |WHERE rk = 1
+        |GROUP BY q_id, cell
+        |ORDER BY q_id""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      // centroid per label, each dim rounded so float-merge order can't
+      // leak into cell assignment
+      val dims = t.embeddings
+        .select(col("label"), explode(sequence(lit(1), lit(64))).as("i"), col("embedding"))
+        .select(col("label"), col("i"),
+          element_at(col("embedding"), col("i")).cast("double").as("v"))
+        .groupBy(col("label"), col("i"))
+        .agg(round(avg(col("v")), 6).as("c"))
+      val centroids = dims
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+          x => x.getField("c")).as("centroid"))
+      val queries = t.embeddings.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val cos = VectorFunctions.cosineSimilarity(col("qe"), col("centroid"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos_raw").desc, col("label"))
+      val assign = queries.crossJoin(broadcast(centroids))
+        .withColumn("cos_raw", cos)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("q_id"), col("label").as("cell"))
+      assign.join(t.embeddings.select(col("label")), col("label") === col("cell"))
+        .groupBy(col("q_id"), col("cell"))
+        .agg(count(lit(1)).as("cell_size"))
+        .orderBy(col("q_id"))
+    }
+  )
+}
