@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import QueryDef.q
+
+/** Text analysis suite over `documents` (builder-prompt extension
+  * surface): language ID, quality scoring, tokenization, rolling-hash
+  * fingerprinting. Everything is a deterministic row-local expression
+  * over the text column — embarrassingly parallel, no shuffle except
+  * final presentation order, so the per-row cost is the whole story at
+  * 100 TB. The DuckDB oracles state the same computation with DuckDB's
+  * list/lambda vocabulary (list_filter/list_reduce ↔ filter/aggregate).
+  */
+object TextQueries {
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword
+    * language-ID heuristic. Deliberately small: the operator's shape
+    * (score = |words ∩ profile|, argmax over languages) is what scales,
+    * not the profile size. */
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "und", "die", "nicht", "das"),
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq("de", "le", "shi", "bu", "wo"))
+
+  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val all: Seq[QueryDef] = Seq(
+
+    q("q_text_langid", {
+      val scores = profiles.map { case (lang, ws) =>
+        s"len(list_filter(words, w -> list_contains(${sqlList(ws)}, w))) AS s_$lang"
+      }.mkString(",\n        |    ")
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |    $scores
+         |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents)
+         |), best AS (
+         |  SELECT doc_id, lang,
+         |    CASE greatest(s_de, s_en, s_es, s_fr, s_zh)
+         |      WHEN s_de THEN 'de' WHEN s_en THEN 'en' WHEN s_es THEN 'es'
+         |      WHEN s_fr THEN 'fr' ELSE 'zh' END AS pred,
+         |    greatest(s_de, s_en, s_es, s_fr, s_zh) AS score
+         |  FROM scored
+         |)
+         |SELECT pred, count(*) AS n, sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS n_correct,
+         |  sum(score) AS total_score
+         |FROM best GROUP BY pred ORDER BY pred""".stripMargin
+    }) { (s, dir) =>
+      val t = Tables(s, dir)
+      val words = split(col("text"), " ")
+      val scoreCols = profiles.map { case (lang, ws) =>
+        size(filter(words, w => array_contains(array(ws.map(lit): _*), w)))
+          .cast("long").as(s"s_$lang")
+      }
+      val scored = t.documents.select(col("doc_id") +: col("lang") +: scoreCols: _*)
+      val best = greatest(profiles.map(p => col(s"s_${p._1}")): _*)
+      // first-match tie-break in declared order, mirroring the CASE
+      val pred = profiles.init.foldRight(lit(profiles.last._1): Column) {
+        case ((lang, _), rest) => when(best === col(s"s_$lang"), lang).otherwise(rest)
+      }
+      scored
+        .withColumn("pred", pred).withColumn("score", best)
+        .groupBy(col("pred"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred") === col("lang"), 1).otherwise(0)).as("n_correct"),
+          sum(col("score")).as("total_score"))
+        .orderBy(col("pred"))
+    },
+
+    q("q_text_quality",
+      """SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  len(string_split(text, ' ')) AS n_words,
+        |  round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0 / length(text), 9) AS punct_ratio,
+        |  round(len(list_filter(string_split(text, ' '),
+        |        w -> list_contains(['the','and','of','to','in','a','is'], w))) * 1.0
+        |      / len(string_split(text, ' ')), 9) AS stop_ratio,
+        |  round(length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')), 9) AS mean_word_len,
+        |  CASE WHEN length(text) BETWEEN 20 AND 2000
+        |        AND len(string_split(text, ' ')) >= 5 THEN 1 ELSE 0 END AS passes
+        |FROM documents ORDER BY doc_id LIMIT 400""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val words = split(col("text"), " ")
+      val stops = array(Seq("the", "and", "of", "to", "in", "a", "is").map(lit): _*)
+      t.documents.select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(words).cast("long").as("n_words"),
+        round(length(regexp_replace(col("text"), lit("[a-z0-9 ]"), lit(""))) * 1.0
+          / length(col("text")), 9).as("punct_ratio"),
+        round(size(filter(words, w => array_contains(stops, w))) * 1.0
+          / size(words), 9).as("stop_ratio"),
+        round(length(regexp_replace(col("text"), lit(" "), lit(""))) * 1.0
+          / size(words), 9).as("mean_word_len"),
+        when(length(col("text")).between(20, 2000) && size(words) >= 5, 1)
+          .otherwise(0).as("passes"))
+        .orderBy(col("doc_id")).limit(400)
+    },
+
+    q("q_text_tokens",
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens,
+        |  len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS uniq_tokens,
+        |  round(len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) * 1.0
+        |      / len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')), 9) AS ttr
+        |FROM documents ORDER BY doc_id LIMIT 400""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val toks = regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+      t.documents.select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        size(toks).cast("long").as("bpe_tokens"),
+        size(array_distinct(toks)).cast("long").as("uniq_tokens"),
+        round(size(array_distinct(toks)) * 1.0 / size(toks), 9).as("ttr"))
+        .orderBy(col("doc_id")).limit(400)
+    },
+
+    q("q_text_fingerprint",
+      """WITH vals AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split(text, ' '), w ->
+        |      (strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 4096 +
+        |      (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) * 256 +
+        |      (strpos('0123456789abcdef', substr(md5(w), 3, 1)) - 1) * 16 +
+        |      (strpos('0123456789abcdef', substr(md5(w), 4, 1)) - 1)) AS vs
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), vs),
+        |              (acc, v) -> (acc * 31 + v) % 1000000007) AS fp
+        |FROM vals ORDER BY doc_id LIMIT 400""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      // per-word 16-bit value from the first 4 md5 hex digits, then a
+      // sequential polynomial fold mod 1e9+7 — aggregate() is Spark's
+      // ordered fold, exactly list_reduce's semantics.
+      t.documents.selectExpr("doc_id",
+        """aggregate(
+          |  transform(split(text, ' '), w ->
+          |    (instr('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 4096 +
+          |    (instr('0123456789abcdef', substr(md5(w), 2, 1)) - 1) * 256 +
+          |    (instr('0123456789abcdef', substr(md5(w), 3, 1)) - 1) * 16 +
+          |    (instr('0123456789abcdef', substr(md5(w), 4, 1)) - 1)),
+          |  CAST(0 AS BIGINT),
+          |  (acc, v) -> (acc * 31 + v) % 1000000007) AS fp""".stripMargin)
+        .orderBy(col("doc_id")).limit(400)
+    }
+  )
+}
