@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+import QueryDef.q
+
+/** Multimodal pipeline queries: the Spark side runs the REAL binary
+  * pipeline (BinaryType payloads, typed metadata struct, mapPartitions
+  * batch decode — graft.operators.Multimodal); the oracle recomputes
+  * the same deterministic bytes arithmetically from the md5 hex, so
+  * even the stubbed decode path is hash-checked end to end, not
+  * rows-only.
+  */
+object MultimodalQueries {
+
+  private val hexVal =
+    "strpos('0123456789abcdef', substr(hx, POS, 1)) - 1"
+
+  val all: Seq[QueryDef] = Seq(
+
+    q("q_mm_metadata",
+      """SELECT kind, count(*) AS n, sum(n_bytes) AS total_bytes,
+        |  min(width) AS min_w, max(height) AS max_h
+        |FROM (
+        |  SELECT ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+        |    octet_length(unhex(md5(text) || md5(text || 'x') || md5(text || 'y') || md5(text || 'z'))) AS n_bytes,
+        |    CAST(doc_id % 64 + 16 AS INT) AS width,
+        |    CAST(doc_id % 48 + 16 AS INT) AS height
+        |  FROM documents
+        |) GROUP BY kind ORDER BY kind""".stripMargin) { (s, dir) =>
+      Multimodal.mediaTable(s, dir).toDF()
+        .select(col("meta.kind").as("kind"), length(col("payload")).cast("long").as("n_bytes"),
+          col("meta.width").as("width"), col("meta.height").as("height"))
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("total_bytes"),
+          min(col("width")).cast("long").as("min_w"), max(col("height")).cast("long").as("max_h"))
+        .orderBy(col("kind"))
+    },
+
+    q("q_mm_features", {
+      val b = hexVal.replace("POS", "2*i - 1")
+      val lo = hexVal.replace("POS", "2*i")
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    md5(text) || md5(text || 'x') || md5(text || 'y') || md5(text || 'z') AS hx
+         |  FROM documents
+         |), bytes AS (
+         |  SELECT doc_id, ($b) * 16 + ($lo) AS bv
+         |  FROM h, UNNEST(generate_series(1, 64)) AS t(i)
+         |), counts AS (
+         |  SELECT doc_id, bv // 16 AS bucket, count(*) AS cnt
+         |  FROM bytes GROUP BY doc_id, bv // 16
+         |), grid AS (
+         |  SELECT DISTINCT doc_id, g.b FROM h, UNNEST(generate_series(0, 15)) AS g(b)
+         |)
+         |SELECT g.doc_id AS media_id,
+         |  CAST(64 AS BIGINT) AS n_bytes,
+         |  (SELECT round(avg(bv), 9) FROM bytes WHERE bytes.doc_id = g.doc_id) AS byte_mean,
+         |  list(CAST(coalesce(c.cnt, 0) AS BIGINT) ORDER BY g.b) AS histogram
+         |FROM grid g LEFT JOIN counts c ON c.doc_id = g.doc_id AND c.bucket = g.b
+         |GROUP BY g.doc_id
+         |ORDER BY media_id LIMIT 300""".stripMargin
+    }) { (s, dir) =>
+      val feats = Multimodal.extractFeatures(Multimodal.mediaTable(s, dir)).toDF()
+      feats.select(
+        col("mediaId").as("media_id"),
+        col("nBytes").cast("long").as("n_bytes"),
+        round(col("byteMean"), 9).as("byte_mean"),
+        col("histogram"))
+        .orderBy(col("media_id")).limit(300)
+    },
+
+    q("q_mm_frames",
+      """SELECT media_id, frame_no, frame_bytes_len FROM (
+        |  SELECT doc_id AS media_id, f.f AS frame_no, CAST(64 AS BIGINT) AS frame_bytes_len
+        |  FROM documents,
+        |    UNNEST(generate_series(0, CAST(doc_id % 30 AS BIGINT), 5)) AS f(f)
+        |  WHERE doc_id % 3 = 2
+        |) ORDER BY media_id, frame_no LIMIT 500""".stripMargin) { (s, dir) =>
+      val frames = Multimodal.sampleFrames(Multimodal.mediaTable(s, dir), stride = 5).toDF()
+      frames.select(
+        col("mediaId").as("media_id"),
+        col("frameNo").cast("long").as("frame_no"),
+        length(col("frameBytes")).cast("long").as("frame_bytes_len"))
+        .orderBy(col("media_id"), col("frame_no")).limit(500)
+    }
+  )
+}
