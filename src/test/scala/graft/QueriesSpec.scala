@@ -1,0 +1,39 @@
+package graft
+
+/** Smoke: every declared query runs at sf0.001, returns a non-empty
+  * schema, and its oracle (when present) is syntactically non-empty.
+  * The cell-exact DuckDB comparison happens in the driver gate /
+  * tools/compare.py; this spec catches analysis errors and accidental
+  * name/entry drift early and cheaply. */
+class QueriesSpec extends SparkSpecBase {
+
+  test("registry is consistent: unique names, oracle keys subset") {
+    val names = SparkEntry.defs.map(_.name)
+    assert(names.distinct.size == names.size, "duplicate query names")
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  SparkEntry.defs.foreach { d =>
+    test(s"${d.name} executes at sf0.001") {
+      val df = d.run(spark, sf)
+      assert(df.schema.nonEmpty)
+      df.limit(1).collect() // force execution of at least one task chain
+      d.oracle.foreach(sql => assert(sql.trim.toLowerCase.startsWith("select")
+        || sql.trim.toLowerCase.startsWith("with")))
+    }
+  }
+
+  test("approx_count_distinct within 2% of exact") {
+    val t = graft.engine.Tables(spark, sf)
+    import org.apache.spark.sql.functions._
+    val r = t.orders.agg(
+      approx_count_distinct(col("o_custkey")).as("a"),
+      countDistinct(col("o_custkey")).as("e")).head()
+    val (a, e) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(a - e) / e < 0.02, s"approx=$a exact=$e")
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
