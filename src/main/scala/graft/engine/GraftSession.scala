@@ -29,6 +29,10 @@ object GraftSession {
       .config("spark.sql.ansi.enabled", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // in-memory catalog + on-disk warehouse must live and die
+      // together: pin the dir so ServerMain can wipe it at bootstrap
+      // (no persistent metastore in contract — SURVEY §7.3)
+      .config("spark.sql.warehouse.dir", "/root/repo/target/warehouse")
       .config("spark.ui.enabled", "false")
 
   def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {

@@ -1,0 +1,257 @@
+package graft.server
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.locks.ReentrantReadWriteLock
+import scala.util.matching.Regex
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The engine behind both frontends: one shared SparkSession, dialect
+  * rewrites, statement intercepts, the DML hard parts (SURVEY §7.3) and
+  * the catalog bootstrap (SURVEY A25).
+  *
+  * Concurrency model mirrors the reference (one process, many client
+  * threads, shared storage): Catalyst planning happens on the calling
+  * connection thread; per-table ReentrantReadWriteLock gives
+  * statement-level atomicity for the copy-on-write UPDATE/DELETE, the
+  * single-writer discipline DuckDB gets from its own MVCC
+  * (README.md:21-27 — cross-statement transactions are out of contract,
+  * like the reference which always reports status 'I', pg_conn.go:122).
+  */
+final class Engine(val spark: SparkSession) {
+
+  import Engine._
+
+  /** schema.table -> lock for copy-on-write writers. */
+  private val tableLocks = new ConcurrentHashMap[String, ReentrantReadWriteLock]()
+  private def lockFor(t: String) =
+    tableLocks.computeIfAbsent(t.toLowerCase, _ => new ReentrantReadWriteLock())
+
+  /** users: username -> SCRAM verifier (duckserver.users analog,
+    * reference pg_server.go:95-97,116-130). */
+  val users = new ConcurrentHashMap[String, String]()
+
+  // -- statement execution ---------------------------------------------------
+
+  /** Execute one statement; returns (df-or-null, commandTag). DDL/DML
+    * run eagerly; SELECT-ish statements return a lazy DataFrame the
+    * caller pumps with toLocalIterator. */
+  def execute(sql0: String): ExecResult = {
+    val sql = sql0.trim.stripSuffix(";").trim
+    if (sql.isEmpty) return ExecResult(null, "EMPTY")
+
+    createUserRe.findFirstMatchIn(sql) match {
+      case Some(m) =>
+        users.put(m.group(1).toLowerCase, graft.server.pg.Scram.encryptPassword(m.group(2)))
+        return ExecResult(null, "CREATE ROLE")
+      case None =>
+    }
+    if (sql.equalsIgnoreCase("discard all")) return ExecResult(null, "DISCARD ALL")
+    if (txnRe.matches(sql)) // accepted as no-ops, status stays 'I' like the reference
+      return ExecResult(null, sql.split("\\s+").head.toUpperCase)
+    if (showTxnReadOnlyRe.matches(sql))
+      return ExecResult(spark.sql("SELECT 'off' AS transaction_read_only"), "SELECT 1")
+    if (swallowedSetRe.matches(sql))
+      return ExecResult(spark.sql("SELECT 1 LIMIT 0"), "SET")
+
+    updateRe.findFirstMatchIn(sql).foreach { m =>
+      return copyOnWriteUpdate(m.group(1), m.group(2), Option(m.group(3)))
+    }
+    deleteRe.findFirstMatchIn(sql).foreach { m =>
+      return copyOnWriteDelete(m.group(1), Option(m.group(2)))
+    }
+
+    val rewritten = rewrite(sql)
+    val df = spark.sql(rewritten)
+    val verb = sql.split("\\s+").head.toUpperCase
+    verb match {
+      case "SELECT" | "WITH" | "VALUES" | "TABLE" | "SHOW" | "DESCRIBE" | "DESC" | "EXPLAIN" | "PIVOT" =>
+        ExecResult(df, "SELECT")
+      case "INSERT" =>
+        df.collect() // force the write
+        // written-row count from the write command's SQL metrics; the
+        // executed plan of an eager command is CommandResultExec whose
+        // write plan hangs off commandPhysicalPlan, not children
+        val n = try {
+          val root = df.queryExecution.executedPlan match {
+            case c: org.apache.spark.sql.execution.CommandResultExec => c.commandPhysicalPlan
+            case p => p
+          }
+          root.collectFirst {
+            case p if p.metrics.contains("numOutputRows") =>
+              p.metrics("numOutputRows").value
+          }.getOrElse(0L)
+        } catch { case _: Throwable => 0L }
+        ExecResult(null, s"INSERT 0 $n")
+      case _ =>
+        df.collect()
+        ExecResult(null, verb)
+    }
+  }
+
+  /** Dialect-level string rewrites (SURVEY §4.2-§4.3: read_* TVF
+    * aliasing; the rest of the dialect layer lives in GraftFunctions). */
+  def rewrite(sql: String): String = {
+    var s = sql
+    s = readParquetRe.replaceAllIn(s, m => Regex.quoteReplacement(s"parquet.`${m.group(1)}`"))
+    s = readCsvRe.replaceAllIn(s, m => Regex.quoteReplacement(s"csv.`${m.group(1)}`"))
+    s = readJsonRe.replaceAllIn(s, m => Regex.quoteReplacement(s"json.`${m.group(1)}`"))
+    s
+  }
+
+  // -- DML hard parts (SURVEY §7.3) -----------------------------------------
+
+  /** UPDATE t SET a=e[, …] [WHERE p] → materialize SELECT with CASE
+    * projection, then overwrite — Spark cannot read and overwrite the
+    * same table in one job, so the new image goes through a staging
+    * table (the copy in copy-on-write). */
+  private def copyOnWriteUpdate(table: String, setClause: String, where: Option[String]): ExecResult = {
+    val lock = lockFor(table).writeLock()
+    lock.lock()
+    try {
+      val cols = spark.table(table).schema.fieldNames
+      val sets = splitTopLevel(setClause, ',').map { a =>
+        val Array(c, e) = a.split("=", 2).map(_.trim)
+        c.toLowerCase -> e
+      }.toMap
+      val pred = where.getOrElse("true")
+      val proj = cols.map { c =>
+        sets.get(c.toLowerCase) match {
+          case Some(e) => s"CASE WHEN ($pred) THEN ($e) ELSE `$c` END AS `$c`"
+          case None => s"`$c`"
+        }
+      }.mkString(", ")
+      val touched = spark.sql(s"SELECT count(*) FROM $table WHERE ($pred)").head().getLong(0)
+      stageAndSwap(table, s"SELECT $proj FROM $table")
+      ExecResult(null, s"UPDATE $touched")
+    } finally lock.unlock()
+  }
+
+  private def copyOnWriteDelete(table: String, where: Option[String]): ExecResult = {
+    val lock = lockFor(table).writeLock()
+    lock.lock()
+    try {
+      val pred = where.getOrElse("true")
+      val removed = spark.sql(s"SELECT count(*) FROM $table WHERE ($pred)").head().getLong(0)
+      stageAndSwap(table, s"SELECT * FROM $table WHERE NOT ($pred) OR ($pred) IS NULL")
+      ExecResult(null, s"DELETE $removed")
+    } finally lock.unlock()
+  }
+
+  private def stageAndSwap(table: String, select: String): Unit = {
+    val stage = table.replace('.', '_') + "__cow"
+    spark.sql(s"DROP TABLE IF EXISTS $stage")
+    spark.sql(s"CREATE TABLE $stage AS $select")
+    try spark.sql(s"INSERT OVERWRITE TABLE $table SELECT * FROM $stage").collect()
+    finally spark.sql(s"DROP TABLE IF EXISTS $stage")
+  }
+
+  // -- ingest (micro-batched Appender analog, SURVEY A15/A20) ---------------
+
+  /** Append a batch of parsed rows to a table. One Spark job per batch;
+    * visibility at completion = the reference's Appender Flush. */
+  def appendBatch(table: String, columns: Seq[String], rows: Seq[Seq[Any]]): Unit = {
+    if (rows.isEmpty) return
+    val lock = lockFor(table).readLock() // appends can interleave; COW writers exclude
+    lock.lock()
+    try {
+      val target = spark.table(table)
+      val schema = org.apache.spark.sql.types.StructType(
+        columns.map(c => target.schema(target.schema.fieldIndex(c))))
+      val rdd = spark.sparkContext.parallelize(
+        rows.map(org.apache.spark.sql.Row.fromSeq), math.max(1, rows.size / 65536))
+      var df = spark.createDataFrame(rdd, schema)
+      // project + null-fill the column subset to the full table schema
+      val full = target.schema.fieldNames.map { c =>
+        if (columns.exists(_.equalsIgnoreCase(c))) org.apache.spark.sql.functions.col(c)
+        else org.apache.spark.sql.functions.lit(null).cast(target.schema(c).dataType).as(c)
+      }
+      df.select(full.toIndexedSeq: _*).write.insertInto(table)
+    } finally lock.unlock()
+  }
+}
+
+object Engine {
+  case class ExecResult(df: DataFrame, tag: String)
+
+  // intercepts (case-insensitive), mirroring reference pg_conn.go:274-307
+  private val createUserRe =
+    """(?is)^\s*create\s+user\s+(\S+)\s+with\s+password\s+'([^']*)'\s*$""".r
+  private val txnRe = """(?is)^\s*(begin|commit|rollback|start\s+transaction|end)\b.*""".r
+  private val showTxnReadOnlyRe = """(?is)^\s*show\s+transaction_read_only\s*$""".r
+  private val swallowedSetRe =
+    """(?is)^\s*set\s+(extra_float_digits|application_name|search_path|datestyle|client_min_messages)\b.*""".r
+  private val updateRe =
+    """(?is)^\s*update\s+([\w.]+)\s+set\s+(.+?)(?:\s+where\s+(.+))?\s*$""".r
+  private val deleteRe =
+    """(?is)^\s*delete\s+from\s+([\w.]+)(?:\s+where\s+(.+))?\s*$""".r
+
+  private val readParquetRe = """(?i)(?:read_parquet|parquet_scan)\s*\(\s*'([^']+)'\s*\)""".r
+  private val readCsvRe = """(?i)(?:read_csv_auto|read_csv)\s*\(\s*'([^']+)'\s*\)""".r
+  private val readJsonRe = """(?i)read_json_auto\s*\(\s*'([^']+)'\s*\)""".r
+
+  /** Split on a separator, ignoring separators inside quotes/parens. */
+  def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0; var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { cur += c; if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true; cur += c
+        case '(' => depth += 1; cur += c
+        case ')' => depth -= 1; cur += c
+        case `sep` if depth == 0 => out += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+      i += 1
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Statement splitter for multi-statement simple queries (Q8 fixed:
+    * split, not error). */
+  def splitStatements(sql: String): Seq[String] = splitTopLevel(sql, ';')
+
+  /** Bootstrap the catalog: database `main` with the fixture tables as
+    * external parquet tables + compat views (SURVEY A25). */
+  def bootstrap(spark: SparkSession, sfDir: String): Engine = {
+    val engine = new Engine(spark)
+    // fresh in-memory catalog ⇒ fresh warehouse (stale table dirs from
+    // a previous process would collide with re-created managed tables)
+    val wh = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"))
+    if (wh.getPath.contains("/target/")) { // safety: only ever wipe our own dir
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      if (wh.exists()) rm(wh)
+    }
+    spark.sql("CREATE DATABASE IF NOT EXISTS main")
+    graft.engine.Tables.names.foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS main.${t}_raw")
+      spark.sql(s"CREATE TABLE main.${t}_raw USING parquet LOCATION '$sfDir/$t.parquet'")
+      // events carries TIMESTAMP(NANOS) read as long; view normalizes
+      val body =
+        if (t == "events")
+          s"SELECT event_id, CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ) AS ts, " +
+            s"user_id, event_type, value, props FROM main.${t}_raw"
+        else s"SELECT * FROM main.${t}_raw"
+      spark.sql(s"CREATE OR REPLACE VIEW main.$t AS $body")
+    }
+    spark.sql("USE main")
+    // catalog-compat views (reference pg_server.go:35-76)
+    val oidRows = Seq(
+      16 -> "bool", 20 -> "int8", 21 -> "int2", 23 -> "int4", 25 -> "text",
+      700 -> "float4", 701 -> "float8", 1700 -> "numeric", 1082 -> "date",
+      1114 -> "timestamp", 1184 -> "timestamptz", 114 -> "json", 17 -> "bytea")
+      .map { case (o, n) => s"($o, '$n')" }.mkString(", ")
+    spark.sql(s"CREATE OR REPLACE VIEW pg_type AS SELECT * FROM VALUES $oidRows AS t(oid, typname)")
+    spark.sql("CREATE OR REPLACE VIEW pg_matviews AS SELECT '' AS matviewname WHERE false")
+    engine
+  }
+}
