@@ -111,17 +111,26 @@ object DedupQueries {
         |            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
         |SELECT d1, d2 FROM pairs ORDER BY d1, d2""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
-      val sh = shingles(t.documents)
-      val sigs = sh
-        .select(col("doc_id"), explode(sequence(lit(0), lit(7))).as("seed"), col("sh"))
-        .groupBy(col("doc_id"), col("seed"))
-        .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("sh")))).as("mh"))
-      val bands = sigs
-        .withColumn("band", expr("seed div 2"))
-        .groupBy(col("doc_id"), col("band"))
-        // sort by seed inside the band: collect (seed, mh), sort, join
-        .agg(array_join(transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
-          x => x.getField("mh")), ",").as("bkey"))
+      // min over a multiset == min over the set, so shingles need no
+      // distinct here (unlike Jaccard); and all 8 min-hashes fold in ONE
+      // aggregate pass — conditional-min per seed — instead of an 8×
+      // explode through two shuffles. Plan: scan → groupBy(doc) →
+      // tiny 4-way band explode → equi-join. 2 shuffles total.
+      val w = t.documents.select(col("doc_id"), split(col("text"), " ").as("words"))
+      val sh = w.select(col("doc_id"),
+          explode(sequence(lit(1), size(col("words")) - 2)).as("i"), col("words"))
+        .select(col("doc_id"), concat_ws(" ",
+          element_at(col("words"), col("i")),
+          element_at(col("words"), col("i") + 1),
+          element_at(col("words"), col("i") + 2)).as("sh"))
+      val mins = (0 to 7).map(seed =>
+        min(md5(concat(lit(s"$seed:"), col("sh")))).as(s"m$seed"))
+      val sigs = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      val bandArr = array((0 to 3).map(b => struct(
+        lit(b).as("band"),
+        concat(col(s"m${2 * b}"), lit(","), col(s"m${2 * b + 1}")).as("bkey"))): _*)
+      val bands = sigs.select(col("doc_id"), explode(bandArr).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
       val a = bands.select(col("doc_id").as("d1"), col("band"), col("bkey"))
       val b = bands.select(col("doc_id").as("d2"), col("band").as("band2"), col("bkey").as("bkey2"))
       a.join(b, col("band") === col("band2") && col("bkey") === col("bkey2")
@@ -148,22 +157,26 @@ object DedupQueries {
         |JOIN (SELECT fp, count(*) AS grp_size FROM fps GROUP BY fp) g ON f.fp = g.fp
         |ORDER BY f.doc_id""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
+      // One pass: each distinct word contributes ±1 to all 16 bits in a
+      // single projection (md5 computed once per word via a lateral
+      // alias), then ONE groupBy(doc) sums the 16 weights and assembles
+      // the fingerprint — versus the naive 16× row explode through two
+      // shuffles. The oracle states the naive dataflow; results match.
       val wd = t.documents
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
         .distinct()
-      val digits = wd
-        .select(col("doc_id"), col("word"), explode(sequence(lit(1), lit(4))).as("j"))
-        .withColumn("v", expr("instr('0123456789abcdef', substr(md5(word), j, 1)) - 1"))
-      val bits = digits
-        .select(col("doc_id"), col("v"), col("j"), explode(sequence(lit(0), lit(3))).as("k"))
-        .select(col("doc_id"),
-          ((col("j") - 1) * 4 + col("k")).as("b"),
-          when(expr("(v div CAST(pow(2, k) AS BIGINT)) % 2") === 1, 1).otherwise(-1).as("wt"))
-      val fps = bits
-        .groupBy(col("doc_id"), col("b"))
-        .agg(when(sum(col("wt")) > 0, 1).otherwise(0).as("bit"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("bit") * expr("CAST(pow(2, b) AS BIGINT)")).as("fp"))
+        .withColumn("h4", substring(md5(col("word")), 1, 4))
+      val wts = for (j <- 1 to 4; k <- 0 to 3) yield {
+        val b = (j - 1) * 4 + k
+        when(expr(s"((instr('0123456789abcdef', substr(h4, $j, 1)) - 1) div ${1 << k}) % 2") === 1,
+          1).otherwise(-1).as(s"w$b")
+      }
+      val perWord = wd.select(col("doc_id") +: wts: _*)
+      val sums = (0 until 16).map(b => sum(col(s"w$b")).as(s"s$b"))
+      val fpExpr = (0 until 16).map(b =>
+        when(col(s"s$b") > 0, 1L << b).otherwise(0L)).reduce[Column](_ + _)
+      val fps = perWord.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+        .select(col("doc_id"), fpExpr.as("fp"))
       val groups = fps.groupBy(col("fp")).agg(count(lit(1)).as("grp_size"))
       fps.join(groups, "fp")
         .select(col("doc_id"), col("fp"), col("grp_size"))
