@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import QueryDef.q
+
+/** DuckDB dialect extensions (SURVEY §2-B.2/B.4/B.7 ⚠/🔧 rows):
+  * ILIKE, SIMILAR TO, IS DISTINCT FROM, GROUP BY ALL, UNION BY NAME,
+  * DISTINCT ON — each as its Spark-idiomatic rewrite.
+  */
+object DialectQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    q("q_dialect_ilike",
+      """SELECT p_partkey, p_name FROM part
+        |WHERE p_name ILIKE '%EE%' AND p_type NOT ILIKE 'BRASS%'
+        |ORDER BY p_partkey LIMIT 200""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      t.part
+        .filter(col("p_name").ilike("%EE%") && !col("p_type").ilike("BRASS%"))
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy(col("p_partkey")).limit(200)
+    },
+
+    q("q_dialect_similar_to",
+      """SELECT o_orderkey, o_orderpriority FROM orders
+        |WHERE o_orderpriority SIMILAR TO '[1-3]-[A-Z]+'
+        |ORDER BY o_orderkey LIMIT 300""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      // SIMILAR TO = full-string regex match (rlike with anchors)
+      t.orders
+        .filter(col("o_orderpriority").rlike("^(?:[1-3]-[A-Z]+)$"))
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .orderBy(col("o_orderkey")).limit(300)
+    },
+
+    q("q_dialect_is_distinct",
+      """SELECT c_custkey,
+        |  nullif(c_mktsegment, 'BUILDING') IS DISTINCT FROM nullif(c_mktsegment, 'MACHINERY') AS d,
+        |  nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM NULL AS is_b
+        |FROM customer ORDER BY c_custkey LIMIT 300""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val a = nullif(col("c_mktsegment"), lit("BUILDING"))
+      val b = nullif(col("c_mktsegment"), lit("MACHINERY"))
+      t.customer.select(
+        col("c_custkey"),
+        !(a <=> b) as "d", // IS DISTINCT FROM = NOT null-safe-equal
+        (a <=> lit(null)).as("is_b"))
+        .orderBy(col("c_custkey")).limit(300)
+    },
+
+    q("q_dialect_group_by_all",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem GROUP BY ALL
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Tables(s, dir)
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n
+          |FROM lineitem GROUP BY ALL
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    },
+
+    q("q_dialect_union_by_name",
+      """SELECT k, v FROM (
+        |  SELECT n_nationkey AS k, n_name AS v FROM nation
+        |  UNION ALL BY NAME
+        |  SELECT r_name AS v, r_regionkey + 100 AS k FROM region
+        |) ORDER BY k""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val a = t.nation.select(col("n_nationkey").cast("long").as("k"), col("n_name").as("v"))
+      val b = t.region.select(col("r_name").as("v"), (col("r_regionkey") + 100).cast("long").as("k"))
+      a.unionByName(b).orderBy(col("k"))
+    },
+
+    q("q_dialect_distinct_on",
+      """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+        |LIMIT 300""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      // DISTINCT ON (k) … ORDER BY k, s = first row per key in sort
+      // order = rank-1 window, the scalable shape
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t.orders
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+        .limit(300)
+    }
+  )
+}
