@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY §2-B.10 extension target — the
+  * reference has no streaming semantics; this is the capability a
+  * training-data pipeline adds on top): watermarked tumbling-window
+  * aggregation and stateful gap sessionization over the events shape.
+  *
+  * Inputs arrive via any streaming source (file source over a parquet
+  * drop directory here; Kafka on a real deployment — the plan is
+  * source-agnostic). State lives in the checkpointed state store, so a
+  * 1000-executor run shards session state by user_id with no driver
+  * involvement.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  // state keeps the original Timestamps — round-tripping through
+  // epoch-millis would truncate microseconds
+  case class SessionState(start: Timestamp, end: Timestamp, n: Int)
+  case class Session(user_id: Long, sess_start: Timestamp, sess_end: Timestamp,
+      n_events: Int)
+
+  /** events stream from a parquet directory (schema must be supplied —
+    * streaming sources cannot infer). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, " +
+        "value DOUBLE, props STRING")
+    spark.readStream.schema(schema).parquet(dir)
+  }
+
+  /** Tumbling 1-hour windows per event_type with a 2-hour watermark:
+    * late events beyond the watermark are dropped, window state is
+    * evicted once the watermark passes — bounded state at any scale. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("total"))
+      .select(col("window.start").as("hr"), col("event_type"), col("n"), col("total"))
+
+  /** Gap-based sessionization (30-minute inactivity) with
+    * flatMapGroupsWithState: one state entry per user, emitted and
+    * cleared on timeout — the streaming analog of q_evt_session. */
+  def sessions(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.start, s.end, s.n))
+          } else {
+            val evs = batch.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            evs.foreach { e =>
+              cur match {
+                case Some(s) if e.ts.getTime - s.end.getTime <= gapMs =>
+                  val newEnd = if (e.ts.after(s.end)) e.ts else s.end
+                  cur = Some(s.copy(end = newEnd, n = s.n + 1))
+                case Some(s) =>
+                  closed ::= Session(userId, s.start, s.end, s.n)
+                  cur = Some(SessionState(e.ts, e.ts, 1))
+                case None =>
+                  cur = Some(SessionState(e.ts, e.ts, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end.getTime + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

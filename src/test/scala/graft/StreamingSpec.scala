@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+
+/** Streaming correctness: run each streaming transform over the events
+  * fixture via the file source + memory sink, and compare with the
+  * equivalent batch computation on the same data — the streaming and
+  * batch answers must agree once the stream is fully consumed.
+  */
+class StreamingSpec extends SparkSpecBase {
+
+  private def eventsDir: String = {
+    // copy the fixture parquet into a directory (streaming file source
+    // reads directories, and testdata is read-only)
+    val dir = java.nio.file.Files.createTempDirectory("graft-events").toFile
+    dir.deleteOnExit()
+    val batch = graft.engine.Tables(spark, sf).events
+    // one file ⇒ one AvailableNow micro-batch ⇒ deterministic per-group
+    // arrival order (multi-file drops would arrive in file order, which
+    // the stateful merge handles per batch but the test shouldn't
+    // depend on)
+    batch.orderBy("ts").coalesce(1).write.mode("overwrite").parquet(dir.getAbsolutePath)
+    dir.getAbsolutePath
+  }
+
+  test("watermarked hourly windows match the batch aggregation") {
+    val dir = eventsDir
+    val q = EventStreams.hourlyCounts(EventStreams.readEventStream(spark, dir))
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // append mode only emits windows the watermark has closed; with a
+    // single batch the watermark advances at the end, so closed windows
+    // = all but the final 2 hours of data. Compare on the closed set.
+    val streamed = spark.table("hourly")
+    val batch = spark.read.parquet(dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,6)")).as("total"))
+      .select(col("window.start").as("hr"), col("event_type"), col("n"), col("total"))
+    val maxClosed = streamed.agg(max(col("hr"))).head().getTimestamp(0)
+    assert(streamed.count() > 0, "stream emitted no closed windows")
+    val b = batch.filter(col("hr") <= maxClosed)
+    val s = streamed
+    assert(s.exceptAll(b).isEmpty && b.exceptAll(s).isEmpty,
+      s"stream/batch divergence: stream=${s.count()} batch=${b.count()}")
+  }
+
+  test("stateful sessionization emits gap-closed sessions matching batch") {
+    import spark.implicits._
+    val dir = eventsDir
+    val events = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"))
+      .parquet(dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.Event]
+    val q = EventStreams.sessions(events)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sessions")
+      .select(col("user_id"), col("sess_start").cast("timestamp_ntz").as("sess_start"),
+        col("n_events"))
+    assert(streamed.count() > 0, "no sessions emitted")
+
+    // batch equivalent (same shape as q_evt_session)
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val batchSessions = spark.read.parquet(dir)
+      .withColumn("new_sess",
+        when(col("ts") - lag(col("ts"), 1).over(byUser) > expr("INTERVAL 30 MINUTE")
+          || lag(col("ts"), 1).over(byUser).isNull, 1).otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(byUser))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).cast("int").as("n_events"), min(col("ts")).as("sess_start"))
+      .select(col("user_id"), col("sess_start"), col("n_events"))
+
+    // every streamed (closed) session must exist identically in batch
+    val missing = streamed.join(batchSessions,
+      Seq("user_id", "sess_start", "n_events"), "left_anti")
+    assert(missing.isEmpty,
+      s"sessions not in batch: ${missing.collect().take(5).mkString(", ")}")
+  }
+}
