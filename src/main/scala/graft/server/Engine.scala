@@ -60,8 +60,27 @@ final class Engine(val spark: SparkSession) {
     deleteRe.findFirstMatchIn(sql).foreach { m =>
       return copyOnWriteDelete(m.group(1), Option(m.group(2)))
     }
+    copyToRe.findFirstMatchIn(sql).foreach { m =>
+      return copyTo(m.group(1), m.group(2), Option(m.group(3)).getOrElse(""))
+    }
+    copyFromFileRe.findFirstMatchIn(sql).foreach { m =>
+      return copyFromFile(m.group(1), m.group(2), Option(m.group(3)).getOrElse(""))
+    }
+    describeQueryRe.findFirstMatchIn(sql).foreach { m =>
+      val schema = spark.sql(rewrite(m.group(1))).schema
+      import spark.implicits._
+      val df = schema.fields.toSeq
+        .map(f => (f.name, graft.functions.DuckTypeNames.of(f.dataType),
+          if (f.nullable) "YES" else "NO"))
+        .toDF("column_name", "column_type", "null")
+      return ExecResult(df, "SELECT")
+    }
 
-    val rewritten = rewrite(sql)
+    var rewritten = rewrite(sql)
+    if (rewritten.toLowerCase.contains("information_schema.")) {
+      refreshInformationSchema()
+      rewritten = infoSchemaRe.replaceAllIn(rewritten, m => s"__is_${m.group(1).toLowerCase}")
+    }
     val df = spark.sql(rewritten)
     val verb = sql.split("\\s+").head.toUpperCase
     verb match {
@@ -146,6 +165,85 @@ final class Engine(val spark: SparkSession) {
     finally spark.sql(s"DROP TABLE IF EXISTS $stage")
   }
 
+  /** information_schema.{schemata,tables,columns} (SURVEY §2-B.9 🔧):
+    * Spark has no information_schema, and static views would go stale —
+    * queries naming it get the views rebuilt from the live catalog and
+    * the reference rewritten to the temp-view names. Catalog
+    * introspection is driver-side metadata only (no jobs). */
+  private def refreshInformationSchema(): Unit = {
+    import spark.implicits._
+    val dbs = spark.catalog.listDatabases().collect().map(_.name)
+    dbs.toSeq.map(d => ("spark", d)).toDF("catalog_name", "schema_name")
+      .createOrReplaceTempView("__is_schemata")
+    val tables = dbs.flatMap { d =>
+      spark.catalog.listTables(d).collect().map(t =>
+        ("spark", d, t.name, t.tableType match {
+          case "VIEW" => "VIEW"
+          case _ => "BASE TABLE"
+        }))
+    }
+    tables.toSeq.toDF("table_catalog", "table_schema", "table_name", "table_type")
+      .createOrReplaceTempView("__is_tables")
+    val columns = tables.flatMap { case (_, d, t, _) =>
+      try spark.catalog.listColumns(s"$d.$t").collect().zipWithIndex.map { case (c, i) =>
+        ("spark", d, t, c.name, i + 1, c.dataType,
+          if (c.nullable) "YES" else "NO")
+      }
+      catch { case _: Throwable => Array.empty[(String, String, String, String, Int, String, String)] }
+    }
+    columns.toSeq.toDF("table_catalog", "table_schema", "table_name",
+      "column_name", "ordinal_position", "data_type", "is_nullable")
+      .createOrReplaceTempView("__is_columns")
+  }
+
+  /** COPY (query|table) TO 'file' (FORMAT csv|parquet|json …) —
+    * statement intercept → DataFrameWriter (SURVEY §2-B.1 🔧). */
+  private def copyTo(src: String, path: String, opts: String): ExecResult = {
+    val df =
+      if (src.trim.startsWith("(")) spark.sql(rewrite(src.trim.stripPrefix("(").stripSuffix(")")))
+      else spark.table(src.trim)
+    val format = formatOf(opts, path)
+    val n = df.count()
+    val w = df.coalesce(1).write.mode("overwrite")
+    format match {
+      case "csv" => w.option("header", optFlag(opts, "header")).csv(path)
+      case "json" => w.json(path)
+      case _ => w.parquet(path)
+    }
+    ExecResult(null, s"COPY $n")
+  }
+
+  /** COPY table FROM 'file' (FORMAT …) → read + insertInto. */
+  private def copyFromFile(table: String, path: String, opts: String): ExecResult = {
+    val target = spark.table(table)
+    val format = formatOf(opts, path)
+    val reader = spark.read.schema(target.schema)
+    val df = format match {
+      case "csv" => reader.option("header", optFlag(opts, "header")).csv(path)
+      case "json" => reader.json(path)
+      case _ => reader.parquet(path)
+    }
+    val lock = lockFor(table).readLock()
+    lock.lock()
+    try {
+      val n = df.count()
+      df.write.insertInto(table)
+      ExecResult(null, s"COPY $n")
+    } finally lock.unlock()
+  }
+
+  private def formatOf(opts: String, path: String): String = {
+    val o = opts.toLowerCase
+    if (o.contains("parquet")) "parquet"
+    else if (o.contains("json")) "json"
+    else if (o.contains("csv")) "csv"
+    else if (path.endsWith(".parquet")) "parquet"
+    else if (path.endsWith(".json")) "json"
+    else "csv"
+  }
+  private def optFlag(opts: String, name: String): String =
+    if (opts.toLowerCase.contains(name)) "true" else "false"
+
   // -- ingest (micro-batched Appender analog, SURVEY A15/A20) ---------------
 
   /** Append a batch of parsed rows to a table. One Spark job per batch;
@@ -185,6 +283,13 @@ object Engine {
     """(?is)^\s*update\s+([\w.]+)\s+set\s+(.+?)(?:\s+where\s+(.+))?\s*$""".r
   private val deleteRe =
     """(?is)^\s*delete\s+from\s+([\w.]+)(?:\s+where\s+(.+))?\s*$""".r
+
+  private val copyToRe =
+    """(?is)^\s*copy\s+(\([^)]+\)|[\w.]+)\s+to\s+'([^']+)'\s*(?:\(([^)]*)\)|with\s*\(([^)]*)\))?\s*$""".r
+  private val copyFromFileRe =
+    """(?is)^\s*copy\s+([\w.]+)\s+from\s+'([^']+)'\s*(?:\(([^)]*)\)|with\s*\(([^)]*)\))?\s*$""".r
+  private val describeQueryRe = """(?is)^\s*describe\s+((?:select|with|values)\b.+)$""".r
+  private val infoSchemaRe = """(?i)information_schema\.(schemata|tables|columns)""".r
 
   private val readParquetRe = """(?i)(?:read_parquet|parquet_scan)\s*\(\s*'([^']+)'\s*\)""".r
   private val readCsvRe = """(?i)(?:read_csv_auto|read_csv)\s*\(\s*'([^']+)'\s*\)""".r
