@@ -4,6 +4,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.engine.GraftSession.local()
+    if (sys.env.contains("SPARK_GRAFT_NOAQE"))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
     // absorb one-time session/codegen/scheduler warmup outside the
     // per-query timings (DuckDB-side timings have no such fixed cost)
     spark.range(1000).selectExpr("sum(id)").collect()
