@@ -159,12 +159,17 @@ object AggQueries {
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
+      // one percentile buffer for all three quantity quantiles (the
+      // array form) instead of three copies of the column in memory
       t.lineitem.groupBy(col("l_returnflag"))
         .agg(
-          round(percentile(col("l_quantity"), lit(0.5)), 6).as("med"),
-          round(percentile(col("l_quantity"), lit(0.25)), 6).as("p25"),
-          round(percentile(col("l_quantity"), lit(0.75)), 6).as("p75"),
+          percentile(col("l_quantity"), array(lit(0.5), lit(0.25), lit(0.75))).as("q"),
           round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90_price"))
+        .select(col("l_returnflag"),
+          round(element_at(col("q"), 1), 6).as("med"),
+          round(element_at(col("q"), 2), 6).as("p25"),
+          round(element_at(col("q"), 3), 6).as("p75"),
+          col("p90_price"))
         .orderBy(col("l_returnflag"))
     },
 

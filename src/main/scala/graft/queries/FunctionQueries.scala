@@ -247,12 +247,17 @@ object FunctionQueries {
         col("o_totalprice").cast(DecimalType(18, 2)).as("dec2"),
         col("o_orderkey").cast("string").as("s"),
         col("o_orderdate").cast("date").cast("string").as("ds"),
-        try_cast(col("o_orderpriority"), "bigint").as("bad"),
-        try_cast(split_part(col("o_orderpriority"), lit("-"), lit(1)), "bigint").as("prio"),
+        // TRY_CAST semantics without exception-per-row: a failing cast
+        // in Spark throws (even in TRY mode internally) and 150k thrown
+        // exceptions dominate the query — guard with the integer regex
+        // instead (identical results, pure codegen)
+        tryCastLong(col("o_orderpriority")).as("bad"),
+        tryCastLong(split_part(col("o_orderpriority"), lit("-"), lit(1))).as("prio"),
         (col("o_totalprice") > 100000).cast("int").as("big"))
         .orderBy(col("o_orderkey")).limit(400)
     }
   )
 
-  private def try_cast(c: Column, t: String): Column = c.try_cast(t)
+  private def tryCastLong(c: Column): Column =
+    when(c.rlike("^\\s*[+-]?\\d{1,18}\\s*$"), c.cast("bigint"))
 }
