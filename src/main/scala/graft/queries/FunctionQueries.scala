@@ -258,6 +258,55 @@ object FunctionQueries {
     }
   )
 
+  val trig: Seq[QueryDef] = Seq(
+    q("q_fn_trig",
+      """SELECT p_partkey,
+        |  round(sin(radians(p_size)), 9) AS sn,
+        |  round(cos(radians(p_size)), 9) AS cs,
+        |  round(tan(radians(p_size % 60)), 9) AS tn,
+        |  round(atan2(p_size, 10), 9) AS at2,
+        |  round(degrees(asin((p_size % 10) / 10.0)), 9) AS asn,
+        |  round(pi(), 9) AS p,
+        |  round(cbrt(p_size), 9) AS cb
+        |FROM part ORDER BY p_partkey LIMIT 300""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      t.part.select(
+        col("p_partkey"),
+        round(sin(radians(col("p_size"))), 9).as("sn"),
+        round(cos(radians(col("p_size"))), 9).as("cs"),
+        round(tan(radians(col("p_size") % 60)), 9).as("tn"),
+        round(atan2(col("p_size"), lit(10)), 9).as("at2"),
+        round(degrees(asin((col("p_size") % 10) / 10.0)), 9).as("asn"),
+        round(lit(math.Pi), 9).as("p"),
+        round(cbrt(col("p_size")), 9).as("cb"))
+        .orderBy(col("p_partkey")).limit(300)
+    },
+
+    q("q_fn_interval",
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS plus3m,
+        |  CAST(o_orderdate AS DATE) - INTERVAL 2 WEEK AS minus2w,
+        |  date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS ep,
+        |  date_part('quarter', o_orderdate) AS qtr,
+        |  date_part('dow', o_orderdate) AS dow,
+        |  date_part('week', o_orderdate) AS wk
+        |FROM orders ORDER BY o_orderkey LIMIT 400""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      t.orders.select(
+        col("o_orderkey"),
+        (col("o_orderdate").cast("date") + expr("INTERVAL 3 MONTH")).cast("date").as("plus3m"),
+        (col("o_orderdate").cast("date") - expr("INTERVAL 2 WEEK")).cast("date").as("minus2w"),
+        datediff(lit(java.sql.Date.valueOf("1998-01-01")), col("o_orderdate").cast("date"))
+          .cast("long").as("days_to_98"),
+        unix_timestamp(col("o_orderdate").cast("timestamp")).as("ep"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow"), // PG dow: Sun=0
+        weekofyear(col("o_orderdate")).cast("long").as("wk"))
+        .orderBy(col("o_orderkey")).limit(400)
+    }
+  )
+
   private def tryCastLong(c: Column): Column =
     when(c.rlike("^\\s*[+-]?\\d{1,18}\\s*$"), c.cast("bigint"))
 }

@@ -1,0 +1,52 @@
+package graft
+
+/** Plan-shape regression guards: the properties that make these queries
+  * viable at 100 TB must be visible in the optimized/physical plan —
+  * pushed filters, pruned scan schemas, broadcast dims, no cartesian
+  * products in equi-key dedup. A refactor that silently loses one of
+  * these still passes the oracle at sf0.01; this spec is what fails.
+  */
+class PlanSpec extends SparkSpecBase {
+
+  private def planOf(name: String): String = {
+    val d = SparkEntry.defs.find(_.name == name).get
+    d.run(spark, sf).queryExecution.executedPlan.toString
+  }
+
+  test("scan query pushes filters and prunes columns") {
+    val p = planOf("q_scan_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull"), "no pushed filters in scan")
+    assert(p.contains("In(l_returnflag"), "IN filter not pushed")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(!read.contains("l_extendedprice"), s"scan reads unneeded columns: $read")
+  }
+
+  test("dimension joins broadcast") {
+    val p = planOf("q_join_inner_agg")
+    assert(p.contains("BroadcastHashJoin"), "dim join did not broadcast")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not global sort") {
+    val p = planOf("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to global sort")
+  }
+
+  test("jaccard dedup joins on the shingle key (no cartesian)") {
+    val p = planOf("q_dedup_jaccard")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "dedup candidate generation degenerated to a cross product")
+  }
+
+  test("asof rewrite is one partition-key window, no join") {
+    val d = SparkEntry.defs.find(_.name == "q_evt_asof").get
+    val p = d.run(spark, sf).queryExecution.optimizedPlan.toString
+    assert(p.contains("Window"), "asof rewrite lost its window")
+    assert(!p.toLowerCase.contains("join"), "asof rewrite introduced a join")
+  }
+
+  test("brute-force ann broadcasts the query side") {
+    val p = planOf("q_ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "ann corpus scan should join against broadcast queries")
+  }
+}
