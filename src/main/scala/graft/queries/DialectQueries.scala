@@ -76,6 +76,18 @@ object DialectQueries {
       a.unionByName(b).orderBy(col("k"))
     },
 
+    // nondeterministic by design → rows-only smoke (SURVEY B.6 ⚠)
+    QueryDef.qNoOracle("q_dialect_sample") { (s, dir) =>
+      Tables(s, dir)
+      s.sql("SELECT o_orderkey, o_totalprice FROM orders TABLESAMPLE (10 PERCENT)")
+    },
+
+    // plan text differs per engine → rows-only smoke (SURVEY B.9 ⚠)
+    QueryDef.qNoOracle("q_dialect_explain") { (s, dir) =>
+      Tables(s, dir)
+      s.sql("EXPLAIN SELECT count(*) FROM lineitem WHERE l_quantity > 10")
+    },
+
     q("q_dialect_distinct_on",
       """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
         |FROM orders
