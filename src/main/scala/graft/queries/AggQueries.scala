@@ -207,6 +207,28 @@ object AggQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    q("q_agg_mode",
+      """SELECT o_orderstatus, pri AS mode_pri, cnt FROM (
+        |  SELECT o_orderstatus, o_orderpriority AS pri, count(*) AS cnt,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |                       ORDER BY count(*) DESC, o_orderpriority) AS rk
+        |  FROM orders GROUP BY o_orderstatus, o_orderpriority
+        |) WHERE rk = 1 ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      // mode with a DETERMINISTIC tie-break (count desc, then value) —
+      // both engines' built-in mode() break ties arbitrarily, so the
+      // declared contract is the rank-based shape
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderstatus"))
+        .orderBy(col("cnt").desc, col("pri"))
+      t.orders.groupBy(col("o_orderstatus"), col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("o_orderstatus"), col("pri").as("mode_pri"), col("cnt"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // Different HLL sketches on each side -> exact-match impossible by
     // construction; declared rows-only (driver's weaker check), and the
     // spec asserts the 2% relative-error bound instead.

@@ -123,6 +123,39 @@ object EventQueries {
         .orderBy(col("event_id")).limit(800)
     },
 
+    q("q_evt_range_join_bucketed",
+      """SELECT e.event_id, count(c.event_id) AS n_clicks_1h
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id
+        |  AND c.ts BETWEEN e.ts - INTERVAL 1 HOUR AND e.ts
+        |GROUP BY e.event_id
+        |ORDER BY e.event_id LIMIT 800""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      // Scale path for the range join: block on (user, hour-bucket) so
+      // the join key carries the time dimension too — each error probes
+      // exactly 2 buckets (its own hour + the previous) instead of the
+      // user's whole history. Same answer as q_evt_range_join; at 100 TB
+      // this caps per-key fan-in at two hours of one user's clicks.
+      val e = t.events.filter(col("event_type") === "error")
+        .select(col("event_id").as("e_id"), col("user_id").as("e_uid"), col("ts").as("e_ts"))
+        .withColumn("probe_bkt", explode(array(
+          floor(unix_timestamp(col("e_ts").cast("timestamp")) / 3600),
+          floor(unix_timestamp(col("e_ts").cast("timestamp")) / 3600) - 1)))
+      val c = t.events.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_uid"), col("ts").as("c_ts"))
+        .withColumn("c_bkt", floor(unix_timestamp(col("c_ts").cast("timestamp")) / 3600))
+      e.join(c,
+          col("e_uid") === col("c_uid") && col("probe_bkt") === col("c_bkt")
+            && col("c_ts") >= col("e_ts") - expr("INTERVAL 1 HOUR")
+            && col("c_ts") <= col("e_ts"), "left")
+        // the 2-bucket probe duplicates each error row; collapse matches
+        // per error with a distinct count (c_id is unique)
+        .groupBy(col("e_id").as("event_id"))
+        .agg(count_distinct(col("c_id")).as("n_clicks_1h"))
+        .orderBy(col("event_id")).limit(800)
+    },
+
     q("q_evt_positional",
       """SELECT a.event_id AS purchase_id, b.event_id AS signup_id, a.rn
         |FROM (SELECT event_id, row_number() OVER (ORDER BY ts, event_id) AS rn

@@ -282,6 +282,25 @@ object FunctionQueries {
         .orderBy(col("p_partkey")).limit(300)
     },
 
+    q("q_fn_strftime_alias",
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y/%m/%d') AS ymd,
+        |  strftime(o_orderdate, '%d-%b-%Y %H:%M') AS pretty,
+        |  CAST(strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS roundtrip
+        |FROM orders ORDER BY o_orderkey LIMIT 300""".stripMargin) { (s, dir) =>
+      Tables(s, dir)
+      // deliberately via spark.sql: exercises the GraftFunctions alias
+      // registry (strftime/strptime %-code translation) end to end in
+      // the oracle corpus, not just in unit tests
+      graft.functions.GraftFunctions.registerAll(s)
+      s.sql(
+        """SELECT o_orderkey,
+          |  strftime(o_orderdate, '%Y/%m/%d') AS ymd,
+          |  strftime(o_orderdate, '%d-%b-%Y %H:%M') AS pretty,
+          |  CAST(strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS TIMESTAMP_NTZ) AS roundtrip
+          |FROM orders ORDER BY o_orderkey LIMIT 300""".stripMargin)
+    },
+
     q("q_fn_interval",
       """SELECT o_orderkey,
         |  CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS plus3m,
