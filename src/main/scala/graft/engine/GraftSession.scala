@@ -27,6 +27,9 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "true")
+      // "identifier" means identifier (PG/DuckDB convention; psql meta
+      // commands and DataGrip emit double-quoted column aliases)
+      .config("spark.sql.ansi.doubleQuotedIdentifiers", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // in-memory catalog + on-disk warehouse must live and die

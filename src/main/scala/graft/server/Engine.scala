@@ -81,6 +81,18 @@ final class Engine(val spark: SparkSession) {
       refreshInformationSchema()
       rewritten = infoSchemaRe.replaceAllIn(rewritten, m => s"__is_${m.group(1).toLowerCase}")
     }
+    if (rewritten.toLowerCase.contains("pg_catalog.") || pgRelRe.findFirstIn(rewritten).isDefined) {
+      refreshPgCatalog()
+      rewritten = pgCompat(rewritten)
+    }
+    excludeRe.findFirstMatchIn(rewritten).foreach { m =>
+      val excluded = m.group(1).split(",").map(_.trim.toLowerCase).toSet
+      val cols = spark.table(m.group(2)).schema.fieldNames
+        .filterNot(c => excluded(c.toLowerCase))
+        .map(c => s"`$c`").mkString(", ")
+      rewritten = rewritten.substring(0, m.start) + s"SELECT $cols FROM ${m.group(2)}" +
+        rewritten.substring(m.end)
+    }
     val df = spark.sql(rewritten)
     val verb = sql.split("\\s+").head.toUpperCase
     verb match {
@@ -176,7 +188,7 @@ final class Engine(val spark: SparkSession) {
     dbs.toSeq.map(d => ("spark", d)).toDF("catalog_name", "schema_name")
       .createOrReplaceTempView("__is_schemata")
     val tables = dbs.flatMap { d =>
-      spark.catalog.listTables(d).collect().map(t =>
+      spark.catalog.listTables(d).collect().filterNot(_.isTemporary).map(t =>
         ("spark", d, t.name, t.tableType match {
           case "VIEW" => "VIEW"
           case _ => "BASE TABLE"
@@ -194,6 +206,39 @@ final class Engine(val spark: SparkSession) {
     columns.toSeq.toDF("table_catalog", "table_schema", "table_name",
       "column_name", "ordinal_position", "data_type", "is_nullable")
       .createOrReplaceTempView("__is_columns")
+  }
+
+  /** Minimal pg_catalog emulation — enough for psql \dt / \dn / \dv
+    * (the reference gets its pg_catalog from DuckDB; SURVEY A25). */
+  private def refreshPgCatalog(): Unit = {
+    import spark.implicits._
+    val dbs = spark.catalog.listDatabases().collect().map(_.name).sorted
+    val nsOid = dbs.zipWithIndex.map { case (d, i) => d -> (1000 + i) }.toMap
+    dbs.map(d => (nsOid(d), d, 0)).toSeq.toDF("oid", "nspname", "nspowner")
+      .createOrReplaceTempView("pg_namespace")
+    val rels = dbs.flatMap { d =>
+      spark.catalog.listTables(d).collect().filterNot(_.isTemporary)
+        .zipWithIndex.map { case (t, i) =>
+          (2000 + nsOid(d) * 100 + i, t.name,
+            nsOid(d), if (t.tableType == "VIEW") "v" else "r", 0, 0)
+        }
+    }
+    rels.toSeq.toDF("oid", "relname", "relnamespace", "relkind", "relowner", "relam")
+      .createOrReplaceTempView("pg_class")
+    Seq((0, "heap")).toDF("oid", "amname").limit(0)
+      .createOrReplaceTempView("pg_am")
+  }
+
+  /** psql-dialect → Spark SQL: strip pg_catalog qualification, regex
+    * operators `~`/`!~` → regexp_like. (Double-quoted identifiers are
+    * handled by spark.sql.ansi.doubleQuotedIdentifiers.) */
+  private def pgCompat(sql0: String): String = {
+    var s = sql0.replaceAll("(?i)pg_catalog\\.", "")
+    s = notTildeRe.replaceAllIn(s, m => Regex.quoteReplacement(
+      s"NOT regexp_like(${m.group(1)}, ${m.group(2)})"))
+    s = tildeRe.replaceAllIn(s, m => Regex.quoteReplacement(
+      s"regexp_like(${m.group(1)}, ${m.group(2)})"))
+    s
   }
 
   /** COPY (query|table) TO 'file' (FORMAT csv|parquet|json …) —
@@ -290,6 +335,11 @@ object Engine {
     """(?is)^\s*copy\s+([\w.]+)\s+from\s+'([^']+)'\s*(?:\(([^)]*)\)|with\s*\(([^)]*)\))?\s*$""".r
   private val describeQueryRe = """(?is)^\s*describe\s+((?:select|with|values)\b.+)$""".r
   private val infoSchemaRe = """(?i)information_schema\.(schemata|tables|columns)""".r
+  private val pgRelRe = """(?i)\bpg_(class|namespace|am)\b""".r
+  private val notTildeRe = """([\w.]+)\s+!~\s+('(?:[^']*)')""".r
+  private val tildeRe = """([\w.]+)\s+~\s+('(?:[^']*)')""".r
+  private val excludeRe =
+    """(?i)select\s+\*\s+exclude\s*\(([^)]*)\)\s+from\s+([\w.]+)""".r
 
   private val readParquetRe = """(?i)(?:read_parquet|parquet_scan)\s*\(\s*'([^']+)'\s*\)""".r
   private val readCsvRe = """(?i)(?:read_csv_auto|read_csv)\s*\(\s*'([^']+)'\s*\)""".r
@@ -357,6 +407,9 @@ object Engine {
       .map { case (o, n) => s"($o, '$n')" }.mkString(", ")
     spark.sql(s"CREATE OR REPLACE VIEW pg_type AS SELECT * FROM VALUES $oidRows AS t(oid, typname)")
     spark.sql("CREATE OR REPLACE VIEW pg_matviews AS SELECT '' AS matviewname WHERE false")
+    // psql meta-command helpers (always-true visibility, fixed owner)
+    spark.udf.register("pg_table_is_visible", (_: Long) => true)
+    spark.udf.register("pg_get_userbyid", (_: Long) => "spark")
     engine
   }
 }

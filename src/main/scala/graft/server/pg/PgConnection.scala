@@ -23,10 +23,22 @@ final class PgConnection(socket: Socket, server: PgServer) extends Runnable {
   private val out = new WireOut(socket.getOutputStream)
 
   private case class Stmt(sql: String, numParams: Int, df: () => DataFrame)
-  private case class Portal(stmt: Stmt, params: Seq[Option[String]])
+  private final class Portal(val stmt: Stmt, val params: Seq[Option[String]]) {
+    // live cursor state for Execute.maxRows / PortalSuspended (Q7 done
+    // properly — the reference ignores maxRows, pg_conn.go:509-532)
+    var it: java.util.Iterator[org.apache.spark.sql.Row] = _
+    var schema: org.apache.spark.sql.types.StructType = _
+    var tag: String = _
+  }
+
+  private final class Cursor(val it: java.util.Iterator[org.apache.spark.sql.Row],
+      val schema: org.apache.spark.sql.types.StructType) {
+    var rowDescSent = false
+  }
 
   private val stmts = mutable.Map.empty[String, Stmt]
   private val portals = mutable.Map.empty[String, Portal]
+  private val cursors = mutable.Map.empty[String, Cursor]
   private var inError = false
   private var user = ""
   val backendPid: Int = server.nextPid()
@@ -162,7 +174,43 @@ final class PgConnection(socket: Socket, server: PgServer) extends Runnable {
     }
   }
 
+  // DECLARE/FETCH/CLOSE cursors (psql FETCH_COUNT, DataGrip paging)
+  private val declareCursorRe =
+    """(?is)^\s*declare\s+(\S+)(?:\s+no\s+scroll)?\s+cursor\s+for\s+(.+)$""".r
+  private val fetchRe =
+    """(?is)^\s*fetch\s+(?:forward\s+)?(\d+|all)?\s*(?:from\s+|in\s+)?(\S+)\s*$""".r
+  private val closeCursorRe = """(?is)^\s*close\s+(\S+)\s*$""".r
+
   private def runOne(sql: String): Unit = withJobGroup {
+    declareCursorRe.findFirstMatchIn(sql).foreach { m =>
+      val df = engine.execute(m.group(2)).df
+      cursors(m.group(1).toLowerCase) = new Cursor(df.toLocalIterator(), df.schema)
+      out.commandComplete("DECLARE CURSOR")
+      return
+    }
+    fetchRe.findFirstMatchIn(sql).foreach { m =>
+      val name = m.group(2).toLowerCase
+      val cur = cursors.getOrElse(name,
+        throw new IllegalStateException(s"cursor \"$name\" does not exist"))
+      val n = Option(m.group(1)).map(s => if (s.equalsIgnoreCase("all")) Long.MaxValue else s.toLong)
+        .getOrElse(1L)
+      // each FETCH is its own result set → RowDescription every time
+      out.rowDescription(cur.schema.fields.toSeq.map(f => f.name -> PgTypes.oidOf(f.dataType)))
+      var sent = 0L
+      while (cur.it.hasNext && sent < n) {
+        val row = cur.it.next()
+        out.dataRow((0 until cur.schema.length).map(i => PgTypes.render(row.get(i))))
+        sent += 1
+      }
+      out.commandComplete(s"FETCH $sent")
+      return
+    }
+    closeCursorRe.findFirstMatchIn(sql).foreach { m =>
+      val name = m.group(1).toLowerCase
+      if (name == "all") cursors.clear() else cursors.remove(name)
+      out.commandComplete("CLOSE CURSOR")
+      return
+    }
     val res = engine.execute(sql)
     if (res.df == null) { out.commandComplete(res.tag); return }
     val n = pump(res.df, sendRowDesc = true)
@@ -264,7 +312,7 @@ final class PgConnection(socket: Socket, server: PgServer) extends Runnable {
         else Some(binaryParamToText(bs)) // minimal binary support: int4/int8 by length
       }
     }
-    portals(portal) = Portal(stmt, params)
+    portals(portal) = new Portal(stmt, params)
     out.bindComplete()
   }
 
@@ -295,13 +343,29 @@ final class PgConnection(socket: Socket, server: PgServer) extends Runnable {
   private def executePortal(body: Array[Byte]): Unit = withJobGroup {
     val p = new Payload(body)
     val name = p.cstr()
-    p.int32() // maxRows parsed but ignored (Q7, documented)
+    val maxRows = p.int32()
     val portal = portals.getOrElse(name, throw new IllegalStateException(s"unknown portal \"$name\""))
-    val sql = substituteParams(portal.stmt.sql, portal.params)
-    val res = engine.execute(sql)
-    if (res.df == null) { out.commandComplete(res.tag); return }
-    val n = pump(res.df, sendRowDesc = false) // Describe already sent the row description
-    out.commandComplete(if (res.tag == "SELECT") s"SELECT $n" else res.tag)
+    if (portal.it == null) { // first Execute on this portal
+      val sql = substituteParams(portal.stmt.sql, portal.params)
+      val res = engine.execute(sql)
+      if (res.df == null) { out.commandComplete(res.tag); return }
+      portal.it = res.df.toLocalIterator()
+      portal.schema = res.df.schema
+      portal.tag = res.tag
+    }
+    // stream up to maxRows (0 = all); suspend if the cursor survives
+    var n = 0L
+    val it = portal.it
+    while (it.hasNext && (maxRows <= 0 || n < maxRows)) {
+      val row = it.next()
+      out.dataRow((0 until portal.schema.length).map(i => PgTypes.render(row.get(i))))
+      n += 1
+    }
+    if (it.hasNext) out.portalSuspended()
+    else {
+      portal.it = null
+      out.commandComplete(if (portal.tag == "SELECT") s"SELECT $n" else portal.tag)
+    }
   }
 
   private def closeMsg(body: Array[Byte]): Unit = {
