@@ -121,6 +121,36 @@ object TextQueries {
         .orderBy(col("doc_id")).limit(400)
     },
 
+    q("q_text_tfidf",
+      """WITH tf AS (
+        |  SELECT doc_id, word, count(*) AS f
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY doc_id, word
+        |), df AS (
+        |  SELECT word, count(*) AS d FROM tf GROUP BY word
+        |), n AS (SELECT count(*) AS total FROM documents)
+        |SELECT doc_id, word,
+        |  round(f * ln(CAST(total AS DOUBLE) / d), 9) AS tfidf
+        |FROM tf JOIN df USING (word) CROSS JOIN n
+        |WHERE word IN ('spark', 'join', 'window')
+        |ORDER BY doc_id, word LIMIT 600""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      // classic two-aggregation shape: term frequency per (doc, word),
+      // document frequency per word (broadcast — vocabulary ≪ corpus),
+      // score in one codegen'd projection. At 100 TB both aggregations
+      // are map-side-combined shuffles on their natural keys.
+      val words = t.documents
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("f"))
+      val df = tf.groupBy(col("word")).agg(count(lit(1)).as("d"))
+      val total = t.documents.count().toDouble
+      tf.join(broadcast(df), "word")
+        .filter(col("word").isin("spark", "join", "window"))
+        .select(col("doc_id"), col("word"),
+          round(col("f") * log(lit(total) / col("d")), 9).as("tfidf"))
+        .orderBy(col("doc_id"), col("word")).limit(600)
+    },
+
     q("q_text_fingerprint",
       """WITH vals AS (
         |  SELECT doc_id,
