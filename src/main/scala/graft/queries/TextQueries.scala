@@ -31,6 +31,99 @@ object TextQueries {
 
   val all: Seq[QueryDef] = Seq(
 
+    q("q_fn_lambda",
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(words, w -> CAST(length(w) AS BIGINT))),
+        |              (a, b) -> a + b) AS total_len,
+        |  len(list_filter(words, w -> length(w) >= 6)) > 0 AS has_long,
+        |  len(list_filter(words, w -> length(w) <= 9)) = len(words) AS all_short,
+        |  list_transform(list_filter(words, w -> w LIKE 's%'), w -> upper(w))[1] AS first_s_up
+        |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+        |ORDER BY doc_id LIMIT 400""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      // Spark's dedicated higher-order functions (aggregate/exists/
+      // forall) against DuckDB's list_reduce/list_filter spellings
+      val words = split(col("text"), " ")
+      t.documents.select(
+        col("doc_id"),
+        aggregate(words, lit(0L), (acc, w) => acc + length(w)).as("total_len"),
+        exists(words, w => length(w) >= 6).as("has_long"),
+        forall(words, w => length(w) <= 9).as("all_short"),
+        // try_element_at: DuckDB's l[1] is NULL on an empty list, while
+        // ANSI element_at errors
+        try_element_at(transform(filter(words, w => w.like("s%")), w => upper(w)), lit(1))
+          .as("first_s_up"))
+        .orderBy(col("doc_id")).limit(400)
+    },
+
+    q("q_pipeline_clean_corpus",
+      """WITH scored AS (
+        |  SELECT doc_id, lang, source, text,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    length(text) AS n_chars
+        |  FROM documents
+        |), quality AS (
+        |  SELECT * FROM scored
+        |  WHERE n_chars BETWEEN 20 AND 2000 AND n_words >= 5
+        |), keyed AS (
+        |  SELECT *, md5(text) AS h FROM quality
+        |), exact_kept AS (
+        |  SELECT * FROM keyed
+        |  WHERE doc_id = (SELECT min(k2.doc_id) FROM keyed k2 WHERE k2.h = keyed.h)
+        |), w AS (SELECT doc_id, string_split(text, ' ') AS words FROM exact_kept),
+        |sh AS (SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS sh
+        |       FROM w, UNNEST(generate_series(1, len(words)-2)) AS t(i)),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    min(md5('0:' || sh)) || ',' || min(md5('1:' || sh)) AS bkey
+        |  FROM sh GROUP BY doc_id
+        |), near_dropped AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM sigs a JOIN sigs b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |)
+        |SELECT e.lang, e.source,
+        |  count(*) AS n_docs,
+        |  sum(e.n_words) AS total_words,
+        |  round(avg(e.n_chars), 6) AS avg_chars
+        |FROM exact_kept e
+        |WHERE e.doc_id NOT IN (SELECT doc_id FROM near_dropped)
+        |GROUP BY e.lang, e.source
+        |ORDER BY e.lang, e.source""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      // The whole training-data story in one dataflow: quality gate →
+      // exact dedup (keep min doc per digest) → MinHash near-dedup
+      // (2-hash band) → per-(lang, source) corpus stats. Every stage is
+      // a shuffle on a natural key; nothing is quadratic or collected.
+      val words = split(col("text"), " ")
+      val quality = t.documents
+        .withColumn("n_words", size(words).cast("long"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .filter(col("n_chars").between(20, 2000) && col("n_words") >= 5)
+      val keyed = quality.withColumn("h", md5(col("text")))
+      val keep = keyed.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      val exactKept = keyed.join(keep, Seq("h", "doc_id"), "left_semi")
+      val w = exactKept.select(col("doc_id"), split(col("text"), " ").as("words"))
+      val sh = w.select(col("doc_id"),
+          explode(sequence(lit(1), size(col("words")) - 2)).as("i"), col("words"))
+        .select(col("doc_id"), concat_ws(" ",
+          element_at(col("words"), col("i")),
+          element_at(col("words"), col("i") + 1),
+          element_at(col("words"), col("i") + 2)).as("sh"))
+      val sigs = sh.groupBy(col("doc_id"))
+        .agg(concat(min(md5(concat(lit("0:"), col("sh")))), lit(","),
+          min(md5(concat(lit("1:"), col("sh"))))).as("bkey"))
+      val nearDropped = sigs.as("a")
+        .join(sigs.as("b"), col("a.bkey") === col("b.bkey")
+          && col("a.doc_id") < col("b.doc_id"))
+        .select(col("b.doc_id").as("doc_id")).distinct()
+      exactKept.join(nearDropped, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("total_words"),
+          round(avg(col("n_chars")), 6).as("avg_chars"))
+        .orderBy(col("lang"), col("source"))
+    },
+
     q("q_text_langid", {
       val scores = profiles.map { case (lang, ws) =>
         s"len(list_filter(words, w -> list_contains(${sqlList(ws)}, w))) AS s_$lang"
