@@ -31,6 +31,11 @@ object GraftSession {
       // commands and DataGrip emit double-quoted column aliases)
       .config("spark.sql.ansi.doubleQuotedIdentifiers", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // 100 TB levers: runtime bloom filters prune the probe side of
+      // large joins at the scan; parquet aggregate pushdown answers
+      // count/min/max from footers without reading pages
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // in-memory catalog + on-disk warehouse must live and die
       // together: pin the dir so ServerMain can wipe it at bootstrap
