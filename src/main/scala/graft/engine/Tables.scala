@@ -37,6 +37,13 @@ object Tables {
   /** Load (and cache the registration of) all fixture tables in sfDir. */
   def apply(spark: SparkSession, sfDir: String): Tables =
     registered.getOrElseUpdate(s"${System.identityHashCode(spark)}:$sfDir", {
+      // the driver may hand us a session built without GraftSession —
+      // the nanos-timestamp fixture needs this conf or the read throws
+      // before normalization (it is runtime-settable)
+      try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      catch { case _: Throwable => }
+      try spark.conf.set("spark.sql.session.timeZone", "UTC")
+      catch { case _: Throwable => }
       val dfs = names.map { n =>
         val raw = spark.read.parquet(s"$sfDir/$n.parquet")
         // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
