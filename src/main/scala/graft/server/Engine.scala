@@ -31,6 +31,45 @@ final class Engine(val spark: SparkSession) {
     * reference pg_server.go:95-97,116-130). */
   val users = new ConcurrentHashMap[String, String]()
 
+  /** Declared constraints per table (SURVEY §7.3 phase 10: DuckDB
+    * enforces PK/UNIQUE/NOT NULL natively; Spark accepts none — we
+    * record them at CREATE TABLE and enforce on the ingest paths). */
+  case class Constraints(pk: Seq[String], unique: Seq[Seq[String]], notNull: Seq[String]) {
+    def isEmpty: Boolean = pk.isEmpty && unique.isEmpty && notNull.isEmpty
+  }
+  private val constraints = new ConcurrentHashMap[String, Constraints]()
+
+  private def constraintsOf(table: String): Option[Constraints] = {
+    val key = if (table.contains(".")) table.toLowerCase else s"main.${table.toLowerCase}"
+    Option(constraints.get(key)).filterNot(_.isEmpty)
+  }
+
+  /** Validate a batch of new rows (as a DataFrame with target-table
+    * column names) against the table's declared constraints. Throws on
+    * violation — before anything is written. All checks are aggregates
+    * or semi-joins: at scale the PK check shuffles once on the key. */
+  private def enforceConstraints(table: String, newData: DataFrame): Unit =
+    constraintsOf(table).foreach { c =>
+      import org.apache.spark.sql.functions.{col, count, lit}
+      (c.notNull ++ c.pk).distinct.foreach { nn =>
+        if (newData.filter(col(nn).isNull).limit(1).count() > 0)
+          throw new IllegalArgumentException(
+            s"""null value in column "$nn" violates not-null constraint""")
+      }
+      val keySets = (if (c.pk.nonEmpty) Seq(c.pk) else Nil) ++ c.unique
+      keySets.foreach { keys =>
+        val kc = keys.map(col)
+        if (newData.groupBy(kc: _*).agg(count(lit(1)).as("n"))
+            .filter(col("n") > 1).limit(1).count() > 0)
+          throw new IllegalArgumentException(
+            s"duplicate key in inserted rows violates unique constraint (${keys.mkString(", ")})")
+        if (newData.join(spark.table(table).select(kc: _*), keys, "left_semi")
+            .limit(1).count() > 0)
+          throw new IllegalArgumentException(
+            s"duplicate key value violates unique constraint (${keys.mkString(", ")})")
+      }
+    }
+
   // -- statement execution ---------------------------------------------------
 
   /** Execute one statement; returns (df-or-null, commandTag). DDL/DML
@@ -54,6 +93,20 @@ final class Engine(val spark: SparkSession) {
     if (swallowedSetRe.matches(sql))
       return ExecResult(spark.sql("SELECT 1 LIMIT 0"), "SET")
 
+    createTableRe.findFirstMatchIn(sql).foreach { m =>
+      return createTableWithConstraints(m.group(1), m.group(2), Option(m.group(3)).getOrElse(""))
+    }
+    insertStmtRe.findFirstMatchIn(sql).foreach { m =>
+      val table = m.group(1)
+      if (constraintsOf(table).isDefined) {
+        val cols = Option(m.group(2)).map(_.split(",").map(_.trim).toSeq)
+          .getOrElse(spark.table(table).schema.fieldNames.toSeq)
+        val srcSql = m.group(3).trim
+        val src = if (srcSql.toLowerCase.startsWith("values")) spark.sql(s"SELECT * FROM $srcSql")
+          else spark.sql(rewrite(srcSql))
+        enforceConstraints(table, src.toDF(cols: _*))
+      }
+    }
     updateRe.findFirstMatchIn(sql).foreach { m =>
       return copyOnWriteUpdate(m.group(1), m.group(2), Option(m.group(3)))
     }
@@ -208,6 +261,49 @@ final class Engine(val spark: SparkSession) {
       .createOrReplaceTempView("__is_columns")
   }
 
+  /** CREATE TABLE with PG/DuckDB constraint syntax: Spark's parser
+    * rejects PRIMARY KEY / UNIQUE / NOT NULL, so they are parsed out
+    * here, recorded, and the stripped DDL executed (SURVEY §2-B.9). */
+  private def createTableWithConstraints(table: String, colSpec: String, rest: String): ExecResult = {
+    var pk = Seq.empty[String]
+    var unique = Seq.empty[Seq[String]]
+    var notNull = Seq.empty[String]
+    val kept = splitTopLevel(colSpec, ',').flatMap { item0 =>
+      val item = item0.trim
+      val lower = item.toLowerCase
+      if (lower.startsWith("primary key")) {
+        pk = item.substring(item.indexOf('(') + 1, item.lastIndexOf(')'))
+          .split(",").map(_.trim.toLowerCase).toSeq
+        None
+      } else if (lower.startsWith("unique")) {
+        unique :+= item.substring(item.indexOf('(') + 1, item.lastIndexOf(')'))
+          .split(",").map(_.trim.toLowerCase).toSeq
+        None
+      } else if (lower.startsWith("foreign key") || lower.startsWith("check")) {
+        None // recorded-but-unenforced class: dropped (documented divergence)
+      } else {
+        val colName = item.split("\\s+").head.toLowerCase
+        var cleaned = item
+        if (lower.contains("primary key")) {
+          pk = Seq(colName)
+          cleaned = cleaned.replaceAll("(?i)\\s+primary\\s+key", "")
+        }
+        if (cleaned.toLowerCase.contains("not null")) {
+          notNull :+= colName
+          cleaned = cleaned.replaceAll("(?i)\\s+not\\s+null", "")
+        } else if (cleaned.toLowerCase.matches(".*\\bunique\\b.*")) {
+          unique :+= Seq(colName)
+        }
+        cleaned = cleaned.replaceAll("(?i)\\s+unique\\b", "")
+        Some(cleaned)
+      }
+    }
+    spark.sql(s"CREATE TABLE $table (${kept.mkString(", ")}) $rest")
+    val key = if (table.contains(".")) table.toLowerCase else s"main.${table.toLowerCase}"
+    constraints.put(key, Constraints(pk, unique, notNull))
+    ExecResult(null, "CREATE TABLE")
+  }
+
   /** Minimal pg_catalog emulation — enough for psql \dt / \dn / \dv
     * (the reference gets its pg_catalog from DuckDB; SURVEY A25). */
   private def refreshPgCatalog(): Unit = {
@@ -309,7 +405,9 @@ final class Engine(val spark: SparkSession) {
         if (columns.exists(_.equalsIgnoreCase(c))) org.apache.spark.sql.functions.col(c)
         else org.apache.spark.sql.functions.lit(null).cast(target.schema(c).dataType).as(c)
       }
-      df.select(full.toIndexedSeq: _*).write.insertInto(table)
+      val aligned = df.select(full.toIndexedSeq: _*)
+      enforceConstraints(table, aligned)
+      aligned.write.insertInto(table)
     } finally lock.unlock()
   }
 }
@@ -326,6 +424,10 @@ object Engine {
     """(?is)^\s*set\s+(extra_float_digits|application_name|search_path|datestyle|client_min_messages)\b.*""".r
   private val updateRe =
     """(?is)^\s*update\s+([\w.]+)\s+set\s+(.+?)(?:\s+where\s+(.+))?\s*$""".r
+  private val createTableRe =
+    """(?is)^\s*create\s+table\s+(?!if\s)([\w.]+)\s*\((.*(?:primary\s+key|unique|not\s+null|foreign\s+key|check\s*\().*)\)\s*(using\s+\w+)?\s*$""".r
+  private val insertStmtRe =
+    """(?is)^\s*insert\s+into\s+([\w.]+)\s*(?:\(([^)]*)\))?\s*(values\b.+|select\b.+|with\b.+)$""".r
   private val deleteRe =
     """(?is)^\s*delete\s+from\s+([\w.]+)(?:\s+where\s+(.+))?\s*$""".r
 

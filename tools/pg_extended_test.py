@@ -115,8 +115,8 @@ def main(port):
         failures.append("close")
 
     # 5. CancelRequest: fire a slow query, cancel from a second conn
-    slow = ("select count(*) from lineitem a join lineitem b on a.l_partkey = b.l_partkey "
-            "join lineitem c on b.l_suppkey = c.l_suppkey")
+    # data-independent and reliably minutes-long uncancelled
+    slow = "select sum(id) from range(20000000000)"
     c.send(msg(b"Q", cstr(slow)))
     time.sleep(1.0)
     s2 = socket.create_connection(("127.0.0.1", port))
