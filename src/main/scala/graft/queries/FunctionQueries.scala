@@ -259,6 +259,32 @@ object FunctionQueries {
   )
 
   val trig: Seq[QueryDef] = Seq(
+    q("q_fn_map",
+      """SELECT n_nationkey,
+        |  m[n_name][1] AS own_region,
+        |  cardinality(m) AS n_entries,
+        |  list_sort(map_keys(m))[1] AS first_key,
+        |  list_sort(map_values(m))[1] AS min_val,
+        |  map_from_entries([{'k': n_name, 'v': n_regionkey}])[n_name][1] AS me
+        |FROM (SELECT n_nationkey, n_name, n_regionkey,
+        |        MAP {n_name: n_regionkey, 'x': -1} AS m
+        |      FROM nation)
+        |ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      // DuckDB m[k] yields a LIST (hence [1] above); Spark element_at is
+      // already scalar — same values either way
+      val m = map(col("n_name"), col("n_regionkey"), lit("x"), lit(-1))
+      t.nation.select(
+        col("n_nationkey"),
+        element_at(m, col("n_name")).as("own_region"),
+        size(m).cast("long").as("n_entries"),
+        element_at(sort_array(map_keys(m)), 1).as("first_key"),
+        element_at(sort_array(map_values(m)), 1).as("min_val"),
+        element_at(map_from_entries(array(struct(col("n_name").as("k"), col("n_regionkey").as("v")))),
+          col("n_name")).as("me"))
+        .orderBy(col("n_nationkey"))
+    },
+
     q("q_fn_trig",
       """SELECT p_partkey,
         |  round(sin(radians(p_size)), 9) AS sn,
