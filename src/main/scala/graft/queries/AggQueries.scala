@@ -29,7 +29,7 @@ object AggQueries {
       """SELECT l_returnflag, l_linestatus,
         |  grouping(l_returnflag) AS g1, grouping(l_linestatus) AS g2,
         |  count(*) AS n,
-        |  sum(CAST(l_quantity AS DECIMAL(18,6))) AS qty
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY g1, g2, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
@@ -39,7 +39,7 @@ object AggQueries {
         .agg(grouping(col("l_returnflag")).cast("long").as("g1"),
           grouping(col("l_linestatus")).cast("long").as("g2"),
           count(lit(1)).as("n"),
-          sum(col("l_quantity").cast(DecimalType(18, 6))).as("qty"))
+          sum(col("l_quantity").cast(DecimalType(18, 6))).cast("double").as("qty"))
         .orderBy(col("g1"), col("g2"),
           col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
@@ -48,7 +48,7 @@ object AggQueries {
       """SELECT o_orderstatus, o_orderpriority,
         |  grouping(o_orderstatus) AS g1, grouping(o_orderpriority) AS g2,
         |  count(*) AS n,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,6))) AS total
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY g1, g2, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
@@ -58,7 +58,7 @@ object AggQueries {
         .agg(grouping(col("o_orderstatus")).cast("long").as("g1"),
           grouping(col("o_orderpriority")).cast("long").as("g2"),
           count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast(DecimalType(18, 6))).as("total"))
+          sum(col("o_totalprice").cast(DecimalType(18, 6))).cast("double").as("total"))
         .orderBy(col("g1"), col("g2"),
           col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     },
@@ -136,19 +136,26 @@ object AggQueries {
         .orderBy(col("n_regionkey"))
     },
 
+    // array_agg result is exploded back to rows for the compare: the
+    // driver's row-sorting hash cannot order array cells. The aggregate
+    // under test (ordered collect) is still exercised — the explode just
+    // serializes it row-wise.
     q("q_agg_array_agg",
-      """SELECT c_nationkey,
-        |  list_sort(list(c_custkey)) AS custs,
-        |  len(list(c_custkey)) AS n
-        |FROM (SELECT * FROM customer WHERE c_custkey <= 60)
-        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
+      """WITH g AS (
+        |  SELECT c_nationkey, list_sort(list(c_custkey)) AS custs
+        |  FROM (SELECT * FROM customer WHERE c_custkey <= 60)
+        |  GROUP BY c_nationkey
+        |)
+        |SELECT * FROM (
+        |  SELECT c_nationkey, unnest(custs) AS cust, len(custs) AS n FROM g
+        |) ORDER BY c_nationkey, cust""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
       t.customer.filter(col("c_custkey") <= 60)
         .groupBy(col("c_nationkey"))
-        .agg(
-          sort_array(collect_list(col("c_custkey"))).as("custs"),
-          size(collect_list(col("c_custkey"))).cast("long").as("n"))
-        .orderBy(col("c_nationkey"))
+        .agg(sort_array(collect_list(col("c_custkey"))).as("custs"))
+        .select(col("c_nationkey"), explode(col("custs")).as("cust"),
+          size(col("custs")).cast("long").as("n"))
+        .orderBy(col("c_nationkey"), col("cust"))
     },
 
     q("q_agg_percentile",

@@ -32,12 +32,17 @@ object CoreQueries {
   val all: Seq[QueryDef] = Seq(
 
     // ---------------------------------------------------------------- B.4/B.1
+    // Final decimal aggregates are cast to DOUBLE on BOTH sides: the sum
+    // itself is exact decimal (merge-order independent) and the final
+    // decimal->double conversion is deterministic, so the doubles are
+    // bit-identical — and the driver's pandas compare sees float64 on
+    // both sides (DuckDB DECIMAL results downcast to float64 in fetchdf).
     q("q1_pricing_summary",
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS sum_base_price,
-        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS sum_disc_price,
-        |  sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
         |  count(*) AS count_order,
         |  CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc
         |FROM lineitem
@@ -49,10 +54,10 @@ object CoreQueries {
         .filter(col("l_shipdate").cast("date") <= lit(java.sql.Date.valueOf("1998-09-02")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec(col("l_quantity"))).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
-          sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
-          sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).cast("double").as("sum_disc_price"),
+          sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).cast("double").as("sum_charge"),
           count(lit(1)).as("count_order"),
           (sum(dec(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -103,7 +108,7 @@ object CoreQueries {
     q("q_join_inner_agg",
       """SELECT n_name,
         |  count(*) AS n_orders,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,6))) AS total
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -113,14 +118,14 @@ object CoreQueries {
         .join(t.customer, col("o_custkey") === col("c_custkey"))
         .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).as("total"))
+        .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).cast("double").as("total"))
         .orderBy(col("n_name"))
     },
 
     q("q_join_left",
       """SELECT c_custkey,
         |  count(o_orderkey) AS n_orders,
-        |  coalesce(sum(CAST(o_totalprice AS DECIMAL(18,6))), 0) AS spend
+        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,6))), 0) AS DOUBLE) AS spend
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey LIMIT 200""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
@@ -128,7 +133,7 @@ object CoreQueries {
         .join(t.orders, col("c_custkey") === col("o_custkey"), "left")
         .groupBy(col("c_custkey"))
         .agg(count(col("o_orderkey")).as("n_orders"),
-          coalesce(sum(dec(col("o_totalprice"))), lit(0).cast(DecimalType(18, 6))).as("spend"))
+          coalesce(sum(dec(col("o_totalprice"))), lit(0).cast(DecimalType(18, 6))).cast("double").as("spend"))
         .orderBy(col("c_custkey")).limit(200)
     },
 
@@ -157,7 +162,7 @@ object CoreQueries {
 
     q("q_join_full",
       """SELECT coalesce(k, k2) AS key, bal, n FROM
-        |  (SELECT c_custkey AS k, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |  (SELECT c_custkey AS k, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
         |   FROM customer WHERE c_custkey <= 100) a
         |FULL JOIN
         |  (SELECT o_custkey AS k2, count(*) AS n FROM orders
@@ -166,7 +171,7 @@ object CoreQueries {
         |ORDER BY key""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
       val a = t.customer.filter(col("c_custkey") <= 100)
-        .select(col("c_custkey").as("k"), dec(col("c_acctbal"), 18, 2).as("bal"))
+        .select(col("c_custkey").as("k"), dec(col("c_acctbal"), 18, 2).cast("double").as("bal"))
       val b = t.orders.filter(col("o_custkey").between(50, 150))
         .groupBy(col("o_custkey").as("k2")).agg(count(lit(1)).as("n"))
       a.join(b, col("k") === col("k2"), "full")
@@ -216,14 +221,14 @@ object CoreQueries {
       """SELECT l_returnflag,
         |  count(*) FILTER (WHERE l_quantity > 25) AS n_big,
         |  count(*) FILTER (WHERE l_quantity <= 25) AS n_small,
-        |  sum(CAST(l_quantity AS DECIMAL(18,6))) FILTER (WHERE l_linestatus = 'F') AS qty_f
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
       t.lineitem.groupBy(col("l_returnflag"))
         .agg(
           expr("count(*) FILTER (WHERE l_quantity > 25)").as("n_big"),
           expr("count(*) FILTER (WHERE l_quantity <= 25)").as("n_small"),
-          expr("sum(CAST(l_quantity AS DECIMAL(18,6))) FILTER (WHERE l_linestatus = 'F')").as("qty_f"))
+          expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE)").as("qty_f"))
         .orderBy(col("l_returnflag"))
     },
 

@@ -150,7 +150,7 @@ object DedupQueries {
         |         FROM digits, UNNEST(generate_series(0, 3)) AS tk(k)),
         |bitvals AS (SELECT doc_id, b, CASE WHEN sum(wt) > 0 THEN 1 ELSE 0 END AS bit
         |            FROM bits GROUP BY doc_id, b),
-        |fps AS (SELECT doc_id, sum(bit * CAST(pow(2, b) AS BIGINT)) AS fp
+        |fps AS (SELECT doc_id, CAST(sum(bit * CAST(pow(2, b) AS BIGINT)) AS BIGINT) AS fp
         |        FROM bitvals GROUP BY doc_id)
         |SELECT f.doc_id, f.fp, g.grp_size
         |FROM fps f

@@ -28,14 +28,14 @@ object EventQueries {
     q("q_evt_bucket",
       """SELECT date_trunc('hour', ts) AS hr, event_type,
         |  count(*) AS n,
-        |  sum(CAST(value AS DECIMAL(18,6))) AS total
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hr, event_type LIMIT 700""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
       t.events
         .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hr"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("value").cast(DecimalType(18, 6))).as("total"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total"))
         .orderBy(col("hr"), col("event_type")).limit(700)
     },
 
@@ -49,7 +49,7 @@ object EventQueries {
         |  FROM events
         |), sessions AS (
         |  SELECT user_id, event_id, ts,
-        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_id
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS sess_id
         |  FROM marked
         |)
         |SELECT user_id, sess_id, count(*) AS n_events,

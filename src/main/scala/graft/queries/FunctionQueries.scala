@@ -114,16 +114,16 @@ object FunctionQueries {
     q("q_fn_math",
       """SELECT l_orderkey, l_linenumber, l_quantity,
         |  abs(l_quantity - 25) AS ab,
-        |  ceil(l_discount * 100) AS ce,
-        |  floor(l_tax * 100) AS fl,
-        |  round(CAST(l_extendedprice AS DECIMAL(18,6)), 1) AS rnd,
+        |  CAST(ceil(l_discount * 100) AS BIGINT) AS ce,
+        |  CAST(floor(l_tax * 100) AS BIGINT) AS fl,
+        |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,6)), 1) AS DOUBLE) AS rnd,
         |  sqrt(l_quantity) AS sq,
         |  round(exp(l_discount), 9) AS ex,
         |  round(ln(l_quantity + 1), 9) AS lg,
         |  round(log10(l_extendedprice), 9) AS l10,
         |  pow(l_quantity, 2) AS p2,
         |  CAST(l_quantity AS BIGINT) % 7 AS md,
-        |  sign(l_quantity - 25) AS sg,
+        |  CAST(sign(l_quantity - 25) AS BIGINT) AS sg,
         |  greatest(l_discount, l_tax) AS gr
         |FROM lineitem
         |WHERE l_orderkey <= 300
@@ -136,14 +136,14 @@ object FunctionQueries {
           abs(col("l_quantity") - 25).as("ab"),
           ceil(col("l_discount") * 100).as("ce"),
           floor(col("l_tax") * 100).as("fl"),
-          round(col("l_extendedprice").cast(DecimalType(18, 6)), 1).as("rnd"),
+          round(col("l_extendedprice").cast(DecimalType(18, 6)), 1).cast("double").as("rnd"),
           sqrt(col("l_quantity")).as("sq"),
           round(exp(col("l_discount")), 9).as("ex"),
           round(log(col("l_quantity") + 1), 9).as("lg"),
           round(log10(col("l_extendedprice")), 9).as("l10"),
           pow(col("l_quantity"), 2).as("p2"),
           (col("l_quantity").cast("bigint") % 7).as("md"),
-          signum(col("l_quantity") - 25).as("sg"),
+          signum(col("l_quantity") - 25).cast("bigint").as("sg"),
           greatest(col("l_discount"), col("l_tax")).as("gr"))
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity")).limit(500)
     },
@@ -234,7 +234,7 @@ object FunctionQueries {
 
     q("q_fn_cast",
       """SELECT o_orderkey,
-        |  CAST(o_totalprice AS DECIMAL(18,2)) AS dec2,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS dec2,
         |  CAST(o_orderkey AS VARCHAR) AS s,
         |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS ds,
         |  TRY_CAST(o_orderpriority AS BIGINT) AS bad,
@@ -244,7 +244,7 @@ object FunctionQueries {
       val t = Tables(s, dir)
       t.orders.select(
         col("o_orderkey"),
-        col("o_totalprice").cast(DecimalType(18, 2)).as("dec2"),
+        col("o_totalprice").cast(DecimalType(18, 2)).cast("double").as("dec2"),
         col("o_orderkey").cast("string").as("s"),
         col("o_orderdate").cast("date").cast("string").as("ds"),
         // TRY_CAST semantics without exception-per-row: a failing cast

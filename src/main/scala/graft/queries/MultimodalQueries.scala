@@ -20,7 +20,7 @@ object MultimodalQueries {
   val all: Seq[QueryDef] = Seq(
 
     q("q_mm_metadata",
-      """SELECT kind, count(*) AS n, sum(n_bytes) AS total_bytes,
+      """SELECT kind, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
         |  min(width) AS min_w, max(height) AS max_h
         |FROM (
         |  SELECT ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
@@ -38,6 +38,9 @@ object MultimodalQueries {
         .orderBy(col("kind"))
     },
 
+    // histogram is exploded to (bucket, cnt) rows for the compare — the
+    // driver's row-sorting hash cannot order array cells; the real
+    // pipeline still computes the packed histogram array.
     q("q_mm_features", {
       val b = hexVal.replace("POS", "2*i - 1")
       val lo = hexVal.replace("POS", "2*i")
@@ -57,18 +60,20 @@ object MultimodalQueries {
          |SELECT g.doc_id AS media_id,
          |  CAST(64 AS BIGINT) AS n_bytes,
          |  (SELECT round(avg(bv), 9) FROM bytes WHERE bytes.doc_id = g.doc_id) AS byte_mean,
-         |  list(CAST(coalesce(c.cnt, 0) AS BIGINT) ORDER BY g.b) AS histogram
+         |  CAST(g.b AS BIGINT) AS bucket,
+         |  CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
          |FROM grid g LEFT JOIN counts c ON c.doc_id = g.doc_id AND c.bucket = g.b
-         |GROUP BY g.doc_id
-         |ORDER BY media_id LIMIT 300""".stripMargin
+         |ORDER BY media_id, bucket LIMIT 4800""".stripMargin
     }) { (s, dir) =>
       val feats = Multimodal.extractFeatures(Multimodal.mediaTable(s, dir)).toDF()
       feats.select(
         col("mediaId").as("media_id"),
         col("nBytes").cast("long").as("n_bytes"),
         round(col("byteMean"), 9).as("byte_mean"),
-        col("histogram"))
-        .orderBy(col("media_id")).limit(300)
+        posexplode(col("histogram")).as(Seq("bucket", "cnt")))
+        .select(col("media_id"), col("n_bytes"), col("byte_mean"),
+          col("bucket").cast("long").as("bucket"), col("cnt").cast("long").as("cnt"))
+        .orderBy(col("media_id"), col("bucket")).limit(4800)
     },
 
     q("q_mm_frames",

@@ -124,7 +124,8 @@ object SubqueryQueries {
     },
 
     q("q_pivot",
-      """SELECT l_linestatus, "A", "N", "R" FROM (
+      """SELECT l_linestatus, CAST("A" AS DOUBLE) AS "A", CAST("N" AS DOUBLE) AS "N",
+        |       CAST("R" AS DOUBLE) AS "R" FROM (
         |  PIVOT (SELECT l_linestatus, l_returnflag, CAST(l_quantity AS DECIMAL(18,6)) AS qty FROM lineitem)
         |  ON l_returnflag IN ('A', 'N', 'R') USING sum(qty) GROUP BY l_linestatus
         |) ORDER BY l_linestatus""".stripMargin) { (s, dir) =>
@@ -135,14 +136,16 @@ object SubqueryQueries {
         .groupBy(col("l_linestatus"))
         .pivot("l_returnflag", Seq("A", "N", "R"))
         .agg(sum(col("qty")))
+        .select(col("l_linestatus"), col("A").cast("double").as("A"),
+          col("N").cast("double").as("N"), col("R").cast("double").as("R"))
         .orderBy(col("l_linestatus"))
     },
 
     q("q_unpivot",
       """WITH agg AS (
         |  SELECT o_orderstatus,
-        |    sum(CAST(o_totalprice AS DECIMAL(18,6))) AS total,
-        |    CAST(count(*) AS DECIMAL(18,6)) AS cnt
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |    CAST(count(*) AS DOUBLE) AS cnt
         |  FROM orders GROUP BY o_orderstatus
         |)
         |SELECT o_orderstatus, metric, val
@@ -150,8 +153,8 @@ object SubqueryQueries {
         |ORDER BY o_orderstatus, metric""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
       t.orders.groupBy(col("o_orderstatus"))
-        .agg(sum(col("o_totalprice").cast(DecimalType(18, 6))).as("total"),
-          count(lit(1)).cast(DecimalType(18, 6)).as("cnt"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 6))).cast("double").as("total"),
+          count(lit(1)).cast("double").as("cnt"))
         .unpivot(Array(col("o_orderstatus")), Array(col("total"), col("cnt")), "metric", "val")
         .orderBy(col("o_orderstatus"), col("metric"))
     },

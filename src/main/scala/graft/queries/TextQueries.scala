@@ -83,7 +83,7 @@ object TextQueries {
         |)
         |SELECT e.lang, e.source,
         |  count(*) AS n_docs,
-        |  sum(e.n_words) AS total_words,
+        |  CAST(sum(e.n_words) AS BIGINT) AS total_words,
         |  round(avg(e.n_chars), 6) AS avg_chars
         |FROM exact_kept e
         |WHERE e.doc_id NOT IN (SELECT doc_id FROM near_dropped)
@@ -140,8 +140,9 @@ object TextQueries {
          |    greatest(s_de, s_en, s_es, s_fr, s_zh) AS score
          |  FROM scored
          |)
-         |SELECT pred, count(*) AS n, sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS n_correct,
-         |  sum(score) AS total_score
+         |SELECT pred, count(*) AS n,
+         |  CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |  CAST(sum(score) AS BIGINT) AS total_score
          |FROM best GROUP BY pred ORDER BY pred""".stripMargin
     }) { (s, dir) =>
       val t = Tables(s, dir)

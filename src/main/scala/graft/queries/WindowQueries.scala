@@ -51,9 +51,9 @@ object WindowQueries {
 
     q("q_win_running",
       """SELECT l_orderkey, l_linenumber,
-        |  sum(CAST(l_quantity AS DECIMAL(18,6)))
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
         |    OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_qty,
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_qty,
         |  round(CAST(avg(CAST(l_quantity AS DECIMAL(18,6)))
         |    OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey
         |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS mov_avg,
@@ -66,7 +66,8 @@ object WindowQueries {
         .select(
           col("l_orderkey"), col("l_linenumber"),
           sum(col("l_quantity").cast(DecimalType(18, 6)))
-            .over(byLine.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("run_qty"),
+            .over(byLine.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("run_qty"),
           round(avg(col("l_quantity").cast(DecimalType(18, 6)))
             .over(byLine.rowsBetween(-2, Window.currentRow)).cast("double"), 6).as("mov_avg"),
           count(lit(1)).over(Window.partitionBy(col("l_orderkey"))).as("n_lines"))
