@@ -20,7 +20,8 @@ import org.apache.spark.sql.SparkSession
   *    in [[Tables]].
   */
 object GraftSession {
-  def builder(master: String, cores: String): SparkSession.Builder =
+  def builder(master: String, cores: String,
+      warehouse: String = "/root/repo/target/warehouse"): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
       .appName("graft")
@@ -37,14 +38,17 @@ object GraftSession {
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // in-memory catalog + on-disk warehouse must live and die
-      // together: pin the dir so ServerMain can wipe it at bootstrap
-      // (no persistent metastore in contract — SURVEY §7.3)
-      .config("spark.sql.warehouse.dir", "/root/repo/target/warehouse")
+      // default warehouse is ephemeral (under target/, wiped at server
+      // bootstrap); ServerMain --db_path relocates it to a persistent
+      // dir and Engine.bootstrap re-registers surviving tables — the
+      // analog of the reference's single-file store (main.go:18)
+      .config("spark.sql.warehouse.dir", warehouse)
       .config("spark.ui.enabled", "false")
 
-  def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
-    val spark = builder(s"local[$cores]", cores).getOrCreate()
+  def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+      warehouse: Option[String] = None): SparkSession = {
+    val spark = builder(s"local[$cores]", cores,
+      warehouse.getOrElse("/root/repo/target/warehouse")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.registerAll(spark)
     spark

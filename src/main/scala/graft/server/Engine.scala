@@ -18,7 +18,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (README.md:21-27 — cross-statement transactions are out of contract,
   * like the reference which always reports status 'I', pg_conn.go:122).
   */
-final class Engine(val spark: SparkSession) {
+final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
+    val dbPath: Option[String] = None) {
 
   import Engine._
 
@@ -82,6 +83,7 @@ final class Engine(val spark: SparkSession) {
     createUserRe.findFirstMatchIn(sql) match {
       case Some(m) =>
         users.put(m.group(1).toLowerCase, graft.server.pg.Scram.encryptPassword(m.group(2)))
+        persistUsers()
         return ExecResult(null, "CREATE ROLE")
       case None =>
     }
@@ -99,12 +101,21 @@ final class Engine(val spark: SparkSession) {
     insertStmtRe.findFirstMatchIn(sql).foreach { m =>
       val table = m.group(1)
       if (constraintsOf(table).isDefined) {
-        val cols = Option(m.group(2)).map(_.split(",").map(_.trim).toSeq)
-          .getOrElse(spark.table(table).schema.fieldNames.toSeq)
-        val srcSql = m.group(3).trim
-        val src = if (srcSql.toLowerCase.startsWith("values")) spark.sql(s"SELECT * FROM $srcSql")
-          else spark.sql(rewrite(srcSql))
-        enforceConstraints(table, src.toDF(cols: _*))
+        // constraint check + insert must be one atomic unit — without
+        // the write lock two concurrent inserts of the same key both
+        // pass the PK check (round-2 TOCTOU), and an insert racing a
+        // CoW UPDATE's INSERT OVERWRITE is silently lost
+        val lock = lockFor(table).writeLock()
+        lock.lock()
+        try {
+          val cols = Option(m.group(2)).map(_.split(",").map(_.trim).toSeq)
+            .getOrElse(spark.table(table).schema.fieldNames.toSeq)
+          val srcSql = m.group(3).trim
+          val src = if (srcSql.toLowerCase.startsWith("values")) spark.sql(s"SELECT * FROM $srcSql")
+            else spark.sql(rewrite(srcSql))
+          enforceConstraints(table, src.toDF(cols: _*))
+          return runInsert(spark.sql(rewrite(sql)))
+        } finally lock.unlock()
       }
     }
     updateRe.findFirstMatchIn(sql).foreach { m =>
@@ -129,10 +140,21 @@ final class Engine(val spark: SparkSession) {
       return ExecResult(df, "SELECT")
     }
 
+    // psql footer queries over catalogs with no analog here (extended
+    // stats, publications, policies …) → empty result, not an error, so
+    // \d keeps rendering (DuckDB gives the reference real-but-empty
+    // versions of these)
+    if (psqlStubRe.findFirstIn(sql).isDefined)
+      return ExecResult(spark.sql("SELECT '' AS stub WHERE false"), "SELECT")
+
     var rewritten = rewrite(sql)
     if (rewritten.toLowerCase.contains("information_schema.")) {
       refreshInformationSchema()
       rewritten = infoSchemaRe.replaceAllIn(rewritten, m => s"__is_${m.group(1).toLowerCase}")
+    }
+    if (sysCatalogRe.findFirstIn(rewritten).isDefined) {
+      refreshSystemCatalog()
+      rewritten = sysCatalogRe.replaceAllIn(rewritten, m => s"__sys_${m.group(1).toLowerCase}")
     }
     if (rewritten.toLowerCase.contains("pg_catalog.") || pgRelRe.findFirstIn(rewritten).isDefined) {
       refreshPgCatalog()
@@ -151,25 +173,48 @@ final class Engine(val spark: SparkSession) {
     verb match {
       case "SELECT" | "WITH" | "VALUES" | "TABLE" | "SHOW" | "DESCRIBE" | "DESC" | "EXPLAIN" | "PIVOT" =>
         ExecResult(df, "SELECT")
-      case "INSERT" =>
-        df.collect() // force the write
-        // written-row count from the write command's SQL metrics; the
-        // executed plan of an eager command is CommandResultExec whose
-        // write plan hangs off commandPhysicalPlan, not children
-        val n = try {
-          val root = df.queryExecution.executedPlan match {
-            case c: org.apache.spark.sql.execution.CommandResultExec => c.commandPhysicalPlan
-            case p => p
-          }
-          root.collectFirst {
-            case p if p.metrics.contains("numOutputRows") =>
-              p.metrics("numOutputRows").value
-          }.getOrElse(0L)
-        } catch { case _: Throwable => 0L }
-        ExecResult(null, s"INSERT 0 $n")
+      case "INSERT" => runInsert(df)
       case _ =>
         df.collect()
+        if (dbPath.isDefined) verb match {
+          case "CREATE" if createViewRe.matches(sql) => logViewDdl(sql)
+          case "DROP" =>
+            dropTableRe.findFirstMatchIn(sql).foreach(m => afterDropTable(m.group(1)))
+            dropViewRe.findFirstMatchIn(sql).foreach(m => unlogView(m.group(1)))
+          case _ =>
+        }
         ExecResult(null, verb)
+    }
+  }
+
+  /** Run an INSERT eagerly and derive its row count from the write
+    * command's SQL metrics; the executed plan of an eager command is
+    * CommandResultExec whose write plan hangs off commandPhysicalPlan,
+    * not children. */
+  private def runInsert(df: DataFrame): ExecResult = {
+    df.collect() // force the write
+    val n = try {
+      val root = df.queryExecution.executedPlan match {
+        case c: org.apache.spark.sql.execution.CommandResultExec => c.commandPhysicalPlan
+        case p => p
+      }
+      root.collectFirst {
+        case p if p.metrics.contains("numOutputRows") =>
+          p.metrics("numOutputRows").value
+      }.getOrElse(0L)
+    } catch { case _: Throwable => 0L }
+    ExecResult(null, s"INSERT 0 $n")
+  }
+
+  /** Drop a view's journal entries so replay doesn't resurrect it. */
+  private def unlogView(view: String): Unit = dbPath.foreach { p =>
+    val f = new java.io.File(s"$p/views.sql")
+    if (f.exists()) {
+      val name = view.split("\\.").last.toLowerCase
+      val kept = scala.io.Source.fromFile(f).getLines().filterNot { l =>
+        createViewRe.findFirstMatchIn(l).exists(_.group(1).split("\\.").last.toLowerCase == name)
+      }.toList
+      writeFile(f.getPath, kept.mkString("\n"))
     }
   }
 
@@ -259,6 +304,18 @@ final class Engine(val spark: SparkSession) {
     columns.toSeq.toDF("table_catalog", "table_schema", "table_name",
       "column_name", "ordinal_position", "data_type", "is_nullable")
       .createOrReplaceTempView("__is_columns")
+    // constraint_column_usage from the declared-constraint registry
+    // (the reference ships it empty, pg_server.go:39 — real rows here)
+    val ccu = {
+      import scala.jdk.CollectionConverters._
+      constraints.asScala.toSeq.flatMap { case (key, c) =>
+        val Array(sch, tbl) = key.split("\\.", 2)
+        c.pk.map(col => ("spark", sch, tbl, col, s"${tbl}_pkey")) ++
+          c.unique.flatten.map(col => ("spark", sch, tbl, col, s"${tbl}_${col}_key"))
+      }
+    }
+    ccu.toDF("table_catalog", "table_schema", "table_name", "column_name", "constraint_name")
+      .createOrReplaceTempView("__is_constraint_column_usage")
   }
 
   /** CREATE TABLE with PG/DuckDB constraint syntax: Spark's parser
@@ -288,12 +345,15 @@ final class Engine(val spark: SparkSession) {
           pk = Seq(colName)
           cleaned = cleaned.replaceAll("(?i)\\s+primary\\s+key", "")
         }
+        // NOT NULL and UNIQUE are independent attributes — `x INT NOT
+        // NULL UNIQUE` must record both (round-2 bug: else-if dropped
+        // the UNIQUE whenever NOT NULL was present)
         if (cleaned.toLowerCase.contains("not null")) {
           notNull :+= colName
           cleaned = cleaned.replaceAll("(?i)\\s+not\\s+null", "")
-        } else if (cleaned.toLowerCase.matches(".*\\bunique\\b.*")) {
-          unique :+= Seq(colName)
         }
+        if (cleaned.toLowerCase.matches(".*\\bunique\\b.*"))
+          unique :+= Seq(colName)
         cleaned = cleaned.replaceAll("(?i)\\s+unique\\b", "")
         Some(cleaned)
       }
@@ -301,35 +361,130 @@ final class Engine(val spark: SparkSession) {
     spark.sql(s"CREATE TABLE $table (${kept.mkString(", ")}) $rest")
     val key = if (table.contains(".")) table.toLowerCase else s"main.${table.toLowerCase}"
     constraints.put(key, Constraints(pk, unique, notNull))
+    persistConstraints()
     ExecResult(null, "CREATE TABLE")
   }
 
-  /** Minimal pg_catalog emulation — enough for psql \dt / \dn / \dv
-    * (the reference gets its pg_catalog from DuckDB; SURVEY A25). */
+  /** pg_catalog emulation — psql \dt / \dn / \dv / \d <table> and
+    * clients doing catalog introspection (the reference gets its
+    * pg_catalog from DuckDB; SURVEY A25). pg_class carries the full
+    * psql-15 column set (all "off": no indexes/rules/triggers, so psql
+    * skips those footer queries); pg_attribute is real per-column data
+    * with NOT NULL sourced from declared constraints. */
   private def refreshPgCatalog(): Unit = {
     import spark.implicits._
     val dbs = spark.catalog.listDatabases().collect().map(_.name).sorted
     val nsOid = dbs.zipWithIndex.map { case (d, i) => d -> (1000 + i) }.toMap
     dbs.map(d => (nsOid(d), d, 0)).toSeq.toDF("oid", "nspname", "nspowner")
       .createOrReplaceTempView("pg_namespace")
-    val rels = dbs.flatMap { d =>
+    val tables = dbs.flatMap { d =>
       spark.catalog.listTables(d).collect().filterNot(_.isTemporary)
-        .zipWithIndex.map { case (t, i) =>
-          (2000 + nsOid(d) * 100 + i, t.name,
-            nsOid(d), if (t.tableType == "VIEW") "v" else "r", 0, 0)
-        }
+        .zipWithIndex.map { case (t, i) => (2000 + nsOid(d) * 100 + i, d, t) }
     }
-    rels.toSeq.toDF("oid", "relname", "relnamespace", "relkind", "relowner", "relam")
+    tables.map { case (oid, d, t) =>
+      (oid, t.name, nsOid(d), if (t.tableType == "VIEW") "v" else "r", 0, 0,
+        0 /*relchecks*/, false /*relhasindex*/, false /*relhasrules*/,
+        false /*relhastriggers*/, false /*relrowsecurity*/, false /*relforcerowsecurity*/,
+        false /*relispartition*/, 0 /*reltablespace*/, "p" /*relpersistence*/,
+        "d" /*relreplident*/, -1.0 /*reltuples*/, 0 /*relpages*/, false /*relhassubclass*/,
+        0 /*reltoastrelid*/, 0 /*reloftype*/)
+    }.toSeq.toDF("oid", "relname", "relnamespace", "relkind", "relowner", "relam",
+        "relchecks", "relhasindex", "relhasrules", "relhastriggers", "relrowsecurity",
+        "relforcerowsecurity", "relispartition", "reltablespace", "relpersistence",
+        "relreplident", "reltuples", "relpages", "relhassubclass",
+        "reltoastrelid", "reloftype")
+      .withColumn("reloptions", org.apache.spark.sql.functions.lit(null).cast("array<string>"))
       .createOrReplaceTempView("pg_class")
+    val attrs = tables.flatMap { case (oid, d, t) =>
+      val nn = constraintsOf(s"$d.${t.name}").map(c => (c.notNull ++ c.pk).toSet)
+        .getOrElse(Set.empty)
+      try spark.table(s"$d.${t.name}").schema.fields.zipWithIndex.map { case (f, i) =>
+        (oid, f.name, graft.server.pg.PgTypes.oidOf(f.dataType), i + 1,
+          graft.server.pg.PgTypes.typmodOf(f.dataType), nn(f.name.toLowerCase),
+          false /*atthasdef*/, false /*attisdropped*/, 0 /*attcollation*/,
+          "" /*attidentity*/, "" /*attgenerated*/)
+      }
+      catch { case scala.util.control.NonFatal(_) =>
+        Array.empty[(Int, String, Int, Int, Int, Boolean, Boolean, Boolean, Int, String, String)] }
+    }
+    attrs.toSeq.toDF("attrelid", "attname", "atttypid", "attnum", "atttypmod",
+        "attnotnull", "atthasdef", "attisdropped", "attcollation", "attidentity", "attgenerated")
+      .createOrReplaceTempView("pg_attribute")
     Seq((0, "heap")).toDF("oid", "amname").limit(0)
       .createOrReplaceTempView("pg_am")
+    Seq((0, 0, "")).toDF("adrelid", "adnum", "adbin").limit(0)
+      .createOrReplaceTempView("pg_attrdef")
+    Seq((0, "")).toDF("oid", "collname").limit(0)
+      .createOrReplaceTempView("pg_collation")
+    Seq((0, 0, "f", "", false, false, 0, 0, true, 0))
+      .toDF("oid", "conrelid", "contype", "conname", "condeferrable", "condeferred",
+        "conindid", "confrelid", "convalidated", "conparentid").limit(0)
+      .createOrReplaceTempView("pg_constraint")
+    Seq((0, 0, false, false, false, false, false))
+      .toDF("indexrelid", "indrelid", "indisprimary", "indisunique", "indisclustered",
+        "indisvalid", "indisreplident").limit(0)
+      .createOrReplaceTempView("pg_index")
+    refreshPgProc()
   }
 
-  /** psql-dialect → Spark SQL: strip pg_catalog qualification, regex
-    * operators `~`/`!~` → regexp_like. (Double-quoted identifiers are
-    * handled by spark.sql.ansi.doubleQuotedIdentifiers.) */
+  /** pg_proc from the live function registry; prokind 'a' marks
+    * aggregates (reference exposes DuckDB's; system.functions derives
+    * from this, pg_server.go:66-68). */
+  private def refreshPgProc(): Unit = {
+    import spark.implicits._
+    val reg = spark.sessionState.functionRegistry
+    val fns = reg.listFunction().flatMap { f =>
+      val group = try Option(reg.lookupFunction(f).orNull).flatMap(i => Option(i.getGroup))
+        catch { case scala.util.control.NonFatal(_) => None }
+      Some((f.funcName, if (group.contains("agg_funcs")) "a" else "f"))
+    }.distinct.sortBy(_._1)
+    fns.zipWithIndex.map { case ((n, k), i) => (30000 + i, n, k, 11) }
+      .toDF("oid", "proname", "prokind", "pronamespace")
+      .createOrReplaceTempView("pg_proc")
+  }
+
+  /** ClickHouse system.* catalog emulation (reference pg_server.go:47-68
+    * defines these over information_schema/pg_proc; same data here,
+    * refreshed from the live catalog). */
+  private def refreshSystemCatalog(): Unit = {
+    import spark.implicits._
+    refreshInformationSchema()
+    refreshPgProc()
+    val dbs = spark.catalog.listDatabases().collect().map(_.name).sorted
+    dbs.toSeq.toDF("name").createOrReplaceTempView("__sys_databases")
+    val tables = dbs.flatMap { d =>
+      spark.catalog.listTables(d).collect().filterNot(_.isTemporary)
+        .filter(_.tableType != "VIEW")
+        .map(t => (t.name, d, "uuid", "graft", 0, ""))
+    }
+    tables.toSeq.toDF("name", "database", "uuid", "engine", "is_temporary", "comment")
+      .createOrReplaceTempView("__sys_tables")
+    val columns = dbs.flatMap { d =>
+      spark.catalog.listTables(d).collect().filterNot(_.isTemporary).flatMap { t =>
+        try spark.catalog.listColumns(s"$d.${t.name}").collect().map(c =>
+          (d, t.name, c.name, c.dataType, "", c.dataType, ""))
+        catch { case scala.util.control.NonFatal(_) =>
+          Array.empty[(String, String, String, String, String, String, String)] }
+      }
+    }
+    columns.toSeq.toDF("database", "table", "name", "type", "comment",
+        "default_kind", "default_expression")
+      .createOrReplaceTempView("__sys_columns")
+    spark.sql("SELECT proname AS name, prokind = 'a' AS is_aggregate FROM pg_proc")
+      .createOrReplaceTempView("__sys_functions")
+  }
+
+  /** psql-dialect → Spark SQL: strip pg_catalog qualification, the
+    * OPERATOR(~) spelling, COLLATE clauses and ::reg* casts psql emits,
+    * regex operators `~`/`!~` → regexp_like. (Double-quoted identifiers
+    * are handled by spark.sql.ansi.doubleQuotedIdentifiers.) */
   private def pgCompat(sql0: String): String = {
     var s = sql0.replaceAll("(?i)pg_catalog\\.", "")
+    s = s.replaceAll("(?i)OPERATOR\\s*\\(\\s*!~\\s*\\)", " !~ ")
+    s = s.replaceAll("(?i)OPERATOR\\s*\\(\\s*~\\s*\\)", " ~ ")
+    s = s.replaceAll("(?i)\\s+COLLATE\\s+[\\w.\"]+", "")
+    s = s.replaceAll("(?i)::(regclass|regnamespace|regtype|regrole|oid|\"char\")", "")
+    s = s.replaceAll("(?i)::text\\b", "::string")
     s = notTildeRe.replaceAllIn(s, m => Regex.quoteReplacement(
       s"NOT regexp_like(${m.group(1)}, ${m.group(2)})"))
     s = tildeRe.replaceAllIn(s, m => Regex.quoteReplacement(
@@ -340,6 +495,7 @@ final class Engine(val spark: SparkSession) {
   /** COPY (query|table) TO 'file' (FORMAT csv|parquet|json …) —
     * statement intercept → DataFrameWriter (SURVEY §2-B.1 🔧). */
   private def copyTo(src: String, path: String, opts: String): ExecResult = {
+    requireFileIo()
     val df =
       if (src.trim.startsWith("(")) spark.sql(rewrite(src.trim.stripPrefix("(").stripSuffix(")")))
       else spark.table(src.trim)
@@ -356,6 +512,7 @@ final class Engine(val spark: SparkSession) {
 
   /** COPY table FROM 'file' (FORMAT …) → read + insertInto. */
   private def copyFromFile(table: String, path: String, opts: String): ExecResult = {
+    requireFileIo()
     val target = spark.table(table)
     val format = formatOf(opts, path)
     val reader = spark.read.schema(target.schema)
@@ -385,13 +542,125 @@ final class Engine(val spark: SparkSession) {
   private def optFlag(opts: String, name: String): String =
     if (opts.toLowerCase.contains(name)) "true" else "false"
 
+  /** Server-side host file I/O (`COPY … TO/FROM 'path'`) is a remote
+    * file read/write primitive — refused unless the operator opted in
+    * (ServerMain --allow-file-io; library embedders default to on). */
+  private def requireFileIo(): Unit =
+    if (!allowFileIo) throw new SecurityException(
+      "COPY TO/FROM file is disabled on this server (start with --allow-file-io to enable)")
+
+  // -- persistence (--db_path analog of reference main.go:18) ---------------
+
+  /** users + declared constraints survive restarts as flat files under
+    * dbPath; table data survives via the relocated warehouse dir (the
+    * reference gets all of this from its single DuckDB file). */
+  private def persistUsers(): Unit = dbPath.foreach { p =>
+    val lines = {
+      import scala.jdk.CollectionConverters._
+      users.asScala.toSeq.sortBy(_._1).map { case (u, v) => s"$u\t$v" }
+    }
+    writeFile(s"$p/users.tsv", lines.mkString("\n"))
+  }
+
+  private def persistConstraints(): Unit = dbPath.foreach { p =>
+    val lines = {
+      import scala.jdk.CollectionConverters._
+      constraints.asScala.toSeq.sortBy(_._1).map { case (t, c) =>
+        s"$t\t${c.pk.mkString(",")}\t${c.unique.map(_.mkString(",")).mkString("|")}\t${c.notNull.mkString(",")}"
+      }
+    }
+    writeFile(s"$p/constraints.tsv", lines.mkString("\n"))
+  }
+
+  /** Replayable view DDL log (views have no on-disk footprint in the
+    * warehouse, so their definitions are journaled and replayed). */
+  private[server] def logViewDdl(sql: String): Unit = dbPath.foreach { p =>
+    val f = new java.io.FileWriter(s"$p/views.sql", true)
+    try f.write(sql.replace("\n", " ") + "\n") finally f.close()
+  }
+
+  private def writeFile(path: String, content: String): Unit = {
+    val f = new java.io.File(path)
+    f.getParentFile.mkdirs()
+    val w = new java.io.FileWriter(f)
+    try w.write(content) finally w.close()
+  }
+
+  def loadPersisted(): Unit = dbPath.foreach { p =>
+    def lines(name: String): Seq[String] = {
+      val f = new java.io.File(s"$p/$name")
+      if (!f.exists()) Nil
+      else scala.io.Source.fromFile(f).getLines().filter(_.nonEmpty).toList
+    }
+    lines("users.tsv").foreach { l =>
+      l.split("\t", 2) match {
+        case Array(u, v) => users.put(u, v)
+        case _ =>
+      }
+    }
+    lines("constraints.tsv").foreach { l =>
+      val parts = l.split("\t", -1)
+      if (parts.length == 4) {
+        def list(s: String) = if (s.isEmpty) Nil else s.split(",").toSeq
+        constraints.put(parts(0), Constraints(list(parts(1)),
+          if (parts(2).isEmpty) Nil else parts(2).split("\\|").toSeq.map(_.split(",").toSeq),
+          list(parts(3))))
+      }
+    }
+    // re-register surviving managed tables: every parquet dir under
+    // warehouse/<db>.db/<table> becomes a table again (parquet is
+    // self-describing, so no schema journal is needed)
+    val wh = new java.io.File(spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    Option(wh.listFiles()).getOrElse(Array.empty).filter(d => d.isDirectory && d.getName.endsWith(".db"))
+      .foreach { dbDir =>
+        val db = dbDir.getName.stripSuffix(".db")
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+        Option(dbDir.listFiles()).getOrElse(Array.empty)
+          .filter(t => t.isDirectory && !t.getName.endsWith("__cow")).foreach { tDir =>
+            try
+              if (!spark.catalog.tableExists(s"$db.${tDir.getName}"))
+                spark.sql(s"CREATE TABLE $db.${tDir.getName} USING parquet LOCATION '${tDir.getAbsolutePath}'")
+            catch { case scala.util.control.NonFatal(_) => } // unreadable dir: skip
+          }
+      }
+    // replay journaled view DDL (best-effort: later statements may
+    // legitimately re-define earlier ones)
+    lines("views.sql").foreach { ddl =>
+      try spark.sql(rewrite(ddl)) catch { case scala.util.control.NonFatal(_) => }
+    }
+  }
+
+  /** DROP TABLE under --db_path must also remove the on-disk dir, or
+    * the table resurrects at next boot (re-registration scans the
+    * warehouse). Called after the DROP executed successfully. */
+  private def afterDropTable(table: String): Unit = {
+    val key = if (table.contains(".")) table.toLowerCase else s"main.${table.toLowerCase}"
+    constraints.remove(key)
+    persistConstraints()
+    dbPath.foreach { _ =>
+      val Array(db, t) = key.split("\\.", 2)
+      val dir = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), s"$db.db/$t")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      if (dir.exists()) rm(dir)
+    }
+  }
+
   // -- ingest (micro-batched Appender analog, SURVEY A15/A20) ---------------
 
   /** Append a batch of parsed rows to a table. One Spark job per batch;
     * visibility at completion = the reference's Appender Flush. */
   def appendBatch(table: String, columns: Seq[String], rows: Seq[Seq[Any]]): Unit = {
     if (rows.isEmpty) return
-    val lock = lockFor(table).readLock() // appends can interleave; COW writers exclude
+    // constraint-free appends can interleave (read lock; COW writers
+    // exclude); constrained tables need check+insert to be atomic, so
+    // concurrent appenders serialize on the write lock
+    val lock =
+      if (constraintsOf(table).isDefined) lockFor(table).writeLock()
+      else lockFor(table).readLock()
     lock.lock()
     try {
       val target = spark.table(table)
@@ -430,14 +699,23 @@ object Engine {
     """(?is)^\s*insert\s+into\s+([\w.]+)\s*(?:\(([^)]*)\))?\s*(values\b.+|select\b.+|with\b.+)$""".r
   private val deleteRe =
     """(?is)^\s*delete\s+from\s+([\w.]+)(?:\s+where\s+(.+))?\s*$""".r
+  private val createViewRe =
+    """(?is)^\s*create\s+(?:or\s+replace\s+)?(?:temp(?:orary)?\s+)?view\s+(?:if\s+not\s+exists\s+)?([\w.]+).*""".r
+  private val dropTableRe = """(?is)^\s*drop\s+table\s+(?:if\s+exists\s+)?([\w.]+)\s*$""".r
+  private val dropViewRe = """(?is)^\s*drop\s+view\s+(?:if\s+exists\s+)?([\w.]+)\s*$""".r
 
   private val copyToRe =
     """(?is)^\s*copy\s+(\([^)]+\)|[\w.]+)\s+to\s+'([^']+)'\s*(?:\(([^)]*)\)|with\s*\(([^)]*)\))?\s*$""".r
   private val copyFromFileRe =
     """(?is)^\s*copy\s+([\w.]+)\s+from\s+'([^']+)'\s*(?:\(([^)]*)\)|with\s*\(([^)]*)\))?\s*$""".r
   private val describeQueryRe = """(?is)^\s*describe\s+((?:select|with|values)\b.+)$""".r
-  private val infoSchemaRe = """(?i)information_schema\.(schemata|tables|columns)""".r
-  private val pgRelRe = """(?i)\bpg_(class|namespace|am)\b""".r
+  private val infoSchemaRe =
+    """(?i)information_schema\.(schemata|tables|columns|constraint_column_usage)""".r
+  private val sysCatalogRe = """(?i)\bsystem\.(databases|tables|columns|functions)\b""".r
+  private val pgRelRe =
+    """(?i)\bpg_(class|namespace|am|proc|attribute|attrdef|collation|index|constraint)\b""".r
+  private val psqlStubRe =
+    """(?i)\bpg_(statistic_ext|publication|policy|policies|rules|event_trigger|inherits|partitioned_table|foreign_table)\b""".r
   private val notTildeRe = """([\w.]+)\s+!~\s+('(?:[^']*)')""".r
   private val tildeRe = """([\w.]+)\s+~\s+('(?:[^']*)')""".r
   private val excludeRe =
@@ -475,13 +753,16 @@ object Engine {
 
   /** Bootstrap the catalog: database `main` with the fixture tables as
     * external parquet tables + compat views (SURVEY A25). */
-  def bootstrap(spark: SparkSession, sfDir: String): Engine = {
-    val engine = new Engine(spark)
-    // fresh in-memory catalog ⇒ fresh warehouse (stale table dirs from
-    // a previous process would collide with re-created managed tables)
+  def bootstrap(spark: SparkSession, sfDir: String, allowFileIo: Boolean = true,
+      dbPath: Option[String] = None): Engine = {
+    val engine = new Engine(spark, allowFileIo, dbPath)
+    // ephemeral mode: fresh in-memory catalog ⇒ fresh warehouse (stale
+    // table dirs from a previous process would collide with re-created
+    // managed tables). Persistent mode (--db_path) keeps the dir and
+    // re-registers its tables below.
     val wh = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
       .stripPrefix("file:"))
-    if (wh.getPath.contains("/target/")) { // safety: only ever wipe our own dir
+    if (dbPath.isEmpty && wh.getPath.contains("/target/")) { // safety: only ever wipe our own dir
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)
         f.delete()
@@ -506,12 +787,30 @@ object Engine {
       16 -> "bool", 20 -> "int8", 21 -> "int2", 23 -> "int4", 25 -> "text",
       700 -> "float4", 701 -> "float8", 1700 -> "numeric", 1082 -> "date",
       1114 -> "timestamp", 1184 -> "timestamptz", 114 -> "json", 17 -> "bytea")
-      .map { case (o, n) => s"($o, '$n')" }.mkString(", ")
-    spark.sql(s"CREATE OR REPLACE VIEW pg_type AS SELECT * FROM VALUES $oidRows AS t(oid, typname)")
+      .map { case (o, n) => s"($o, '$n', 0)" }.mkString(", ")
+    spark.sql(s"CREATE OR REPLACE VIEW pg_type AS SELECT * FROM VALUES $oidRows AS t(oid, typname, typcollation)")
     spark.sql("CREATE OR REPLACE VIEW pg_matviews AS SELECT '' AS matviewname WHERE false")
     // psql meta-command helpers (always-true visibility, fixed owner)
     spark.udf.register("pg_table_is_visible", (_: Long) => true)
     spark.udf.register("pg_get_userbyid", (_: Long) => "spark")
+    // \d support: format_type drives the column-type column; the rest
+    // are inert stubs psql's queries must merely resolve (defaults,
+    // constraint defs, comments, sizes are all empty here)
+    spark.udf.register("format_type",
+      (oid: Int, typmod: Int) => graft.server.pg.PgTypes.nameOf(oid, typmod))
+    spark.udf.register("pg_get_expr", (_: String, _: Int, _: Boolean) => null: String)
+    spark.udf.register("pg_get_constraintdef", (_: Int, _: Boolean) => null: String)
+    spark.udf.register("pg_get_indexdef", (_: Int, _: Int, _: Boolean) => null: String)
+    spark.udf.register("obj_description", (_: Int, _: String) => null: String)
+    spark.udf.register("col_description", (_: Int, _: Int) => null: String)
+    spark.udf.register("quote_ident", (s: String) => if (s == null) null else "\"" + s.replace("\"", "\"\"") + "\"")
+    spark.udf.register("array_to_string",
+      (a: scala.collection.Seq[String], sep: String) =>
+        if (a == null) null else a.filter(_ != null).mkString(sep))
+    spark.udf.register("pg_table_size", (_: Int) => 0L)
+    spark.udf.register("pg_total_relation_size", (_: Int) => 0L)
+    spark.udf.register("pg_size_pretty", (_: Long) => "0 bytes")
+    engine.loadPersisted()
     engine
   }
 }

@@ -18,7 +18,8 @@ import graft.server.pg.{CsvValues, Scram}
   * ingest, and the reference's compat rewrites (version() spoof,
   * LIMIT n,m, `select table` quoting).
   */
-final class ChServer(engine: Engine, port: Int, authEnabled: Boolean) {
+final class ChServer(engine: Engine, port: Int, authEnabled: Boolean,
+    bindAddr: String = "0.0.0.0") {
   private val spark = engine.spark
   private var server: HttpServer = _
 
@@ -32,7 +33,7 @@ final class ChServer(engine: Engine, port: Int, authEnabled: Boolean) {
   private val limitNmRe = """(?i)limit\s+(\d+)\s*,\s*(\d+)""".r
 
   def start(): ChServer = {
-    server = HttpServer.create(new InetSocketAddress(port), 128)
+    server = HttpServer.create(new InetSocketAddress(bindAddr, port), 128)
     server.setExecutor(Executors.newCachedThreadPool())
     server.createContext("/", (ex: HttpExchange) => handle(ex))
     server.start()

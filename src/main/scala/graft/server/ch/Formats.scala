@@ -129,9 +129,30 @@ object Formats {
           case _ => 0
         }
         lines.drop(skip).map(_.split("\t", -1).toSeq.map(v =>
-          if (v == "\\N") null
-          else v.replace("\\t", "\t").replace("\\n", "\n").replace("\\r", "\r").replace("\\\\", "\\"))).toSeq
+          if (v == "\\N") null else unescapeTsv(v))).toSeq
     }
+  }
+
+  /** Single left-to-right unescape — chained .replace() passes decode
+    * wire `\\t` (backslash-t) to TAB because the `\\\\` pass runs last
+    * (round-2 bug). Inverse of [[esc]]. */
+  def unescapeTsv(s: String): String = {
+    if (s.indexOf('\\') < 0) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 't' => sb += '\t'; i += 2
+          case 'n' => sb += '\n'; i += 2
+          case 'r' => sb += '\r'; i += 2
+          case '\\' => sb += '\\'; i += 2
+          case _ => sb += c; i += 1
+        }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
   }
 
   /** Tiny flat JSON object parser (string/number/bool/null values) —

@@ -90,7 +90,10 @@ final class PgConnection(socket: Socket, server: PgServer) extends Runnable {
     user = params.getOrElse("user", "")
     jobGroup = s"pg-$backendPid-$user"
     server.register(this)
-    if (!server.authEnabled || socket.getInetAddress.isLoopbackAddress) return true
+    // loopback trust mirrors the reference (pg_auth.go:22-25); see
+    // PgServer.trustLoopback for the opt-out
+    if (!server.authEnabled ||
+        (server.trustLoopback && socket.getInetAddress.isLoopbackAddress)) return true
     authenticate()
   }
 
@@ -164,7 +167,7 @@ final class PgConnection(socket: Socket, server: PgServer) extends Runnable {
     try {
       if (sql.trim.isEmpty) { out.emptyQueryResponse(); return }
       copyFromStdinRe.findFirstMatchIn(sql) match {
-        case Some(m) => copyInMode(m.group(1)); return
+        case Some(m) => copyInMode(m.group(1), Option(m.group(2))); return
         case None =>
       }
       // Q8 fixed: split multi-statement simple queries
@@ -244,19 +247,26 @@ final class PgConnection(socket: Socket, server: PgServer) extends Runnable {
   // -- COPY FROM STDIN (SURVEY A15) -----------------------------------------
 
   private val copyFromStdinRe =
-    """(?is)^\s*copy\s+([\w.]+)(?:\s*\([^)]*\))?\s+from\s+stdin.*$""".r
+    """(?is)^\s*copy\s+([\w.]+)\s*(?:\(([^)]*)\))?\s+from\s+stdin.*$""".r
 
-  private def copyInMode(table: String): Unit = {
+  private def copyInMode(table: String, colList: Option[String]): Unit = {
     val target = spark.table(table)
-    val cols = target.schema.fieldNames.toSeq
+    // honor the statement's column list: fields bind to the listed
+    // columns in order, the rest null-fill in appendBatch (round-2 bug:
+    // the list was discarded and fields bound by full-schema position)
+    val cols = colList.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(target.schema.fieldNames.toSeq)
     out.copyInResponse(cols.size)
-    val buf = new StringBuilder
+    // accumulate raw bytes and decode ONCE at CopyDone — a CopyData
+    // chunk boundary can split a multi-byte UTF-8 sequence (round-2 bug:
+    // per-chunk decode corrupted the split character)
+    val buf = new java.io.ByteArrayOutputStream()
     var done = false
     var failed = false
     while (!done) {
       val (typ, body) = in.readMessage()
       typ.toChar match {
-        case 'd' => buf.append(new String(body, UTF_8))
+        case 'd' => buf.write(body)
         case 'c' => done = true
         case 'f' => done = true; failed = true
         case 'H' | 'S' => // flush/sync during copy: ignore
@@ -264,8 +274,9 @@ final class PgConnection(socket: Socket, server: PgServer) extends Runnable {
       }
     }
     if (failed) { out.errorResponse("COPY cancelled by client"); return }
-    val parsers = target.schema.fields.map(f => CsvValues.parserFor(f.dataType))
-    val rows = CsvValues.parseCsv(buf.toString).filter(_.nonEmpty).map { fields =>
+    val fieldTypes = cols.map(c => target.schema(target.schema.fieldIndex(c)).dataType)
+    val parsers = fieldTypes.map(CsvValues.parserFor)
+    val rows = CsvValues.parseCsv(new String(buf.toByteArray, UTF_8)).filter(_.nonEmpty).map { fields =>
       fields.zipWithIndex.map { case (v, i) =>
         if (v == null) null else parsers(i)(v)
       }.toSeq

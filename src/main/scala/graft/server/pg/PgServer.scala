@@ -13,7 +13,13 @@ import graft.server.Engine
   * cancelJobGroup replaces the reference's context.CancelFunc
   * (SURVEY A14).
   */
-final class PgServer(val engine: Engine, port: Int, val authEnabled: Boolean) {
+final class PgServer(val engine: Engine, port: Int, val authEnabled: Boolean,
+    bindAddr: String = "0.0.0.0") {
+
+  /** Loopback connections skip SCRAM exactly as the reference does
+    * (pg_auth.go:22-25) — it's how the first CREATE USER is issued.
+    * GRAFT_TRUST_LOOPBACK=false turns the bypass off. */
+  val trustLoopback: Boolean = sys.env.get("GRAFT_TRUST_LOOPBACK").forall(_ != "false")
   private val pidCounter = new AtomicInteger(1000)
   private val backends = new ConcurrentHashMap[Int, PgConnection]()
   @volatile private var serverSocket: ServerSocket = _
@@ -32,7 +38,7 @@ final class PgServer(val engine: Engine, port: Int, val authEnabled: Boolean) {
   /** Start accepting; returns immediately (accept loop on a daemon
     * thread). */
   def start(): PgServer = {
-    serverSocket = new ServerSocket(port, 128, InetAddress.getByName("0.0.0.0"))
+    serverSocket = new ServerSocket(port, 128, InetAddress.getByName(bindAddr))
     val t = new Thread(() => acceptLoop(), s"pg-accept-$port")
     t.setDaemon(true)
     t.start()

@@ -43,6 +43,32 @@ object PgTypes {
     case _ => OidText
   }
 
+  /** PG name for an OID (+typmod) — backs the format_type() UDF psql's
+    * \d issues. Numeric typmod packs (precision<<16 | scale) + 4. */
+  def nameOf(oid: Int, typmod: Int): String = oid match {
+    case OidBool => "boolean"
+    case OidInt2 => "smallint"
+    case OidInt4 => "integer"
+    case OidInt8 => "bigint"
+    case OidFloat4 => "real"
+    case OidFloat8 => "double precision"
+    case OidNumeric =>
+      if (typmod >= 4) s"numeric(${(typmod - 4) >> 16},${(typmod - 4) & 0xffff})" else "numeric"
+    case OidText => "text"
+    case OidDate => "date"
+    case OidTimestamp => "timestamp without time zone"
+    case OidTimestamptz => "timestamp with time zone"
+    case OidJson => "json"
+    case OidBytea => "bytea"
+    case OidTextArray => "text[]"
+    case _ => "text"
+  }
+
+  def typmodOf(dt: DataType): Int = dt match {
+    case d: DecimalType => ((d.precision << 16) | d.scale) + 4
+    case _ => -1
+  }
+
   private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
 
   private def renderMicros(nanos: Int): String = {

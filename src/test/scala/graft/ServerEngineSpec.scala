@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.server.Engine
+import graft.server.ch.Formats
+
+/** Engine-layer server semantics: declared-constraint enforcement
+  * (incl. the round-2 UNIQUE-drop and check/insert TOCTOU bugs),
+  * file-I/O gating, and --db_path persistence round-trips. */
+class ServerEngineSpec extends SparkSpecBase {
+
+  private lazy val engine: Engine = {
+    spark.sql("CREATE DATABASE IF NOT EXISTS main")
+    new Engine(spark)
+  }
+
+  test("NOT NULL UNIQUE records both attributes — duplicate rejected") {
+    engine.execute("drop table if exists main.c_nnu")
+    engine.execute("create table main.c_nnu (x INT NOT NULL UNIQUE, y STRING) using parquet")
+    engine.execute("insert into main.c_nnu values (1, 'a')")
+    val dup = intercept[IllegalArgumentException] {
+      engine.execute("insert into main.c_nnu values (1, 'b')")
+    }
+    assert(dup.getMessage.contains("unique"))
+    val nn = intercept[IllegalArgumentException] {
+      engine.execute("insert into main.c_nnu values (NULL, 'c')")
+    }
+    assert(nn.getMessage.contains("not-null"))
+    engine.execute("drop table main.c_nnu")
+  }
+
+  test("concurrent same-key PK inserts admit exactly one (TOCTOU closed)") {
+    engine.execute("drop table if exists main.c_race")
+    engine.execute("create table main.c_race (id INT PRIMARY KEY, v STRING) using parquet")
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val results = (0 until 2).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean = {
+          start.await()
+          try { engine.execute(s"insert into main.c_race values (7, 'w$i')"); true }
+          catch { case _: IllegalArgumentException => false }
+        }
+      })
+    }
+    start.countDown()
+    val outcomes = results.map(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(outcomes.count(identity) == 1, s"expected exactly one insert to win, got $outcomes")
+    assert(spark.table("main.c_race").count() == 1)
+    engine.execute("drop table main.c_race")
+  }
+
+  test("COPY TO/FROM file refused when file I/O is disabled") {
+    val locked = new Engine(spark, allowFileIo = false)
+    val e = intercept[SecurityException] {
+      locked.execute("copy (select 1 as x) to '/tmp/graft_spec_denied.csv'")
+    }
+    assert(e.getMessage.contains("--allow-file-io"))
+    intercept[SecurityException] {
+      locked.execute("copy main.c_nnu from '/tmp/never_read.csv'")
+    }
+  }
+
+  test("users + constraints survive an engine restart via --db_path files") {
+    val tmp = Files.createTempDirectory("graft-db").toFile.getAbsolutePath
+    val e1 = new Engine(spark, allowFileIo = true, dbPath = Some(tmp))
+    e1.execute("create user persisted_user with password 'pw123'")
+    e1.execute("drop table if exists main.c_persist")
+    e1.execute("create table main.c_persist (k INT PRIMARY KEY, v STRING) using parquet")
+    e1.execute("insert into main.c_persist values (1, 'x')")
+
+    val e2 = new Engine(spark, allowFileIo = true, dbPath = Some(tmp))
+    e2.loadPersisted()
+    assert(e2.users.containsKey("persisted_user"))
+    // constraint knowledge restored: duplicate PK still rejected
+    intercept[IllegalArgumentException] {
+      e2.execute("insert into main.c_persist values (1, 'dup')")
+    }
+    e2.execute("drop table main.c_persist")
+  }
+
+  test("TSV unescape is a single left-to-right pass (backslash-t stays literal)") {
+    assert(Formats.unescapeTsv("a\\tb") == "a\tb")
+    assert(Formats.unescapeTsv("a\\\\tb") == "a\\tb") // wire \\t = literal backslash + t
+    assert(Formats.unescapeTsv("a\\\\\\tb") == "a\\\tb")
+    assert(Formats.unescapeTsv("plain") == "plain")
+  }
+
+  test("TSV escape/unescape round-trips arbitrary control-char strings") {
+    val gen = Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('\t', '\n', '\r', '\\', 'Ω')))
+      .map(_.mkString)
+    val prop = Prop.forAll(gen) { s =>
+      val escaped = {
+        // same escaping the writer applies (Formats.esc is private):
+        s.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n").replace("\r", "\\r")
+      }
+      Formats.unescapeTsv(escaped) == s
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+}

@@ -2,6 +2,8 @@
 # End-to-end server battery: drives the live graft server through psql +
 # curl + the raw-socket extended-protocol probe. Start the server first:
 #   sbt 'runMain graft.server.ServerMain 5433 8124 /root/testdata/sf0.001'
+# Auth defaults ON (like the reference): loopback psql is trusted, the
+# CH HTTP endpoint requires credentials, remote PG requires SCRAM.
 # Usage: bash tools/server_smoke.sh [pg_port] [ch_port]
 set -u
 PG=${1:-5433}
@@ -26,20 +28,58 @@ chk "pg insert tag"   "INSERT 0 2" "$(psql $P -c "insert into main.smoke values 
 chk "pg update tag"   "UPDATE 1" "$(psql $P -c "update main.smoke set b='u' where a=1" 2>&1 | head -1)"
 chk "pg delete tag"   "DELETE 1" "$(psql $P -c "delete from main.smoke where a=2" 2>&1 | head -1)"
 chk "pg copy stdin"   "COPY 2"   "$(printf '5,p\n6,\\N\n' | psql $P -c 'copy main.smoke from stdin with csv' 2>&1 | head -1)"
-chk "pg rows"         "3"        "$(psql $P -tA -c 'select count(*) from main.smoke' 2>&1)"
+# column-list COPY: reversed order (b,a) + a multi-byte char split across
+# two CopyData chunks (psql sends per-line messages; the ü row exercises
+# the decode-once path end-to-end)
+chk "pg copy collist" "COPY 1"   "$(printf 'zää,9\n' | psql $P -c 'copy main.smoke (b,a) from stdin with csv' 2>&1 | head -1)"
+chk "pg collist val"  "9|zää"    "$(psql $P -tA -c 'select a, b from main.smoke where a=9' 2>&1)"
+chk "pg rows"         "4"        "$(psql $P -tA -c 'select count(*) from main.smoke' 2>&1)"
 chk "pg describe q"   "n_name|VARCHAR|YES" "$(psql $P -tA -c 'describe select n_name from nation' 2>&1)"
 chk "pg info_schema"  "smoke"    "$(psql $P -tA -c "select table_name from information_schema.tables where table_name='smoke'" 2>&1)"
 chk "pg err recovers" "7"        "$(printf 'selectt 1;\nselect 7;\n' | psql $P -tA 2>/dev/null | tail -1)"
 
-chk "ch select"       "1"        "$(curl -s "http://127.0.0.1:$CH/?query=SELECT%201")"
-chk "ch version"      "23.3.1.2823" "$(curl -s "http://127.0.0.1:$CH/?query=SELECT%20version()")"
-chk "ch jsoneachrow"  '{"n":0}'  "$(curl -s "http://127.0.0.1:$CH/" -d 'SELECT n_nationkey AS n FROM nation ORDER BY n LIMIT 1 FORMAT JSONEachRow')"
-chk "ch limit n,m"    "NATION_2" "$(curl -s "http://127.0.0.1:$CH/" -d 'SELECT n_name FROM nation ORDER BY n_nationkey LIMIT 2,1')"
-curl -s "http://127.0.0.1:$CH/" -d 'CREATE TABLE main.smoke2 (x BIGINT) USING parquet' >/dev/null
-chk "ch insert fmt"   "Ok."      "$(printf 'INSERT INTO smoke2 FORMAT TabSeparated\n10\n11\n' | curl -s "http://127.0.0.1:$CH/" --data-binary @-)"
+# -- auth + hardening (reference main.go:21 defaults auth on) -----------------
+chk "pg create user"  "CREATE ROLE" "$(psql $P -c "create user smoke with password 'smokepw'" 2>&1 | head -1)"
+chk "ch no-auth 401"  "unauthorized" "$(curl -s "http://127.0.0.1:$CH/?query=SELECT%201")"
+chk "ch basic auth"   "1"        "$(curl -s -u smoke:smokepw "http://127.0.0.1:$CH/?query=SELECT%201")"
+chk "ch bad password" "unauthorized" "$(curl -s -u smoke:wrong "http://127.0.0.1:$CH/?query=SELECT%201")"
+chk "pg copy file denied" "denied" "$(psql $P -c "copy (select 1) to '/tmp/smoke_denied.csv'" 2>&1 | grep -q 'allow-file-io' && echo denied)"
+# SCRAM over a non-loopback interface (the loopback-trust path must NOT
+# apply): correct password authenticates, wrong one is refused
+IP=$(hostname -I 2>/dev/null | awk '{print $1}')
+if [ -n "$IP" ] && [ "$IP" != "127.0.0.1" ]; then
+  chk "pg scram ok"   "1"  "$(PGPASSWORD=smokepw psql -h "$IP" -p $PG -U smoke -d main -tA -c 'select 1' 2>&1)"
+  chk "pg scram bad"  "no" "$(PGPASSWORD=wrongpw psql -h "$IP" -p $PG -U smoke -d main -tA -c 'select 1' >/dev/null 2>&1 && echo yes || echo no)"
+else
+  echo "SKIP pg scram (no non-loopback interface)"
+fi
+
+CURL="curl -s -u smoke:smokepw"
+chk "ch select"       "1"        "$($CURL "http://127.0.0.1:$CH/?query=SELECT%201")"
+chk "ch version"      "23.3.1.2823" "$($CURL "http://127.0.0.1:$CH/?query=SELECT%20version()")"
+chk "ch jsoneachrow"  '{"n":0}'  "$($CURL "http://127.0.0.1:$CH/" -d 'SELECT n_nationkey AS n FROM nation ORDER BY n LIMIT 1 FORMAT JSONEachRow')"
+chk "ch limit n,m"    "NATION_2" "$($CURL "http://127.0.0.1:$CH/" -d 'SELECT n_name FROM nation ORDER BY n_nationkey LIMIT 2,1')"
+$CURL "http://127.0.0.1:$CH/" -d 'CREATE TABLE main.smoke2 (x BIGINT) USING parquet' >/dev/null
+chk "ch insert fmt"   "Ok."      "$(printf 'INSERT INTO smoke2 FORMAT TabSeparated\n10\n11\n' | $CURL "http://127.0.0.1:$CH/" --data-binary @-)"
 chk "ch readback"     "10
-11" "$(curl -s "http://127.0.0.1:$CH/?query=SELECT%20x%20FROM%20smoke2%20ORDER%20BY%20x")"
-curl -s "http://127.0.0.1:$CH/" -d 'DROP TABLE main.smoke2' >/dev/null
+11" "$($CURL "http://127.0.0.1:$CH/?query=SELECT%20x%20FROM%20smoke2%20ORDER%20BY%20x")"
+# round-trip a literal backslash-t through TSV (round-2 unescape bug)
+$CURL "http://127.0.0.1:$CH/" -d 'CREATE TABLE main.smoke3 (s STRING) USING parquet' >/dev/null
+printf 'INSERT INTO smoke3 FORMAT TabSeparated\na\\\\tb\n' | $CURL "http://127.0.0.1:$CH/" --data-binary @- >/dev/null
+# stored value is literal a\tb (4 chars); the wire re-escapes the
+# backslash → a\\tb. (The round-2 bug decoded \\t to TAB, yielding a\\\tb.)
+chk "ch tsv esc rt"   'a\\tb'    "$($CURL "http://127.0.0.1:$CH/?query=SELECT%20s%20FROM%20smoke3")"
+$CURL "http://127.0.0.1:$CH/" -d 'DROP TABLE main.smoke3' >/dev/null
+# system.* catalog emulation (reference pg_server.go:41-68)
+chk "ch sys dbs"      "main"     "$($CURL "http://127.0.0.1:$CH/" -d "SELECT name FROM system.databases WHERE name='main'")"
+chk "ch sys tables"   "smoke2"   "$($CURL "http://127.0.0.1:$CH/" -d "SELECT name FROM system.tables WHERE name='smoke2'")"
+chk "ch sys columns"  "x"        "$($CURL "http://127.0.0.1:$CH/" -d "SELECT name FROM system.columns WHERE \`table\`='smoke2'")"
+chk "ch sys functions" "1"       "$($CURL "http://127.0.0.1:$CH/" -d "SELECT count(*)>0 FROM system.functions WHERE name='sum'" | head -1)"
+chk "pg pg_proc"      "t"        "$(psql $P -tA -c "select count(*)>0 from pg_proc where proname='avg'" 2>&1)"
+chk "pg ccu view"     "0"        "$(psql $P -tA -c "select count(*) from information_schema.constraint_column_usage" 2>&1)"
+# pg_attribute: \d <table> column listing
+chk "psql \\d cols"   "yes"      "$(psql $P -c '\d smoke2' 2>&1 | grep -q ' x ' && echo yes)"
+$CURL "http://127.0.0.1:$CH/" -d 'DROP TABLE main.smoke2' >/dev/null
 psql $P -c "drop table main.smoke" >/dev/null 2>&1
 
 python3 "$(dirname "$0")/pg_extended_test.py" "$PG" | sed 's/^/  ext /'
