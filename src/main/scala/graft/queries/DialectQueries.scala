@@ -104,6 +104,25 @@ object DialectQueries {
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
         .limit(300)
+    },
+
+    // INSERT … ON CONFLICT (reference pass-through to DuckDB's upsert;
+    // here the Engine rewrites it to a copy-on-write merge join). The
+    // oracle is the same statement battery run natively by DuckDB.
+    q("q_dml_on_conflict",
+      """CREATE OR REPLACE TEMP TABLE graft_oc_d (k BIGINT PRIMARY KEY, cust BIGINT, total DOUBLE);
+        |INSERT INTO graft_oc_d SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) FROM orders WHERE o_orderkey <= 800;
+        |INSERT INTO graft_oc_d SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) * 2 FROM orders WHERE o_orderkey BETWEEN 400 AND 1600 ON CONFLICT (k) DO UPDATE SET total = excluded.total + 1;
+        |INSERT INTO graft_oc_d SELECT o_orderkey, o_custkey, CAST(-1 AS DOUBLE) FROM orders WHERE o_orderkey <= 2500 ON CONFLICT DO NOTHING;
+        |SELECT k, cust, round(total, 2) AS total FROM graft_oc_d ORDER BY k""".stripMargin) { (s, dir) =>
+      val engine = new graft.server.Engine(s)
+      s.read.parquet(s"$dir/orders.parquet").createOrReplaceTempView("__oc_orders")
+      engine.execute("drop table if exists graft_oc")
+      engine.execute("create table graft_oc (k bigint primary key, cust bigint, total double) using parquet")
+      engine.execute("insert into graft_oc select o_orderkey, o_custkey, cast(o_totalprice as double) from __oc_orders where o_orderkey <= 800")
+      engine.execute("insert into graft_oc select o_orderkey, o_custkey, cast(o_totalprice as double) * 2 from __oc_orders where o_orderkey between 400 and 1600 on conflict (k) do update set total = excluded.total + 1")
+      engine.execute("insert into graft_oc select o_orderkey, o_custkey, cast(-1 as double) from __oc_orders where o_orderkey <= 2500 on conflict do nothing")
+      s.sql("select k, cust, round(total, 2) as total from graft_oc order by k")
     }
   )
 }

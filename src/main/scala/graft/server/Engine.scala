@@ -98,6 +98,13 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     createTableRe.findFirstMatchIn(sql).foreach { m =>
       return createTableWithConstraints(m.group(1), m.group(2), Option(m.group(3)).getOrElse(""))
     }
+    onConflictRe.findFirstMatchIn(sql).foreach { m =>
+      return insertOnConflict(m.group(1),
+        Option(m.group(2)).map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty)),
+        m.group(3).trim,
+        Option(m.group(4)).map(_.split(",").map(_.trim.toLowerCase).toSeq.filter(_.nonEmpty)),
+        Option(m.group(6)))
+    }
     insertStmtRe.findFirstMatchIn(sql).foreach { m =>
       val table = m.group(1)
       if (constraintsOf(table).isDefined) {
@@ -265,6 +272,81 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       stageAndSwap(table, s"SELECT * FROM $table WHERE NOT ($pred) OR ($pred) IS NULL")
       ExecResult(null, s"DELETE $removed")
     } finally lock.unlock()
+  }
+
+  /** INSERT … ON CONFLICT [(cols)] DO NOTHING | DO UPDATE SET … —
+    * rewritten as a copy-on-write merge (the reference passes this
+    * through to DuckDB's ART-index upsert; at Spark scale the same
+    * semantics are one equi-join on the conflict key). Source rows with
+    * NULL conflict keys never match (PG/DuckDB unique-index semantics);
+    * duplicate keys within the source keep the first occurrence. SET
+    * expressions may reference excluded.<col> (the incoming row) and
+    * <table-simple-name>.<col> (the existing row), like PostgreSQL. */
+  private def insertOnConflict(table: String, colList: Option[Seq[String]], srcSql: String,
+      conflictCols: Option[Seq[String]], setClause: Option[String]): ExecResult = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val lock = lockFor(table).writeLock()
+    lock.lock()
+    try {
+      val target = spark.table(table)
+      val cols = colList.getOrElse(target.schema.fieldNames.toSeq)
+      val src0 = if (srcSql.toLowerCase.startsWith("values")) spark.sql(s"SELECT * FROM $srcSql")
+        else spark.sql(rewrite(srcSql))
+      val full = target.schema.fieldNames.map { c =>
+        if (cols.exists(_.equalsIgnoreCase(c)))
+          col(cols.find(_.equalsIgnoreCase(c)).get).cast(target.schema(c).dataType).as(c)
+        else lit(null).cast(target.schema(c).dataType).as(c)
+      }
+      val keys = conflictCols
+        .orElse(constraintsOf(table).map(c => if (c.pk.nonEmpty) c.pk else c.unique.headOption.getOrElse(Nil)))
+        .filter(_.nonEmpty)
+        .getOrElse(throw new IllegalArgumentException(
+          "ON CONFLICT requires a conflict target or a declared PRIMARY KEY/UNIQUE constraint"))
+      val src = src0.toDF(cols: _*).select(full.toIndexedSeq: _*).dropDuplicates(keys)
+      val n = src.count()
+      setClause match {
+        case None => // DO NOTHING: append only the non-conflicting rows
+          val fresh = src.join(target.select(keys.map(col): _*), keys, "left_anti")
+          stageAndAppend(table, fresh)
+        case Some(sets0) =>
+          // DO UPDATE: new table image = existing rows (updated where a
+          // source row matches) + non-matching source rows
+          val tAlias = table.split("\\.").last
+          src.createOrReplaceTempView("__oc_excluded")
+          val sets = splitTopLevel(sets0, ',').map { a =>
+            val Array(c, e) = a.split("=", 2).map(_.trim)
+            c.toLowerCase -> e
+          }.toMap
+          val on = keys.map(k => s"$tAlias.`$k` <=> excluded.`$k` AND excluded.`$k` IS NOT NULL")
+            .mkString(" AND ")
+          val proj = target.schema.fieldNames.map { c =>
+            sets.get(c.toLowerCase) match {
+              case Some(e) => s"CASE WHEN excluded.`${keys.head}` IS NOT NULL THEN ($e) ELSE $tAlias.`$c` END AS `$c`"
+              case None => s"$tAlias.`$c` AS `$c`"
+            }
+          }.mkString(", ")
+          stageAndSwap(table,
+            s"""SELECT $proj FROM $table $tAlias LEFT JOIN __oc_excluded excluded ON $on
+               |UNION ALL
+               |SELECT excluded.* FROM __oc_excluded excluded LEFT ANTI JOIN $table $tAlias ON $on""".stripMargin)
+          spark.catalog.dropTempView("__oc_excluded")
+      }
+      ExecResult(null, s"INSERT 0 $n")
+    } finally lock.unlock()
+  }
+
+  /** Append a DataFrame whose plan may read the target table: stage the
+    * rows first (Spark refuses to scan and write one table in a job). */
+  private def stageAndAppend(table: String, df: DataFrame): Unit = {
+    val stage = table.replace('.', '_') + "__oc_stage"
+    df.createOrReplaceTempView(stage + "_v")
+    spark.sql(s"DROP TABLE IF EXISTS $stage")
+    spark.sql(s"CREATE TABLE $stage AS SELECT * FROM ${stage}_v")
+    try spark.sql(s"INSERT INTO TABLE $table SELECT * FROM $stage").collect()
+    finally {
+      spark.sql(s"DROP TABLE IF EXISTS $stage")
+      spark.catalog.dropTempView(stage + "_v")
+    }
   }
 
   private def stageAndSwap(table: String, select: String): Unit = {
@@ -697,6 +779,8 @@ object Engine {
     """(?is)^\s*create\s+table\s+(?!if\s)([\w.]+)\s*\((.*(?:primary\s+key|unique|not\s+null|foreign\s+key|check\s*\().*)\)\s*(using\s+\w+)?\s*$""".r
   private val insertStmtRe =
     """(?is)^\s*insert\s+into\s+([\w.]+)\s*(?:\(([^)]*)\))?\s*(values\b.+|select\b.+|with\b.+)$""".r
+  private val onConflictRe =
+    """(?is)^\s*insert\s+into\s+([\w.]+)\s*(?:\(([^)]*)\))?\s*(values\b.+?|select\b.+?|with\b.+?)\s+on\s+conflict\s*(?:\(([^)]*)\))?\s*do\s+(nothing|update\s+set\s+(.+?))\s*$""".r
   private val deleteRe =
     """(?is)^\s*delete\s+from\s+([\w.]+)(?:\s+where\s+(.+))?\s*$""".r
   private val createViewRe =

@@ -84,6 +84,21 @@ class ServerEngineSpec extends SparkSpecBase {
     e2.execute("drop table main.c_persist")
   }
 
+  test("INSERT ON CONFLICT: DO UPDATE merges, DO NOTHING skips, null keys insert") {
+    engine.execute("drop table if exists main.oc_t")
+    engine.execute("create table main.oc_t (k INT PRIMARY KEY, v STRING) using parquet")
+    engine.execute("insert into main.oc_t values (1,'a'),(2,'b')")
+    val up = engine.execute(
+      "insert into main.oc_t values (2,'B2'),(3,'c') on conflict (k) do update set v = excluded.v")
+    assert(up.tag == "INSERT 0 2")
+    val after1 = spark.table("main.oc_t").collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    assert(after1.toSeq == Seq(1 -> "a", 2 -> "B2", 3 -> "c"))
+    engine.execute("insert into main.oc_t values (3,'zz'),(4,'d') on conflict do nothing")
+    val after2 = spark.table("main.oc_t").collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    assert(after2.toSeq == Seq(1 -> "a", 2 -> "B2", 3 -> "c", 4 -> "d"))
+    engine.execute("drop table main.oc_t")
+  }
+
   test("TSV unescape is a single left-to-right pass (backslash-t stays literal)") {
     assert(Formats.unescapeTsv("a\\tb") == "a\tb")
     assert(Formats.unescapeTsv("a\\\\tb") == "a\\tb") // wire \\t = literal backslash + t
