@@ -166,17 +166,47 @@ object AggQueries {
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
-      // one percentile buffer for all three quantity quantiles (the
-      // array form) instead of three copies of the column in memory
-      t.lineitem.groupBy(col("l_returnflag"))
-        .agg(
-          percentile(col("l_quantity"), array(lit(0.5), lit(0.25), lit(0.75))).as("q"),
-          round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90_price"))
+      // Exact interpolated percentiles WITHOUT the buffering aggregate:
+      // Spark's `percentile` holds every value of a group in the agg
+      // buffer (unbounded memory per group — a 100 TB killer). Instead:
+      // rank each value with a window (sort-based, spills to disk),
+      // join the group count, and linearly interpolate the two
+      // bracketing ranks — identical math to percentile()/DuckDB
+      // quantile_cont (0-based pos = (n-1)*p; v = vlo + (vhi-vlo)*frac).
+      import org.apache.spark.sql.expressions.Window
+      def exactPercentiles(df: DataFrame, valueCol: String,
+          ps: Seq[(String, Double)]): DataFrame = {
+        val w = Window.partitionBy(col("l_returnflag")).orderBy(col(valueCol))
+        val cnt = df.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        val ranked = df.withColumn("rn", row_number().over(w))
+          .join(cnt, "l_returnflag")
+        val picks = ps.flatMap { case (name, p) =>
+          val pos = (col("n") - 1) * lit(p) // 0-based fractional rank
+          Seq(
+            max(when(col("rn") === floor(pos) + 1, col(valueCol))).as(s"${name}_lo"),
+            max(when(col("rn") === ceil(pos) + 1, col(valueCol))).as(s"${name}_hi"))
+        }
+        val aggs = max(col("n")).as("n") +: picks
+        val agged = ranked.groupBy(col("l_returnflag")).agg(aggs.head, aggs.tail: _*)
+        ps.foldLeft(agged) { case (d, (name, p)) =>
+          val pos = (col("n") - 1) * lit(p)
+          val frac = pos - floor(pos)
+          d.withColumn(name,
+            col(s"${name}_lo") + (col(s"${name}_hi") - col(s"${name}_lo")) * frac)
+        }.select(col("l_returnflag") +: ps.map(p => col(p._1)): _*)
+      }
+      val qty = exactPercentiles(
+        t.lineitem.select(col("l_returnflag"), col("l_quantity").cast("double").as("v")), "v",
+        Seq("med" -> 0.5, "p25" -> 0.25, "p75" -> 0.75))
+      val price = exactPercentiles(
+        t.lineitem.select(col("l_returnflag"), col("l_extendedprice").cast("double").as("v")), "v",
+        Seq("p90" -> 0.9))
+      qty.join(price, "l_returnflag")
         .select(col("l_returnflag"),
-          round(element_at(col("q"), 1), 6).as("med"),
-          round(element_at(col("q"), 2), 6).as("p25"),
-          round(element_at(col("q"), 3), 6).as("p75"),
-          col("p90_price"))
+          round(col("med"), 6).as("med"),
+          round(col("p25"), 6).as("p25"),
+          round(col("p75"), 6).as("p75"),
+          round(col("p90"), 4).as("p90_price"))
         .orderBy(col("l_returnflag"))
     },
 

@@ -70,9 +70,11 @@ object DedupQueries {
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
         |sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS sh
         |       FROM w, UNNEST(generate_series(1, len(words)-2)) AS t(i)),
+        |rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 1000),
+        |shr AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |          FROM shr a JOIN shr b ON a.sh = b.sh AND a.doc_id < b.doc_id
         |          GROUP BY 1, 2)
         |SELECT d1, d2, round(i * 1.0 / (sa.n + sb.n - i), 9) AS jaccard
         |FROM inter
@@ -82,9 +84,17 @@ object DedupQueries {
         |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
       val sh = shingles(t.documents)
+      // document-frequency cap: a stop-phrase shingle shared by k docs
+      // puts k rows on one join key → k² pairs. Dropping shingles with
+      // df > 1000 bounds any key's fan-in (the pairs such shingles
+      // would witness are overwhelmingly non-duplicates); union sizes
+      // keep ALL shingles so the jaccard denominator is unchanged.
+      val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 1000).select(col("sh"))
+      val shr = sh.join(rare, "sh")
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val a = sh.select(col("doc_id").as("d1"), col("sh"))
-      val b = sh.select(col("doc_id").as("d2"), col("sh"))
+      val a = shr.select(col("doc_id").as("d1"), col("sh"))
+      val b = shr.select(col("doc_id").as("d2"), col("sh"))
       val inter = a.join(b, a("sh") === b("sh") && col("d1") < col("d2"))
         .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
       inter

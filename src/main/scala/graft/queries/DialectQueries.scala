@@ -118,6 +118,15 @@ object DialectQueries {
       val engine = new graft.server.Engine(s)
       s.read.parquet(s"$dir/orders.parquet").createOrReplaceTempView("__oc_orders")
       engine.execute("drop table if exists graft_oc")
+      // a previous session's managed-table dir would collide with the
+      // re-create (fresh in-memory catalog, surviving warehouse dir)
+      val stale = new java.io.File(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "graft_oc")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      if (stale.exists()) rm(stale)
       engine.execute("create table graft_oc (k bigint primary key, cust bigint, total double) using parquet")
       engine.execute("insert into graft_oc select o_orderkey, o_custkey, cast(o_totalprice as double) from __oc_orders where o_orderkey <= 800")
       engine.execute("insert into graft_oc select o_orderkey, o_custkey, cast(o_totalprice as double) * 2 from __oc_orders where o_orderkey between 400 and 1600 on conflict (k) do update set total = excluded.total + 1")

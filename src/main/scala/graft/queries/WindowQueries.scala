@@ -76,22 +76,22 @@ object WindowQueries {
 
     q("q_win_range_frame",
       """SELECT o_orderkey, o_custkey, od,
-        |  count(*) OVER (ORDER BY od RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW) AS n_7d
+        |  count(*) OVER (PARTITION BY o_custkey % 32 ORDER BY od RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW) AS n_7d
         |FROM (SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS od
         |      FROM orders WHERE o_orderkey <= 2000)
-        |ORDER BY od, o_orderkey LIMIT 600""".stripMargin) { (s, dir) =>
-      val t = Tables(s, dir)
+        |ORDER BY od, o_orderkey, n_7d LIMIT 600""".stripMargin) { (s, dir) =>
       Tables(s, dir)
       // RANGE with interval offsets needs SQL (DataFrame rangeBetween is
-      // long-typed); the global ORDER BY window is bounded by the <=2000
-      // filter — at scale this shape requires a partition key, which the
-      // 7-day-count-per-key variant in q_evt_session covers.
+      // long-typed). PARTITION BY is the scale contract: an ORDER
+      // BY-only window funnels the whole input through one task at any
+      // size. The cohort key (o_custkey % 32) stands in for whatever
+      // entity the 7-day count is really about.
       s.sql(
         """SELECT o_orderkey, o_custkey, od,
-          |  count(*) OVER (ORDER BY od RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW) AS n_7d
+          |  count(*) OVER (PARTITION BY o_custkey % 32 ORDER BY od RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW) AS n_7d
           |FROM (SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS od
           |      FROM orders WHERE o_orderkey <= 2000)
-          |ORDER BY od, o_orderkey LIMIT 600""".stripMargin)
+          |ORDER BY od, o_orderkey, n_7d LIMIT 600""".stripMargin)
     },
 
     q("q_win_distribution",

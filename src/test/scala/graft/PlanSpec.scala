@@ -44,6 +44,28 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.toLowerCase.contains("join"), "asof rewrite introduced a join")
   }
 
+  test("jaccard self-join input is df-capped (hot-shingle pair bound)") {
+    val d = SparkEntry.defs.find(_.name == "q_dedup_jaccard").get
+    val p = d.run(spark, sf).queryExecution.optimizedPlan.toString
+    assert(p.contains("<= 1000"), "shingle df-cap filter missing before the self-join")
+  }
+
+  test("range-frame window is partitioned (no single-task global window)") {
+    val d = SparkEntry.defs.find(_.name == "q_win_range_frame").get
+    val p = d.run(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("Window"), "no window in range-frame plan")
+    // an unpartitioned window plans as Exchange SinglePartition → Window
+    assert(!p.contains("Exchange SinglePartition"),
+      "range-frame window funnels everything through one partition")
+  }
+
+  test("percentile avoids the buffering aggregate (rank+interpolate shape)") {
+    val d = SparkEntry.defs.find(_.name == "q_agg_percentile").get
+    val p = d.run(spark, sf).queryExecution.executedPlan.toString
+    assert(!p.contains("percentile("), "fell back to the unbounded-memory percentile aggregate")
+    assert(p.contains("row_number"), "rank pass missing")
+  }
+
   test("brute-force ann broadcasts the query side") {
     val p = planOf("q_ann_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

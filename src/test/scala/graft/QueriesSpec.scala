@@ -18,8 +18,11 @@ class QueriesSpec extends SparkSpecBase {
       val df = d.run(spark, sf)
       assert(df.schema.nonEmpty)
       df.limit(1).collect() // force execution of at least one task chain
+      // DML oracles are statement batteries ending in the compared
+      // SELECT (DuckDB executes multi-statement SQL, result = last)
       d.oracle.foreach(sql => assert(sql.trim.toLowerCase.startsWith("select")
-        || sql.trim.toLowerCase.startsWith("with")))
+        || sql.trim.toLowerCase.startsWith("with")
+        || sql.trim.toLowerCase.startsWith("create")))
     }
   }
 
