@@ -32,17 +32,19 @@ object CoreQueries {
   val all: Seq[QueryDef] = Seq(
 
     // ---------------------------------------------------------------- B.4/B.1
-    // Final decimal aggregates are cast to DOUBLE on BOTH sides: the sum
-    // itself is exact decimal (merge-order independent) and the final
-    // decimal->double conversion is deterministic, so the doubles are
-    // bit-identical — and the driver's pandas compare sees float64 on
-    // both sides (DuckDB DECIMAL results downcast to float64 in fetchdf).
+    // Big decimal sums travel as canonical DECIMAL(38,6) strings: the
+    // sum itself is exact decimal (merge-order independent), but a
+    // final decimal->double cast can differ by 1 ulp between engines
+    // once the unscaled value exceeds 2^53 (DuckDB converts unscaled
+    // int then divides; Spark rounds via BigDecimal) — the string form
+    // is scale-independent-deterministic. Both engines render
+    // DECIMAL(38,6) with the full 6-digit fraction.
     q("q1_pricing_summary",
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_qty,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_base_price,
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_disc_price,
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_charge,
         |  count(*) AS count_order,
         |  CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc
         |FROM lineitem
@@ -54,10 +56,10 @@ object CoreQueries {
         .filter(col("l_shipdate").cast("date") <= lit(java.sql.Date.valueOf("1998-09-02")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-          sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).cast("double").as("sum_disc_price"),
-          sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).cast("double").as("sum_charge"),
+          sum(dec(col("l_quantity"))).cast(DecimalType(38, 6)).cast("string").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast(DecimalType(38, 6)).cast("string").as("sum_base_price"),
+          sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).cast(DecimalType(38, 6)).cast("string").as("sum_disc_price"),
+          sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).cast(DecimalType(38, 6)).cast("string").as("sum_charge"),
           count(lit(1)).as("count_order"),
           (sum(dec(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))

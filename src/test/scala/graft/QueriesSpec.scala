@@ -39,4 +39,27 @@ class QueriesSpec extends SparkSpecBase {
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  // The oracle compares array_agg in exploded form (the driver's
+  // row-sorting hash can't order array cells), so the packed
+  // array-typed shape is asserted here: construction, in-cell order,
+  // and the PG wire serialization of the list cell.
+  test("array_agg packed form: array column, sorted cells, wire render") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.ArrayType
+    val t = graft.engine.Tables(spark, sf)
+    val packed = t.customer.filter(col("c_custkey") <= 60)
+      .groupBy(col("c_nationkey"))
+      .agg(sort_array(collect_list(col("c_custkey"))).as("custs"))
+      .orderBy(col("c_nationkey"))
+    assert(packed.schema("custs").dataType.isInstanceOf[ArrayType])
+    val rows = packed.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cells = r.getSeq[Long](1)
+      assert(cells == cells.sorted, "array cells not sorted inside the aggregate")
+    }
+    val rendered = graft.server.pg.PgTypes.render(rows.head.getSeq[Long](1)).get
+    assert(rendered.matches("""\{\d+(,\d+)*\}"""), s"unexpected wire render: $rendered")
+  }
 }

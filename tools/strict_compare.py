@@ -28,6 +28,24 @@ def sort_rows(df: pd.DataFrame) -> pd.DataFrame:
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # normalize date representation the way the driver's canonicalizer
+    # does (CORRECTNESS_r02: DATE columns hash-match even though pandas
+    # yields datetime.date objects from parquet and Timestamps from
+    # duckdb fetchdf)
+    import datetime
+    for c in df.columns:
+        if isinstance(df[c].dtype, pd.DatetimeTZDtype):
+            df[c] = df[c].dt.tz_localize(None)
+        elif df[c].dtype == object:
+            def _dateish(v):
+                if isinstance(v, datetime.date):
+                    return True
+                try:
+                    return bool(pd.isna(v))
+                except (TypeError, ValueError):
+                    return False
+            if df[c].map(_dateish).all() and df[c].notna().any():
+                df[c] = pd.to_datetime(df[c])
     return sort_rows(df)
 
 
@@ -63,6 +81,12 @@ def main(argv):
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
+
+    # a typo'd CLI name must not silently inflate the pass count
+    unknown = only - set(oracles)
+    if unknown:
+        print(f"ERROR: unknown query name(s): {', '.join(sorted(unknown))}")
+        return 2
 
     failed = []
     for name, sql in sorted(oracles.items()):
