@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -174,20 +174,31 @@ object AggQueries {
       // bracketing ranks — identical math to percentile()/DuckDB
       // quantile_cont (0-based pos = (n-1)*p; v = vlo + (vhi-vlo)*frac).
       import org.apache.spark.sql.expressions.Window
-      def exactPercentiles(df: DataFrame, valueCol: String,
-          ps: Seq[(String, Double)]): DataFrame = {
-        val w = Window.partitionBy(col("l_returnflag")).orderBy(col(valueCol))
-        val cnt = df.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
-        val ranked = df.withColumn("rn", row_number().over(w))
-          .join(cnt, "l_returnflag")
+      // count-by-value histogram: aggregate to (group, value, count)
+      // first — the ORDER BY then sorts distinct values, not rows (50
+      // for quantity), and the rank range [lo, hi] each value occupies
+      // locates the bracketing ranks. Map-side partial aggregation does
+      // the heavy lifting; nothing buffers a whole group.
+      def pct(valueExpr: Column, ps: Seq[(String, Double)]): DataFrame = {
+        val grp = t.lineitem.groupBy(col("l_returnflag"), valueExpr.as("v"))
+          .agg(count(lit(1)).as("c"))
+        val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy(col("l_returnflag"))
+        val spans = grp
+          .withColumn("hi", sum(col("c")).over(wCum))
+          .withColumn("lo", col("hi") - col("c") + 1)
+          .withColumn("n", sum(col("c")).over(wAll))
         val picks = ps.flatMap { case (name, p) =>
           val pos = (col("n") - 1) * lit(p) // 0-based fractional rank
+          val rLo = floor(pos) + 1          // 1-based bracketing ranks
+          val rHi = ceil(pos) + 1
           Seq(
-            max(when(col("rn") === floor(pos) + 1, col(valueCol))).as(s"${name}_lo"),
-            max(when(col("rn") === ceil(pos) + 1, col(valueCol))).as(s"${name}_hi"))
+            max(when(col("lo") <= rLo && rLo <= col("hi"), col("v"))).as(s"${name}_lo"),
+            max(when(col("lo") <= rHi && rHi <= col("hi"), col("v"))).as(s"${name}_hi"))
         }
         val aggs = max(col("n")).as("n") +: picks
-        val agged = ranked.groupBy(col("l_returnflag")).agg(aggs.head, aggs.tail: _*)
+        val agged = spans.groupBy(col("l_returnflag")).agg(aggs.head, aggs.tail: _*)
         ps.foldLeft(agged) { case (d, (name, p)) =>
           val pos = (col("n") - 1) * lit(p)
           val frac = pos - floor(pos)
@@ -195,12 +206,9 @@ object AggQueries {
             col(s"${name}_lo") + (col(s"${name}_hi") - col(s"${name}_lo")) * frac)
         }.select(col("l_returnflag") +: ps.map(p => col(p._1)): _*)
       }
-      val qty = exactPercentiles(
-        t.lineitem.select(col("l_returnflag"), col("l_quantity").cast("double").as("v")), "v",
+      val qty = pct(col("l_quantity").cast("double"),
         Seq("med" -> 0.5, "p25" -> 0.25, "p75" -> 0.75))
-      val price = exactPercentiles(
-        t.lineitem.select(col("l_returnflag"), col("l_extendedprice").cast("double").as("v")), "v",
-        Seq("p90" -> 0.9))
+      val price = pct(col("l_extendedprice").cast("double"), Seq("p90" -> 0.9))
       qty.join(price, "l_returnflag")
         .select(col("l_returnflag"),
           round(col("med"), 6).as("med"),

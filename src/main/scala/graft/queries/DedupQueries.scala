@@ -89,9 +89,9 @@ object DedupQueries {
       // df > 1000 bounds any key's fan-in (the pairs such shingles
       // would witness are overwhelmingly non-duplicates); union sizes
       // keep ALL shingles so the jaccard denominator is unchanged.
-      val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 1000).select(col("sh"))
-      val shr = sh.join(rare, "sh")
+      val shr = sh.withColumn("df",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+        .filter(col("df") <= 1000).drop("df")
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val a = shr.select(col("doc_id").as("d1"), col("sh"))
       val b = shr.select(col("doc_id").as("d2"), col("sh"))

@@ -63,7 +63,7 @@ class PlanSpec extends SparkSpecBase {
     val d = SparkEntry.defs.find(_.name == "q_agg_percentile").get
     val p = d.run(spark, sf).queryExecution.executedPlan.toString
     assert(!p.contains("percentile("), "fell back to the unbounded-memory percentile aggregate")
-    assert(p.contains("row_number"), "rank pass missing")
+    assert(p.contains("Window"), "histogram cumulative-rank pass missing")
   }
 
   test("brute-force ann broadcasts the query side") {
