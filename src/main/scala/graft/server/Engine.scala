@@ -183,9 +183,13 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       case "INSERT" => runInsert(df)
       case _ =>
         df.collect()
-        if (dbPath.isDefined) verb match {
-          case "CREATE" if createViewRe.matches(sql) => logViewDdl(sql)
+        verb match {
+          case "CREATE" if dbPath.isDefined && createViewRe.matches(sql) => logViewDdl(sql)
           case "DROP" =>
+            // constraint-registry cleanup is unconditional (a re-created
+            // table must not inherit the old table's constraints); the
+            // on-disk dir removal + journal cleanup inside are
+            // --db_path-gated
             dropTableRe.findFirstMatchIn(sql).foreach(m => afterDropTable(m.group(1)))
             dropViewRe.findFirstMatchIn(sql).foreach(m => unlogView(m.group(1)))
           case _ =>
@@ -309,6 +313,9 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
           val fresh = src.join(target.select(keys.map(col): _*), keys, "left_anti")
           stageAndAppend(table, fresh)
         case Some(sets0) =>
+          if (hasTopLevelWhere(sets0))
+            throw new IllegalArgumentException(
+              "ON CONFLICT … DO UPDATE … WHERE is not supported (unconditional DO UPDATE only)")
           // DO UPDATE: new table image = existing rows (updated where a
           // source row matches) + non-matching source rows
           val tAlias = table.split("\\.").last
@@ -333,6 +340,29 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       }
       ExecResult(null, s"INSERT 0 $n")
     } finally lock.unlock()
+  }
+
+  /** A WHERE keyword at paren/quote depth 0 (subqueries inside SET
+    * expressions legitimately contain their own WHERE). */
+  private def hasTopLevelWhere(s: String): Boolean = {
+    val lower = s.toLowerCase
+    var depth = 0; var inStr = false; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'w' | 'W' if depth == 0 && lower.regionMatches(i, "where", 0, 5) &&
+            (i == 0 || !lower.charAt(i - 1).isLetterOrDigit) &&
+            (i + 5 >= s.length || !lower.charAt(i + 5).isLetterOrDigit) =>
+          return true
+        case _ =>
+      }
+      i += 1
+    }
+    false
   }
 
   /** Append a DataFrame whose plan may read the target table: stage the
@@ -484,16 +514,29 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         (oid, f.name, graft.server.pg.PgTypes.oidOf(f.dataType), i + 1,
           graft.server.pg.PgTypes.typmodOf(f.dataType), nn(f.name.toLowerCase),
           false /*atthasdef*/, false /*attisdropped*/, 0 /*attcollation*/,
-          "" /*attidentity*/, "" /*attgenerated*/)
+          "" /*attidentity*/, "" /*attgenerated*/, "p" /*attstorage*/, "" /*attcompression*/,
+          -1 /*attstattarget*/)
       }
       catch { case scala.util.control.NonFatal(_) =>
-        Array.empty[(Int, String, Int, Int, Int, Boolean, Boolean, Boolean, Int, String, String)] }
+        Array.empty[(Int, String, Int, Int, Int, Boolean, Boolean, Boolean, Int, String, String, String, String, Int)] }
     }
     attrs.toSeq.toDF("attrelid", "attname", "atttypid", "attnum", "atttypmod",
-        "attnotnull", "atthasdef", "attisdropped", "attcollation", "attidentity", "attgenerated")
+        "attnotnull", "atthasdef", "attisdropped", "attcollation", "attidentity",
+        "attgenerated", "attstorage", "attcompression", "attstattarget")
       .createOrReplaceTempView("pg_attribute")
     Seq((0, "heap")).toDF("oid", "amname").limit(0)
       .createOrReplaceTempView("pg_am")
+    // view definitions for pg_get_viewdef (rewritten in pgCompat to a
+    // scalar subquery over this view — a UDF can't close over the
+    // session catalog)
+    val viewdefs = tables.flatMap { case (oid, d, t) =>
+      if (t.tableType != "VIEW") None
+      else try spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(t.name, Some(d)))
+        .viewText.map(v => (oid, v))
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+    viewdefs.toSeq.toDF("oid", "viewdef").createOrReplaceTempView("__pg_viewdefs")
     Seq((0, 0, "")).toDF("adrelid", "adnum", "adbin").limit(0)
       .createOrReplaceTempView("pg_attrdef")
     Seq((0, "")).toDF("oid", "collname").limit(0)
@@ -562,6 +605,11 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * are handled by spark.sql.ansi.doubleQuotedIdentifiers.) */
   private def pgCompat(sql0: String): String = {
     var s = sql0.replaceAll("(?i)pg_catalog\\.", "")
+    // psql \d+ concatenates toast reloptions via a PG array-subquery
+    // constructor Spark can't parse; reloptions is always NULL here,
+    // so the concatenation is identity — drop it
+    s = s.replaceAll(
+      "(?is)\\|\\|\\s*array\\(select\\s+'toast\\.'\\s*\\|\\|\\s*x\\s+from\\s+unnest\\(tc\\.reloptions\\)\\s+x\\)", "")
     s = s.replaceAll("(?i)OPERATOR\\s*\\(\\s*!~\\s*\\)", " !~ ")
     s = s.replaceAll("(?i)OPERATOR\\s*\\(\\s*~\\s*\\)", " ~ ")
     s = s.replaceAll("(?i)\\s+COLLATE\\s+[\\w.\"]+", "")
@@ -571,6 +619,8 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       s"NOT regexp_like(${m.group(1)}, ${m.group(2)})"))
     s = tildeRe.replaceAllIn(s, m => Regex.quoteReplacement(
       s"regexp_like(${m.group(1)}, ${m.group(2)})"))
+    s = viewdefCallRe.replaceAllIn(s, m => Regex.quoteReplacement(
+      s"(SELECT viewdef FROM __pg_viewdefs WHERE oid = ${m.group(1).trim})"))
     s
   }
 
@@ -800,6 +850,7 @@ object Engine {
     """(?i)\bpg_(class|namespace|am|proc|attribute|attrdef|collation|index|constraint)\b""".r
   private val psqlStubRe =
     """(?i)\bpg_(statistic_ext|publication|policy|policies|rules|event_trigger|inherits|partitioned_table|foreign_table)\b""".r
+  private val viewdefCallRe = """(?i)pg_get_viewdef\s*\(\s*([^,)]+?)\s*(?:,[^)]*)?\)""".r
   private val notTildeRe = """([\w.]+)\s+!~\s+('(?:[^']*)')""".r
   private val tildeRe = """([\w.]+)\s+~\s+('(?:[^']*)')""".r
   private val excludeRe =

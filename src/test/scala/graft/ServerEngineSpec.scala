@@ -99,6 +99,18 @@ class ServerEngineSpec extends SparkSpecBase {
     engine.execute("drop table main.oc_t")
   }
 
+  test("DROP TABLE clears the constraint registry (re-create inherits nothing)") {
+    engine.execute("drop table if exists main.c_redo")
+    engine.execute("create table main.c_redo (k INT PRIMARY KEY, v STRING) using parquet")
+    engine.execute("insert into main.c_redo values (1,'a')")
+    engine.execute("drop table main.c_redo")
+    engine.execute("create table main.c_redo (k INT, v STRING) using parquet")
+    engine.execute("insert into main.c_redo values (1,'a')")
+    engine.execute("insert into main.c_redo values (1,'b')") // no PK anymore: must succeed
+    assert(spark.table("main.c_redo").count() == 2)
+    engine.execute("drop table main.c_redo")
+  }
+
   test("TSV unescape is a single left-to-right pass (backslash-t stays literal)") {
     assert(Formats.unescapeTsv("a\\tb") == "a\tb")
     assert(Formats.unescapeTsv("a\\\\tb") == "a\\tb") // wire \\t = literal backslash + t

@@ -77,8 +77,10 @@ chk "ch sys columns"  "x"        "$($CURL "http://127.0.0.1:$CH/" -d "SELECT nam
 chk "ch sys functions" "1"       "$($CURL "http://127.0.0.1:$CH/" -d "SELECT count(*)>0 FROM system.functions WHERE name='sum'" | head -1)"
 chk "pg pg_proc"      "t"        "$(psql $P -tA -c "select count(*)>0 from pg_proc where proname='avg'" 2>&1)"
 chk "pg ccu view"     "0"        "$(psql $P -tA -c "select count(*) from information_schema.constraint_column_usage" 2>&1)"
-# pg_attribute: \d <table> column listing
+# pg_attribute: \d <table> column listing; \d+ adds storage + viewdef
 chk "psql \\d cols"   "yes"      "$(psql $P -c '\d smoke2' 2>&1 | grep -q ' x ' && echo yes)"
+chk "psql \\d+ table" "yes"      "$(psql $P -c '\d+ smoke2' 2>&1 | grep -q 'plain' && echo yes)"
+chk "psql \\d+ view"  "yes"      "$(psql $P -c '\d+ nation' 2>&1 | grep -q 'View definition' && echo yes)"
 $CURL "http://127.0.0.1:$CH/" -d 'DROP TABLE main.smoke2' >/dev/null
 psql $P -c "drop table main.smoke" >/dev/null 2>&1
 
