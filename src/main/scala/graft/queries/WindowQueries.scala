@@ -112,6 +112,31 @@ object WindowQueries {
         .orderBy(col("p_partkey")).limit(500)
     },
 
+    q("q_win_exclude",
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey
+        |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS DOUBLE) AS neighbor_qty
+        |FROM lineitem WHERE l_orderkey <= 500
+        |ORDER BY l_orderkey, l_linenumber, neighbor_qty NULLS FIRST LIMIT 600""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      // frame EXCLUDE CURRENT ROW (DuckDB supports it, Spark doesn't):
+      // for distributive aggregates it's the full frame minus the
+      // current row's contribution — same window, one extra subtraction.
+      // An empty excluded frame (single-row frame) must yield NULL, not
+      // 0, matching SUM over the empty set.
+      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"), col("l_partkey"))
+        .rowsBetween(-2, 2)
+      t.lineitem.filter(col("l_orderkey") <= 500)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          when(count(lit(1)).over(w) === 1, lit(null))
+            .otherwise(sum(col("l_quantity").cast(DecimalType(18, 6))).over(w)
+              - col("l_quantity").cast(DecimalType(18, 6)))
+            .cast("double").as("neighbor_qty"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("neighbor_qty").asc_nulls_first).limit(600)
+    },
+
     q("q_win_qualify",
       """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
         |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1

@@ -233,6 +233,10 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * aliasing; the rest of the dialect layer lives in GraftFunctions). */
   def rewrite(sql: String): String = {
     var s = sql
+    // DuckDB/PG in-aggregate ordering: string_agg(e, sep ORDER BY k) →
+    // Spark's WITHIN GROUP spelling (one nested-paren level supported)
+    s = orderedAggRe.replaceAllIn(s, m => Regex.quoteReplacement(
+      s"${m.group(1)}(${m.group(2).trim}) WITHIN GROUP (ORDER BY ${m.group(3).trim})"))
     s = readParquetRe.replaceAllIn(s, m => Regex.quoteReplacement(s"parquet.`${m.group(1)}`"))
     s = readCsvRe.replaceAllIn(s, m => Regex.quoteReplacement(s"csv.`${m.group(1)}`"))
     s = readJsonRe.replaceAllIn(s, m => Regex.quoteReplacement(s"json.`${m.group(1)}`"))
@@ -526,6 +530,12 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       .createOrReplaceTempView("pg_attribute")
     Seq((0, "heap")).toDF("oid", "amname").limit(0)
       .createOrReplaceTempView("pg_am")
+    // pg_database: one row per Spark database (psql \l)
+    dbs.map(d => (nsOid(d), d, 0, 6 /*UTF8*/, "C", "C", null: String, "c"))
+      .toSeq.toDF("oid", "datname", "datdba", "encoding", "datcollate", "datctype",
+        "daticulocale", "datlocprovider")
+      .withColumn("datacl", org.apache.spark.sql.functions.lit(null).cast("array<string>"))
+      .createOrReplaceTempView("pg_database")
     // view definitions for pg_get_viewdef (rewritten in pgCompat to a
     // scalar subquery over this view — a UDF can't close over the
     // session catalog)
@@ -610,6 +620,9 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     // so the concatenation is identity — drop it
     s = s.replaceAll(
       "(?is)\\|\\|\\s*array\\(select\\s+'toast\\.'\\s*\\|\\|\\s*x\\s+from\\s+unnest\\(tc\\.reloptions\\)\\s+x\\)", "")
+    // PG escape-string literals: E'\n' → '\n' (Spark processes
+    // backslash escapes in plain literals)
+    s = s.replaceAll("(?i)\\bE'", "'")
     s = s.replaceAll("(?i)OPERATOR\\s*\\(\\s*!~\\s*\\)", " !~ ")
     s = s.replaceAll("(?i)OPERATOR\\s*\\(\\s*~\\s*\\)", " ~ ")
     s = s.replaceAll("(?i)\\s+COLLATE\\s+[\\w.\"]+", "")
@@ -847,7 +860,7 @@ object Engine {
     """(?i)information_schema\.(schemata|tables|columns|constraint_column_usage)""".r
   private val sysCatalogRe = """(?i)\bsystem\.(databases|tables|columns|functions)\b""".r
   private val pgRelRe =
-    """(?i)\bpg_(class|namespace|am|proc|attribute|attrdef|collation|index|constraint)\b""".r
+    """(?i)\bpg_(class|namespace|am|proc|attribute|attrdef|collation|index|constraint|database)\b""".r
   private val psqlStubRe =
     """(?i)\bpg_(statistic_ext|publication|policy|policies|rules|event_trigger|inherits|partitioned_table|foreign_table)\b""".r
   private val viewdefCallRe = """(?i)pg_get_viewdef\s*\(\s*([^,)]+?)\s*(?:,[^)]*)?\)""".r
@@ -856,6 +869,8 @@ object Engine {
   private val excludeRe =
     """(?i)select\s+\*\s+exclude\s*\(([^)]*)\)\s+from\s+([\w.]+)""".r
 
+  private val orderedAggRe =
+    """(?i)\b(string_agg|listagg)\s*\(((?:[^()']|\([^()]*\)|'[^']*')*?)\s+order\s+by\s+((?:[^()']|\([^()]*\)|'[^']*')*?)\)""".r
   private val readParquetRe = """(?i)(?:read_parquet|parquet_scan)\s*\(\s*'([^']+)'\s*\)""".r
   private val readCsvRe = """(?i)(?:read_csv_auto|read_csv)\s*\(\s*'([^']+)'\s*\)""".r
   private val readJsonRe = """(?i)read_json_auto\s*\(\s*'([^']+)'\s*\)""".r
@@ -942,6 +957,7 @@ object Engine {
     spark.udf.register("array_to_string",
       (a: scala.collection.Seq[String], sep: String) =>
         if (a == null) null else a.filter(_ != null).mkString(sep))
+    spark.udf.register("pg_encoding_to_char", (_: Int) => "UTF8")
     spark.udf.register("pg_table_size", (_: Int) => 0L)
     spark.udf.register("pg_total_relation_size", (_: Int) => 0L)
     spark.udf.register("pg_size_pretty", (_: Long) => "0 bytes")

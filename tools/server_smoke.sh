@@ -81,6 +81,14 @@ chk "pg ccu view"     "0"        "$(psql $P -tA -c "select count(*) from informa
 chk "psql \\d cols"   "yes"      "$(psql $P -c '\d smoke2' 2>&1 | grep -q ' x ' && echo yes)"
 chk "psql \\d+ table" "yes"      "$(psql $P -c '\d+ smoke2' 2>&1 | grep -q 'plain' && echo yes)"
 chk "psql \\d+ view"  "yes"      "$(psql $P -c '\d+ nation' 2>&1 | grep -q 'View definition' && echo yes)"
+chk "psql \\l"        "yes"      "$(psql $P -c '\l' 2>&1 | grep -q ' main ' && echo yes)"
+# INSERT … ON CONFLICT through the wire
+psql $P -c "drop table if exists main.oc_smoke" >/dev/null 2>&1
+psql $P -c "create table main.oc_smoke (k int primary key, v string) using parquet" >/dev/null 2>&1
+psql $P -c "insert into main.oc_smoke values (1,'a'),(2,'b')" >/dev/null 2>&1
+chk "pg on conflict"  "INSERT 0 2" "$(psql $P -c "insert into main.oc_smoke values (2,'B'),(3,'c') on conflict (k) do update set v = excluded.v" 2>&1 | head -1)"
+chk "pg oc result"    "a,B,c"    "$(psql $P -tA -c "select string_agg(v, ',' order by k) from main.oc_smoke" 2>&1)"
+psql $P -c "drop table main.oc_smoke" >/dev/null 2>&1
 $CURL "http://127.0.0.1:$CH/" -d 'DROP TABLE main.smoke2' >/dev/null
 psql $P -c "drop table main.smoke" >/dev/null 2>&1
 
