@@ -88,4 +88,17 @@ object EventStreams {
           }
       }
   }
+
+  /** Streaming exact dedup — the streaming analog of q_dedup_exact for
+    * a continuously-ingesting training-data pipeline: first occurrence
+    * of each content digest wins; duplicate state is evicted once the
+    * event-time watermark passes, so state stays bounded by the
+    * watermark horizon, not the stream's history. */
+  def dedupExact(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "2 hours")
+      .withColumn("digest",
+        md5(concat_ws("|", col("user_id"), col("event_type"), col("value"), col("ts"))))
+      .dropDuplicatesWithinWatermark("digest")
 }

@@ -87,4 +87,27 @@ class StreamingSpec extends SparkSpecBase {
     assert(missing.isEmpty,
       s"sessions not in batch: ${missing.collect().take(5).mkString(", ")}")
   }
+
+  test("streaming exact dedup drops duplicates within the watermark") {
+    // fixture written TWICE into one file: every digest occurs >= 2x
+    val dir = java.nio.file.Files.createTempDirectory("graft-dup-events").toFile
+    dir.deleteOnExit()
+    val batch = graft.engine.Tables(spark, sf).events
+    batch.unionAll(batch).orderBy("ts").coalesce(1)
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val q = EventStreams.dedupExact(EventStreams.readEventStream(spark, dir.getAbsolutePath))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("dedup")
+    val distinctDigests = spark.read.parquet(dir.getAbsolutePath)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select(md5(concat_ws("|", col("user_id"), col("event_type"), col("value"), col("ts"))))
+      .distinct().count()
+    assert(streamed.count() == distinctDigests,
+      s"stream kept ${streamed.count()} rows, expected $distinctDigests distinct digests")
+    assert(streamed.select(col("digest")).distinct().count() == streamed.count(),
+      "stream emitted duplicate digests")
+  }
 }
