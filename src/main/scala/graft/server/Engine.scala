@@ -175,6 +175,21 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       rewritten = rewritten.substring(0, m.start) + s"SELECT $cols FROM ${m.group(2)}" +
         rewritten.substring(m.end)
     }
+    replaceStarRe.findFirstMatchIn(rewritten).foreach { m =>
+      // SELECT * REPLACE (expr AS col, …) — star with substitutions
+      val repls = splitTopLevel(m.group(1), ',').flatMap { item =>
+        val mm = """(?is)^(.*)\s+as\s+([\w"]+)$""".r.findFirstMatchIn(item.trim)
+        mm.map(x => x.group(2).replace("\"", "").toLowerCase -> x.group(1).trim)
+      }.toMap
+      val cols = spark.table(m.group(2)).schema.fieldNames.map { c =>
+        repls.get(c.toLowerCase) match {
+          case Some(e) => s"($e) AS `$c`"
+          case None => s"`$c`"
+        }
+      }.mkString(", ")
+      rewritten = rewritten.substring(0, m.start) + s"SELECT $cols FROM ${m.group(2)}" +
+        rewritten.substring(m.end)
+    }
     val df = spark.sql(rewritten)
     val verb = sql.split("\\s+").head.toUpperCase
     verb match {
@@ -868,6 +883,8 @@ object Engine {
   private val tildeRe = """([\w.]+)\s+~\s+('(?:[^']*)')""".r
   private val excludeRe =
     """(?i)select\s+\*\s+exclude\s*\(([^)]*)\)\s+from\s+([\w.]+)""".r
+  private val replaceStarRe =
+    """(?i)select\s+\*\s+replace\s*\(((?:[^()]|\([^()]*\))*)\)\s+from\s+([\w.]+)""".r
 
   private val orderedAggRe =
     """(?i)\b(string_agg|listagg)\s*\(((?:[^()']|\([^()]*\)|'[^']*')*?)\s+order\s+by\s+((?:[^()']|\([^()]*\)|'[^']*')*?)\)""".r
