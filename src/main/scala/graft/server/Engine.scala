@@ -661,7 +661,14 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       else spark.table(src.trim)
     val format = formatOf(opts, path)
     val n = df.count()
-    val w = df.coalesce(1).write.mode("overwrite")
+    // PARTITION_BY (cols) → hive-style partitioned layout, parallel
+    // writers (DuckDB COPY option); unpartitioned keeps the reference's
+    // single-file shape via coalesce(1)
+    val partCols = partitionByRe.findFirstMatchIn(opts)
+      .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val w =
+      if (partCols.nonEmpty) df.write.partitionBy(partCols: _*).mode("overwrite")
+      else df.coalesce(1).write.mode("overwrite")
     format match {
       case "csv" => w.option("header", optFlag(opts, "header")).csv(path)
       case "json" => w.json(path)
@@ -867,10 +874,11 @@ object Engine {
   private val dropViewRe = """(?is)^\s*drop\s+view\s+(?:if\s+exists\s+)?([\w.]+)\s*$""".r
 
   private val copyToRe =
-    """(?is)^\s*copy\s+(\([^)]+\)|[\w.]+)\s+to\s+'([^']+)'\s*(?:\(([^)]*)\)|with\s*\(([^)]*)\))?\s*$""".r
+    """(?is)^\s*copy\s+(\([^)]+\)|[\w.]+)\s+to\s+'([^']+)'\s*(?:\(((?:[^()]|\([^()]*\))*)\)|with\s*\(((?:[^()]|\([^()]*\))*)\))?\s*$""".r
   private val copyFromFileRe =
     """(?is)^\s*copy\s+([\w.]+)\s+from\s+'([^']+)'\s*(?:\(([^)]*)\)|with\s*\(([^)]*)\))?\s*$""".r
   private val describeQueryRe = """(?is)^\s*describe\s+((?:select|with|values)\b.+)$""".r
+  private val partitionByRe = """(?i)partition_by\s*\(([^)]*)\)""".r
   private val infoSchemaRe =
     """(?i)information_schema\.(schemata|tables|columns|constraint_column_usage)""".r
   private val sysCatalogRe = """(?i)\bsystem\.(databases|tables|columns|functions)\b""".r

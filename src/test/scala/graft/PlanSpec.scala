@@ -66,6 +66,14 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("Window"), "histogram cumulative-rank pass missing")
   }
 
+  test("exclude-frame window is partitioned") {
+    val d = SparkEntry.defs.find(_.name == "q_win_exclude").get
+    val p = d.run(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("Window"), "no window in exclude-frame plan")
+    assert(!p.contains("Exchange SinglePartition"),
+      "exclude-frame window funnels everything through one partition")
+  }
+
   test("brute-force ann broadcasts the query side") {
     val p = planOf("q_ann_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

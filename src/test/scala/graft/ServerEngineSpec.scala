@@ -66,6 +66,15 @@ class ServerEngineSpec extends SparkSpecBase {
     }
   }
 
+  test("COPY TO with PARTITION_BY writes a hive-partitioned layout") {
+    val out = Files.createTempDirectory("graft-copy-part").toFile
+    engine.execute(
+      s"copy (select r_regionkey, r_name from parquet.`$sf/region.parquet`) to '${out.getAbsolutePath}' (format parquet, partition_by (r_regionkey))")
+    val parts = out.listFiles().filter(_.getName.startsWith("r_regionkey="))
+    assert(parts.length == 5, s"expected 5 partition dirs, got ${parts.map(_.getName).mkString(",")}")
+    assert(spark.read.parquet(out.getAbsolutePath).count() == 5)
+  }
+
   test("users + constraints survive an engine restart via --db_path files") {
     val tmp = Files.createTempDirectory("graft-db").toFile.getAbsolutePath
     val e1 = new Engine(spark, allowFileIo = true, dbPath = Some(tmp))
@@ -97,6 +106,34 @@ class ServerEngineSpec extends SparkSpecBase {
     val after2 = spark.table("main.oc_t").collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
     assert(after2.toSeq == Seq(1 -> "a", 2 -> "B2", 3 -> "c", 4 -> "d"))
     engine.execute("drop table main.oc_t")
+  }
+
+  test("ON CONFLICT with a multi-column conflict target") {
+    engine.execute("drop table if exists main.oc_mc")
+    engine.execute("create table main.oc_mc (a INT, b INT, v STRING, PRIMARY KEY (a, b)) using parquet")
+    engine.execute("insert into main.oc_mc values (1, 1, 'x'), (1, 2, 'y')")
+    engine.execute(
+      "insert into main.oc_mc values (1, 2, 'Y2'), (2, 1, 'z') on conflict (a, b) do update set v = excluded.v")
+    val rows = spark.table("main.oc_mc").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).sortBy(t => (t._1, t._2))
+    assert(rows.toSeq == Seq((1, 1, "x"), (1, 2, "Y2"), (2, 1, "z")))
+    // DO NOTHING defaults the target to the declared composite PK
+    engine.execute("insert into main.oc_mc values (2, 1, 'dup'), (3, 3, 'w') on conflict do nothing")
+    assert(spark.table("main.oc_mc").count() == 4)
+    assert(spark.table("main.oc_mc").filter("a = 2 and b = 1").head().getString(2) == "z")
+    engine.execute("drop table main.oc_mc")
+  }
+
+  test("ON CONFLICT DO UPDATE rejects the unsupported WHERE clause clearly") {
+    engine.execute("drop table if exists main.oc_w")
+    engine.execute("create table main.oc_w (k INT PRIMARY KEY, v STRING) using parquet")
+    engine.execute("insert into main.oc_w values (1,'a')")
+    val e = intercept[IllegalArgumentException] {
+      engine.execute(
+        "insert into main.oc_w values (1,'b') on conflict (k) do update set v = excluded.v where main.oc_w.v = 'a'")
+    }
+    assert(e.getMessage.contains("not supported"))
+    engine.execute("drop table main.oc_w")
   }
 
   test("DROP TABLE clears the constraint registry (re-create inherits nothing)") {
