@@ -124,6 +124,43 @@ object CoreQueries {
         .orderBy(col("n_name"))
     },
 
+    // Bucketed co-located join: both sides pre-hashed into the same
+    // bucket count on the join key, so the sort-merge join (and the
+    // following same-key aggregation) run with ZERO shuffle exchanges —
+    // the canonical 100 TB fact-to-fact join layout. PlanSpec asserts
+    // the no-exchange property. Logically identical to a plain join, so
+    // the DuckDB oracle is the plain SQL.
+    q("q_join_bucketed",
+      """SELECT c_custkey,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS spend
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey LIMIT 400""".stripMargin) { (s, dir) =>
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val (ot, ct) = (s"b_orders_$tag", s"b_customer_$tag")
+      def bucketize(src: String, table: String, key: String): Unit =
+        if (!s.catalog.tableExists(table)) {
+          // a previous session's dir under the warehouse would collide
+          val stale = new java.io.File(
+            s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete()
+          }
+          if (stale.exists()) rm(stale)
+          s.read.parquet(s"$dir/$src.parquet").write
+            .bucketBy(8, key).sortBy(key).mode("overwrite").saveAsTable(table)
+        }
+      bucketize("orders", ot, "o_custkey")
+      bucketize("customer", ct, "c_custkey")
+      s.table(ot).hint("merge")
+        .join(s.table(ct), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"))
+        .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).cast("double").as("spend"))
+        .orderBy(col("c_custkey")).limit(400)
+    },
+
     q("q_join_left",
       """SELECT c_custkey,
         |  count(o_orderkey) AS n_orders,

@@ -66,6 +66,15 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("Window"), "histogram cumulative-rank pass missing")
   }
 
+  test("bucketed join runs with zero join-side shuffles") {
+    val d = SparkEntry.defs.find(_.name == "q_join_bucketed").get
+    val p = d.run(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), "bucketed join did not plan as sort-merge")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "bucketed join still shuffles — bucket layout not exploited")
+    assert(p.contains("Bucketed: true"), "scan did not use the bucketed layout")
+  }
+
   test("exclude-frame window is partitioned") {
     val d = SparkEntry.defs.find(_.name == "q_win_exclude").get
     val p = d.run(spark, sf).queryExecution.executedPlan.toString
