@@ -161,6 +161,33 @@ object CoreQueries {
         .orderBy(col("c_custkey")).limit(400)
     },
 
+    // Salted skew join: a hot key floods one reducer in a plain
+    // shuffle join. Salting splits each big-side key into S sub-keys
+    // (deterministic pmod of a row hash — Bench/Verify must replay
+    // identically) and replicates the small side S times, so the hot
+    // key's rows spread over S tasks. AQE skew-split handles runtime
+    // skew; this is the declarative layout when skew is known a priori.
+    // Logically identical to the plain join → plain-SQL oracle.
+    q("q_join_salted_skew",
+      """SELECT o_orderpriority,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val S = 8
+      val big = t.orders.withColumn("salt",
+        pmod(hash(col("o_orderkey")), lit(S)))
+      val small = t.customer.crossJoin(
+        s.range(S).select(col("id").cast("int").as("salt")))
+      big.join(small,
+          big("o_custkey") === small("c_custkey") && big("salt") === small("salt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     q("q_join_left",
       """SELECT c_custkey,
         |  count(o_orderkey) AS n_orders,
