@@ -248,6 +248,9 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * aliasing; the rest of the dialect layer lives in GraftFunctions). */
   def rewrite(sql: String): String = {
     var s = sql
+    // DuckDB's bare SEMI/ANTI JOIN keywords → Spark's LEFT-prefixed ones
+    s = s.replaceAll("(?i)(?<!left\\s)(?<!right\\s)\\bsemi\\s+join\\b", "LEFT SEMI JOIN")
+    s = s.replaceAll("(?i)(?<!left\\s)(?<!right\\s)\\banti\\s+join\\b", "LEFT ANTI JOIN")
     // DuckDB/PG in-aggregate ordering: string_agg(e, sep ORDER BY k) →
     // Spark's WITHIN GROUP spelling (one nested-paren level supported)
     s = orderedAggRe.replaceAllIn(s, m => Regex.quoteReplacement(

@@ -84,6 +84,7 @@ chk "psql \\d+ view"  "yes"      "$(psql $P -c '\d+ nation' 2>&1 | grep -q 'View
 chk "psql \\l"        "yes"      "$(psql $P -c '\l' 2>&1 | grep -q ' main ' && echo yes)"
 chk "pg star replace" "0|nation_0" "$(psql $P -tA -c "select * replace (lower(n_name) as n_name) from nation order by n_nationkey limit 1" 2>&1 | head -1 | cut -d'|' -f1,2)"
 chk "pg ordered agg"  "AFRICA,AMERICA" "$(psql $P -tA -c "select string_agg(r_name, ',' order by r_name) from (select r_name from region order by r_name limit 2) t" 2>&1)"
+chk "pg semi join kw" "5"        "$(psql $P -tA -c "select count(*) from region semi join nation on r_regionkey = n_regionkey" 2>&1)"
 # INSERT … ON CONFLICT through the wire
 psql $P -c "drop table if exists main.oc_smoke" >/dev/null 2>&1
 psql $P -c "create table main.oc_smoke (k int primary key, v string) using parquet" >/dev/null 2>&1
