@@ -45,7 +45,12 @@ final class ChServer(engine: Engine, port: Int, authEnabled: Boolean,
     try {
       if (authEnabled && !authorized(ex)) { respond(ex, 401, "unauthorized\n"); return }
       val query = urlParam(ex, "query").getOrElse("")
-      val body = new String(readAll(ex.getRequestBody), UTF_8)
+      val bodyIn =
+        if (Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+            .exists(_.toLowerCase.contains("gzip")))
+          new java.util.zip.GZIPInputStream(ex.getRequestBody)
+        else ex.getRequestBody
+      val body = new String(readAll(bodyIn), UTF_8)
       if (ex.getRequestMethod == "GET") run(ex, (query + " " + body).trim, "")
       else {
         // POST: head = query text (from ?query= or the body's first
@@ -99,8 +104,15 @@ final class ChServer(engine: Engine, port: Int, authEnabled: Boolean,
       case f if f.startsWith("CSV") => "text/csv; charset=UTF-8"
       case _ => "text/tab-separated-values; charset=UTF-8"
     })
+    // gzip when the client asks (clickhouse-jdbc/DataGrip default
+    // compress=true; the reference lists this as unimplemented and
+    // tells users to disable it, README.md:93)
+    val gzip = Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
+      .exists(_.toLowerCase.contains("gzip"))
+    if (gzip) ex.getResponseHeaders.set("Content-Encoding", "gzip")
     ex.sendResponseHeaders(200, 0) // chunked: stream rows as they come
-    val out = ex.getResponseBody
+    val raw = ex.getResponseBody
+    val out = if (gzip) new java.util.zip.GZIPOutputStream(raw, 8192) else raw
     if (res.df != null) {
       import scala.jdk.CollectionConverters._
       Formats.write(format, res.df.schema, res.df.toLocalIterator().asScala, out)

@@ -63,6 +63,12 @@ $CURL "http://127.0.0.1:$CH/" -d 'CREATE TABLE main.smoke2 (x BIGINT) USING parq
 chk "ch insert fmt"   "Ok."      "$(printf 'INSERT INTO smoke2 FORMAT TabSeparated\n10\n11\n' | $CURL "http://127.0.0.1:$CH/" --data-binary @-)"
 chk "ch readback"     "10
 11" "$($CURL "http://127.0.0.1:$CH/?query=SELECT%20x%20FROM%20smoke2%20ORDER%20BY%20x")"
+# gzip both directions (clickhouse-jdbc compress=true; beyond-reference)
+chk "ch gzip resp"    "25"       "$($CURL -H 'Accept-Encoding: gzip' "http://127.0.0.1:$CH/?query=SELECT%20count(*)%20FROM%20nation" --compressed)"
+$CURL "http://127.0.0.1:$CH/" -d 'CREATE TABLE main.smokegz (x BIGINT) USING parquet' >/dev/null
+printf 'INSERT INTO smokegz FORMAT TabSeparated\n42\n' | gzip | $CURL -H 'Content-Encoding: gzip' "http://127.0.0.1:$CH/" --data-binary @- >/dev/null
+chk "ch gzip insert"  "42"       "$($CURL "http://127.0.0.1:$CH/?query=SELECT%20x%20FROM%20smokegz")"
+$CURL "http://127.0.0.1:$CH/" -d 'DROP TABLE main.smokegz' >/dev/null
 # round-trip a literal backslash-t through TSV (round-2 unescape bug)
 $CURL "http://127.0.0.1:$CH/" -d 'CREATE TABLE main.smoke3 (s STRING) USING parquet' >/dev/null
 printf 'INSERT INTO smoke3 FORMAT TabSeparated\na\\\\tb\n' | $CURL "http://127.0.0.1:$CH/" --data-binary @- >/dev/null
