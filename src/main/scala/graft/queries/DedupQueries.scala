@@ -35,7 +35,7 @@ import QueryDef.q
 object DedupQueries {
 
   /** doc_id + distinct 3-word shingles, one row per (doc, shingle). */
-  private def shingles(docs: DataFrame): DataFrame = {
+  private[queries] def shingles(docs: DataFrame): DataFrame = {
     val w = docs.select(col("doc_id"), split(col("text"), " ").as("words"))
     w.select(col("doc_id"),
         explode(sequence(lit(1), size(col("words")) - 2)).as("i"),

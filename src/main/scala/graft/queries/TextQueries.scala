@@ -273,6 +273,62 @@ object TextQueries {
           |  CAST(0 AS BIGINT),
           |  (acc, v) -> (acc * 31 + v) % 1000000007) AS fp""".stripMargin)
         .orderBy(col("doc_id")).limit(400)
+    },
+
+    // PII scrub: count + redact emails/phones. The fixture text has no
+    // PII, so both sides append deterministic synthetic PII first —
+    // the operator under test is the regex sweep, which is row-local
+    // and embarrassingly parallel at any scale.
+    q("q_text_pii_redact",
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com or 555-123-4567 now' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(t, '555-[0-9]{3}-[0-9]{4}')) AS n_phones,
+        |  substring(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '555-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'), greatest(1, length(t) - 59), 60) AS redacted_tail
+        |FROM aug ORDER BY doc_id LIMIT 400""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phonePat = "555-[0-9]{3}-[0-9]{4}"
+      val aug = t.documents.select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or 555-123-4567 now")).as("t"))
+      aug.select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(emailPat), lit(0))).cast("long").as("n_emails"),
+          size(regexp_extract_all(col("t"), lit(phonePat), lit(0))).cast("long").as("n_phones"),
+          regexp_replace(regexp_replace(col("t"), emailPat, "<EMAIL>"), phonePat, "<PHONE>")
+            .substr(greatest(lit(1), length(col("t")) - 59), lit(60)).as("redacted_tail"))
+        .orderBy(col("doc_id")).limit(400)
+    },
+
+    // Benchmark decontamination: find training docs sharing >= 3
+    // distinct 3-gram shingles with a held-out eval split — the
+    // inverted-index equi-join shape (never all-pairs), same scale
+    // contract as the dedup suite.
+    q("q_text_decontaminate",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS sh
+        |       FROM w, UNNEST(generate_series(1, len(words)-2)) AS t(i)),
+        |eval AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0),
+        |hits AS (SELECT s.doc_id, count(*) AS n_overlap
+        |         FROM sh s JOIN eval e USING (sh)
+        |         WHERE s.doc_id % 20 <> 0
+        |         GROUP BY s.doc_id)
+        |SELECT doc_id, n_overlap FROM hits WHERE n_overlap >= 3
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val sh = DedupQueries.shingles(t.documents)
+      val eval = sh.filter(col("doc_id") % 20 === 0).select(col("sh")).distinct()
+      sh.filter(col("doc_id") % 20 =!= 0)
+        .join(eval, "sh")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+        .filter(col("n_overlap") >= 3)
+        .select(col("doc_id"), col("n_overlap"))
+        .orderBy(col("doc_id"))
     }
   )
 }
