@@ -60,11 +60,14 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       val keySets = (if (c.pk.nonEmpty) Seq(c.pk) else Nil) ++ c.unique
       keySets.foreach { keys =>
         val kc = keys.map(col)
-        if (newData.groupBy(kc: _*).agg(count(lit(1)).as("n"))
+        // NULL keys never collide in a unique index (PG/DuckDB): only
+        // fully-non-null key tuples participate in the dup checks
+        val keyed = newData.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+        if (keyed.groupBy(kc: _*).agg(count(lit(1)).as("n"))
             .filter(col("n") > 1).limit(1).count() > 0)
           throw new IllegalArgumentException(
             s"duplicate key in inserted rows violates unique constraint (${keys.mkString(", ")})")
-        if (newData.join(spark.table(table).select(kc: _*), keys, "left_semi")
+        if (keyed.join(spark.table(table).select(kc: _*), keys, "left_semi")
             .limit(1).count() > 0)
           throw new IllegalArgumentException(
             s"duplicate key value violates unique constraint (${keys.mkString(", ")})")
@@ -232,15 +235,20 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     ExecResult(null, s"INSERT 0 $n")
   }
 
-  /** Drop a view's journal entries so replay doesn't resurrect it. */
+  /** Drop a view's journal entries so replay doesn't resurrect it.
+    * Names compare fully-qualified (unqualified = main), and the
+    * rewritten journal keeps its trailing newline — logViewDdl appends,
+    * and a missing terminator would merge the next entry into the last
+    * line and silently lose both at replay. */
   private def unlogView(view: String): Unit = dbPath.foreach { p =>
     val f = new java.io.File(s"$p/views.sql")
     if (f.exists()) {
-      val name = view.split("\\.").last.toLowerCase
+      def qual(x: String) = if (x.contains(".")) x.toLowerCase else s"main.${x.toLowerCase}"
+      val target = qual(view)
       val kept = scala.io.Source.fromFile(f).getLines().filterNot { l =>
-        createViewRe.findFirstMatchIn(l).exists(_.group(1).split("\\.").last.toLowerCase == name)
+        createViewRe.findFirstMatchIn(l).exists(m => qual(m.group(1)) == target)
       }.toList
-      writeFile(f.getPath, kept.mkString("\n"))
+      writeFile(f.getPath, if (kept.isEmpty) "" else kept.mkString("\n") + "\n")
     }
   }
 
@@ -248,9 +256,11 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * aliasing; the rest of the dialect layer lives in GraftFunctions). */
   def rewrite(sql: String): String = {
     var s = sql
-    // DuckDB's bare SEMI/ANTI JOIN keywords → Spark's LEFT-prefixed ones
-    s = s.replaceAll("(?i)(?<!left\\s)(?<!right\\s)\\bsemi\\s+join\\b", "LEFT SEMI JOIN")
-    s = s.replaceAll("(?i)(?<!left\\s)(?<!right\\s)\\banti\\s+join\\b", "LEFT ANTI JOIN")
+    // DuckDB's bare SEMI/ANTI JOIN keywords → Spark's LEFT-prefixed
+    // ones; an existing LEFT/RIGHT prefix (any whitespace) passes through
+    s = semiAntiRe.replaceAllIn(s, m =>
+      if (m.group(1) != null) Regex.quoteReplacement(m.matched)
+      else s"LEFT ${m.group(2).toUpperCase} JOIN")
     // DuckDB/PG in-aggregate ordering: string_agg(e, sep ORDER BY k) →
     // Spark's WITHIN GROUP spelling (one nested-paren level supported)
     s = orderedAggRe.replaceAllIn(s, m => Regex.quoteReplacement(
@@ -328,39 +338,67 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         .filter(_.nonEmpty)
         .getOrElse(throw new IllegalArgumentException(
           "ON CONFLICT requires a conflict target or a declared PRIMARY KEY/UNIQUE constraint"))
-      val src = src0.toDF(cols: _*).select(full.toIndexedSeq: _*).dropDuplicates(keys)
-      val n = src.count()
-      setClause match {
-        case None => // DO NOTHING: append only the non-conflicting rows
-          val fresh = src.join(target.select(keys.map(col): _*), keys, "left_anti")
-          stageAndAppend(table, fresh)
-        case Some(sets0) =>
-          if (hasTopLevelWhere(sets0))
-            throw new IllegalArgumentException(
-              "ON CONFLICT … DO UPDATE … WHERE is not supported (unconditional DO UPDATE only)")
-          // DO UPDATE: new table image = existing rows (updated where a
-          // source row matches) + non-matching source rows
-          val tAlias = table.split("\\.").last
-          src.createOrReplaceTempView("__oc_excluded")
-          val sets = splitTopLevel(sets0, ',').map { a =>
-            val Array(c, e) = a.split("=", 2).map(_.trim)
-            c.toLowerCase -> e
-          }.toMap
-          val on = keys.map(k => s"$tAlias.`$k` <=> excluded.`$k` AND excluded.`$k` IS NOT NULL")
-            .mkString(" AND ")
-          val proj = target.schema.fieldNames.map { c =>
-            sets.get(c.toLowerCase) match {
-              case Some(e) => s"CASE WHEN excluded.`${keys.head}` IS NOT NULL THEN ($e) ELSE $tAlias.`$c` END AS `$c`"
-              case None => s"$tAlias.`$c` AS `$c`"
+      // NULL conflict keys never collide (unique-index semantics):
+      // dedupe only fully-non-null-key rows, keep every null-key row
+      val aligned = src0.toDF(cols: _*).select(full.toIndexedSeq: _*)
+      val keyNull = keys.map(k => col(k).isNull).reduce(_ || _)
+      val src = aligned.filter(!keyNull).dropDuplicates(keys)
+        .unionAll(aligned.filter(keyNull))
+      // stage the source ONCE: the merge reads it from 2-3 branches, and
+      // an un-staged non-deterministic source could give each branch a
+      // different row set; the per-target staging name also keeps
+      // concurrent upserts of different tables isolated
+      val srcTable = table.replace('.', '_') + "__oc_src"
+      spark.sql(s"DROP TABLE IF EXISTS $srcTable")
+      src.createOrReplaceTempView(srcTable + "_v")
+      spark.sql(s"CREATE TABLE $srcTable AS SELECT * FROM ${srcTable}_v")
+      spark.catalog.dropTempView(srcTable + "_v")
+      try {
+        val staged = spark.table(srcTable)
+        val tAlias = table.split("\\.").last
+        val on = keys.map(k => s"$tAlias.`$k` <=> excluded.`$k` AND excluded.`$k` IS NOT NULL")
+          .mkString(" AND ")
+        val n = setClause match {
+          case None => // DO NOTHING: append only the non-conflicting rows
+            val fresh = staged.join(target.select(keys.map(col): _*), keys, "left_anti")
+            enforceConstraints(table, fresh) // NOT NULL + non-target uniques still apply
+            stageAndAppend(table, fresh)
+          case Some(sets0) =>
+            if (hasTopLevelWhere(sets0))
+              throw new IllegalArgumentException(
+                "ON CONFLICT … DO UPDATE … WHERE is not supported (unconditional DO UPDATE only)")
+            // NOT NULL still applies to the incoming rows (non-target
+            // unique constraints under DO UPDATE are a documented
+            // divergence — validating the merged image needs a second
+            // full pass)
+            constraintsOf(table).foreach { c =>
+              (c.notNull ++ c.pk).distinct.foreach { nn =>
+                if (staged.filter(col(nn).isNull).limit(1).count() > 0)
+                  throw new IllegalArgumentException(
+                    s"""null value in column "$nn" violates not-null constraint""")
+              }
             }
-          }.mkString(", ")
-          stageAndSwap(table,
-            s"""SELECT $proj FROM $table $tAlias LEFT JOIN __oc_excluded excluded ON $on
-               |UNION ALL
-               |SELECT excluded.* FROM __oc_excluded excluded LEFT ANTI JOIN $table $tAlias ON $on""".stripMargin)
-          spark.catalog.dropTempView("__oc_excluded")
-      }
-      ExecResult(null, s"INSERT 0 $n")
+            // DO UPDATE: new table image = existing rows (updated where
+            // a source row matches) + non-matching source rows
+            val sets = splitTopLevel(sets0, ',').map { a =>
+              val Array(c, e) = a.split("=", 2).map(_.trim)
+              c.toLowerCase -> e
+            }.toMap
+            val proj = target.schema.fieldNames.map { c =>
+              sets.get(c.toLowerCase) match {
+                case Some(e) => s"CASE WHEN excluded.`${keys.head}` IS NOT NULL THEN ($e) ELSE $tAlias.`$c` END AS `$c`"
+                case None => s"$tAlias.`$c` AS `$c`"
+              }
+            }.mkString(", ")
+            val cnt = staged.count()
+            stageAndSwap(table,
+              s"""SELECT $proj FROM $table $tAlias LEFT JOIN $srcTable excluded ON $on
+                 |UNION ALL
+                 |SELECT excluded.* FROM $srcTable excluded LEFT ANTI JOIN $table $tAlias ON $on""".stripMargin)
+            cnt
+        }
+        ExecResult(null, s"INSERT 0 $n")
+      } finally spark.sql(s"DROP TABLE IF EXISTS $srcTable")
     } finally lock.unlock()
   }
 
@@ -388,14 +426,18 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
   }
 
   /** Append a DataFrame whose plan may read the target table: stage the
-    * rows first (Spark refuses to scan and write one table in a job). */
-  private def stageAndAppend(table: String, df: DataFrame): Unit = {
+    * rows first (Spark refuses to scan and write one table in a job).
+    * Returns the number of rows appended. */
+  private def stageAndAppend(table: String, df: DataFrame): Long = {
     val stage = table.replace('.', '_') + "__oc_stage"
     df.createOrReplaceTempView(stage + "_v")
     spark.sql(s"DROP TABLE IF EXISTS $stage")
     spark.sql(s"CREATE TABLE $stage AS SELECT * FROM ${stage}_v")
-    try spark.sql(s"INSERT INTO TABLE $table SELECT * FROM $stage").collect()
-    finally {
+    try {
+      val n = spark.table(stage).count()
+      spark.sql(s"INSERT INTO TABLE $table SELECT * FROM $stage").collect()
+      n
+    } finally {
       spark.sql(s"DROP TABLE IF EXISTS $stage")
       spark.catalog.dropTempView(stage + "_v")
     }
@@ -511,10 +553,11 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     val nsOid = dbs.zipWithIndex.map { case (d, i) => d -> (1000 + i) }.toMap
     dbs.map(d => (nsOid(d), d, 0)).toSeq.toDF("oid", "nspname", "nspowner")
       .createOrReplaceTempView("pg_namespace")
+    // oids are globally sequential over the (sorted) full table list —
+    // a per-db stride would collide once a db exceeded the stride
     val tables = dbs.flatMap { d =>
-      spark.catalog.listTables(d).collect().filterNot(_.isTemporary)
-        .zipWithIndex.map { case (t, i) => (2000 + nsOid(d) * 100 + i, d, t) }
-    }
+      spark.catalog.listTables(d).collect().filterNot(_.isTemporary).map(t => (d, t))
+    }.zipWithIndex.map { case ((d, t), i) => (100000 + i, d, t) }
     tables.map { case (oid, d, t) =>
       (oid, t.name, nsOid(d), if (t.tableType == "VIEW") "v" else "r", 0, 0,
         0 /*relchecks*/, false /*relhasindex*/, false /*relhasrules*/,
@@ -897,6 +940,7 @@ object Engine {
   private val replaceStarRe =
     """(?i)select\s+\*\s+replace\s*\(((?:[^()]|\([^()]*\))*)\)\s+from\s+([\w.]+)""".r
 
+  private val semiAntiRe = """(?i)\b(left\s+|right\s+)?(semi|anti)\s+join\b""".r
   private val orderedAggRe =
     """(?i)\b(string_agg|listagg)\s*\(((?:[^()']|\([^()]*\)|'[^']*')*?)\s+order\s+by\s+((?:[^()']|\([^()]*\)|'[^']*')*?)\)""".r
   private val readParquetRe = """(?i)(?:read_parquet|parquet_scan)\s*\(\s*'([^']+)'\s*\)""".r

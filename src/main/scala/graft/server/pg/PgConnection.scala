@@ -253,8 +253,14 @@ final class PgConnection(socket: Socket, server: PgServer) extends Runnable {
     val target = spark.table(table)
     // honor the statement's column list: fields bind to the listed
     // columns in order, the rest null-fill in appendBatch (round-2 bug:
-    // the list was discarded and fields bound by full-schema position)
-    val cols = colList.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    // the list was discarded and fields bound by full-schema position).
+    // Identifiers unquote and resolve case-insensitively (PG folds
+    // unquoted names to lowercase).
+    val cols = colList.map(_.split(",")
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+        .map(c => target.schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(
+            s"""column "$c" of relation "$table" does not exist"""))))
       .getOrElse(target.schema.fieldNames.toSeq)
     out.copyInResponse(cols.size)
     // accumulate raw bytes and decode ONCE at CopyDone — a CopyData

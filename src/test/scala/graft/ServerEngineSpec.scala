@@ -136,6 +136,56 @@ class ServerEngineSpec extends SparkSpecBase {
     engine.execute("drop table main.oc_w")
   }
 
+  test("ON CONFLICT edge semantics: null keys, counts, constraint checks") {
+    engine.execute("drop table if exists main.oc_edge")
+    engine.execute(
+      "create table main.oc_edge (k INT, u INT UNIQUE, v STRING NOT NULL) using parquet")
+    engine.execute("insert into main.oc_edge values (1, 10, 'a')")
+    // NULL conflict keys never collide: both rows insert
+    val nulls = engine.execute(
+      "insert into main.oc_edge (k, u, v) values (NULL, 20, 'b'), (NULL, 21, 'c') on conflict (k) do nothing")
+    assert(nulls.tag == "INSERT 0 2", s"got ${nulls.tag}")
+    // DO NOTHING reports only the rows actually appended
+    val partial = engine.execute(
+      "insert into main.oc_edge values (1, 30, 'dup-k'), (2, 31, 'd') on conflict (k) do nothing")
+    assert(partial.tag == "INSERT 0 1", s"got ${partial.tag}")
+    assert(spark.table("main.oc_edge").count() == 4)
+    // non-target constraints still enforced on the insert path
+    intercept[IllegalArgumentException] {
+      engine.execute("insert into main.oc_edge values (9, 10, 'dup-u') on conflict (k) do nothing")
+    }
+    intercept[IllegalArgumentException] {
+      engine.execute("insert into main.oc_edge values (9, 99, NULL) on conflict (k) do nothing")
+    }
+    // multiple NULLs in a UNIQUE column are legal
+    engine.execute("insert into main.oc_edge values (7, NULL, 'n1'), (8, NULL, 'n2')")
+    assert(spark.table("main.oc_edge").count() == 6)
+    engine.execute("drop table main.oc_edge")
+  }
+
+  test("SEMI/ANTI keyword rewrite leaves LEFT-prefixed forms alone") {
+    assert(engine.rewrite("a SEMI JOIN b").contains("LEFT SEMI JOIN"))
+    assert(engine.rewrite("a anti join b").contains("LEFT ANTI JOIN"))
+    val spaced = engine.rewrite("a LEFT  SEMI JOIN b")
+    assert(!spaced.toLowerCase.contains("left left"), s"double prefix: $spaced")
+    val newline = engine.rewrite("a LEFT\nSEMI JOIN b")
+    assert(!newline.toLowerCase.contains("left left"), s"double prefix: $newline")
+  }
+
+  test("view journal survives drop-then-create (trailing newline kept)") {
+    val tmp = Files.createTempDirectory("graft-vj").toFile.getAbsolutePath
+    val e = new Engine(spark, allowFileIo = true, dbPath = Some(tmp))
+    e.execute("create or replace view main.vj1 as select 1 as x")
+    e.execute("create or replace view main.vj2 as select 2 as x")
+    e.execute("drop view main.vj1")
+    e.execute("create or replace view main.vj3 as select 3 as x")
+    val journal = scala.io.Source.fromFile(s"$tmp/views.sql").getLines().toList
+    assert(journal.size == 2, s"journal: $journal")
+    assert(journal.forall(l => l.contains("vj2") || l.contains("vj3")))
+    e.execute("drop view main.vj2")
+    e.execute("drop view main.vj3")
+  }
+
   test("DROP TABLE clears the constraint registry (re-create inherits nothing)") {
     engine.execute("drop table if exists main.c_redo")
     engine.execute("create table main.c_redo (k INT PRIMARY KEY, v STRING) using parquet")
