@@ -591,6 +591,21 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       .createOrReplaceTempView("pg_attribute")
     Seq((0, "heap")).toDF("oid", "amname").limit(0)
       .createOrReplaceTempView("pg_am")
+    // pg_roles from the live users table (psql \du); the bootstrap
+    // pseudo-role 'spark' owns everything
+    locally {
+      import scala.jdk.CollectionConverters._
+      val names = ("spark" +: users.keySet.asScala.toSeq.sorted).distinct
+      names.zipWithIndex.map { case (u, i) =>
+        (50000 + i, u, u == "spark", true, false, false, true, false, -1, false)
+      }.toSeq.toDF("oid", "rolname", "rolsuper", "rolinherit", "rolcreaterole",
+          "rolcreatedb", "rolcanlogin", "rolreplication", "rolconnlimit", "rolbypassrls")
+        .withColumn("rolvaliduntil",
+          org.apache.spark.sql.functions.lit(null).cast("timestamp"))
+        .createOrReplaceTempView("pg_roles")
+      Seq((0, 0, 0, false)).toDF("roleid", "member", "grantor", "admin_option").limit(0)
+        .createOrReplaceTempView("pg_auth_members")
+    }
     // pg_database: one row per Spark database (psql \l)
     dbs.map(d => (nsOid(d), d, 0, 6 /*UTF8*/, "C", "C", null: String, "c"))
       .toSeq.toDF("oid", "datname", "datdba", "encoding", "datcollate", "datctype",
@@ -681,6 +696,12 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     // so the concatenation is identity — drop it
     s = s.replaceAll(
       "(?is)\\|\\|\\s*array\\(select\\s+'toast\\.'\\s*\\|\\|\\s*x\\s+from\\s+unnest\\(tc\\.reloptions\\)\\s+x\\)", "")
+    // psql \du memberof column: PG ARRAY(SELECT …) constructor over
+    // pg_auth_members — role membership doesn't exist here, so an
+    // empty array is the truthful answer
+    s = s.replaceAll(
+      "(?is)ARRAY\\(SELECT\\s+b\\.rolname\\s+FROM\\s+pg_auth_members\\s+m\\s+JOIN\\s+pg_roles\\s+b\\s+ON\\s*\\(m\\.roleid\\s*=\\s*b\\.oid\\)\\s*WHERE\\s+m\\.member\\s*=\\s*r\\.oid\\)",
+      "array()")
     // PG escape-string literals: E'\n' → '\n' (Spark processes
     // backslash escapes in plain literals)
     s = s.replaceAll("(?i)\\bE'", "'")
@@ -929,9 +950,9 @@ object Engine {
     """(?i)information_schema\.(schemata|tables|columns|constraint_column_usage)""".r
   private val sysCatalogRe = """(?i)\bsystem\.(databases|tables|columns|functions)\b""".r
   private val pgRelRe =
-    """(?i)\bpg_(class|namespace|am|proc|attribute|attrdef|collation|index|constraint|database)\b""".r
+    """(?i)\bpg_(class|namespace|am|proc|attribute|attrdef|collation|index|constraint|database|roles)\b""".r
   private val psqlStubRe =
-    """(?i)\bpg_(statistic_ext|publication|policy|policies|rules|event_trigger|inherits|partitioned_table|foreign_table)\b""".r
+    """(?i)\bpg_(statistic_ext|publication|policy|policies|rules|event_trigger|inherits|partitioned_table|foreign_table|stat_\w+)\b""".r
   private val viewdefCallRe = """(?i)pg_get_viewdef\s*\(\s*([^,)]+?)\s*(?:,[^)]*)?\)""".r
   private val notTildeRe = """([\w.]+)\s+!~\s+('(?:[^']*)')""".r
   private val tildeRe = """([\w.]+)\s+~\s+('(?:[^']*)')""".r

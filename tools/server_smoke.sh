@@ -88,6 +88,7 @@ chk "psql \\d cols"   "yes"      "$(psql $P -c '\d smoke2' 2>&1 | grep -q ' x ' 
 chk "psql \\d+ table" "yes"      "$(psql $P -c '\d+ smoke2' 2>&1 | grep -q 'plain' && echo yes)"
 chk "psql \\d+ view"  "yes"      "$(psql $P -c '\d+ nation' 2>&1 | grep -q 'View definition' && echo yes)"
 chk "psql \\l"        "yes"      "$(psql $P -c '\l' 2>&1 | grep -q ' main ' && echo yes)"
+chk "psql \\du"       "yes"      "$(psql $P -c '\du' 2>&1 | grep -q ' smoke ' && echo yes)"
 chk "pg star replace" "0|nation_0" "$(psql $P -tA -c "select * replace (lower(n_name) as n_name) from nation order by n_nationkey limit 1" 2>&1 | head -1 | cut -d'|' -f1,2)"
 chk "pg ordered agg"  "AFRICA,AMERICA" "$(psql $P -tA -c "select string_agg(r_name, ',' order by r_name) from (select r_name from region order by r_name limit 2) t" 2>&1)"
 chk "pg semi join kw" "5"        "$(psql $P -tA -c "select count(*) from region semi join nation on r_regionkey = n_regionkey" 2>&1)"
