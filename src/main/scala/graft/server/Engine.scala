@@ -95,6 +95,9 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       return ExecResult(null, sql.split("\\s+").head.toUpperCase)
     if (showTxnReadOnlyRe.matches(sql))
       return ExecResult(spark.sql("SELECT 'off' AS transaction_read_only"), "SELECT 1")
+    if (showTxnIsolationRe.matches(sql)) // pgjdbc probes this at connect
+      return ExecResult(
+        spark.sql("SELECT 'read committed' AS transaction_isolation"), "SELECT 1")
     if (swallowedSetRe.matches(sql))
       return ExecResult(spark.sql("SELECT 1 LIMIT 0"), "SET")
 
@@ -923,6 +926,8 @@ object Engine {
     """(?is)^\s*create\s+user\s+(\S+)\s+with\s+password\s+'([^']*)'\s*$""".r
   private val txnRe = """(?is)^\s*(begin|commit|rollback|start\s+transaction|end)\b.*""".r
   private val showTxnReadOnlyRe = """(?is)^\s*show\s+transaction_read_only\s*$""".r
+  private val showTxnIsolationRe =
+    """(?is)^\s*show\s+transaction\s+isolation\s+level\s*$""".r
   private val swallowedSetRe =
     """(?is)^\s*set\s+(extra_float_digits|application_name|search_path|datestyle|client_min_messages)\b.*""".r
   private val updateRe =
