@@ -143,6 +143,15 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     copyFromFileRe.findFirstMatchIn(sql).foreach { m =>
       return copyFromFile(m.group(1), m.group(2), Option(m.group(3)).getOrElse(""))
     }
+    explainAnalyzeRe.findFirstMatchIn(sql).foreach { m =>
+      // run the query, then return the executed plan with its runtime
+      // SQL metrics (the analog of DuckDB's profiled plan)
+      val df = spark.sql(rewrite(m.group(1)))
+      df.write.format("noop").mode("overwrite").save()
+      import spark.implicits._
+      val lines = df.queryExecution.executedPlan.toString.linesIterator.toSeq
+      return ExecResult(lines.toDF("plan"), "SELECT")
+    }
     describeQueryRe.findFirstMatchIn(sql).foreach { m =>
       val schema = spark.sql(rewrite(m.group(1))).schema
       import spark.implicits._
@@ -950,6 +959,8 @@ object Engine {
   private val copyFromFileRe =
     """(?is)^\s*copy\s+([\w.]+)\s+from\s+'([^']+)'\s*(?:\(([^)]*)\)|with\s*\(([^)]*)\))?\s*$""".r
   private val describeQueryRe = """(?is)^\s*describe\s+((?:select|with|values)\b.+)$""".r
+  private val explainAnalyzeRe =
+    """(?is)^\s*explain\s+analyze\s+((?:select|with|values)\b.+)$""".r
   private val partitionByRe = """(?i)partition_by\s*\(([^)]*)\)""".r
   private val infoSchemaRe =
     """(?i)information_schema\.(schemata|tables|columns|constraint_column_usage)""".r

@@ -198,6 +198,43 @@ class ServerEngineSpec extends SparkSpecBase {
     engine.execute("drop table main.c_redo")
   }
 
+  test("EXPLAIN ANALYZE returns the executed plan") {
+    val res = engine.execute("explain analyze select 1 as one")
+    val text = res.df.collect().map(_.getString(0)).mkString("\n")
+    assert(text.contains("Project") || text.contains("Scan"), s"unexpected plan: $text")
+  }
+
+  test("8-thread mixed insert/update storm keeps constrained-table invariants") {
+    engine.execute("drop table if exists main.c_storm")
+    engine.execute("create table main.c_storm (id INT PRIMARY KEY, v STRING) using parquet")
+    val pool = Executors.newFixedThreadPool(8)
+    val start = new CountDownLatch(1)
+    val futures = (0 until 8).map { t =>
+      pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = {
+          start.await()
+          var ok = 0
+          (0 until 5).foreach { i =>
+            val k = t * 100 + i
+            try { engine.execute(s"insert into main.c_storm values ($k, 'w$t')"); ok += 1 }
+            catch { case _: IllegalArgumentException => }
+            if (i == 2 && t % 2 == 0)
+              engine.execute(s"update main.c_storm set v = 'u$t' where id = $k")
+          }
+          ok
+        }
+      })
+    }
+    start.countDown()
+    val inserted = futures.map(_.get(300, TimeUnit.SECONDS)).sum
+    pool.shutdown()
+    assert(inserted == 40, s"expected all 40 distinct-key inserts to succeed, got $inserted")
+    assert(spark.table("main.c_storm").count() == 40)
+    // PK invariant held throughout: ids unique
+    assert(spark.table("main.c_storm").select("id").distinct().count() == 40)
+    engine.execute("drop table main.c_storm")
+  }
+
   test("TSV unescape is a single left-to-right pass (backslash-t stays literal)") {
     assert(Formats.unescapeTsv("a\\tb") == "a\tb")
     assert(Formats.unescapeTsv("a\\\\tb") == "a\\tb") // wire \\t = literal backslash + t
