@@ -40,9 +40,24 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
   }
   private val constraints = new ConcurrentHashMap[String, Constraints]()
 
-  private def constraintsOf(table: String): Option[Constraints] = {
-    val key = if (table.contains(".")) table.toLowerCase else s"main.${table.toLowerCase}"
-    Option(constraints.get(key)).filterNot(_.isEmpty)
+  /** Canonical `db.table` key for an possibly-unqualified name — the
+    * current session database qualifies bare names (one shared helper;
+    * constraints keys, journal entries and dir cleanup must agree). */
+  private def qualify(table: String): String =
+    if (table.contains(".")) table.toLowerCase
+    else s"${spark.catalog.currentDatabase.toLowerCase}.${table.toLowerCase}"
+
+  private def constraintsOf(table: String): Option[Constraints] =
+    Option(constraints.get(qualify(table))).filterNot(_.isEmpty)
+
+  /** NOT NULL sweep shared by the insert and upsert paths. */
+  private def enforceNotNull(cols: Seq[String], newData: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
+    cols.foreach { nn =>
+      if (newData.filter(col(nn).isNull).limit(1).count() > 0)
+        throw new IllegalArgumentException(
+          s"""null value in column "$nn" violates not-null constraint""")
+    }
   }
 
   /** Validate a batch of new rows (as a DataFrame with target-table
@@ -52,11 +67,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
   private def enforceConstraints(table: String, newData: DataFrame): Unit =
     constraintsOf(table).foreach { c =>
       import org.apache.spark.sql.functions.{col, count, lit}
-      (c.notNull ++ c.pk).distinct.foreach { nn =>
-        if (newData.filter(col(nn).isNull).limit(1).count() > 0)
-          throw new IllegalArgumentException(
-            s"""null value in column "$nn" violates not-null constraint""")
-      }
+      enforceNotNull((c.notNull ++ c.pk).distinct, newData)
       val keySets = (if (c.pk.nonEmpty) Seq(c.pk) else Nil) ++ c.unique
       keySets.foreach { keys =>
         val kc = keys.map(col)
@@ -144,12 +155,40 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       return copyFromFile(m.group(1), m.group(2), Option(m.group(3)).getOrElse(""))
     }
     explainAnalyzeRe.findFirstMatchIn(sql).foreach { m =>
-      // run the query, then return the executed plan with its runtime
-      // SQL metrics (the analog of DuckDB's profiled plan)
-      val df = spark.sql(rewrite(m.group(1)))
-      df.write.format("noop").mode("overwrite").save()
+      // run the inner query through the FULL execute pipeline (so
+      // dialect rewrites apply), execute its own QueryExecution (toRdd
+      // drives the same physical plan, populating its SQL metrics and
+      // finalizing AQE), then render the plan plus per-node metrics —
+      // the analog of DuckDB's profiled plan.
+      val inner = execute(m.group(1))
+      if (inner.df == null) return ExecResult(null, inner.tag)
+      val qe = inner.df.queryExecution
+      val rows = qe.toRdd.count()
+      // AQE wraps the final plan in AdaptiveSparkPlanExec and each
+      // materialized stage in a leaf QueryStageExec — recurse through
+      // both or .collect sees only the wrappers
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+        val inner = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case _ => Nil
+        }
+        p +: (p.children ++ inner).flatMap(allNodes)
+      }
+      val plan = qe.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val metrics = allNodes(plan).filter(_.metrics.nonEmpty).map { p =>
+        val ms = p.metrics.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k=${v.value}" }.mkString(", ")
+        s"${p.nodeName}: $ms"
+      }
       import spark.implicits._
-      val lines = df.queryExecution.executedPlan.toString.linesIterator.toSeq
+      val lines = plan.toString.linesIterator.toSeq ++
+        Seq("", s"== Runtime metrics (rows: $rows) ==") ++ metrics
       return ExecResult(lines.toDF("plan"), "SELECT")
     }
     describeQueryRe.findFirstMatchIn(sql).foreach { m =>
@@ -255,10 +294,9 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
   private def unlogView(view: String): Unit = dbPath.foreach { p =>
     val f = new java.io.File(s"$p/views.sql")
     if (f.exists()) {
-      def qual(x: String) = if (x.contains(".")) x.toLowerCase else s"main.${x.toLowerCase}"
-      val target = qual(view)
+      val target = qualify(view)
       val kept = scala.io.Source.fromFile(f).getLines().filterNot { l =>
-        createViewRe.findFirstMatchIn(l).exists(m => qual(m.group(1)) == target)
+        createViewRe.findFirstMatchIn(l).exists(m => qualify(m.group(1)) == target)
       }.toList
       writeFile(f.getPath, if (kept.isEmpty) "" else kept.mkString("\n") + "\n")
     }
@@ -350,31 +388,41 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         .filter(_.nonEmpty)
         .getOrElse(throw new IllegalArgumentException(
           "ON CONFLICT requires a conflict target or a declared PRIMARY KEY/UNIQUE constraint"))
-      // NULL conflict keys never collide (unique-index semantics):
-      // dedupe only fully-non-null-key rows, keep every null-key row
-      val aligned = src0.toDF(cols: _*).select(full.toIndexedSeq: _*)
-      val keyNull = keys.map(k => col(k).isNull).reduce(_ || _)
-      val src = aligned.filter(!keyNull).dropDuplicates(keys)
-        .unionAll(aligned.filter(keyNull))
-      // stage the source ONCE: the merge reads it from 2-3 branches, and
-      // an un-staged non-deterministic source could give each branch a
-      // different row set; the per-target staging name also keeps
-      // concurrent upserts of different tables isolated
+      // stage the RAW source before any branching: every later read
+      // (null-key split, dedupe, merge branches, checks) hits the one
+      // materialized copy, so a non-deterministic source can't give
+      // different branches different rows. Per-target staging names keep
+      // concurrent upserts of different tables isolated; same-table
+      // upserts serialize on the write lock held here.
       val srcTable = table.replace('.', '_') + "__oc_src"
+      val rawTable = srcTable + "_raw"
+      spark.sql(s"DROP TABLE IF EXISTS $rawTable")
       spark.sql(s"DROP TABLE IF EXISTS $srcTable")
-      src.createOrReplaceTempView(srcTable + "_v")
-      spark.sql(s"CREATE TABLE $srcTable AS SELECT * FROM ${srcTable}_v")
+      src0.toDF(cols: _*).select(full.toIndexedSeq: _*)
+        .createOrReplaceTempView(srcTable + "_v")
+      spark.sql(s"CREATE TABLE $rawTable AS SELECT * FROM ${srcTable}_v")
       spark.catalog.dropTempView(srcTable + "_v")
       try {
+        // NULL conflict keys never collide (unique-index semantics):
+        // dedupe only fully-non-null-key rows, keep every null-key row
+        val raw = spark.table(rawTable)
+        val keyNull = keys.map(k => col(k).isNull).reduce(_ || _)
+        raw.filter(!keyNull).dropDuplicates(keys)
+          .unionAll(raw.filter(keyNull))
+          .createOrReplaceTempView(srcTable + "_v")
+        spark.sql(s"CREATE TABLE $srcTable AS SELECT * FROM ${srcTable}_v")
+        spark.catalog.dropTempView(srcTable + "_v")
         val staged = spark.table(srcTable)
         val tAlias = table.split("\\.").last
         val on = keys.map(k => s"$tAlias.`$k` <=> excluded.`$k` AND excluded.`$k` IS NOT NULL")
           .mkString(" AND ")
         val n = setClause match {
-          case None => // DO NOTHING: append only the non-conflicting rows
+          case None =>
+            // DO NOTHING: stage the non-conflicting rows, validate the
+            // staged copy (NOT NULL + non-target uniques still apply),
+            // then append it — one anti-join execution total
             val fresh = staged.join(target.select(keys.map(col): _*), keys, "left_anti")
-            enforceConstraints(table, fresh) // NOT NULL + non-target uniques still apply
-            stageAndAppend(table, fresh)
+            stageAndAppend(table, fresh, check = df => enforceConstraints(table, df))
           case Some(sets0) =>
             if (hasTopLevelWhere(sets0))
               throw new IllegalArgumentException(
@@ -383,13 +431,8 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
             // unique constraints under DO UPDATE are a documented
             // divergence — validating the merged image needs a second
             // full pass)
-            constraintsOf(table).foreach { c =>
-              (c.notNull ++ c.pk).distinct.foreach { nn =>
-                if (staged.filter(col(nn).isNull).limit(1).count() > 0)
-                  throw new IllegalArgumentException(
-                    s"""null value in column "$nn" violates not-null constraint""")
-              }
-            }
+            constraintsOf(table).foreach(c =>
+              enforceNotNull((c.notNull ++ c.pk).distinct, staged))
             // DO UPDATE: new table image = existing rows (updated where
             // a source row matches) + non-matching source rows
             val sets = splitTopLevel(sets0, ',').map { a =>
@@ -410,7 +453,10 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
             cnt
         }
         ExecResult(null, s"INSERT 0 $n")
-      } finally spark.sql(s"DROP TABLE IF EXISTS $srcTable")
+      } finally {
+        spark.sql(s"DROP TABLE IF EXISTS $srcTable")
+        spark.sql(s"DROP TABLE IF EXISTS $rawTable")
+      }
     } finally lock.unlock()
   }
 
@@ -439,14 +485,19 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
 
   /** Append a DataFrame whose plan may read the target table: stage the
     * rows first (Spark refuses to scan and write one table in a job).
+    * `check` runs against the materialized staged copy — validations
+    * re-execute a cheap staged scan instead of the original plan.
     * Returns the number of rows appended. */
-  private def stageAndAppend(table: String, df: DataFrame): Long = {
+  private def stageAndAppend(table: String, df: DataFrame,
+      check: DataFrame => Unit = _ => ()): Long = {
     val stage = table.replace('.', '_') + "__oc_stage"
     df.createOrReplaceTempView(stage + "_v")
     spark.sql(s"DROP TABLE IF EXISTS $stage")
     spark.sql(s"CREATE TABLE $stage AS SELECT * FROM ${stage}_v")
     try {
-      val n = spark.table(stage).count()
+      val staged = spark.table(stage)
+      check(staged)
+      val n = staged.count()
       spark.sql(s"INSERT INTO TABLE $table SELECT * FROM $stage").collect()
       n
     } finally {
@@ -547,8 +598,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       }
     }
     spark.sql(s"CREATE TABLE $table (${kept.mkString(", ")}) $rest")
-    val key = if (table.contains(".")) table.toLowerCase else s"main.${table.toLowerCase}"
-    constraints.put(key, Constraints(pk, unique, notNull))
+    constraints.put(qualify(table), Constraints(pk, unique, notNull))
     persistConstraints()
     ExecResult(null, "CREATE TABLE")
   }
@@ -565,11 +615,13 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     val nsOid = dbs.zipWithIndex.map { case (d, i) => d -> (1000 + i) }.toMap
     dbs.map(d => (nsOid(d), d, 0)).toSeq.toDF("oid", "nspname", "nspowner")
       .createOrReplaceTempView("pg_namespace")
-    // oids are globally sequential over the (sorted) full table list —
-    // a per-db stride would collide once a db exceeded the stride
+    // per-db oid stride of 10k: DDL in one database can't shift another
+    // database's oids between psql's successive catalog queries, and
+    // collisions need >10k tables in one db
     val tables = dbs.flatMap { d =>
-      spark.catalog.listTables(d).collect().filterNot(_.isTemporary).map(t => (d, t))
-    }.zipWithIndex.map { case ((d, t), i) => (100000 + i, d, t) }
+      spark.catalog.listTables(d).collect().filterNot(_.isTemporary).sortBy(_.name)
+        .zipWithIndex.map { case (t, i) => (100000 + (nsOid(d) - 1000) * 10000 + i, d, t) }
+    }
     tables.map { case (oid, d, t) =>
       (oid, t.name, nsOid(d), if (t.tableType == "VIEW") "v" else "r", 0, 0,
         0 /*relchecks*/, false /*relhasindex*/, false /*relhasrules*/,
@@ -862,7 +914,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         val db = dbDir.getName.stripSuffix(".db")
         spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
         Option(dbDir.listFiles()).getOrElse(Array.empty)
-          .filter(t => t.isDirectory && !t.getName.endsWith("__cow")).foreach { tDir =>
+          .filter(t => t.isDirectory && !staleStagingRe.matches(t.getName)).foreach { tDir =>
             try
               if (!spark.catalog.tableExists(s"$db.${tDir.getName}"))
                 spark.sql(s"CREATE TABLE $db.${tDir.getName} USING parquet LOCATION '${tDir.getAbsolutePath}'")
@@ -880,7 +932,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * the table resurrects at next boot (re-registration scans the
     * warehouse). Called after the DROP executed successfully. */
   private def afterDropTable(table: String): Unit = {
-    val key = if (table.contains(".")) table.toLowerCase else s"main.${table.toLowerCase}"
+    val key = qualify(table)
     constraints.remove(key)
     persistConstraints()
     dbPath.foreach { _ =>
@@ -953,6 +1005,8 @@ object Engine {
     """(?is)^\s*create\s+(?:or\s+replace\s+)?(?:temp(?:orary)?\s+)?view\s+(?:if\s+not\s+exists\s+)?([\w.]+).*""".r
   private val dropTableRe = """(?is)^\s*drop\s+table\s+(?:if\s+exists\s+)?([\w.]+)\s*$""".r
   private val dropViewRe = """(?is)^\s*drop\s+view\s+(?:if\s+exists\s+)?([\w.]+)\s*$""".r
+  /** Staging dirs a crash may leave behind — never re-register them. */
+  private val staleStagingRe = """.*(__cow|__oc_src|__oc_src_raw|__oc_stage)$""".r
 
   private val copyToRe =
     """(?is)^\s*copy\s+(\([^)]+\)|[\w.]+)\s+to\s+'([^']+)'\s*(?:\(((?:[^()]|\([^()]*\))*)\)|with\s*\(((?:[^()]|\([^()]*\))*)\))?\s*$""".r
