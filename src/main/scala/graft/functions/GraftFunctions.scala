@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, ArrayFilter, ArrayJoin, ArrayMax, ArrayMin, Cast, Divide, Expression, IsNotNull, LambdaFunction, Literal, Size, UnresolvedNamedLambdaVariable}
 import org.apache.spark.sql.functions.udaf
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
@@ -108,7 +108,6 @@ object GraftFunctions {
       ("array_position", "array_position", id),
       ("list_position", "array_position", id),
       ("list_indexof", "array_position", id),
-      ("list_aggregate", "aggregate", id),
       ("unnest", "explode", id),
       ("generate_series", "sequence", id),
       // struct / map
@@ -139,6 +138,35 @@ object GraftFunctions {
     )
   }
 
+  /** DuckDB `list_aggregate(list, 'name')` — dynamic aggregate over the
+    * list's elements, dispatched at analysis time on the literal name to
+    * the equivalent Catalyst expression tree (codegen'd, no UDF). */
+  private def listAggregate(es: Seq[Expression]): Expression = {
+    require(es.length >= 2, "list_aggregate(list, 'aggregate_name')")
+    val list = es.head
+    def lam1(f: Expression => Expression): LambdaFunction = {
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      LambdaFunction(f(x), Seq(x))
+    }
+    def lam2(f: (Expression, Expression) => Expression): LambdaFunction = {
+      val a = UnresolvedNamedLambdaVariable(Seq("a"))
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      LambdaFunction(f(a, x), Seq(a, x))
+    }
+    def sumExpr = ArrayAggregate(list, Literal(0.0d), lam2(Add(_, _)), lam1(identity))
+    def countExpr = Size(ArrayFilter(list, lam1(IsNotNull)))
+    litString(es(1), "list_aggregate").toLowerCase match {
+      case "sum" => sumExpr
+      case "min" => ArrayMin(list)
+      case "max" => ArrayMax(list)
+      case "count" => countExpr
+      case "avg" | "mean" => Divide(sumExpr, Cast(countExpr, org.apache.spark.sql.types.DoubleType))
+      case "string_agg" => ArrayJoin(list, Literal(UTF8String.fromString(","), StringType), None)
+      case other => throw new IllegalArgumentException(
+        s"list_aggregate: unsupported aggregate '$other' (sum/min/max/count/avg/string_agg)")
+    }
+  }
+
   /** Two of the three server-defined macros (reference pg_server.go:40-41);
     * currentDatabase() is in the alias table above. */
   private val macros: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -151,6 +179,8 @@ object GraftFunctions {
 
     reg.createOrReplaceTempFunction("typeof", es => TypeOf(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("vector_dot", es => VectorDot(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("list_aggregate", listAggregate, "scala_udf")
+    reg.createOrReplaceTempFunction("list_aggr", listAggregate, "scala_udf")
     spark.udf.register("product", udaf(ProductAgg))
 
     aliases.foreach { case (name, target, rewrite) =>

@@ -306,6 +306,19 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * aliasing; the rest of the dialect layer lives in GraftFunctions). */
   def rewrite(sql: String): String = {
     var s = sql
+    // DuckDB literal syntax, applied outside string literals only:
+    // [1,2,3] list literals → array(1,2,3) (iterate for nesting; a
+    // bracket preceded by an identifier/)/] is a subscript, not a
+    // literal) and struct_pack(a := 1) named args → named_struct
+    s = mapOutsideStrings(s) { seg =>
+      var t = seg.replaceAll("(\\w+)\\s*:=\\s*", "'$1', ")
+      var prev: String = null
+      while (prev != t) {
+        prev = t
+        t = bracketListRe.replaceAllIn(t, m => Regex.quoteReplacement(s"array(${m.group(1)})"))
+      }
+      t
+    }
     // DuckDB's bare SEMI/ANTI JOIN keywords → Spark's LEFT-prefixed
     // ones; an existing LEFT/RIGHT prefix (any whitespace) passes through
     s = semiAntiRe.replaceAllIn(s, m =>
@@ -1032,6 +1045,25 @@ object Engine {
     """(?i)select\s+\*\s+replace\s*\(((?:[^()]|\([^()]*\))*)\)\s+from\s+([\w.]+)""".r
 
   private val semiAntiRe = """(?i)\b(left\s+|right\s+)?(semi|anti)\s+join\b""".r
+  private val bracketListRe = """(?<![\w)\]'"`])\[([^\[\]]*)\]""".r
+
+  /** Apply `f` to the spans of `s` outside single-quoted string
+    * literals (quotes and their contents pass through untouched). */
+  def mapOutsideStrings(s: String)(f: String => String): String = {
+    val out = new StringBuilder
+    val seg = new StringBuilder
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { out += c; if (c == '\'') inStr = false }
+      else if (c == '\'') { out.append(f(seg.toString)); seg.clear(); out += c; inStr = true }
+      else seg += c
+      i += 1
+    }
+    out.append(f(seg.toString))
+    out.toString
+  }
   private val orderedAggRe =
     """(?i)\b(string_agg|listagg)\s*\(((?:[^()']|\([^()]*\)|'[^']*')*?)\s+order\s+by\s+((?:[^()']|\([^()]*\)|'[^']*')*?)\)""".r
   private val readParquetRe = """(?i)(?:read_parquet|parquet_scan)\s*\(\s*'([^']+)'\s*\)""".r

@@ -157,6 +157,7 @@ final class PgConnection(socket: Socket, server: PgServer) extends Runnable {
     }
 
   private def trimmedMessage(e: Throwable): String = {
+    if (sys.env.contains("GRAFT_DEBUG")) e.printStackTrace(System.err)
     val m = Option(e.getMessage).getOrElse(e.toString)
     if (m.length > 800) m.take(800) + "…" else m
   }

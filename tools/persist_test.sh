@@ -7,7 +7,6 @@ PG=${1:-5436}
 CH=${2:-8127}
 DB=$(mktemp -d /tmp/graft_persist.XXXXXX)
 LOG=/tmp/graft_persist_server.log
-CP="target/scala-2.13/classes:/opt/spark/jars/*"
 P="-h 127.0.0.1 -p $PG -U persist -d main"
 pass=0; fail=0
 ok()  { pass=$((pass+1)); echo "PASS $1"; }
@@ -16,7 +15,7 @@ chk() { if [ "$2" = "$3" ]; then ok "$1"; else bad "$1 (expected [$2] got [$3])"
 
 start_server() {
   rm -f "$LOG"
-  nohup java -Xmx8g -cp "$CP" graft.server.ServerMain "$PG" "$CH" \
+  nohup bash "$(dirname "$0")/run_server.sh" "$PG" "$CH" \
     /root/testdata/sf0.001 "--db_path=$DB" > "$LOG" 2>&1 &
   SRV_PID=$!
   for i in $(seq 1 90); do

@@ -20,6 +20,8 @@ chk() { # name, expected, actual
 chk "pg select"       "1"        "$(psql $P -tA -c 'select 1' 2>&1)"
 chk "pg agg"          "25"       "$(psql $P -tA -c 'select count(*) from nation' 2>&1)"
 chk "pg types"        "t|1.50|{1,2,3}" "$(psql $P -tA -c "select true, 1.50::decimal(5,2), array(1,2,3)" 2>&1)"
+# DATE decode needs java.base/sun.util.calendar opened (run_server.sh)
+chk "pg date"         "2024-02-05|2024-02-29" "$(psql $P -tA -c "select date '2024-02-05', last_day(date '2024-02-05')" 2>&1)"
 chk "pg multi-stmt"   "1
 2" "$(psql $P -tA -c 'select 1; select 2' 2>&1)"
 psql $P -c "drop table if exists main.smoke" >/dev/null 2>&1
