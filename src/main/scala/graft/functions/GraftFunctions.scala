@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, ArrayFilter, ArrayJoin, ArrayMax, ArrayMin, Cast, Divide, Expression, IsNotNull, LambdaFunction, Literal, Size, UnresolvedNamedLambdaVariable}
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, ArrayFilter, ArrayJoin, ArrayMax, ArrayMin, Cast, DateAdd, Divide, Expression, IsNotNull, LambdaFunction, Literal, Size, Slice, SortArray, Subtract, UnresolvedNamedLambdaVariable}
+import org.apache.spark.sql.types.{CalendarIntervalType, DayTimeIntervalType, YearMonthIntervalType}
 import org.apache.spark.sql.functions.udaf
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
@@ -108,6 +109,8 @@ object GraftFunctions {
       ("array_position", "array_position", id),
       ("list_position", "array_position", id),
       ("list_indexof", "array_position", id),
+      ("regexp_split_to_array", "split", id),
+      ("string_split_regex", "split", id),
       ("unnest", "explode", id),
       ("generate_series", "sequence", id),
       // struct / map
@@ -181,6 +184,24 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("vector_dot", es => VectorDot(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("list_aggregate", listAggregate, "scala_udf")
     reg.createOrReplaceTempFunction("list_aggr", listAggregate, "scala_udf")
+    // DuckDB date_add(date, INTERVAL …): dispatch on the literal's type
+    // so Spark-native date_add(date, int_days) keeps working
+    reg.createOrReplaceTempFunction("date_add", {
+      case Seq(d, i @ Literal(_, CalendarIntervalType | _: DayTimeIntervalType | _: YearMonthIntervalType)) =>
+        Add(d, i)
+      case es => DateAdd(es.head, es(1))
+    }, "scala_udf")
+    // DuckDB list_slice(list, begin, end) is end-INCLUSIVE; Spark slice
+    // takes (start, length)
+    val sliceBuilder: Seq[Expression] => Expression = es =>
+      Slice(es.head, es(1), Add(Subtract(es(2), es(1)), Literal(1)))
+    reg.createOrReplaceTempFunction("list_slice", sliceBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("array_slice", sliceBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("list_reverse_sort",
+      es => SortArray(es.head, Literal(false)), "scala_udf")
+    // date_diff('part', …) and format('{}', …) resolve through
+    // builder-based builtins that bypass session-registry overrides —
+    // those two are handled as text rewrites in Engine.rewrite instead.
     spark.udf.register("product", udaf(ProductAgg))
 
     aliases.foreach { case (name, target, rewrite) =>

@@ -319,6 +319,14 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       }
       t
     }
+    // DuckDB date_diff('day', a, b) → timestampdiff(DAY, a, b): the
+    // quoted-unit form hits Spark's builder-based builtin, which
+    // rejects string units and bypasses registry overrides
+    s = dateDiffRe.replaceAllIn(s, m =>
+      Regex.quoteReplacement(s"timestampdiff(${m.group(2).toUpperCase},"))
+    // DuckDB fmt-style format('{} x {}', …) → format_string('%s x %s', …)
+    s = formatFnRe.replaceAllIn(s, m => Regex.quoteReplacement(
+      s"format_string('${m.group(1).replace("%", "%%").replace("{}", "%s")}',"))
     // DuckDB's bare SEMI/ANTI JOIN keywords → Spark's LEFT-prefixed
     // ones; an existing LEFT/RIGHT prefix (any whitespace) passes through
     s = semiAntiRe.replaceAllIn(s, m =>
@@ -1046,6 +1054,8 @@ object Engine {
 
   private val semiAntiRe = """(?i)\b(left\s+|right\s+)?(semi|anti)\s+join\b""".r
   private val bracketListRe = """(?<![\w)\]'"`])\[([^\[\]]*)\]""".r
+  private val dateDiffRe = """(?i)\b(date_diff|datediff)\s*\(\s*'(\w+)'\s*,""".r
+  private val formatFnRe = """(?i)\bformat\s*\(\s*'([^']*)'\s*,""".r
 
   /** Apply `f` to the spans of `s` outside single-quoted string
     * literals (quotes and their contents pass through untouched). */
