@@ -109,6 +109,8 @@ object GraftFunctions {
       ("array_position", "array_position", id),
       ("list_position", "array_position", id),
       ("list_indexof", "array_position", id),
+      ("list_min", "array_min", id),
+      ("list_max", "array_max", id),
       ("regexp_split_to_array", "split", id),
       ("string_split_regex", "split", id),
       ("unnest", "explode", id),
@@ -199,6 +201,21 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("array_slice", sliceBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("list_reverse_sort",
       es => SortArray(es.head, Literal(false)), "scala_udf")
+    reg.createOrReplaceTempFunction("list_sum",
+      es => listAggregate(Seq(es.head, Literal(UTF8String.fromString("sum"), StringType))),
+      "scala_udf")
+    // DuckDB range(start, stop[, step]) is stop-EXCLUSIVE; Spark
+    // sequence is inclusive. Positive literal (or default) step →
+    // stop-1; negative literal step → stop+1.
+    reg.createOrReplaceTempFunction("range", { es =>
+      val seqB = reg.lookupFunctionBuilder(FunctionIdentifier("sequence")).get
+      val stepSign = es.lift(2) match {
+        case Some(Literal(v: Number, _)) if v.longValue() < 0 => -1
+        case _ => 1
+      }
+      val stop = if (stepSign >= 0) Subtract(es(1), Literal(1)) else Add(es(1), Literal(1))
+      seqB(es.head +: stop +: es.drop(2))
+    }, "scala_udf")
     // date_diff('part', …) and format('{}', …) resolve through
     // builder-based builtins that bypass session-registry overrides —
     // those two are handled as text rewrites in Engine.rewrite instead.
