@@ -2,6 +2,8 @@
 # End-to-end server battery: drives the live graft server through psql +
 # curl + the raw-socket extended-protocol probe. Start the server first:
 #   sbt 'runMain graft.server.ServerMain 5433 8124 /root/testdata/sf0.001'
+# or (faster, bare JVM with the required JDK-17 module opens):
+#   bash tools/run_server.sh 5433 8124 /root/testdata/sf0.001
 # Auth defaults ON (like the reference): loopback psql is trusted, the
 # CH HTTP endpoint requires credentials, remote PG requires SCRAM.
 # Usage: bash tools/server_smoke.sh [pg_port] [ch_port]
