@@ -75,6 +75,19 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("Bucketed: true"), "scan did not use the bucketed layout")
   }
 
+  test("decontamination joins on the shingle key (no cartesian)") {
+    val p = planOf("q_text_decontaminate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "decontamination overlap degenerated to a cross product")
+  }
+
+  test("salted join keys include the salt column") {
+    val d = SparkEntry.defs.find(_.name == "q_join_salted_skew").get
+    val p = d.run(spark, sf).queryExecution.optimizedPlan.toString
+    assert(p.toLowerCase.contains("salt"), "salt column missing from the join")
+    assert(!p.contains("CartesianProduct"), "salted join degenerated to a cross product")
+  }
+
   test("exclude-frame window is partitioned") {
     val d = SparkEntry.defs.find(_.name == "q_win_exclude").get
     val p = d.run(spark, sf).queryExecution.executedPlan.toString
