@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, ArrayFilter, ArrayJoin, ArrayMax, ArrayMin, Cast, DateAdd, Divide, Expression, IsNotNull, LambdaFunction, Literal, Size, Slice, SortArray, Subtract, UnresolvedNamedLambdaVariable}
-import org.apache.spark.sql.types.{CalendarIntervalType, DayTimeIntervalType, YearMonthIntervalType}
+import org.apache.spark.sql.catalyst.expressions.{Add, And, ArrayAggregate, ArrayFilter, ArrayJoin, ArrayMax, ArrayMin, Cast, DateAdd, Divide, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, If, IsNotNull, LambdaFunction, LessThan, LessThanOrEqual, Literal, Size, Slice, SortArray, Subtract, TimestampDiff, TruncTimestamp, UnresolvedNamedLambdaVariable}
+import org.apache.spark.sql.types.{CalendarIntervalType, DayTimeIntervalType, DoubleType, TimestampType, YearMonthIntervalType}
 import org.apache.spark.sql.functions.udaf
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
@@ -158,18 +158,50 @@ object GraftFunctions {
       val x = UnresolvedNamedLambdaVariable(Seq("x"))
       LambdaFunction(f(a, x), Seq(a, x))
     }
-    def sumExpr = ArrayAggregate(list, Literal(0.0d), lam2(Add(_, _)), lam1(identity))
-    def countExpr = Size(ArrayFilter(list, lam1(IsNotNull)))
+    // nulls are ignored (DuckDB/SQL aggregate semantics); an empty or
+    // all-null list sums/averages to NULL, not 0 / divide-by-zero
+    def nonNull = ArrayFilter(list, lam1(IsNotNull))
+    def countExpr = Size(nonNull)
+    def nullD = Literal.create(null, DoubleType)
+    def sumExpr = If(EqualTo(countExpr, Literal(0)), nullD,
+      ArrayAggregate(nonNull, Literal(0.0d), lam2(Add(_, _)), lam1(identity)))
     litString(es(1), "list_aggregate").toLowerCase match {
       case "sum" => sumExpr
       case "min" => ArrayMin(list)
       case "max" => ArrayMax(list)
       case "count" => countExpr
-      case "avg" | "mean" => Divide(sumExpr, Cast(countExpr, org.apache.spark.sql.types.DoubleType))
+      case "avg" | "mean" =>
+        Divide(sumExpr, If(EqualTo(countExpr, Literal(0)), nullD, Cast(countExpr, DoubleType)))
       case "string_agg" => ArrayJoin(list, Literal(UTF8String.fromString(","), StringType), None)
       case other => throw new IllegalArgumentException(
         s"list_aggregate: unsupported aggregate '$other' (sum/min/max/count/avg/string_agg)")
     }
+  }
+
+  /** DuckDB unit spellings (plural, abbreviations) → the singular unit
+    * keywords Catalyst's TimestampDiff/TruncTimestamp accept. */
+  private def normalizeUnit(u: String): String = u.toLowerCase match {
+    case "ms" | "millisecond" | "milliseconds" => "MILLISECOND"
+    case "us" | "microsecond" | "microseconds" => "MICROSECOND"
+    case "s" | "sec" | "secs" | "second" | "seconds" => "SECOND"
+    case "min" | "mins" | "minute" | "minutes" => "MINUTE"
+    case "h" | "hr" | "hrs" | "hour" | "hours" => "HOUR"
+    case "d" | "day" | "days" => "DAY"
+    case "w" | "week" | "weeks" => "WEEK"
+    case "m" | "mon" | "mons" | "month" | "months" => "MONTH"
+    case "q" | "quarter" | "quarters" => "QUARTER"
+    case "y" | "yr" | "yrs" | "year" | "years" => "YEAR"
+    case other => other.toUpperCase
+  }
+
+  /** DuckDB date_diff('unit', a, b): counts unit BOUNDARY CROSSINGS —
+    * truncate both sides to the unit, then diff (timestampdiff alone
+    * counts complete elapsed periods: 0 for Jan-31→Feb-01 months). */
+  private def duckDateDiff(es: Seq[Expression]): Expression = {
+    val u = normalizeUnit(litString(es.head, "date_diff"))
+    def trunc(e: Expression) =
+      TruncTimestamp(Literal(UTF8String.fromString(u), StringType), Cast(e, TimestampType))
+    TimestampDiff(u, trunc(es(1)), trunc(es(2)))
   }
 
   /** Two of the three server-defined macros (reference pg_server.go:40-41);
@@ -204,18 +236,26 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("list_sum",
       es => listAggregate(Seq(es.head, Literal(UTF8String.fromString("sum"), StringType))),
       "scala_udf")
-    // DuckDB range(start, stop[, step]) is stop-EXCLUSIVE; Spark
-    // sequence is inclusive. Positive literal (or default) step →
-    // stop-1; negative literal step → stop+1.
-    reg.createOrReplaceTempFunction("range", { es =>
+    // DuckDB range([start,] stop[, step]) is stop-EXCLUSIVE and empty
+    // when the direction is wrong (Spark's sequence is inclusive and
+    // auto-reverses) — build the inclusive sequence, then filter to the
+    // half-open interval, which also yields [] for start >= stop.
+    reg.createOrReplaceTempFunction("range", { es0 =>
+      val es = if (es0.length == 1) Seq(Literal(0), es0.head) else es0
       val seqB = reg.lookupFunctionBuilder(FunctionIdentifier("sequence")).get
-      val stepSign = es.lift(2) match {
-        case Some(Literal(v: Number, _)) if v.longValue() < 0 => -1
-        case _ => 1
+      val negStep = es.lift(2).exists {
+        case Literal(v: Number, _) => v.longValue() < 0
+        case _ => false
       }
-      val stop = if (stepSign >= 0) Subtract(es(1), Literal(1)) else Add(es(1), Literal(1))
-      seqB(es.head +: stop +: es.drop(2))
+      val stop = if (negStep) Add(es(1), Literal(1)) else Subtract(es(1), Literal(1))
+      val seq = seqB(es.head +: stop +: es.drop(2))
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      val keep =
+        if (negStep) And(LessThanOrEqual(x, es.head), GreaterThan(x, es(1)))
+        else And(GreaterThanOrEqual(x, es.head), LessThan(x, es(1)))
+      ArrayFilter(seq, LambdaFunction(keep, Seq(x)))
     }, "scala_udf")
+    reg.createOrReplaceTempFunction("duck_date_diff", duckDateDiff, "scala_udf")
     // date_diff('part', …) and format('{}', …) resolve through
     // builder-based builtins that bypass session-registry overrides —
     // those two are handled as text rewrites in Engine.rewrite instead.

@@ -306,27 +306,27 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * aliasing; the rest of the dialect layer lives in GraftFunctions). */
   def rewrite(sql: String): String = {
     var s = sql
-    // DuckDB literal syntax, applied outside string literals only:
-    // [1,2,3] list literals → array(1,2,3) (iterate for nesting; a
-    // bracket preceded by an identifier/)/] is a subscript, not a
-    // literal) and struct_pack(a := 1) named args → named_struct
-    s = mapOutsideStrings(s) { seg =>
-      var t = seg.replaceAll("(\\w+)\\s*:=\\s*", "'$1', ")
-      var prev: String = null
-      while (prev != t) {
-        prev = t
-        t = bracketListRe.replaceAllIn(t, m => Regex.quoteReplacement(s"array(${m.group(1)})"))
-      }
-      t
-    }
-    // DuckDB date_diff('day', a, b) → timestampdiff(DAY, a, b): the
-    // quoted-unit form hits Spark's builder-based builtin, which
-    // rejects string units and bypasses registry overrides
+    // DuckDB literal syntax: [1,2,3] list literals → array(1,2,3)
+    // (string-aware scanner: brackets in string literals and subscript
+    // brackets pass through), struct_pack(a := 1) named args → the
+    // quoted-name form (scoped to struct_pack calls only — DuckDB's
+    // := is a universal named-arg syntax elsewhere)
+    s = rewriteBracketLists(s)
+    s = rewriteStructPackArgs(s)
+    // DuckDB date_diff('day', a, b) counts UNIT BOUNDARY CROSSINGS —
+    // route to a registered builder that truncates both sides to the
+    // unit before timestampdiff (Spark's quoted-unit builtin both
+    // rejects strings and counts complete periods)
     s = dateDiffRe.replaceAllIn(s, m =>
-      Regex.quoteReplacement(s"timestampdiff(${m.group(2).toUpperCase},"))
-    // DuckDB fmt-style format('{} x {}', …) → format_string('%s x %s', …)
-    s = formatFnRe.replaceAllIn(s, m => Regex.quoteReplacement(
-      s"format_string('${m.group(1).replace("%", "%%").replace("{}", "%s")}',"))
+      Regex.quoteReplacement(s"duck_date_diff('${m.group(2)}',"))
+    // DuckDB fmt-style format('{} x {}', …) → format_string('%s x %s',
+    // …); templates with positional {0} or spec {:…} forms are left
+    // alone (an unresolved-function error beats silently-wrong output)
+    s = formatFnRe.replaceAllIn(s, m =>
+      if (m.group(1).matches("""[^{}]*(\{\}[^{}]*)*"""))
+        Regex.quoteReplacement(
+          s"format_string('${m.group(1).replace("%", "%%").replace("{}", "%s")}',")
+      else Regex.quoteReplacement(m.matched))
     // DuckDB's bare SEMI/ANTI JOIN keywords → Spark's LEFT-prefixed
     // ones; an existing LEFT/RIGHT prefix (any whitespace) passes through
     s = semiAntiRe.replaceAllIn(s, m =>
@@ -1053,25 +1053,87 @@ object Engine {
     """(?i)select\s+\*\s+replace\s*\(((?:[^()]|\([^()]*\))*)\)\s+from\s+([\w.]+)""".r
 
   private val semiAntiRe = """(?i)\b(left\s+|right\s+)?(semi|anti)\s+join\b""".r
-  private val bracketListRe = """(?<![\w)\]'"`])\[([^\[\]]*)\]""".r
   private val dateDiffRe = """(?i)\b(date_diff|datediff)\s*\(\s*'(\w+)'\s*,""".r
   private val formatFnRe = """(?i)\bformat\s*\(\s*'([^']*)'\s*,""".r
+  private val structPackRe = """(?i)\bstruct_pack\s*\(""".r
 
-  /** Apply `f` to the spans of `s` outside single-quoted string
-    * literals (quotes and their contents pass through untouched). */
-  def mapOutsideStrings(s: String)(f: String => String): String = {
-    val out = new StringBuilder
-    val seg = new StringBuilder
-    var inStr = false
+  /** DuckDB `[1,2,3]` list literals → `array(1,2,3)`. A single
+    * string-aware scan: brackets inside string literals pass through,
+    * and a bracket immediately after an identifier / `)` / `]` / quote
+    * is a subscript, not a literal. List contents (which may contain
+    * strings and nested lists) rewrite recursively. */
+  def rewriteBracketLists(sql: String): String = {
+    if (sql.indexOf('[') < 0) return sql
+    val sb = new StringBuilder
     var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (inStr) { out += c; if (c == '\'') inStr = false }
-      else if (c == '\'') { out.append(f(seg.toString)); seg.clear(); out += c; inStr = true }
-      else seg += c
-      i += 1
+    var inStr = false
+    def subscriptPrefix: Boolean = sb.nonEmpty && {
+      val p = sb.charAt(sb.length - 1)
+      p.isLetterOrDigit || p == '_' || p == ')' || p == ']' || p == '\'' || p == '"' || p == '`'
     }
-    out.append(f(seg.toString))
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) { sb += c; if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { sb += c; inStr = true; i += 1 }
+      else if (c == '[' && !subscriptPrefix) {
+        var depth = 1; var j = i + 1; var s2 = false
+        while (j < sql.length && depth > 0) {
+          val cj = sql.charAt(j)
+          if (s2) { if (cj == '\'') s2 = false }
+          else cj match {
+            case '\'' => s2 = true
+            case '[' => depth += 1
+            case ']' => depth -= 1
+            case _ =>
+          }
+          j += 1
+        }
+        if (depth == 0) {
+          sb.append("array(").append(rewriteBracketLists(sql.substring(i + 1, j - 1))).append(")")
+          i = j
+        } else { sb += c; i += 1 } // unbalanced: pass through
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  /** `struct_pack(a := 1, …)` → `struct_pack('a', 1, …)` (resolves via
+    * the named_struct alias). The `:=` substitution is scoped to
+    * struct_pack call spans — other functions' named args pass through. */
+  def rewriteStructPackArgs(sql: String): String = {
+    if (!sql.toLowerCase.contains("struct_pack")) return sql
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      structPackRe.findFirstMatchIn(sql.substring(i)) match {
+        case None => out.append(sql.substring(i)); i = sql.length
+        case Some(m) =>
+          val open = i + m.end // index just past '('
+          out.append(sql.substring(i, open))
+          var depth = 1; var j = open; var inS = false
+          while (j < sql.length && depth > 0) {
+            val c = sql.charAt(j)
+            if (inS) { if (c == '\'') inS = false }
+            else c match {
+              case '\'' => inS = true
+              case '(' => depth += 1
+              case ')' => depth -= 1
+              case _ =>
+            }
+            j += 1
+          }
+          if (depth != 0) { out.append(sql.substring(open)); i = sql.length }
+          else {
+            val span = sql.substring(open, j - 1)
+            // := → quoted-name form, outside string literals only
+            val replaced = span.split("'", -1).zipWithIndex.map { case (p, idx) =>
+              if (idx % 2 == 0) p.replaceAll("(\\w+)\\s*:=\\s*", "'$1', ") else p
+            }.mkString("'")
+            out.append(replaced).append(')')
+            i = j
+          }
+      }
+    }
     out.toString
   }
   private val orderedAggRe =

@@ -12,13 +12,17 @@ class DialectFunctionsSpec extends SparkSpecBase {
   private def one(sql: String): Any =
     spark.sql(engine.rewrite(sql)).head().get(0)
 
-  test("bracket list literals (incl. nested) rewrite outside strings") {
+  test("bracket list literals (incl. nested and string-valued) rewrite outside strings") {
     assert(one("select [1,2,3]") == Seq(1, 2, 3))
     assert(one("select [[1],[2]]") == Seq(Seq(1), Seq(2)))
+    assert(one("select ['a','b']") == Seq("a", "b"))
+    assert(one("select ['a[x]', 'b']") == Seq("a[x]", "b")) // brackets inside strings survive
     assert(one("select 'a [not] literal'") == "a [not] literal")
     // subscript untouched by the rewrite (NB: Spark [] is 0-based —
     // DuckDB-style 1-based access is the element_at/list_extract path)
     assert(one("select ([10,20])[1]") == 20)
+    // quote-adjacent bracket stays a subscript, not a mangled array()
+    assert(engine.rewrite("select 'abc'[2]").contains("'abc'[2]"))
   }
 
   test("struct_pack named args and list_aggregate dispatch") {
@@ -27,14 +31,36 @@ class DialectFunctionsSpec extends SparkSpecBase {
     assert(one("select list_aggregate([1,2,3], 'max')") == 3)
     assert(one("select list_aggregate([1.0,2.0,3.0,4.0], 'avg')") == 2.5)
     intercept[Exception](one("select list_aggregate([1], 'nope')"))
+    // := substitution is SCOPED to struct_pack — other functions'
+    // named args pass through untouched
+    assert(engine.rewrite("select foo(recursive := true)").contains("recursive := true"))
+    // aggregate null semantics: nulls ignored; empty → NULL, not 0 /
+    // divide-by-zero (ANSI mode is on)
+    assert(one("select list_aggregate([1, NULL, 3], 'sum')") == 4.0)
+    assert(one("select list_aggregate(cast(array() as array<int>), 'sum')") == null)
+    assert(one("select list_aggregate(cast(array() as array<int>), 'avg')") == null)
   }
 
   test("date_diff unit-string and format fmt-string rewrites") {
     assert(one("select date_diff('day', date '2024-01-01', date '2024-01-11')") == 10L)
     assert(one("select datediff('month', date '2024-01-15', date '2024-04-16')") == 3L)
+    // DuckDB counts boundary crossings, not complete periods
+    assert(one("select date_diff('month', date '2024-01-31', date '2024-02-01')") == 1L)
+    assert(one("select date_diff('days', date '2024-01-01', date '2024-01-03')") == 2L)
     assert(one("select format('{} x {}', 1, 'two')") == "1 x two")
+    // positional/spec templates are left unrewritten (error > silent garbage)
+    assert(engine.rewrite("select format('{0}', x)").contains("format('{0}'"))
     assert(one("select list_slice([1,2,3,4], 2, 3)") == Seq(2, 3))
     assert(one("select date_add(date '2024-01-01', interval 3 day)").toString == "2024-01-04")
     assert(one("select date_add(date '2024-01-01', 3)").toString == "2024-01-04")
+  }
+
+  test("range is stop-exclusive, empty on wrong direction, 1-arg defaults start 0") {
+    assert(one("select range(1, 4)") == Seq(1, 2, 3))
+    assert(one("select range(5)") == Seq(0, 1, 2, 3, 4))
+    assert(one("select range(1, 1)") == Seq())
+    assert(one("select range(5, 1)") == Seq())
+    assert(one("select range(5, 1, -1)") == Seq(5, 4, 3, 2))
+    assert(one("select range(0, 10, 3)") == Seq(0, 3, 6, 9))
   }
 }
