@@ -111,6 +111,8 @@ object GraftFunctions {
       ("list_indexof", "array_position", id),
       ("list_min", "array_min", id),
       ("list_max", "array_max", id),
+      ("ord", "ascii", id),
+      ("to_hex", "hex", id),
       ("regexp_split_to_array", "split", id),
       ("string_split_regex", "split", id),
       ("unnest", "explode", id),

@@ -311,8 +311,14 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     // brackets pass through), struct_pack(a := 1) named args → the
     // quoted-name form (scoped to struct_pack calls only — DuckDB's
     // := is a universal named-arg syntax elsewhere)
+    // $$…$$ dollar-quoted strings → standard quoting FIRST, so the
+    // scanners below see their contents as string literals
+    s = dollarQuoteRe.replaceAllIn(s, m =>
+      Regex.quoteReplacement("'" + m.group(1).replace("'", "''") + "'"))
     s = rewriteBracketLists(s)
     s = rewriteStructPackArgs(s)
+    // DuckDB // integer division → div (outside string literals)
+    s = replaceOutsideStrings(s, "//", " div ")
     // DuckDB date_diff('day', a, b) counts UNIT BOUNDARY CROSSINGS —
     // route to a registered builder that truncates both sides to the
     // unit before timestampdiff (Spark's quoted-unit builtin both
@@ -1056,6 +1062,15 @@ object Engine {
   private val dateDiffRe = """(?i)\b(date_diff|datediff)\s*\(\s*'(\w+)'\s*,""".r
   private val formatFnRe = """(?i)\bformat\s*\(\s*'([^']*)'\s*,""".r
   private val structPackRe = """(?i)\bstruct_pack\s*\(""".r
+  private val dollarQuoteRe = """(?s)\$\$(.*?)\$\$""".r
+
+  /** Literal replacement outside single-quoted strings (even segments
+    * of a quote-split are non-string SQL text). */
+  private def replaceOutsideStrings(s: String, target: String, repl: String): String =
+    if (!s.contains(target)) s
+    else s.split("'", -1).zipWithIndex.map { case (p, i) =>
+      if (i % 2 == 0) p.replace(target, repl) else p
+    }.mkString("'")
 
   /** DuckDB `[1,2,3]` list literals → `array(1,2,3)`. A single
     * string-aware scan: brackets inside string literals pass through,

@@ -55,6 +55,14 @@ class DialectFunctionsSpec extends SparkSpecBase {
     assert(one("select date_add(date '2024-01-01', 3)").toString == "2024-01-04")
   }
 
+  test("dollar quoting, integer division, ord/to_hex") {
+    assert(one("select $$it's quoted$$") == "it's quoted")
+    assert(one("select 5 // 2") == 2)
+    assert(one("select 'a // b'") == "a // b")
+    assert(one("select ord('A')") == 65)
+    assert(one("select to_hex(255)") == "FF")
+  }
+
   test("range is stop-exclusive, empty on wrong direction, 1-arg defaults start 0") {
     assert(one("select range(1, 4)") == Seq(1, 2, 3))
     assert(one("select range(5)") == Seq(0, 1, 2, 3, 4))
