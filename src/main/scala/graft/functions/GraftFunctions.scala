@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Add, And, ArrayAggregate, ArrayFilter, ArrayJoin, ArrayMax, ArrayMin, Cast, DateAdd, Divide, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, If, IsNotNull, LambdaFunction, LessThan, LessThanOrEqual, Literal, Size, Slice, SortArray, Subtract, TimestampDiff, TruncTimestamp, UnresolvedNamedLambdaVariable}
-import org.apache.spark.sql.types.{CalendarIntervalType, DayTimeIntervalType, DoubleType, TimestampType, YearMonthIntervalType}
+import org.apache.spark.sql.types.{CalendarIntervalType, DayTimeIntervalType, DoubleType, NullType, TimestampType, YearMonthIntervalType}
 import org.apache.spark.sql.functions.udaf
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
@@ -164,17 +164,25 @@ object GraftFunctions {
     // all-null list sums/averages to NULL, not 0 / divide-by-zero
     def nonNull = ArrayFilter(list, lam1(IsNotNull))
     def countExpr = Size(nonNull)
-    def nullD = Literal.create(null, DoubleType)
-    def sumExpr = If(EqualTo(countExpr, Literal(0)), nullD,
-      ArrayAggregate(nonNull, Literal(0.0d), lam2(Add(_, _)), lam1(identity)))
+    // result type dispatches on the ELEMENT type (integral → bigint,
+    // float/double → double, decimal(p,s) → decimal(38,s)), matching
+    // DuckDB's list_sum; an ArrayAggregate seed cannot express this
+    // (one static accumulator type — decimal addition widens precision
+    // every step and fails to type-check). Nulls skipped, empty → NULL.
+    def sumExpr = ListSum(list)
     litString(es(1), "list_aggregate").toLowerCase match {
       case "sum" => sumExpr
       case "min" => ArrayMin(list)
       case "max" => ArrayMax(list)
       case "count" => countExpr
       case "avg" | "mean" =>
-        Divide(sumExpr, If(EqualTo(countExpr, Literal(0)), nullD, Cast(countExpr, DoubleType)))
-      case "string_agg" => ArrayJoin(list, Literal(UTF8String.fromString(","), StringType), None)
+        Divide(Cast(sumExpr, DoubleType),
+          If(EqualTo(countExpr, Literal(0)), Literal.create(null, DoubleType),
+            Cast(countExpr, DoubleType)))
+      case "string_agg" =>
+        val sep = if (es.length >= 3) es(2)
+                  else Literal(UTF8String.fromString(","), StringType)
+        ArrayJoin(list, sep, None)
       case other => throw new IllegalArgumentException(
         s"list_aggregate: unsupported aggregate '$other' (sum/min/max/count/avg/string_agg)")
     }

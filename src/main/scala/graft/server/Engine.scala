@@ -23,10 +23,13 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
 
   import Engine._
 
-  /** schema.table -> lock for copy-on-write writers. */
+  /** schema.table -> lock for copy-on-write writers. Keyed on the
+    * db-qualified name (same canonicalization as the constraints
+    * registry): `insert into t` and `insert into main.t` must take the
+    * SAME lock or the check+write atomicity is void. */
   private val tableLocks = new ConcurrentHashMap[String, ReentrantReadWriteLock]()
   private def lockFor(t: String) =
-    tableLocks.computeIfAbsent(t.toLowerCase, _ => new ReentrantReadWriteLock())
+    tableLocks.computeIfAbsent(qualify(t), _ => new ReentrantReadWriteLock())
 
   /** users: username -> SCRAM verifier (duckserver.users analog,
     * reference pg_server.go:95-97,116-130). */
@@ -292,13 +295,15 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * and a missing terminator would merge the next entry into the last
     * line and silently lose both at replay. */
   private def unlogView(view: String): Unit = dbPath.foreach { p =>
-    val f = new java.io.File(s"$p/views.sql")
-    if (f.exists()) {
-      val target = qualify(view)
-      val kept = scala.io.Source.fromFile(f).getLines().filterNot { l =>
-        createViewRe.findFirstMatchIn(l).exists(m => qualify(m.group(1)) == target)
-      }.toList
-      writeFile(f.getPath, if (kept.isEmpty) "" else kept.mkString("\n") + "\n")
+    journalLock.synchronized {
+      val f = new java.io.File(s"$p/views.sql")
+      if (f.exists()) {
+        val target = qualify(view)
+        val kept = scala.io.Source.fromFile(f).getLines().filterNot { l =>
+          createViewRe.findFirstMatchIn(l).exists(m => qualify(m.group(1)) == target)
+        }.toList
+        writeFile(f.getPath, if (kept.isEmpty) "" else kept.mkString("\n") + "\n")
+      }
     }
   }
 
@@ -311,10 +316,11 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     // brackets pass through), struct_pack(a := 1) named args → the
     // quoted-name form (scoped to struct_pack calls only — DuckDB's
     // := is a universal named-arg syntax elsewhere)
-    // $$…$$ dollar-quoted strings → standard quoting FIRST, so the
-    // scanners below see their contents as string literals
-    s = dollarQuoteRe.replaceAllIn(s, m =>
-      Regex.quoteReplacement("'" + m.group(1).replace("'", "''") + "'"))
+    // $$…$$ / $tag$…$tag$ dollar-quoted strings → standard quoting
+    // FIRST, so the scanners below see their contents as string
+    // literals (string-aware: a $$ inside an ordinary '…' literal is
+    // content, not an opener)
+    s = rewriteDollarQuotes(s)
     s = rewriteBracketLists(s)
     s = rewriteStructPackArgs(s)
     // DuckDB // integer division → div (outside string literals)
@@ -425,7 +431,11 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       val rawTable = srcTable + "_raw"
       spark.sql(s"DROP TABLE IF EXISTS $rawTable")
       spark.sql(s"DROP TABLE IF EXISTS $srcTable")
+      // source-order row id captured BEFORE staging: "first occurrence"
+      // under DO NOTHING must mean statement order, not whichever row a
+      // distributed dropDuplicates happens to keep
       src0.toDF(cols: _*).select(full.toIndexedSeq: _*)
+        .withColumn("__oc_rowid", org.apache.spark.sql.functions.monotonically_increasing_id())
         .createOrReplaceTempView(srcTable + "_v")
       spark.sql(s"CREATE TABLE $rawTable AS SELECT * FROM ${srcTable}_v")
       spark.catalog.dropTempView(srcTable + "_v")
@@ -434,8 +444,27 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         // dedupe only fully-non-null-key rows, keep every null-key row
         val raw = spark.table(rawTable)
         val keyNull = keys.map(k => col(k).isNull).reduce(_ || _)
-        raw.filter(!keyNull).dropDuplicates(keys)
-          .unionAll(raw.filter(keyNull))
+        val keyed = raw.filter(!keyNull)
+        val deduped = setClause match {
+          case Some(_) =>
+            // PostgreSQL/DuckDB raise rather than pick one SET image
+            // when the same key appears twice under DO UPDATE
+            if (keyed.groupBy(keys.map(col): _*)
+                .agg(org.apache.spark.sql.functions.count(lit(1)).as("__oc_n"))
+                .filter(col("__oc_n") > 1).limit(1).count() > 0)
+              throw new IllegalArgumentException(
+                "ON CONFLICT DO UPDATE command cannot affect row a second time")
+            keyed
+          case None =>
+            // DO NOTHING: the first source row inserts, later dup-key
+            // rows conflict with it and are skipped — keep the first
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(keys.map(col): _*).orderBy(col("__oc_rowid"))
+            keyed.withColumn("__oc_rn",
+                org.apache.spark.sql.functions.row_number().over(w))
+              .filter(col("__oc_rn") === 1).drop("__oc_rn")
+        }
+        deduped.unionAll(raw.filter(keyNull)).drop("__oc_rowid")
           .createOrReplaceTempView(srcTable + "_v")
         spark.sql(s"CREATE TABLE $srcTable AS SELECT * FROM ${srcTable}_v")
         spark.catalog.dropTempView(srcTable + "_v")
@@ -898,17 +927,34 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
   }
 
   /** Replayable view DDL log (views have no on-disk footprint in the
-    * warehouse, so their definitions are journaled and replayed). */
+    * warehouse, so their definitions are journaled and replayed).
+    * Append and the DROP-side read-filter-rewrite (unlogView) both hold
+    * journalLock, so concurrent CREATE/DROP VIEW cannot drop entries. */
   private[server] def logViewDdl(sql: String): Unit = dbPath.foreach { p =>
-    val f = new java.io.FileWriter(s"$p/views.sql", true)
-    try f.write(sql.replace("\n", " ") + "\n") finally f.close()
+    journalLock.synchronized {
+      val f = new java.io.FileWriter(s"$p/views.sql", true)
+      try f.write(sql.replace("\n", " ") + "\n") finally f.close()
+    }
   }
 
+  /** Serializes view-journal read-modify-write cycles. */
+  private val journalLock = new Object
+
+  /** Crash-safe replace: write <file>.tmp, then ATOMIC_MOVE over the
+    * target — a crash mid-write leaves the old file intact instead of a
+    * truncated journal that silently drops users/constraints on load. */
   private def writeFile(path: String, content: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val f = new java.io.File(path)
     f.getParentFile.mkdirs()
-    val w = new java.io.FileWriter(f)
+    val tmp = new java.io.File(path + ".tmp")
+    val w = new java.io.FileWriter(tmp)
     try w.write(content) finally w.close()
+    try Files.move(tmp.toPath, Paths.get(path),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+      Files.move(tmp.toPath, Paths.get(path), StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   def loadPersisted(): Unit = dbPath.foreach { p =>
@@ -1062,7 +1108,39 @@ object Engine {
   private val dateDiffRe = """(?i)\b(date_diff|datediff)\s*\(\s*'(\w+)'\s*,""".r
   private val formatFnRe = """(?i)\bformat\s*\(\s*'([^']*)'\s*,""".r
   private val structPackRe = """(?i)\bstruct_pack\s*\(""".r
-  private val dollarQuoteRe = """(?s)\$\$(.*?)\$\$""".r
+  private val dollarTagRe = """\$([A-Za-z_][A-Za-z0-9_]*)?\$""".r
+
+  /** PostgreSQL dollar-quoted strings — `$$…$$` and tagged
+    * `$tag$…$tag$` — → standard single-quoted literals. Left-to-right
+    * scan with the same in-string state machine as the bracket
+    * rewriter: a `$$` inside an ordinary `'…'` literal is content, not
+    * an opener. `$1`-style bind placeholders never match (a tag cannot
+    * start with a digit). An unterminated opener passes through. */
+  def rewriteDollarQuotes(sql: String): String = {
+    if (sql.indexOf('$') < 0) return sql
+    val sb = new StringBuilder
+    var i = 0
+    var inStr = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) { sb += c; if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { sb += c; inStr = true; i += 1 }
+      else if (c == '$') {
+        dollarTagRe.findPrefixMatchOf(sql.subSequence(i, sql.length)) match {
+          case Some(m) =>
+            val delim = m.matched
+            val end = sql.indexOf(delim, i + delim.length)
+            if (end >= 0) {
+              val body = sql.substring(i + delim.length, end)
+              sb.append('\'').append(body.replace("'", "''")).append('\'')
+              i = end + delim.length
+            } else { sb += c; i += 1 }
+          case None => sb += c; i += 1
+        }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
 
   /** Literal replacement outside single-quoted strings (even segments
     * of a quote-split are non-string SQL text). */

@@ -27,16 +27,27 @@ class DialectFunctionsSpec extends SparkSpecBase {
 
   test("struct_pack named args and list_aggregate dispatch") {
     assert(one("select struct_pack(a:=1).a") == 1)
-    assert(one("select list_aggregate([1,2,3], 'sum')") == 6.0)
+    // integral lists sum to an INTEGRAL value (DuckDB: 6, not 6.0) —
+    // the accumulator dispatches on the element type, so bigint lists
+    // are exact above 2^53
+    assert(one("select list_aggregate([1,2,3], 'sum')") == 6L)
+    assert(one("select list_sum([9007199254740993, 1])") == 9007199254740994L)
+    // decimal literals sum as DECIMAL(38,s) — exact, not a double
+    assert(one("select list_aggregate([1.5,2.0], 'sum')") == new java.math.BigDecimal("3.5"))
+    assert(one("select list_sum(array(cast(1.5 as double), cast(2.0 as double)))") == 3.5)
     assert(one("select list_aggregate([1,2,3], 'max')") == 3)
     assert(one("select list_aggregate([1.0,2.0,3.0,4.0], 'avg')") == 2.5)
+    assert(one("select list_aggregate([1,2], 'avg')") == 1.5)
     intercept[Exception](one("select list_aggregate([1], 'nope')"))
+    // string_agg takes an optional separator (default ',')
+    assert(one("select list_aggregate(['a','b','c'], 'string_agg')") == "a,b,c")
+    assert(one("select list_aggregate(['a','b','c'], 'string_agg', ' - ')") == "a - b - c")
     // := substitution is SCOPED to struct_pack — other functions'
     // named args pass through untouched
     assert(engine.rewrite("select foo(recursive := true)").contains("recursive := true"))
     // aggregate null semantics: nulls ignored; empty → NULL, not 0 /
     // divide-by-zero (ANSI mode is on)
-    assert(one("select list_aggregate([1, NULL, 3], 'sum')") == 4.0)
+    assert(one("select list_aggregate([1, NULL, 3], 'sum')") == 4L)
     assert(one("select list_aggregate(cast(array() as array<int>), 'sum')") == null)
     assert(one("select list_aggregate(cast(array() as array<int>), 'avg')") == null)
   }
@@ -61,6 +72,19 @@ class DialectFunctionsSpec extends SparkSpecBase {
     assert(one("select 'a // b'") == "a // b")
     assert(one("select ord('A')") == 65)
     assert(one("select to_hex(255)") == "FF")
+  }
+
+  test("dollar quoting is string-aware and supports tags") {
+    // $$ inside an ordinary '…' literal is content, not an opener
+    assert(one("select '$$a$$'") == "$$a$$")
+    // two literals each containing $$ must not swallow the SQL between
+    assert(one("select concat('$$', ' mid ', '$$')") == "$$ mid $$")
+    // tagged form, with a bare $$ inside the body
+    assert(one("select $tag$it's $$ inside$tag$") == "it's $$ inside")
+    // bind-placeholder shapes pass through (tag cannot start with a digit)
+    assert(Engine.rewriteDollarQuotes("select $1 + $2") == "select $1 + $2")
+    // unterminated opener passes through unchanged
+    assert(Engine.rewriteDollarQuotes("select $$oops") == "select $$oops")
   }
 
   test("range is stop-exclusive, empty on wrong direction, 1-arg defaults start 0") {

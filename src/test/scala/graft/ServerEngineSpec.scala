@@ -18,8 +18,25 @@ class ServerEngineSpec extends SparkSpecBase {
     new Engine(spark)
   }
 
+  /** Drop + clear any stale warehouse dir for `main.<table>`: the
+    * catalog is in-memory but the warehouse persists under target/, so
+    * a crashed previous run leaves an orphaned location that makes
+    * CREATE TABLE fail with LOCATION_ALREADY_EXISTS. */
+  private def fresh(table: String): Unit = {
+    engine.execute(s"drop table if exists main.$table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val dir = new java.io.File(s"$wh/main.db/$table")
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("NOT NULL UNIQUE records both attributes — duplicate rejected") {
-    engine.execute("drop table if exists main.c_nnu")
+    fresh("c_nnu")
     engine.execute("create table main.c_nnu (x INT NOT NULL UNIQUE, y STRING) using parquet")
     engine.execute("insert into main.c_nnu values (1, 'a')")
     val dup = intercept[IllegalArgumentException] {
@@ -34,7 +51,7 @@ class ServerEngineSpec extends SparkSpecBase {
   }
 
   test("concurrent same-key PK inserts admit exactly one (TOCTOU closed)") {
-    engine.execute("drop table if exists main.c_race")
+    fresh("c_race")
     engine.execute("create table main.c_race (id INT PRIMARY KEY, v STRING) using parquet")
     val pool = Executors.newFixedThreadPool(2)
     val start = new CountDownLatch(1)
@@ -53,6 +70,38 @@ class ServerEngineSpec extends SparkSpecBase {
     assert(outcomes.count(identity) == 1, s"expected exactly one insert to win, got $outcomes")
     assert(spark.table("main.c_race").count() == 1)
     engine.execute("drop table main.c_race")
+  }
+
+  test("qualified and bare table names serialize on the same lock") {
+    fresh("c_qrace")
+    engine.execute("create table main.c_qrace (id INT PRIMARY KEY, v STRING) using parquet")
+    // bare-name resolution (and the engine's qualify()) follow the
+    // session's current schema — enter main the way a client would
+    val prevDb = spark.catalog.currentDatabase
+    spark.catalog.setCurrentDatabase("main")
+    try {
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    // one writer uses 'c_qrace', the other 'main.c_qrace' — the lock
+    // keys on the qualified name, so this is the same race as above
+    val stmts = Seq("insert into c_qrace values (7, 'bare')",
+                    "insert into main.c_qrace values (7, 'qual')")
+    val results = stmts.map { s =>
+      pool.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean = {
+          start.await()
+          try { engine.execute(s); true }
+          catch { case _: IllegalArgumentException => false }
+        }
+      })
+    }
+    start.countDown()
+    val outcomes = results.map(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(outcomes.count(identity) == 1, s"expected exactly one insert to win, got $outcomes")
+    assert(spark.table("main.c_qrace").count() == 1)
+    engine.execute("drop table main.c_qrace")
+    } finally spark.catalog.setCurrentDatabase(prevDb)
   }
 
   test("COPY TO/FROM file refused when file I/O is disabled") {
@@ -94,7 +143,7 @@ class ServerEngineSpec extends SparkSpecBase {
   }
 
   test("INSERT ON CONFLICT: DO UPDATE merges, DO NOTHING skips, null keys insert") {
-    engine.execute("drop table if exists main.oc_t")
+    fresh("oc_t")
     engine.execute("create table main.oc_t (k INT PRIMARY KEY, v STRING) using parquet")
     engine.execute("insert into main.oc_t values (1,'a'),(2,'b')")
     val up = engine.execute(
@@ -109,7 +158,7 @@ class ServerEngineSpec extends SparkSpecBase {
   }
 
   test("ON CONFLICT with a multi-column conflict target") {
-    engine.execute("drop table if exists main.oc_mc")
+    fresh("oc_mc")
     engine.execute("create table main.oc_mc (a INT, b INT, v STRING, PRIMARY KEY (a, b)) using parquet")
     engine.execute("insert into main.oc_mc values (1, 1, 'x'), (1, 2, 'y')")
     engine.execute(
@@ -125,7 +174,7 @@ class ServerEngineSpec extends SparkSpecBase {
   }
 
   test("ON CONFLICT DO UPDATE rejects the unsupported WHERE clause clearly") {
-    engine.execute("drop table if exists main.oc_w")
+    fresh("oc_w")
     engine.execute("create table main.oc_w (k INT PRIMARY KEY, v STRING) using parquet")
     engine.execute("insert into main.oc_w values (1,'a')")
     val e = intercept[IllegalArgumentException] {
@@ -137,7 +186,7 @@ class ServerEngineSpec extends SparkSpecBase {
   }
 
   test("ON CONFLICT edge semantics: null keys, counts, constraint checks") {
-    engine.execute("drop table if exists main.oc_edge")
+    fresh("oc_edge")
     engine.execute(
       "create table main.oc_edge (k INT, u INT UNIQUE, v STRING NOT NULL) using parquet")
     engine.execute("insert into main.oc_edge values (1, 10, 'a')")
@@ -161,6 +210,25 @@ class ServerEngineSpec extends SparkSpecBase {
     engine.execute("insert into main.oc_edge values (7, NULL, 'n1'), (8, NULL, 'n2')")
     assert(spark.table("main.oc_edge").count() == 6)
     engine.execute("drop table main.oc_edge")
+  }
+
+  test("ON CONFLICT duplicate source keys: DO UPDATE raises, DO NOTHING keeps the first") {
+    fresh("oc_dup")
+    engine.execute("create table main.oc_dup (k INT PRIMARY KEY, v STRING) using parquet")
+    engine.execute("insert into main.oc_dup values (1,'a')")
+    // PostgreSQL/DuckDB: 'ON CONFLICT DO UPDATE command cannot affect
+    // row a second time' — never a nondeterministic pick of SET images
+    val e = intercept[IllegalArgumentException] {
+      engine.execute(
+        "insert into main.oc_dup values (1,'x'),(1,'y') on conflict (k) do update set v = excluded.v")
+    }
+    assert(e.getMessage.contains("second time"), e.getMessage)
+    assert(spark.table("main.oc_dup").count() == 1) // nothing written
+    // DO NOTHING: the FIRST source occurrence inserts, statement order
+    engine.execute(
+      "insert into main.oc_dup values (2,'first'),(2,'second'),(2,'third') on conflict (k) do nothing")
+    assert(spark.table("main.oc_dup").filter("k = 2").head().getString(1) == "first")
+    engine.execute("drop table main.oc_dup")
   }
 
   test("SEMI/ANTI keyword rewrite leaves LEFT-prefixed forms alone") {
@@ -187,7 +255,7 @@ class ServerEngineSpec extends SparkSpecBase {
   }
 
   test("DROP TABLE clears the constraint registry (re-create inherits nothing)") {
-    engine.execute("drop table if exists main.c_redo")
+    fresh("c_redo")
     engine.execute("create table main.c_redo (k INT PRIMARY KEY, v STRING) using parquet")
     engine.execute("insert into main.c_redo values (1,'a')")
     engine.execute("drop table main.c_redo")
@@ -205,7 +273,7 @@ class ServerEngineSpec extends SparkSpecBase {
   }
 
   test("8-thread mixed insert/update storm keeps constrained-table invariants") {
-    engine.execute("drop table if exists main.c_storm")
+    fresh("c_storm")
     engine.execute("create table main.c_storm (id INT PRIMARY KEY, v STRING) using parquet")
     val pool = Executors.newFixedThreadPool(8)
     val start = new CountDownLatch(1)
