@@ -32,7 +32,12 @@ object Bench {
     // absorb one-time session/codegen/scheduler warmup outside the
     // per-query timings (DuckDB-side timings have no such fixed cost)
     spark.range(1000).selectExpr("sum(id)").collect()
-    val corpus = SparkEntry.queries.filterNot(_._1.startsWith("q_dml"))
+    val corpus0 = SparkEntry.queries.filterNot(_._1.startsWith("q_dml"))
+    // iteration aid: SPARK_GRAFT_ONLY=<regex> restricts the corpus
+    val corpus = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(re) => corpus0.filter(kv => kv._1.matches(re))
+      case None => corpus0
+    }
 
     if (!sys.env.contains("SPARK_GRAFT_COLD")) {
       val warmDir = {

@@ -34,12 +34,21 @@ object AggQueries {
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY g1, g2, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
-      t.lineitem
-        .rollup(col("l_returnflag"), col("l_linestatus"))
+      // two-level aggregation: Spark's ROLLUP physically Expands the
+      // INPUT once per grouping combo (3× the fact table here — at
+      // 100 TB that is 3 extra scans' worth of shuffle). Aggregate at
+      // the finest grain first (6 rows), then rollup the tiny
+      // intermediate re-aggregating the partials (sum of counts,
+      // sum of sums — both decompose losslessly).
+      val base = t.lineitem
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("pn"),
+          sum(col("l_quantity").cast(DecimalType(18, 6))).as("pq"))
+      base.rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(grouping(col("l_returnflag")).cast("long").as("g1"),
           grouping(col("l_linestatus")).cast("long").as("g2"),
-          count(lit(1)).as("n"),
-          sum(col("l_quantity").cast(DecimalType(18, 6))).cast("double").as("qty"))
+          sum(col("pn")).as("n"),
+          sum(col("pq")).cast("double").as("qty"))
         .orderBy(col("g1"), col("g2"),
           col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
@@ -53,12 +62,17 @@ object AggQueries {
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY g1, g2, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
-      t.orders
-        .cube(col("o_orderstatus"), col("o_orderpriority"))
+      // same two-level shape as q_agg_rollup: CUBE Expands 4× — do it
+      // over the 15-row finest-grain aggregate, not the fact table
+      val base = t.orders
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("pn"),
+          sum(col("o_totalprice").cast(DecimalType(18, 6))).as("pt"))
+      base.cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(grouping(col("o_orderstatus")).cast("long").as("g1"),
           grouping(col("o_orderpriority")).cast("long").as("g2"),
-          count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast(DecimalType(18, 6))).cast("double").as("total"))
+          sum(col("pn")).as("n"),
+          sum(col("pt")).cast("double").as("total"))
         .orderBy(col("g1"), col("g2"),
           col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     },
@@ -72,12 +86,18 @@ object AggQueries {
         |ORDER BY g1, l_returnflag NULLS FIRST, sk NULLS FIRST""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
       Tables(s, dir) // views registered
+      // two-level: finest grain (l_returnflag, l_suppkey%10) is ~30
+      // rows — GROUPING SETS expands THAT, not the fact table
       s.sql(
-        """SELECT l_returnflag, l_suppkey % 10 AS sk,
+        """WITH base AS (
+          |  SELECT l_returnflag, l_suppkey % 10 AS sk, count(*) AS pn
+          |  FROM lineitem GROUP BY l_returnflag, l_suppkey % 10
+          |)
+          |SELECT l_returnflag, sk,
           |  grouping(l_returnflag) AS g1,
-          |  count(*) AS n
-          |FROM lineitem
-          |GROUP BY GROUPING SETS ((l_returnflag), (l_suppkey % 10), ())
+          |  sum(pn) AS n
+          |FROM base
+          |GROUP BY GROUPING SETS ((l_returnflag), (sk), ())
           |ORDER BY g1, l_returnflag ASC NULLS FIRST, sk ASC NULLS FIRST""".stripMargin)
     },
 
@@ -179,43 +199,71 @@ object AggQueries {
       // for quantity), and the rank range [lo, hi] each value occupies
       // locates the bracketing ranks. Map-side partial aggregation does
       // the heavy lifting; nothing buffers a whole group.
-      def pct(valueExpr: Column, ps: Seq[(String, Double)]): DataFrame = {
-        val grp = t.lineitem.groupBy(col("l_returnflag"), valueExpr.as("v"))
-          .agg(count(lit(1)).as("c"))
-        val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wAll = Window.partitionBy(col("l_returnflag"))
-        val spans = grp
-          .withColumn("hi", sum(col("c")).over(wCum))
-          .withColumn("lo", col("hi") - col("c") + 1)
-          .withColumn("n", sum(col("c")).over(wAll))
-        val picks = ps.flatMap { case (name, p) =>
-          val pos = (col("n") - 1) * lit(p) // 0-based fractional rank
-          val rLo = floor(pos) + 1          // 1-based bracketing ranks
-          val rHi = ceil(pos) + 1
-          Seq(
-            max(when(col("lo") <= rLo && rLo <= col("hi"), col("v"))).as(s"${name}_lo"),
-            max(when(col("lo") <= rHi && rHi <= col("hi"), col("v"))).as(s"${name}_hi"))
-        }
-        val aggs = max(col("n")).as("n") +: picks
-        val agged = spans.groupBy(col("l_returnflag")).agg(aggs.head, aggs.tail: _*)
-        ps.foldLeft(agged) { case (d, (name, p)) =>
-          val pos = (col("n") - 1) * lit(p)
-          val frac = pos - floor(pos)
-          d.withColumn(name,
-            col(s"${name}_lo") + (col(s"${name}_hi") - col(s"${name}_lo")) * frac)
-        }.select(col("l_returnflag") +: ps.map(p => col(p._1)): _*)
-      }
-      val qty = pct(col("l_quantity").cast("double"),
-        Seq("med" -> 0.5, "p25" -> 0.25, "p75" -> 0.75))
-      val price = pct(col("l_extendedprice").cast("double"), Seq("p90" -> 0.9))
-      qty.join(price, "l_returnflag")
-        .select(col("l_returnflag"),
-          round(col("med"), 6).as("med"),
-          round(col("p25"), 6).as("p25"),
-          round(col("p75"), 6).as("p75"),
-          round(col("p90"), 4).as("p90_price"))
-        .orderBy(col("l_returnflag"))
+      // Bucketed exact ranks — no per-group total sort anywhere. A
+      // rank+cumulative-histogram plan sorts every (group, value) row
+      // in a window with one task per group: the exact per-group-sort
+      // bottleneck that kills near-unique value columns (price) at any
+      // scale. Instead:
+      //   1. per (group, column): n / min / max           (scan 1)
+      //   2. fixed-width bucket counts, B=4096            (scan 2)
+      //   3. tiny cumulative over ≤B buckets locates the bucket holding
+      //      each bracketing rank of each p, and the rank's offset k
+      //      within it
+      //   4. only rows of TARGET buckets (~n/B each) get a row_number —
+      //      every window partition is one bucket, never one group
+      //                                                   (scan 3)
+      // Three parallel scans replace one serialized sort; at larger n,
+      // B scales (or recurses) to keep step 4's partitions bounded.
+      import s.implicits._
+      val g = col("l_returnflag")
+      val B = 4096
+      val stacked = t.lineitem.select(g,
+          explode(array(
+            struct(lit("qty").as("which"), col("l_quantity").cast("double").as("v")),
+            struct(lit("price").as("which"), col("l_extendedprice").cast("double").as("v"))
+          )).as("wv"))
+        .select(g, col("wv.which").as("which"), col("wv.v").as("v"))
+      val stats = stacked.groupBy(g, col("which"))
+        .agg(count(lit(1)).as("n"), min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      def bucketed = stacked.join(broadcast(stats), Seq("l_returnflag", "which"))
+        .withColumn("b", when(col("vmax") === col("vmin"), lit(0)).otherwise(
+          least(floor((col("v") - col("vmin")) / (col("vmax") - col("vmin")) * B).cast("int"),
+            lit(B - 1))))
+      val counts = bucketed.groupBy(g, col("which"), col("b")).agg(count(lit(1)).as("cnt"))
+      val wPrev = Window.partitionBy(g, col("which")).orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = counts.withColumn("below", coalesce(sum(col("cnt")).over(wPrev), lit(0L)))
+      // the 4 percentiles × 2 bracketing ranks, as an 8-row literal
+      val ps = Seq("med" -> 0.5, "p25" -> 0.25, "p75" -> 0.75, "p90" -> 0.9)
+      val psDf = ps.flatMap { case (name, p) =>
+        Seq((name, p, "lo"), (name, p, "hi")) }.toDF("pname", "p", "kind")
+      val pos = (col("n") - 1) * col("p") // 0-based fractional rank
+      val targets = cum.join(broadcast(stats), Seq("l_returnflag", "which"))
+        .crossJoin(broadcast(psDf))
+        .withColumn("r", when(col("kind") === "lo", floor(pos) + 1)
+          .otherwise(ceil(pos) + 1).cast("long")) // 1-based bracketing rank
+        .filter(col("r").between(col("below") + 1, col("below") + col("cnt")))
+        .select(g, col("which"), col("pname"), col("p"), col("kind"),
+          col("b"), (col("r") - col("below")).as("k"), col("n"))
+      // k-th smallest within each target's bucket (~n/B rows per window)
+      val wB = Window.partitionBy(g, col("which"), col("pname"), col("kind")).orderBy(col("v"))
+      val picked = bucketed.select(g, col("which"), col("b"), col("v"))
+        .join(broadcast(targets), Seq("l_returnflag", "which", "b"))
+        .withColumn("rn", row_number().over(wB))
+        .filter(col("rn") === col("k"))
+      val interp = picked.groupBy(g, col("which"), col("pname"))
+        .agg(max(when(col("kind") === "lo", col("v"))).as("vlo"),
+          max(when(col("kind") === "hi", col("v"))).as("vhi"),
+          max(col("n")).as("n"), max(col("p")).as("p"))
+        .withColumn("frac", (col("n") - 1) * col("p") - floor((col("n") - 1) * col("p")))
+        .withColumn("pv", col("vlo") + (col("vhi") - col("vlo")) * col("frac"))
+      interp.groupBy(g)
+        .agg(
+          round(max(when(col("which") === "qty" && col("pname") === "med", col("pv"))), 6).as("med"),
+          round(max(when(col("which") === "qty" && col("pname") === "p25", col("pv"))), 6).as("p25"),
+          round(max(when(col("which") === "qty" && col("pname") === "p75", col("pv"))), 6).as("p75"),
+          round(max(when(col("which") === "price" && col("pname") === "p90", col("pv"))), 4).as("p90_price"))
+        .orderBy(g)
     },
 
     q("q_agg_bitbool",

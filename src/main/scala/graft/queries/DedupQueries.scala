@@ -110,11 +110,13 @@ object DedupQueries {
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
         |sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS sh
         |       FROM w, UNNEST(generate_series(1, len(words)-2)) AS t(i)),
+        |vs AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS v FROM sh),
         |seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
-        |sigs AS (SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS mh
-        |         FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+        |sigs AS (SELECT doc_id, seed,
+        |           min((v * (1000003 + 999983 * seed) + seed) % 4294967291) AS mh
+        |         FROM vs CROSS JOIN seeds GROUP BY doc_id, seed),
         |bands AS (SELECT doc_id, seed // 2 AS band,
-        |            string_agg(mh, ',' ORDER BY seed) AS bkey
+        |            string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bkey
         |          FROM sigs GROUP BY doc_id, seed // 2),
         |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
         |          FROM bands a JOIN bands b
@@ -126,6 +128,11 @@ object DedupQueries {
       // aggregate pass — conditional-min per seed — instead of an 8×
       // explode through two shuffles. Plan: scan → groupBy(doc) →
       // tiny 4-way band explode → equi-join. 2 shuffles total.
+      // md5 runs ONCE per shingle; the 8 per-seed hashes are a
+      // Carter-Wegman universal family (a·v + b) mod p over its first
+      // 32 bits (p = largest 32-bit prime) — 8× fewer digest calls
+      // than hashing "seed:shingle" per seed, same independence, and
+      // integer arithmetic both engines evaluate bit-identically.
       val w = t.documents.select(col("doc_id"), split(col("text"), " ").as("words"))
       val sh = w.select(col("doc_id"),
           explode(sequence(lit(1), size(col("words")) - 2)).as("i"), col("words"))
@@ -133,12 +140,16 @@ object DedupQueries {
           element_at(col("words"), col("i")),
           element_at(col("words"), col("i") + 1),
           element_at(col("words"), col("i") + 2)).as("sh"))
+      val vs = sh.select(col("doc_id"),
+        conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long").as("v"))
       val mins = (0 to 7).map(seed =>
-        min(md5(concat(lit(s"$seed:"), col("sh")))).as(s"m$seed"))
-      val sigs = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+        min((col("v") * lit(1000003L + 999983L * seed) + lit(seed.toLong))
+          % lit(4294967291L)).as(s"m$seed"))
+      val sigs = vs.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
       val bandArr = array((0 to 3).map(b => struct(
         lit(b).as("band"),
-        concat(col(s"m${2 * b}"), lit(","), col(s"m${2 * b + 1}")).as("bkey"))): _*)
+        concat(col(s"m${2 * b}").cast("string"), lit(","),
+          col(s"m${2 * b + 1}").cast("string")).as("bkey"))): _*)
       val bands = sigs.select(col("doc_id"), explode(bandArr).as("bs"))
         .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
       val a = bands.select(col("doc_id").as("d1"), col("band"), col("bkey"))

@@ -73,10 +73,12 @@ object TextQueries {
         |), w AS (SELECT doc_id, string_split(text, ' ') AS words FROM exact_kept),
         |sh AS (SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS sh
         |       FROM w, UNNEST(generate_series(1, len(words)-2)) AS t(i)),
+        |vs AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS v FROM sh),
         |sigs AS (
         |  SELECT doc_id,
-        |    min(md5('0:' || sh)) || ',' || min(md5('1:' || sh)) AS bkey
-        |  FROM sh GROUP BY doc_id
+        |    CAST(min((v * 1000003) % 4294967291) AS VARCHAR) || ',' ||
+        |    CAST(min((v * 1999966 + 1) % 4294967291) AS VARCHAR) AS bkey
+        |  FROM vs GROUP BY doc_id
         |), near_dropped AS (
         |  SELECT DISTINCT b.doc_id
         |  FROM sigs a JOIN sigs b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
@@ -109,9 +111,14 @@ object TextQueries {
           element_at(col("words"), col("i")),
           element_at(col("words"), col("i") + 1),
           element_at(col("words"), col("i") + 2)).as("sh"))
-      val sigs = sh.groupBy(col("doc_id"))
-        .agg(concat(min(md5(concat(lit("0:"), col("sh")))), lit(","),
-          min(md5(concat(lit("1:"), col("sh"))))).as("bkey"))
+      // md5 once per shingle; two (a·v + b) mod p universal hashes over
+      // its first 32 bits form the 2-hash band (see q_dedup_minhash_lsh)
+      val vs = sh.select(col("doc_id"),
+        conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long").as("v"))
+      val sigs = vs.groupBy(col("doc_id"))
+        .agg(concat(
+          min((col("v") * lit(1000003L)) % lit(4294967291L)).cast("string"), lit(","),
+          min((col("v") * lit(1999966L) + lit(1L)) % lit(4294967291L)).cast("string")).as("bkey"))
       val nearDropped = sigs.as("a")
         .join(sigs.as("b"), col("a.bkey") === col("b.bkey")
           && col("a.doc_id") < col("b.doc_id"))
