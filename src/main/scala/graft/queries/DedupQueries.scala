@@ -34,17 +34,24 @@ import QueryDef.q
   */
 object DedupQueries {
 
-  /** doc_id + distinct 3-word shingles, one row per (doc, shingle). */
-  private[queries] def shingles(docs: DataFrame): DataFrame = {
+  /** Inverted-index rows (doc_id, shingle) with the shingle key hashed to a 52-bit
+    * BIGINT (first 13 hex digits of md5): set-overlap joins shuffle and
+    * compare 8-byte keys instead of 20-40-char strings. 52 bits keeps
+    * the collision expectation ~1e-5 even at 10^8 distinct shingles per
+    * partition-block, and hash-then-DISTINCT matches the oracle's
+    * order of operations exactly (a collision — both engines hash
+    * identically — collapses the same rows in both). */
+  private[queries] def hashedShingles(docs: DataFrame): DataFrame = {
     val w = docs.select(col("doc_id"), split(col("text"), " ").as("words"))
     w.select(col("doc_id"),
         explode(sequence(lit(1), size(col("words")) - 2)).as("i"),
         col("words"))
       .select(col("doc_id"),
-        concat_ws(" ",
+        conv(substring(md5(concat_ws(" ",
           element_at(col("words"), col("i")),
           element_at(col("words"), col("i") + 1),
-          element_at(col("words"), col("i") + 2)).as("sh"))
+          element_at(col("words"), col("i") + 2))), 1, 13), 16, 10)
+          .cast("long").as("sh"))
       .distinct()
   }
 
@@ -68,7 +75,8 @@ object DedupQueries {
 
     q("q_dedup_jaccard",
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS sh
+        |sh AS (SELECT DISTINCT doc_id,
+        |         ('0x' || substr(md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2]), 1, 13))::BIGINT AS sh
         |       FROM w, UNNEST(generate_series(1, len(words)-2)) AS t(i)),
         |rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 1000),
         |shr AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
@@ -83,7 +91,7 @@ object DedupQueries {
         |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
         |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
-      val sh = shingles(t.documents)
+      val sh = hashedShingles(t.documents)
       // document-frequency cap: a stop-phrase shingle shared by k docs
       // puts k rows on one join key → k² pairs. Dropping shingles with
       // df > 1000 bounds any key's fan-in (the pairs such shingles

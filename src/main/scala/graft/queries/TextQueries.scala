@@ -318,7 +318,8 @@ object TextQueries {
     // contract as the dedup suite.
     q("q_text_decontaminate",
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS sh
+        |sh AS (SELECT DISTINCT doc_id,
+        |         ('0x' || substr(md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2]), 1, 13))::BIGINT AS sh
         |       FROM w, UNNEST(generate_series(1, len(words)-2)) AS t(i)),
         |eval AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0),
         |hits AS (SELECT s.doc_id, count(*) AS n_overlap
@@ -328,7 +329,7 @@ object TextQueries {
         |SELECT doc_id, n_overlap FROM hits WHERE n_overlap >= 3
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
-      val sh = DedupQueries.shingles(t.documents)
+      val sh = DedupQueries.hashedShingles(t.documents)
       val eval = sh.filter(col("doc_id") % 20 === 0).select(col("sh")).distinct()
       sh.filter(col("doc_id") % 20 =!= 0)
         .join(eval, "sh")
