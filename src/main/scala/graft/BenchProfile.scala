@@ -8,8 +8,11 @@ object BenchProfile {
     val spark = graft.engine.GraftSession.local()
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     spark.range(1000).selectExpr("sum(id)").collect()
-    val names = Seq("q_limit_offset", "q_fn_math", "q_join_inner_agg", "q_agg_distinct",
-      "q_scan_filter_project", "q_win_leadlag")
+    val names = sys.env.get("SPARK_GRAFT_PROFILE") match {
+      case Some(list) => list.split(",").toSeq
+      case None => Seq("q_limit_offset", "q_fn_math", "q_join_inner_agg", "q_agg_distinct",
+        "q_scan_filter_project", "q_win_leadlag")
+    }
     names.foreach { n =>
       val d = SparkEntry.defs.find(_.name == n).get
       (1 to 3).foreach { rep =>

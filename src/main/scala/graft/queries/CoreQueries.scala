@@ -27,7 +27,10 @@ object CoreQueries {
   /** Exact-decimal view of a double column: aggregation over DECIMAL is
     * associative-exact, so Spark partial-agg order vs DuckDB morsel
     * order cannot produce differing results (SURVEY §7.3 alignment). */
-  private def dec(c: Column, p: Int = 18, s: Int = 6): Column = c.cast(DecimalType(p, s))
+  // double → DECIMAL(18,6) via the unscaled-long fast path (no
+  // BigDecimal per row); see graft.functions.DoubleToDec6
+  private def dec(c: Column): Column =
+    graft.functions.DoubleToDec6.dec6(c.cast("double"))
 
   val all: Seq[QueryDef] = Seq(
 
@@ -237,7 +240,8 @@ object CoreQueries {
         |ORDER BY key""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
       val a = t.customer.filter(col("c_custkey") <= 100)
-        .select(col("c_custkey").as("k"), dec(col("c_acctbal"), 18, 2).cast("double").as("bal"))
+        .select(col("c_custkey").as("k"),
+          col("c_acctbal").cast(DecimalType(18, 2)).cast("double").as("bal"))
       val b = t.orders.filter(col("o_custkey").between(50, 150))
         .groupBy(col("o_custkey").as("k2")).agg(count(lit(1)).as("n"))
       a.join(b, col("k") === col("k2"), "full")

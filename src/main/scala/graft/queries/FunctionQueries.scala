@@ -127,10 +127,17 @@ object FunctionQueries {
         |  greatest(l_discount, l_tax) AS gr
         |FROM lineitem
         |WHERE l_orderkey <= 300
-        |ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 500""".stripMargin) { (s, dir) =>
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount, l_tax, l_extendedprice
+        |LIMIT 500""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
       t.lineitem
         .filter(col("l_orderkey") <= 300)
+        // (l_orderkey, l_linenumber, l_quantity) is NOT unique in the
+        // synthetic data — order by the full source tuple so the LIMIT
+        // cut picks the same row set in both engines
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_discount"), col("l_tax"), col("l_extendedprice"))
+        .limit(500)
         .select(
           col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           abs(col("l_quantity") - 25).as("ab"),
@@ -145,7 +152,6 @@ object FunctionQueries {
           (col("l_quantity").cast("bigint") % 7).as("md"),
           signum(col("l_quantity") - 25).cast("bigint").as("sg"),
           greatest(col("l_discount"), col("l_tax")).as("gr"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity")).limit(500)
     },
 
     q("q_fn_list",

@@ -102,4 +102,20 @@ class AliasSpec extends SparkSpecBase {
     assert(r.getInt(4) == 0)
     assert(r.getString(5) == "utc")
   }
+
+  test("DoubleToDec6 fast path is bit-identical to CAST(v AS DECIMAL(18,6))") {
+    import graft.functions.DoubleToDec6
+    def oracle(v: Double) =
+      java.math.BigDecimal.valueOf(v).setScale(6, java.math.RoundingMode.HALF_UP)
+    // adversarial fixed points: rounding boundaries, negatives, big mags
+    for (v <- Seq(0.0, 1.0, -1.0, 0.0000005, -0.0000005, 2.5e-6, 123.4567895,
+                  -123.4567895, 99999999999.999999, 1.0/3.0, -1.0/3.0, 9876.54 * 0.95 * 1.08))
+      assert(DoubleToDec6.toDec(v).toJavaBigDecimal == oracle(v), s"v=$v")
+    val gen = Gen.chooseNum(-9.9e11, 9.9e11).map(_.asInstanceOf[Double])
+    val prop = Prop.forAll(gen) { v =>
+      DoubleToDec6.toDec(v).toJavaBigDecimal == oracle(v)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(5000), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
