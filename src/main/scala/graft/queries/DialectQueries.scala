@@ -114,6 +114,7 @@ object DialectQueries {
         |INSERT INTO graft_oc_d SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) FROM orders WHERE o_orderkey <= 800;
         |INSERT INTO graft_oc_d SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) * 2 FROM orders WHERE o_orderkey BETWEEN 400 AND 1600 ON CONFLICT (k) DO UPDATE SET total = excluded.total + 1;
         |INSERT INTO graft_oc_d SELECT o_orderkey, o_custkey, CAST(-1 AS DOUBLE) FROM orders WHERE o_orderkey <= 2500 ON CONFLICT DO NOTHING;
+        |INSERT INTO graft_oc_d SELECT o_orderkey, o_custkey, CAST(0 AS DOUBLE) FROM orders WHERE o_orderkey <= 1200 ON CONFLICT (k) DO UPDATE SET total = graft_oc_d.total + 10 WHERE graft_oc_d.total > 500;
         |SELECT k, cust, round(total, 2) AS total FROM graft_oc_d ORDER BY k""".stripMargin) { (s, dir) =>
       val engine = new graft.server.Engine(s)
       s.read.parquet(s"$dir/orders.parquet").createOrReplaceTempView("__oc_orders")
@@ -131,6 +132,7 @@ object DialectQueries {
       engine.execute("insert into graft_oc select o_orderkey, o_custkey, cast(o_totalprice as double) from __oc_orders where o_orderkey <= 800")
       engine.execute("insert into graft_oc select o_orderkey, o_custkey, cast(o_totalprice as double) * 2 from __oc_orders where o_orderkey between 400 and 1600 on conflict (k) do update set total = excluded.total + 1")
       engine.execute("insert into graft_oc select o_orderkey, o_custkey, cast(-1 as double) from __oc_orders where o_orderkey <= 2500 on conflict do nothing")
+      engine.execute("insert into graft_oc select o_orderkey, o_custkey, cast(0 as double) from __oc_orders where o_orderkey <= 1200 on conflict (k) do update set total = graft_oc.total + 10 where graft_oc.total > 500")
       s.sql("select k, cust, round(total, 2) as total from graft_oc order by k")
     }
   )

@@ -480,9 +480,11 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
             val fresh = staged.join(target.select(keys.map(col): _*), keys, "left_anti")
             stageAndAppend(table, fresh, check = df => enforceConstraints(table, df))
           case Some(sets0) =>
-            if (hasTopLevelWhere(sets0))
-              throw new IllegalArgumentException(
-                "ON CONFLICT … DO UPDATE … WHERE is not supported (unconditional DO UPDATE only)")
+            // `SET … WHERE cond` (PostgreSQL/DuckDB): cond sees the
+            // existing row (table alias) and excluded.*; a conflicting
+            // pair failing cond keeps the existing row unchanged, and
+            // the source row is neither inserted nor counted.
+            val (setsPart, whereOpt) = splitTopLevelWhere(sets0)
             // NOT NULL still applies to the incoming rows (non-target
             // unique constraints under DO UPDATE are a documented
             // divergence — validating the merged image needs a second
@@ -491,17 +493,33 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
               enforceNotNull((c.notNull ++ c.pk).distinct, staged))
             // DO UPDATE: new table image = existing rows (updated where
             // a source row matches) + non-matching source rows
-            val sets = splitTopLevel(sets0, ',').map { a =>
+            val sets = splitTopLevel(setsPart, ',').map { a =>
               val Array(c, e) = a.split("=", 2).map(_.trim)
               c.toLowerCase -> e
             }.toMap
+            val upd = whereOpt match {
+              case Some(w) => s"excluded.`${keys.head}` IS NOT NULL AND ($w)"
+              case None => s"excluded.`${keys.head}` IS NOT NULL"
+            }
             val proj = target.schema.fieldNames.map { c =>
               sets.get(c.toLowerCase) match {
-                case Some(e) => s"CASE WHEN excluded.`${keys.head}` IS NOT NULL THEN ($e) ELSE $tAlias.`$c` END AS `$c`"
+                case Some(e) => s"CASE WHEN $upd THEN ($e) ELSE $tAlias.`$c` END AS `$c`"
                 case None => s"$tAlias.`$c` AS `$c`"
               }
             }.mkString(", ")
-            val cnt = staged.count()
+            val cnt = whereOpt match {
+              case None => staged.count()
+              case Some(w) =>
+                // affected = inserted (no conflict) + conflicts passing
+                // the WHERE; filtered conflicts drop out of the count
+                val matched = spark.sql(
+                  s"SELECT count(*) FROM $srcTable excluded JOIN $table $tAlias ON $on")
+                  .head().getLong(0)
+                val updated = spark.sql(
+                  s"SELECT count(*) FROM $srcTable excluded JOIN $table $tAlias ON $on WHERE ($w)")
+                  .head().getLong(0)
+                staged.count() - matched + updated
+            }
             stageAndSwap(table,
               s"""SELECT $proj FROM $table $tAlias LEFT JOIN $srcTable excluded ON $on
                  |UNION ALL
@@ -516,9 +534,10 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     } finally lock.unlock()
   }
 
-  /** A WHERE keyword at paren/quote depth 0 (subqueries inside SET
-    * expressions legitimately contain their own WHERE). */
-  private def hasTopLevelWhere(s: String): Boolean = {
+  /** Split `SET … [WHERE cond]` at the first WHERE keyword appearing at
+    * paren/quote depth 0 (subqueries inside SET expressions
+    * legitimately contain their own WHERE). */
+  private def splitTopLevelWhere(s: String): (String, Option[String]) = {
     val lower = s.toLowerCase
     var depth = 0; var inStr = false; var i = 0
     while (i < s.length) {
@@ -531,12 +550,12 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         case 'w' | 'W' if depth == 0 && lower.regionMatches(i, "where", 0, 5) &&
             (i == 0 || !lower.charAt(i - 1).isLetterOrDigit) &&
             (i + 5 >= s.length || !lower.charAt(i + 5).isLetterOrDigit) =>
-          return true
+          return (s.substring(0, i).trim, Some(s.substring(i + 5).trim))
         case _ =>
       }
       i += 1
     }
-    false
+    (s.trim, None)
   }
 
   /** Append a DataFrame whose plan may read the target table: stage the

@@ -173,15 +173,29 @@ class ServerEngineSpec extends SparkSpecBase {
     engine.execute("drop table main.oc_mc")
   }
 
-  test("ON CONFLICT DO UPDATE rejects the unsupported WHERE clause clearly") {
+  test("ON CONFLICT DO UPDATE WHERE updates only passing conflicts (DuckDB semantics)") {
     fresh("oc_w")
     engine.execute("create table main.oc_w (k INT PRIMARY KEY, v STRING) using parquet")
-    engine.execute("insert into main.oc_w values (1,'a')")
+    engine.execute("insert into main.oc_w values (1,'a'),(2,'b')")
+    // (1) conflicts and passes WHERE → updated; (2) conflicts but fails
+    // → row kept as-is AND excluded from the count; (3) inserts.
+    // DuckDB reports count 2 for this exact battery (updated+inserted).
+    val r = engine.execute(
+      "insert into main.oc_w values (1,'A'),(2,'B'),(3,'c') on conflict (k) do update set v = excluded.v where oc_w.v = 'a'")
+    assert(r.tag == "INSERT 0 2", r.tag)
+    val rows = spark.table("main.oc_w").collect()
+      .map(x => (x.getInt(0), x.getString(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq(1 -> "A", 2 -> "b", 3 -> "c"))
+    // a WHERE containing its own subquery-WHERE still splits correctly
+    engine.execute(
+      "insert into main.oc_w values (3,'z') on conflict (k) do update set v = (select max(v) from (select v from main.oc_w where v = 'A')) where oc_w.v = 'c'")
+    assert(spark.table("main.oc_w").filter("k = 3").head().getString(1) == "A")
+    // duplicate source keys raise even when the WHERE would filter them
     val e = intercept[IllegalArgumentException] {
       engine.execute(
-        "insert into main.oc_w values (1,'b') on conflict (k) do update set v = excluded.v where main.oc_w.v = 'a'")
+        "insert into main.oc_w values (1,'x'),(1,'y') on conflict (k) do update set v = excluded.v where false")
     }
-    assert(e.getMessage.contains("not supported"))
+    assert(e.getMessage.contains("second time"), e.getMessage)
     engine.execute("drop table main.oc_w")
   }
 
