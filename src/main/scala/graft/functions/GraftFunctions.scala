@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Add, And, ArrayAggregate, ArrayFilter, ArrayJoin, ArrayMax, ArrayMin, Cast, DateAdd, Divide, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, If, IsNotNull, LambdaFunction, LessThan, LessThanOrEqual, Literal, Size, Slice, SortArray, Subtract, TimestampDiff, TruncTimestamp, UnresolvedNamedLambdaVariable}
+import org.apache.spark.sql.catalyst.expressions.{Add, And, ArrayAggregate, ArrayFilter, ArrayJoin, ArrayMax, ArrayMin, Cast, DateAdd, Divide, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, If, IsNotNull, LambdaFunction, LessThan, LessThanOrEqual, Literal, Multiply, Not, Or, Size, Slice, SortArray, Subtract, TimestampDiff, TruncTimestamp, UnresolvedNamedLambdaVariable}
 import org.apache.spark.sql.types.{CalendarIntervalType, DayTimeIntervalType, DoubleType, NullType, TimestampType, YearMonthIntervalType}
 import org.apache.spark.sql.functions.udaf
 import org.apache.spark.sql.types.StringType
@@ -97,7 +97,6 @@ object GraftFunctions {
       ("list_contains", "array_contains", id),
       ("list_has", "array_contains", id),
       ("array_length", "size", id),
-      ("len", "length", id),
       ("list_concat", "concat", id),
       ("list_cat", "concat", id),
       ("list_distinct", "array_distinct", id),
@@ -110,6 +109,8 @@ object GraftFunctions {
       ("list_position", "array_position", id),
       ("list_indexof", "array_position", id),
       ("list_min", "array_min", id),
+      ("list_append", "array_append", id),
+      ("list_prepend", "array_prepend", es => Seq(es(1), es.head)),
       ("list_max", "array_max", id),
       ("ord", "ascii", id),
       ("to_hex", "hex", id),
@@ -270,6 +271,122 @@ object GraftFunctions {
     // builder-based builtins that bypass session-registry overrides —
     // those two are handled as text rewrites in Engine.rewrite instead.
     spark.udf.register("product", udaf(ProductAgg))
+
+    // -------- probed DuckDB scalar surface (see DialectExpressions) --------
+    def call(name: String)(args: Expression*): Expression =
+      reg.lookupFunctionBuilder(FunctionIdentifier(name)).get(args)
+    def str(s: String): Expression = Literal(UTF8String.fromString(s), StringType)
+    def lam(f: Expression => Expression): Expression = {
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      LambdaFunction(f(x), Seq(x))
+    }
+    def lamXY(f: (Expression, Expression) => Expression): Expression = {
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      val y = UnresolvedNamedLambdaVariable(Seq("y"))
+      LambdaFunction(f(x, y), Seq(x, y))
+    }
+    def chars(e: Expression) = call("split")(e, str(""))
+    // hamming: differing positions; NULL (not DuckDB's error) on
+    // length mismatch — a scalar cannot fail one row at scale
+    reg.createOrReplaceTempFunction("hamming", es => {
+      val diff = Cast(call("size")(ArrayFilter(
+        call("zip_with")(chars(es.head), chars(es(1)), lamXY((x, y) => Not(EqualTo(x, y)))),
+        lam(identity))), org.apache.spark.sql.types.LongType)
+      If(EqualTo(call("length")(es.head), call("length")(es(1))), diff,
+        Literal.create(null, org.apache.spark.sql.types.LongType))
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("mismatches",
+      es => call("hamming")(es: _*), "scala_udf")
+    // jaccard: similarity of the CHARACTER SETS (DuckDB semantics)
+    reg.createOrReplaceTempFunction("jaccard", es => {
+      val a = call("array_distinct")(chars(es.head))
+      val b = call("array_distinct")(chars(es(1)))
+      Divide(Cast(call("size")(call("array_intersect")(a, b)), DoubleType),
+        Cast(call("size")(call("array_union")(a, b)), DoubleType))
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("strip_accents", es => StripAccents(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("format_bytes", es => FormatBytes(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("formatreadablesize", es => FormatBytes(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("to_base",
+      es => call("conv")(es.head, Literal(10), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("gamma",
+      es => MathUnary("gamma", Cast(es.head, DoubleType)), "scala_udf")
+    reg.createOrReplaceTempFunction("lgamma",
+      es => MathUnary("lgamma", Cast(es.head, DoubleType)), "scala_udf")
+    reg.createOrReplaceTempFunction("gcd", es => GcdLcm("gcd", es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("lcm", es => GcdLcm("lcm", es.head, es(1)), "scala_udf")
+    // even: round away from zero to the next even integer
+    reg.createOrReplaceTempFunction("even", es => {
+      val x = Cast(es.head, DoubleType)
+      Multiply(call("signum")(x),
+        Cast(Multiply(call("ceil")(Divide(call("abs")(x), Literal(2.0d))), Literal(2L)), DoubleType))
+    }, "scala_udf")
+    // fdiv/fmod: floored division pair (fmod(-7,2)=1, like DuckDB)
+    reg.createOrReplaceTempFunction("fdiv", es => {
+      val (a, b) = (Cast(es.head, DoubleType), Cast(es(1), DoubleType))
+      Cast(call("floor")(Divide(a, b)), DoubleType)
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("fmod", es => {
+      val (a, b) = (Cast(es.head, DoubleType), Cast(es(1), DoubleType))
+      Subtract(a, Multiply(b, Cast(call("floor")(Divide(a, b)), DoubleType)))
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("isinf", es => {
+      val x = Cast(es.head, DoubleType)
+      Or(EqualTo(x, Literal(Double.PositiveInfinity)),
+        EqualTo(x, Literal(Double.NegativeInfinity)))
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("isfinite", es => {
+      val x = Cast(es.head, DoubleType)
+      And(Not(call("isnan")(x)),
+        And(Not(EqualTo(x, Literal(Double.PositiveInfinity))),
+          Not(EqualTo(x, Literal(Double.NegativeInfinity)))))
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("regexp_full_match", es => {
+      val anchored = call("concat")(str("^(?:"), es(1), str(")$"))
+      call("rlike")(es.head, anchored)
+    }, "scala_udf")
+    // 2-arg regexp_extract_all: DuckDB returns whole matches (group 0)
+    val nativeRegexpExtractAll =
+      reg.lookupFunctionBuilder(FunctionIdentifier("regexp_extract_all")).get
+    reg.createOrReplaceTempFunction("regexp_extract_all", es => {
+      val args = if (es.length == 2) es :+ Literal(0) else es
+      nativeRegexpExtractAll(args)
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("list_zip", es =>
+      call("zip_with")(es.head, es(1), lamXY((x, y) =>
+        call("named_struct")(str("list_1"), x, str("list_2"), y))), "scala_udf")
+    reg.createOrReplaceTempFunction("list_has_all", es =>
+      EqualTo(call("size")(call("array_except")(es(1), es.head)), Literal(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("list_has_any", es =>
+      call("arrays_overlap")(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("struct_extract", es =>
+      org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("len", es => LenOf(es.head), "scala_udf")
+    val nativeMap = reg.lookupFunctionBuilder(FunctionIdentifier("map")).get
+    reg.createOrReplaceTempFunction("map", {
+      case Seq(k, v) => MapDispatch(k, v)
+      case es => nativeMap(es)
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("age", { es =>
+      val args = if (es.length == 1)
+        Seq(Cast(call("current_date")(), TimestampType), Cast(es.head, TimestampType))
+      else Seq(Cast(es.head, TimestampType), Cast(es(1), TimestampType))
+      AgeInterval(args.head, args(1))
+    }, "scala_udf")
+    // time_bucket(width_interval_literal, ts): width decoded at build
+    reg.createOrReplaceTempFunction("time_bucket", { es =>
+      val (m, d, us) = es.head match {
+        case Literal(ci: org.apache.spark.unsafe.types.CalendarInterval, CalendarIntervalType) =>
+          (ci.months, ci.days, ci.microseconds)
+        case Literal(micros: Long, _: DayTimeIntervalType) =>
+          if (micros % 86400000000L == 0) (0, (micros / 86400000000L).toInt, 0L)
+          else (0, 0, micros)
+        case Literal(months: Int, _: YearMonthIntervalType) => (months, 0, 0L)
+        case other => throw new IllegalArgumentException(
+          s"time_bucket: width must be an INTERVAL literal, got $other")
+      }
+      TimeBucket(m, d, us, es(1))
+    }, "scala_udf")
 
     aliases.foreach { case (name, target, rewrite) =>
       reg.lookupFunctionBuilder(FunctionIdentifier(target)) match {

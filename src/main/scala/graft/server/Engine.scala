@@ -322,6 +322,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     // content, not an opener)
     s = rewriteDollarQuotes(s)
     s = rewriteBracketLists(s)
+    s = rewriteStructLiterals(s)
     s = rewriteStructPackArgs(s)
     // DuckDB // integer division → div (outside string literals)
     s = replaceOutsideStrings(s, "//", " div ")
@@ -1203,6 +1204,51 @@ object Engine {
         if (depth == 0) {
           sb.append("array(").append(rewriteBracketLists(sql.substring(i + 1, j - 1))).append(")")
           i = j
+        } else { sb += c; i += 1 } // unbalanced: pass through
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  /** DuckDB `{'key': expr, …}` struct literals → `named_struct('key',
+    * expr, …)`. Runs after the bracket rewrite, so list values are
+    * already `array(…)` and top-level commas are paren-protected.
+    * Nested struct literals rewrite recursively (innermost first). A
+    * brace span whose entries don't all look like `'key': value` passes
+    * through untouched. */
+  def rewriteStructLiterals(sql: String): String = {
+    if (sql.indexOf('{') < 0) return sql
+    val entryRe = """(?s)^\s*('(?:[^']|'')*')\s*:\s*(.+)$""".r
+    val sb = new StringBuilder
+    var i = 0
+    var inStr = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) { sb += c; if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { sb += c; inStr = true; i += 1 }
+      else if (c == '{') {
+        var depth = 1; var j = i + 1; var s2 = false
+        while (j < sql.length && depth > 0) {
+          val cj = sql.charAt(j)
+          if (s2) { if (cj == '\'') s2 = false }
+          else cj match {
+            case '\'' => s2 = true
+            case '{' => depth += 1
+            case '}' => depth -= 1
+            case _ =>
+          }
+          j += 1
+        }
+        if (depth == 0) {
+          val body = rewriteStructLiterals(sql.substring(i + 1, j - 1))
+          val entries = splitTopLevel(body, ',').map {
+            case entryRe(k, v) => Some(s"$k, ${v.trim}")
+            case _ => None
+          }
+          if (entries.nonEmpty && entries.forall(_.isDefined)) {
+            sb.append("named_struct(").append(entries.flatten.mkString(", ")).append(")")
+            i = j
+          } else { sb.append(sql.substring(i, j)); i = j } // not a struct literal
         } else { sb += c; i += 1 } // unbalanced: pass through
       } else { sb += c; i += 1 }
     }

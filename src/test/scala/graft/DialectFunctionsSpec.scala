@@ -95,4 +95,85 @@ class DialectFunctionsSpec extends SparkSpecBase {
     assert(one("select range(5, 1, -1)") == Seq(5, 4, 3, 2))
     assert(one("select range(0, 10, 3)") == Seq(0, 3, 6, 9))
   }
+
+  test("probed DuckDB scalar batch: strings") {
+    assert(one("select hamming('abc','abd')") == 1L)
+    assert(one("select hamming('ab','abc')") == null) // DuckDB errors; NULL here
+    assert(one("select jaccard('abc','abd')") == 0.5)
+    assert(one("select jaccard('aa','ab')") == 0.5) // character SETS
+    assert(one("select strip_accents('\u00e1\u00e9\u00ee caf\u00e9')") == "aei cafe")
+    assert(one("select format_bytes(1024)") == "1.0 KiB")
+    assert(one("select format_bytes(2040)") == "1.9 KiB") // truncated, not rounded
+    assert(one("select format_bytes(1)") == "1 byte")
+    assert(one("select format_bytes(999)") == "999 bytes")
+    assert(one("select format_bytes(1099511627776)") == "1.0 TiB")
+    assert(one("select to_base(255, 16)") == "FF")
+    assert(one("select to_base(7, 2)") == "111")
+    assert(one("select regexp_full_match('abc', 'a.c')") == true)
+    assert(one("select regexp_full_match('abcd', 'a.c')") == false)
+    assert(one("select regexp_extract_all('a1b22', '[0-9]+')") == Seq("1", "22"))
+  }
+
+  test("probed DuckDB scalar batch: math") {
+    assert(one("select even(2.5)") == 4.0)
+    assert(one("select even(-2.5)") == -4.0)
+    assert(one("select even(2.0)") == 2.0)
+    assert(one("select fdiv(7, 2)") == 3.0)
+    assert(one("select fdiv(-7, 2)") == -4.0)
+    assert(one("select fmod(7.5, 2)") == 1.5)
+    assert(one("select fmod(-7, 2)") == 1.0) // floored, like DuckDB
+    assert(one("select gcd(12, 18)") == 6L)
+    assert(one("select gcd(-12, 18)") == 6L)
+    assert(one("select gcd(0, 5)") == 5L)
+    assert(one("select lcm(4, 6)") == 12L)
+    assert(math.abs(one("select gamma(5.5)").asInstanceOf[Double] - 52.34277778455352) < 1e-10)
+    assert(math.abs(one("select lgamma(5.5)").asInstanceOf[Double] - 3.9578139676187165) < 1e-12)
+    assert(one("select isinf(cast('inf' as double))") == true)
+    assert(one("select isinf(1.0)") == false)
+    assert(one("select isfinite(1.0)") == true)
+    assert(one("select isfinite(cast('nan' as double))") == false)
+  }
+
+  test("probed DuckDB scalar batch: lists, structs, maps") {
+    assert(one("select len([1,2,3])") == 3L)
+    assert(one("select len('abc')") == 3)
+    assert(one("select list_has_all([1,2,3],[2,3])") == true)
+    assert(one("select list_has_all([1,2],[3])") == false)
+    assert(one("select list_has_any([1,2],[2,9])") == true)
+    assert(one("select list_has_any([1,2],[9])") == false)
+    assert(one("select list_append([1,2], 3)") == Seq(1, 2, 3))
+    assert(one("select list_prepend(0, [1,2])") == Seq(0, 1, 2))
+    // zip pads the shorter side with NULLs (DuckDB list_zip semantics)
+    val z = one("select to_json(list_zip([1,2,3],[4]))")
+    assert(z == """[{"list_1":1,"list_2":4},{"list_1":2},{"list_1":3}]""", z.toString)
+    assert(one("select struct_extract(struct_pack(a:=7), 'a')") == 7)
+    // DuckDB map(keys_list, values_list) builds from arrays; Spark's
+    // variadic map(k, v) still works
+    assert(one("select element_at(map(['a','b'],[1,2]), 'b')") == 2)
+    assert(one("select element_at(map('a', 1), 'a')") == 1)
+    assert(one("select cardinality(map(['a'],[1]))") == 1)
+  }
+
+  test("probed DuckDB scalar batch: datetime") {
+    assert(one("select cast(time_bucket(INTERVAL '15 minutes', TIMESTAMP '2024-03-05 10:37:11') as string)") == "2024-03-05 10:30:00")
+    assert(one("select cast(time_bucket(INTERVAL '1 day', TIMESTAMP '2024-03-05 10:37:11') as string)") == "2024-03-05 00:00:00")
+    // week buckets anchor at Monday 2000-01-03; DATE stays DATE
+    assert(one("select cast(time_bucket(INTERVAL '1 week', DATE '2024-03-05') as string)") == "2024-03-04")
+    assert(one("select cast(age(TIMESTAMP '2024-03-05 10:30:00', TIMESTAMP '2020-01-31 04:00:00') as string)") == "4 years 1 months 5 days 6 hours 30 minutes")
+  }
+
+  test("struct literals {'k': v} rewrite to named_struct, string-aware") {
+    assert(one("select {'k':'a','v':1}.k") == "a")
+    assert(one("select struct_extract({'a': 7}, 'a')") == 7)
+    // nested, and list values (brackets rewrite first)
+    assert(one("select {'outer': {'inner': 2}}.outer.inner") == 2)
+    assert(one("select {'xs': [1,2]}.xs") == Seq(1, 2))
+    // braces inside string literals pass through
+    assert(one("select '{not: struct}'") == "{not: struct}")
+    // non-struct brace spans (no 'key': shape) pass through
+    assert(Engine.rewriteStructLiterals("select '{}' ") == "select '{}' ")
+    assert(Engine.rewriteStructLiterals("a { b }") == "a { b }")
+    // map_from_entries over struct-literal entries (the probed gap)
+    assert(one("select element_at(map_from_entries([{'k':'a','v':1}]), 'a')") == 1)
+  }
 }
