@@ -194,6 +194,12 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         Seq("", s"== Runtime metrics (rows: $rows) ==") ++ metrics
       return ExecResult(lines.toDF("plan"), "SELECT")
     }
+    summarizeRe.findFirstMatchIn(sql).foreach { m =>
+      val target = m.group(1).trim
+      val q = if (target.matches("(?is)^(select|with|from|values)\\b.*")) target
+              else s"SELECT * FROM $target"
+      return summarize(q)
+    }
     describeQueryRe.findFirstMatchIn(sql).foreach { m =>
       val schema = spark.sql(rewrite(m.group(1))).schema
       import spark.implicits._
@@ -250,7 +256,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     val df = spark.sql(rewritten)
     val verb = sql.split("\\s+").head.toUpperCase
     verb match {
-      case "SELECT" | "WITH" | "VALUES" | "TABLE" | "SHOW" | "DESCRIBE" | "DESC" | "EXPLAIN" | "PIVOT" =>
+      case "SELECT" | "WITH" | "VALUES" | "TABLE" | "SHOW" | "DESCRIBE" | "DESC" | "EXPLAIN" | "PIVOT" | "FROM" =>
         ExecResult(df, "SELECT")
       case "INSERT" => runInsert(df)
       case _ =>
@@ -310,7 +316,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
   /** Dialect-level string rewrites (SURVEY §4.2-§4.3: read_* TVF
     * aliasing; the rest of the dialect layer lives in GraftFunctions). */
   def rewrite(sql: String): String = {
-    var s = sql
+    var s = Engine.rewriteLeadingFrom(sql)
     // DuckDB literal syntax: [1,2,3] list literals → array(1,2,3)
     // (string-aware scanner: brackets in string literals and subscript
     // brackets pass through), struct_pack(a := 1) named args → the
@@ -533,6 +539,57 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         spark.sql(s"DROP TABLE IF EXISTS $rawTable")
       }
     } finally lock.unlock()
+  }
+
+  /** DuckDB `SUMMARIZE <table|query>` — per-column profile with the
+    * same 12-column schema DuckDB emits (probed against 1.0.0). One
+    * distributed aggregation pass computes every column's stats; only
+    * the k-column summary is assembled on the driver. approx_unique and
+    * the quantiles are approximate in both engines. */
+  private def summarize(query: String): ExecResult = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val df = spark.sql(rewrite(query))
+    val fields = df.schema.fields
+    def nullStr = lit(null).cast("string")
+    val aggs = fields.toSeq.flatMap { f =>
+      val c = df.col(f.name)
+      val isNum = f.dataType.isInstanceOf[NumericType]
+      Seq(
+        min(c).cast("string"),
+        max(c).cast("string"),
+        approx_count_distinct(c),
+        if (isNum) avg(c).cast("string") else nullStr,
+        if (isNum) stddev_samp(c).cast("string") else nullStr,
+        if (isNum) percentile_approx(c, lit(0.25), lit(10000)).cast("string") else nullStr,
+        if (isNum) percentile_approx(c, lit(0.5), lit(10000)).cast("string") else nullStr,
+        if (isNum) percentile_approx(c, lit(0.75), lit(10000)).cast("string") else nullStr,
+        count(c))
+    } :+ count(lit(1))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val total = row.getLong(aggs.length - 1)
+    val out = fields.toSeq.zipWithIndex.map { case (f, i) =>
+      val b = i * 9
+      val nonNull = row.getLong(b + 8)
+      val nullPct: java.math.BigDecimal =
+        if (total == 0) null
+        else new java.math.BigDecimal((total - nonNull) * 100.0 / total)
+          .setScale(2, java.math.RoundingMode.HALF_UP)
+      org.apache.spark.sql.Row(
+        f.name, graft.functions.DuckTypeNames.of(f.dataType),
+        row.getAs[String](b), row.getAs[String](b + 1), row.getLong(b + 2),
+        row.getAs[String](b + 3), row.getAs[String](b + 4), row.getAs[String](b + 5),
+        row.getAs[String](b + 6), row.getAs[String](b + 7), total, nullPct)
+    }
+    val schema = StructType(Seq(
+      StructField("column_name", StringType), StructField("column_type", StringType),
+      StructField("min", StringType), StructField("max", StringType),
+      StructField("approx_unique", LongType), StructField("avg", StringType),
+      StructField("std", StringType), StructField("q25", StringType),
+      StructField("q50", StringType), StructField("q75", StringType),
+      StructField("count", LongType), StructField("null_percentage", DecimalType(9, 2))))
+    ExecResult(spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1), schema), "SELECT")
   }
 
   /** Split `SET … [WHERE cond]` at the first WHERE keyword appearing at
@@ -1106,6 +1163,55 @@ object Engine {
   private val copyFromFileRe =
     """(?is)^\s*copy\s+([\w.]+)\s+from\s+'([^']+)'\s*(?:\(([^)]*)\)|with\s*\(([^)]*)\))?\s*$""".r
   private val describeQueryRe = """(?is)^\s*describe\s+((?:select|with|values)\b.+)$""".r
+  private val summarizeRe = """(?is)^\s*summarize\s+(.+)$""".r
+  private val leadingFromRe = """(?is)^\s*from\b.*""".r
+
+  /** DuckDB's FROM-first form: `FROM t [SELECT list] [WHERE …]` →
+    * standard clause order. Without a SELECT the star is implied, and
+    * the remaining clauses already follow the FROM part, so a plain
+    * prefix works; with one, the select list (up to the next top-level
+    * clause keyword) moves to the front. */
+  def rewriteLeadingFrom(sql: String): String = {
+    if (!leadingFromRe.matches(sql)) return sql
+    val clauseKw = Set("where", "group", "having", "order", "limit", "qualify", "window", "union", "intersect", "except")
+    // positions of top-level keywords (outside strings/parens)
+    def keywordAt(s: String, i: Int): Option[String] = {
+      if (i > 0 && (s.charAt(i - 1).isLetterOrDigit || s.charAt(i - 1) == '_')) return None
+      val rest = s.substring(i).takeWhile(c => c.isLetter).toLowerCase
+      if (rest.nonEmpty && (clauseKw(rest) || rest == "select")) Some(rest) else None
+    }
+    def scan(s: String, from: Int, want: String => Boolean): Int = {
+      var depth = 0; var inStr = false; var i = from
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (inStr) { if (c == '\'') inStr = false }
+        else c match {
+          case '\'' => inStr = true
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ if depth == 0 =>
+            keywordAt(s, i) match {
+              case Some(k) if want(k) => return i
+              case _ =>
+            }
+          case _ =>
+        }
+        i += 1
+      }
+      -1
+    }
+    val fromKw = sql.toLowerCase.indexOf("from")
+    val afterFrom = fromKw + 4
+    val selIdx = scan(sql, afterFrom, _ == "select")
+    if (selIdx < 0) return "SELECT * " + sql.trim
+    val fromPart = sql.substring(afterFrom, selIdx).trim
+    val afterSel = selIdx + 6
+    val clauseIdx = scan(sql, afterSel, clauseKw)
+    val (selList, tail) =
+      if (clauseIdx < 0) (sql.substring(afterSel).trim, "")
+      else (sql.substring(afterSel, clauseIdx).trim, sql.substring(clauseIdx))
+    s"SELECT $selList FROM $fromPart $tail".trim
+  }
   private val explainAnalyzeRe =
     """(?is)^\s*explain\s+analyze\s+((?:select|with|values)\b.+)$""".r
   private val partitionByRe = """(?i)partition_by\s*\(([^)]*)\)""".r

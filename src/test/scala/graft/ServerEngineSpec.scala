@@ -337,4 +337,26 @@ class ServerEngineSpec extends SparkSpecBase {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("SUMMARIZE emits DuckDB's 12-column profile; FROM-first queries run") {
+    val r = engine.execute(s"summarize select * from parquet.`$sf/region.parquet`")
+    assert(r.df.columns.toSeq == Seq("column_name", "column_type", "min", "max",
+      "approx_unique", "avg", "std", "q25", "q50", "q75", "count", "null_percentage"))
+    val rows = r.df.collect()
+    assert(rows.length == spark.read.parquet(s"$sf/region.parquet").columns.length)
+    val key = rows.find(_.getString(0) == "r_regionkey").get
+    assert(key.getString(1) == "INTEGER", key.getString(1))
+    assert(key.getString(2) == "0" && key.getString(3) == "4")
+    assert(key.getLong(10) == 5)
+    assert(key.getDecimal(11).toPlainString == "0.00")
+    val name = rows.find(_.getString(0) == "r_name").get
+    assert(name.getString(5) == null) // no avg for VARCHAR
+    // FROM-first forms (DuckDB syntax): bare, with WHERE, with SELECT list
+    assert(engine.execute(s"from parquet.`$sf/region.parquet`").df.count() == 5)
+    assert(engine.execute(s"from parquet.`$sf/region.parquet` where r_regionkey > 2").df.count() == 2)
+    val sel = engine.execute(s"from parquet.`$sf/region.parquet` select r_name, r_regionkey where r_regionkey = 0").df.collect()
+    assert(sel.head.getString(0) == "AFRICA")
+    // string-protected: a FROM inside a literal in a normal query is untouched
+    assert(Engine.rewriteLeadingFrom("select 'from x' as s") == "select 'from x' as s")
+  }
 }

@@ -103,6 +103,10 @@ psql $P -c "insert into main.oc_smoke values (1,'a'),(2,'b')" >/dev/null 2>&1
 chk "pg on conflict"  "INSERT 0 2" "$(psql $P -c "insert into main.oc_smoke values (2,'B'),(3,'c') on conflict (k) do update set v = excluded.v" 2>&1 | head -1)"
 chk "pg oc result"    "a,B,c"    "$(psql $P -tA -c "select string_agg(v, ',' order by k) from main.oc_smoke" 2>&1)"
 psql $P -c "drop table main.oc_smoke" >/dev/null 2>&1
+# DuckDB statement forms: SUMMARIZE and FROM-first
+chk "pg summarize"    "r_regionkey|INTEGER" "$(psql $P -tA -c "summarize region" 2>&1 | head -1 | cut -d'|' -f1,2)"
+chk "pg from-first"   "5"        "$(psql $P -tA -c "from region select count(*)" 2>&1)"
+chk "pg from-where"   "yes"      "$(test "$(psql $P -tA -c 'from nation where n_regionkey = 0' 2>&1 | wc -l)" -gt 0 && echo yes)"
 $CURL "http://127.0.0.1:$CH/" -d 'DROP TABLE main.smoke2' >/dev/null
 psql $P -c "drop table main.smoke" >/dev/null 2>&1
 
