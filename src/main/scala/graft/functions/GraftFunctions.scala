@@ -141,6 +141,17 @@ object GraftFunctions {
       ("epoch_ms", "unix_millis", id),
       ("dayname", "dayname", id),
       ("monthname", "monthname", id),
+      // aggregates (probed batch: DuckDB names over Spark natives)
+      ("list", "collect_list", id),
+      ("countif", "count_if", id),
+      ("favg", "avg", id),   // Kahan-compensated in DuckDB; double avg here
+      ("fsum", "sum", id),
+      ("arg_min", "min_by", id),
+      ("arg_max", "max_by", id),
+      ("argmin", "min_by", id),
+      ("argmax", "max_by", id),
+      ("approx_quantile", "percentile_approx", id),
+      ("quantile_cont", "percentile", id),
       // catalog macro (reference pg_server.go:42)
       ("currentdatabase", "current_database", id)
     )
@@ -276,13 +287,17 @@ object GraftFunctions {
     def call(name: String)(args: Expression*): Expression =
       reg.lookupFunctionBuilder(FunctionIdentifier(name)).get(args)
     def str(s: String): Expression = Literal(UTF8String.fromString(s), StringType)
+    // fresh variable names per lambda: nested lambdas with the same
+    // name shadow each other and silently capture the wrong binding
+    val lamId = new java.util.concurrent.atomic.AtomicInteger
     def lam(f: Expression => Expression): Expression = {
-      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      val x = UnresolvedNamedLambdaVariable(Seq(s"x${lamId.incrementAndGet()}"))
       LambdaFunction(f(x), Seq(x))
     }
     def lamXY(f: (Expression, Expression) => Expression): Expression = {
-      val x = UnresolvedNamedLambdaVariable(Seq("x"))
-      val y = UnresolvedNamedLambdaVariable(Seq("y"))
+      val n = lamId.incrementAndGet()
+      val x = UnresolvedNamedLambdaVariable(Seq(s"x$n"))
+      val y = UnresolvedNamedLambdaVariable(Seq(s"y$n"))
       LambdaFunction(f(x, y), Seq(x, y))
     }
     def chars(e: Expression) = call("split")(e, str(""))
@@ -372,6 +387,47 @@ object GraftFunctions {
         Seq(Cast(call("current_date")(), TimestampType), Cast(es.head, TimestampType))
       else Seq(Cast(es.head, TimestampType), Cast(es(1), TimestampType))
       AgeInterval(args.head, args(1))
+    }, "scala_udf")
+    // quantile_disc / quantile: the sorted element at floor(p*(n-1))+1
+    // (1-based), DuckDB's discrete-quantile convention. collect_list
+    // appears twice but Spark dedupes identical aggregate buffers.
+    // a nested aggregate function must be wrapped explicitly — the
+    // analyzer only wraps when the aggregate is the top-level resolve
+    def aggCall(name: String)(args: Expression*): Expression =
+      call(name)(args: _*) match {
+        case a: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction =>
+          a.toAggregateExpression()
+        case other => other
+      }
+    val quantileDisc: Seq[Expression] => Expression = { es =>
+      val l = aggCall("collect_list")(es.head)
+      val idx = Add(Cast(call("floor")(Multiply(Cast(es(1), DoubleType),
+        Cast(Subtract(call("size")(l), Literal(1)), DoubleType))),
+        org.apache.spark.sql.types.IntegerType), Literal(1))
+      call("element_at")(call("array_sort")(l), idx)
+    }
+    reg.createOrReplaceTempFunction("quantile_disc", quantileDisc, "scala_udf")
+    reg.createOrReplaceTempFunction("quantile", quantileDisc, "scala_udf")
+    // entropy: Shannon entropy (base 2) of the value distribution,
+    // computed from the collected multiset — compat alias; the scale
+    // path is an explicit count-by-value aggregation
+    reg.createOrReplaceTempFunction("entropy", { es =>
+      val l = aggCall("collect_list")(es.head)
+      val n = Cast(call("size")(l), DoubleType)
+      val counts = call("transform")(call("array_distinct")(l),
+        lam(v => Cast(call("size")(ArrayFilter(l, lam(e => EqualTo(e, v)))), DoubleType)))
+      call("aggregate")(counts, Literal(0.0d),
+        lamXY((acc, c) => Subtract(acc,
+          Multiply(Divide(c, n), call("log2")(Divide(c, n))))))
+    }, "scala_udf")
+    // histogram: value → count map, keys sorted (DuckDB rendering)
+    reg.createOrReplaceTempFunction("histogram", { es =>
+      val l = aggCall("collect_list")(es.head)
+      call("map_from_entries")(call("transform")(
+        call("array_sort")(call("array_distinct")(l)),
+        lam(v => call("struct")(v,
+          Cast(call("size")(ArrayFilter(l, lam(e => EqualTo(e, v)))),
+            org.apache.spark.sql.types.LongType)))))
     }, "scala_udf")
     // time_bucket(width_interval_literal, ts): width decoded at build
     reg.createOrReplaceTempFunction("time_bucket", { es =>

@@ -355,6 +355,20 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     // Spark's WITHIN GROUP spelling (one nested-paren level supported)
     s = orderedAggRe.replaceAllIn(s, m => Regex.quoteReplacement(
       s"${m.group(1)}(${m.group(2).trim}) WITHIN GROUP (ORDER BY ${m.group(3).trim})"))
+    // DuckDB ordered aggregates Spark lacks: first/last/list(expr ORDER
+    // BY key [DESC]) → sort collect_list(struct(key, expr)) and project
+    // the value back out (structs sort by field order, key first)
+    s = orderedFllRe.replaceAllIn(s, m => {
+      val (fn, e, k) = (m.group(1).toLowerCase, m.group(2).trim, m.group(3).trim)
+      val desc = m.group(4) != null && m.group(4).equalsIgnoreCase("desc")
+      val sorted0 = s"transform(array_sort(collect_list(struct($k AS __k, $e AS __v))), s -> s.__v)"
+      val sorted = if (desc) s"reverse($sorted0)" else sorted0
+      Regex.quoteReplacement(fn match {
+        case "first" | "any_value" => s"element_at($sorted, 1)"
+        case "last" => s"element_at($sorted, -1)"
+        case _ => sorted // list / array_agg
+      })
+    })
     s = readParquetRe.replaceAllIn(s, m => Regex.quoteReplacement(s"parquet.`${m.group(1)}`"))
     s = readCsvRe.replaceAllIn(s, m => Regex.quoteReplacement(s"csv.`${m.group(1)}`"))
     s = readJsonRe.replaceAllIn(s, m => Regex.quoteReplacement(s"json.`${m.group(1)}`"))
@@ -1402,6 +1416,8 @@ object Engine {
   }
   private val orderedAggRe =
     """(?i)\b(string_agg|listagg)\s*\(((?:[^()']|\([^()]*\)|'[^']*')*?)\s+order\s+by\s+((?:[^()']|\([^()]*\)|'[^']*')*?)\)""".r
+  private val orderedFllRe =
+    """(?i)\b(first|last|list|array_agg|any_value)\s*\(((?:[^()']|\([^()]*\)|'[^']*')*?)\s+order\s+by\s+((?:[^()']|\([^()]*\)|'[^']*')*?)(?:\s+(asc|desc))?\s*\)""".r
   private val readParquetRe = """(?i)(?:read_parquet|parquet_scan)\s*\(\s*'([^']+)'\s*\)""".r
   private val readCsvRe = """(?i)(?:read_csv_auto|read_csv)\s*\(\s*'([^']+)'\s*\)""".r
   private val readJsonRe = """(?i)read_json_auto\s*\(\s*'([^']+)'\s*\)""".r

@@ -176,4 +176,25 @@ class DialectFunctionsSpec extends SparkSpecBase {
     // map_from_entries over struct-literal entries (the probed gap)
     assert(one("select element_at(map_from_entries([{'k':'a','v':1}]), 'a')") == 1)
   }
+
+  test("probed DuckDB aggregate batch") {
+    def q(sql: String) = spark.sql(engine.rewrite(sql)).head().get(0)
+    // quantile_disc picks the sorted element at floor(p*(n-1))+1
+    assert(q("select quantile_disc(x, 0.5) from values (1),(2),(3),(4) t(x)") == 2)
+    assert(q("select quantile_disc(x, 0.75) from values (10),(20),(30),(40) t(x)") == 30)
+    assert(q("select quantile(x, 1.0) from values (10),(20),(30),(40) t(x)") == 40)
+    assert(q("select quantile_cont(x, 0.5) from values (1),(2),(3),(4) t(x)") == 2.5)
+    assert(q("select entropy(x) from values (1),(1),(2),(3) t(x)") == 1.5)
+    val h = q("select to_json(histogram(x)) from values (2),(1),(1) t(x)")
+    assert(h == """{"1":2,"2":1}""", h.toString)
+    assert(q("select list(x) from values (1),(2) t(x)").asInstanceOf[collection.Seq[_]].toSet == Set(1, 2))
+    assert(q("select countif(x > 1) from values (1),(2),(3) t(x)") == 2L)
+    assert(q("select arg_max(s, x) from values ('a',1),('b',9) t(s,x)") == "b")
+    assert(q("select fsum(x) from values (cast(1.5 as double)),(cast(2.5 as double)) t(x)") == 4.0)
+    // ordered aggregates: first/last/list(expr ORDER BY key [DESC])
+    assert(q("select first(x order by y desc) from values (1,10),(2,20),(3,5) t(x,y)") == 2)
+    assert(q("select last(x order by y) from values (1,10),(2,20),(3,5) t(x,y)") == 2)
+    assert(q("select list(x order by y) from values (1,10),(2,20),(3,5) t(x,y)") == Seq(3, 1, 2))
+    assert(q("select array_agg(x order by x desc) from values (1),(3),(2) t(x)") == Seq(3, 2, 1))
+  }
 }
