@@ -29,8 +29,10 @@ case class DoubleToDec6(child: Expression) extends UnaryExpression {
       s"to_dec6 expects DOUBLE, got ${other.simpleString}")
   }
 
-  override def nullSafeEval(v: Any): Any =
-    DoubleToDec6.toDec(v.asInstanceOf[Double])
+  override def nullSafeEval(v: Any): Any = v match {
+    case f: java.lang.Float => DoubleToDec6.toDec(f.toDouble)
+    case d => DoubleToDec6.toDec(d.asInstanceOf[Double])
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val helper = DoubleToDec6.getClass.getName.stripSuffix("$")

@@ -77,6 +77,7 @@ object DialectScalars {
     * sub-day micros (origin 2000-01-01), both per DuckDB. */
   val dayOriginDays: Int = 10959 // 2000-01-03 as days since epoch
   val microOrigin: Long = 946684800000000L // 2000-01-01 00:00:00 UTC in micros
+  val dayOriginMicros: Long = dayOriginDays.toLong * 86400000000L // 2000-01-03 in micros
 
   def bucketDays(days: Int, widthDays: Int): Int = {
     val off = days - dayOriginDays
@@ -84,9 +85,17 @@ object DialectScalars {
     dayOriginDays + b
   }
 
-  def bucketMicros(micros: Long, widthMicros: Long): Long = {
-    val off = micros - microOrigin
-    microOrigin + Math.floorDiv(off, widthMicros) * widthMicros
+  def bucketMicros(micros: Long, widthMicros: Long): Long =
+    bucketMicrosFrom(micros, widthMicros, microOrigin)
+
+  /** Day-granular widths anchor at Monday 2000-01-03 even for
+    * TIMESTAMP inputs (DuckDB: week buckets start on Monday). */
+  def bucketMicrosDays(micros: Long, widthDays: Int): Long =
+    bucketMicrosFrom(micros, widthDays.toLong * 86400000000L, dayOriginMicros)
+
+  def bucketMicrosFrom(micros: Long, widthMicros: Long, origin: Long): Long = {
+    val off = micros - origin
+    origin + Math.floorDiv(off, widthMicros) * widthMicros
   }
 }
 
@@ -210,7 +219,7 @@ case class TimeBucket(widthMonths: Int, widthDays: Int, widthMicros: Long, child
       DialectScalars.bucketMicros(DateTimeUtils.daysToMicros(v.asInstanceOf[Int],
         java.time.ZoneOffset.UTC), widthMicros)
     case _ if dayWidth =>
-      DialectScalars.bucketMicros(v.asInstanceOf[Long], widthDays.toLong * 86400000000L)
+      DialectScalars.bucketMicrosDays(v.asInstanceOf[Long], widthDays)
     case _ =>
       DialectScalars.bucketMicros(v.asInstanceOf[Long], widthMicros)
   }
@@ -220,7 +229,7 @@ case class TimeBucket(widthMonths: Int, widthDays: Int, widthMicros: Long, child
       case DateType if dayWidth => v => s"$helper.bucketDays($v, $widthDays)"
       case DateType => v =>
         s"$helper.bucketMicros(org.apache.spark.sql.catalyst.util.DateTimeUtils.daysToMicros($v, java.time.ZoneOffset.UTC), ${widthMicros}L)"
-      case _ if dayWidth => v => s"$helper.bucketMicros($v, ${widthDays.toLong * 86400000000L}L)"
+      case _ if dayWidth => v => s"$helper.bucketMicrosDays($v, $widthDays)"
       case _ => v => s"$helper.bucketMicros($v, ${widthMicros}L)"
     }
     defineCodeGen(ctx, ev, code)
@@ -235,7 +244,8 @@ case class LenOf(child: Expression) extends RuntimeReplaceable with UnaryLike[Ex
     case _: ArrayType | _: MapType =>
       org.apache.spark.sql.catalyst.expressions.Cast(
         org.apache.spark.sql.catalyst.expressions.Size(child, legacySizeOfNull = false), LongType)
-    case _ => org.apache.spark.sql.catalyst.expressions.Length(child)
+    case _ => org.apache.spark.sql.catalyst.expressions.Cast(
+      org.apache.spark.sql.catalyst.expressions.Length(child), LongType)
   }
   override protected def withNewChildInternal(c: Expression): LenOf = copy(child = c)
 }

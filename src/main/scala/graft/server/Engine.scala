@@ -305,9 +305,10 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       val f = new java.io.File(s"$p/views.sql")
       if (f.exists()) {
         val target = qualify(view)
-        val kept = scala.io.Source.fromFile(f).getLines().filterNot { l =>
+        val src = scala.io.Source.fromFile(f)
+        val kept = try src.getLines().filterNot { l =>
           createViewRe.findFirstMatchIn(l).exists(m => qualify(m.group(1)) == target)
-        }.toList
+        }.toList finally src.close()
         writeFile(f.getPath, if (kept.isEmpty) "" else kept.mkString("\n") + "\n")
       }
     }
@@ -316,7 +317,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
   /** Dialect-level string rewrites (SURVEY §4.2-§4.3: read_* TVF
     * aliasing; the rest of the dialect layer lives in GraftFunctions). */
   def rewrite(sql: String): String = {
-    var s = Engine.rewriteLeadingFrom(sql)
+    var s = sql
     // DuckDB literal syntax: [1,2,3] list literals → array(1,2,3)
     // (string-aware scanner: brackets in string literals and subscript
     // brackets pass through), struct_pack(a := 1) named args → the
@@ -327,6 +328,9 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     // literals (string-aware: a $$ inside an ordinary '…' literal is
     // content, not an opener)
     s = rewriteDollarQuotes(s)
+    // FROM-first reorder AFTER dollar-quote normalization, so clause
+    // keywords inside $$-literals are already quote-protected
+    s = rewriteLeadingFrom(s)
     s = rewriteBracketLists(s)
     s = rewriteStructLiterals(s)
     s = rewriteStructPackArgs(s)
@@ -359,15 +363,30 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     // BY key [DESC]) → sort collect_list(struct(key, expr)) and project
     // the value back out (structs sort by field order, key first)
     s = orderedFllRe.replaceAllIn(s, m => {
-      val (fn, e, k) = (m.group(1).toLowerCase, m.group(2).trim, m.group(3).trim)
-      val desc = m.group(4) != null && m.group(4).equalsIgnoreCase("desc")
-      val sorted0 = s"transform(array_sort(collect_list(struct($k AS __k, $e AS __v))), s -> s.__v)"
-      val sorted = if (desc) s"reverse($sorted0)" else sorted0
-      Regex.quoteReplacement(fn match {
-        case "first" | "any_value" => s"element_at($sorted, 1)"
-        case "last" => s"element_at($sorted, -1)"
-        case _ => sorted // list / array_agg
-      })
+      val (fn, e) = (m.group(1).toLowerCase, m.group(2).trim)
+      val keysRaw = m.group(3).trim + Option(m.group(4)).map(" " + _).getOrElse("")
+      // per-key direction: all-ASC sorts directly, all-DESC sorts then
+      // reverses (lexicographic reverse == every key descending);
+      // MIXED directions cannot be expressed with array_sort — pass
+      // the original text through so the error surfaces at parse
+      val keys = splitTopLevel(keysRaw, ',').map { k0 =>
+        val k = k0.trim; val lower = k.toLowerCase
+        if (lower.endsWith(" desc")) (k.dropRight(5).trim, true)
+        else if (lower.endsWith(" asc")) (k.dropRight(4).trim, false)
+        else (k, false)
+      }
+      val dirs = keys.map(_._2).distinct
+      if (dirs.length > 1) Regex.quoteReplacement(m.matched)
+      else {
+        val fields = keys.zipWithIndex.map { case ((k, _), i) => s"$k AS __k$i" }.mkString(", ")
+        val sorted0 = s"transform(array_sort(collect_list(struct($fields, $e AS __v))), s -> s.__v)"
+        val sorted = if (dirs.headOption.contains(true)) s"reverse($sorted0)" else sorted0
+        Regex.quoteReplacement(fn match {
+          case "first" | "any_value" => s"element_at($sorted, 1)"
+          case "last" => s"element_at($sorted, -1)"
+          case _ => sorted // list / array_agg
+        })
+      }
     })
     s = readParquetRe.replaceAllIn(s, m => Regex.quoteReplacement(s"parquet.`${m.group(1)}`"))
     s = readCsvRe.replaceAllIn(s, m => Regex.quoteReplacement(s"csv.`${m.group(1)}`"))
@@ -532,14 +551,11 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
               case None => staged.count()
               case Some(w) =>
                 // affected = inserted (no conflict) + conflicts passing
-                // the WHERE; filtered conflicts drop out of the count
-                val matched = spark.sql(
-                  s"SELECT count(*) FROM $srcTable excluded JOIN $table $tAlias ON $on")
-                  .head().getLong(0)
-                val updated = spark.sql(
-                  s"SELECT count(*) FROM $srcTable excluded JOIN $table $tAlias ON $on WHERE ($w)")
-                  .head().getLong(0)
-                staged.count() - matched + updated
+                // the WHERE; one join pass counts both
+                val mu = spark.sql(
+                  s"SELECT count(*), count(CASE WHEN ($w) THEN 1 END) FROM $srcTable excluded JOIN $table $tAlias ON $on")
+                  .head()
+                staged.count() - mu.getLong(0) + mu.getLong(1)
             }
             stageAndSwap(table,
               s"""SELECT $proj FROM $table $tAlias LEFT JOIN $srcTable excluded ON $on
@@ -1195,12 +1211,14 @@ object Engine {
       if (rest.nonEmpty && (clauseKw(rest) || rest == "select")) Some(rest) else None
     }
     def scan(s: String, from: Int, want: String => Boolean): Int = {
-      var depth = 0; var inStr = false; var i = from
+      var depth = 0; var inStr = false; var inTick = false; var i = from
       while (i < s.length) {
         val c = s.charAt(i)
         if (inStr) { if (c == '\'') inStr = false }
+        else if (inTick) { if (c == '`') inTick = false }
         else c match {
           case '\'' => inStr = true
+          case '`' => inTick = true
           case '(' => depth += 1
           case ')' => depth -= 1
           case _ if depth == 0 =>

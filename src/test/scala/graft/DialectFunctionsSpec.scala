@@ -136,7 +136,7 @@ class DialectFunctionsSpec extends SparkSpecBase {
 
   test("probed DuckDB scalar batch: lists, structs, maps") {
     assert(one("select len([1,2,3])") == 3L)
-    assert(one("select len('abc')") == 3)
+    assert(one("select len('abc')") == 3L) // BIGINT like DuckDB, both branches
     assert(one("select list_has_all([1,2,3],[2,3])") == true)
     assert(one("select list_has_all([1,2],[3])") == false)
     assert(one("select list_has_any([1,2],[2,9])") == true)
@@ -159,6 +159,8 @@ class DialectFunctionsSpec extends SparkSpecBase {
     assert(one("select cast(time_bucket(INTERVAL '1 day', TIMESTAMP '2024-03-05 10:37:11') as string)") == "2024-03-05 00:00:00")
     // week buckets anchor at Monday 2000-01-03; DATE stays DATE
     assert(one("select cast(time_bucket(INTERVAL '1 week', DATE '2024-03-05') as string)") == "2024-03-04")
+    // week widths on TIMESTAMP inputs anchor Monday too (not 2000-01-01, a Saturday)
+    assert(one("select cast(time_bucket(INTERVAL '1 week', TIMESTAMP '2024-03-05 10:00:00') as string)") == "2024-03-04 00:00:00")
     assert(one("select cast(age(TIMESTAMP '2024-03-05 10:30:00', TIMESTAMP '2020-01-31 04:00:00') as string)") == "4 years 1 months 5 days 6 hours 30 minutes")
   }
 
@@ -196,5 +198,10 @@ class DialectFunctionsSpec extends SparkSpecBase {
     assert(q("select last(x order by y) from values (1,10),(2,20),(3,5) t(x,y)") == 2)
     assert(q("select list(x order by y) from values (1,10),(2,20),(3,5) t(x,y)") == Seq(3, 1, 2))
     assert(q("select array_agg(x order by x desc) from values (1),(3),(2) t(x)") == Seq(3, 2, 1))
+    // multi-key ordered aggregates: uniform direction supported
+    assert(q("select list(x order by a, b) from values (1,2,9),(1,1,8),(0,5,7) t(a,b,x)") == Seq(7, 8, 9))
+    assert(q("select list(x order by a desc, b desc) from values (1,2,9),(1,1,8),(0,5,7) t(a,b,x)") == Seq(9, 8, 7))
+    // mixed directions pass through unrewritten (surface as parse error)
+    intercept[Exception](q("select list(x order by a, b desc) from values (1,2,9) t(a,b,x)"))
   }
 }
