@@ -67,6 +67,12 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench layout] $e") }
     }
+    // NOTE (r4): a full untimed pass at the TARGET scale before the
+    // timed pass was tried for steady-state symmetry with the DuckDB
+    // baseline (min of 3 warm reps) and REGRESSED the total 48s → 84s:
+    // the second in-JVM pass pays accumulated shuffle files, broadcast
+    // cleanup and old-gen GC pressure. The sf0.001 warm pass above
+    // captures the codegen/JIT warmup without that cost.
     val results = corpus.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes every output column (count() would let
