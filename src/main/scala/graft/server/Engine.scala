@@ -31,6 +31,18 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
   private def lockFor(t: String) =
     tableLocks.computeIfAbsent(qualify(t), _ => new ReentrantReadWriteLock())
 
+  /** DuckDB-style sequences (reference pass-through surface): name →
+    * counter state. Allocation is driver-side and statement-scoped —
+    * see the nextval intercept in execute(). */
+  private[server] val sequences = new ConcurrentHashMap[String, SeqState]()
+
+  private def seqOrFail(name: String, fn: String): SeqState = {
+    val st = sequences.get(qualify(name))
+    if (st == null) throw new IllegalArgumentException(
+      s"$fn: sequence $name does not exist")
+    st
+  }
+
   /** users: username -> SCRAM verifier (duckserver.users analog,
     * reference pg_server.go:95-97,116-130). */
   val users = new ConcurrentHashMap[String, String]()
@@ -105,6 +117,57 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       case None =>
     }
     if (sql.equalsIgnoreCase("discard all")) return ExecResult(null, "DISCARD ALL")
+
+    createSeqRe.findFirstMatchIn(sql).foreach { m =>
+      val ifNotExists = m.group(1) != null
+      val name = qualify(m.group(2))
+      val opts = Option(m.group(3)).getOrElse("")
+      val start = seqStartRe.findFirstMatchIn(opts).map(_.group(1).toLong).getOrElse(1L)
+      val inc = seqIncRe.findFirstMatchIn(opts).map(_.group(1).toLong).getOrElse(1L)
+      if (sequences.containsKey(name)) {
+        if (!ifNotExists)
+          throw new IllegalArgumentException(s"""Sequence with name "${m.group(2)}" already exists!""")
+      } else {
+        sequences.put(name, new SeqState(new java.util.concurrent.atomic.AtomicLong(start), inc))
+        persistSequences()
+      }
+      return ExecResult(null, "CREATE SEQUENCE")
+    }
+    dropSeqRe.findFirstMatchIn(sql).foreach { m =>
+      val name = qualify(m.group(2))
+      if (sequences.remove(name) == null && m.group(1) == null)
+        throw new IllegalArgumentException(s"Sequence ${m.group(2)} does not exist")
+      persistSequences()
+      return ExecResult(null, "DROP SEQUENCE")
+    }
+    // nextval/currval: each textual occurrence allocates (PG/DuckDB:
+    // two nextval calls in one row = two values), replaced with the
+    // allocated literal before any downstream path sees the statement.
+    // Per-ROW allocation over an INSERT…SELECT source is rejected — a
+    // driver-side counter cannot hand out per-row values inside a
+    // distributed plan without either collecting it or accepting
+    // executor-local duplicates.
+    var sqlSeq = sql
+    if (nextvalRe.findFirstIn(sqlSeq).isDefined || currvalRe.findFirstIn(sqlSeq).isDefined) {
+      if ("""(?is)^\s*insert\b.*\bselect\b.*""".r.matches(sqlSeq)
+          && nextvalRe.findFirstIn(sqlSeq).isDefined)
+        throw new IllegalArgumentException(
+          "nextval() inside INSERT … SELECT is not supported; use VALUES, or generate keys in the SELECT (e.g. monotonically_increasing_id)")
+      sqlSeq = nextvalRe.replaceAllIn(sqlSeq, m => {
+        val st = seqOrFail(m.group(1), "nextval")
+        val v = st.next.getAndAdd(st.inc)
+        st.last.set(v); st.hasVal.set(true)
+        v.toString + "L" // BIGINT literal, like DuckDB's nextval type
+      })
+      sqlSeq = currvalRe.replaceAllIn(sqlSeq, m => {
+        val st = seqOrFail(m.group(1), "currval")
+        if (!st.hasVal.get())
+          throw new IllegalArgumentException("currval: sequence is not yet defined in this session")
+        st.last.get().toString + "L"
+      })
+      persistSequences()
+      return execute(sqlSeq)
+    }
     if (txnRe.matches(sql)) // accepted as no-ops, status stays 'I' like the reference
       return ExecResult(null, sql.split("\\s+").head.toUpperCase)
     if (showTxnReadOnlyRe.matches(sql))
@@ -1023,6 +1086,16 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     writeFile(s"$p/users.tsv", lines.mkString("\n"))
   }
 
+  private def persistSequences(): Unit = dbPath.foreach { p =>
+    val lines = {
+      import scala.jdk.CollectionConverters._
+      sequences.asScala.toSeq.sortBy(_._1).map { case (n, s) =>
+        s"$n\t${s.next.get()}\t${s.inc}"
+      }
+    }
+    writeFile(s"$p/sequences.tsv", lines.mkString("\n"))
+  }
+
   private def persistConstraints(): Unit = dbPath.foreach { p =>
     val lines = {
       import scala.jdk.CollectionConverters._
@@ -1073,6 +1146,14 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     lines("users.tsv").foreach { l =>
       l.split("\t", 2) match {
         case Array(u, v) => users.put(u, v)
+        case _ =>
+      }
+    }
+    lines("sequences.tsv").foreach { l =>
+      l.split("\t", -1) match {
+        case Array(n, next, inc) =>
+          sequences.put(n, new SeqState(
+            new java.util.concurrent.atomic.AtomicLong(next.toLong), inc.toLong))
         case _ =>
       }
     }
@@ -1194,6 +1275,19 @@ object Engine {
     """(?is)^\s*copy\s+([\w.]+)\s+from\s+'([^']+)'\s*(?:\(([^)]*)\)|with\s*\(([^)]*)\))?\s*$""".r
   private val describeQueryRe = """(?is)^\s*describe\s+((?:select|with|values)\b.+)$""".r
   private val summarizeRe = """(?is)^\s*summarize\s+(.+)$""".r
+  private val createSeqRe =
+    """(?is)^\s*create\s+sequence\s+(if\s+not\s+exists\s+)?([\w.]+)(.*)$""".r
+  private val dropSeqRe = """(?is)^\s*drop\s+sequence\s+(if\s+exists\s+)?([\w.]+)\s*$""".r
+  private val seqStartRe = """(?i)start\s+(?:with\s+)?(-?\d+)""".r
+  private val seqIncRe = """(?i)increment\s+(?:by\s+)?(-?\d+)""".r
+  private val nextvalRe = """(?i)\bnextval\s*\(\s*'([^']+)'\s*\)""".r
+  private val currvalRe = """(?i)\bcurrval\s*\(\s*'([^']+)'\s*\)""".r
+
+  /** Mutable counter cell for one sequence. */
+  final class SeqState(val next: java.util.concurrent.atomic.AtomicLong, val inc: Long) {
+    val last = new java.util.concurrent.atomic.AtomicLong(0L)
+    val hasVal = new java.util.concurrent.atomic.AtomicBoolean(false)
+  }
   private val leadingFromRe = """(?is)^\s*from\b.*""".r
 
   /** DuckDB's FROM-first form: `FROM t [SELECT list] [WHERE …]` →

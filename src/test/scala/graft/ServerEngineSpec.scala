@@ -359,4 +359,47 @@ class ServerEngineSpec extends SparkSpecBase {
     // string-protected: a FROM inside a literal in a normal query is untouched
     assert(Engine.rewriteLeadingFrom("select 'from x' as s") == "select 'from x' as s")
   }
+
+  test("sequences: nextval/currval semantics, options, persistence") {
+    engine.execute("drop sequence if exists main.sq1")
+    engine.execute("create sequence main.sq1")
+    // each textual occurrence allocates (DuckDB: 1,2 in one row)
+    val two = engine.execute("select nextval('main.sq1') as a, nextval('main.sq1') as b").df.head()
+    assert((two.getLong(0), two.getLong(1)) == (1L, 2L))
+    assert(engine.execute("select currval('main.sq1')").df.head().getLong(0) == 2L)
+    // VALUES: one allocation per occurrence per tuple
+    fresh("sq_t")
+    engine.execute("create table main.sq_t (k BIGINT, v STRING) using parquet")
+    engine.execute("insert into main.sq_t values (nextval('main.sq1'),'a'),(nextval('main.sq1'),'b')")
+    assert(spark.table("main.sq_t").collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
+    // START WITH / INCREMENT BY
+    engine.execute("drop sequence if exists main.sq2")
+    engine.execute("create sequence main.sq2 start with 10 increment by 5")
+    val t2 = engine.execute("select nextval('main.sq2') as a, nextval('main.sq2') as b").df.head()
+    assert((t2.getLong(0), t2.getLong(1)) == (10L, 15L))
+    // duplicate create raises; IF NOT EXISTS does not
+    intercept[IllegalArgumentException](engine.execute("create sequence main.sq1"))
+    engine.execute("create sequence if not exists main.sq1")
+    // currval before any nextval raises (fresh sequence)
+    engine.execute("drop sequence if exists main.sq3")
+    engine.execute("create sequence main.sq3")
+    val e = intercept[IllegalArgumentException](engine.execute("select currval('main.sq3')"))
+    assert(e.getMessage.contains("not yet defined"))
+    // nextval over a distributed INSERT...SELECT is rejected clearly
+    val e2 = intercept[IllegalArgumentException](
+      engine.execute("insert into main.sq_t select nextval('main.sq1'), r_name from parquet.`" + sf + "/region.parquet`"))
+    assert(e2.getMessage.contains("VALUES"), e2.getMessage)
+    // persistence: counters survive an engine restart via --db_path
+    val tmp = Files.createTempDirectory("graft-seq").toFile.getAbsolutePath
+    val e3 = new Engine(spark, allowFileIo = true, dbPath = Some(tmp))
+    e3.execute("create sequence main.psq start with 7")
+    e3.execute("select nextval('main.psq')") // 7 allocated
+    val e4 = new Engine(spark, allowFileIo = true, dbPath = Some(tmp))
+    e4.loadPersisted()
+    assert(e4.execute("select nextval('main.psq')").df.head().getLong(0) == 8L)
+    engine.execute("drop sequence main.sq1")
+    engine.execute("drop sequence main.sq2")
+    engine.execute("drop sequence main.sq3")
+    engine.execute("drop table main.sq_t")
+  }
 }

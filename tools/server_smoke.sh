@@ -103,6 +103,12 @@ psql $P -c "insert into main.oc_smoke values (1,'a'),(2,'b')" >/dev/null 2>&1
 chk "pg on conflict"  "INSERT 0 2" "$(psql $P -c "insert into main.oc_smoke values (2,'B'),(3,'c') on conflict (k) do update set v = excluded.v" 2>&1 | head -1)"
 chk "pg oc result"    "a,B,c"    "$(psql $P -tA -c "select string_agg(v, ',' order by k) from main.oc_smoke" 2>&1)"
 psql $P -c "drop table main.oc_smoke" >/dev/null 2>&1
+# sequences through the wire
+psql $P -c "drop sequence if exists main.sq_smoke" >/dev/null 2>&1
+psql $P -c "create sequence main.sq_smoke start with 100" >/dev/null 2>&1
+chk "pg sequence"     "100|101"  "$(psql $P -tA -c "select nextval('main.sq_smoke') as a, nextval('main.sq_smoke') as b" 2>&1)"
+chk "pg currval"      "101"      "$(psql $P -tA -c "select currval('main.sq_smoke')" 2>&1)"
+psql $P -c "drop sequence main.sq_smoke" >/dev/null 2>&1
 # DuckDB statement forms: SUMMARIZE and FROM-first
 chk "pg summarize"    "r_regionkey|INTEGER" "$(psql $P -tA -c "summarize region" 2>&1 | head -1 | cut -d'|' -f1,2)"
 chk "pg from-first"   "5"        "$(psql $P -tA -c "from region select count(*)" 2>&1)"
