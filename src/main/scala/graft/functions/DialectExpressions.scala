@@ -200,15 +200,18 @@ case class AgeInterval(left: Expression, right: Expression) extends BinaryExpres
 case class TimeBucket(widthMonths: Int, widthDays: Int, widthMicros: Long, child: Expression)
     extends UnaryExpression {
   private def dayWidth = widthDays > 0 && widthMicros == 0
-  override def dataType: DataType =
-    if (dayWidth && child.dataType == DateType) DateType else TimestampType
+  override def dataType: DataType = child.dataType match {
+    case DateType if dayWidth => DateType
+    case DateType => TimestampType
+    case other => other // TIMESTAMP in → TIMESTAMP out, NTZ preserved
+  }
   override def checkInputDataTypes(): TypeCheckResult = {
     if (widthMonths != 0)
       return TypeCheckResult.TypeCheckFailure("time_bucket: month-granular widths not supported")
     if (widthDays < 0 || widthMicros < 0 || (widthDays == 0 && widthMicros <= 0 && !dayWidth))
       return TypeCheckResult.TypeCheckFailure("time_bucket: width must be positive")
     child.dataType match {
-      case DateType | TimestampType => TypeCheckResult.TypeCheckSuccess
+      case DateType | TimestampType | TimestampNTZType => TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(s"time_bucket expects DATE/TIMESTAMP, got ${other.simpleString}")
     }
   }

@@ -355,6 +355,74 @@ object FunctionQueries {
         (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow"), // PG dow: Sun=0
         weekofyear(col("o_orderdate")).cast("long").as("wk"))
         .orderBy(col("o_orderkey")).limit(400)
+    },
+
+    // ------------------------------------------------- round-4 probed batch
+    // Both engines run the IDENTICAL statement: every function below is
+    // DuckDB-native and registered here (GraftFunctions probed batch),
+    // so the oracle is a direct textual echo. FP-sensitive outputs
+    // (jaccard, fmod, lgamma) round below engine-implementation noise.
+    q("q_fn_probe_scalars",
+      """SELECT p_partkey,
+        |  hamming(p_name, reverse(p_name)) AS ham,
+        |  round(jaccard(p_name, p_brand), 9) AS jac,
+        |  format_bytes(CAST(floor(p_retailprice) AS BIGINT)) AS fb,
+        |  to_base(p_size, 2) AS tb,
+        |  gcd(p_partkey, CAST(p_size AS BIGINT)) AS g,
+        |  lcm(CAST(p_size AS BIGINT), 6) AS l,
+        |  even(p_retailprice / 100) AS ev,
+        |  fdiv(p_retailprice, 7.0) AS fd,
+        |  round(fmod(p_retailprice, 7.0), 6) AS fm,
+        |  isfinite(p_retailprice) AS fin,
+        |  round(lgamma(1 + p_size / 10.0), 6) AS lg
+        |FROM part WHERE p_partkey <= 400
+        |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      Tables(s, dir)
+      s.sql(
+        """SELECT p_partkey,
+          |  hamming(p_name, reverse(p_name)) AS ham,
+          |  round(jaccard(p_name, p_brand), 9) AS jac,
+          |  format_bytes(CAST(floor(p_retailprice) AS BIGINT)) AS fb,
+          |  to_base(p_size, 2) AS tb,
+          |  gcd(p_partkey, CAST(p_size AS BIGINT)) AS g,
+          |  lcm(CAST(p_size AS BIGINT), 6) AS l,
+          |  even(p_retailprice / 100) AS ev,
+          |  fdiv(p_retailprice, 7.0) AS fd,
+          |  round(fmod(p_retailprice, 7.0), 6) AS fm,
+          |  isfinite(p_retailprice) AS fin,
+          |  round(lgamma(1 + p_size / 10.0), 6) AS lg
+          |FROM part WHERE p_partkey <= 400
+          |ORDER BY p_partkey""".stripMargin)
+    },
+
+    q("q_agg_probe",
+      """SELECT l_returnflag,
+        |  round(entropy(l_linestatus), 9) AS ent,
+        |  quantile_disc(l_quantity, 0.5) AS qd,
+        |  to_json(histogram(l_linestatus)) AS hist
+        |FROM lineitem WHERE l_orderkey <= 2000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables(s, dir)
+      s.sql(
+        """SELECT l_returnflag,
+          |  round(entropy(l_linestatus), 9) AS ent,
+          |  quantile_disc(l_quantity, 0.5) AS qd,
+          |  to_json(histogram(l_linestatus)) AS hist
+          |FROM lineitem WHERE l_orderkey <= 2000
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+
+    q("q_evt_time_bucket",
+      """SELECT time_bucket(INTERVAL '6 hours', ts) AS bucket,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1 ORDER BY bucket LIMIT 500""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      t.events
+        .groupBy(expr("time_bucket(INTERVAL '6 hours', ts)").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total"))
+        .orderBy(col("bucket")).limit(500)
     }
   )
 
