@@ -413,6 +413,11 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         Regex.quoteReplacement(
           s"format_string('${m.group(1).replace("%", "%%").replace("{}", "%s")}',")
       else Regex.quoteReplacement(m.matched))
+    // PG regex-match operators with a string-literal pattern:
+    // x ~ 'p' → rlike, !~ negates, ~* / !~* case-insensitive. String-
+    // aware scan, scoped to literal RHS, so bitwise-NOT and tildes
+    // inside string literals are never touched.
+    s = rewritePgRegexOps(s)
     // DuckDB's bare SEMI/ANTI JOIN keywords → Spark's LEFT-prefixed
     // ones; an existing LEFT/RIGHT prefix (any whitespace) passes through
     s = semiAntiRe.replaceAllIn(s, m =>
@@ -1389,6 +1394,57 @@ object Engine {
             } else { sb += c; i += 1 }
           case None => sb += c; i += 1
         }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  /** PG regex-match operators `~ / !~ / ~* / !~*` with a string-literal
+    * pattern → `[NOT] RLIKE`; `~*` prefixes `(?i)`. A left-to-right
+    * string-aware scan: tildes inside literals pass through, and a `~`
+    * not followed by a quoted literal (bitwise NOT, `~ 5`) is left
+    * alone. */
+  def rewritePgRegexOps(sql: String): String = {
+    if (sql.indexOf('~') < 0) return sql
+    val sb = new StringBuilder
+    val len = sql.length
+    var i = 0; var inStr = false
+    while (i < len) {
+      val c = sql.charAt(i)
+      if (inStr) { sb += c; if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { sb += c; inStr = true; i += 1 }
+      else if (c == '~' || (c == '!' && i + 1 < len && sql.charAt(i + 1) == '~')) {
+        val neg = c == '!'
+        var j = i + (if (neg) 2 else 1)
+        // second tilde = PG LIKE-operator family: ~~ LIKE, ~~* ILIKE
+        val likeOp = j < len && sql.charAt(j) == '~'
+        if (likeOp) j += 1
+        val ci = j < len && sql.charAt(j) == '*'
+        if (ci) j += 1
+        var k = j
+        while (k < len && sql.charAt(k).isWhitespace) k += 1
+        var matched = false
+        if (k < len && sql.charAt(k) == '\'') {
+          var e = k + 1; var closed = -1
+          while (e < len && closed < 0) {
+            if (sql.charAt(e) == '\'') {
+              if (e + 1 < len && sql.charAt(e + 1) == '\'') e += 2 else closed = e
+            } else e += 1
+          }
+          if (closed > 0) {
+            val lit0 = sql.substring(k, closed + 1)
+            if (likeOp) {
+              val op = if (ci) "ILIKE" else "LIKE"
+              sb.append(if (neg) s" NOT $op " else s" $op ").append(lit0)
+            } else {
+              val lit = if (ci) "'(?i)" + lit0.substring(1) else lit0
+              sb.append(if (neg) " NOT RLIKE " else " RLIKE ").append(lit)
+            }
+            i = closed + 1
+            matched = true
+          }
+        }
+        if (!matched) { sb += c; i += 1 }
       } else { sb += c; i += 1 }
     }
     sb.toString

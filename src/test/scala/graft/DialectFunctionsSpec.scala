@@ -204,4 +204,23 @@ class DialectFunctionsSpec extends SparkSpecBase {
     // mixed directions pass through unrewritten (surface as parse error)
     intercept[Exception](q("select list(x order by a, b desc) from values (1,2,9) t(a,b,x)"))
   }
+
+  test("PG regex-match operators ~ / !~ / ~* / !~*") {
+    assert(one("select 'abc' ~ 'b.'") == true)
+    assert(one("select 'abc' !~ 'z'") == true)
+    assert(one("select 'ABC' ~* 'abc'") == true)
+    assert(one("select 'ABC' !~* 'abc'") == false)
+    // tildes inside string literals are content
+    assert(one("select 'a ~ b'") == "a ~ b")
+    assert(one("select concat('~', 'p')") == "~p")
+    // bitwise NOT (no literal RHS) untouched
+    assert(one("select ~ 5") == -6)
+    // escaped quotes inside the pattern survive
+    assert(one("select 'it''s' ~ 'it''s'") == true)
+    // PG LIKE-operator spellings (psql emits these): ~~ LIKE, ~~* ILIKE
+    assert(one("select 'abc' ~~ 'a%'") == true)
+    assert(one("select 'abc' !~~ 'z%'") == true)
+    assert(one("select 'ABC' ~~* 'a%'") == true)
+    assert(one("select 'ABC' !~~* 'a%'") == false)
+  }
 }
