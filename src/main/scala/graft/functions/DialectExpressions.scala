@@ -25,6 +25,125 @@ object DialectScalars {
     UTF8String.fromString(norm.replaceAll("\\p{Mn}+", ""))
   }
 
+  def nfcNormalize(s: UTF8String): UTF8String =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.NFC))
+
+  /** unicode(): code point of the first character; -1 for '' (DuckDB). */
+  def unicodeCp(s: UTF8String): Int = {
+    val str = s.toString
+    if (str.isEmpty) -1 else str.codePointAt(0)
+  }
+
+  /** Escape regex metacharacters (DuckDB regexp_escape / RE2::QuoteMeta:
+    * backslash every non-[A-Za-z0-9_] ASCII char). */
+  def regexpEscape(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val sb = new java.lang.StringBuilder(str.length * 2)
+    str.foreach { c =>
+      val safe = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '_' || c > 127
+      if (!safe) sb.append('\\')
+      sb.append(c)
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Optimal-string-alignment Damerau-Levenshtein (DuckDB semantics:
+    * damerau_levenshtein('ca','abc') = 2 is true DL; OSA gives 3 —
+    * DuckDB returns 2, so full DL with alphabet map). */
+  def damerauLevenshtein(aU: UTF8String, bU: UTF8String): Long = {
+    val a = aU.toString; val b = bU.toString
+    val inf = a.length + b.length
+    val da = new java.util.HashMap[Character, Integer]()
+    val d = Array.ofDim[Int](a.length + 2, b.length + 2)
+    d(0)(0) = inf
+    for (i <- 0 to a.length) { d(i + 1)(0) = inf; d(i + 1)(1) = i }
+    for (j <- 0 to b.length) { d(0)(j + 1) = inf; d(1)(j + 1) = j }
+    for (i <- 1 to a.length) {
+      var db = 0
+      for (j <- 1 to b.length) {
+        val k = Option(da.get(b.charAt(j - 1))).map(_.intValue).getOrElse(0)
+        val l = db
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) { db = j; 0 } else 1
+        d(i + 1)(j + 1) = math.min(
+          math.min(d(i)(j) + cost, d(i + 1)(j) + 1),
+          math.min(d(i)(j + 1) + 1, d(k)(l) + (i - k - 1) + 1 + (j - l - 1)))
+      }
+      da.put(a.charAt(i - 1), i)
+    }
+    d(a.length + 1)(b.length + 1).toLong
+  }
+
+  def jaro(aU: UTF8String, bU: UTF8String): Double = {
+    val a = aU.toString; val b = bU.toString
+    if (a.isEmpty || b.isEmpty) return 0.0
+    if (a == b) return 1.0
+    val window = math.max(a.length, b.length) / 2 - 1
+    val aM = new Array[Boolean](a.length)
+    val bM = new Array[Boolean](b.length)
+    var matches = 0
+    for (i <- a.indices) {
+      val lo = math.max(0, i - window); val hi = math.min(b.length - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!bM(j) && a.charAt(i) == b.charAt(j)) {
+          aM(i) = true; bM(j) = true; matches += 1; found = true
+        }
+        j += 1
+      }
+    }
+    if (matches == 0) return 0.0
+    var t = 0; var j = 0
+    for (i <- a.indices if aM(i)) {
+      while (!bM(j)) j += 1
+      if (a.charAt(i) != b.charAt(j)) t += 1
+      j += 1
+    }
+    val m = matches.toDouble
+    (m / a.length + m / b.length + (m - t / 2.0) / m) / 3.0
+  }
+
+  def jaroWinkler(aU: UTF8String, bU: UTF8String): Double = {
+    val j = jaro(aU, bU)
+    val a = aU.toString; val b = bU.toString
+    var prefix = 0
+    while (prefix < math.min(math.min(a.length, b.length), 4) &&
+      a.charAt(prefix) == b.charAt(prefix)) prefix += 1
+    j + prefix * 0.1 * (1.0 - j)
+  }
+
+  // parse_path family (DuckDB: forward-slash and backslash separators)
+  private def pathParts(p: String): Array[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (p.startsWith("/") || p.startsWith("\\")) parts += p.substring(0, 1)
+    p.split("[/\\\\]+").foreach(s => if (s.nonEmpty) parts += s)
+    parts.toArray
+  }
+  def parsePath(p: UTF8String): Array[UTF8String] =
+    pathParts(p.toString).map(UTF8String.fromString)
+  def parseDirname(p: UTF8String): UTF8String = {
+    val parts = pathParts(p.toString)
+    UTF8String.fromString(if (parts.length >= 2) parts(0) else "")
+  }
+  def parseDirpath(p: UTF8String): UTF8String = {
+    val s = p.toString
+    val idx = math.max(s.lastIndexOf('/'), s.lastIndexOf('\\'))
+    UTF8String.fromString(
+      if (idx < 0) "" else if (idx == 0) s.substring(0, 1) else s.substring(0, idx))
+  }
+  def parseFilename(p: UTF8String, trimExt: Boolean): UTF8String = {
+    val s = p.toString
+    val idx = math.max(s.lastIndexOf('/'), s.lastIndexOf('\\'))
+    val name = s.substring(idx + 1)
+    val out = if (trimExt) {
+      val dot = name.lastIndexOf('.')
+      if (dot > 0) name.substring(0, dot) else name
+    } else name
+    UTF8String.fromString(out)
+  }
+
   /** DuckDB format_bytes: binary units, one TRUNCATED decimal
     * ("1.9 KiB" for 2040), "N bytes"/"1 byte" below 1 KiB. */
   def formatBytes(n: Long): UTF8String = {
@@ -263,5 +382,155 @@ case class MapDispatch(left: Expression, right: Expression)
     case _ => org.apache.spark.sql.catalyst.expressions.CreateMap(Seq(left, right))
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): MapDispatch =
+    copy(left = l, right = r)
+}
+
+/** String-distance metrics DuckDB ships and Spark lacks: full
+  * Damerau-Levenshtein (LONG), Jaro and Jaro-Winkler similarity
+  * (DOUBLE). Dispatched on a tag like MathUnary. */
+case class StrMetric(fn: String, left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = fn match {
+    case "damerau_levenshtein" => LongType
+    case _ => DoubleType
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(s"$fn expects (STRING, STRING)")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+    fn match {
+      case "damerau_levenshtein" => DialectScalars.damerauLevenshtein(x, y)
+      case "jaro_similarity" => DialectScalars.jaro(x, y)
+      case _ => DialectScalars.jaroWinkler(x, y)
+    }
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = DialectScalars.getClass.getName.stripSuffix("$")
+    val m = fn match {
+      case "damerau_levenshtein" => "damerauLevenshtein"
+      case "jaro_similarity" => "jaro"
+      case _ => "jaroWinkler"
+    }
+    defineCodeGen(ctx, ev, (a, b) => s"$helper.$m($a, $b)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StrMetric =
+    copy(left = l, right = r)
+}
+
+/** One-argument string helpers dispatched on a tag: unicode (INT code
+  * point, -1 for ''), nfc_normalize, regexp_escape. */
+case class StrUnary(fn: String, child: Expression) extends UnaryExpression {
+  override def dataType: DataType = if (fn == "unicode") IntegerType else StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$fn expects STRING, got ${other.simpleString}")
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String]
+    fn match {
+      case "unicode" => DialectScalars.unicodeCp(s)
+      case "nfc_normalize" => DialectScalars.nfcNormalize(s)
+      case _ => DialectScalars.regexpEscape(s)
+    }
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = DialectScalars.getClass.getName.stripSuffix("$")
+    val m = fn match {
+      case "unicode" => "unicodeCp"
+      case "nfc_normalize" => "nfcNormalize"
+      case _ => "regexpEscape"
+    }
+    defineCodeGen(ctx, ev, v => s"$helper.$m($v)")
+  }
+  override protected def withNewChildInternal(c: Expression): StrUnary = copy(child = c)
+}
+
+/** nextafter(a, b) — the next representable double after a toward b. */
+case class NextAfter(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (DoubleType, DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure("nextafter expects (DOUBLE, DOUBLE)")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Math.nextAfter(a.asInstanceOf[Double], b.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"java.lang.Math.nextAfter($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): NextAfter =
+    copy(left = l, right = r)
+}
+
+/** parse_path(p): path components as a list ('/' root kept, DuckDB). */
+case class ParsePath(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"parse_path expects STRING, got ${other.simpleString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      DialectScalars.parsePath(v.asInstanceOf[UTF8String]).asInstanceOf[Array[Any]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = DialectScalars.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, v =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData((Object[]) $helper.parsePath($v))")
+  }
+  override protected def withNewChildInternal(c: Expression): ParsePath = copy(child = c)
+}
+
+/** parse_dirname / parse_dirpath / parse_filename(p[, trimExt]). */
+case class ParsePathPart(fn: String, child: Expression, trimExt: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$fn expects STRING, got ${other.simpleString}")
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String]
+    fn match {
+      case "parse_dirname" => DialectScalars.parseDirname(s)
+      case "parse_dirpath" => DialectScalars.parseDirpath(s)
+      case _ => DialectScalars.parseFilename(s, trimExt)
+    }
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = DialectScalars.getClass.getName.stripSuffix("$")
+    val call: String => String = fn match {
+      case "parse_dirname" => v => s"$helper.parseDirname($v)"
+      case "parse_dirpath" => v => s"$helper.parseDirpath($v)"
+      case _ => v => s"$helper.parseFilename($v, $trimExt)"
+    }
+    defineCodeGen(ctx, ev, call)
+  }
+  override protected def withNewChildInternal(c: Expression): ParsePathPart = copy(child = c)
+}
+
+/** DuckDB element_at / list subscript semantics, dispatched on the
+  * resolved input: arrays — 1-based, negative from the end, 0 and
+  * out-of-bounds give NULL (never an error: a scalar cannot fail one
+  * row at 100 TB); maps — the matching values as a LIST ([] when the
+  * key is absent), DuckDB's map_extract contract. */
+case class ElementAtDispatch(left: Expression, right: Expression)
+    extends RuntimeReplaceable with BinaryLike[Expression] {
+  import org.apache.spark.sql.catalyst.expressions._
+  override lazy val replacement: Expression = left.dataType match {
+    case _: ArrayType =>
+      If(EqualTo(right, Literal(0)),
+        Literal.create(null, left.dataType.asInstanceOf[ArrayType].elementType),
+        ElementAt(left, right, None, failOnError = false))
+    case m: MapType =>
+      val hit = ArrayContains(MapKeys(left), right)
+      If(And(IsNotNull(hit), hit),
+        CreateArray(Seq(GetMapValue(left, right))),
+        Literal.create(Array.empty[Any],
+          ArrayType(m.valueType, containsNull = true)))
+    case _ => ElementAt(left, right)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ElementAtDispatch =
     copy(left = l, right = r)
 }

@@ -277,17 +277,18 @@ object FunctionQueries {
         |      FROM nation)
         |ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
-      // DuckDB m[k] yields a LIST (hence [1] above); Spark element_at is
-      // already scalar — same values either way
+      // DuckDB m[k] yields a LIST (hence [1] above); the registry-level
+      // element_at now mirrors that, so map access here uses getItem
+      // (GetMapValue — scalar, resolved without the function registry)
       val m = map(col("n_name"), col("n_regionkey"), lit("x"), lit(-1))
       t.nation.select(
         col("n_nationkey"),
-        element_at(m, col("n_name")).as("own_region"),
+        m.getItem(col("n_name")).as("own_region"),
         size(m).cast("long").as("n_entries"),
         element_at(sort_array(map_keys(m)), 1).as("first_key"),
         element_at(sort_array(map_values(m)), 1).as("min_val"),
-        element_at(map_from_entries(array(struct(col("n_name").as("k"), col("n_regionkey").as("v")))),
-          col("n_name")).as("me"))
+        map_from_entries(array(struct(col("n_name").as("k"), col("n_regionkey").as("v"))))
+          .getItem(col("n_name")).as("me"))
         .orderBy(col("n_nationkey"))
     },
 

@@ -149,8 +149,9 @@ class DialectFunctionsSpec extends SparkSpecBase {
     assert(one("select struct_extract(struct_pack(a:=7), 'a')") == 7)
     // DuckDB map(keys_list, values_list) builds from arrays; Spark's
     // variadic map(k, v) still works
-    assert(one("select element_at(map(['a','b'],[1,2]), 'b')") == 2)
-    assert(one("select element_at(map('a', 1), 'a')") == 1)
+    // DuckDB element_at on a MAP returns the matching values as a LIST
+    assert(one("select element_at(map(['a','b'],[1,2]), 'b')") == Seq(2))
+    assert(one("select element_at(map('a', 1), 'a')") == Seq(1))
     assert(one("select cardinality(map(['a'],[1]))") == 1)
   }
 
@@ -176,7 +177,7 @@ class DialectFunctionsSpec extends SparkSpecBase {
     assert(Engine.rewriteStructLiterals("select '{}' ") == "select '{}' ")
     assert(Engine.rewriteStructLiterals("a { b }") == "a { b }")
     // map_from_entries over struct-literal entries (the probed gap)
-    assert(one("select element_at(map_from_entries([{'k':'a','v':1}]), 'a')") == 1)
+    assert(one("select element_at(map_from_entries([{'k':'a','v':1}]), 'a')") == Seq(1))
   }
 
   test("probed DuckDB aggregate batch") {
@@ -203,6 +204,107 @@ class DialectFunctionsSpec extends SparkSpecBase {
     assert(q("select list(x order by a desc, b desc) from values (1,2,9),(1,1,8),(0,5,7) t(a,b,x)") == Seq(9, 8, 7))
     // mixed directions pass through unrewritten (surface as parse error)
     intercept[Exception](q("select list(x order by a, b desc) from values (1,2,9) t(a,b,x)"))
+  }
+
+  test("probed batch 2: string metrics and helpers (outputs pinned to DuckDB 1.0)") {
+    assert(one("select damerau_levenshtein('ca','abc')") == 2L) // full DL, not OSA
+    assert(one("select damerau_levenshtein('kitten','sitting')") == 3L)
+    assert(one("select jaro_similarity('martha','marhta')") == 0.9444444444444445)
+    assert(one("select jaro_winkler_similarity('martha','marhta')") == 0.9611111111111111)
+    assert(one("select jaro_winkler_similarity('dwayne','duane')") == 0.8400000000000001)
+    assert(one("select jaro_similarity('', 'a')") == 0.0)
+    assert(one("select unicode('€')") == 8364)
+    assert(one("select unicode('')") == -1)
+    assert(one("select regexp_escape('a.b*c')") == "a\\.b\\*c")
+    assert(one("select nfc_normalize('é')") == "é")
+    assert(one("select editdist3('kitten','sitting')") == 3)
+    assert(one("select mismatches('abcd','abce')") == 1L)
+    assert(one("select parse_path('/a/b/c.txt')") == Seq("/", "a", "b", "c.txt"))
+    assert(one("select parse_dirname('/a/b/c.txt')") == "/")
+    assert(one("select parse_dirname('rel/x.y')") == "rel")
+    assert(one("select parse_dirpath('/a/b/c.txt')") == "/a/b")
+    assert(one("select parse_filename('/a/b/c.txt')") == "c.txt")
+    assert(one("select parse_filename('/a/b/c.txt', true)") == "c")
+    assert(one("select like_escape('a%c', 'a$%c', '$')") == true)
+    assert(one("select like_escape('abc', 'a$%c', '$')") == false)
+    assert(one("select ilike_escape('A%C', 'a$%c', '$')") == true)
+    assert(one("select not_like_escape('abc', 'a$%c', '$')") == true)
+    assert(one("select from_hex('ff')").asInstanceOf[Array[Byte]].toSeq == Seq(-1.toByte))
+    assert(one("select cast(from_base64('YWI=') as string)") == "ab")
+  }
+
+  test("probed batch 2: numeric and date semantics") {
+    assert(one("select log(100)") == 2.0) // DuckDB single-arg log is log10
+    assert(one("select log(2, 8)") == 3.0)
+    assert(one("select trunc(-1.9)") == -1L)
+    assert(one("select xor(5, 3)") == 6)
+    assert(one("select nextafter(1.0, 2.0)") == 1.0000000000000002)
+    assert(one("select regexp_extract('abc123', '[0-9]+')") == "123")
+    assert(one("select isodow(date '2024-03-15')") == 5)
+    assert(one("select isodow(date '2024-03-17')") == 7)
+    assert(one("select isoyear(date '2021-01-01')") == 2020)
+    assert(one("select century(date '2024-03-15')") == 21L)
+    assert(one("select century(date '1999-12-31')") == 20L)
+    assert(one("select millennium(date '2024-01-01')") == 3L)
+    assert(one("select era(date '2024-01-01')") == 1L)
+    assert(one("select epoch_us(timestamp '2024-03-15 00:00:01.5')") == 1710460801500000L)
+    assert(one("select epoch_ns(timestamp '2024-03-15 00:00:01.5')") == 1710460801500000000L)
+    assert(one("select monthname(date '2024-03-15')") == "March")
+    assert(one("select dayname(date '2024-03-15')") == "Friday")
+    // date_sub counts COMPLETE elapsed units (date_diff counts crossings)
+    assert(one("select date_sub('month', date '2024-01-31', date '2024-03-01')") == 1L)
+    assert(one("select datesub('day', date '2024-01-01', date '2024-01-31')") == 30L)
+    assert(one("select to_days(3) + to_hours(2)").toString == "3 days 2 hours")
+    assert(one("select setseed(0.5)") == null)
+  }
+
+  test("probed batch 2: list utilities") {
+    assert(one("select list_unique([1,2,2,3])") == 3L) // count, not the array
+    assert(one("select list_resize([1,2], 4)") == Seq(1, 2, null, null))
+    assert(one("select list_resize([1,2,3], 2)") == Seq(1, 2))
+    assert(one("select list_resize([1,2], 4, 9)") == Seq(1, 2, 9, 9))
+    assert(one("select list_select([10,20,30], [3,1])") == Seq(30, 10))
+    assert(one("select list_select([10,20,30], [5])") == Seq(null))
+    assert(one("select list_where([10,20,30], [true,false,true])") == Seq(10, 30))
+    assert(one("select list_grade_up([30,10,20,10])") == Seq(2, 4, 3, 1))
+    assert(one("select list_dot_product([1.0,2.0],[3.0,4.0])") == 11.0)
+    assert(one("select list_distance([0.0,0.0],[3.0,4.0])") == 5.0)
+    assert(one("select list_cosine_similarity([1.0,2.0],[2.0,4.0])") == 0.9999999999999998)
+    assert(one("select list_reduce([1,2,3,4], (a,b) -> a + b)") == 10)
+    assert(one("select reduce([1,2,3,4], (a,b) -> a + b)") == 10)
+    assert(one("select aggregate([1,2,3], 'max')") == 3)
+    assert(one("select list_avg([1,2,3])") == 2.0)
+    assert(one("select list_sort([3,1,2], 'DESC')") == Seq(3, 2, 1))
+    assert(one("select list_sort([3,1,2])") == Seq(1, 2, 3))
+    assert(one("select array_extract([1,2,3], 2)") == 2)
+    assert(one("select array_prepend(0, [1,2])") == Seq(0, 1, 2))
+    assert(one("select array_push_front([1,2], 0)") == Seq(0, 1, 2))
+    assert(one("select array_push_back([1,2], 3)") == Seq(1, 2, 3))
+    assert(one("select list_intersect([1,2,3],[2,3,4])").asInstanceOf[collection.Seq[_]].toSet == Set(2, 3))
+    // element_at: 1-based, negative from end, 0 and OOB → NULL (DuckDB)
+    assert(one("select element_at([1,2,3], -1)") == 3)
+    assert(one("select element_at([1,2,3], 0)") == null)
+    assert(one("select element_at([1,2,3], 5)") == null)
+    // maps: the matching values as a LIST ([] when absent)
+    assert(one("select element_at(map([1,2],['a','b']), 1)") == Seq("a"))
+    assert(one("select map_extract(map([1,2],['a','b']), 3)") == Seq())
+  }
+
+  test("probed batch 2: structs and aggregates") {
+    assert(one("select row(1, 'x').col1") == 1)
+    assert(one("select struct_insert({'a': 1}, 'b', 2).b") == 2)
+    def q(sql: String) = spark.sql(engine.rewrite(sql)).head().get(0)
+    assert(q("select group_concat(x) from values ('a'),('b') t(x)") == "a,b")
+    assert(q("select string_agg(x) from values ('a'),('b') t(x)") == "a,b")
+    assert(q("select arbitrary(x) from values (7) t(x)") == 7)
+    assert(q("select mad(x) from values (1),(2),(3),(4),(100) t(x)") == 1.0)
+    val sk = q("select skewness(x) from values (1.0),(2),(3),(4),(10) t(x)").asInstanceOf[Double]
+    assert(math.abs(sk - 1.6970562748477143) < 1e-9, sk.toString)
+    val ku = q("select kurtosis(x) from values (1.0),(2),(3),(4),(10) t(x)").asInstanceOf[Double]
+    assert(math.abs(ku - 3.151999999999994) < 1e-9, ku.toString)
+    assert(q("select bitstring_agg(x, 0, 5) from values (1),(3),(5) t(x)") == "010101")
+    assert(q("select reservoir_quantile(x, 0.5, 100) from values (1),(2),(3),(4),(5) t(x)") == 3)
+    assert(q("select kahan_sum(x) from values (cast(1.5 as double)),(cast(2.5 as double)) t(x)") == 4.0)
   }
 
   test("PG regex-match operators ~ / !~ / ~* / !~*") {

@@ -1,0 +1,472 @@
+#!/usr/bin/env python3
+"""Dialect gap probe: run a battery of DuckDB-1.0 statements in BOTH the
+embedded duckdb oracle and the live graft PG server (psql simple query),
+and diff the text outputs. Finds surface the server lacks or renders
+differently.
+
+Usage: python3 tools/dialect_probe.py [port] [battery-file]
+Battery file: one SQL statement per line; lines starting with # skipped.
+With no battery file, runs the built-in battery.
+
+Output: one line per probe — OK / DIFF / SRVERR / ORAERR — then a summary.
+DIFF lines print both sides.
+"""
+import subprocess
+import sys
+
+import duckdb
+
+
+def duck_fmt(v):
+    if v is None:
+        return ""
+    if v is True:
+        return "t"
+    if v is False:
+        return "f"
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return str(v)
+        return repr(v)
+    if isinstance(v, list):
+        return "{" + ",".join(duck_fmt(x) for x in v) + "}"
+    return str(v)
+
+
+def run_duck(con, sql):
+    try:
+        rows = con.execute(sql).fetchall()
+    except Exception as e:
+        return None, f"{type(e).__name__}: {e}"
+    return ["|".join(duck_fmt(v) for v in r) for r in rows], None
+
+
+def run_pg(port, sql):
+    p = subprocess.run(
+        ["psql", "-h", "127.0.0.1", "-p", str(port), "-U", "probe", "-d",
+         "main", "-tA", "-v", "ON_ERROR_STOP=1", "-c", sql],
+        capture_output=True, text=True, timeout=120)
+    if p.returncode != 0:
+        return None, (p.stderr.strip() or p.stdout.strip()).splitlines()[:2]
+    return [l for l in p.stdout.splitlines() if l != ""], None
+
+
+def norm(lines):
+    out = []
+    for l in lines:
+        cells = []
+        for c in l.split("|"):
+            try:
+                f = float(c)
+                cells.append(f"{f:.6g}")
+            except ValueError:
+                cells.append(c)
+        out.append("|".join(cells))
+    return sorted(out)
+
+
+BATTERY = """
+-- scalar string
+select reverse('abc')
+select repeat('ab', 3)
+select replace('aaa','a','b')
+select translate('abc','ab','xy')
+select left('hello', 2) || right('hello', 2)
+select lpad('7', 3, '0'), rpad('7', 3, '0')
+select ltrim('  x  ') || rtrim('  x  ')
+select trim(both 'x' from 'xxaxx')
+select position('b' in 'abc')
+select strpos('abc', 'b')
+select instr('abc', 'b')
+select substring('hello', 2, 3)
+select substr('hello', 2)
+select split_part('a,b,c', ',', 2)
+select string_split('a,b,c', ',')
+select str_split('a,b,c', ',')
+select string_to_array('a,b,c', ',')
+select regexp_split_to_array('a1b2c', '[0-9]')
+select contains('hello', 'ell')
+select starts_with('hello', 'he')
+select ends_with('hello', 'lo')
+select prefix('hello', 'he')
+select suffix('hello', 'lo')
+select levenshtein('kitten', 'sitting')
+select editdist3('kitten', 'sitting')
+select damerau_levenshtein('abc', 'acb')
+select jaro_similarity('martha', 'marhta')
+select jaro_winkler_similarity('martha', 'marhta')
+select mismatches('abcd', 'abce')
+select unicode('a')
+select ascii('a')
+select chr(65)
+select ord('A')
+select md5('x')
+select sha256('x')
+select hash('x')
+select bit_length('abc'), octet_length('abc')
+select length('abc'), len('abc'), char_length('abc'), character_length('abc'), strlen('abc')
+select concat_ws('-', 'a', 'b', null, 'c')
+select format('{} + {} = {}', 1, 2, 3)
+select printf('%d-%s', 7, 'x')
+select upper('a')||lower('B')||ucase('c')||lcase('D')
+select initcap('hello world')
+select title('hello world')
+select to_base(255, 16)
+select bin(5), hex(255), unhex('ff')
+select from_hex('ff'), to_hex(255)
+select base64('ab'::blob)
+select from_base64('YWI=')
+select nfc_normalize('abc')
+select like_escape('a%c', 'a$%c', '$')
+select ilike_escape('A%C', 'a$%c', '$')
+select not_like_escape('a%c', 'a$%c', '$')
+select regexp_matches('abc', 'b')
+select regexp_replace('abc', 'b', 'x')
+select regexp_extract('abc123', '[0-9]+')
+select regexp_extract('a1b2', '([a-z])([0-9])', 2)
+select regexp_escape('a.b')
+select parse_path('/a/b/c.txt')
+select parse_dirname('/a/b/c.txt')
+select parse_dirpath('/a/b/c.txt')
+select parse_filename('/a/b/c.txt')
+select parse_filename('/a/b/c.txt', true)
+-- scalar numeric
+select abs(-3), sign(-2), ceil(1.2), ceiling(1.2), floor(1.8), round(2.567, 2)
+select round(2.5), round(3.5), round(-2.5)
+select trunc(1.9), trunc(-1.9)
+select pow(2,10), power(2,10), sqrt(16.0), cbrt(27.0)
+select exp(1.0), ln(2.718281828), log(100.0), log2(8.0), log10(1000.0), log(2, 8)
+select sin(0.5)+cos(0.5)+tan(0.5)
+select asin(0.5)+acos(0.5)+atan(0.5)+atan2(1.0,1.0)
+select sinh(1.0), cosh(1.0), tanh(1.0)
+select asinh(1.0), acosh(2.0), atanh(0.5)
+select degrees(pi()), radians(180.0)
+select factorial(10)
+select 5 % 3, mod(5,3), fmod(5.5, 2.0), fdiv(5.5, 2.0)
+select 7 // 2, (-7) // 2
+select gcd(12, 18), lcm(4, 6)
+select even(2.5), even(-2.5)
+select bit_count(255)
+select xor(5, 3)
+select 5 & 3, 5 | 3, 5 << 1, 5 >> 1
+select ~5
+select @(-7)
+select 2 ** 10
+select 3 ^ 2
+select isnan('nan'::double), isinf('inf'::double), isfinite(1.0)
+select nextafter(1.0, 2.0)
+select cot(1.0)
+select gamma(5.0), lgamma(5.0)
+select random() >= 0 and random() <= 1
+select setseed(0.5)
+select greatest(1,2,3), least(1,2,3)
+select greatest('a','b'), least('a','b')
+-- dates/times
+select date '2024-03-15' + 30
+select date '2024-03-15' - date '2024-01-01'
+select date '2024-03-15' + interval 2 month
+select timestamp '2024-03-15 10:30:00' - interval '90 minutes'
+select age(timestamp '2024-03-15', timestamp '2022-01-20')
+select current_date = today()
+select now() = get_current_timestamp()
+select date_part('year', date '2024-03-15')
+select datepart('month', date '2024-03-15')
+select extract(day from date '2024-03-15')
+select date_part(['year','month'], date '2024-03-15')
+select year(date '2024-03-15'), month(date '2024-03-15'), day(date '2024-03-15')
+select dayofweek(date '2024-03-15'), dayofyear(date '2024-03-15'), weekofyear(date '2024-03-15')
+select isodow(date '2024-03-15'), isoyear(date '2024-03-15')
+select quarter(date '2024-03-15')
+select hour(timestamp '2024-03-15 10:30:45'), minute(timestamp '2024-03-15 10:30:45'), second(timestamp '2024-03-15 10:30:45')
+select epoch(timestamp '2024-03-15 00:00:00')
+select epoch_ms(timestamp '2024-03-15 00:00:00')
+select epoch_us(timestamp '2024-03-15 00:00:00')
+select epoch_ns(timestamp '2024-03-15 00:00:00')
+select to_timestamp(1710460800)
+select make_date(2024, 3, 15)
+select make_timestamp(2024, 3, 15, 10, 30, 0.0)
+select make_time(10, 30, 0.0)
+select date_trunc('month', date '2024-03-15')
+select datetrunc('week', date '2024-03-15')
+select date_diff('day', date '2024-01-01', date '2024-03-15')
+select datediff('month', date '2024-01-01', date '2024-03-15')
+select date_add(date '2024-03-15', interval 1 day)
+select date_sub('month', date '2024-01-31', date '2024-03-01')
+select datesub('day', date '2024-01-01', date '2024-01-31')
+select last_day(date '2024-02-05')
+select monthname(date '2024-03-15'), dayname(date '2024-03-15')
+select strftime(date '2024-03-15', '%Y/%m/%d')
+select strptime('2024-03-15', '%Y-%m-%d')
+select time_bucket(interval '2 days', date '2024-03-15')
+select time_bucket(interval '15 minutes', timestamp '2024-03-15 10:37:00')
+select to_days(3) + to_hours(2) + to_minutes(1)
+select to_years(1)
+select century(date '2024-03-15'), millennium(date '2024-03-15')
+select era(date '2024-03-15')
+select timezone(timestamp '2024-03-15 00:00:00') is not null
+select interval 1 day + interval 2 hour
+select interval '1 year 2 months'
+select to_seconds(90)
+select greatest(date '2024-01-01', date '2024-02-01')
+-- lists
+select [1,2,3]
+select [1,2,3][2]
+select [1,2,3][1:2]
+select list_value(1,2,3)
+select list_pack(1,2,3)
+select len([1,2,3])
+select array_length([1,2,3])
+select list_element([1,2,3], 2)
+select list_extract([1,2,3], 2)
+select array_extract([1,2,3], 2)
+select list_contains([1,2,3], 2)
+select array_contains([1,2,3], 2)
+select list_has([1,2,3], 2)
+select list_position([1,2,3], 2)
+select list_indexof([1,2,3], 2)
+select array_position([1,2,3], 2)
+select list_append([1,2], 3)
+select array_append([1,2], 3)
+select array_push_back([1,2], 3)
+select list_prepend(0, [1,2])
+select array_prepend(0, [1,2])
+select array_push_front([1,2], 0)
+select list_concat([1,2],[3])
+select list_cat([1,2],[3])
+select array_concat([1,2],[3])
+select array_cat([1,2],[3])
+select [1,2] || [3]
+select list_distinct([1,2,2,3])
+select list_unique([1,2,2,3])
+select list_sort([3,1,2])
+select list_sort([3,1,2], 'DESC')
+select list_reverse_sort([1,3,2])
+select list_reverse([1,2,3])
+select array_reverse([1,2,3])
+select list_slice([1,2,3,4], 2, 3)
+select array_slice([1,2,3,4], 2, 3)
+select list_aggregate([1,2,3], 'sum')
+select list_aggr([1,2,3], 'min')
+select aggregate([1,2,3], 'max')
+select list_sum([1,2,3])
+select list_avg([1,2,3])
+select list_min([1,2,3]), list_max([1,2,3])
+select list_transform([1,2,3], x -> x * 2)
+select array_transform([1,2,3], x -> x + 1)
+select apply([1,2,3], x -> x * x)
+select list_apply([1,2,3], x -> -x)
+select list_filter([1,2,3,4], x -> x % 2 = 0)
+select array_filter([1,2,3,4], x -> x > 2)
+select filter([1,2,3,4], x -> x < 3)
+select list_reduce([1,2,3,4], (a,b) -> a + b)
+select reduce([1,2,3,4], (a,b) -> a + b)
+select [x * 2 for x in [1,2,3]]
+select [x for x in [1,2,3,4] if x % 2 = 0]
+select list_zip([1,2],[3,4])
+select list_has_all([1,2,3],[2,3])
+select array_has_all([1,2,3],[2,3])
+select list_has_any([1,2],[2,3])
+select array_has_any([1,2],[2,3])
+select [1,2] && [2,3]
+select [1,2,3] <@ [1,2,3,4]
+select [1,2,3,4] @> [2,3]
+select list_intersect([1,2,3],[2,3,4])
+select array_intersect([1,2,3],[2,3,4])
+select list_resize([1,2], 4)
+select list_resize([1,2], 4, 0)
+select list_select([10,20,30], [3,1])
+select list_where([10,20,30], [true,false,true])
+select list_grade_up([30,10,20])
+select list_cosine_similarity([1.0,2.0],[2.0,4.0])
+select list_dot_product([1.0,2.0],[3.0,4.0])
+select list_inner_product([1.0,2.0],[3.0,4.0])
+select list_distance([0.0,0.0],[3.0,4.0])
+select flatten([[1,2],[3]])
+select range(5)
+select range(2, 5)
+select range(0, 10, 3)
+select generate_series(1, 3)
+select unnest([1,2,3])
+select unnest(generate_series(1,3))
+select repeat([1,2], 2)
+-- structs/maps
+select {'a': 1, 'b': 'x'}
+select {'a': 1}.a
+select struct_extract({'a': 1, 'b': 2}, 'b')
+select struct_pack(a := 1, b := 2)
+select struct_insert({'a': 1}, b := 2)
+select row(1, 'x')
+select map([1,2],['a','b'])
+select map([1,2],['a','b'])[1]
+select map_extract(map([1,2],['a','b']), 2)
+select element_at(map([1,2],['a','b']), 1)
+select cardinality(map([1,2],['a','b']))
+select map_keys(map([1,2],['a','b']))
+select map_values(map([1,2],['a','b']))
+select map_entries(map([1,2],['a','b']))
+select map_from_entries([{'k': 1, 'v': 'a'}])
+select map_concat(map([1],['a']), map([2],['b']))
+select map()
+-- json
+select '{"a": 1}'::json ->> 'a'
+select '{"a": {"b": 2}}'::json -> 'a' ->> 'b'
+select json_extract('{"a": [1,2]}', '$.a[0]')
+select json_extract_string('{"a": "x"}', '$.a')
+select json_array_length('[1,2,3]')
+select json_structure('{"a": 1}')
+select json_type('{"a": 1}')
+select json_valid('{"a"')
+select json_keys('{"a":1,"b":2}')
+select json_merge_patch('{"a":1}', '{"b":2}')
+select json_object('a', 1, 'b', 2)
+select json_array(1, 2, 3)
+select json_quote('x')
+select to_json([1,2,3])
+select from_json('[1,2,3]', '["BIGINT"]')
+select json_transform('{"a":1}', '{"a":"VARCHAR"}')
+select json_contains('{"a":1}', '1')
+select json_group_array(x) from (select unnest([1,2]) x)
+select json_group_object(k, v) from (select 'a' k, 1 v)
+-- casts / conversions
+select '5'::int + 1
+select cast('5' as integer) + 1
+select try_cast('abc' as integer)
+select 1::tinyint, 1::smallint, 1::integer, 1::bigint, 1::hugeint
+select 1::utinyint, 1::usmallint, 1::uinteger, 1::ubigint
+select 1.5::float4, 1.5::float8, 1.5::real, 1.5::double
+select '2024-01-01'::date
+select '10:30:00'::time
+select 'true'::boolean
+select 123::varchar
+select typeof(1), typeof(1.5), typeof('x'), typeof([1]), typeof({'a':1})
+select typeof(1::decimal(10,2))
+-- conditionals / comparison
+select coalesce(null, null, 3)
+select ifnull(null, 5)
+select nullif(5, 5)
+select if(1 > 0, 'y', 'n')
+select iif(1 > 0, 'y', 'n')
+select case when 1=1 then 'a' else 'b' end
+select 1 between 0 and 2
+select 3 not between 0 and 2
+select 'b' in ('a','b')
+select null is distinct from 1
+select null is not distinct from null
+select 1 is null, 1 is not null
+select nan() is null
+-- aggregates (over nation/lineitem where needed)
+select count(*) from nation
+select count(distinct n_regionkey) from nation
+select sum(n_nationkey), avg(n_nationkey), min(n_nationkey), max(n_nationkey) from nation
+select any_value(n_nationkey) is not null from nation
+select arbitrary(n_nationkey) is not null from nation
+select first(n_nationkey order by n_nationkey), last(n_nationkey order by n_nationkey) from nation
+select bool_and(n_nationkey >= 0), bool_or(n_nationkey > 23) from nation
+select bit_and(n_nationkey), bit_or(n_nationkey), bit_xor(n_nationkey) from nation
+select string_agg(n_name, ';' order by n_name) from (select n_name from nation limit 3) t
+select listagg(n_name, ';') from (select n_name from nation where n_nationkey < 2 order by n_name) t
+select group_concat(n_name, ';') from (select n_name from nation where n_nationkey < 2 order by n_name) t
+select array_agg(n_nationkey order by n_nationkey) from (select n_nationkey from nation limit 3) t
+select list(n_nationkey order by n_nationkey) from (select n_nationkey from nation limit 3) t
+select histogram(n_regionkey) from nation
+select var_pop(n_nationkey), var_samp(n_nationkey), variance(n_nationkey) from nation
+select stddev_pop(n_nationkey), stddev_samp(n_nationkey), stddev(n_nationkey) from nation
+select skewness(n_nationkey) from nation
+select kurtosis(n_nationkey) from nation
+select corr(n_nationkey, n_regionkey), covar_pop(n_nationkey, n_regionkey), covar_samp(n_nationkey, n_regionkey) from nation
+select regr_slope(n_nationkey, n_regionkey), regr_intercept(n_nationkey, n_regionkey) from nation
+select regr_r2(n_nationkey, n_regionkey), regr_count(n_nationkey, n_regionkey) from nation
+select regr_avgx(n_nationkey, n_regionkey), regr_avgy(n_nationkey, n_regionkey) from nation
+select regr_sxx(n_nationkey, n_regionkey), regr_syy(n_nationkey, n_regionkey), regr_sxy(n_nationkey, n_regionkey) from nation
+select median(n_nationkey) from nation
+select quantile_cont(n_nationkey, 0.5) from nation
+select quantile_disc(n_nationkey, 0.25) from nation
+select quantile(n_nationkey, 0.5) from nation
+select mad(n_nationkey) from nation
+select mode(n_regionkey) from nation
+select entropy(n_regionkey) > 2.3 from nation
+select approx_count_distinct(n_nationkey) between 20 and 30 from nation
+select approx_quantile(n_nationkey, 0.5) between 10 and 14 from nation
+select reservoir_quantile(n_nationkey, 0.5, 100) between 5 and 20 from nation
+select arg_min(n_name, n_nationkey), arg_max(n_name, n_nationkey) from nation
+select argmin(n_name, n_nationkey), argmax(n_name, n_nationkey) from nation
+select min_by(n_name, n_nationkey), max_by(n_name, n_nationkey) from nation
+select product(n_nationkey) from nation where n_nationkey between 1 and 5
+select sum(n_nationkey) filter (where n_regionkey = 0) from nation
+select favg(1.0), fsum(2.0)
+select kahan_sum(1.5)
+select bitstring_agg(n_nationkey) is not null from nation where n_nationkey < 5
+select count(*) from nation group by all
+-- window (smoke)
+select n_name, row_number() over (order by n_nationkey) rn from nation order by rn limit 2
+select n_name, ntile(4) over (order by n_nationkey) nt from nation order by n_nationkey limit 2
+select n_name, cume_dist() over (order by n_nationkey) cd from nation order by n_nationkey limit 2
+select n_name, percent_rank() over (order by n_nationkey) pr from nation order by n_nationkey limit 2
+-- statements / structure
+select * from nation where n_nationkey = 1
+select n_name from nation order by n_name limit 2 offset 1
+select distinct n_regionkey from nation order by 1
+select distinct on (n_regionkey) n_regionkey, n_name from nation order by n_regionkey, n_name
+values (1, 'a'), (2, 'b')
+select * from values (1), (2) t(x)
+select 42 as x union select 43 order by x
+select * from (select 1 a) t1, (select 2 b) t2
+select * from nation n join region r on n.n_regionkey = r.r_regionkey where r.r_regionkey = 0 order by n_name limit 1
+select columns('n_n.*') from nation order by n_nationkey limit 1
+select * exclude (n_comment) from nation order by n_nationkey limit 1
+select * replace (n_nationkey + 100 as n_nationkey) from nation order by n_nationkey limit 1
+select min(columns(*)) from region
+from nation select n_name order by n_name limit 1
+from nation limit 1
+select count(*) from range(10)
+select * from generate_series(1, 3)
+select * from (values (1,'a')) t(id, val)
+select t.* from nation t order by n_nationkey limit 1
+with c as (select 1 x) select * from c
+with recursive c(x) as (select 1 union all select x+1 from c where x < 3) select sum(x) from c
+select n_regionkey, count(*) from nation group by n_regionkey having count(*) > 4 order by 1
+select grouping(n_regionkey) g, n_regionkey, count(*) from nation group by rollup(n_regionkey) order by g, n_regionkey
+select n_name from nation qualify row_number() over (order by n_nationkey) <= 2 order by n_name
+select * from nation positional join region limit 1
+select l_orderkey from lineitem semi join orders on l_orderkey = o_orderkey order by 1 limit 1
+select n_nationkey from nation anti join region on n_nationkey = r_regionkey order by 1 limit 1
+"""
+
+
+def main():
+    port = int(sys.argv[1]) if len(sys.argv) > 1 else 5433
+    if len(sys.argv) > 2:
+        stmts = [l.strip() for l in open(sys.argv[2])
+                 if l.strip() and not l.strip().startswith("#")]
+    else:
+        stmts = [l.strip() for l in BATTERY.splitlines()
+                 if l.strip() and not l.strip().startswith("--")]
+
+    con = duckdb.connect()
+    for t in ["nation", "region", "lineitem", "orders", "customer"]:
+        con.execute(f"create view {t} as select * from "
+                    f"read_parquet('/root/testdata/sf0.001/{t}.parquet')")
+
+    counts = {"OK": 0, "DIFF": 0, "SRVERR": 0, "ORAERR": 0, "BOTHERR": 0}
+    for sql in stmts:
+        oracle, oerr = run_duck(con, sql)
+        got, serr = run_pg(port, sql)
+        if oerr and serr:
+            counts["BOTHERR"] += 1
+            print(f"BOTHERR  {sql}")
+        elif oerr:
+            counts["ORAERR"] += 1
+            print(f"ORAERR   {sql}\n    oracle: {oerr}")
+        elif serr:
+            counts["SRVERR"] += 1
+            print(f"SRVERR   {sql}\n    server: {serr}")
+        elif norm(oracle) == norm(got):
+            counts["OK"] += 1
+        else:
+            counts["DIFF"] += 1
+            print(f"DIFF     {sql}\n    oracle: {oracle[:4]}\n    server: {got[:4]}")
+    print("\nSUMMARY", counts, f"total={len(stmts)}")
+
+
+if __name__ == "__main__":
+    main()
