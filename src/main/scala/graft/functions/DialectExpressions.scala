@@ -372,6 +372,28 @@ case class LenOf(child: Expression) extends RuntimeReplaceable with UnaryLike[Ex
   override protected def withNewChildInternal(c: Expression): LenOf = copy(child = c)
 }
 
+/** DuckDB 1-arg `trunc(x)`: toward-zero integer part KEEPING the
+  * input's numeric type (trunc(1.9::DOUBLE) = 1.0::DOUBLE, trunc(5) =
+  * 5), dispatched on the resolved argument. Floating inputs with
+  * |x| ≥ 2^53 (including ±Inf) are already integral and pass through
+  * untouched — the round-trip Cast would clamp them at ±2^63. NaN
+  * passes through as NaN. Integral inputs are the identity. */
+case class TruncTowardZero(child: Expression)
+    extends RuntimeReplaceable with UnaryLike[Expression] {
+  import org.apache.spark.sql.catalyst.expressions._
+  override lazy val replacement: Expression = child.dataType match {
+    case DoubleType | FloatType =>
+      val d = Cast(child, DoubleType)
+      val alreadyIntegral = Or(IsNaN(d),
+        GreaterThanOrEqual(Abs(d), Literal(9.007199254740992e15)))
+      val truncated = Cast(Cast(d, LongType, None, EvalMode.LEGACY), DoubleType)
+      Cast(If(alreadyIntegral, d, truncated), child.dataType)
+    case ByteType | ShortType | IntegerType | LongType => child
+    case _ => Cast(child, LongType, None, EvalMode.LEGACY)
+  }
+  override protected def withNewChildInternal(c: Expression): TruncTowardZero = copy(child = c)
+}
+
 /** DuckDB `map(keys_list, values_list)` vs Spark's variadic
   * `map(k1, v1, …)`: two array-typed arguments build from arrays. */
 case class MapDispatch(left: Expression, right: Expression)

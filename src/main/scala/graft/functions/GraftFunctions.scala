@@ -258,10 +258,10 @@ object GraftFunctions {
     // registration is NOT idempotent (several overrides wrap the current
     // builder under the same name — a second pass would wrap the wrapper,
     // double-swapping arguments / double-correcting moments), so guard
-    // with a sentinel function per registry instance
+    // with a sentinel function per registry instance; the sentinel is
+    // registered LAST so a registration pass that throws partway can be
+    // retried instead of leaving the registry permanently half-built
     if (reg.lookupFunctionBuilder(FunctionIdentifier("graft_registry_marker")).isDefined) return
-    reg.createOrReplaceTempFunction("graft_registry_marker",
-      _ => Literal(true), "scala_udf")
 
     reg.createOrReplaceTempFunction("typeof", es => TypeOf(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("vector_dot", es => VectorDot(es.head, es(1)), "scala_udf")
@@ -484,6 +484,9 @@ object GraftFunctions {
     macros.foreach { case (name, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
+
+    reg.createOrReplaceTempFunction("graft_registry_marker",
+      _ => Literal(true), "scala_udf")
   }
 
   /** Second probed batch (round 4): DuckDB surface found missing by
@@ -550,10 +553,14 @@ object GraftFunctions {
     fn("xor")(es => BitwiseXor(es.head, es(1)))
     fn("nextafter")(es => NextAfter(Cast(es.head, DoubleType), Cast(es(1), DoubleType)))
     fn("setseed")(_ => Literal.create(null, NullType)) // driver-side RNG seed: no-op
-    // trunc(x): toward-zero integer part (2-arg form stays Spark's date trunc)
+    // trunc(x): toward-zero integer part (2-arg form stays Spark's date
+    // trunc). DuckDB keeps the input's numeric type — trunc(1.9) is the
+    // DOUBLE 1.0, trunc(5) is 5 — so the dispatch is type-resolved
+    // (TruncTowardZero), not a blanket Cast-to-BIGINT whose wire OID and
+    // beyond-Long clamping would diverge.
     val nativeTrunc = reg.lookupFunctionBuilder(FunctionIdentifier("trunc")).get
     fn("trunc") {
-      case Seq(x) => Cast(x, LongType, None, EvalMode.LEGACY)
+      case Seq(x) => TruncTowardZero(x)
       case es => nativeTrunc(es)
     }
     // DuckDB log(x) is log10; log(b, x) is log base b
@@ -634,16 +641,24 @@ object GraftFunctions {
     // list_unique: COUNT of distinct non-null elements (not the array)
     fn("list_unique")(es => Cast(Size(
       call("array_distinct")(ArrayFilter(es.head, lam(IsNotNull)))), LongType))
-    // list_resize(l, n[, fill]): truncate or pad to n
+    // list_resize(l, n[, fill]): truncate or pad to n. sequence(1, 0)
+    // counts DOWN ([1, 0]) and ElementAt(l, 0) always throws, so the
+    // index range is clamped to ≥1 and an empty result (n ≤ 0, DuckDB
+    // returns []) comes from the trailing slice instead.
     fn("list_resize") { es =>
       val fill = es.lift(2).getOrElse(Literal.create(null, NullType))
-      call("transform")(call("sequence")(Literal(1), es(1)), lam(i =>
-        If(LessThanOrEqual(i, Size(es.head)),
-          ElementAt(es.head, i, None, failOnError = false), fill)))
+      val padded = call("transform")(
+        call("sequence")(Literal(1), call("greatest")(es(1), Literal(1))), lam(i =>
+          If(LessThanOrEqual(i, Size(es.head)),
+            ElementAt(es.head, i, None, failOnError = false), fill)))
+      call("slice")(padded, Literal(1),
+        Cast(call("greatest")(es(1), Literal(0)), IntegerType))
     }
-    // list_select(l, idxs): elements at the given 1-based positions
+    // list_select(l, idxs): elements at the given 1-based positions;
+    // ElementAtDispatch gives index 0 → NULL (plain ElementAt throws
+    // even with failOnError=false), matching the element_at contract
     fn("list_select")(es => call("transform")(es(1),
-      lam(i => ElementAt(es.head, i, None, failOnError = false))))
+      lam(i => ElementAtDispatch(es.head, i))))
     // list_where(l, mask): elements whose mask entry is true
     fn("list_where") { es =>
       val zipped = call("zip_with")(es.head, es(1), lamXY((v, m) =>
@@ -703,18 +718,36 @@ object GraftFunctions {
       case es => nativeAggregate(es)
     }
     fn("list_avg")(es => listAggBuilder(Seq(es.head, str("avg"))))
-    // list_sort(l[, 'ASC'|'DESC']): DuckDB passes the order as a string
+    // list_sort(l[, 'ASC'|'DESC'[, 'NULLS FIRST'|'NULLS LAST']]):
+    // DuckDB's default null order is NULLS FIRST in BOTH directions,
+    // while Spark's sort_array pins nulls first only ascending — the
+    // mismatched combinations split out the NULLs and concat them on
+    // the right end.
     val nativeSortArray = reg.lookupFunctionBuilder(FunctionIdentifier("sort_array")).get
+    def listSorted(l: Expression, asc: Boolean, nullsFirst: Boolean): Expression =
+      if (asc == nullsFirst) nativeSortArray(Seq(l, Literal(asc)))
+      else {
+        val nulls = ArrayFilter(l, lam(IsNull))
+        val sorted = nativeSortArray(Seq(ArrayFilter(l, lam(IsNotNull)), Literal(asc)))
+        if (nullsFirst) call("concat")(nulls, sorted)
+        else call("concat")(sorted, nulls)
+      }
+    def nullOrderOf(e: Expression, fn: String): Boolean =
+      !litStr(e, fn).trim.toUpperCase.endsWith("LAST")
     fn("list_sort") {
-      case Seq(l) => nativeSortArray(Seq(l))
+      case Seq(l) => listSorted(l, asc = true, nullsFirst = true)
       case Seq(l, o) =>
-        val asc = !litStr(o, "list_sort").trim.toUpperCase.startsWith("DESC")
-        nativeSortArray(Seq(l, Literal(asc)))
+        listSorted(l, !litStr(o, "list_sort").trim.toUpperCase.startsWith("DESC"),
+          nullsFirst = true)
+      case Seq(l, o, no) =>
+        listSorted(l, !litStr(o, "list_sort").trim.toUpperCase.startsWith("DESC"),
+          nullOrderOf(no, "list_sort"))
       case es => nativeSortArray(es)
     }
     fn("sort_array") {
       case Seq(l, o @ Literal(_: UTF8String, StringType)) =>
-        nativeSortArray(Seq(l, Literal(!litStr(o, "sort_array").trim.toUpperCase.startsWith("DESC"))))
+        listSorted(l, !litStr(o, "sort_array").trim.toUpperCase.startsWith("DESC"),
+          nullsFirst = true)
       case es => nativeSortArray(es)
     }
 

@@ -106,6 +106,62 @@ object DialectQueries {
         .limit(300)
     },
 
+    // -- wire-path twins: the SAME dialect text a psql/JDBC client
+    // types runs through Engine.execute (rewriteStructural hoists what
+    // Spark's parser rejects), and the oracle runs it natively in
+    // DuckDB. These prove the constructs are reachable over the wire,
+    // not just via the DataFrame API.
+
+    q("q_dialect_qualify_sql",
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1
+        |ORDER BY o_custkey LIMIT 500""".stripMargin) { (s, dir) =>
+      Tables(s, dir)
+      new graft.server.Engine(s).execute(
+        """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+          |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1
+          |ORDER BY o_custkey LIMIT 500""".stripMargin).df
+    },
+
+    q("q_dialect_distinct_on_sql",
+      """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+        |LIMIT 300""".stripMargin) { (s, dir) =>
+      Tables(s, dir)
+      new graft.server.Engine(s).execute(
+        """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+          |FROM orders
+          |ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+          |LIMIT 300""".stripMargin).df
+    },
+
+    q("q_dialect_similar_to_sql",
+      """SELECT o_orderkey, o_orderpriority FROM orders
+        |WHERE o_orderpriority SIMILAR TO '[1-3]-[A-Z]+'
+        |  AND o_orderpriority NOT SIMILAR TO '[0-9]'
+        |ORDER BY o_orderkey LIMIT 300""".stripMargin) { (s, dir) =>
+      Tables(s, dir)
+      new graft.server.Engine(s).execute(
+        """SELECT o_orderkey, o_orderpriority FROM orders
+          |WHERE o_orderpriority SIMILAR TO '[1-3]-[A-Z]+'
+          |  AND o_orderpriority NOT SIMILAR TO '[0-9]'
+          |ORDER BY o_orderkey LIMIT 300""".stripMargin).df
+    },
+
+    q("q_dialect_union_by_name_sql",
+      """SELECT n_nationkey AS k, n_name AS v FROM nation
+        |UNION ALL BY NAME
+        |SELECT r_name AS v, r_regionkey + 100 AS k FROM region
+        |ORDER BY k""".stripMargin) { (s, dir) =>
+      Tables(s, dir)
+      new graft.server.Engine(s).execute(
+        """SELECT n_nationkey AS k, n_name AS v FROM nation
+          |UNION ALL BY NAME
+          |SELECT r_name AS v, r_regionkey + 100 AS k FROM region
+          |ORDER BY k""".stripMargin).df
+    },
+
     // INSERT … ON CONFLICT (reference pass-through to DuckDB's upsert;
     // here the Engine rewrites it to a copy-on-write merge join). The
     // oracle is the same statement battery run natively by DuckDB.

@@ -237,6 +237,12 @@ class DialectFunctionsSpec extends SparkSpecBase {
     assert(one("select log(100)") == 2.0) // DuckDB single-arg log is log10
     assert(one("select log(2, 8)") == 3.0)
     assert(one("select trunc(-1.9)") == -1L)
+    // DOUBLE input keeps DOUBLE type (DuckDB); huge/NaN doubles pass through
+    assert(one("select trunc(cast(1.9 as double))") == 1.0)
+    assert(one("select trunc(cast(-2.7 as double))") == -2.0)
+    assert(one("select trunc(cast(1e30 as double))") == 1e30)
+    assert(one("select isnan(trunc(cast('NaN' as double)))") == true)
+    assert(one("select trunc(cast(7 as bigint))") == 7L)
     assert(one("select xor(5, 3)") == 6)
     assert(one("select nextafter(1.0, 2.0)") == 1.0000000000000002)
     assert(one("select regexp_extract('abc123', '[0-9]+')") == "123")
@@ -263,8 +269,13 @@ class DialectFunctionsSpec extends SparkSpecBase {
     assert(one("select list_resize([1,2], 4)") == Seq(1, 2, null, null))
     assert(one("select list_resize([1,2,3], 2)") == Seq(1, 2))
     assert(one("select list_resize([1,2], 4, 9)") == Seq(1, 2, 9, 9))
+    // n ≤ 0 → [] (sequence(1,0) counts DOWN; must not reach ElementAt(l,0))
+    assert(one("select list_resize([1,2], 0)") == Seq())
+    assert(one("select list_resize([1,2], -3)") == Seq())
     assert(one("select list_select([10,20,30], [3,1])") == Seq(30, 10))
     assert(one("select list_select([10,20,30], [5])") == Seq(null))
+    // per-row index 0 → NULL like element_at, not a query-killing error
+    assert(one("select list_select([10,20,30], [0,2])") == Seq(null, 20))
     assert(one("select list_where([10,20,30], [true,false,true])") == Seq(10, 30))
     assert(one("select list_grade_up([30,10,20,10])") == Seq(2, 4, 3, 1))
     assert(one("select list_dot_product([1.0,2.0],[3.0,4.0])") == 11.0)
@@ -276,6 +287,11 @@ class DialectFunctionsSpec extends SparkSpecBase {
     assert(one("select list_avg([1,2,3])") == 2.0)
     assert(one("select list_sort([3,1,2], 'DESC')") == Seq(3, 2, 1))
     assert(one("select list_sort([3,1,2])") == Seq(1, 2, 3))
+    // DuckDB default null order is NULLS FIRST in both directions
+    assert(one("select list_sort([3,NULL,1])") == Seq(null, 1, 3))
+    assert(one("select list_sort([3,NULL,1], 'DESC')") == Seq(null, 3, 1))
+    assert(one("select list_sort([3,NULL,1], 'ASC', 'NULLS LAST')") == Seq(1, 3, null))
+    assert(one("select list_sort([3,NULL,1], 'DESC', 'NULLS LAST')") == Seq(3, 1, null))
     assert(one("select array_extract([1,2,3], 2)") == 2)
     assert(one("select array_prepend(0, [1,2])") == Seq(0, 1, 2))
     assert(one("select array_push_front([1,2], 0)") == Seq(0, 1, 2))

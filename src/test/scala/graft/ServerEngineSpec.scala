@@ -402,4 +402,89 @@ class ServerEngineSpec extends SparkSpecBase {
     engine.execute("drop sequence main.sq3")
     engine.execute("drop table main.sq_t")
   }
+
+  // -- wire-path dialect constructs Spark's parser rejects -------------------
+  // The reference forwards these verbatim to DuckDB (pg_conn.go:314);
+  // here Engine.rewrite hoists them into standard SQL, so the SAME text
+  // a psql/JDBC client types round-trips through execute().
+
+  test("QUALIFY round-trips through the SQL path (inline window and alias forms)") {
+    spark.read.parquet(s"$sf/orders.parquet").createOrReplaceTempView("wq_orders")
+    // inline window in QUALIFY
+    val r1 = engine.execute(
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM wq_orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) = 1
+        |ORDER BY o_custkey LIMIT 50""".stripMargin).df.collect()
+    assert(r1.length == 50)
+    assert(r1.map(_.getLong(0)).distinct.length == 50) // one row per custkey
+    assert(!r1.head.schema.fieldNames.contains("__graft_qualify"))
+    // alias reference in QUALIFY
+    val r2 = engine.execute(
+      """SELECT o_custkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+        |FROM wq_orders QUALIFY rn <= 2 ORDER BY o_custkey, rn LIMIT 10""".stripMargin).df.collect()
+    assert(r2.length == 10 && r2.forall(_.getInt(1) <= 2))
+    // bare QUALIFY with no tail
+    assert(engine.execute(
+      "SELECT o_custkey FROM wq_orders QUALIFY row_number() OVER (ORDER BY o_orderkey) <= 3")
+      .df.count() == 3)
+  }
+
+  test("DISTINCT ON round-trips through the SQL path") {
+    spark.read.parquet(s"$sf/orders.parquet").createOrReplaceTempView("wd_orders")
+    val rows = engine.execute(
+      """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+        |FROM wd_orders
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+        |LIMIT 40""".stripMargin).df.collect()
+    assert(rows.length == 40)
+    assert(rows.map(_.getLong(0)).distinct.length == 40)
+    // each kept row is its customer's max-price order
+    val maxes = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy("o_custkey").agg(org.apache.spark.sql.functions.max("o_totalprice").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach(r => assert(r.getDouble(2) == maxes(r.getLong(0))))
+  }
+
+  test("SIMILAR TO round-trips through the SQL path") {
+    spark.read.parquet(s"$sf/orders.parquet").createOrReplaceTempView("ws_orders")
+    val n = engine.execute(
+      "SELECT count(*) AS n FROM ws_orders WHERE o_orderpriority SIMILAR TO '[1-3]-[A-Z]+'")
+      .df.head().getLong(0)
+    val expect = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(org.apache.spark.sql.functions.col("o_orderpriority").rlike("^(?:[1-3]-[A-Z]+)$"))
+      .count()
+    assert(n == expect && n > 0)
+    // NOT SIMILAR TO; partial match is NOT enough (full-string anchor)
+    val m = engine.execute(
+      "SELECT count(*) AS n FROM ws_orders WHERE o_orderpriority NOT SIMILAR TO '[0-9]'")
+      .df.head().getLong(0)
+    assert(m == spark.read.parquet(s"$sf/orders.parquet").count()) // '1-URGENT' !~ ^[0-9]$
+  }
+
+  test("UNION BY NAME round-trips through the SQL path") {
+    spark.read.parquet(s"$sf/nation.parquet").createOrReplaceTempView("wu_nation")
+    spark.read.parquet(s"$sf/region.parquet").createOrReplaceTempView("wu_region")
+    val rows = engine.execute(
+      """SELECT n_nationkey AS k, n_name AS v FROM wu_nation
+        |UNION ALL BY NAME
+        |SELECT r_name AS v, r_regionkey + 100 AS k FROM wu_region
+        |ORDER BY k""".stripMargin).df.collect()
+    assert(rows.length == 30)
+    assert(rows.head.schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(rows.last.getString(1) == "MIDDLE EAST" || rows.last.getLong(0) == 104L)
+    // missing columns NULL-fill; UNION (no ALL) dedups
+    val r2 = engine.execute(
+      """SELECT 1 AS a, 'x' AS b
+        |UNION BY NAME
+        |SELECT 1 AS a
+        |UNION BY NAME
+        |SELECT 1 AS a""".stripMargin).df.collect()
+    assert(r2.length == 2) // (1,'x') and (1,NULL) — third branch deduped
+    // CTE prefix scopes over every branch
+    val r3 = engine.execute(
+      """WITH c AS (SELECT 7 AS x)
+        |SELECT x AS a FROM c UNION ALL BY NAME SELECT x AS b, x AS a FROM c""".stripMargin)
+      .df.collect()
+    assert(r3.length == 2 && r3.head.schema.fieldNames.toSeq == Seq("a", "b"))
+  }
 }
