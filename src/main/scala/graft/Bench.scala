@@ -73,13 +73,27 @@ object Bench {
     // the second in-JVM pass pays accumulated shuffle files, broadcast
     // cleanup and old-gen GC pressure. The sf0.001 warm pass above
     // captures the codegen/JIT warmup without that cost.
+    //
+    // r5: each query runs REPS (default 3) consecutive times and
+    // reports the MIN — the same per-query protocol as the DuckDB
+    // baseline (min of 3 warm reps, BENCH_NOTES.md). Consecutive reps
+    // see near-identical JVM/shuffle state, so the min is the
+    // steady-state latency and a one-off scheduler hiccup (the r4
+    // 4–6 s cold outliers on q_pivot/q_agg_rollup) cannot define the
+    // driver-visible number.
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
+    val firstTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = corpus.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink materializes every output column (count() would let
-      // Spark prune the projections being measured)
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink materializes every output column (count() would let
+        // Spark prune the projections being measured)
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      firstTimes(name) = times.head
+      name -> times.min
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -94,7 +108,7 @@ object Bench {
     val all = results.toSeq.sortBy(-_._2)
     scala.util.Try {
       val w = new java.io.FileWriter(detailPath)
-      try w.write(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${mapJson(all)},"sf":"$sfDir"}""" + "\n")
+      try w.write(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":${mapJson(all)},"first_rep":${mapJson(firstTimes.toSeq)},"sf":"$sfDir"}""" + "\n")
       finally w.close()
     }
     val budget = 1500

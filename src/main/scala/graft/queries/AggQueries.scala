@@ -322,13 +322,23 @@ object AggQueries {
         .orderBy(col("o_orderstatus"))
     },
 
-    // Different HLL sketches on each side -> exact-match impossible by
-    // construction; declared rows-only (driver's weaker check), and the
-    // spec asserts the 2% relative-error bound instead.
-    qNoOracle("q_agg_approx_distinct") { (s, dir) =>
+    // Different HLL sketches on each side -> the raw estimates cannot
+    // match; what CAN be oracled is the accuracy CONTRACT: each engine
+    // asserts its own estimate lands within 5% of the exact distinct
+    // count, and the boolean verdicts hash-compare. A broken sketch on
+    // either side flips a row to false and fails the gate.
+    q("q_agg_approx_distinct",
+      """SELECT o_orderstatus,
+        |  abs(approx_count_distinct(o_custkey) - count(DISTINCT o_custkey))
+        |    <= 0.05 * count(DISTINCT o_custkey) AS within_bound
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
+      // rsd 0.01: Spark's default sketch (rsd 0.05) can stray past the
+      // 5% gate (observed: one group at ~6%); at 1% rsd the 5% bound is
+      // a 5-sigma margin. DuckDB's HLL is fixed-precision (~0.4%).
       t.orders.groupBy(col("o_orderstatus"))
-        .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"))
+        .agg((abs(approx_count_distinct(col("o_custkey"), 0.01) - count_distinct(col("o_custkey")))
+          <= count_distinct(col("o_custkey")) * 0.05).as("within_bound"))
         .orderBy(col("o_orderstatus"))
     }
   )

@@ -101,9 +101,12 @@ object DedupQueries {
           count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
         .filter(col("df") <= 1000).drop("df")
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val a = shr.select(col("doc_id").as("d1"), col("sh"))
-      val b = shr.select(col("doc_id").as("d2"), col("sh"))
-      val inter = a.join(b, a("sh") === b("sh") && col("d1") < col("d2"))
+      // the two sides' join columns get DISTINCT names — a(sh) === b(sh)
+      // resolves today but is one refactor away from a trivially-true
+      // predicate over a cartesian (Spark warns about exactly this)
+      val a = shr.select(col("doc_id").as("d1"), col("sh").as("sh_a"))
+      val b = shr.select(col("doc_id").as("d2"), col("sh").as("sh_b"))
+      val inter = a.join(b, col("sh_a") === col("sh_b") && col("d1") < col("d2"))
         .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
       inter
         .join(sizes.select(col("doc_id").as("d1"), col("n").as("na")), "d1")

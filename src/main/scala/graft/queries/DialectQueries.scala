@@ -190,6 +190,32 @@ object DialectQueries {
       engine.execute("insert into graft_oc select o_orderkey, o_custkey, cast(-1 as double) from __oc_orders where o_orderkey <= 2500 on conflict do nothing")
       engine.execute("insert into graft_oc select o_orderkey, o_custkey, cast(0 as double) from __oc_orders where o_orderkey <= 1200 on conflict (k) do update set total = graft_oc.total + 10 where graft_oc.total > 500")
       s.sql("select k, cust, round(total, 2) as total from graft_oc order by k")
+    },
+
+    // nextval() over a distributed INSERT…SELECT: one contiguous block
+    // reserved under the table lock, values applied in the statement's
+    // ORDER BY order — matches DuckDB row-for-row (the oracle runs the
+    // same battery natively; orders.parquet is o_orderkey-ordered so
+    // DuckDB's scan-order assignment equals the ORDER BY).
+    q("q_dml_sequence_insert_select",
+      """CREATE SEQUENCE graft_sq START WITH 100 INCREMENT BY 3;
+        |CREATE TABLE graft_seq_t (sv BIGINT, k BIGINT);
+        |INSERT INTO graft_seq_t SELECT nextval('graft_sq'), o_orderkey FROM orders WHERE o_orderkey <= 800 ORDER BY o_orderkey;
+        |SELECT sv, k FROM graft_seq_t ORDER BY k""".stripMargin) { (s, dir) =>
+      val engine = new graft.server.Engine(s)
+      s.read.parquet(s"$dir/orders.parquet").createOrReplaceTempView("__seq_orders")
+      engine.execute("drop table if exists graft_seq_t")
+      val stale = new java.io.File(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "graft_seq_t")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      if (stale.exists()) rm(stale)
+      engine.execute("create sequence graft_sq start with 100 increment by 3")
+      engine.execute("create table graft_seq_t (sv bigint, k bigint) using parquet")
+      engine.execute("insert into graft_seq_t select nextval('graft_sq'), o_orderkey from __seq_orders where o_orderkey <= 800 order by o_orderkey")
+      s.sql("select sv, k from graft_seq_t order by k")
     }
   )
 }

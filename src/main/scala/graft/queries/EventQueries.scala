@@ -167,11 +167,22 @@ object EventQueries {
       val t = Tables(s, dir)
       // POSITIONAL JOIN (DuckDB ext.) = zip by explicit row rank; the
       // rank is made deterministic by a total ORDER BY on both inputs.
+      // An unpartitioned row_number() would sort each whole stream in
+      // ONE task; instead range-repartition + in-partition sort gives a
+      // distributed total order and zipWithIndex assigns contiguous
+      // global ranks from per-partition counts + cumulative offsets —
+      // every stage stays parallel at 100 TB.
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
       def ranked(typ: String, idName: String) = {
-        val w = Window.orderBy(col("ts"), col("event_id"))
-        t.events.filter(col("event_type") === typ)
-          .select(col("event_id"), row_number().over(w).as("rn"))
-          .withColumnRenamed("event_id", idName)
+        val sorted = t.events.filter(col("event_type") === typ)
+          .select(col("event_id"), col("ts"))
+          .repartitionByRange(col("ts"), col("event_id"))
+          .sortWithinPartitions(col("ts"), col("event_id"))
+        val rows = sorted.rdd.zipWithIndex.map { case (r, i) => Row(r.getLong(0), i + 1L) }
+        s.createDataFrame(rows, StructType(Seq(
+          StructField(idName, LongType, nullable = false),
+          StructField("rn", LongType, nullable = false))))
       }
       val a = ranked("purchase", "purchase_id")
       val b = ranked("signup", "signup_id").withColumnRenamed("rn", "rn_b")

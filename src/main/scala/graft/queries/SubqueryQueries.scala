@@ -98,10 +98,22 @@ object SubqueryQueries {
       val t = Tables(s, dir)
       val big = t.orders.filter(col("o_totalprice") > 150000)
         .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
-      val ranked = big.withColumn("rk",
-        dense_rank().over(Window.orderBy(col("n").desc, col("o_custkey"))))
-      ranked.filter(col("rk") <= 20)
-        .join(t.customer, col("o_custkey") === col("c_custkey"))
+      // top-20-then-rank: (n, o_custkey) is unique per row, so
+      // dense_rank ≤ 20 is exactly the first 20 rows of the sort —
+      // orderBy().limit(20) plans as TakeOrderedAndProject (per-
+      // partition heaps, no global sort) and the rank is the position
+      // among the ≤20 survivors. A global dense_rank window would sort
+      // every qualifying customer in ONE task.
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val top = big.orderBy(col("n").desc, col("o_custkey")).limit(20)
+      val rows = top.rdd.zipWithIndex.map { case (r, i) =>
+        Row(r.getLong(0), r.getLong(1), i + 1L) }
+      val ranked = s.createDataFrame(rows, StructType(Seq(
+        StructField("o_custkey", LongType, nullable = false),
+        StructField("n", LongType, nullable = false),
+        StructField("rk", LongType, nullable = false))))
+      broadcast(ranked).join(t.customer, col("o_custkey") === col("c_custkey"))
         .select(col("o_custkey"), col("n"), col("rk"), col("c_name"))
         .orderBy(col("rk"), col("o_custkey"))
     },

@@ -244,11 +244,15 @@ object TextQueries {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("f"))
       val df = tf.groupBy(col("word")).agg(count(lit(1)).as("d"))
-      val total = t.documents.count().toDouble
+      // corpus size stays IN the plan (broadcast 1-row cross join, the
+      // oracle's own CROSS JOIN n shape) — a driver-side .count() would
+      // be a second Spark job per execution
+      val n = t.documents.agg(count(lit(1)).cast("double").as("total"))
       tf.join(broadcast(df), "word")
         .filter(col("word").isin("spark", "join", "window"))
+        .crossJoin(broadcast(n))
         .select(col("doc_id"), col("word"),
-          round(col("f") * log(lit(total) / col("d")), 9).as("tfidf"))
+          round(col("f") * log(col("total") / col("d")), 9).as("tfidf"))
         .orderBy(col("doc_id"), col("word")).limit(600)
     },
 

@@ -103,12 +103,31 @@ object WindowQueries {
         |WINDOW w AS (ORDER BY p_size, p_partkey)
         |ORDER BY p_partkey LIMIT 500""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
-      val w = Window.orderBy(col("p_size"), col("p_partkey"))
-      t.part.select(
-        col("p_partkey"), col("p_size"),
-        ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 9).as("pr"),
-        round(cume_dist().over(w), 9).as("cd"))
+      // ntile/percent_rank/cume_dist need the GLOBAL rank — but not a
+      // global single-task window: range-repartition + in-partition
+      // sort + zipWithIndex gives the rank distributed (per-partition
+      // counts + cumulative offsets), and the three distribution
+      // functions are then pure arithmetic over (rank, n). Ties are
+      // impossible (p_partkey is unique in the sort key), so
+      // rank == row position and the closed forms match exactly.
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val sorted = t.part.select(col("p_partkey"), col("p_size"))
+        .repartitionByRange(col("p_size"), col("p_partkey"))
+        .sortWithinPartitions(col("p_size"), col("p_partkey"))
+      val schema = StructType(sorted.schema.fields :+ StructField("rnk", LongType, nullable = false))
+      val ranked = s.createDataFrame(
+        sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }, schema)
+      val nDf = ranked.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(nDf)).selectExpr(
+        "p_partkey", "p_size",
+        // ntile(4): first n%4 buckets hold (n div 4)+1 rows
+        """CAST(CASE WHEN rnk <= (n % 4) * ((n div 4) + 1)
+          |     THEN (rnk - 1) div ((n div 4) + 1) + 1
+          |     ELSE (n % 4) + (rnk - (n % 4) * ((n div 4) + 1) - 1) div greatest(n div 4, 1) + 1
+          |     END AS INT) AS quartile""".stripMargin,
+        "round(CAST(rnk - 1 AS DOUBLE) / (n - 1), 9) AS pr",
+        "round(CAST(rnk AS DOUBLE) / n, 9) AS cd")
         .orderBy(col("p_partkey")).limit(500)
     },
 

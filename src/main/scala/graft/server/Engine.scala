@@ -143,16 +143,15 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     // nextval/currval: each textual occurrence allocates (PG/DuckDB:
     // two nextval calls in one row = two values), replaced with the
     // allocated literal before any downstream path sees the statement.
-    // Per-ROW allocation over an INSERT…SELECT source is rejected — a
-    // driver-side counter cannot hand out per-row values inside a
-    // distributed plan without either collecting it or accepting
-    // executor-local duplicates.
+    // Per-ROW allocation over an INSERT…SELECT source goes through the
+    // range-allocation path below: one contiguous block reserved under
+    // the table write lock, applied as base + (row_number()-1)·inc —
+    // the counter stays driver-side, the per-row math distributes.
     var sqlSeq = sql
     if (nextvalRe.findFirstIn(sqlSeq).isDefined || currvalRe.findFirstIn(sqlSeq).isDefined) {
       if ("""(?is)^\s*insert\b.*\bselect\b.*""".r.matches(sqlSeq)
           && nextvalRe.findFirstIn(sqlSeq).isDefined)
-        throw new IllegalArgumentException(
-          "nextval() inside INSERT … SELECT is not supported; use VALUES, or generate keys in the SELECT (e.g. monotonically_increasing_id)")
+        return insertSelectWithSequence(sqlSeq)
       sqlSeq = nextvalRe.replaceAllIn(sqlSeq, m => {
         val st = seqOrFail(m.group(1), "nextval")
         val v = st.next.getAndAdd(st.inc)
@@ -677,6 +676,47 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     }
     val glue = if (ops.head.all) " UNION ALL " else " UNION "
     (prefix + parts.mkString(glue) + tail).trim
+  }
+
+  /** INSERT … SELECT with nextval(): DuckDB hands each source row one
+    * value from the engine's shared counter. Driver-side emulation:
+    * reserve a contiguous block of n·inc under the table's write lock
+    * (n = a pre-count of the source), then rewrite the call to
+    * base + (row_number() − 1)·inc and run the normal insert path —
+    * the counter stays driver-side, the per-row math distributes.
+    * Assignment follows the statement's own ORDER BY when present
+    * (DuckDB assigns in source order); without one the numbering is
+    * arbitrary-but-unique, same as DuckDB under parallel scans. The
+    * global row_number is the price of contiguity — DuckDB serializes
+    * sequence access the same way; bulk loads that don't need
+    * contiguous values should generate keys in the SELECT instead. */
+  private def insertSelectWithSequence(sql: String): ExecResult = {
+    val m = insertStmtRe.findFirstMatchIn(sql).getOrElse(throw new IllegalArgumentException(
+      "nextval() inside INSERT … SELECT: unsupported INSERT shape"))
+    val table = m.group(1)
+    val occ = nextvalRe.findAllMatchIn(sql).toSeq
+    if (occ.length > 1) throw new IllegalArgumentException(
+      "multiple nextval() calls in one INSERT … SELECT are not supported; use one call per statement")
+    val st = seqOrFail(occ.head.group(1), "nextval")
+    val src = m.group(3)
+    val lock = lockFor(table).writeLock()
+    lock.lock()
+    try {
+      val n = spark.sql(rewrite(nextvalRe.replaceAllIn(src, _ => "0L"))).count()
+      if (n == 0) return ExecResult(null, "INSERT 0 0")
+      val base = st.next.getAndAdd(st.inc * n)
+      st.last.set(base + st.inc * (n - 1)); st.hasVal.set(true)
+      persistSequences()
+      val obIdx = firstTopLevelKw(src, 0, "order")
+      val winOrder = if (obIdx < 0) "(SELECT 1)" else {
+        val afterOb = src.substring(obIdx).replaceFirst("(?is)^order\\s+by\\s+", "")
+        val stop = firstTopLevelKw(afterOb, 0, "limit", "offset")
+        if (stop >= 0) afterOb.substring(0, stop).trim else afterOb.trim
+      }
+      val applied = nextvalRe.replaceAllIn(src, _ => Regex.quoteReplacement(
+        s"(${base}L + (row_number() OVER (ORDER BY $winOrder) - 1) * ${st.inc}L)"))
+      execute(sql.substring(0, m.start(3)) + applied)
+    } finally lock.unlock()
   }
 
   // -- DML hard parts (SURVEY §7.3) -----------------------------------------

@@ -101,4 +101,24 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       "ann corpus scan should join against broadcast queries")
   }
+
+  test("positional join and nested-CTE rank have no single-partition window") {
+    // both were global row_number()/dense_rank() windows (one task sorts
+    // the whole input); now zipWithIndex / top-k-then-rank shapes
+    for (name <- Seq("q_evt_positional", "q_cte_nested")) {
+      val d = SparkEntry.defs.find(_.name == name).get
+      val p = d.run(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$name funnels everything through one partition")
+      assert(!p.contains("Window ["), s"$name still contains a window operator")
+    }
+  }
+
+  test("tfidf corpus size is computed in-plan (no driver-side count job)") {
+    val d = SparkEntry.defs.find(_.name == "q_text_tfidf").get
+    val p = d.run(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")
+        || p.contains("BroadcastExchange"),
+      "corpus-size scalar should enter via a broadcast 1-row join")
+  }
 }

@@ -385,10 +385,22 @@ class ServerEngineSpec extends SparkSpecBase {
     engine.execute("create sequence main.sq3")
     val e = intercept[IllegalArgumentException](engine.execute("select currval('main.sq3')"))
     assert(e.getMessage.contains("not yet defined"))
-    // nextval over a distributed INSERT...SELECT is rejected clearly
-    val e2 = intercept[IllegalArgumentException](
-      engine.execute("insert into main.sq_t select nextval('main.sq1'), r_name from parquet.`" + sf + "/region.parquet`"))
-    assert(e2.getMessage.contains("VALUES"), e2.getMessage)
+    // nextval over a distributed INSERT...SELECT: contiguous range
+    // allocated under the table lock, applied in the statement's ORDER
+    // BY order (counter was at 4 after the VALUES insert above)
+    engine.execute("insert into main.sq_t select nextval('main.sq1'), r_name from parquet.`" +
+      sf + "/region.parquet` order by r_name")
+    val got = spark.table("main.sq_t").filter("k >= 5").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val names = spark.read.parquet(s"$sf/region.parquet").collect()
+      .map(_.getString(1)).sorted.toSeq
+    assert(got == (5L to 9L).zip(names), got)
+    assert(engine.execute("select currval('main.sq1')").df.head().getLong(0) == 9L)
+    // multiple nextval calls per row over SELECT stay rejected
+    val e2 = intercept[IllegalArgumentException](engine.execute(
+      "insert into main.sq_t select nextval('main.sq1'), cast(nextval('main.sq1') as string) from parquet.`" +
+        sf + "/region.parquet`"))
+    assert(e2.getMessage.contains("one call"), e2.getMessage)
     // persistence: counters survive an engine restart via --db_path
     val tmp = Files.createTempDirectory("graft-seq").toFile.getAbsolutePath
     val e3 = new Engine(spark, allowFileIo = true, dbPath = Some(tmp))

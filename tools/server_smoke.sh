@@ -113,6 +113,11 @@ psql $P -c "drop sequence main.sq_smoke" >/dev/null 2>&1
 chk "pg summarize"    "r_regionkey|INTEGER" "$(psql $P -tA -c "summarize region" 2>&1 | head -1 | cut -d'|' -f1,2)"
 chk "pg from-first"   "5"        "$(psql $P -tA -c "from region select count(*)" 2>&1)"
 chk "pg from-where"   "yes"      "$(test "$(psql $P -tA -c 'from nation where n_regionkey = 0' 2>&1 | wc -l)" -gt 0 && echo yes)"
+# dialect constructs Spark's parser rejects — the r5 structural rewrites
+chk "pg qualify"      "0|0"      "$(psql $P -tA -c "select n_regionkey, n_nationkey from nation qualify row_number() over (partition by n_regionkey order by n_nationkey) = 1 order by n_regionkey limit 1" 2>&1)"
+chk "pg distinct on"  "0|0"      "$(psql $P -tA -c "select distinct on (n_regionkey) n_regionkey, n_nationkey from nation order by n_regionkey, n_nationkey limit 1" 2>&1)"
+chk "pg similar to"   "5"        "$(psql $P -tA -c "select count(*) from region where r_name similar to '[A-Z ]+'" 2>&1)"
+chk "pg union by name" "26"      "$(psql $P -tA -c "select n_name as a from nation union all by name select 1 as b, 'x' as a" 2>&1 | wc -l)"
 $CURL "http://127.0.0.1:$CH/" -d 'DROP TABLE main.smoke2' >/dev/null
 psql $P -c "drop table main.smoke" >/dev/null 2>&1
 
