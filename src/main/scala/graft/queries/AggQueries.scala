@@ -336,9 +336,18 @@ object AggQueries {
       // rsd 0.01: Spark's default sketch (rsd 0.05) can stray past the
       // 5% gate (observed: one group at ~6%); at 1% rsd the 5% bound is
       // a 5-sigma margin. DuckDB's HLL is fixed-precision (~0.4%).
-      t.orders.groupBy(col("o_orderstatus"))
-        .agg((abs(approx_count_distinct(col("o_custkey"), 0.01) - count_distinct(col("o_custkey")))
-          <= count_distinct(col("o_custkey")) * 0.05).as("within_bound"))
+      // The two aggregates run as SEPARATE passes joined on the group
+      // key: mixed distinct + non-distinct aggregation plans through
+      // Expand, where the HLL's partial buffers materialize per
+      // (group × distinct-key) composite — ~13 KB × 300k groups at
+      // rsd 0.01 (measured 4.7 s vs 0.4 s for the split shape).
+      val approx = t.orders.groupBy(col("o_orderstatus"))
+        .agg(approx_count_distinct(col("o_custkey"), 0.01).as("a"))
+      val exact = t.orders.groupBy(col("o_orderstatus"))
+        .agg(count_distinct(col("o_custkey")).as("e"))
+      approx.join(exact, "o_orderstatus")
+        .select(col("o_orderstatus"),
+          (abs(col("a") - col("e")) <= col("e") * 0.05).as("within_bound"))
         .orderBy(col("o_orderstatus"))
     }
   )
