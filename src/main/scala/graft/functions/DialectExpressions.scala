@@ -394,6 +394,93 @@ case class TruncTowardZero(child: Expression)
   override protected def withNewChildInternal(c: Expression): TruncTowardZero = copy(child = c)
 }
 
+/** DuckDB slice `x[lo:hi]` — 1-based, both bounds inclusive, either
+  * bound omissible (rewritten to NULL), over lists and strings —
+  * dispatched on the resolved operand. Out-of-range clamps like
+  * DuckDB's (Slice/Substring already clamp the high end; a hi < lo
+  * yields the empty list/string via the greatest(…, 0) length). */
+case class GraftSlice(child: Expression, lo: Expression, hi: Expression)
+    extends RuntimeReplaceable with org.apache.spark.sql.catalyst.trees.TernaryLike[Expression] {
+  import org.apache.spark.sql.catalyst.expressions._
+  override def first: Expression = child
+  override def second: Expression = lo
+  override def third: Expression = hi
+  override lazy val replacement: Expression = {
+    val loC = Coalesce(Seq(Cast(lo, IntegerType), Literal(1)))
+    def lenFrom(hiDefault: Expression) = {
+      val hiC = Coalesce(Seq(Cast(hi, IntegerType), hiDefault))
+      Greatest(Seq(Add(Subtract(hiC, loC), Literal(1)), Literal(0)))
+    }
+    child.dataType match {
+      case StringType => Substring(child, loC, lenFrom(Length(child)))
+      case _ => Slice(child, loC, lenFrom(Size(child)))
+    }
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): GraftSlice =
+    copy(child = f, lo = s, hi = t)
+}
+
+/** RFC 7386 JSON merge patch (DuckDB json_merge_patch, reference
+  * pass-through surface): object keys from the patch overwrite the
+  * target's; explicit JSON null in the patch DELETES the key; non-object
+  * patches replace the target wholesale. Jackson-based eval (Spark's
+  * own bundled Jackson) — interpreted, not codegen'd; JSON string ops
+  * are not a bulk-scan hot path. */
+case class JsonMergePatch(left: Expression, right: Expression)
+    extends BinaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  @transient private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private def merge(target: com.fasterxml.jackson.databind.JsonNode,
+      patch: com.fasterxml.jackson.databind.JsonNode): com.fasterxml.jackson.databind.JsonNode = {
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    if (!patch.isObject) return patch
+    val result: ObjectNode =
+      if (target.isObject) target.deepCopy[ObjectNode]()
+      else mapper.createObjectNode()
+    val it = patch.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue.isNull) result.remove(e.getKey)
+      else result.set[ObjectNode](e.getKey, merge(result.path(e.getKey), e.getValue))
+    }
+    result
+  }
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = mapper.readTree(l.asInstanceOf[UTF8String].toString)
+    val b = mapper.readTree(r.asInstanceOf[UTF8String].toString)
+    UTF8String.fromString(mapper.writeValueAsString(merge(a, b)))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JsonMergePatch =
+    copy(left = l, right = r)
+}
+
+/** DuckDB date_trunc keeps DATE inputs DATE (Spark's always returns
+  * TIMESTAMP); dispatched on the resolved operand type. */
+case class DateTruncDispatch(fmt: Expression, child: Expression)
+    extends RuntimeReplaceable with BinaryLike[Expression] {
+  import org.apache.spark.sql.catalyst.expressions.{Cast, TruncTimestamp}
+  override def left: Expression = fmt
+  override def right: Expression = child
+  // explicit Casts AND timezone ids throughout — a replacement gets no
+  // implicit coercion and no ResolveTimeZone pass, so every
+  // TimeZoneAwareExpression must be born with its zone set
+  override lazy val replacement: Expression = {
+    val tz = Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    def toTs(e: Expression) = Cast(e, TimestampType, tz)
+    child.dataType match {
+      case TimestampType => TruncTimestamp(fmt, child, tz)
+      case DateType => Cast(TruncTimestamp(fmt, toTs(child), tz), DateType, tz)
+      case TimestampNTZType =>
+        Cast(TruncTimestamp(fmt, toTs(child), tz), TimestampNTZType, tz)
+      case _ => TruncTimestamp(fmt, toTs(child), tz)
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DateTruncDispatch =
+    copy(fmt = l, child = r)
+}
+
 /** DuckDB `map(keys_list, values_list)` vs Spark's variadic
   * `map(k1, v1, …)`: two array-typed arguments build from arrays. */
 case class MapDispatch(left: Expression, right: Expression)
@@ -541,16 +628,35 @@ case class ElementAtDispatch(left: Expression, right: Expression)
     extends RuntimeReplaceable with BinaryLike[Expression] {
   import org.apache.spark.sql.catalyst.expressions._
   override lazy val replacement: Expression = left.dataType match {
-    case _: ArrayType =>
-      If(EqualTo(right, Literal(0)),
-        Literal.create(null, left.dataType.asInstanceOf[ArrayType].elementType),
-        ElementAt(left, right, None, failOnError = false))
+    case a: ArrayType =>
+      val idx = Cast(right, IntegerType)
+      If(EqualTo(idx, Literal(0)),
+        Literal.create(null, a.elementType),
+        ElementAt(left, idx, None, failOnError = false))
     case m: MapType =>
-      val hit = ArrayContains(MapKeys(left), right)
+      val key = Cast(right, m.keyType)
+      val hit = ArrayContains(MapKeys(left), key)
       If(And(IsNotNull(hit), hit),
-        CreateArray(Seq(GetMapValue(left, right))),
+        CreateArray(Seq(GetMapValue(left, key))),
         Literal.create(Array.empty[Any],
           ArrayType(m.valueType, containsNull = true)))
+    case st: StructType =>
+      // DuckDB struct['field'] = field access (the 1-based-subscript
+      // rewrite routes struct subscripts here too). The field resolves
+      // HERE — a replacement must come out fully resolved.
+      right match {
+        case Literal(s: UTF8String, StringType)
+            if st.fieldNames.exists(_.equalsIgnoreCase(s.toString)) =>
+          val idx = st.fieldNames.indexWhere(_.equalsIgnoreCase(s.toString))
+          GetStructField(left, idx, Some(st.fieldNames(idx)))
+        case _ => ElementAt(left, right) // surfaces a clear analysis error
+      }
+    case StringType =>
+      // DuckDB 'abc'[2] = 1-based single-char ('' at index 0; negative
+      // counts from the end — Substring already does)
+      val idx = Cast(right, IntegerType)
+      If(EqualTo(idx, Literal(0)), Literal(UTF8String.fromString(""), StringType),
+        Substring(left, idx, Literal(1)))
     case _ => ElementAt(left, right)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ElementAtDispatch =

@@ -353,7 +353,10 @@ object FunctionQueries {
           .cast("long").as("days_to_98"),
         unix_timestamp(col("o_orderdate").cast("timestamp")).as("ep"),
         quarter(col("o_orderdate")).cast("long").as("qtr"),
-        (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow"), // PG dow: Sun=0
+        // PG/DuckDB dow (Sun=0): the session registry's dayofweek
+        // override already shifts Spark's Sun=1 origin (Spark 4's
+        // functions.dayofweek resolves through the registry)
+        dayofweek(col("o_orderdate")).cast("long").as("dow"),
         weekofyear(col("o_orderdate")).cast("long").as("wk"))
         .orderBy(col("o_orderkey")).limit(400)
     },

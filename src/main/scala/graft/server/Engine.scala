@@ -393,7 +393,14 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     // FROM-first reorder AFTER dollar-quote normalization, so clause
     // keywords inside $$-literals are already quote-protected
     s = rewriteLeadingFrom(s)
+    // type-name aliases BEFORE the bracket/arrow passes ('x'::json ->>
+    // 'a' must become a STRING cast before the arrow's operand walk)
+    s = typeAliasColonRe.replaceAllIn(s, m =>
+      Regex.quoteReplacement("::" + typeAliasMap(m.group(1).toLowerCase)))
+    s = typeAliasAsRe.replaceAllIn(s, m =>
+      Regex.quoteReplacement("AS " + typeAliasMap(m.group(1).toLowerCase)))
     s = rewriteBracketLists(s)
+    s = rewriteJsonArrows(s)
     s = rewriteStructLiterals(s)
     s = rewriteStructPackArgs(s)
     // DuckDB // integer division → div (outside string literals)
@@ -458,6 +465,23 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     s = readParquetRe.replaceAllIn(s, m => Regex.quoteReplacement(s"parquet.`${m.group(1)}`"))
     s = readCsvRe.replaceAllIn(s, m => Regex.quoteReplacement(s"csv.`${m.group(1)}`"))
     s = readJsonRe.replaceAllIn(s, m => Regex.quoteReplacement(s"json.`${m.group(1)}`"))
+    // generate_series as a FROM-position TVF (stop-INCLUSIVE, vs range's
+    // exclusive stop; DuckDB names the column generate_series)
+    s = genSeriesTvfRe.replaceAllIn(s, m => {
+      val args = splitTopLevel(m.group(2), ',').map(_.trim)
+      val sub = args match {
+        case Seq(b) => Some(s"range(0, ($b) + 1)")
+        case Seq(a, b) => Some(s"range($a, ($b) + 1)")
+        case Seq(a, b, st) =>
+          Some(s"range($a, ($b) + (CASE WHEN ($st) > 0 THEN 1 ELSE -1 END), $st)")
+        case _ => None
+      }
+      sub match {
+        case Some(r) => Regex.quoteReplacement(
+          s"${m.group(1)} (SELECT id AS generate_series FROM $r)")
+        case None => Regex.quoteReplacement(m.matched)
+      }
+    })
     // x [NOT] SIMILAR TO 'p' → [NOT] RLIKE '^(?:p)$' — DuckDB's SIMILAR
     // TO is a full-string regex match (regexp_full_match), not PG's
     // %-wildcard hybrid
@@ -1550,6 +1574,123 @@ object Engine {
     val last = new java.util.concurrent.atomic.AtomicLong(0L)
     val hasVal = new java.util.concurrent.atomic.AtomicBoolean(false)
   }
+
+  /** First top-level (outside strings/parens/brackets) word-bounded
+    * occurrence of a keyword, case-insensitive; -1 when absent. */
+  private def topKwIn(s: String, kw: String): Int = {
+    var depth = 0; var inq = false; var k = 0
+    while (k < s.length) {
+      val ch = s.charAt(k)
+      if (inq) { if (ch == '\'') inq = false }
+      else ch match {
+        case '\'' => inq = true
+        case '(' | '[' | '{' => depth += 1
+        case ')' | ']' | '}' => depth -= 1
+        case _ if depth == 0 =>
+          if (s.regionMatches(true, k, kw, 0, kw.length) &&
+              (k == 0 || { val p = s.charAt(k - 1); !p.isLetterOrDigit && p != '_' }) &&
+              (k + kw.length >= s.length || {
+                val n = s.charAt(k + kw.length); !n.isLetterOrDigit && n != '_' }))
+            return k
+        case _ =>
+      }
+      k += 1
+    }
+    -1
+  }
+
+  /** Backward walk over already-emitted text to find where the operand
+    * of a postfix construct (subscript `[…]`, JSON `->`) starts:
+    * balanced ()/[] groups chained with an optional identifier head
+    * (foo(a)[1], x.y[1], (sub)[1], a[1][2]). A quoted-literal operand
+    * ('abc'[2]) or anything unrecognized returns -1 → caller passes the
+    * construct through untouched. */
+  private def operandStart(s: StringBuilder): Int = {
+    var k = s.length - 1
+    while (k >= 0 && s.charAt(k).isWhitespace) k -= 1 // `x -> 'a'` spacing
+    var start = -1
+    var done = false
+    while (!done && k >= 0) {
+      val ch = s.charAt(k)
+      if (ch == ')' || ch == ']' || ch == '}') {
+        var depth = 0; var m = k; var inq = false; var matched = -1
+        while (m >= 0 && matched < 0) {
+          val cm = s.charAt(m)
+          if (inq) { if (cm == '\'') inq = false }
+          else cm match {
+            case '\'' => inq = true
+            case ')' | ']' | '}' => depth += 1
+            case '(' | '[' | '{' => depth -= 1; if (depth == 0) matched = m
+            case _ =>
+          }
+          m -= 1
+        }
+        if (matched < 0) { start = -1; done = true }
+        else { start = matched; k = matched - 1 } // keep walking: fn name / chain
+      } else if (ch.isLetterOrDigit || ch == '_' || ch == '.' || ch == '`') {
+        var m = k
+        while (m >= 0 && { val c2 = s.charAt(m)
+          c2.isLetterOrDigit || c2 == '_' || c2 == '.' || c2 == '`' }) m -= 1
+        start = m + 1
+        // a `::`-cast chains to the unit before it: 'x'::STRING[2]
+        if (m >= 1 && s.charAt(m) == ':' && s.charAt(m - 1) == ':') k = m - 2
+        else done = true
+      } else if (ch == '\'') {
+        // quoted-literal unit ('abc'[2] — DuckDB 1-based string index);
+        // naive wrt doubled '' (rare in subscripted operands)
+        var m = k - 1
+        while (m >= 0 && s.charAt(m) != '\'') m -= 1
+        if (m < 0) { start = -1; done = true }
+        else { start = m; done = true }
+      } else done = true // operator boundary: stop with what we have
+    }
+    start
+  }
+
+  /** PG/DuckDB JSON extraction operators with a literal key/index on
+    * the right: `x -> 'k'` and `x ->> 'k'` → json_extract /
+    * json_extract_string calls (both registered over get_json_object).
+    * Chains fold left naturally because each rewrite leaves a
+    * `)`-terminated call as the next operand. String-aware; a `->`
+    * whose RHS is not a string/int literal passes through. */
+  def rewriteJsonArrows(sql: String): String = {
+    if (!sql.contains("->")) return sql
+    val sb = new StringBuilder
+    val len = sql.length
+    var i = 0; var inStr = false
+    while (i < len) {
+      val c = sql.charAt(i)
+      if (inStr) { sb += c; if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { sb += c; inStr = true; i += 1 }
+      else if (c == '-' && i + 1 < len && sql.charAt(i + 1) == '>') {
+        val text = i + 2 < len && sql.charAt(i + 2) == '>'
+        var k = i + (if (text) 3 else 2)
+        while (k < len && sql.charAt(k).isWhitespace) k += 1
+        // QUOTED literal RHS only: a bare-integer RHS would collide
+        // with lambda bodies (`transform(l, x -> 1)`); JSON array
+        // indexing is reachable as json_extract(j, '$[0]')
+        var rhsEnd = -1
+        if (k < len && sql.charAt(k) == '\'') {
+          var e = k + 1
+          while (e < len && rhsEnd < 0) {
+            if (sql.charAt(e) == '\'') {
+              if (e + 1 < len && sql.charAt(e + 1) == '\'') e += 2 else rhsEnd = e + 1
+            } else e += 1
+          }
+        }
+        val start = if (rhsEnd < 0) -1 else operandStart(sb)
+        if (start < 0) { sb += c; i += 1 }
+        else {
+          val operand = sb.substring(start)
+          sb.delete(start, sb.length)
+          val fn = if (text) "json_extract_string" else "json_extract"
+          sb.append(s"$fn($operand, ${sql.substring(k, rhsEnd)})")
+          i = rhsEnd
+        }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
   private val leadingFromRe = """(?is)^\s*from\b.*""".r
 
   /** DuckDB's FROM-first form: `FROM t [SELECT list] [WHERE …]` →
@@ -1620,9 +1761,25 @@ object Engine {
 
   private val semiAntiRe = """(?i)\b(left\s+|right\s+)?(semi|anti)\s+join\b""".r
   private val similarToRe = """(?i)\b(not\s+)?similar\s+to\s+('(?:[^']|'')*')""".r
+  /** DuckDB type names Spark lacks → closest Spark type. `::` form (and
+    * the cast-keyword AS form for the unambiguous names). HUGEINT is
+    * int128 → DECIMAL(38,0); unsigned ints widen to the next signed
+    * type; TIME and JSON render as text on the wire either way. */
+  private val typeAliasMap: Map[String, String] = Map(
+    "hugeint" -> "DECIMAL(38,0)", "int128" -> "DECIMAL(38,0)", "uhugeint" -> "DECIMAL(38,0)",
+    "utinyint" -> "SMALLINT", "usmallint" -> "INT", "uinteger" -> "BIGINT",
+    "ubigint" -> "DECIMAL(20,0)", "float4" -> "FLOAT", "float8" -> "DOUBLE",
+    "blob" -> "BINARY", "bytea" -> "BINARY", "json" -> "STRING", "time" -> "STRING",
+    "varchar" -> "STRING", "text" -> "STRING", "logical" -> "BOOLEAN")
+  private val typeAliasColonRe =
+    ("""(?i)::\s*(""" + typeAliasMap.keys.mkString("|") + """)\b(?!\s*\()""").r
+  // AS-form restricted to names that cannot be column aliases in practice
+  private val typeAliasAsRe =
+    """(?i)\bas\s+(hugeint|int128|uhugeint|utinyint|usmallint|uinteger|ubigint|float4|float8|bytea)\b""".r
+  private val genSeriesTvfRe = """(?i)\b(from|join)\s+generate_series\s*\(([^()]*)\)""".r
   private val dateDiffRe = """(?i)\b(date_diff|datediff)\s*\(\s*'(\w+)'\s*,""".r
   private val formatFnRe = """(?i)\bformat\s*\(\s*'([^']*)'\s*,""".r
-  private val structPackRe = """(?i)\bstruct_pack\s*\(""".r
+  private val structPackRe = """(?i)\b(?:struct_pack|struct_insert)\s*\(""".r
   private val dollarTagRe = """\$([A-Za-z_][A-Za-z0-9_]*)?\$""".r
 
   /** PostgreSQL dollar-quoted strings — `$$…$$` and tagged
@@ -1728,13 +1885,31 @@ object Engine {
     var inStr = false
     def subscriptPrefix: Boolean = sb.nonEmpty && {
       val p = sb.charAt(sb.length - 1)
-      p.isLetterOrDigit || p == '_' || p == ')' || p == ']' || p == '\'' || p == '"' || p == '`'
+      p.isLetterOrDigit || p == '_' || p == ')' || p == ']' || p == '}' ||
+        p == '\'' || p == '"' || p == '`'
+    }
+    // first top-level ':' in a subscript body (slice separator); -1 = index
+    def sliceColon(s: String): Int = {
+      var depth = 0; var inq = false; var k = 0
+      while (k < s.length) {
+        val ch = s.charAt(k)
+        if (inq) { if (ch == '\'') inq = false }
+        else ch match {
+          case '\'' => inq = true
+          case '(' | '[' | '{' => depth += 1
+          case ')' | ']' | '}' => depth -= 1
+          case ':' if depth == 0 => return k
+          case _ =>
+        }
+        k += 1
+      }
+      -1
     }
     while (i < sql.length) {
       val c = sql.charAt(i)
       if (inStr) { sb += c; if (c == '\'') inStr = false; i += 1 }
       else if (c == '\'') { sb += c; inStr = true; i += 1 }
-      else if (c == '[' && !subscriptPrefix) {
+      else if (c == '[') {
         var depth = 1; var j = i + 1; var s2 = false
         while (j < sql.length && depth > 0) {
           val cj = sql.charAt(j)
@@ -1747,10 +1922,64 @@ object Engine {
           }
           j += 1
         }
-        if (depth == 0) {
-          sb.append("array(").append(rewriteBracketLists(sql.substring(i + 1, j - 1))).append(")")
+        if (depth != 0) { sb += c; i += 1 } // unbalanced: pass through
+        else if (!subscriptPrefix) {
+          val raw = sql.substring(i + 1, j - 1)
+          // DuckDB list comprehension [expr FOR v IN list [IF cond]] →
+          // transform(filter(list, v -> cond), v -> expr)
+          val forIdx = topKwIn(raw, "for")
+          val compre: Option[String] = if (forIdx < 0) None else {
+            val exprPart = raw.substring(0, forIdx).trim
+            val rest = raw.substring(forIdx + 3)
+            val inIdx = topKwIn(rest, "in")
+            if (inIdx < 0 || exprPart.isEmpty) None else {
+              val v = rest.substring(0, inIdx).trim
+              val tail = rest.substring(inIdx + 2)
+              // `if` must be the clause keyword (whitespace-separated),
+              // not the if(…) function call
+              val ifIdx0 = topKwIn(tail, "if")
+              val ifIdx = if (ifIdx0 >= 0 && ifIdx0 + 2 < tail.length
+                && tail.charAt(ifIdx0 + 2).isWhitespace) ifIdx0 else -1
+              val (listPart, cond) =
+                if (ifIdx < 0) (tail.trim, None)
+                else (tail.substring(0, ifIdx).trim, Some(tail.substring(ifIdx + 2).trim))
+              if (!v.matches("\\w+") || listPart.isEmpty) None else {
+                val src = rewriteBracketLists(listPart)
+                val base = cond match {
+                  case Some(cd) => s"filter($src, $v -> ${rewriteBracketLists(cd)})"
+                  case None => src
+                }
+                Some(s"transform($base, $v -> ${rewriteBracketLists(exprPart)})")
+              }
+            }
+          }
+          compre match {
+            case Some(t) => sb.append(t)
+            case None => sb.append("array(").append(rewriteBracketLists(raw)).append(")")
+          }
           i = j
-        } else { sb += c; i += 1 } // unbalanced: pass through
+        } else {
+          // subscript or slice: DuckDB is 1-BASED with 0/OOB → NULL and
+          // negative-from-end (element_at semantics), and l[a:b] is the
+          // inclusive 1-based slice — Spark's native [] is 0-based, so
+          // the operand is re-routed through graft_subscript/graft_slice
+          val content = rewriteBracketLists(sql.substring(i + 1, j - 1)).trim
+          val start = operandStart(sb)
+          if (start < 0 || content.isEmpty) { sb += c; i += 1 }
+          else {
+            val operand = sb.substring(start)
+            sb.delete(start, sb.length)
+            val colon = sliceColon(content)
+            if (colon >= 0) {
+              val lo = content.substring(0, colon).trim
+              val hi = content.substring(colon + 1).trim
+              val loE = if (lo.isEmpty) "null" else lo
+              val hiE = if (hi.isEmpty) "null" else hi
+              sb.append(s"graft_slice($operand, $loE, $hiE)")
+            } else sb.append(s"graft_subscript($operand, $content)")
+            i = j
+          }
+        }
       } else { sb += c; i += 1 }
     }
     sb.toString
@@ -1805,7 +2034,8 @@ object Engine {
     * the named_struct alias). The `:=` substitution is scoped to
     * struct_pack call spans — other functions' named args pass through. */
   def rewriteStructPackArgs(sql: String): String = {
-    if (!sql.toLowerCase.contains("struct_pack")) return sql
+    val low = sql.toLowerCase
+    if (!low.contains("struct_pack") && !low.contains("struct_insert")) return sql
     val out = new StringBuilder
     var i = 0
     while (i < sql.length) {

@@ -18,11 +18,79 @@ class DialectFunctionsSpec extends SparkSpecBase {
     assert(one("select ['a','b']") == Seq("a", "b"))
     assert(one("select ['a[x]', 'b']") == Seq("a[x]", "b")) // brackets inside strings survive
     assert(one("select 'a [not] literal'") == "a [not] literal")
-    // subscript untouched by the rewrite (NB: Spark [] is 0-based —
-    // DuckDB-style 1-based access is the element_at/list_extract path)
-    assert(one("select ([10,20])[1]") == 20)
-    // quote-adjacent bracket stays a subscript, not a mangled array()
-    assert(engine.rewrite("select 'abc'[2]").contains("'abc'[2]"))
+    // subscripts are DUCKDB 1-based (round 5): 0 and OOB → NULL,
+    // negative from the end; slices are 1-based inclusive
+    assert(one("select ([10,20])[1]") == 10)
+    assert(one("select [10,20,30][2]") == 20)
+    assert(one("select [10,20][0]") == null)
+    assert(one("select [10,20][-1]") == 20)
+    assert(one("select [10,20][5]") == null)
+    assert(one("select [[1,2],[3]][1][2]") == 2) // chained subscripts
+    assert(one("select [1,2,3,4][2:3]") == Seq(2, 3))
+    assert(one("select [1,2,3][2:]") == Seq(2, 3))
+    assert(one("select [1,2,3][:2]") == Seq(1, 2))
+    assert(one("select [1,2,3][2:99]") == Seq(2, 3)) // hi clamps
+    // 1-based string indexing and slicing (DuckDB)
+    assert(one("select 'abcd'[2]") == "b")
+    assert(one("select 'abcd'[0]") == "")
+    assert(one("select 'abcd'[-1]") == "d")
+    assert(one("select 'abcd'[2:3]") == "bc")
+    // map subscript → LIST of matches; struct subscript → field
+    assert(one("select map([1,2],['a','b'])[1]") == Seq("a"))
+    assert(one("select map([1,2],['a','b'])[9]") == Seq())
+    assert(one("select {'a': 1}['a']") == 1)
+    // list comprehensions
+    assert(one("select [x * 2 for x in [1,2,3]]") == Seq(2, 4, 6))
+    assert(one("select [x for x in [1,2,3,4] if x % 2 = 0]") == Seq(2, 4))
+  }
+
+  test("type-name aliases: hugeint/unsigned/float4/time/blob/json") {
+    assert(one("select 1::hugeint").toString == "1")
+    assert(one("select 250::utinyint") == 250.toShort)
+    assert(one("select 1.5::float8") == 1.5)
+    assert(one("select 1.5::float4") == 1.5f)
+    assert(one("select '10:30:00'::time") == "10:30:00")
+    assert(one("select 123::varchar") == "123")
+    assert(new String(one("select 'ab'::blob").asInstanceOf[Array[Byte]]) == "ab")
+    assert(one("select '{\"a\": 1}'::json") == "{\"a\": 1}")
+    // parameterized VARCHAR(n) is untouched by the alias rewrite (NB
+    // Spark's cast treats varchar as string — no truncation)
+    assert(engine.rewrite("select cast('abcd' as varchar(2))").contains("varchar(2)"))
+  }
+
+  test("JSON function family and -> / ->> operators") {
+    assert(one("select json_valid('{\"a\": 1}')") == true)
+    assert(one("select json_valid('{\"a\"')") == false)
+    assert(one("select json_keys('{\"a\":1,\"b\":2}')") == Seq("a", "b"))
+    assert(one("select json_object('a', 1, 'b', 'x')") == """{"a":1,"b":"x"}""")
+    assert(one("select json_array(1, 2, 3)") == "[1,2,3]")
+    assert(one("select json_quote('x')") == "\"x\"")
+    assert(one("select json_quote(42)") == "42")
+    assert(one("select json_type('{\"a\": 1}')") == "OBJECT")
+    assert(one("select json_type('[1]')") == "ARRAY")
+    assert(one("select json_type('\"s\"')") == "VARCHAR")
+    assert(one("select json_type('1.5')") == "DOUBLE")
+    assert(one("select json_type('7')") == "BIGINT")
+    assert(one("select json_merge_patch('{\"a\":1,\"c\":3}', '{\"b\":2,\"c\":null}')")
+      == """{"a":1,"b":2}""")
+    assert(one("select json_extract('{\"a\": {\"b\": 2}}', 'a')") == """{"b":2}""")
+    assert(one("select '{\"a\": 1}'::json ->> 'a'") == "1")
+    assert(one("select '{\"a\": {\"b\": 2}}'::json -> 'a' ->> 'b'") == "2")
+    assert(one("select json_group_array(id) from range(1, 3)") == "[1,2]")
+    assert(one("select json_group_object(k, v) from (select 'a' as k, 1 as v)")
+      == """{"a":1}""")
+    // lambda arrows are NOT json arrows
+    assert(one("select transform(array(1,2), x -> x + 1)") == Seq(2, 3))
+  }
+
+  test("generate_series TVF, dayofweek origin, date_trunc date-typed") {
+    assert(one("select count(*) from generate_series(1, 3)") == 3L)
+    assert(one("select sum(generate_series) from generate_series(1, 3)") == 6L)
+    assert(one("select sum(generate_series) from generate_series(0, 9, 3)") == 18L)
+    assert(one("select dayofweek(date '2024-03-15')") == 5) // Friday, Sunday=0
+    assert(one("select date_trunc('month', date '2024-03-15')")
+      == java.sql.Date.valueOf("2024-03-01"))
+    assert(one("select struct_insert({'a': 1}, b := 2)").toString == "[1,2]")
   }
 
   test("struct_pack named args and list_aggregate dispatch") {
