@@ -907,10 +907,42 @@ object GraftFunctions {
       call("map_from_entries")(aggCall("collect_list")(
         CreateNamedStruct(Seq(str("key"), es.head, str("value"), es(1)))))))
 
+    // ---- operator support (the server's operator rewrite emits these)
+    // a @> b / a <@ b: every element of `sub` present in `container`
+    fn("graft_list_has_all")(es =>
+      EqualTo(Size(call("array_except")(es(1), es.head)), Literal(0)))
+    fn("list_has_all")(es =>
+      EqualTo(Size(call("array_except")(es(1), es.head)), Literal(0)))
+    fn("array_has_all")(es =>
+      EqualTo(Size(call("array_except")(es(1), es.head)), Literal(0)))
+    fn("list_has_any")(es => call("arrays_overlap")(es.head, es(1)))
+    fn("array_has_any")(es => call("arrays_overlap")(es.head, es(1)))
+
+    // make_time(h, m, s): Spark has no TIME type — render the wire text
+    fn("make_time")(es => call("format_string")(str("%02d:%02d:%02d"),
+      Cast(es(0), IntegerType), Cast(es(1), IntegerType),
+      Cast(Cast(es(2), DoubleType), LongType, None, EvalMode.LEGACY)))
+
     // ---- date-function semantics
     // DuckDB dayofweek: Sunday=0 … Saturday=6 (Spark native: Sunday=1)
     val nativeDow = reg.lookupFunctionBuilder(FunctionIdentifier("dayofweek")).get
     fn("dayofweek")(es => Subtract(nativeDow(es), Literal(1)))
+    // date_part(['year','month'], x) list form → struct of parts
+    val nativeDatePart = reg.lookupFunctionBuilder(FunctionIdentifier("date_part")).get
+    fn("date_part") { es =>
+      val parts = es.head match {
+        case CreateArray(children, _) => Some(children)
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+            if u.nameParts.map(_.toLowerCase) == Seq("array") => Some(u.arguments)
+        case _ => None
+      }
+      parts match {
+        case Some(ps) if ps.nonEmpty && ps.forall {
+            case Literal(_: UTF8String, StringType) => true; case _ => false } =>
+          CreateNamedStruct(ps.flatMap(p => Seq(p, nativeDatePart(Seq(p, es(1))))).toSeq)
+        case _ => nativeDatePart(es)
+      }
+    }
     // DuckDB date_trunc keeps DATE inputs DATE
     val nativeDateTrunc = reg.lookupFunctionBuilder(FunctionIdentifier("date_trunc")).get
     fn("date_trunc") {

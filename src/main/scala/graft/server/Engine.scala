@@ -280,6 +280,8 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       return ExecResult(spark.sql("SELECT '' AS stub WHERE false"), "SELECT")
 
     var rewritten = rewrite(sql)
+    if (rewritten.toLowerCase.contains("columns(") || rewritten.toLowerCase.contains("columns ("))
+      rewritten = expandColumnsMacro(rewritten)
     if (rewritten.toLowerCase.contains("information_schema.")) {
       refreshInformationSchema()
       rewritten = infoSchemaRe.replaceAllIn(rewritten, m => s"__is_${m.group(1).toLowerCase}")
@@ -424,6 +426,9 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     // aware scan, scoped to literal RHS, so bitwise-NOT and tildes
     // inside string literals are never touched.
     s = rewritePgRegexOps(s)
+    // DuckDB operator spellings: ** and ^ exponentiation, @() abs,
+    // && overlap, @> / <@ containment
+    s = rewriteDuckOperators(s)
     // DuckDB's bare SEMI/ANTI JOIN keywords → Spark's LEFT-prefixed
     // ones; an existing LEFT/RIGHT prefix (any whitespace) passes through
     s = semiAntiRe.replaceAllIn(s, m =>
@@ -741,6 +746,37 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         s"(${base}L + (row_number() OVER (ORDER BY $winOrder) - 1) * ${st.inc}L)"))
       execute(sql.substring(0, m.start(3)) + applied)
     } finally lock.unlock()
+  }
+
+  /** DuckDB COLUMNS('regex' | *) star-expansion (simple-FROM form):
+    * `SELECT min(COLUMNS(*)) FROM t` applies the wrapper per column,
+    * `SELECT COLUMNS('re') FROM t` projects the full-regex-matching
+    * columns. Schema comes from the statement's first plain FROM table;
+    * unrecognized shapes pass through (the parser error surfaces). */
+  private def expandColumnsMacro(sql: String): String = {
+    val table = """(?is)\bfrom\s+([\w.`]+)""".r.findFirstMatchIn(sql)
+      .map(_.group(1).replace("`", "")).getOrElse(return sql)
+    val fields = try spark.table(table).schema.fieldNames.toSeq
+      catch { case scala.util.control.NonFatal(_) => return sql }
+    def matching(pat: Option[String]): Seq[String] = pat match {
+      case Some(re) => fields.filter(c => try c.matches(re) catch {
+        case scala.util.control.NonFatal(_) => false })
+      case None => fields
+    }
+    val wrappedRe = """(?i)\b(\w+)\s*\(\s*columns\s*\(\s*(?:'([^']*)'|\*)\s*\)\s*\)""".r
+    var s = wrappedRe.replaceAllIn(sql, m => {
+      val cols = matching(Option(m.group(2)))
+      if (cols.isEmpty) Regex.quoteReplacement(m.matched)
+      else Regex.quoteReplacement(cols.map(c =>
+        s"${m.group(1)}(`$c`) AS `${m.group(1)}($c)`").mkString(", "))
+    })
+    val bareRe = """(?i)\bcolumns\s*\(\s*(?:'([^']*)'|\*)\s*\)""".r
+    s = bareRe.replaceAllIn(s, m => {
+      val cols = matching(Option(m.group(1)))
+      if (cols.isEmpty) Regex.quoteReplacement(m.matched)
+      else Regex.quoteReplacement(cols.map(c => s"`$c`").mkString(", "))
+    })
+    s
   }
 
   // -- DML hard parts (SURVEY §7.3) -----------------------------------------
@@ -1645,6 +1681,111 @@ object Engine {
       } else done = true // operator boundary: stop with what we have
     }
     start
+  }
+
+  /** End of the primary expression starting at `from` (for binary-op
+    * rewrites needing the RIGHT operand): optional sign, then a quoted
+    * literal / number / identifier(±call parens) / paren group, plus
+    * chained [subscript] groups. -1 when unrecognized. */
+  private def forwardOperandEnd(s: String, from: Int): Int = {
+    var k = from
+    while (k < s.length && s.charAt(k).isWhitespace) k += 1
+    if (k >= s.length) return -1
+    if (s.charAt(k) == '+' || s.charAt(k) == '-') {
+      k += 1
+      while (k < s.length && s.charAt(k).isWhitespace) k += 1
+      if (k >= s.length) return -1
+    }
+    def skipBalanced(open: Char, close: Char): Boolean = {
+      var depth = 0; var inq = false
+      while (k < s.length) {
+        val c = s.charAt(k)
+        if (inq) { if (c == '\'') inq = false }
+        else if (c == '\'') inq = true
+        else if (c == open) depth += 1
+        else if (c == close) { depth -= 1; if (depth == 0) { k += 1; return true } }
+        k += 1
+      }
+      false
+    }
+    val c = s.charAt(k)
+    if (c == '\'') {
+      var e = k + 1; var closed = false
+      while (e < s.length && !closed) {
+        if (s.charAt(e) == '\'') {
+          if (e + 1 < s.length && s.charAt(e + 1) == '\'') e += 2 else { closed = true; e += 1 }
+        } else e += 1
+      }
+      if (!closed) return -1
+      k = e
+    } else if (c == '(' || c == '[') {
+      if (!skipBalanced(c, if (c == '(') ')' else ']')) return -1
+    } else if (c.isDigit) {
+      while (k < s.length && (s.charAt(k).isDigit || s.charAt(k) == '.')) k += 1
+      if (k < s.length && (s.charAt(k) == 'e' || s.charAt(k) == 'E')) {
+        val e0 = k + 1
+        var e = e0
+        if (e < s.length && (s.charAt(e) == '+' || s.charAt(e) == '-')) e += 1
+        if (e < s.length && s.charAt(e).isDigit) { k = e; while (k < s.length && s.charAt(k).isDigit) k += 1 }
+      }
+    } else if (c.isLetter || c == '_' || c == '`') {
+      while (k < s.length && { val c2 = s.charAt(k)
+        c2.isLetterOrDigit || c2 == '_' || c2 == '.' || c2 == '`' }) k += 1
+      if (k < s.length && s.charAt(k) == '(') { if (!skipBalanced('(', ')')) return -1 }
+    } else return -1
+    while (k < s.length && s.charAt(k) == '[') { if (!skipBalanced('[', ']')) return -1 }
+    k
+  }
+
+  /** DuckDB operator spellings Spark lacks: `a ** b` / `a ^ b` → power
+    * (DuckDB `^` IS exponentiation; its xor is the xor() function),
+    * `@(x)` → abs, `a && b` → arrays_overlap, `a @> b` / `a <@ b` →
+    * list containment. Left-to-right string-aware scan with backward/
+    * forward operand capture — an operand either side fails to parse →
+    * that operator passes through untouched. */
+  def rewriteDuckOperators(sql: String): String = {
+    if (!sql.contains("**") && !sql.contains("^") && !sql.contains("&&")
+      && !sql.contains("@")) return sql
+    val sb = new StringBuilder
+    val len = sql.length
+    var i = 0; var inStr = false; var inTick = false
+    def binary(opLen: Int, emit: (String, String) => String): Boolean = {
+      val start = operandStart(sb)
+      val rhsEnd = forwardOperandEnd(sql, i + opLen)
+      if (start < 0 || rhsEnd < 0) false
+      else {
+        val lhs = sb.substring(start)
+        sb.delete(start, sb.length)
+        var r0 = i + opLen
+        while (r0 < len && sql.charAt(r0).isWhitespace) r0 += 1
+        sb.append(emit(lhs.trim, sql.substring(r0, rhsEnd)))
+        i = rhsEnd
+        true
+      }
+    }
+    while (i < len) {
+      val c = sql.charAt(i)
+      if (inStr) { sb += c; if (c == '\'') inStr = false; i += 1 }
+      else if (inTick) { sb += c; if (c == '`') inTick = false; i += 1 }
+      else if (c == '\'') { sb += c; inStr = true; i += 1 }
+      else if (c == '`') { sb += c; inTick = true; i += 1 }
+      else if (c == '*' && i + 1 < len && sql.charAt(i + 1) == '*') {
+        if (!binary(2, (l, r) => s"power($l, $r)")) { sb.append("**"); i += 2 }
+      } else if (c == '^') {
+        if (!binary(1, (l, r) => s"power($l, $r)")) { sb += c; i += 1 }
+      } else if (c == '&' && i + 1 < len && sql.charAt(i + 1) == '&') {
+        if (!binary(2, (l, r) => s"arrays_overlap($l, $r)")) { sb.append("&&"); i += 2 }
+      } else if (c == '@' && i + 1 < len && sql.charAt(i + 1) == '>') {
+        if (!binary(2, (l, r) => s"graft_list_has_all($l, $r)")) { sb.append("@>"); i += 2 }
+      } else if (c == '<' && i + 1 < len && sql.charAt(i + 1) == '@') {
+        if (!binary(2, (l, r) => s"graft_list_has_all($r, $l)")) { sb.append("<@"); i += 2 }
+      } else if (c == '@' && { var k = i + 1
+          while (k < len && sql.charAt(k).isWhitespace) k += 1
+          k < len && sql.charAt(k) == '(' }) {
+        sb.append("abs"); i += 1 // prefix @ = absolute value (paren form)
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
   }
 
   /** PG/DuckDB JSON extraction operators with a literal key/index on

@@ -100,12 +100,75 @@ object PgTypes {
       Some("\\x" + bytes.map(b => f"${b & 0xff}%02x").mkString)
     case seq: scala.collection.Seq[_] =>
       Some(seq.map(e => renderArrayElem(e)).mkString("{", ",", "}"))
+    // intervals in DuckDB's text style ("1 day 02:00:00", "1 year
+    // 2 months", "00:01:30") — Spark hands back three different JVM
+    // types depending on the interval sort
+    case d: java.time.Duration =>
+      // extract whole days (Spark normalizes day-time intervals to one
+      // micros count; DuckDB prints the day component separately)
+      val us = d.getSeconds * 1000000L + d.getNano / 1000L
+      Some(duckInterval(0, (us / 86400000000L).toInt, us % 86400000000L))
+    case p: java.time.Period =>
+      Some(duckInterval(p.getYears * 12 + p.getMonths, p.getDays, 0L))
+    case ci: org.apache.spark.unsafe.types.CalendarInterval =>
+      Some(duckInterval(ci.months, ci.days, ci.microseconds))
+    // structs and maps in DuckDB's text style ({'a': 1, 'b': 'x'},
+    // {1=a, 2=b}) — the reference's clients see DuckDB renderings
     case m: scala.collection.Map[_, _] =>
-      Some(m.map { case (k, mv) => s"${jsonStr(k)}: ${jsonVal(mv)}" }.mkString("{", ", ", "}"))
+      Some(m.map { case (k, mv) => s"${plain(k)}=${plain(mv)}" }.mkString("{", ", ", "}"))
     case r: Row =>
       Some(r.schema.fieldNames.zip(r.toSeq)
-        .map { case (n, fv) => s"${jsonStr(n)}: ${jsonVal(fv)}" }.mkString("{", ", ", "}"))
+        .map { case (n, fv) => s"'$n': ${duckVal(fv)}" }.mkString("{", ", ", "}"))
     case other => Some(other.toString)
+  }
+
+  /** DuckDB interval text: year/month/day parts when nonzero (singular
+    * at ±1), then HH:MM:SS[.ffffff] when the time part is nonzero or
+    * nothing else printed. */
+  private def duckInterval(months: Int, days: Int, micros: Long): String = {
+    val sb = new StringBuilder
+    def part(n: Long, name: String): Unit = if (n != 0) {
+      if (sb.nonEmpty) sb += ' '
+      sb.append(n).append(' ').append(name)
+      if (n != 1 && n != -1) sb += 's'
+    }
+    part(months / 12, "year"); part(months % 12, "month"); part(days, "day")
+    if (micros != 0 || sb.isEmpty) {
+      if (sb.nonEmpty) sb += ' '
+      if (micros < 0) sb += '-'
+      var us = math.abs(micros)
+      val h = us / 3600000000L; us %= 3600000000L
+      val m = us / 60000000L; us %= 60000000L
+      val s = us / 1000000L; val frac = us % 1000000L
+      sb.append(f"$h%02d:$m%02d:$s%02d")
+      if (frac != 0) {
+        var fs = f".$frac%06d"
+        while (fs.endsWith("0")) fs = fs.dropRight(1)
+        sb.append(fs)
+      }
+    }
+    sb.toString
+  }
+
+  /** Struct field value, DuckDB style: strings single-quoted (''-escaped),
+    * numbers/booleans bare, NULL upper-case, nested collections recurse. */
+  private def duckVal(v: Any): String = v match {
+    case null => "NULL"
+    case n @ (_: Int | _: Long | _: Double | _: Float | _: Short | _: Byte) => n.toString
+    case b: Boolean => b.toString
+    case d: java.math.BigDecimal => d.toPlainString
+    case s: scala.collection.Seq[_] => s.map(duckVal).mkString("[", ", ", "]")
+    case r: Row => render(r).get
+    case m: scala.collection.Map[_, _] => render(m).get
+    case other => "'" + other.toString.replace("'", "''") + "'"
+  }
+
+  /** Map key/value, DuckDB style: bare text (no quoting). */
+  private def plain(v: Any): String = v match {
+    case null => "NULL"
+    case r: Row => render(r).get
+    case s: scala.collection.Seq[_] => s.map(duckVal).mkString("[", ", ", "]")
+    case other => other.toString
   }
 
   private def renderArrayElem(e: Any): String = render(e) match {
@@ -116,15 +179,4 @@ object PgTypes {
       else s
   }
 
-  private def jsonStr(s: Any): String =
-    "\"" + s.toString.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-
-  private def jsonVal(v: Any): String = v match {
-    case null => "null"
-    case n @ (_: Int | _: Long | _: Double | _: Float | _: Short | _: Byte) => n.toString
-    case b: Boolean => b.toString
-    case d: java.math.BigDecimal => d.toPlainString
-    case s: scala.collection.Seq[_] => s.map(jsonVal).mkString("[", ", ", "]")
-    case other => jsonStr(other)
-  }
 }

@@ -83,6 +83,41 @@ class DialectFunctionsSpec extends SparkSpecBase {
     assert(one("select transform(array(1,2), x -> x + 1)") == Seq(2, 3))
   }
 
+  test("DuckDB operators: ** ^ power, @() abs, && overlap, @>/<@ containment") {
+    assert(one("select 2 ** 10") == 1024.0)
+    assert(one("select 3 ^ 2") == 9.0) // DuckDB ^ is POWER, not xor
+    assert(one("select 2 ** 3 ** 2") == 64.0) // left-assoc like PG ^
+    assert(one("select 1 + 2 ** 3") == 9.0)
+    assert(one("select @(-7)") == 7)
+    assert(one("select [1,2] && [2,3]") == true)
+    assert(one("select [1,2] && [3,4]") == false)
+    assert(one("select [1,2,3,4] @> [2,3]") == true)
+    assert(one("select [1,2,3] <@ [1,2,3,4]") == true)
+    assert(one("select [1,5] <@ [1,2,3]") == false)
+    assert(one("select list_has_all([1,2,3], [2,3])") == true)
+    assert(one("select list_has_any([1,2], [2,9])") == true)
+    assert(one("select make_time(10, 30, 0.0)") == "10:30:00")
+    // date_part list form → struct of parts
+    assert(one("select date_part(['year','month'], date '2024-03-15')").toString == "[2024,3]")
+    // a ** never matches lone stars
+    assert(one("select count(*) from (select 1)") == 1L)
+  }
+
+  test("duck-style wire rendering: intervals, structs, maps") {
+    import graft.server.pg.PgTypes
+    assert(PgTypes.render(java.time.Duration.ofHours(26)).get == "1 day 02:00:00")
+    assert(PgTypes.render(java.time.Duration.ofSeconds(90)).get == "00:01:30")
+    assert(PgTypes.render(java.time.Period.of(1, 2, 0)).get == "1 year 2 months")
+    assert(PgTypes.render(java.time.Duration.ZERO).get == "00:00:00")
+    assert(PgTypes.render(
+      new org.apache.spark.unsafe.types.CalendarInterval(25, 24, 0L)).get
+      == "2 years 1 month 24 days")
+    val row = spark.sql("select named_struct('a', 1, 'b', 'x') s").head().getStruct(0)
+    assert(PgTypes.render(row).get == "{'a': 1, 'b': 'x'}")
+    val m = spark.sql("select map(1, 'a', 2, 'b') m").head().getMap[Int, String](0)
+    assert(PgTypes.render(m).get == "{1=a, 2=b}")
+  }
+
   test("generate_series TVF, dayofweek origin, date_trunc date-typed") {
     assert(one("select count(*) from generate_series(1, 3)") == 3L)
     assert(one("select sum(generate_series) from generate_series(1, 3)") == 6L)
