@@ -456,6 +456,30 @@ case class JsonMergePatch(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** DuckDB json_contains(doc, needle): true when the needle JSON value
+  * appears anywhere in the document tree (any-subtree equality, the
+  * shape DuckDB implements). Jackson-based, interpreted. */
+case class JsonContains(left: Expression, right: Expression)
+    extends BinaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  @transient private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private def containedIn(doc: com.fasterxml.jackson.databind.JsonNode,
+      needle: com.fasterxml.jackson.databind.JsonNode): Boolean = {
+    if (doc == needle) return true
+    val it = doc.elements()
+    while (it.hasNext) if (containedIn(it.next(), needle)) return true
+    false
+  }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    try containedIn(
+      mapper.readTree(l.asInstanceOf[UTF8String].toString),
+      mapper.readTree(r.asInstanceOf[UTF8String].toString))
+    catch { case _: Exception => null }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JsonContains =
+    copy(left = l, right = r)
+}
+
 /** DuckDB date_trunc keeps DATE inputs DATE (Spark's always returns
   * TIMESTAMP); dispatched on the resolved operand type. */
 case class DateTruncDispatch(fmt: Expression, child: Expression)

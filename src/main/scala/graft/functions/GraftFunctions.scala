@@ -902,6 +902,45 @@ object GraftFunctions {
         (RLike(t, str("^-?[0-9]*\\.?[0-9]+([eE][+-]?[0-9]+)?$")), str("DOUBLE"))),
         Literal.create(null, StringType))
     }
+    fn("json_contains")(es => JsonContains(es.head, es(1)))
+    // DuckDB's JSON-form schemas ('["BIGINT"]', '{"a":"VARCHAR"}') →
+    // Spark DDL type strings, for from_json / json_transform
+    def duckSchemaToDdl(json: String): Option[String] = {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      def conv(n: com.fasterxml.jackson.databind.JsonNode): String =
+        if (n.isTextual) n.asText.trim.toLowerCase match {
+          case "varchar" | "text" | "json" => "string"
+          case "bigint" | "int64" | "long" => "bigint"
+          case "integer" | "int" | "int32" => "int"
+          case "smallint" | "int16" => "smallint"
+          case "tinyint" | "int8" => "tinyint"
+          case "double" | "float8" => "double"
+          case "real" | "float" | "float4" => "float"
+          case "boolean" | "bool" => "boolean"
+          case "hugeint" => "decimal(38,0)"
+          case other => other // date/timestamp/decimal(p,s) pass through
+        }
+        else if (n.isArray && n.size == 1) s"array<${conv(n.get(0))}>"
+        else if (n.isObject) {
+          val it = n.fields()
+          val fs = scala.collection.mutable.ListBuffer[String]()
+          while (it.hasNext) { val e = it.next(); fs += s"${e.getKey}:${conv(e.getValue)}" }
+          fs.mkString("struct<", ",", ">")
+        } else throw new IllegalArgumentException(s"unsupported JSON schema: $n")
+      try Some(conv(mapper.readTree(json))) catch { case _: Exception => None }
+    }
+    val nativeFromJson = reg.lookupFunctionBuilder(FunctionIdentifier("from_json")).get
+    def fromJsonDuck(es: Seq[Expression]): Expression = es match {
+      case Seq(j, Literal(s: UTF8String, StringType))
+          if { val t = s.toString.trim; t.startsWith("[") || t.startsWith("{") } =>
+        duckSchemaToDdl(s.toString) match {
+          case Some(ddl) => nativeFromJson(Seq(j, str(ddl)))
+          case None => nativeFromJson(es)
+        }
+      case other => nativeFromJson(other)
+    }
+    fn("from_json")(fromJsonDuck)
+    fn("json_transform")(fromJsonDuck)
     fn("json_group_array")(es => call("to_json")(aggCall("collect_list")(es.head)))
     fn("json_group_object")(es => call("to_json")(
       call("map_from_entries")(aggCall("collect_list")(

@@ -81,6 +81,14 @@ class DialectFunctionsSpec extends SparkSpecBase {
       == """{"a":1}""")
     // lambda arrows are NOT json arrows
     assert(one("select transform(array(1,2), x -> x + 1)") == Seq(2, 3))
+    // DuckDB JSON-form schemas for from_json / json_transform
+    assert(one("select from_json('[1,2,3]', '[\"BIGINT\"]')") == Seq(1L, 2L, 3L))
+    assert(one("select json_transform('{\"a\":1}', '{\"a\":\"VARCHAR\"}')").toString == "[1]")
+    // Spark DDL schema form still works
+    assert(one("select from_json('{\"a\":1}', 'a INT').a") == 1)
+    assert(one("select json_contains('{\"a\":1}', '1')") == true)
+    assert(one("select json_contains('{\"a\":1}', '2')") == false)
+    assert(one("select json_contains('[1,[2,3]]', '[2,3]')") == true)
   }
 
   test("DuckDB operators: ** ^ power, @() abs, && overlap, @>/<@ containment") {
