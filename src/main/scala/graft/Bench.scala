@@ -140,14 +140,23 @@ object Bench {
       try w.write(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"calib_before":${fmt(calibBefore)},"calib_after":${fmt(calibAfter)},"queries":${mapJson(all)},"first_rep":${mapJson(firstTimes.toSeq)},"sf":"$sfDir"}""" + "\n")
       finally w.close()
     }
-    val budget = 1500
+    // r6 post-mortem: even a 1500-char queries budget left the wire line
+    // ~1700 chars; with sbt's [info] prefix, trailing [success] line and
+    // interleaved WARNs the driver's tail window cut it mid-object and
+    // parsed=null. Keep the wire line well under ~800 chars (top queries
+    // only; the full map is in BENCH_DETAIL.json) and print it twice —
+    // once here and once after spark.stop() — so the FINAL stdout line
+    // is the complete summary even in a small tail capture.
+    val budget = 600
     val kept = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     var used = 0
     all.foreach { case (k, v) =>
       val cost = k.length + fmt(v).length + 4
       if (used + cost <= budget) { kept += (k -> v); used += cost }
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(math.min(calibBefore, calibAfter))},"queries":${mapJson(kept.toSeq)},"detail":"$detailPath","sf":"$sfDir"}""")
+    val wireLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(math.min(calibBefore, calibAfter))},"queries":${mapJson(kept.toSeq)},"detail":"$detailPath","sf":"$sfDir"}"""
+    println(wireLine)
     spark.stop()
+    println(wireLine)
   }
 }

@@ -9,7 +9,11 @@ object Verify {
     val spark = graft.engine.GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // iteration aid (driver never sets it): restrict the dumped corpus
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(name.matches) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -162,6 +162,49 @@ object DialectQueries {
           |ORDER BY k""".stripMargin).df
     },
 
+    // r5 dialect-FUNCTION batch, end-to-end: 1-based subscripts, 1-based
+    // inclusive slices and list comprehensions in the raw DuckDB spelling
+    // through Engine.execute; oracle runs the identical text natively.
+    q("q_dialect_listops_sql",
+      """SELECT o_orderkey,
+        |  [o_orderkey, o_custkey, o_orderkey + o_custkey][2] AS second_el,
+        |  [o_orderkey, o_custkey, o_orderkey + o_custkey][2:3] AS tail_slice,
+        |  [x * 2 FOR x IN [o_orderkey, o_custkey] IF x % 2 = 0] AS evens_doubled
+        |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin) { (s, dir) =>
+      Tables(s, dir)
+      new graft.server.Engine(s).execute(
+        """SELECT o_orderkey,
+          |  [o_orderkey, o_custkey, o_orderkey + o_custkey][2] AS second_el,
+          |  [o_orderkey, o_custkey, o_orderkey + o_custkey][2:3] AS tail_slice,
+          |  [x * 2 FOR x IN [o_orderkey, o_custkey] IF x % 2 = 0] AS evens_doubled
+          |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin).df
+    },
+
+    // JSON arrow operators in the raw spelling: -> / ->> chains over a
+    // per-row JSON document built from fixture columns.
+    q("q_dialect_json_arrows_sql",
+      """SELECT o_orderkey,
+        |  ('{"pri":"' || o_orderpriority || '","k":' || o_custkey || '}')->>'pri' AS pri,
+        |  CAST(('{"pri":"' || o_orderpriority || '","k":' || o_custkey || '}')->>'k' AS BIGINT) AS k
+        |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin) { (s, dir) =>
+      Tables(s, dir)
+      new graft.server.Engine(s).execute(
+        """SELECT o_orderkey,
+          |  ('{"pri":"' || o_orderpriority || '","k":' || o_custkey || '}')->>'pri' AS pri,
+          |  CAST(('{"pri":"' || o_orderpriority || '","k":' || o_custkey || '}')->>'k' AS BIGINT) AS k
+          |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin).df
+    },
+
+    // COLUMNS() regex projection expansion in the raw spelling.
+    q("q_dialect_columns_sql",
+      """SELECT COLUMNS('^o_order(key|priority)$') FROM orders
+        |ORDER BY o_orderkey LIMIT 100""".stripMargin) { (s, dir) =>
+      Tables(s, dir)
+      new graft.server.Engine(s).execute(
+        """SELECT COLUMNS('^o_order(key|priority)$') FROM orders
+          |ORDER BY o_orderkey LIMIT 100""".stripMargin).df
+    },
+
     // INSERT … ON CONFLICT (reference pass-through to DuckDB's upsert;
     // here the Engine rewrites it to a copy-on-write merge join). The
     // oracle is the same statement battery run natively by DuckDB.

@@ -117,6 +117,84 @@ object TpchQueries {
         .agg(sum(col("rev")).cast("double").as("profit"))
         .select(col("n_name").as("nation"), col("o_year"), col("profit"))
         .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    // q18 shape: large-volume customer — group-HAVING semi-join. The
+    // oracle's `IN (GROUP BY … HAVING)` + re-aggregation is collapsed
+    // into ONE lineitem scan: the HAVING aggregate already carries the
+    // per-order quantity sum, so the semi-join side IS the re-aggregated
+    // value and lineitem is never scanned twice. At 100 TB that halves
+    // the dominant fact-scan cost; the surviving orders (~1%) then join
+    // orders/customer on their natural keys.
+    q("q_tpch_q18",
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |                     HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val bigOrders = t.lineitem
+        .select(col("l_orderkey"), col("l_quantity").cast(DecimalType(18, 2)).as("qty"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("qty")).as("sum_qty_dec"))
+        .filter(col("sum_qty_dec") > 250)
+      bigOrders
+        .join(t.orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer.select(col("c_custkey"), col("c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"), col("sum_qty_dec").cast("double").as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
+    },
+
+    // q21 shape: waiting-supplier count — EXISTS + NOT EXISTS on the
+    // same fact (classic double correlated anti-join; fixture has no
+    // receiptdate, so "late" := l_returnflag = 'R'). Both subqueries
+    // collapse into ONE per-order aggregate over a single lineitem
+    // scan: EXISTS(other supplier) ⇔ countDistinct(supplier) ≥ 2, and
+    // NOT EXISTS(other late supplier) ⇔ countDistinct(late supplier)=1
+    // (l1 itself is late, so it is the one). Three correlated scans of
+    // the 100 TB fact become one scan + one keyed shuffle that all
+    // three join legs reuse.
+    q("q_tpch_q21",
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders, nation
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |  AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val li = t.lineitem.select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      val stats = li.groupBy(col("l_orderkey")).agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey"))).as("n_late_supp"))
+      val lateLines = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val ordF = t.orders.filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+      // nation is fixed-size → broadcast; supplier stays a shuffle join
+      // (at 100 TB supplier is a 1B-row dim; AQE demotes to broadcast
+      // when the filtered side is actually small)
+      val supp = t.supplier.join(
+          broadcast(t.nation.filter(col("n_name") === "NATION_7").select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      lateLines
+        .join(ordF, col("l_orderkey") === col("o_orderkey"))
+        .join(stats, "l_orderkey")
+        .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(100)
     }
   )
 }

@@ -709,16 +709,22 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
 
   /** INSERT … SELECT with nextval(): DuckDB hands each source row one
     * value from the engine's shared counter. Driver-side emulation:
-    * reserve a contiguous block of n·inc under the table's write lock
-    * (n = a pre-count of the source), then rewrite the call to
-    * base + (row_number() − 1)·inc and run the normal insert path —
-    * the counter stays driver-side, the per-row math distributes.
-    * Assignment follows the statement's own ORDER BY when present
-    * (DuckDB assigns in source order); without one the numbering is
-    * arbitrary-but-unique, same as DuckDB under parallel scans. The
-    * global row_number is the price of contiguity — DuckDB serializes
-    * sequence access the same way; bulk loads that don't need
-    * contiguous values should generate keys in the SELECT instead. */
+    * stage the source ONCE (cached — no pre-count rescan), reserve a
+    * contiguous block of n·inc under the table's write lock, then
+    * assign base + idx·inc via RDD zipWithIndex — per-partition counts
+    * plus cumulative offsets give contiguous global values with every
+    * stage parallel (same shape as q_evt_positional,
+    * queries/EventQueries.scala). Assignment follows the statement's
+    * own ORDER BY when present (the staged plan ends in a distributed
+    * range-partitioned sort, and zipWithIndex numbers partitions in
+    * that order); without one the numbering is arbitrary-but-unique,
+    * same as DuckDB under parallel scans.
+    *
+    * The distributed path requires the nextval select item to be the
+    * bare call (`nextval('s') [AS a]`); a nextval embedded in a larger
+    * expression falls back to a single-task
+    * `row_number() OVER (ORDER BY …)` rewrite — correct, serial, and
+    * only for a shape DuckDB itself serializes on the sequence. */
   private def insertSelectWithSequence(sql: String): ExecResult = {
     val m = insertStmtRe.findFirstMatchIn(sql).getOrElse(throw new IllegalArgumentException(
       "nextval() inside INSERT … SELECT: unsupported INSERT shape"))
@@ -731,20 +737,61 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     val lock = lockFor(table).writeLock()
     lock.lock()
     try {
-      val n = spark.sql(rewrite(nextvalRe.replaceAllIn(src, _ => "0L"))).count()
-      if (n == 0) return ExecResult(null, "INSERT 0 0")
-      val base = st.next.getAndAdd(st.inc * n)
-      st.last.set(base + st.inc * (n - 1)); st.hasVal.set(true)
-      persistSequences()
-      val obIdx = firstTopLevelKw(src, 0, "order")
-      val winOrder = if (obIdx < 0) "(SELECT 1)" else {
-        val afterOb = src.substring(obIdx).replaceFirst("(?is)^order\\s+by\\s+", "")
-        val stop = firstTopLevelKw(afterOb, 0, "limit", "offset")
-        if (stop >= 0) afterOb.substring(0, stop).trim else afterOb.trim
+      val reserve = (n: Long) => {
+        val base = st.next.getAndAdd(st.inc * n)
+        st.last.set(base + st.inc * (n - 1)); st.hasVal.set(true)
+        persistSequences()
+        base
       }
-      val applied = nextvalRe.replaceAllIn(src, _ => Regex.quoteReplacement(
-        s"(${base}L + (row_number() OVER (ORDER BY $winOrder) - 1) * ${st.inc}L)"))
-      execute(sql.substring(0, m.start(3)) + applied)
+      // bare-item detection: SELECT <items> FROM … with exactly one
+      // item being the nextval call itself
+      val bareItemRe = """(?is)^\s*nextval\s*\(\s*'[^']*'\s*\)\s*(?:(?:as\s+)?([\w`]+))?\s*$""".r
+      val fromIdx = if (src.toLowerCase.startsWith("select")) firstTopLevelKw(src, 0, "from") else -1
+      val items = if (fromIdx > 0) splitTopLevel(src.substring("select".length, fromIdx), ',') else Seq.empty
+      val nvIdx = items.indexWhere(i => nextvalRe.findFirstIn(i).isDefined)
+      val bareAlias = if (nvIdx >= 0) bareItemRe.findFirstMatchIn(items(nvIdx)).map(b =>
+        Option(b.group(1)).getOrElse("__graft_sv")) else None
+
+      bareAlias match {
+        case Some(alias) =>
+          val staged = items.updated(nvIdx, s"0L AS $alias")
+          val stagedSql = "SELECT " + staged.mkString(", ") + " " + src.substring(fromIdx)
+          val df0 = spark.sql(rewrite(stagedSql))
+          df0.persist()
+          try {
+            val n = df0.count()
+            if (n == 0) return ExecResult(null, "INSERT 0 0")
+            val base = reserve(n)
+            val inc = st.inc
+            val colIdx = nvIdx
+            val rows = df0.rdd.zipWithIndex.map { case (r, i) =>
+              org.apache.spark.sql.Row.fromSeq(r.toSeq.updated(colIdx, base + i * inc))
+            }
+            val schema = org.apache.spark.sql.types.StructType(df0.schema.zipWithIndex.map {
+              case (f, i) =>
+                if (i == colIdx) f.copy(dataType = org.apache.spark.sql.types.LongType, nullable = false)
+                else f
+            })
+            val viewName = "__graft_seq_staged"
+            spark.createDataFrame(rows, schema).createOrReplaceTempView(viewName)
+            try execute(sql.substring(0, m.start(3)) + s"SELECT * FROM $viewName")
+            finally spark.catalog.dropTempView(viewName)
+          } finally df0.unpersist()
+        case None =>
+          // embedded-expression fallback: correct but single-task window
+          val n = spark.sql(rewrite(nextvalRe.replaceAllIn(src, _ => "0L"))).count()
+          if (n == 0) return ExecResult(null, "INSERT 0 0")
+          val base = reserve(n)
+          val obIdx = firstTopLevelKw(src, 0, "order")
+          val winOrder = if (obIdx < 0) "(SELECT 1)" else {
+            val afterOb = src.substring(obIdx).replaceFirst("(?is)^order\\s+by\\s+", "")
+            val stop = firstTopLevelKw(afterOb, 0, "limit", "offset")
+            if (stop >= 0) afterOb.substring(0, stop).trim else afterOb.trim
+          }
+          val applied = nextvalRe.replaceAllIn(src, _ => Regex.quoteReplacement(
+            s"(${base}L + (row_number() OVER (ORDER BY $winOrder) - 1) * ${st.inc}L)"))
+          execute(sql.substring(0, m.start(3)) + applied)
+      }
     } finally lock.unlock()
   }
 
@@ -2267,9 +2314,14 @@ object Engine {
     graft.engine.Tables.names.foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS main.${t}_raw")
       spark.sql(s"CREATE TABLE main.${t}_raw USING parquet LOCATION '$sfDir/$t.parquet'")
-      // events carries TIMESTAMP(NANOS) read as long; view normalizes
+      // events may carry TIMESTAMP(NANOS) read as long (nanosAsLong) —
+      // normalize like engine.Tables; a fixture already in µs/ntz needs
+      // no rewrite (type-check, not assumption: the driver regenerates
+      // fixtures between rounds)
       val body =
-        if (t == "events")
+        if (t == "events" &&
+            spark.table(s"main.${t}_raw").schema("ts").dataType ==
+              org.apache.spark.sql.types.LongType)
           s"SELECT event_id, CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ) AS ts, " +
             s"user_id, event_type, value, props FROM main.${t}_raw"
         else s"SELECT * FROM main.${t}_raw"
