@@ -188,66 +188,56 @@ object AggQueries {
       val t = Tables(s, dir)
       // Exact interpolated percentiles WITHOUT the buffering aggregate:
       // Spark's `percentile` holds every value of a group in the agg
-      // buffer (unbounded memory per group — a 100 TB killer). Instead:
-      // rank each value with a window (sort-based, spills to disk),
-      // join the group count, and linearly interpolate the two
-      // bracketing ranks — identical math to percentile()/DuckDB
-      // quantile_cont (0-based pos = (n-1)*p; v = vlo + (vhi-vlo)*frac).
-      import org.apache.spark.sql.expressions.Window
-      // count-by-value histogram: aggregate to (group, value, count)
-      // first — the ORDER BY then sorts distinct values, not rows (50
-      // for quantity), and the rank range [lo, hi] each value occupies
-      // locates the bracketing ranks. Map-side partial aggregation does
-      // the heavy lifting; nothing buffers a whole group.
-      // Bucketed exact ranks — no per-group total sort anywhere. A
-      // rank+cumulative-histogram plan sorts every (group, value) row
-      // in a window with one task per group: the exact per-group-sort
-      // bottleneck that kills near-unique value columns (price) at any
-      // scale. Instead:
-      //   1. per (group, column): n / min / max           (scan 1)
-      //   2. fixed-width bucket counts, B=4096            (scan 2)
-      //   3. tiny cumulative over ≤B buckets locates the bucket holding
-      //      each bracketing rank of each p, and the rank's offset k
-      //      within it
-      //   4. only rows of TARGET buckets (~n/B each) get a row_number —
-      //      every window partition is one bucket, never one group
-      //                                                   (scan 3)
-      // Three parallel scans replace one serialized sort; at larger n,
-      // B scales (or recurses) to keep step 4's partitions bounded.
+      // buffer (unbounded memory per group — a 100 TB killer), and a
+      // rank+window plan sorts each whole group in one task. Bucketed
+      // exact ranks instead — and the buckets are DATA-INDEPENDENT:
+      // double_sort_key (functions/DoubleSortKey.scala) maps a double
+      // to its order-preserving IEEE-754 bit key, whose top 16 bits
+      // (sign + exponent + 4 mantissa bits = 16 sub-ranges per binade)
+      // are a fixed monotone bucket id. No min/max pre-pass over the
+      // data — the r5 plan's stats scan + broadcast wave is gone:
+      //   1. (group, column, bucket) counts — ONE full scan
+      //   2. tiny cumulative over the ≤65k populated buckets locates
+      //      the bucket holding each bracketing rank (offset k within)
+      //   3. only rows of TARGET buckets (one binade/16 each) get a
+      //      row_number — every window partition is one bucket of one
+      //      target, never one group                     (scan 2)
+      // Interpolation math is identical to quantile_cont / DuckDB
+      // (0-based pos = (n-1)*p; v = vlo + (vhi-vlo)*frac).
       import s.implicits._
+      import graft.functions.DoubleSortKeyFn.doubleSortKey
       val g = col("l_returnflag")
-      val B = 4096
       val stacked = t.lineitem.select(g,
           explode(array(
             struct(lit("qty").as("which"), col("l_quantity").cast("double").as("v")),
             struct(lit("price").as("which"), col("l_extendedprice").cast("double").as("v"))
           )).as("wv"))
         .select(g, col("wv.which").as("which"), col("wv.v").as("v"))
-      val stats = stacked.groupBy(g, col("which"))
-        .agg(count(lit(1)).as("n"), min(col("v")).as("vmin"), max(col("v")).as("vmax"))
-      def bucketed = stacked.join(broadcast(stats), Seq("l_returnflag", "which"))
-        .withColumn("b", when(col("vmax") === col("vmin"), lit(0)).otherwise(
-          least(floor((col("v") - col("vmin")) / (col("vmax") - col("vmin")) * B).cast("int"),
-            lit(B - 1))))
-      val counts = bucketed.groupBy(g, col("which"), col("b")).agg(count(lit(1)).as("cnt"))
-      val wPrev = Window.partitionBy(g, col("which")).orderBy(col("b"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val cum = counts.withColumn("below", coalesce(sum(col("cnt")).over(wPrev), lit(0L)))
-      // the 4 percentiles × 2 bracketing ranks, as an 8-row literal
+        .withColumn("b", shiftright(doubleSortKey(col("v")), 48))
+      val counts = stacked.groupBy(g, col("which"), col("b"))
+        .agg(count(lit(1)).as("cnt"))
+      import org.apache.spark.sql.expressions.Window
+      val wPart = Window.partitionBy(g, col("which"))
+      val wPrev = wPart.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)
+      val cum = counts
+        .withColumn("below", coalesce(sum(col("cnt")).over(wPrev), lit(0L)))
+        .withColumn("n", sum(col("cnt")).over(wPart))
+      // the 4 percentiles x 2 bracketing ranks, as an 8-row literal
       val ps = Seq("med" -> 0.5, "p25" -> 0.25, "p75" -> 0.75, "p90" -> 0.9)
       val psDf = ps.flatMap { case (name, p) =>
         Seq((name, p, "lo"), (name, p, "hi")) }.toDF("pname", "p", "kind")
       val pos = (col("n") - 1) * col("p") // 0-based fractional rank
-      val targets = cum.join(broadcast(stats), Seq("l_returnflag", "which"))
+      val targets = cum
         .crossJoin(broadcast(psDf))
         .withColumn("r", when(col("kind") === "lo", floor(pos) + 1)
           .otherwise(ceil(pos) + 1).cast("long")) // 1-based bracketing rank
         .filter(col("r").between(col("below") + 1, col("below") + col("cnt")))
         .select(g, col("which"), col("pname"), col("p"), col("kind"),
           col("b"), (col("r") - col("below")).as("k"), col("n"))
-      // k-th smallest within each target's bucket (~n/B rows per window)
+      // k-th smallest within each target\'s bucket (a fraction of one
+      // binade per window)
       val wB = Window.partitionBy(g, col("which"), col("pname"), col("kind")).orderBy(col("v"))
-      val picked = bucketed.select(g, col("which"), col("b"), col("v"))
+      val picked = stacked
         .join(broadcast(targets), Seq("l_returnflag", "which", "b"))
         .withColumn("rn", row_number().over(wB))
         .filter(col("rn") === col("k"))
@@ -336,16 +326,18 @@ object AggQueries {
       // rsd 0.01: Spark's default sketch (rsd 0.05) can stray past the
       // 5% gate (observed: one group at ~6%); at 1% rsd the 5% bound is
       // a 5-sigma margin. DuckDB's HLL is fixed-precision (~0.4%).
-      // The two aggregates run as SEPARATE passes joined on the group
-      // key: mixed distinct + non-distinct aggregation plans through
-      // Expand, where the HLL's partial buffers materialize per
-      // (group × distinct-key) composite — ~13 KB × 300k groups at
-      // rsd 0.01 (measured 4.7 s vs 0.4 s for the split shape).
-      val approx = t.orders.groupBy(col("o_orderstatus"))
-        .agg(approx_count_distinct(col("o_custkey"), 0.01).as("a"))
-      val exact = t.orders.groupBy(col("o_orderstatus"))
-        .agg(count_distinct(col("o_custkey")).as("e"))
-      approx.join(exact, "o_orderstatus")
+      // ONE scan, no join: HLL sketches are duplicate-insensitive, so
+      // running BOTH aggregates over the pre-distincted (group, key)
+      // rows yields the identical estimate while the exact count
+      // becomes a plain count(1). This also avoids the mixed
+      // distinct/non-distinct Expand plan, whose rsd-0.01 partial
+      // buffers materialize per (group × distinct-key) composite —
+      // ~13 KB × 300k groups (measured 4.7 s vs 0.4 s split; the r5
+      // split-then-join shape still paid 2 scans + a join wave).
+      t.orders.select(col("o_orderstatus"), col("o_custkey")).distinct()
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("e"),
+          approx_count_distinct(col("o_custkey"), 0.01).as("a"))
         .select(col("o_orderstatus"),
           (abs(col("a") - col("e")) <= col("e") * 0.05).as("within_bound"))
         .orderBy(col("o_orderstatus"))

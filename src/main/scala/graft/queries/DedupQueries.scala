@@ -106,11 +106,17 @@ object DedupQueries {
       // predicate over a cartesian (Spark warns about exactly this)
       val a = shr.select(col("doc_id").as("d1"), col("sh").as("sh_a"))
       val b = shr.select(col("doc_id").as("d2"), col("sh").as("sh_b"))
-      val inter = a.join(b, col("sh_a") === col("sh_b") && col("d1") < col("d2"))
+      // shuffle-hash hints, not broadcast: at 100 TB neither the shingle
+      // index nor the per-doc sizes fit a broadcast, and — decisive even
+      // at small scale — identical shuffle subtrees on both sides let
+      // ReuseExchange compute the scan→distinct→window pipeline ONCE
+      // (a broadcast side is a different exchange type and can never be
+      // reused against the stream side: 4 scans of documents become 1)
+      val inter = a.join(b.hint("shuffle_hash"), col("sh_a") === col("sh_b") && col("d1") < col("d2"))
         .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
       inter
-        .join(sizes.select(col("doc_id").as("d1"), col("n").as("na")), "d1")
-        .join(sizes.select(col("doc_id").as("d2"), col("n").as("nb")), "d2")
+        .join(sizes.select(col("doc_id").as("d1"), col("n").as("na")).hint("shuffle_hash"), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("n").as("nb")).hint("shuffle_hash"), "d2")
         .withColumn("jac_raw", col("i") * 1.0 / (col("na") + col("nb") - col("i")))
         .filter(col("jac_raw") >= 0.5)
         .select(col("d1"), col("d2"), round(col("jac_raw"), 9).as("jaccard"))

@@ -174,9 +174,15 @@ object TpchQueries {
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
       val li = t.lineitem.select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
-      val stats = li.groupBy(col("l_orderkey")).agg(
-        countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey"))).as("n_late_supp"))
+      // two-level aggregation instead of two countDistincts: a mixed
+      // multi-distinct agg plans through Expand (doubles the shuffled
+      // rows); (order, supplier) roll-up then per-order counts shuffles
+      // each row once and the second agg is already co-partitioned
+      val stats = li
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("late"))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late_supp"))
       val lateLines = li.filter(col("l_returnflag") === "R")
         .select(col("l_orderkey"), col("l_suppkey"))
       val ordF = t.orders.filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
