@@ -173,9 +173,13 @@ object DialectScalars {
   def lcm(a: Long, b: Long): Long =
     if (a == 0 || b == 0) 0 else Math.abs(a / gcd(a, b) * b)
 
-  /** PostgreSQL/DuckDB age(): symbolic year/month/day/time difference —
-    * whole months from t2 up to t1 (end-of-month clamped), then days,
-    * then the time remainder. Negative differences mirror. */
+  /** PostgreSQL/DuckDB age(): symbolic year/month/day/time difference,
+    * computed COMPONENT-WISE with borrowing (DuckDB interval_age):
+    * time borrows 24h from days; days borrow days_in_month(t2's month).
+    * This differs from a "whole months then remainder" walk when the
+    * day-of-month decreases across unequal month lengths — e.g.
+    * age('2024-03-15','2022-01-20') is 2y 1m 26d (borrow Jan=31), not
+    * 2y 1m 24d (walk through Feb=29). Negative differences mirror. */
   def age(t1Micros: Long, t2Micros: Long): CalendarInterval = {
     if (t1Micros < t2Micros) {
       val i = age(t2Micros, t1Micros)
@@ -183,12 +187,14 @@ object DialectScalars {
     }
     val d1 = DateTimeUtils.microsToLocalDateTime(t1Micros)
     val d2 = DateTimeUtils.microsToLocalDateTime(t2Micros)
-    var months = ChronoUnit.MONTHS.between(d2, d1).toInt // clamp-aware whole months
-    var base = d2.plusMonths(months.toLong)
-    if (base.isAfter(d1)) { months -= 1; base = d2.plusMonths(months.toLong) }
-    val days = ChronoUnit.DAYS.between(base, d1).toInt
-    val rem = base.plusDays(days.toLong)
-    val micros = ChronoUnit.MICROS.between(rem, d1)
+    var micros = d1.toLocalTime.toNanoOfDay / 1000L - d2.toLocalTime.toNanoOfDay / 1000L
+    var days = d1.getDayOfMonth - d2.getDayOfMonth
+    var months = (d1.getYear - d2.getYear) * 12 + (d1.getMonthValue - d2.getMonthValue)
+    if (micros < 0) { micros += 86400000000L; days -= 1 }
+    if (days < 0) {
+      days += java.time.YearMonth.of(d2.getYear, d2.getMonthValue).lengthOfMonth()
+      months -= 1
+    }
     new CalendarInterval(months, days, micros)
   }
 

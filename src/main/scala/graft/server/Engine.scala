@@ -296,7 +296,14 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     }
     excludeRe.findFirstMatchIn(rewritten).foreach { m =>
       val excluded = m.group(1).split(",").map(_.trim.toLowerCase).toSet
-      val cols = spark.table(m.group(2)).schema.fieldNames
+      val fields = spark.table(m.group(2)).schema.fieldNames
+      // DuckDB binder-errors on an EXCLUDE name that isn't in scope —
+      // silently ignoring it would hide typos (duckdb: Binder Error:
+      // Column "x" in EXCLUDE list not found)
+      val missing = excluded -- fields.map(_.toLowerCase).toSet
+      if (missing.nonEmpty) throw new IllegalArgumentException(
+        s"""Column "${missing.head}" in EXCLUDE list not found in FROM clause""")
+      val cols = fields
         .filterNot(c => excluded(c.toLowerCase))
         .map(c => s"`$c`").mkString(", ")
       rewritten = rewritten.substring(0, m.start) + s"SELECT $cols FROM ${m.group(2)}" +
