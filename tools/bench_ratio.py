@@ -18,8 +18,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 def main(sf_dir, oracle_path, bench_path):
     con = duckdb.connect()
     for t in TABLES:
+        import os
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):  # Spark-written parquet is a directory
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     with open(oracle_path) as f:
         oracles = json.load(f)
     with open(bench_path) as f:
