@@ -108,6 +108,12 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
   def execute(sql0: String): ExecResult = {
     val sql = sql0.trim.stripSuffix(";").trim
     if (sql.isEmpty) return ExecResult(null, "EMPTY")
+    // DDL epoch: catalog-compat views (information_schema / pg_catalog /
+    // system.*) are rebuilt lazily — only when a query references them
+    // AND the epoch moved since that family's last rebuild. psql \d
+    // bursts (several catalog queries per meta-command) previously paid
+    // a full listTables×listColumns walk EACH; now one per DDL epoch.
+    if (Engine.ddlRe.findFirstIn(sql).isDefined) Engine.ddlEpoch.incrementAndGet()
 
     createUserRe.findFirstMatchIn(sql) match {
       case Some(m) =>
@@ -408,6 +414,15 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       Regex.quoteReplacement("::" + typeAliasMap(m.group(1).toLowerCase)))
     s = typeAliasAsRe.replaceAllIn(s, m =>
       Regex.quoteReplacement("AS " + typeAliasMap(m.group(1).toLowerCase)))
+    // DDL column-type position (`create table t (b text)`): alias names
+    // after an identifier+space, so a COLUMN named text/time ('(time
+    // timestamp)') is never rewritten, only a type token is; bare
+    // VARCHAR (no length) becomes STRING while VARCHAR(10) stays.
+    // Applies ONLY to column-list CREATE TABLE (never CTAS/views, whose
+    // bodies are arbitrary SQL where these words can be identifiers).
+    if (createTableColsRe.findFirstIn(s).isDefined)
+      s = ddlTypeAliasRe.replaceAllIn(s, m =>
+        Regex.quoteReplacement(m.group(1) + typeAliasMap(m.group(2).toLowerCase)))
     s = rewriteBracketLists(s)
     s = rewriteJsonArrows(s)
     s = rewriteStructLiterals(s)
@@ -1121,7 +1136,14 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * queries naming it get the views rebuilt from the live catalog and
     * the reference rewritten to the temp-view names. Catalog
     * introspection is driver-side metadata only (no jobs). */
+  private val isSeen = new java.util.concurrent.atomic.AtomicLong(-1L)
+  private val pgSeen = new java.util.concurrent.atomic.AtomicLong(-1L)
+  private val procSeen = new java.util.concurrent.atomic.AtomicLong(-1L)
+  private val sysSeen = new java.util.concurrent.atomic.AtomicLong(-1L)
+
   private def refreshInformationSchema(): Unit = {
+    val epoch = Engine.ddlEpoch.get()
+    if (isSeen.get() == epoch) return
     import spark.implicits._
     val dbs = spark.catalog.listDatabases().collect().map(_.name)
     dbs.toSeq.map(d => ("spark", d)).toDF("catalog_name", "schema_name")
@@ -1157,6 +1179,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     }
     ccu.toDF("table_catalog", "table_schema", "table_name", "column_name", "constraint_name")
       .createOrReplaceTempView("__is_constraint_column_usage")
+    isSeen.set(epoch)
   }
 
   /** CREATE TABLE with PG/DuckDB constraint syntax: Spark's parser
@@ -1212,6 +1235,8 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * skips those footer queries); pg_attribute is real per-column data
     * with NOT NULL sourced from declared constraints. */
   private def refreshPgCatalog(): Unit = {
+    val epoch = Engine.ddlEpoch.get()
+    if (pgSeen.get() == epoch) return
     import spark.implicits._
     val dbs = spark.catalog.listDatabases().collect().map(_.name).sorted
     val nsOid = dbs.zipWithIndex.map { case (d, i) => d -> (1000 + i) }.toMap
@@ -1302,12 +1327,15 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         "indisvalid", "indisreplident").limit(0)
       .createOrReplaceTempView("pg_index")
     refreshPgProc()
+    pgSeen.set(epoch)
   }
 
   /** pg_proc from the live function registry; prokind 'a' marks
     * aggregates (reference exposes DuckDB's; system.functions derives
     * from this, pg_server.go:66-68). */
   private def refreshPgProc(): Unit = {
+    val epoch = Engine.ddlEpoch.get()
+    if (procSeen.get() == epoch) return
     import spark.implicits._
     val reg = spark.sessionState.functionRegistry
     val fns = reg.listFunction().flatMap { f =>
@@ -1318,12 +1346,15 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     fns.zipWithIndex.map { case ((n, k), i) => (30000 + i, n, k, 11) }
       .toDF("oid", "proname", "prokind", "pronamespace")
       .createOrReplaceTempView("pg_proc")
+    procSeen.set(epoch)
   }
 
   /** ClickHouse system.* catalog emulation (reference pg_server.go:47-68
     * defines these over information_schema/pg_proc; same data here,
     * refreshed from the live catalog). */
   private def refreshSystemCatalog(): Unit = {
+    val epoch = Engine.ddlEpoch.get()
+    if (sysSeen.get() == epoch) return
     import spark.implicits._
     refreshInformationSchema()
     refreshPgProc()
@@ -1349,6 +1380,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       .createOrReplaceTempView("__sys_columns")
     spark.sql("SELECT proname AS name, prokind = 'a' AS is_aggregate FROM pg_proc")
       .createOrReplaceTempView("__sys_functions")
+    sysSeen.set(epoch)
   }
 
   /** psql-dialect → Spark SQL: strip pg_catalog qualification, the
@@ -1618,6 +1650,13 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
 
 object Engine {
   case class ExecResult(df: DataFrame, tag: String)
+
+  /** Global DDL epoch (JVM-wide: all connections share the warehouse).
+    * Bumped on any CREATE/DROP/ALTER entering execute(); the per-family
+    * catalog-view rebuilds memoize against it. Over-bumping (e.g. a DDL
+    * that fails) only costs an extra rebuild — never staleness. */
+  private[server] val ddlEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[server] val ddlRe = """(?is)^\s*(create|drop|alter)\b""".r
 
   // intercepts (case-insensitive), mirroring reference pg_conn.go:274-307
   private val createUserRe =
@@ -1968,6 +2007,13 @@ object Engine {
     "varchar" -> "STRING", "text" -> "STRING", "logical" -> "BOOLEAN")
   private val typeAliasColonRe =
     ("""(?i)::\s*(""" + typeAliasMap.keys.mkString("|") + """)\b(?!\s*\()""").r
+  // DDL column-type position: identifier + whitespace + alias name, not
+  // followed by '(' (parameterized VARCHAR(n)/TIME(p) pass through)
+  private val ddlTypeAliasRe =
+    ("""(?i)(\w+\s+)(""" + typeAliasMap.keys.mkString("|") + """)\b(?!\s*\()""").r
+  // column-list CREATE TABLE (not CTAS: '(' right after the name)
+  private val createTableColsRe =
+    """(?is)^\s*create\s+(?:or\s+replace\s+)?(?:temp\w*\s+)?table\s+(?:if\s+not\s+exists\s+)?[\w.`"]+\s*\(""".r
   // AS-form restricted to names that cannot be column aliases in practice
   private val typeAliasAsRe =
     """(?i)\bas\s+(hugeint|int128|uhugeint|utinyint|usmallint|uinteger|ubigint|float4|float8|bytea)\b""".r
