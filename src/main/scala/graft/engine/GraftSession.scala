@@ -44,6 +44,10 @@ object GraftSession {
       // analog of the reference's single-file store (main.go:18)
       .config("spark.sql.warehouse.dir", warehouse)
       .config("spark.ui.enabled", "false")
+      // custom optimizer rules (graft.plans): top-k projection
+      // transpose — expensive per-row expressions evaluate on the k
+      // survivors of ORDER BY … LIMIT, not the full input
+      .withExtensions(_.injectOptimizerRule(_ => graft.plans.ProjectThroughTopK))
 
   def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
       warehouse: Option[String] = None): SparkSession = {
