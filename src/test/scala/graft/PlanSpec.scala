@@ -121,4 +121,56 @@ class PlanSpec extends SparkSpecBase {
         || p.contains("BroadcastExchange"),
       "corpus-size scalar should enter via a broadcast 1-row join")
   }
+
+  test("percentile buckets are data-independent (no stats pre-pass)") {
+    val d = SparkEntry.defs.find(_.name == "q_agg_percentile").get
+    val p = d.run(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("double_sort_key"),
+      "bit-bucket key missing — bucket ids regressed to a min/max stats pass")
+    // r5 shape had THREE lineitem scans (stats, counts, pick); the
+    // fixed-bucket shape needs two
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"percentile plan scans lineitem $scans times (expected 2)")
+  }
+
+  test("top-k projection transposes above the limit (expensive expr on k rows)") {
+    // the optimizer rule must fold the JSON-parsing projection INTO
+    // TakeOrderedAndProject (evaluated post-top-k), leaving no Project
+    // between the scan and the limit
+    val df = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_orderkey", "get_json_object(concat('{\"k\":', o_custkey, '}'), '$.k') AS k")
+      .orderBy("o_orderkey").limit(10)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), "top-k fell back to global sort")
+    val idxTop = p.indexOf("TakeOrderedAndProject")
+    val body = p.substring(idxTop)
+    assert(!body.replaceFirst("TakeOrderedAndProject[^\\n]*\\n", "").contains("get_json_object"),
+      "expensive projection still evaluates below the top-k")
+  }
+
+  test("q18 semi-join reuses the HAVING aggregate (one lineitem scan)") {
+    val d = SparkEntry.defs.find(_.name == "q_tpch_q18").get
+    val p = d.run(spark, sf).queryExecution.executedPlan.toString
+    val liScans = "lineitem".r.findAllIn(p).length
+    assert(liScans <= 2, // path appears in scan location + read schema once
+      s"q18 re-scans lineitem (found $liScans mentions; expected one scan)")
+  }
+
+  test("q21 folds both correlated EXISTS into one aggregate (no extra fact scans)") {
+    val d = SparkEntry.defs.find(_.name == "q_tpch_q21").get
+    val p = d.run(spark, sf).queryExecution.executedPlan.toString
+    assert(!p.contains("Expand"), "q21 regressed to a multi-distinct Expand plan")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    // lineitem ×2 (late lines + stats share one scan subtree pre-reuse),
+    // orders, supplier, nation
+    assert(scans <= 5, s"q21 plan has $scans scans — correlated EXISTS not folded")
+  }
+
+  test("approx-distinct is a single-scan two-level aggregation (no join)") {
+    val d = SparkEntry.defs.find(_.name == "q_agg_approx_distinct").get
+    val p = d.run(spark, sf).queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"approx-distinct scans orders $scans times (expected 1)")
+    assert(!p.toLowerCase.contains("join"), "approx-distinct regressed to a split+join plan")
+  }
 }
