@@ -82,6 +82,13 @@ object Bench {
     // 4–6 s cold outliers on q_pivot/q_agg_rollup) cannot define the
     // driver-visible number.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
+    // wall-clock budget for the timed pass (r5 driver run was rc=124:
+    // 3 reps x 109 queries overran the driver window). Past the budget
+    // the remaining queries degrade to 1 rep — a complete single-rep
+    // number beats a timeout with no number.
+    val benchBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "480").toDouble
+    val timedPassStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - timedPassStart) / 1e9
     // host-load calibration: a fixed CPU-bound reference op timed before
     // and after the corpus. On a quiet host it's a stable ~1s; a shared-
     // host load spike (observed 5× corpus-total swings between
@@ -103,10 +110,19 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // an external kill (driver timeout) must still leave a parseable
+    // artifact: the hook prints a wire line over whatever completed.
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val hook = new Thread(() => {
+      val partial = results.synchronized { results.values.sum }
+      println(s"""{"metric":"total","value":${fmt(partial)},"unit":"sec","partial":true,"done":${results.size},"sf":"$sfDir"}""")
+    })
+    Runtime.getRuntime.addShutdownHook(hook)
     corpus.foreach { case (name, fn) =>
-      val times = (1 to reps).map(_ => timeOnce(name, fn))
+      val effReps = if (elapsedSec > benchBudgetSec) 1 else reps
+      val times = (1 to effReps).map(_ => timeOnce(name, fn))
       firstTimes(name) = times.head
-      results(name) = times.min
+      results.synchronized { results(name) = times.min }
     }
     // spike retry: a multi-minute host-load window (observed: back-to-
     // back full runs at 193 s and 87 s on identical code, with the
@@ -125,7 +141,7 @@ object Bench {
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val calibAfter = calibrate()
-    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    Runtime.getRuntime.removeShutdownHook(hook)
     def mapJson(entries: Seq[(String, Double)]) =
       entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     // the driver keeps only the last ~2000 chars of stdout: the full

@@ -28,7 +28,12 @@ object TpchQueries {
   private def revenue = (col("l_extendedprice").cast(DecimalType(18, 2)) *
     (lit(1) - col("l_discount").cast(DecimalType(18, 2)))).as("rev")
 
-  val all: Seq[QueryDef] = Seq(
+  // DuckDB avg(INT)/sum(INT) return HUGEINT/DOUBLE variants that differ
+  // from Spark's long/double — every count-ish aggregate is cast to
+  // BIGINT on both sides, every money sum through DECIMAL(18,2).
+  lazy val all: Seq[QueryDef] = coreSix ++ adaptedRest
+
+  private lazy val coreSix: Seq[QueryDef] = Seq(
 
     // q3 shape: shipping-priority top-N — 3-table join, group on the
     // fact key, TakeOrderedAndProject top-10
@@ -201,6 +206,448 @@ object TpchQueries {
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name")).limit(100)
+    }
+  )
+
+  /** The remaining 16 TPC-H shapes, adapted to the fixture schema (no
+    * partsupp — the distinct (l_partkey, l_suppkey) pairs of lineitem
+    * stand in as the part-supplier bridge; no commit/receipt dates —
+    * l_returnflag = 'R' stands in for "late"; no c_phone — c_nationkey
+    * % 10 stands in for the country code). Every query keeps the
+    * ORIGINAL query's plan challenge: q2 correlated-max, q4 EXISTS
+    * semi-join, q6 selective scan, q7/q8 nation-pair volume joins, q10
+    * returned-item top-N, q11 scalar-subquery HAVING, q12 conditional
+    * counts, q13 outer-join histogram, q14 conditional share, q15
+    * view + scalar max, q16 bridge + NOT IN, q17 correlated avg, q19
+    * disjunctive join, q20 nested semi-join, q22 anti-join + scalar avg.
+    */
+  private lazy val adaptedRest: Seq[QueryDef] = Seq(
+
+    // q2 shape: max-acctbal supplier per qualifying part (correlated
+    // max). The part filter lands BEFORE the bridge distinct, so the
+    // distinct processes only qualifying pairs; the per-part max is a
+    // groupBy + join-back (no window over a global sort).
+    q("q_tpch_q2",
+      """WITH ps AS (SELECT DISTINCT l.l_partkey, l.l_suppkey
+        |            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |            WHERE p.p_size <= 15 AND p.p_type = 'LARGE'),
+        |sp AS (SELECT ps.l_partkey AS partkey, s.s_suppkey, s.s_name, s.s_acctbal, s.s_nationkey
+        |       FROM ps JOIN supplier s ON s.s_suppkey = ps.l_suppkey)
+        |SELECT sp.s_acctbal, sp.s_name, n.n_name, sp.partkey AS p_partkey
+        |FROM sp JOIN nation n ON sp.s_nationkey = n.n_nationkey
+        |WHERE sp.s_acctbal = (SELECT max(sp2.s_acctbal) FROM sp sp2 WHERE sp2.partkey = sp.partkey)
+        |ORDER BY sp.s_acctbal DESC, p_partkey, sp.s_name LIMIT 100""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val qualParts = t.part.filter(col("p_size") <= 15 && col("p_type") === "LARGE")
+        .select("p_partkey")
+      val bridge = t.lineitem.select(col("l_partkey"), col("l_suppkey"))
+        .join(qualParts, col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey").as("partkey"), col("l_suppkey")).distinct()
+      val sp = bridge.join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+        .select(col("partkey"), col("s_name"), col("s_acctbal"), col("s_nationkey"))
+      val best = sp.groupBy(col("partkey")).agg(max(col("s_acctbal")).as("best_bal"))
+        .withColumnRenamed("partkey", "bp")
+      sp.join(best, col("partkey") === col("bp") && col("s_acctbal") === col("best_bal"))
+        .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"), col("partkey").as("p_partkey"))
+        .orderBy(col("s_acctbal").desc, col("p_partkey"), col("s_name")).limit(100)
+    },
+
+    // q4 shape: order-priority checking — EXISTS becomes a left-semi
+    // join; the lineitem side projects only the join key
+    q("q_tpch_q4",
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      t.orders
+        .filter(col("o_orderdate") >= lit("1997-01-01") && col("o_orderdate") < lit("1997-10-01"))
+        .join(t.lineitem.filter(col("l_returnflag") === "R").select("l_orderkey"),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // q6 shape: forecasting-revenue change — the pure selective-scan
+    // aggregate; all three predicates push to the parquet scan
+    q("q_tpch_q6",
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      t.lineitem
+        .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01")
+          && col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))
+          * col("l_discount").cast(DecimalType(18, 2))).cast("double").as("revenue"))
+    },
+
+    // q7 shape: volume shipping between two nations — both directions of
+    // the (supplier-nation, customer-nation) pair; the two nation dims
+    // broadcast, the OR pair filter runs after both small joins
+    q("q_tpch_q7",
+      """SELECT supp_nation, cust_nation, l_year, CAST(sum(volume) AS DOUBLE) AS revenue
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |             year(l_shipdate) AS l_year,
+        |             CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+        |      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey AND c_custkey = o_custkey
+        |        AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |        AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01') shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val pair = Seq("NATION_1", "NATION_2")
+      // suppliers/customers restricted to the two nations up front: the
+      // fact joins then ship only qualifying rows
+      val supp = t.supplier.join(
+          broadcast(t.nation.filter(col("n_name").isin(pair: _*))
+            .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("snk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cust = t.customer.join(
+          broadcast(t.nation.filter(col("n_name").isin(pair: _*))
+            .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("cnk"))
+        .select(col("c_custkey"), col("cust_nation"))
+      val li = t.lineitem
+        .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1998-01-01"))
+        .select(col("l_orderkey"), col("l_suppkey"), year(col("l_shipdate")).as("l_year"), revenue)
+      li.join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(sum(col("rev")).cast("double").as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+
+    // q8 shape: national market share — share of one nation's suppliers
+    // in the ECONOMY-part market by year; conditional numerator over the
+    // same exact-decimal volume, division done in DOUBLE on both sides
+    q("q_tpch_q8",
+      """SELECT o_year,
+        |  CAST(CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |     / CAST(sum(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+        |FROM (SELECT year(o_orderdate) AS o_year, n_name AS nation,
+        |             CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+        |      FROM part, lineitem, orders, supplier, nation
+        |      WHERE p_partkey = l_partkey AND o_orderkey = l_orderkey AND s_suppkey = l_suppkey
+        |        AND s_nationkey = n_nationkey AND p_type = 'ECONOMY'
+        |        AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01') all_nations
+        |GROUP BY o_year ORDER BY o_year""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val econParts = t.part.filter(col("p_type") === "ECONOMY").select("p_partkey")
+      val li = t.lineitem.select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), revenue)
+      li.join(econParts, col("l_partkey") === col("p_partkey"))
+        .join(t.orders
+            .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+            .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t.supplier.select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("o_year"))
+        .agg((sum(when(col("n_name") === "NATION_3", col("rev"))
+            .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double")
+          / sum(col("rev")).cast("double")).cast("double").as("mkt_share"))
+        .orderBy(col("o_year"))
+    },
+
+    // q10 shape: returned-item reporting — top-20 customers by lost
+    // revenue; one quarter of orders, only 'R' lines, nation broadcast
+    q("q_tpch_q10",
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val ord = t.orders
+        .filter(col("o_orderdate") >= lit("1997-01-01") && col("o_orderdate") < lit("1997-04-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = t.lineitem.filter(col("l_returnflag") === "R").select(col("l_orderkey"), revenue)
+      ord.join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey")).agg(sum(col("rev")).as("rev_dec"))
+        .join(t.customer.select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("rev_dec").cast("double").as("revenue"),
+          col("c_acctbal"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+    },
+
+    // q11 shape: important-stock identification — per-part value with a
+    // HAVING against a scalar subquery of the grand total; the scalar is
+    // a 1-row broadcast cross join, never a driver-side collect
+    q("q_tpch_q11",
+      """SELECT l_partkey AS ps_partkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value
+        |FROM lineitem GROUP BY l_partkey
+        |HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) >
+        |  (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * 0.0005 FROM lineitem)
+        |ORDER BY value DESC, ps_partkey LIMIT 100""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val perPart = t.lineitem
+        .select(col("l_partkey"), col("l_extendedprice").cast(DecimalType(18, 2)).as("price"))
+        .groupBy(col("l_partkey")).agg(sum(col("price")).as("val_dec"))
+      val total = t.lineitem
+        .agg((sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double") * 0.0005)
+          .as("threshold"))
+      perPart.join(broadcast(total))
+        .filter(col("val_dec").cast("double") > col("threshold"))
+        .select(col("l_partkey").as("ps_partkey"), col("val_dec").cast("double").as("value"))
+        .orderBy(col("value").desc, col("ps_partkey")).limit(100)
+    },
+
+    // q12 shape: shipping-priority line counts — conditional counts per
+    // class (fixture: l_linestatus stands in for l_shipmode)
+    q("q_tpch_q12",
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders, lineitem
+        |WHERE o_orderkey = l_orderkey AND l_returnflag = 'A'
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t.lineitem
+        .filter(col("l_returnflag") === "A"
+          && col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01"))
+        .select(col("l_orderkey"), col("l_linestatus"))
+        .join(t.orders.select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(hi, 1L).otherwise(0L)).cast("long").as("high_line_count"),
+          sum(when(!hi, 1L).otherwise(0L)).cast("long").as("low_line_count"))
+        .orderBy(col("l_linestatus"))
+    },
+
+    // q13 shape: customer order-count distribution — LEFT OUTER join
+    // with an ON-clause residual, then a histogram of the counts
+    // (two-level aggregation; count(o_orderkey) counts only matches)
+    q("q_tpch_q13",
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |      GROUP BY c_custkey) c_orders
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      t.customer.select("c_custkey")
+        .join(t.orders.filter(col("o_orderpriority") =!= "5-LOW")
+            .select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // q14 shape: promotion-effect share — conditional numerator over one
+    // month of lineitem joined to part; division in DOUBLE on both sides
+    q("q_tpch_q14",
+      """SELECT CAST(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |          / CAST(sum(volume) AS DOUBLE) AS DOUBLE) AS promo_revenue
+        |FROM (SELECT p_type, CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+        |      FROM lineitem, part
+        |      WHERE l_partkey = p_partkey
+        |        AND l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01') pr""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      t.lineitem
+        .filter(col("l_shipdate") >= lit("1997-09-01") && col("l_shipdate") < lit("1997-10-01"))
+        .select(col("l_partkey"), revenue)
+        .join(t.part.select(col("p_partkey"), col("p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) * sum(when(col("p_type") === "PROMO", col("rev"))
+            .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double")
+          / sum(col("rev")).cast("double")).cast("double").as("promo_revenue"))
+    },
+
+    // q15 shape: top supplier — the revenue "view" is built once and
+    // reused for both the per-supplier rows and the scalar max (exact
+    // DECIMAL equality, no double-sum nondeterminism)
+    q("q_tpch_q15",
+      """WITH revenue0 AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM supplier, revenue0
+        |WHERE s_suppkey = supplier_no
+        |  AND total_rev = (SELECT max(total_rev) FROM revenue0)
+        |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val rev0 = t.lineitem
+        .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1997-04-01"))
+        .select(col("l_suppkey"), revenue)
+        .groupBy(col("l_suppkey")).agg(sum(col("rev")).as("total_rev"))
+      val maxRev = rev0.agg(max(col("total_rev")).as("max_rev"))
+      rev0.join(broadcast(maxRev)).filter(col("total_rev") === col("max_rev"))
+        .join(t.supplier.select(col("s_suppkey"), col("s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev").cast("double").as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    },
+
+    // q16 shape: part-supplier relationship count — the bridge distinct,
+    // a NOT IN on a filtered supplier set (no NULL keys → left_anti is
+    // exactly NOT IN), then countDistinct per part class
+    q("q_tpch_q16",
+      """SELECT p_brand, p_type, p_size, count(DISTINCT ps.l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps, part
+        |WHERE p_partkey = ps.l_partkey
+        |  AND p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 9, 15, 23, 36, 45, 49)
+        |  AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 100""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val qualParts = t.part
+        .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO"
+          && col("p_size").isin(1, 5, 9, 15, 23, 36, 45, 49))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      val badSupp = t.supplier.filter(col("s_name").like("%7%")).select("s_suppkey")
+      // part filter BEFORE the bridge distinct: only qualifying pairs
+      // are deduplicated
+      t.lineitem.select(col("l_partkey"), col("l_suppkey"))
+        .join(qualParts, col("l_partkey") === col("p_partkey")).distinct()
+        .join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+        .limit(100)
+    },
+
+    // q17 shape: small-quantity-order revenue — the correlated avg
+    // becomes a per-part aggregate joined back on the part key; one
+    // lineitem scan feeds both sides of the comparison
+    q("q_tpch_q17",
+      """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey AND p_brand = 'Brand#3' AND p_type = 'ECONOMY'
+        |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val qualParts = t.part.filter(col("p_brand") === "Brand#3" && col("p_type") === "ECONOMY")
+        .select("p_partkey")
+      // per-part avg over ONLY qualifying parts (semi-filter before the
+      // aggregate); l_quantity is integral-valued → the double avg is
+      // exact and engine-order-independent
+      val li = t.lineitem.select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .join(qualParts, col("l_partkey") === col("p_partkey"))
+      val avgQty = li.groupBy(col("l_partkey").as("ap"))
+        .agg((avg(col("l_quantity")) * 0.2).as("qty_cap"))
+      li.join(avgQty, col("l_partkey") === col("ap"))
+        .filter(col("l_quantity") < col("qty_cap"))
+        .agg((sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double") / 7.0)
+          .cast("double").as("avg_yearly"))
+    },
+
+    // q19 shape: discounted-revenue OR-of-ANDs — Catalyst extracts the
+    // common p_partkey = l_partkey equi-key; the brand/size/qty residual
+    // evaluates post-join (the original's plan challenge)
+    q("q_tpch_q19",
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem, part
+        |WHERE (p_partkey = l_partkey AND p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity >= 1 AND l_quantity <= 11)
+        |   OR (p_partkey = l_partkey AND p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity >= 10 AND l_quantity <= 20)
+        |   OR (p_partkey = l_partkey AND p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val residual =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5)
+          && col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)
+          && col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15)
+          && col("l_quantity").between(20, 30))
+      t.lineitem.select(col("l_partkey"), col("l_quantity"), revenue)
+        .join(t.part
+            .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34") && col("p_size") <= 15)
+            .select(col("p_partkey"), col("p_brand"), col("p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(residual)
+        .agg(sum(col("rev")).cast("double").as("revenue"))
+    },
+
+    // q20 shape: potential-part promotion — nested semi-join: suppliers
+    // who moved a large volume of a name-matched part, restricted to one
+    // nation; the inner HAVING aggregate feeds a semi-join on s_suppkey
+    q("q_tpch_q20",
+      """SELECT s_name, s_acctbal
+        |FROM supplier, nation
+        |WHERE s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem, part
+        |    WHERE l_partkey = p_partkey AND p_name LIKE '%blue%'
+        |      AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |    GROUP BY l_suppkey, l_partkey
+        |    HAVING sum(l_quantity) > 40)
+        |  AND s_nationkey = n_nationkey AND n_name = 'NATION_2'
+        |ORDER BY s_name""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val blueParts = t.part.filter(col("p_name").like("%blue%")).select("p_partkey")
+      val bigMovers = t.lineitem
+        .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01"))
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+        .join(blueParts, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+        .filter(col("qty") > 40)
+        .select("l_suppkey")
+      t.supplier
+        .join(broadcast(t.nation.filter(col("n_name") === "NATION_2").select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(bigMovers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_name"), col("s_acctbal"))
+        .orderBy(col("s_name"))
+    },
+
+    // q22 shape: global sales opportunity — above-average-balance
+    // customers with no orders: scalar avg (exact decimal sum → double
+    // division) broadcast, anti-join against orders, grouped by the
+    // fixture's country-code stand-in (c_nationkey % 10)
+    q("q_tpch_q22",
+      """SELECT cntrycode, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM (SELECT c_nationkey % 10 AS cntrycode, c_acctbal, c_custkey FROM customer
+        |      WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |                         FROM customer WHERE c_acctbal > 0.0)) custsale
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val avgBal = t.customer.filter(col("c_acctbal") > 0.0)
+        .agg((sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double") / count(lit(1)))
+          .as("avg_bal"))
+      t.customer
+        .select((col("c_nationkey") % 10).as("cntrycode"), col("c_acctbal"), col("c_custkey"))
+        .join(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(t.orders.filter(col("o_orderdate") >= lit("2000-01-01")).select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("totacctbal"))
+        .orderBy(col("cntrycode"))
     }
   )
 }
