@@ -29,6 +29,15 @@ object Bench {
     // size-based coalescing makes the static value non-critical.)
     spark.conf.set("spark.sql.shuffle.partitions",
       sys.env.getOrElse("SPARK_GRAFT_BENCH_SHUFFLE", "8"))
+    // config experiments: SPARK_GRAFT_CONF="k=v;k=v" applies runtime-
+    // settable SQL confs before the corpus runs
+    sys.env.get("SPARK_GRAFT_CONF").foreach { kvs =>
+      kvs.split(';').filter(_.contains('=')).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        try spark.conf.set(k.trim, v.trim)
+        catch { case e: Throwable => System.err.println(s"[bench conf] $k: $e") }
+      }
+    }
     // absorb one-time session/codegen/scheduler warmup outside the
     // per-query timings (DuckDB-side timings have no such fixed cost)
     spark.range(1000).selectExpr("sum(id)").collect()

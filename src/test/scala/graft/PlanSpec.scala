@@ -173,4 +173,62 @@ class PlanSpec extends SparkSpecBase {
     assert(scans == 1, s"approx-distinct scans orders $scans times (expected 1)")
     assert(!p.toLowerCase.contains("join"), "approx-distinct regressed to a split+join plan")
   }
+
+  test("no TPC-H query degenerates to a cartesian / nested-loop fact join") {
+    // q19's OR-of-ANDs is the canonical trap: Catalyst must extract the
+    // common p_partkey = l_partkey equi-key; scalar-subquery queries
+    // (q11/q14/q15/q17/q22) are allowed their 1-row broadcast joins
+    for (n <- Seq("q_tpch_q2", "q_tpch_q4", "q_tpch_q7", "q_tpch_q8", "q_tpch_q10",
+        "q_tpch_q12", "q_tpch_q13", "q_tpch_q16", "q_tpch_q19", "q_tpch_q20")) {
+      val d = SparkEntry.defs.find(_.name == n).get
+      val p = d.run(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$n plans a CartesianProduct")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$n plans a nested-loop join")
+    }
+  }
+
+  test("TPC-H semi/anti shapes plan as semi/anti joins, not distinct+inner") {
+    val semis = Seq("q_tpch_q4" -> "LeftSemi", "q_tpch_q20" -> "LeftSemi",
+      "q_tpch_q16" -> "LeftAnti", "q_tpch_q22" -> "LeftAnti")
+    for ((n, kind) <- semis) {
+      val d = SparkEntry.defs.find(_.name == n).get
+      val p = d.run(spark, sf).queryExecution.executedPlan.toString
+      assert(p.contains(kind), s"$n lost its $kind join")
+    }
+  }
+
+  test("TPC-H selective filters reach the parquet scans") {
+    // q6 is the pure-scan query: all three predicates must be pushed
+    val p6 = planOf("q_tpch_q6")
+    assert(p6.contains("PushedFilters:") && p6.contains("l_shipdate"),
+      "q6 shipdate range not pushed to the scan")
+    // q19 must not read money columns it doesn't aggregate
+    val p19 = planOf("q_tpch_q19")
+    val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p19).map(_.group(1)).toSeq
+    assert(reads.exists(r => r.contains("l_partkey") && !r.contains("l_tax")),
+      s"q19 lineitem scan reads columns outside the projection: $reads")
+  }
+
+  test("TPC-H scalar thresholds enter via broadcast, not driver collect") {
+    // q11/q15/q17/q22: the aggregate threshold must appear in-plan as a
+    // (broadcast) join against a 1-row aggregate — never a literal
+    // collected on the driver between two jobs
+    for (n <- Seq("q_tpch_q11", "q_tpch_q15", "q_tpch_q22")) {
+      val d = SparkEntry.defs.find(_.name == n).get
+      val p = d.run(spark, sf).queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+        s"$n scalar threshold is not a broadcast join")
+    }
+  }
+
+  test("q2 correlated-max prunes the bridge before the distinct") {
+    // the part filter must sit below the (l_partkey, l_suppkey)
+    // aggregate: only qualifying pairs get deduplicated
+    val d = SparkEntry.defs.find(_.name == "q_tpch_q2").get
+    val p = d.run(spark, sf).queryExecution.optimizedPlan.toString
+    val aggIdx = p.indexOf("Aggregate")
+    val joinIdx = p.indexOf("Join", aggIdx)
+    assert(aggIdx >= 0 && joinIdx > aggIdx,
+      "bridge distinct is not fed by the part-filtered join")
+  }
 }
