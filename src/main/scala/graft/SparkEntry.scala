@@ -13,7 +13,7 @@ object SparkEntry {
 
   /** All declared operators, in module order. */
   lazy val defs: Seq[QueryDef] =
-    CoreQueries.all ++ FunctionQueries.all ++ FunctionQueries.trig ++ AggQueries.all ++ WindowQueries.all ++ SubqueryQueries.all ++ EventQueries.all ++ DedupQueries.all ++ VectorQueries.all ++ TextQueries.all ++ MultimodalQueries.all ++ DialectQueries.all ++ TpchQueries.all
+    CoreQueries.all ++ FunctionQueries.all ++ FunctionQueries.trig ++ AggQueries.all ++ WindowQueries.all ++ SubqueryQueries.all ++ EventQueries.all ++ DedupQueries.all ++ VectorQueries.all ++ TextQueries.all ++ MultimodalQueries.all ++ PipelineQueries.all ++ DialectQueries.all ++ TpchQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

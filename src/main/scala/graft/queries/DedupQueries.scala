@@ -55,6 +55,38 @@ object DedupQueries {
       .distinct()
   }
 
+  /** Banded-minhash candidate pairs (d1 < d2, distinct), shared by the
+    * LSH dedup query and the dup-cluster connected-components pipeline
+    * (PipelineQueries). See q_dedup_minhash_lsh for the plan notes:
+    * one shingle scan, all 8 Carter-Wegman min-hashes in ONE aggregate
+    * pass, 4-band explode, bucket equi-join — 2 shuffles total. */
+  private[queries] def minhashPairs(docs: DataFrame): DataFrame = {
+    val w = docs.select(col("doc_id"), split(col("text"), " ").as("words"))
+    val sh = w.select(col("doc_id"),
+        explode(sequence(lit(1), size(col("words")) - 2)).as("i"), col("words"))
+      .select(col("doc_id"), concat_ws(" ",
+        element_at(col("words"), col("i")),
+        element_at(col("words"), col("i") + 1),
+        element_at(col("words"), col("i") + 2)).as("sh"))
+    val vs = sh.select(col("doc_id"),
+      conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long").as("v"))
+    val mins = (0 to 7).map(seed =>
+      min((col("v") * lit(1000003L + 999983L * seed) + lit(seed.toLong))
+        % lit(4294967291L)).as(s"m$seed"))
+    val sigs = vs.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bandArr = array((0 to 3).map(b => struct(
+      lit(b).as("band"),
+      concat(col(s"m${2 * b}").cast("string"), lit(","),
+        col(s"m${2 * b + 1}").cast("string")).as("bkey"))): _*)
+    val bands = sigs.select(col("doc_id"), explode(bandArr).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+    val a = bands.select(col("doc_id").as("d1"), col("band"), col("bkey"))
+    val b = bands.select(col("doc_id").as("d2"), col("band").as("band2"), col("bkey").as("bkey2"))
+    a.join(b, col("band") === col("band2") && col("bkey") === col("bkey2")
+        && col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     q("q_dedup_exact",
@@ -150,31 +182,9 @@ object DedupQueries {
       // 32 bits (p = largest 32-bit prime) — 8× fewer digest calls
       // than hashing "seed:shingle" per seed, same independence, and
       // integer arithmetic both engines evaluate bit-identically.
-      val w = t.documents.select(col("doc_id"), split(col("text"), " ").as("words"))
-      val sh = w.select(col("doc_id"),
-          explode(sequence(lit(1), size(col("words")) - 2)).as("i"), col("words"))
-        .select(col("doc_id"), concat_ws(" ",
-          element_at(col("words"), col("i")),
-          element_at(col("words"), col("i") + 1),
-          element_at(col("words"), col("i") + 2)).as("sh"))
-      val vs = sh.select(col("doc_id"),
-        conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long").as("v"))
-      val mins = (0 to 7).map(seed =>
-        min((col("v") * lit(1000003L + 999983L * seed) + lit(seed.toLong))
-          % lit(4294967291L)).as(s"m$seed"))
-      val sigs = vs.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-      val bandArr = array((0 to 3).map(b => struct(
-        lit(b).as("band"),
-        concat(col(s"m${2 * b}").cast("string"), lit(","),
-          col(s"m${2 * b + 1}").cast("string")).as("bkey"))): _*)
-      val bands = sigs.select(col("doc_id"), explode(bandArr).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
-      val a = bands.select(col("doc_id").as("d1"), col("band"), col("bkey"))
-      val b = bands.select(col("doc_id").as("d2"), col("band").as("band2"), col("bkey").as("bkey2"))
-      a.join(b, col("band") === col("band2") && col("bkey") === col("bkey2")
-          && col("d1") < col("d2"))
-        .select(col("d1"), col("d2")).distinct()
-        .orderBy(col("d1"), col("d2"))
+      // (Pair generation lives in minhashPairs, shared with the
+      // dup-cluster connected-components pipeline.)
+      minhashPairs(t.documents).orderBy(col("d1"), col("d2"))
     },
 
     q("q_dedup_simhash",

@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.engine.Tables
+import QueryDef.q
+
+/** Large-scale training-data-pipeline operators beyond the per-document
+  * suites (builder-prompt extension surface; the reference stops at SQL
+  * pass-through):
+  *
+  *  - sequence packing: assign documents to fixed token-capacity
+  *    training bins by a global prefix sum over a total document order —
+  *    the "concat-and-chunk" packing every LLM pretraining pipeline
+  *    runs. The prefix sum is the textbook two-pass distributed scan
+  *    (per-partition subtotals → cumulative offsets → in-partition
+  *    running sum), never a single-partition window.
+  *  - stratified sampling: deterministic per-language hash-mod keep
+  *    rates (data mixing). Row-local — a filter that pushes to the
+  *    scan; the only shuffle is presentation order.
+  *  - duplicate clustering: connected components over the banded-
+  *    minhash candidate-pair graph (DedupQueries.minhashPairs), by
+  *    iterative min-label propagation to a convergence fixpoint — the
+  *    canonical-document assignment step that turns pair lists into
+  *    dedup decisions.
+  */
+object PipelineQueries {
+
+  /** Token-capacity of one packed training sequence (tokens ≈ whitespace
+    * words here; the packing shape is what scales, not the tokenizer). */
+  private val PackCapacity = 2048L
+
+  val all: Seq[QueryDef] = Seq(
+
+    q("q_pipeline_pack_sequences",
+      s"""WITH tok AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |        sum(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS prev
+        |      FROM tok)
+        |SELECT CAST(prev // $PackCapacity AS BIGINT) AS bin_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1 ORDER BY bin_id""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      // Documents are packed in doc_id order: bin = floor(prefix-sum of
+      // token counts before this doc / capacity) — each doc lands in the
+      // bin where its first token falls. The oracle states this as an
+      // unpartitioned window cumsum (fine single-node); HERE the prefix
+      // sum is distributed: range-repartition to a global order, one
+      // pass for per-partition token subtotals (a #partitions-sized
+      // driver array — metadata, not data), one pass assigning
+      // offset + running sum. Both passes are fully parallel; no task
+      // ever sees more than its partition.
+      val tok = t.documents
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .repartitionByRange(col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+      val rdd = tok.select(col("doc_id"), col("n_tok")).rdd
+      val subtotals = rdd
+        .mapPartitionsWithIndex { (i, it) =>
+          var sum = 0L; it.foreach(r => sum += r.getLong(1)); Iterator((i, sum))
+        }
+        .collect().sortBy(_._1).map(_._2)
+      val offsets = subtotals.scanLeft(0L)(_ + _)
+      val prevRows = rdd.mapPartitionsWithIndex { (i, it) =>
+        var acc = offsets(i)
+        it.map { r => val o = acc; acc += r.getLong(1); Row(r.getLong(0), r.getLong(1), o) }
+      }
+      val prev = s.createDataFrame(prevRows, StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("n_tok", LongType, nullable = false),
+        StructField("prev", LongType, nullable = false))))
+      prev.groupBy((col("prev") / PackCapacity).cast("long").as("bin_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("bin_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("bin_id"))
+    },
+
+    q("q_pipeline_stratified_sample",
+      """SELECT doc_id, lang,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+        |FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 <
+        |  CASE WHEN lang = 'en' THEN 60 WHEN lang = 'de' THEN 30 ELSE 15 END
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      // Data mixing by deterministic hash-mod quotas: md5 of the doc key
+      // → bucket 0–99, keep while bucket < per-language rate. Stable
+      // across runs/engines (both hash the same decimal rendering of
+      // doc_id), embarrassingly parallel, and reproducible — re-running
+      // the pipeline keeps the SAME documents, the property that makes
+      // hash sampling the standard over rand() at 100 TB.
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+      val quota = when(col("lang") === "en", 60)
+        .when(col("lang") === "de", 30).otherwise(15)
+      t.documents
+        .select(col("doc_id"), col("lang"), bucket.as("bucket"), quota.as("quota"))
+        .filter(col("bucket") < col("quota"))
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy(col("doc_id"))
+    },
+
+    q("q_pipeline_dup_clusters",
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS sh
+        |       FROM w, UNNEST(generate_series(1, len(words)-2)) AS t(i)),
+        |vs AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS v FROM sh),
+        |seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
+        |sigs AS (SELECT doc_id, seed,
+        |           min((v * (1000003 + 999983 * seed) + seed) % 4294967291) AS mh
+        |         FROM vs CROSS JOIN seeds GROUP BY doc_id, seed),
+        |bands AS (SELECT doc_id, seed // 2 AS band,
+        |            string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bkey
+        |          FROM sigs GROUP BY doc_id, seed // 2),
+        |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |          FROM bands a JOIN bands b
+        |            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+        |          UNION ALL SELECT d2, d1 FROM pairs),
+        |walk(doc_id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, wk.lbl FROM walk wk JOIN edges e ON e.src = wk.doc_id),
+        |comp AS (SELECT doc_id, min(lbl) AS cluster FROM walk GROUP BY doc_id)
+        |SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs, max(doc_id) AS last_doc
+        |FROM comp GROUP BY cluster HAVING count(*) >= 2
+        |ORDER BY cluster""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      // Near-duplicate clusters = connected components of the minhash
+      // candidate-pair graph; the cluster id is the component's min
+      // doc_id (the canonical document a dedup pass would keep).
+      // Iterative min-label propagation: each round every node takes the
+      // min of its own and its neighbors' labels. Rounds are plain
+      // join+groupBy dataflow; convergence is detected by the label-sum
+      // action (min-propagation is monotone — the sum strictly decreases
+      // until the fixpoint, so equal sums == converged). localCheckpoint
+      // truncates the per-round lineage (blocks are reclaimed by the
+      // ContextCleaner when unreferenced — no CacheManager leak across
+      // bench reps). Diameter of near-dup clusters is tiny (band buckets
+      // are near-cliques); a pathological chain would need the
+      // alternating large-star/small-star contraction (Kiveris et al.,
+      // "Connected Components in MapReduce and Beyond") — the iteration
+      // cap documents that boundary.
+      val pairs = DedupQueries.minhashPairs(t.documents)
+      val edges = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+        .select(col("d1").as("src"), col("d2").as("dst"))
+        .localCheckpoint()
+      var labels = t.documents.select(col("doc_id"), col("doc_id").as("lbl"))
+        .localCheckpoint()
+      var lastSum = labels.agg(sum(col("lbl"))).head().getLong(0)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        val nbrMin = edges
+          .join(labels.select(col("doc_id").as("nbr"), col("lbl").as("nbr_lbl")),
+            col("dst") === col("nbr"))
+          .groupBy(col("src")).agg(min(col("nbr_lbl")).as("min_nbr"))
+        val next = labels
+          .join(nbrMin, col("doc_id") === col("src"), "left")
+          .select(col("doc_id"),
+            least(col("lbl"), coalesce(col("min_nbr"), col("lbl"))).as("lbl"))
+          .localCheckpoint()
+        val s2 = next.agg(sum(col("lbl"))).head().getLong(0)
+        converged = s2 == lastSum
+        lastSum = s2
+        labels = next
+        iter += 1
+      }
+      labels.groupBy(col("lbl").as("cluster"))
+        .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("last_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("cluster"))
+    }
+  )
+}
