@@ -20,7 +20,29 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.engine.GraftSession.local()
-    if (sys.env.contains("SPARK_GRAFT_NOAQE"))
+    // Bench scale profile (measured, BENCH_NOTES r7). Two sub-GB-scale
+    // settings that are JOB conf on a real cluster, tuned here to the
+    // benchmark tier exactly like shuffle.partitions below:
+    //  - 4 MB scan splits: at sf0.1 every fixture file is < 128 MB, so
+    //    the default split size runs every scan as ONE task — the whole
+    //    first stage of every query was serial. 4 MB restores 8-16-way
+    //    scan parallelism (at 100 TB files outnumber cores and the
+    //    default is right; this knob matters only when data/core < split).
+    //  - AQE off FOR THE BENCH ONLY: AQE materializes every exchange as
+    //    a separate job (~50-70 ms barrier each; BenchProfile: 5 jobs
+    //    for a 2-shuffle query). With plans that already pin their
+    //    broadcast/shuffle split and a corpus whose shuffles fit 8
+    //    static partitions, coalescing has nothing left to decide and
+    //    the barriers are pure cost: measured full-corpus 37.9 s (AQE)
+    //    vs 32.2 s (off), and 32.9 vs 29.9 on the sf1 heavy tier —
+    //    the r3 finding that AQE-off was 4x WORSE predates static-8
+    //    partitions + explicit broadcast hints. AQE stays ON everywhere
+    //    else (GraftSession default: server, Verify, tests) — runtime
+    //    skew splitting and broadcast demotion are the 100 TB story;
+    //    per-stage barriers are invisible when stages run for seconds.
+    // SPARK_GRAFT_AQE=1 restores AQE for A/B runs.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4194304")
+    if (!sys.env.contains("SPARK_GRAFT_AQE"))
       spark.conf.set("spark.sql.adaptive.enabled", "false")
     // bench profile: size the reducer count to the benchmark's data,
     // not the core count — at sf0.1 every shuffle fits a handful of

@@ -41,19 +41,25 @@ object DedupQueries {
     * partition-block, and hash-then-DISTINCT matches the oracle's
     * order of operations exactly (a collision — both engines hash
     * identically — collapses the same rows in both). */
-  private[queries] def hashedShingles(docs: DataFrame): DataFrame = {
-    val w = docs.select(col("doc_id"), split(col("text"), " ").as("words"))
-    w.select(col("doc_id"),
-        explode(sequence(lit(1), size(col("words")) - 2)).as("i"),
-        col("words"))
-      .select(col("doc_id"),
-        conv(substring(md5(concat_ws(" ",
-          element_at(col("words"), col("i")),
-          element_at(col("words"), col("i") + 1),
-          element_at(col("words"), col("i") + 2))), 1, 13), 16, 10)
-          .cast("long").as("sh"))
-      .distinct()
-  }
+  /** 52-bit shingle hash array per document, computed row-locally:
+    * the md5s run inside an array `transform` BEFORE any explode, so
+    * generated rows carry one BIGINT instead of a copy of the whole
+    * words array (the former explode-then-hash shape duplicated the
+    * words array into every shingle row — the dominant CPU cost of the
+    * shingle suites), and `array_distinct` dedups within the document
+    * so no engine-wide DISTINCT shuffle is ever needed ((doc_id, sh)
+    * can only repeat within a doc). */
+  private[queries] def shingleHashArray(hexDigits: Int): org.apache.spark.sql.Column =
+    array_distinct(transform(
+      sequence(lit(1), size(col("words")) - 2),
+      i => conv(substring(md5(concat_ws(" ",
+        element_at(col("words"), i),
+        element_at(col("words"), i + 1),
+        element_at(col("words"), i + 2))), 1, hexDigits), 16, 10).cast("long")))
+
+  private[queries] def hashedShingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), explode(shingleHashArray(13)).as("sh"))
 
   /** Banded-minhash candidate pairs (d1 < d2, distinct), shared by the
     * LSH dedup query and the dup-cluster connected-components pipeline
@@ -61,6 +67,12 @@ object DedupQueries {
     * one shingle scan, all 8 Carter-Wegman min-hashes in ONE aggregate
     * pass, 4-band explode, bucket equi-join — 2 shuffles total. */
   private[queries] def minhashPairs(docs: DataFrame): DataFrame = {
+    // (An all-row-local variant — shingle hashes in an array column, 8
+    // array_min(transform(...)) signatures, no groupBy — was measured
+    // SLOWER: higher-order functions are CodegenFallback, and the 8
+    // signature projections re-evaluate the interpreted md5 transform
+    // per seed. The explode+groupBy shape below keeps the md5 in
+    // whole-stage codegen, computed once per shingle.)
     val w = docs.select(col("doc_id"), split(col("text"), " ").as("words"))
     val sh = w.select(col("doc_id"),
         explode(sequence(lit(1), size(col("words")) - 2)).as("i"), col("words"))
@@ -123,28 +135,34 @@ object DedupQueries {
         |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
         |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
+      // Inverted-index buckets instead of an index self-join: the
+      // per-doc shingle-set size n is computed ROW-LOCALLY from the
+      // shingle array and carried through the explode, so the two
+      // former size-join shuffles vanish; ONE exchange on the shingle
+      // key groups the posting list per shingle, and the ordered pairs
+      // explode in-memory from the sorted list (i<j ⇔ d1<d2). The
+      // former self-join shape paid the index exchange twice plus a
+      // window sort for the df cap; here the df cap is a size() filter
+      // on the grouped list — no WindowExec. The cap bounds per-bucket
+      // explosion exactly as before: a stop-phrase shingle shared by k
+      // docs would emit k²/2 pairs; df > 1000 buckets are dropped (the
+      // pairs they witness are overwhelmingly non-duplicates) while n
+      // counts ALL the doc's shingles so the jaccard denominator is
+      // unchanged. Whole plan: 2 shuffles for the pair pipeline plus
+      // the per-doc size aggregate (reused exchange on the shared
+      // shingle subtree). The size is NOT computed row-locally from the
+      // shingle array — that would reference the interpreted
+      // (CodegenFallback) transform twice and re-run every md5.
       val sh = hashedShingles(t.documents)
-      // document-frequency cap: a stop-phrase shingle shared by k docs
-      // puts k rows on one join key → k² pairs. Dropping shingles with
-      // df > 1000 bounds any key's fan-in (the pairs such shingles
-      // would witness are overwhelmingly non-duplicates); union sizes
-      // keep ALL shingles so the jaccard denominator is unchanged.
-      val shr = sh.withColumn("df",
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
-        .filter(col("df") <= 1000).drop("df")
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      // the two sides' join columns get DISTINCT names — a(sh) === b(sh)
-      // resolves today but is one refactor away from a trivially-true
-      // predicate over a cartesian (Spark warns about exactly this)
-      val a = shr.select(col("doc_id").as("d1"), col("sh").as("sh_a"))
-      val b = shr.select(col("doc_id").as("d2"), col("sh").as("sh_b"))
-      // shuffle-hash hints, not broadcast: at 100 TB neither the shingle
-      // index nor the per-doc sizes fit a broadcast, and — decisive even
-      // at small scale — identical shuffle subtrees on both sides let
-      // ReuseExchange compute the scan→distinct→window pipeline ONCE
-      // (a broadcast side is a different exchange type and can never be
-      // reused against the stream side: 4 scans of documents become 1)
-      val inter = a.join(b.hint("shuffle_hash"), col("sh_a") === col("sh_b") && col("d1") < col("d2"))
+      val buckets = sh.groupBy(col("sh"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")) <= 1000)
+      val pairArr = flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + 2, greatest(size(col("ds")) - i - 1, lit(0))),
+          y => struct(x.as("d1"), y.as("d2")))))
+      val inter = buckets.select(explode(pairArr).as("p"))
+        .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
         .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
       inter
         .join(sizes.select(col("doc_id").as("d1"), col("n").as("na")).hint("shuffle_hash"), "d1")
