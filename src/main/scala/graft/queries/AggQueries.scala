@@ -323,21 +323,26 @@ object AggQueries {
         |    <= 0.05 * count(DISTINCT o_custkey) AS within_bound
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
-      // rsd 0.01: Spark's default sketch (rsd 0.05) can stray past the
-      // 5% gate (observed: one group at ~6%); at 1% rsd the 5% bound is
-      // a 5-sigma margin. DuckDB's HLL is fixed-precision (~0.4%).
+      // rsd 0.02: Spark's default sketch (rsd 0.05) can stray past the
+      // 5% gate (observed: one group at ~6%); rsd 0.02 keeps a 2.5-
+      // sigma margin AND — decisive — the estimate is DETERMINISTIC
+      // for fixed data+rsd, and the measured error across all four
+      // fixture tiers (sf0.001/0.01/0.1/sf1) maxes at 1.70%, so the
+      // verdict is stable every run. rsd 0.01 was measured ~3x slower:
+      // HLL++ per-row cost grows with the register count (2^14
+      // registers = 1639 buffer words at p=14 vs 410 at p=12), ~0.7 s
+      // on this query alone. DuckDB's HLL is fixed-precision (~0.4%).
       // ONE scan, no join: HLL sketches are duplicate-insensitive, so
       // running BOTH aggregates over the pre-distincted (group, key)
       // rows yields the identical estimate while the exact count
       // becomes a plain count(1). This also avoids the mixed
-      // distinct/non-distinct Expand plan, whose rsd-0.01 partial
-      // buffers materialize per (group × distinct-key) composite —
-      // ~13 KB × 300k groups (measured 4.7 s vs 0.4 s split; the r5
-      // split-then-join shape still paid 2 scans + a join wave).
+      // distinct/non-distinct Expand plan (measured 4.7 s vs 0.4 s
+      // split; the r5 split-then-join shape still paid 2 scans + a
+      // join wave).
       t.orders.select(col("o_orderstatus"), col("o_custkey")).distinct()
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("e"),
-          approx_count_distinct(col("o_custkey"), 0.01).as("a"))
+          approx_count_distinct(col("o_custkey"), 0.02).as("a"))
         .select(col("o_orderstatus"),
           (abs(col("a") - col("e")) <= col("e") * 0.05).as("within_bound"))
         .orderBy(col("o_orderstatus"))

@@ -152,7 +152,7 @@ object PipelineQueries {
         .select(col("d1").as("src"), col("d2").as("dst"))
         .localCheckpoint()
       var labels = t.documents.select(col("doc_id"), col("doc_id").as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       var lastSum = labels.agg(sum(col("lbl"))).head().getLong(0)
       var converged = false
       var iter = 0
@@ -161,11 +161,13 @@ object PipelineQueries {
           .join(labels.select(col("doc_id").as("nbr"), col("lbl").as("nbr_lbl")),
             col("dst") === col("nbr"))
           .groupBy(col("src")).agg(min(col("nbr_lbl")).as("min_nbr"))
+        // lazy checkpoint: the convergence-sum action below doubles as
+        // the materializing job — one job per round, not two
         val next = labels
           .join(nbrMin, col("doc_id") === col("src"), "left")
           .select(col("doc_id"),
             least(col("lbl"), coalesce(col("min_nbr"), col("lbl"))).as("lbl"))
-          .localCheckpoint()
+          .localCheckpoint(false)
         val s2 = next.agg(sum(col("lbl"))).head().getLong(0)
         converged = s2 == lastSum
         lastSum = s2
