@@ -34,14 +34,12 @@ import QueryDef.q
   */
 object DedupQueries {
 
-  /** Inverted-index rows (doc_id, shingle) with the shingle key hashed to a 52-bit
-    * BIGINT (first 13 hex digits of md5): set-overlap joins shuffle and
-    * compare 8-byte keys instead of 20-40-char strings. 52 bits keeps
-    * the collision expectation ~1e-5 even at 10^8 distinct shingles per
-    * partition-block, and hash-then-DISTINCT matches the oracle's
-    * order of operations exactly (a collision — both engines hash
-    * identically — collapses the same rows in both). */
-  /** 52-bit shingle hash array per document, computed row-locally:
+  /** Shingle hash array per document (first `hexDigits` hex digits of
+    * md5 as a BIGINT; 13 digits = 52 bits keeps the collision
+    * expectation ~1e-5 even at 10^8 distinct shingles, and both engines
+    * hash identically so a collision collapses the same rows in both).
+    * Set-overlap joins shuffle and compare 8-byte keys instead of
+    * 20-40-char strings. Computed row-locally:
     * the md5s run inside an array `transform` BEFORE any explode, so
     * generated rows carry one BIGINT instead of a copy of the whole
     * words array (the former explode-then-hash shape duplicated the
@@ -49,7 +47,7 @@ object DedupQueries {
     * shingle suites), and `array_distinct` dedups within the document
     * so no engine-wide DISTINCT shuffle is ever needed ((doc_id, sh)
     * can only repeat within a doc). */
-  private[queries] def shingleHashArray(hexDigits: Int): org.apache.spark.sql.Column =
+  private[graft] def shingleHashArray(hexDigits: Int): org.apache.spark.sql.Column =
     array_distinct(transform(
       sequence(lit(1), size(col("words")) - 2),
       i => conv(substring(md5(concat_ws(" ",
@@ -57,7 +55,7 @@ object DedupQueries {
         element_at(col("words"), i + 1),
         element_at(col("words"), i + 2))), 1, hexDigits), 16, 10).cast("long")))
 
-  private[queries] def hashedShingles(docs: DataFrame): DataFrame =
+  private[graft] def hashedShingles(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("words"))
       .select(col("doc_id"), explode(shingleHashArray(13)).as("sh"))
 
@@ -66,7 +64,7 @@ object DedupQueries {
     * (PipelineQueries). See q_dedup_minhash_lsh for the plan notes:
     * one shingle scan, all 8 Carter-Wegman min-hashes in ONE aggregate
     * pass, 4-band explode, bucket equi-join — 2 shuffles total. */
-  private[queries] def minhashPairs(docs: DataFrame): DataFrame = {
+  private[graft] def minhashPairs(docs: DataFrame): DataFrame = {
     // (An all-row-local variant — shingle hashes in an array column, 8
     // array_min(transform(...)) signatures, no groupBy — was measured
     // SLOWER: higher-order functions are CodegenFallback, and the 8

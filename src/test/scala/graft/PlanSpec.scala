@@ -231,4 +231,39 @@ class PlanSpec extends SparkSpecBase {
     assert(aggIdx >= 0 && joinIdx > aggIdx,
       "bridge distinct is not fed by the part-filtered join")
   }
+
+  test("sequence packing has no global window and no single-partition exchange") {
+    // the prefix sum must be the two-pass distributed scan, never a
+    // row_number/sum OVER () global window
+    val d = SparkEntry.defs.find(_.name == "q_pipeline_pack_sequences").get
+    val p = d.run(spark, sf).queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "packing prefix sum fell back to a window")
+    assert(!p.contains("Exchange SinglePartition"),
+      "packing funnels rows through one partition")
+  }
+
+  test("stratified sample is a scan-level filter (no shuffle before the sample)") {
+    val d = SparkEntry.defs.find(_.name == "q_pipeline_stratified_sample").get
+    val p = d.run(spark, sf).queryExecution.executedPlan.toString
+    // the keep decision must evaluate directly over the scan: the only
+    // exchange in the whole plan is the presentation sort
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"sample plan shuffles $exchanges times; the quota filter must be row-local")
+    assert(!p.contains("Join"), "sample plan gained a join")
+  }
+
+  test("dup-cluster edges join on the band key (no cartesian), rounds are keyed joins") {
+    // the candidate-pair generator is the loop's edge source; its plan
+    // (not the final checkpointed aggregation) is where a cross product
+    // could hide
+    val edges = graft.queries.DedupQueries
+      .minhashPairs(graft.engine.Tables(spark, sf).documents)
+    val pe = edges.queryExecution.executedPlan.toString
+    assert(!pe.contains("CartesianProduct") && !pe.contains("BroadcastNestedLoopJoin"),
+      "minhash pair generation degenerated to a cross product")
+    val d = SparkEntry.defs.find(_.name == "q_pipeline_dup_clusters").get
+    val p = d.run(spark, sf).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange SinglePartition"),
+      "dup-cluster aggregation funnels through one partition")
+  }
 }
