@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g: the 126-query bench corpus in one JVM accumulates shuffle
+  // buffers/broadcasts/checkpoint blocks; at 8g old-gen pressure showed
+  // up as ±10% run-to-run swings on the heavy tail (host has 128 GiB)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
