@@ -153,9 +153,14 @@ object DedupQueries {
       // (CodegenFallback) transform twice and re-run every md5.
       val sh = hashedShingles(t.documents)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      // size >= 2: singleton buckets (the overwhelming majority of
+      // shingles) yield no pairs — filtering them BEFORE the pair
+      // lambda matters because higher-order functions are interpreted,
+      // and running flatten(transform(slice(...))) over millions of
+      // one-element lists is pure interpreter overhead
       val buckets = sh.groupBy(col("sh"))
         .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        .filter(size(col("ds")) <= 1000)
+        .filter(size(col("ds")).between(2, 1000))
       val pairArr = flatten(transform(col("ds"), (x, i) =>
         transform(slice(col("ds"), i + 2, greatest(size(col("ds")) - i - 1, lit(0))),
           y => struct(x.as("d1"), y.as("d2")))))

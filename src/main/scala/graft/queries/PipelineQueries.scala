@@ -106,6 +106,27 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    q("q_pipeline_domain_mix",
+      """SELECT doc_id, source, lang, copy_id
+        |FROM documents,
+        |  UNNEST(generate_series(1, CASE WHEN source IN ('src0','src1','src2') THEN 3
+        |                                 WHEN lang = 'en' THEN 2 ELSE 1 END)) AS t(copy_id)
+        |ORDER BY doc_id, copy_id""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      // Deterministic up-sampling for domain mixing: the mix recipe
+      // (domain → weight) replicates each document weight times via an
+      // exploded sequence — row-local, reproducible, and the weights
+      // are plan literals so the same recipe re-runs identically (the
+      // property rand()-based resampling lacks). Downstream packing/
+      // shuffling sees copy_id to keep replicas distinguishable.
+      val weight = when(col("source").isin("src0", "src1", "src2"), 3)
+        .when(col("lang") === "en", 2).otherwise(1)
+      t.documents
+        .select(col("doc_id"), col("source"), col("lang"),
+          explode(sequence(lit(1), weight)).as("copy_id"))
+        .orderBy(col("doc_id"), col("copy_id"))
+    },
+
     q("q_pipeline_dup_clusters",
       """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
         |sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS sh
