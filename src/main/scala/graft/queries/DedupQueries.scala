@@ -59,18 +59,17 @@ object DedupQueries {
     docs.select(col("doc_id"), split(col("text"), " ").as("words"))
       .select(col("doc_id"), explode(shingleHashArray(13)).as("sh"))
 
-  /** Banded-minhash candidate pairs (d1 < d2, distinct), shared by the
-    * LSH dedup query and the dup-cluster connected-components pipeline
-    * (PipelineQueries). See q_dedup_minhash_lsh for the plan notes:
-    * one shingle scan, all 8 Carter-Wegman min-hashes in ONE aggregate
-    * pass, 4-band explode, bucket equi-join — 2 shuffles total. */
-  private[graft] def minhashPairs(docs: DataFrame): DataFrame = {
-    // (An all-row-local variant — shingle hashes in an array column, 8
-    // array_min(transform(...)) signatures, no groupBy — was measured
-    // SLOWER: higher-order functions are CodegenFallback, and the 8
-    // signature projections re-evaluate the interpreted md5 transform
-    // per seed. The explode+groupBy shape below keeps the md5 in
-    // whole-stage codegen, computed once per shingle.)
+  /** (doc_id, band, bkey) rows of the 4-band minhash signature — the
+    * LSH bucket table shared by minhashPairs and (as the batch
+    * reference) the streaming near-dup spec.
+    *
+    * (An all-row-local variant — shingle hashes in an array column, 8
+    * array_min(transform(...)) signatures, no groupBy — was measured
+    * SLOWER: higher-order functions are CodegenFallback, and the 8
+    * signature projections re-evaluate the interpreted md5 transform
+    * per seed. The explode+groupBy shape below keeps the md5 in
+    * whole-stage codegen, computed once per shingle.) */
+  private[graft] def minhashBands(docs: DataFrame): DataFrame = {
     val w = docs.select(col("doc_id"), split(col("text"), " ").as("words"))
     val sh = w.select(col("doc_id"),
         explode(sequence(lit(1), size(col("words")) - 2)).as("i"), col("words"))
@@ -88,8 +87,17 @@ object DedupQueries {
       lit(b).as("band"),
       concat(col(s"m${2 * b}").cast("string"), lit(","),
         col(s"m${2 * b + 1}").cast("string")).as("bkey"))): _*)
-    val bands = sigs.select(col("doc_id"), explode(bandArr).as("bs"))
+    sigs.select(col("doc_id"), explode(bandArr).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+  }
+
+  /** Banded-minhash candidate pairs (d1 < d2, distinct), shared by the
+    * LSH dedup query and the dup-cluster connected-components pipeline
+    * (PipelineQueries). See q_dedup_minhash_lsh for the plan notes:
+    * one shingle scan, all 8 Carter-Wegman min-hashes in ONE aggregate
+    * pass, 4-band explode, bucket equi-join — 2 shuffles total. */
+  private[graft] def minhashPairs(docs: DataFrame): DataFrame = {
+    val bands = minhashBands(docs)
     val a = bands.select(col("doc_id").as("d1"), col("band"), col("bkey"))
     val b = bands.select(col("doc_id").as("d2"), col("band").as("band2"), col("bkey").as("bkey2"))
     a.join(b, col("band") === col("band2") && col("bkey") === col("bkey2")

@@ -101,4 +101,82 @@ object EventStreams {
       .withColumn("digest",
         md5(concat_ws("|", col("user_id"), col("event_type"), col("value"), col("ts"))))
       .dropDuplicatesWithinWatermark("digest")
+
+  case class BandRow(bkey: String, doc_id: Long, ts: Timestamp)
+  case class BucketState(firstDoc: Long)
+  case class NearDup(doc_id: Long, first_doc: Long, bkey: String)
+
+  /** Streaming NEAR-dup candidate detection — the streaming analog of
+    * q_dedup_minhash_lsh for continuous ingest: each arriving document
+    * computes its banded minhash signature ROW-LOCALLY (no per-batch
+    * shuffle beyond the band-bucket grouping), and a per-bucket state
+    * entry remembers the first document seen in that bucket. Every
+    * later arrival in the same bucket emits a (doc, first_doc)
+    * candidate pair — exactly the "star" subset of the batch pair
+    * graph, which is what an online keep/drop decision needs (drop
+    * anything that collides with an already-admitted doc). Bucket
+    * state is evicted by event-time timeout once the watermark passes,
+    * so state is bounded by the watermark horizon — at 1000 executors
+    * the buckets shard across the cluster's state stores by bkey.
+    *
+    * Input must carry (doc_id BIGINT, text STRING, ts TIMESTAMP).
+    * The signature arithmetic is bit-identical to
+    * DedupQueries.minhashPairs (same md5-derived 32-bit values, same
+    * Carter-Wegman (a·v+b) mod p family, 4 bands of 2). */
+  def nearDupCandidates(docs: DataFrame, watermark: String = "2 hours"): Dataset[NearDup] = {
+    import docs.sparkSession.implicits._
+    val words = split(col("text"), " ")
+    val vs = transform(
+      sequence(lit(1), size(col("words")) - 2),
+      i => conv(substring(md5(concat_ws(" ",
+        element_at(col("words"), i),
+        element_at(col("words"), i + 1),
+        element_at(col("words"), i + 2))), 1, 8), 16, 10).cast("long"))
+    val mins = (0 to 7).map { seed =>
+      array_min(transform(col("vs"), v =>
+        (v * lit(1000003L + 999983L * seed) + lit(seed.toLong))
+          % lit(4294967291L))).as(s"m$seed")
+    }
+    val bandArr = array((0 to 3).map(b =>
+      concat(lit(s"$b:"), col(s"m${2 * b}").cast("string"), lit(","),
+        col(s"m${2 * b + 1}").cast("string"))): _*)
+    val bands = docs
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"), words.as("words"))
+      .select(col("doc_id"), col("ts"), vs.as("vs"))
+      .select(col("doc_id") +: col("ts") +: mins: _*)
+      .select(col("doc_id"), col("ts"), explode(bandArr).as("bkey"))
+      .as[BandRow]
+    bands
+      .groupByKey(_.bkey)
+      .flatMapGroupsWithState[BucketState, NearDup](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (bkey: String, batch: Iterator[BandRow], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // within a micro-batch, arrival order is not defined —
+            // doc_id order (ingest order) makes the decision
+            // deterministic and matches the batch min-star convention
+            val rows = batch.toSeq.sortBy(_.doc_id)
+            var first = state.getOption.map(_.firstDoc)
+            val out = rows.flatMap { r =>
+              first match {
+                case None => first = Some(r.doc_id); Nil
+                case Some(f) if r.doc_id != f =>
+                  Some(NearDup(r.doc_id, f, bkey))
+                case _ => Nil
+              }
+            }
+            first.foreach { f =>
+              state.update(BucketState(f))
+              // evict the bucket once the watermark passes its last
+              // arrival + horizon — bounded state
+              rows.lastOption.foreach(r =>
+                state.setTimeoutTimestamp(r.ts.getTime, watermark))
+            }
+            out.iterator
+          }
+      }
+  }
 }

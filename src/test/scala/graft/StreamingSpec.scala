@@ -110,4 +110,39 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.select(col("digest")).distinct().count() == streamed.count(),
       "stream emitted duplicate digests")
   }
+
+  test("streaming near-dup candidates equal the batch min-star pair set") {
+    // documents stream: synthesize an ingest timestamp from doc_id
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs").toFile
+    dir.deleteOnExit()
+    val docs = graft.engine.Tables(spark, sf).documents
+      .select(col("doc_id"), col("text"),
+        (lit(1700000000L) + col("doc_id")).cast("timestamp").as("ts"))
+    docs.orderBy("doc_id").coalesce(1).write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, ts TIMESTAMP")
+    val stream = spark.readStream.schema(schema).parquet(dir.getAbsolutePath)
+    val q = EventStreams.nearDupCandidates(stream)
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("neardup")
+      .select(col("doc_id"), col("first_doc")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch reference: the same signature arithmetic (minhashBands)
+    // gives the bucket table; the stream must emit EXACTLY the min-star
+    // pairs — for each bucket with >= 2 docs, (other, min) per other
+    val starPairs = graft.queries.DedupQueries.minhashBands(docs)
+      .groupBy(col("band"), col("bkey"))
+      .agg(min(col("doc_id")).as("m"), collect_set(col("doc_id")).as("ds"))
+      .select(explode(col("ds")).as("d"), col("m"))
+      .filter(col("d") =!= col("m"))
+      .select(col("d"), col("m")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed.nonEmpty, "fixture contains near-dups; stream emitted none")
+    assert(streamed == starPairs,
+      s"stream/batch star-pair mismatch: stream-only=${(streamed -- starPairs).take(3)} " +
+        s"batch-only=${(starPairs -- streamed).take(3)}")
+  }
 }
