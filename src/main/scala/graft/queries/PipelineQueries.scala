@@ -106,6 +106,37 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    q("q_pipeline_chunk_documents",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, CAST((i - 1) / 48 AS BIGINT) AS chunk_id,
+        |    len(words[i : least(i + 63, len(words))]) AS n_words,
+        |    words[i] AS first_word
+        |  FROM w, UNNEST(generate_series(1, len(words), 48)) AS t(i))
+        |SELECT doc_id, chunk_id, CAST(n_words AS BIGINT) AS n_words, first_word
+        |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      // Overlapping-window chunking (64-token windows, stride 48 — the
+      // long-document split every context-bounded training pipeline
+      // runs between cleaning and packing). Row-local: one explode of
+      // the stride positions per document, chunk content addressed by
+      // slice — no shuffle except presentation order. chunk_id is the
+      // stride index so downstream joins can reassemble a document's
+      // chunks in order.
+      val words = split(col("text"), " ")
+      t.documents
+        .select(col("doc_id"), words.as("words"))
+        .select(col("doc_id"),
+          explode(sequence(lit(1), size(col("words")), lit(48))).as("i"),
+          col("words"))
+        .select(col("doc_id"),
+          ((col("i") - 1) / 48).cast("long").as("chunk_id"),
+          least(col("i") + 63, size(col("words")))
+            .minus(col("i")).plus(1).cast("long").as("n_words"),
+          element_at(col("words"), col("i")).as("first_word"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
     q("q_pipeline_domain_mix",
       """SELECT doc_id, source, lang, copy_id
         |FROM documents,
