@@ -50,6 +50,30 @@ class PipelineSpec extends SparkSpecBase {
     assert(rows.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
   }
 
+  test("chunking: windows bounded by 64 tokens, strides cover every word") {
+    val chunks = run("q_pipeline_chunk_documents").collect()
+    assert(chunks.nonEmpty)
+    chunks.foreach { r =>
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= 64,
+        s"chunk ${r.getLong(0)}/${r.getLong(1)} has ${r.getLong(2)} words")
+    }
+    // per doc: chunk ids dense from 0, and stride coverage means the
+    // word count implied by the last chunk reaches the doc's word count
+    val byDoc = chunks.groupBy(_.getLong(0))
+    val wordCounts = graft.engine.Tables(spark, sf).documents
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byDoc.foreach { case (doc, rs) =>
+      val ids = rs.map(_.getLong(1)).sorted
+      assert(ids.zipWithIndex.forall { case (id, i) => id == i },
+        s"doc $doc chunk ids not dense: ${ids.take(5)}")
+      val last = rs.maxBy(_.getLong(1))
+      val covered = last.getLong(1) * 48 + last.getLong(2)
+      assert(covered == wordCounts(doc),
+        s"doc $doc: chunks cover $covered of ${wordCounts(doc)} words")
+    }
+  }
+
   test("dup clusters: ids are member minima, sizes >= 2, members exist") {
     val clusters = run("q_pipeline_dup_clusters").collect()
     clusters.foreach { r =>
