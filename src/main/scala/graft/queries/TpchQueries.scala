@@ -182,18 +182,14 @@ object TpchQueries {
       // two-level aggregation instead of two countDistincts: a mixed
       // multi-distinct agg plans through Expand (doubles the shuffled
       // rows); (order, supplier) roll-up then per-order counts shuffles
-      // each row once and the second agg is already co-partitioned.
-      // The roll-up ALSO carries the late-row count per (order, supp),
-      // so the former second lineitem scan (lateLines) and its join are
-      // gone — numwait is the SUM of late-row counts of each order's
-      // sole late supplier: ONE scan of the 100 TB fact total.
-      val perOS = li
+      // each row once and the second agg is already co-partitioned
+      val stats = li
         .groupBy(col("l_orderkey"), col("l_suppkey"))
-        .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_late_rows"))
-        .withColumn("late", when(col("n_late_rows") > 0, 1).otherwise(0))
-      val stats = perOS
+        .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("late"))
         .groupBy(col("l_orderkey"))
         .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late_supp"))
+      val lateLines = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey"))
       val ordF = t.orders.filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
       // nation is fixed-size → broadcast; supplier stays a shuffle join
       // (at 100 TB supplier is a 1B-row dim; AQE demotes to broadcast
@@ -202,13 +198,13 @@ object TpchQueries {
           broadcast(t.nation.filter(col("n_name") === "NATION_7").select(col("n_nationkey"))),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("s_name"))
-      perOS.filter(col("late") === 1)
+      lateLines
         .join(ordF, col("l_orderkey") === col("o_orderkey"))
         .join(stats, "l_orderkey")
         .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
         .join(supp, col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_name"))
-        .agg(sum(col("n_late_rows")).as("numwait"))
+        .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name")).limit(100)
     }
   )
