@@ -145,4 +145,54 @@ class StreamingSpec extends SparkSpecBase {
       s"stream/batch star-pair mismatch: stream-only=${(streamed -- starPairs).take(3)} " +
         s"batch-only=${(starPairs -- streamed).take(3)}")
   }
+
+  test("near-dup state survives a restart: second run dedups against checkpointed buckets") {
+    // run 1 ingests the corpus; run 2 (a NEW query restarted from the
+    // same checkpoint) ingests byte-identical re-uploads with fresh
+    // doc_ids. Every re-upload must be flagged against the FIRST run's
+    // admitted docs — proof the bucket state lives in the checkpointed
+    // state store, not the JVM.
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs-ckpt").toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
+    dir.deleteOnExit(); ckpt.deleteOnExit()
+    val base = graft.engine.Tables(spark, sf).documents
+      .select(col("doc_id"), col("text"),
+        (lit(1700000000L) + col("doc_id")).cast("timestamp").as("ts"))
+    base.orderBy("doc_id").coalesce(1)
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, ts TIMESTAMP")
+    // memory sink cannot recover from a checkpoint; the parquet file
+    // sink can — which is also the realistic shape (pair stream landed
+    // to storage for the downstream keep/drop job)
+    val outDir = java.nio.file.Files.createTempDirectory("graft-neardup-out").toFile
+    outDir.deleteOnExit()
+    def runOnce(): Unit = {
+      val q = EventStreams.nearDupCandidates(
+          spark.readStream.schema(schema).parquet(dir.getAbsolutePath))
+        .writeStream.format("parquet")
+        .option("path", outDir.getAbsolutePath)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    // re-uploads: same text, doc_id offset far above run 1, slightly
+    // later event time (still inside the watermark horizon)
+    base.select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+        (col("ts").cast("long") + 60).cast("timestamp").as("ts"))
+      .orderBy("doc_id").coalesce(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    runOnce()
+    val run2 = spark.read.parquet(outDir.getAbsolutePath)
+      .select(col("doc_id"), col("first_doc")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val flaggedReuploads = run2.filter { case (d, f) => d >= 1000000L && f < 1000000L }
+      .map(_._1 - 1000000L).toSet
+    val nDocs = base.count()
+    assert(flaggedReuploads.size == nDocs,
+      s"only ${flaggedReuploads.size} of $nDocs re-uploads were flagged against " +
+        "run-1 state after restart — bucket state did not survive the checkpoint")
+  }
 }
