@@ -260,6 +260,78 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     },
 
+    {
+      // 60-bit simhash near-dup (hamming <= 3) — the classic simhash
+      // dedup the 16-bit exact-collision variant can't do. Pigeonhole
+      // LSH: 4 bands of 15 bits; any pair within hamming 3 keeps at
+      // least one band intact, so band-equal candidates + an exact
+      // bit_count(xor) residual find EVERY such pair, never comparing
+      // all pairs. Both the 60 per-bit weight sums and the band keys
+      // are generated expressions; the oracle states the identical
+      // arithmetic (md5-derived 60-bit word values, +-1 weight sums,
+      // power-of-two assembly, xor/bit_count), so this is hash-matched.
+      val sumsSql = (0 until 60)
+        .map(b => s"sum(CASE WHEN (v >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+        .mkString(",\n        |    ")
+      val fpSql = (0 until 60)
+        .map(b => s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
+        .mkString(" + ")
+      q("q_dedup_simhash_near",
+        s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+          |wd AS (SELECT DISTINCT doc_id, unnest(words) AS word FROM w),
+          |wv AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS v FROM wd),
+          |sums AS (SELECT doc_id,
+          |    $sumsSql
+          |  FROM wv GROUP BY doc_id),
+          |fps AS (SELECT doc_id, $fpSql AS fp FROM sums),
+          |bands AS (SELECT doc_id, fp, b, (fp >> (15 * b)) & 32767 AS bk
+          |          FROM fps, UNNEST(generate_series(0, 3)) AS t(b)),
+          |qual AS (SELECT b, bk FROM bands GROUP BY b, bk HAVING count(*) <= 1000),
+          |bq AS (SELECT bands.* FROM bands JOIN qual USING (b, bk)),
+          |pairs AS (SELECT DISTINCT a.doc_id AS d1, a.fp AS f1, c.doc_id AS d2, c.fp AS f2
+          |          FROM bq a JOIN bq c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id)
+          |SELECT d1, d2, CAST(bit_count(xor(f1, f2)) AS BIGINT) AS hamming
+          |FROM pairs WHERE bit_count(xor(f1, f2)) <= 3
+          |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+        val t = Tables(s, dir)
+        val wd = t.documents
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .distinct()
+        val wv = wd.select(col("doc_id"),
+          conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long").as("v"))
+        // all 60 per-bit weight sums in ONE aggregation pass (the same
+        // conditional-aggregate trick as the 8 min-hashes): no per-bit
+        // explode, one shuffle on doc_id
+        val sums = (0 until 60).map(b =>
+          sum(when(shiftright(col("v"), b).bitwiseAND(lit(1L)) === 1, 1)
+            .otherwise(-1)).as(s"s$b"))
+        val fp = (0 until 60)
+          .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _)
+        val fps = wv.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+          .select(col("doc_id"), fp.as("fp"))
+        val bands = fps.select(col("doc_id"), col("fp"),
+            explode(sequence(lit(0), lit(3))).as("b"))
+          .withColumn("bk", expr("shiftright(fp, 15 * b) & 32767"))
+        // same bucket-cap shape as jaccard: group the band bucket once,
+        // cap its size, explode ordered pairs in-group — no self-join
+        // of the band table, no window
+        val buckets = bands.groupBy(col("b"), col("bk"))
+          .agg(sort_array(collect_list(struct(col("doc_id"), col("fp")))).as("ds"))
+          .filter(size(col("ds")).between(2, 1000))
+        val pairArr = flatten(transform(col("ds"), (x, i) =>
+          transform(slice(col("ds"), i + 2, greatest(size(col("ds")) - i - 1, lit(0))),
+            y => struct(x.getField("doc_id").as("d1"), x.getField("fp").as("f1"),
+              y.getField("doc_id").as("d2"), y.getField("fp").as("f2")))))
+        val hamming = bit_count(col("f1").bitwiseXOR(col("f2"))).cast("long")
+        buckets.select(explode(pairArr).as("p")).select(col("p.*")).distinct()
+          .withColumn("hamming", hamming)
+          .filter(col("hamming") <= 3)
+          .select(col("d1"), col("d2"), col("hamming"))
+          .orderBy(col("d1"), col("d2"))
+      }
+    },
+
     q("q_dedup_embedding",
       """SELECT a.vec_id AS v1, b.vec_id AS v2,
         |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
