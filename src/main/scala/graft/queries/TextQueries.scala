@@ -203,6 +203,80 @@ object TextQueries {
         .orderBy(col("doc_id")).limit(400)
     },
 
+    q("q_text_repetition",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |sh AS (SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s
+        |       FROM w, UNNEST(generate_series(1, len(words)-2)) AS t(i)),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |          CAST(count(DISTINCT s) AS BIGINT) AS n_uniq
+        |        FROM sh GROUP BY doc_id)
+        |SELECT doc_id, n_grams, n_uniq,
+        |  round(1.0 - n_uniq * 1.0 / n_grams, 9) AS dup_frac,
+        |  CASE WHEN 1.0 - n_uniq * 1.0 / n_grams > 0.3 THEN 1 ELSE 0 END AS repetitious
+        |FROM agg ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      // Gopher-style repetition filter: fraction of duplicate 3-grams
+      // per document (Rae et al. 2021 use duplicate n-gram fractions to
+      // drop boilerplate/repetitious pages). Both counts come from ONE
+      // row-local projection over the shingle array — total vs distinct
+      // size — so the filter costs one scan, no shuffle except
+      // presentation order. (This is the rare case where the oracle's
+      // GROUP BY count(DISTINCT) collapses to array arithmetic: the
+      // grouping key is the row the array came from.)
+      val words = split(col("text"), " ")
+      val grams = transform(sequence(lit(1), size(col("words")) - 2),
+        i => concat_ws(" ",
+          element_at(col("words"), i),
+          element_at(col("words"), i + 1),
+          element_at(col("words"), i + 2)))
+      t.documents.select(col("doc_id"), words.as("words"))
+        // n_grams falls out of the words length — the (interpreted)
+        // gram transform is referenced ONCE, by the distinct count
+        .select(col("doc_id"),
+          (size(col("words")) - 2).cast("long").as("n_grams"),
+          size(array_distinct(grams)).cast("long").as("n_uniq"))
+        .select(col("doc_id"), col("n_grams"), col("n_uniq"),
+          round(lit(1.0) - col("n_uniq") * 1.0 / col("n_grams"), 9).as("dup_frac"),
+          when(lit(1.0) - col("n_uniq") * 1.0 / col("n_grams") > 0.3, 1)
+            .otherwise(0).as("repetitious"))
+        .orderBy(col("doc_id"))
+    },
+
+    q("q_text_char_entropy",
+      """WITH c AS (SELECT doc_id, unnest(string_split_regex(text, '')) AS ch FROM documents),
+        |cc AS (SELECT doc_id, ch, count(*) AS n FROM c WHERE ch <> '' GROUP BY doc_id, ch),
+        |tot AS (SELECT doc_id, sum(n) AS nt FROM cc GROUP BY doc_id)
+        |SELECT cc.doc_id,
+        |  CAST(max(nt) AS BIGINT) AS n_chars,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  round(CAST(-sum(CAST((n * 1.0 / nt) * log2(n * 1.0 / nt) AS DECIMAL(28,15))) AS DOUBLE), 9) AS entropy
+        |FROM cc JOIN tot ON cc.doc_id = tot.doc_id
+        |GROUP BY cc.doc_id ORDER BY cc.doc_id""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      // Shannon character entropy per document — the cheap gibberish /
+      // binary-noise detector (very low entropy = repeated filler, very
+      // high = random bytes). Explode to (doc, char) then two
+      // aggregations; at 100 TB the first groupBy carries (doc, char)
+      // keys — bounded by alphabet size per doc — and partial
+      // aggregation collapses most of the explosion map-side.
+      val chars = t.documents
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .filter(col("ch") =!= "")
+      val cc = chars.groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("n"))
+      val tot = cc.groupBy(col("doc_id")).agg(sum(col("n")).as("nt"))
+      val p = col("n") * 1.0 / col("nt")
+      // each term is a deterministic double; casting it to DECIMAL
+      // before the sum makes the aggregate order-independent (double
+      // addition is not associative — partial-agg order would differ
+      // between engines), per the QueryDef determinism contract
+      cc.join(tot, "doc_id")
+        .groupBy(col("doc_id"))
+        .agg(max(col("nt")).cast("long").as("n_chars"),
+          count(lit(1)).as("n_distinct"),
+          round((-sum((p * log2(p)).cast("decimal(28,15)"))).cast("double"), 9).as("entropy"))
+        .orderBy(col("doc_id"))
+    },
+
     q("q_text_tokens",
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS ws_tokens,
