@@ -232,6 +232,15 @@ class PlanSpec extends SparkSpecBase {
       "bridge distinct is not fed by the part-filtered join")
   }
 
+  test("simhash near-dup pairs come from capped band buckets (no cartesian, no window)") {
+    val d = SparkEntry.defs.find(_.name == "q_dedup_simhash_near").get
+    val p = d.run(spark, sf).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "simhash near-dup degenerated to a cross product")
+    assert(!p.contains("Window"), "simhash near-dup gained a window sort")
+    assert(p.contains("<= 1000"), "band bucket cap missing")
+  }
+
   test("sequence packing has no global window and no single-partition exchange") {
     // the prefix sum must be the two-pass distributed scan, never a
     // row_number/sum OVER () global window
