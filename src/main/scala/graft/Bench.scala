@@ -42,6 +42,11 @@ object Bench {
     //    per-stage barriers are invisible when stages run for seconds.
     // SPARK_GRAFT_AQE=1 restores AQE for A/B runs.
     spark.conf.set("spark.sql.files.maxPartitionBytes", "4194304")
+    // root ORDER BY = presentation order of a result-sized output: sort
+    // at the gather point (one fewer job per query — no range-sampling
+    // re-execution). See plans/PresentationSort.scala for the scale
+    // trade; measured −26% on the light-query subset (BENCH_NOTES r7).
+    spark.conf.set(graft.plans.PresentationSort.ConfKey, "true")
     if (!sys.env.contains("SPARK_GRAFT_AQE"))
       spark.conf.set("spark.sql.adaptive.enabled", "false")
     // bench profile: size the reducer count to the benchmark's data,
@@ -201,9 +206,10 @@ object Bench {
       val cost = k.length + fmt(v).length + 4
       if (used + cost <= budget) { kept += (k -> v); used += cost }
     }
-    val wireLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(math.min(calibBefore, calibAfter))},"queries":${mapJson(kept.toSeq)},"detail":"$detailPath","sf":"$sfDir"}"""
+    val wireLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"calib":${fmt(math.min(calibBefore, calibAfter))},"queries":${mapJson(kept.toSeq)},"detail":"$detailPath","sf":"$sfDir"}"""
     println(wireLine)
     spark.stop()
     println(wireLine)
+    System.out.flush()
   }
 }

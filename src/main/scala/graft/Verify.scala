@@ -8,6 +8,9 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = graft.engine.GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    // oracle dumps are result-sized and coalesced to one file anyway:
+    // the root ORDER BY is presentation order (plans/PresentationSort)
+    spark.conf.set(graft.plans.PresentationSort.ConfKey, "true")
     new java.io.File(outDir).mkdirs()
     // iteration aid (driver never sets it): restrict the dumped corpus
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -48,6 +48,10 @@ object GraftSession {
       // transpose — expensive per-row expressions evaluate on the k
       // survivors of ORDER BY … LIMIT, not the full input
       .withExtensions(_.injectOptimizerRule(_ => graft.plans.ProjectThroughTopK))
+      // root ORDER BY → single-partition presentation sort (kills the
+      // range-sampling job); opt-in per session via
+      // spark.graft.presentationSort — see the rule's scale note
+      .withExtensions(_.injectOptimizerRule(_ => graft.plans.PresentationSort))
 
   def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
       warehouse: Option[String] = None): SparkSession = {

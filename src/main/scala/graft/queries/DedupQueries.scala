@@ -239,9 +239,13 @@ object DedupQueries {
       // alias), then ONE groupBy(doc) sums the 16 weights and assembles
       // the fingerprint — versus the naive 16× row explode through two
       // shuffles. The oracle states the naive dataflow; results match.
+      // distinct words computed ROW-LOCALLY (array_distinct before the
+      // explode): the former explode-then-DISTINCT spelling shuffled
+      // every (doc, word) occurrence just to dedup within a document —
+      // (doc_id, word) can only repeat inside its own row
       val wd = t.documents
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        .distinct()
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("word"))
         .withColumn("h4", substring(md5(col("word")), 1, 4))
       val wts = for (j <- 1 to 4; k <- 0 to 3) yield {
         val b = (j - 1) * 4 + k
@@ -294,9 +298,10 @@ object DedupQueries {
           |FROM pairs WHERE bit_count(xor(f1, f2)) <= 3
           |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
         val t = Tables(s, dir)
+        // row-local word dedup — same no-shuffle trick as q_dedup_simhash
         val wd = t.documents
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-          .distinct()
+          .select(col("doc_id"),
+            explode(array_distinct(split(col("text"), " "))).as("word"))
         val wv = wd.select(col("doc_id"),
           conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long").as("v"))
         // all 60 per-bit weight sums in ONE aggregation pass (the same
@@ -372,6 +377,45 @@ object DedupQueries {
           && cosc >= 0.35)
         .select(col("v1"), col("v2"), round(cosc, 9).as("cos"))
         .orderBy(col("v1"), col("v2"))
+    },
+
+    // Cross-corpus near-dup detection: training docs whose banded
+    // minhash signature collides with a held-out benchmark corpus
+    // (source = 'src0') — the FUZZY complement of the exact-shingle
+    // decontamination in TextQueries. TWO-SIDED LSH: each corpus is
+    // banded independently (its source filter pushes to the scan, so
+    // the small benchmark side never scans the training mass) and the
+    // candidate test is a band-key equi-join — at 100 TB the benchmark
+    // side is tiny, the join broadcasts, and the training corpus
+    // streams through in one pass.
+    q("q_dedup_cross_corpus",
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
+        |sh AS (SELECT doc_id, source, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS sh
+        |       FROM w, UNNEST(generate_series(1, len(words)-2)) AS t(i)),
+        |vs AS (SELECT doc_id, source, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS v FROM sh),
+        |seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
+        |sigs AS (SELECT doc_id, source, seed,
+        |           min((v * (1000003 + 999983 * seed) + seed) % 4294967291) AS mh
+        |         FROM vs CROSS JOIN seeds GROUP BY doc_id, source, seed),
+        |bands AS (SELECT doc_id, source, seed // 2 AS band,
+        |            string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bkey
+        |          FROM sigs GROUP BY doc_id, source, seed // 2),
+        |pairs AS (SELECT DISTINCT t.doc_id AS train_doc, b.doc_id AS bench_doc
+        |          FROM bands t JOIN bands b
+        |            ON t.band = b.band AND t.bkey = b.bkey
+        |           AND t.source <> 'src0' AND b.source = 'src0')
+        |SELECT train_doc, bench_doc FROM pairs
+        |ORDER BY train_doc, bench_doc""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val train = minhashBands(t.documents.filter(col("source") =!= "src0"))
+        .select(col("doc_id").as("train_doc"), col("band"), col("bkey"))
+      val bench = minhashBands(t.documents.filter(col("source") === "src0"))
+        .select(col("doc_id").as("bench_doc"),
+          col("band").as("band2"), col("bkey").as("bkey2"))
+      train.join(broadcast(bench),
+          col("band") === col("band2") && col("bkey") === col("bkey2"))
+        .select(col("train_doc"), col("bench_doc")).distinct()
+        .orderBy(col("train_doc"), col("bench_doc"))
     }
   )
 }

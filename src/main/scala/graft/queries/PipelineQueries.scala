@@ -199,11 +199,31 @@ object PipelineQueries {
       // alternating large-star/small-star contraction (Kiveris et al.,
       // "Connected Components in MapReduce and Beyond") — the iteration
       // cap documents that boundary.
-      val pairs = DedupQueries.minhashPairs(t.documents)
+      // The band table is checkpointed ONCE and feeds both the edge
+      // list and the label seed — the shingle→minhash pipeline (the
+      // expensive part) runs exactly one job.
+      val bands = DedupQueries.minhashBands(t.documents).localCheckpoint()
+      val a = bands.select(col("doc_id").as("d1"), col("band"), col("bkey"))
+      val b = bands.select(col("doc_id").as("d2"),
+        col("band").as("band2"), col("bkey").as("bkey2"))
+      val pairs = a.join(b, col("band") === col("band2")
+          && col("bkey") === col("bkey2") && col("d1") < col("d2"))
+        .select(col("d1"), col("d2")).distinct()
       val edges = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
         .select(col("d1").as("src"), col("d2").as("dst"))
         .localCheckpoint()
-      var labels = t.documents.select(col("doc_id"), col("doc_id").as("lbl"))
+      // Label seed = min doc_id over every band bucket the doc belongs
+      // to (including itself). A band bucket is a clique in the pair
+      // graph, so this IS the result of propagation round 1, computed
+      // as two groupBys on the cached bands instead of an edge join —
+      // near-clique LSH clusters then converge in ~1 further round.
+      val bmin = bands.groupBy(col("band"), col("bkey"))
+        .agg(min(col("doc_id")).as("bmin"))
+      val seed = bands.join(bmin, Seq("band", "bkey"))
+        .groupBy(col("doc_id")).agg(min(col("bmin")).as("nlbl"))
+      var labels = t.documents.select(col("doc_id"))
+        .join(seed, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("nlbl"), col("doc_id")).as("lbl"))
         .localCheckpoint(false)
       var lastSum = labels.agg(sum(col("lbl"))).head().getLong(0)
       var converged = false

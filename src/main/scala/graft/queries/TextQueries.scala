@@ -415,6 +415,65 @@ object TextQueries {
         .filter(col("n_overlap") >= 3)
         .select(col("doc_id"), col("n_overlap"))
         .orderBy(col("doc_id"))
+    },
+
+    // Corpus n-gram statistics: frequency + document frequency of every
+    // bigram above a support threshold — the vocabulary/phrase-table
+    // build step of a data pipeline. The bigram array is assembled
+    // row-locally (one transform, no per-position explode of the words
+    // copy); ONE map-side-combined shuffle on the bigram key does both
+    // counts. At 100 TB the bigram key space is Zipf-bounded and the
+    // HAVING threshold makes the output vocabulary-sized.
+    q("q_text_ngram_stats",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |bg AS (SELECT doc_id, words[i] || ' ' || words[i+1] AS bg
+        |       FROM w, UNNEST(generate_series(1, len(words)-1)) AS t(i))
+        |SELECT bg, count(*) AS n, count(DISTINCT doc_id) AS df
+        |FROM bg GROUP BY bg HAVING count(*) >= 20
+        |ORDER BY n DESC, bg""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val bigrams = transform(
+        sequence(lit(1), size(col("words")) - 1),
+        i => concat_ws(" ", element_at(col("words"), i), element_at(col("words"), i + 1)))
+      t.documents
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .select(col("doc_id"), explode(bigrams).as("bg"))
+        .groupBy(col("bg"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
+        .filter(col("n") >= 20)
+        .orderBy(col("n").desc, col("bg"))
+    },
+
+    // Unigram language-model scoring: per-document mean log-likelihood
+    // under the corpus unigram distribution, plus the rare-token
+    // fraction — the perplexity-style quality signal pretraining
+    // pipelines gate on. Two map-side-combined shuffles (vocabulary
+    // count, per-doc mean); the corpus token total stays IN the plan
+    // (broadcast 1-row cross join, same shape as tfidf). The log sum
+    // goes through an exact DECIMAL intermediate so Spark partial-agg
+    // order vs DuckDB morsel order cannot change the rounded result.
+    q("q_text_unigram_lm",
+      """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |vocab AS (SELECT word, count(*) AS n FROM words GROUP BY word),
+        |tot AS (SELECT count(*) AS total FROM words)
+        |SELECT doc_id, count(*) AS n_words,
+        |  round(CAST(sum(CAST(ln(n * 1.0 / total) AS DECIMAL(28,15))) / count(*) AS DOUBLE), 9) AS avg_ll,
+        |  round(sum(CASE WHEN n * 1.0 / total < 0.001 THEN 1 ELSE 0 END) * 1.0 / count(*), 9) AS rare_frac
+        |FROM words JOIN vocab USING (word) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val words = t.documents
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      val vocab = words.groupBy(col("word")).agg(count(lit(1)).as("n"))
+      val tot = words.agg(count(lit(1)).as("total"))
+      val p = col("n") * 1.0 / col("total")
+      words.join(broadcast(vocab), "word")
+        .crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          round((sum(log(p).cast("decimal(28,15)")) / count(lit(1))).cast("double"), 9).as("avg_ll"),
+          round(sum(when(p < 0.001, 1).otherwise(0)) * 1.0 / count(lit(1)), 9).as("rare_frac"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -154,6 +154,52 @@ object VectorQueries {
         .groupBy(col("q_id"), col("cell"))
         .agg(count(lit(1)).as("cell_size"))
         .orderBy(col("q_id"))
+    },
+
+    // One Lloyd (k-means) assignment step over the embedding corpus:
+    // k = 8 data-derived seed centroids (vec_id < 8), every vector
+    // assigned to its nearest centroid by squared L2, per-centroid
+    // membership stats out. The centroid table is broadcast (k rows);
+    // the corpus streams through ONE pass with the 8 distance
+    // evaluations row-local, then one map-side-combined shuffle
+    // aggregates members — the exact shape a full Lloyd iteration
+    // repeats at 100 TB (the update step is the same aggregation keyed
+    // by the assignment). d² = ‖v‖² − 2·v·c + ‖c‖² from three
+    // left-to-right double folds — bit-identical in both engines — and
+    // the argmin tie-breaks on centroid id via min(struct(d², cid)),
+    // the same (d², cid) lexicographic minimum the oracle states as
+    // min-distance-then-min-id.
+    q("q_ann_kmeans_step",
+      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+        |           FROM embeddings WHERE vec_id < 8),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+        |d AS (SELECT v.vec_id, c.cid,
+        |        list_dot_product(ve, ve) - 2 * list_dot_product(ve, ce)
+        |          + list_dot_product(ce, ce) AS d2
+        |      FROM v CROSS JOIN c),
+        |m AS (SELECT vec_id, min(d2) AS md2 FROM d GROUP BY vec_id),
+        |a AS (SELECT d.vec_id, min(cid) AS cid
+        |      FROM d JOIN m ON d.vec_id = m.vec_id AND d.d2 = m.md2
+        |      GROUP BY d.vec_id)
+        |SELECT cid, count(*) AS n_assigned, min(vec_id) AS first_vec,
+        |  max(vec_id) AS last_vec, CAST(sum(vec_id) AS BIGINT) AS sum_vec
+        |FROM a GROUP BY cid ORDER BY cid""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val cents = t.embeddings.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        .withColumn("ncc", VectorFunctions.vectorDot(col("ce"), col("ce")))
+      val vecs = t.embeddings
+        .select(col("vec_id"), col("embedding").as("ve"))
+        .withColumn("nvv", VectorFunctions.vectorDot(col("ve"), col("ve")))
+      val d2 = col("nvv") - lit(2) * VectorFunctions.vectorDot(col("ve"), col("ce")) + col("ncc")
+      vecs.crossJoin(broadcast(cents))
+        .select(col("vec_id"), struct(d2.as("d2"), col("cid")).as("dc"))
+        .groupBy(col("vec_id"))
+        .agg(min(col("dc")).getField("cid").as("cid"))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_assigned"), min(col("vec_id")).as("first_vec"),
+          max(col("vec_id")).as("last_vec"), sum(col("vec_id")).as("sum_vec"))
+        .orderBy(col("cid"))
     }
   )
 }

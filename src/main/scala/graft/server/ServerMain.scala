@@ -42,6 +42,9 @@ object ServerMain {
       case Some(p) => graft.engine.GraftSession.local(warehouse = Some(s"$p/warehouse"))
       case None => graft.engine.GraftSession.local()
     }
+    // wire results drain through one client socket: a root ORDER BY is
+    // presentation order, sorted at the gather point (PresentationSort)
+    spark.conf.set(graft.plans.PresentationSort.ConfKey, "true")
     val engine = Engine.bootstrap(spark, sfDir, allowFileIo = allowFileIo, dbPath = dbPath)
     // auth off ⇒ loopback-only bind (no unauthenticated remote surface);
     // auth on ⇒ all interfaces, like the reference's ":5432"

@@ -275,4 +275,23 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Exchange SinglePartition"),
       "dup-cluster aggregation funnels through one partition")
   }
+
+  test("presentation sort replaces the root range exchange when enabled") {
+    val d = SparkEntry.defs.find(_.name == "q_dedup_exact").get
+    val off = d.run(spark, sf).queryExecution.executedPlan.toString
+    assert(off.contains("rangepartitioning"),
+      "default (rule off) plan should range-sort at the root")
+    spark.conf.set(graft.plans.PresentationSort.ConfKey, "true")
+    try {
+      val on = d.run(spark, sf).queryExecution.executedPlan.toString
+      assert(!on.contains("rangepartitioning"),
+        "presentation sort left a range exchange (sampling job) in the plan")
+      assert(on.contains("Sort "), "presentation sort lost the sort itself")
+      // and it never touches non-root sorts: top-k is still TakeOrdered
+      val topk = SparkEntry.defs.find(_.name == "q_topk").get
+        .run(spark, sf).queryExecution.executedPlan.toString
+      assert(topk.contains("TakeOrderedAndProject"),
+        "presentation sort broke the top-k TakeOrderedAndProject shape")
+    } finally spark.conf.set(graft.plans.PresentationSort.ConfKey, "false")
+  }
 }
