@@ -20,6 +20,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.engine.GraftSession.local()
+    // the driver keeps only a small stdout+stderr tail: per-task WARN
+    // chatter ("Broadcasting large task binary…") interleaves with and
+    // can displace the summary line in that window. The bench is a
+    // measurement tool — errors still surface, warnings don't matter.
+    spark.sparkContext.setLogLevel("ERROR")
     // Bench scale profile (measured, BENCH_NOTES r7). Two sub-GB-scale
     // settings that are JOB conf on a real cluster, tuned here to the
     // benchmark tier exactly like shuffle.partitions below:
@@ -209,7 +214,12 @@ object Bench {
     val wireLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"calib":${fmt(math.min(calibBefore, calibAfter))},"queries":${mapJson(kept.toSeq)},"detail":"$detailPath","sf":"$sfDir"}"""
     println(wireLine)
     spark.stop()
+    // the driver's tail window mixes stdout and stderr: emit the line on
+    // BOTH streams after spark.stop() so whichever stream ends the
+    // capture, the final line is a complete JSON object.
     println(wireLine)
+    System.err.println(wireLine)
     System.out.flush()
+    System.err.flush()
   }
 }

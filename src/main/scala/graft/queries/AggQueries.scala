@@ -234,13 +234,22 @@ object AggQueries {
         .filter(col("r").between(col("below") + 1, col("below") + col("cnt")))
         .select(g, col("which"), col("pname"), col("p"), col("kind"),
           col("b"), (col("r") - col("below")).as("k"), col("n"))
-      // k-th smallest within each target\'s bucket (a fraction of one
-      // binade per window)
-      val wB = Window.partitionBy(g, col("which"), col("pname"), col("kind")).orderBy(col("v"))
+      // k-th smallest within each target's bucket, via VALUE-level
+      // counts: collapsing duplicate values first (map-side combine)
+      // makes the step skew-proof — a bucket holding 10^9 copies of one
+      // value (integer-valued measures are exactly this) would give a
+      // raw row_number window a single billion-row sort task, while the
+      // value-count cumulative sees one row. The remaining window
+      // partitions over DISTINCT values within a 1/16-binade bucket.
+      val wV = Window.partitionBy(g, col("which"), col("pname"), col("kind")).orderBy(col("v"))
       val picked = stacked
         .join(broadcast(targets), Seq("l_returnflag", "which", "b"))
-        .withColumn("rn", row_number().over(wB))
-        .filter(col("rn") === col("k"))
+        .groupBy(g, col("which"), col("pname"), col("kind"),
+          col("k"), col("n"), col("p"), col("v"))
+        .agg(count(lit(1)).as("vc"))
+        .withColumn("vbelow",
+          coalesce(sum(col("vc")).over(wV.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .filter(col("k") > col("vbelow") && col("k") <= col("vbelow") + col("vc"))
       val interp = picked.groupBy(g, col("which"), col("pname"))
         .agg(max(when(col("kind") === "lo", col("v"))).as("vlo"),
           max(when(col("kind") === "hi", col("v"))).as("vhi"),

@@ -250,6 +250,129 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("last_doc"))
         .filter(col("n_docs") >= 2)
         .orderBy(col("cluster"))
+    },
+
+    // Boilerplate removal (RefinedWeb-style): segment every document
+    // into fixed 10-word chunks, count each chunk's document frequency
+    // across the corpus, drop chunks shared by >= 2 documents
+    // (headers/footers/templates — near-dup docs share exactly these),
+    // and REASSEMBLE the surviving chunks in original order. Unlike the
+    // clean-corpus filter (drops whole docs) this REWRITES documents.
+    // Scale: chunk-df is one map-side-combined shuffle; the boilerplate
+    // set is corpus-frequency-skew small → broadcastable anti-join;
+    // reassembly groups by doc (bounded by doc length).
+    q("q_pipeline_boilerplate",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |ch AS (SELECT doc_id, i AS cpos,
+        |         array_to_string(words[(i*10+1):(i*10+10)], ' ') AS chunk
+        |       FROM w, UNNEST(generate_series(0, CAST(ceil(len(words) / 10.0) AS BIGINT) - 1)) AS t(i)),
+        |df AS (SELECT chunk, count(DISTINCT doc_id) AS df FROM ch GROUP BY chunk),
+        |kept AS (SELECT ch.doc_id, ch.cpos, ch.chunk
+        |         FROM ch JOIN df USING (chunk) WHERE df < 2)
+        |SELECT doc_id, count(*) AS n_kept,
+        |  string_agg(chunk, ' ' ORDER BY cpos) AS cleaned
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val chunks = t.documents
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .select(col("doc_id"), posexplode(
+          transform(
+            sequence(lit(0), (ceil(size(col("words")) / lit(10.0)) - 1).cast("int")),
+            i => array_join(slice(col("words"), i * 10 + 1, lit(10)), " ")))
+          .as(Seq("cpos", "chunk")))
+      val boiler = chunks.groupBy(col("chunk"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2).select(col("chunk"))
+      chunks.join(boiler, Seq("chunk"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(
+            sort_array(collect_list(struct(col("cpos"), col("chunk")))),
+            x => x.getField("chunk")), " ").as("cleaned"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Deterministic global training-order shuffle: the export step that
+    // turns a corpus into a reproducible training stream. Each doc gets
+    // a 60-bit md5 key (engine-independent), the corpus is globally
+    // sorted by it, sharded by the key's top 3 bits (RANGE shards, so
+    // shard boundaries are contiguous in the sort), and every doc gets
+    // its 0-based position WITHIN its shard. The global rank uses the
+    // distributed zipWithIndex shape (range-partition + in-partition
+    // sort + per-partition offsets — q_evt_positional's); per-shard
+    // positions derive from an 8-row broadcast of shard offsets. No
+    // single-partition window at any step; correctness is independent
+    // of the range sampler because (key, doc_id) is a unique total
+    // order.
+    q("q_pipeline_train_order",
+      """WITH k AS (SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS key
+        |  FROM documents),
+        |r AS (SELECT doc_id, key, key >> 57 AS shard,
+        |        row_number() OVER (ORDER BY key, doc_id) - 1 AS gix FROM k),
+        |s AS (SELECT shard, min(gix) AS s0 FROM r GROUP BY shard)
+        |SELECT doc_id, r.shard, gix - s0 AS shard_pos
+        |FROM r JOIN s ON r.shard = s.shard
+        |ORDER BY r.shard, shard_pos""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val keyed = t.documents.select(col("doc_id"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("key"))
+      val sorted = keyed
+        .repartitionByRange(col("key"), col("doc_id"))
+        .sortWithinPartitions(col("key"), col("doc_id"))
+      val rows = sorted.rdd.zipWithIndex.map { case (r, i) =>
+        Row(r.getLong(0), r.getLong(1), i) }
+      val ranked = s.createDataFrame(rows, StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("key", LongType, nullable = false),
+          StructField("gix", LongType, nullable = false))))
+        .withColumn("shard", shiftright(col("key"), 57))
+      val offsets = ranked.groupBy(col("shard")).agg(min(col("gix")).as("s0"))
+      ranked.join(broadcast(offsets), Seq("shard"))
+        .select(col("doc_id"), col("shard"), (col("gix") - col("s0")).as("shard_pos"))
+        .orderBy(col("shard"), col("shard_pos"))
+    },
+
+    // Model-scoring filter: a fixed-weight logistic quality classifier
+    // (the fasttext-style "is this page trainable" gate) evaluated
+    // IN-PLAN — features are row-local arithmetic over the word array,
+    // the sigmoid is one codegen'd expression, no UDF. The weights are
+    // a deployment artifact (literals), so the whole operator is a
+    // scan-side filter that pushes column pruning to parquet and
+    // pipelines into whatever consumes the kept docs.
+    q("q_pipeline_quality_score",
+      """WITH f AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words, length(text) AS nc FROM documents
+        |), feat AS (
+        |  SELECT doc_id,
+        |    len(words) AS n_words,
+        |    (nc - (len(words) - 1)) * 1.0 / len(words) AS mean_wlen,
+        |    len(list_filter(words, x -> x IN ('the', 'a', 'of', 'and', 'der', 'el', 'le', 'de', 'la'))) * 1.0 / len(words) AS stop_ratio,
+        |    len(list_distinct(words)) * 1.0 / len(words) AS uniq_ratio
+        |  FROM f)
+        |SELECT doc_id, n_words,
+        |  round(1.0 / (1.0 + exp(-(-2.0 + 0.3 * ln(n_words) + 0.2 * mean_wlen
+        |    - 1.5 * stop_ratio + 2.0 * uniq_ratio))), 9) AS quality,
+        |  1.0 / (1.0 + exp(-(-2.0 + 0.3 * ln(n_words) + 0.2 * mean_wlen
+        |    - 1.5 * stop_ratio + 2.0 * uniq_ratio))) >= 0.5 AS keep
+        |FROM feat ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val words = split(col("text"), " ")
+      val nw = size(words)
+      val stops = Seq("the", "a", "of", "and", "der", "el", "le", "de", "la")
+      val feats = t.documents.select(col("doc_id"),
+        nw.cast("long").as("n_words"),
+        ((length(col("text")) - (nw - 1)) * 1.0 / nw).as("mean_wlen"),
+        (size(filter(words, x => x.isin(stops.map(lit): _*))) * 1.0 / nw).as("stop_ratio"),
+        (size(array_distinct(words)) * 1.0 / nw).as("uniq_ratio"))
+      val logit = lit(-2.0) + lit(0.3) * log(col("n_words")) +
+        lit(0.2) * col("mean_wlen") - lit(1.5) * col("stop_ratio") +
+        lit(2.0) * col("uniq_ratio")
+      val score = lit(1.0) / (lit(1.0) + exp(-logit))
+      feats.select(col("doc_id"), col("n_words"),
+          round(score, 9).as("quality"), (score >= 0.5).as("keep"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -474,6 +474,50 @@ object TextQueries {
           round((sum(log(p).cast("decimal(28,15)")) / count(lit(1))).cast("double"), 9).as("avg_ll"),
           round(sum(when(p < 0.001, 1).otherwise(0)) * 1.0 / count(lit(1)), 9).as("rare_frac"))
         .orderBy(col("doc_id"))
+    },
+
+    // BM25 ranked retrieval (k1 = 1.2, b = 0.75): top-10 documents for
+    // a 3-term query — the search archetype (eval-set mining, nearest-
+    // document lookup) the per-document scores above don't cover.
+    // Scale shape: the term filter lands immediately after the explode
+    // so only query-term postings survive into any shuffle; df and the
+    // corpus stats (N, avgdl) are broadcast 1-row/3-row sides kept
+    // IN-PLAN (no driver count, same shape as tfidf); dl rides the
+    // postings as max(dl) instead of a second doc-level join. The
+    // decimal intermediate makes the per-doc score sum merge-order-
+    // independent, and ranking orders by the RAW double score (the
+    // bit-identical fold both engines compute) with doc_id tiebreak.
+    q("q_text_bm25",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |stats AS (SELECT count(*) AS n_docs, avg(len(words)) AS avgdl FROM d),
+        |w AS (SELECT doc_id, len(words) AS dl, unnest(words) AS word FROM d),
+        |tf AS (SELECT doc_id, word, max(dl) AS dl, count(*) AS tf FROM w
+        |       WHERE word IN ('spark', 'query', 'join') GROUP BY doc_id, word),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |sc AS (SELECT doc_id,
+        |         ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+        |           tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS s
+        |       FROM tf JOIN df USING (word) CROSS JOIN stats)
+        |SELECT doc_id, round(CAST(sum(CAST(s AS DECIMAL(28,15))) AS DOUBLE), 9) AS bm25
+        |FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val d = t.documents.select(col("doc_id"), split(col("text"), " ").as("words"))
+      val stats = d.agg(count(lit(1)).as("n_docs"), avg(size(col("words"))).as("avgdl"))
+      val postings = d
+        .select(col("doc_id"), size(col("words")).cast("long").as("dl"),
+          explode(col("words")).as("word"))
+        .filter(col("word").isin("spark", "query", "join"))
+      val tf = postings.groupBy(col("doc_id"), col("word"))
+        .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
+      val dfT = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val score = log(lit(1) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+        col("tf") * 2.2 / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      tf.join(broadcast(dfT), "word")
+        .crossJoin(broadcast(stats))
+        .withColumn("s", score)
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("s").cast("decimal(28,15)")).cast("double"), 9).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(10)
     }
   )
 }

@@ -200,6 +200,44 @@ object VectorQueries {
         .agg(count(lit(1)).as("n_assigned"), min(col("vec_id")).as("first_vec"),
           max(col("vec_id")).as("last_vec"), sum(col("vec_id")).as("sum_vec"))
         .orderBy(col("cid"))
+    },
+
+    // Batch kNN-graph construction: EVERY vector gets its top-3
+    // neighbors within its label block (the mutual-neighbor graph that
+    // graph-based dedup / clustering / recall-eval harnesses consume).
+    // Distinct from q_ann_bruteforce (5 fixed probes vs whole corpus):
+    // here the "query set" is the corpus itself and the block key
+    // bounds the candidate pairs. Self-dots are computed once per
+    // vector before the join (one dot per pair, the q_dedup_embedding
+    // lesson); the per-vector top-3 is a window PARTITIONED BY the
+    // left vector — millions of tiny partitions, never a global sort —
+    // ordered by the RAW cosine double (bit-identical fold in both
+    // engines) with vec_id tiebreak.
+    q("q_ann_knn_join",
+      s"""SELECT v1, v2, rk, cos FROM (
+         |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         |    round(${cosSql("a", "b")}, 9) AS cos,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${cosSql("a", "b")} DESC, b.vec_id) AS rk
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id <> b.vec_id
+         |) WHERE rk <= 3 ORDER BY v1, rk""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val a = t.embeddings
+        .select(col("vec_id").as("v1"), col("label"), col("embedding").as("e1"))
+        .withColumn("naa", VectorFunctions.vectorDot(col("e1"), col("e1")))
+      val b = t.embeddings
+        .select(col("vec_id").as("v2"), col("label").as("label2"), col("embedding").as("e2"))
+        .withColumn("nbb", VectorFunctions.vectorDot(col("e2"), col("e2")))
+      val cosc = VectorFunctions.vectorDot(col("e1"), col("e2")) /
+        sqrt(col("naa") * col("nbb"))
+      val w = Window.partitionBy(col("v1")).orderBy(cosc.desc, col("v2"))
+      a.join(b, col("label") === col("label2") && col("v1") =!= col("v2"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("v1"), col("v2"), col("rk").cast("long").as("rk"),
+          round(cosc, 9).as("cos"))
+        .orderBy(col("v1"), col("rk"))
     }
   )
 }

@@ -83,4 +83,74 @@ class PipelineSpec extends SparkSpecBase {
     val ids = clusters.map(_.getLong(0))
     assert(ids.distinct.length == ids.length, "duplicate cluster ids")
   }
+
+  test("boilerplate removal: kept chunks are verbatim in-order slices, shared chunks gone") {
+    val rows = run("q_pipeline_boilerplate").collect()
+    assert(rows.nonEmpty)
+    val original = graft.engine.Tables(spark, sf).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every cleaned text is a subsequence of the original's 10-word
+    // chunk decomposition (order preserved, nothing invented)
+    rows.foreach { r =>
+      val doc = r.getLong(0)
+      val cleanedChunks = r.getString(2).split(" ").grouped(10).map(_.mkString(" ")).toSeq
+      val origChunks = original(doc).split(" ").grouped(10).map(_.mkString(" ")).toSeq
+      // kept chunks appear in origChunks in the same relative order
+      var oi = 0
+      cleanedChunks.foreach { c =>
+        val at = origChunks.indexOf(c, oi)
+        assert(at >= 0, s"doc $doc: cleaned chunk not found in order: '$c'")
+        oi = at + 1
+      }
+      assert(r.getLong(1) == cleanedChunks.size, s"doc $doc n_kept mismatch")
+    }
+    // no surviving chunk is shared by 2+ docs in the OUTPUT (the
+    // boilerplate definition, re-checked on the result)
+    val chunkDocs = rows.flatMap { r =>
+      r.getString(2).split(" ").grouped(10).map(_.mkString(" ")).map(_ -> r.getLong(0)) }
+    val byChunk = chunkDocs.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).distinct.size }
+    assert(byChunk.values.forall(_ < 2), "a corpus-shared chunk survived removal")
+  }
+
+  test("train order: a permutation, shards range-contiguous, positions dense per shard") {
+    val rows = run("q_pipeline_train_order").collect()
+    val nDocs = graft.engine.Tables(spark, sf).documents.count()
+    assert(rows.length.toLong == nDocs, "train order dropped or duplicated docs")
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length, "doc repeated")
+    // per shard: positions dense from 0
+    rows.groupBy(_.getLong(1)).foreach { case (shard, rs) =>
+      val pos = rs.map(_.getLong(2)).sorted
+      assert(pos.zipWithIndex.forall { case (p, i) => p == i },
+        s"shard $shard positions not dense: ${pos.take(5).mkString(",")}")
+      assert(shard >= 0 && shard <= 7, s"shard $shard out of range")
+    }
+    // deterministic: re-run is bit-identical (the training-restart contract)
+    val again = run("q_pipeline_train_order").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
+  test("quality score: sigmoid in (0,1), keep flag consistent, matches a hand computation") {
+    val rows = run("q_pipeline_quality_score").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val q = r.getDouble(2)
+      assert(q > 0.0 && q < 1.0, s"score $q outside (0,1)")
+      assert(r.getBoolean(3) == (q >= 0.5) || math.abs(q - 0.5) < 1e-9,
+        s"keep flag inconsistent at $q")
+    }
+    // hand-compute one doc's features
+    val doc = graft.engine.Tables(spark, sf).documents
+      .select(col("doc_id"), col("text")).head()
+    val words = doc.getString(1).split(" ", -1)
+    val nw = words.length.toDouble
+    val stops = Set("the", "a", "of", "and", "der", "el", "le", "de", "la")
+    val logit = -2.0 + 0.3 * math.log(nw) +
+      0.2 * ((doc.getString(1).length - (nw - 1)) / nw) -
+      1.5 * (words.count(stops) / nw) + 2.0 * (words.distinct.length / nw)
+    val expect = 1.0 / (1.0 + math.exp(-logit))
+    val got = rows.find(_.getLong(0) == doc.getLong(0)).get.getDouble(2)
+    assert(math.abs(got - expect) < 1e-8, s"doc ${doc.getLong(0)}: $got vs $expect")
+  }
 }

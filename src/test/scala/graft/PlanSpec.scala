@@ -276,6 +276,52 @@ class PlanSpec extends SparkSpecBase {
       "dup-cluster aggregation funnels through one partition")
   }
 
+  test("bm25 keeps corpus stats in-plan and broadcasts the term sides") {
+    val d = SparkEntry.defs.find(_.name == "q_text_bm25").get
+    val df = d.run(spark, sf)
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastExchange")
+      || df.queryExecution.optimizedPlan.toString.contains("ResolvedHint"),
+      "df/stats sides are not broadcast")
+    // top-10 must be a TakeOrdered, not a global sort of all scored docs
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "bm25 top-k fell back to a global sort")
+  }
+
+  test("knn join blocks on the label key (no cartesian), top-k window is per-vector") {
+    val d = SparkEntry.defs.find(_.name == "q_ann_knn_join").get
+    val p = d.run(spark, sf).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "knn join degenerated to a cross product")
+    // the rank window partitions by the left vector id, so no partition
+    // exceeds one block — a global (unpartitioned) window is the bug
+    assert(!p.contains("Window [") || !p.contains("windowspecdefinition(cos"),
+      "knn rank window lost its per-vector partitioning")
+  }
+
+  test("train order never funnels through one partition") {
+    val d = SparkEntry.defs.find(_.name == "q_pipeline_train_order").get
+    val p = d.run(spark, sf).queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "train order gained a global rank window")
+    // shard offsets are a broadcast join, not a shuffled one
+    assert(p.contains("BroadcastHashJoin"), "shard offsets are not broadcast")
+  }
+
+  test("boilerplate removal anti-joins the shared-chunk set without a cartesian") {
+    val d = SparkEntry.defs.find(_.name == "q_pipeline_boilerplate").get
+    val p = d.run(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), "boilerplate removal lost the anti-join shape")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "boilerplate anti-join degenerated to a cross product")
+  }
+
+  test("quality score is row-local: no shuffle except presentation order") {
+    val d = SparkEntry.defs.find(_.name == "q_pipeline_quality_score").get
+    val p = d.run(spark, sf).queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"quality scoring shuffles $exchanges times (expected sort only)")
+    assert(!p.contains("Window"), "quality scoring gained a window")
+  }
+
   test("presentation sort replaces the root range exchange when enabled") {
     val d = SparkEntry.defs.find(_.name == "q_dedup_exact").get
     val off = d.run(spark, sf).queryExecution.executedPlan.toString
