@@ -224,14 +224,15 @@ object TextQueries {
       // GROUP BY count(DISTINCT) collapses to array arithmetic: the
       // grouping key is the row the array came from.)
       val words = split(col("text"), " ")
-      val grams = transform(sequence(lit(1), size(col("words")) - 2),
-        i => concat_ws(" ",
-          element_at(col("words"), i),
-          element_at(col("words"), i + 1),
-          element_at(col("words"), i + 2)))
+      // distinct 3-grams as distinct (w1,w2,w3) structs via arrays_zip
+      // of shifted slices — identical to distinct joined strings (words
+      // carry no spaces) and fully codegen'd, where the former
+      // transform(sequence…) lambda was interpreted per gram
+      val grams = arrays_zip(
+        slice(col("words"), lit(1), size(col("words")) - 2),
+        slice(col("words"), lit(2), size(col("words")) - 2),
+        slice(col("words"), lit(3), size(col("words")) - 2))
       t.documents.select(col("doc_id"), words.as("words"))
-        // n_grams falls out of the words length — the (interpreted)
-        // gram transform is referenced ONCE, by the distinct count
         .select(col("doc_id"),
           (size(col("words")) - 2).cast("long").as("n_grams"),
           size(array_distinct(grams)).cast("long").as("n_uniq"))
@@ -432,14 +433,25 @@ object TextQueries {
         |FROM bg GROUP BY bg HAVING count(*) >= 20
         |ORDER BY n DESC, bg""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
-      val bigrams = transform(
-        sequence(lit(1), size(col("words")) - 1),
-        i => concat_ws(" ", element_at(col("words"), i), element_at(col("words"), i + 1)))
+      // bigram pairs via arrays_zip of the two shifted slices instead of
+      // a transform(sequence...) lambda — higher-order functions are
+      // CodegenFallback (interpreted per element, the minhash lesson);
+      // slice/arrays_zip/explode stay inside whole-stage codegen
+      val bigrams = arrays_zip(
+        slice(col("words"), lit(1), size(col("words")) - 1),
+        slice(col("words"), lit(2), size(col("words")) - 1))
+      // count + countDistinct in ONE aggregate makes Spark Expand the
+      // exploded bigram stream 2x (one replica per aggregate family)
+      // before the shuffle; the two-level shape instead collapses
+      // (bg, doc_id) duplicates map-side first — the second aggregate
+      // then reads per-doc partials, and nothing is replicated
       t.documents
         .select(col("doc_id"), split(col("text"), " ").as("words"))
-        .select(col("doc_id"), explode(bigrams).as("bg"))
+        .select(col("doc_id"), explode(bigrams).as("z"))
+        .select(col("doc_id"), concat_ws(" ", col("z.0"), col("z.1")).as("bg"))
+        .groupBy(col("bg"), col("doc_id")).agg(count(lit(1)).as("pn"))
         .groupBy(col("bg"))
-        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
+        .agg(sum(col("pn")).as("n"), count(lit(1)).as("df"))
         .filter(col("n") >= 20)
         .orderBy(col("n").desc, col("bg"))
     },

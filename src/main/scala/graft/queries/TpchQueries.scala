@@ -405,9 +405,14 @@ object TpchQueries {
       val perPart = t.lineitem
         .select(col("l_partkey"), col("l_extendedprice").cast(DecimalType(18, 2)).as("price"))
         .groupBy(col("l_partkey")).agg(sum(col("price")).as("val_dec"))
-      val total = t.lineitem
-        .agg((sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double") * 0.0005)
-          .as("threshold"))
+      // the global threshold re-aggregates the per-part DECIMAL partials
+      // (lossless decomposition: sum of group sums == direct sum), so
+      // both consumers share one fact scan via ReusedExchange instead of
+      // scanning lineitem twice — unlike q21's reverted one-scan rewrite,
+      // the shared subtree here ends at an EXCHANGE, which physical
+      // planning reuses even with AQE off
+      val total = perPart
+        .agg((sum(col("val_dec")).cast("double") * 0.0005).as("threshold"))
       perPart.join(broadcast(total))
         .filter(col("val_dec").cast("double") > col("threshold"))
         .select(col("l_partkey").as("ps_partkey"), col("val_dec").cast("double").as("value"))
