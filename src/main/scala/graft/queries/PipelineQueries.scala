@@ -341,6 +341,89 @@ object PipelineQueries {
     // a deployment artifact (literals), so the whole operator is a
     // scan-side filter that pushes column pruning to parquet and
     // pipelines into whatever consumes the kept docs.
+    // Dedup APPLY: materialize the kept corpus after exact dedup — for
+    // every md5(text) group keep the lowest doc_id (the canonical),
+    // drop the rest. This is the decision step the counting operator
+    // (q_dedup_exact) and the clustering operator (dup_clusters) feed;
+    // output is per-source kept/dropped accounting plus the canonical
+    // id range, so the result stays result-sized while the kept-doc
+    // assignment itself is checked through the min/max/sum columns.
+    // One map-side-combined shuffle on the 16-byte content hash, one
+    // tiny per-source roll-up — at 100 TB the hash groupBy IS the
+    // dedup; no sort, no window.
+    q("q_pipeline_dedup_apply",
+      """WITH canon AS (
+        |  SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS grp_n
+        |  FROM documents GROUP BY md5(text)),
+        |kept AS (SELECT d.source, d.doc_id, c.grp_n
+        |         FROM documents d JOIN canon c ON md5(d.text) = c.h AND d.doc_id = c.keep_id)
+        |SELECT source, count(*) AS n_kept,
+        |  CAST(sum(grp_n - 1) AS BIGINT) AS n_dropped,
+        |  min(doc_id) AS first_keep, max(doc_id) AS last_keep,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_keep
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      // keep_id and the group's source ride the SAME aggregate via
+      // min(struct(doc_id, source)) — no join back to documents, one
+      // shuffle on the content hash (the oracle's join spelling reads
+      // the same rows; min-by-doc_id of (doc_id, source) is exactly the
+      // kept row's columns)
+      val canon = t.documents
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(struct(col("doc_id"), col("source"))).as("k"),
+          count(lit(1)).as("grp_n"))
+        .select(col("k.doc_id").as("keep_id"), col("k.source").as("source"), col("grp_n"))
+      canon.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("grp_n") - 1).as("n_dropped"),
+          min(col("keep_id")).as("first_keep"),
+          max(col("keep_id")).as("last_keep"),
+          sum(col("keep_id")).as("sum_keep"))
+        .orderBy(col("source"))
+    },
+
+    // Token-budget data selection: aggregate token counts per source,
+    // rank sources by contribution, and greedily admit whole sources
+    // until half the corpus token budget is spent — the "choose which
+    // crawls/domains fit this training run" step. The fact-table work
+    // is ONE map-side-combined aggregation; everything after (ordering,
+    // prefix sum, budget cut) runs on the per-source table, whose
+    // cardinality is bounded by the number of domains — a window there
+    // is fine at any corpus size, because it never touches fact rows.
+    q("q_pipeline_token_budget",
+      """WITH src AS (
+        |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+        |  FROM documents GROUP BY source),
+        |ranked AS (
+        |  SELECT source, toks,
+        |    CAST(sum(toks) OVER (ORDER BY toks DESC, source
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks AS BIGINT) AS prior,
+        |    CAST(sum(toks) OVER () AS BIGINT) AS total
+        |  FROM src)
+        |SELECT source, toks, prior
+        |FROM ranked WHERE prior < total * 0.5
+        |ORDER BY toks DESC, source""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val src = t.documents.groupBy(col("source"))
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("toks"))
+      // prefix sum WITHOUT a global window (even a bounded one would
+      // plan a single-partition WindowExec): prior = sum over the
+      // strictly-higher-ranked sources via a broadcast theta-join on
+      // the per-source table — O(domains²) pairs, trivial at any
+      // corpus size, and every stage stays partitioned
+      val other = src.select(col("source").as("s2"), col("toks").as("t2"))
+      val prior = src.join(broadcast(other),
+          col("t2") > col("toks") ||
+            (col("t2") === col("toks") && col("s2") < col("source")), "left")
+        .groupBy(col("source"), col("toks"))
+        .agg(coalesce(sum(col("t2")), lit(0L)).as("prior"))
+      val total = src.agg(sum(col("toks")).as("total"))
+      prior.crossJoin(broadcast(total))
+        .filter(col("prior") < col("total") * 0.5)
+        .select(col("source"), col("toks"), col("prior"))
+        .orderBy(col("toks").desc, col("source"))
+    },
+
     q("q_pipeline_quality_score",
       """WITH f AS (
         |  SELECT doc_id, string_split(text, ' ') AS words, length(text) AS nc FROM documents

@@ -131,6 +131,42 @@ class PipelineSpec extends SparkSpecBase {
       again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
   }
 
+  test("dedup apply: kept+dropped accounts for every document exactly once") {
+    val rows = run("q_pipeline_dedup_apply").collect()
+    val t = graft.engine.Tables(spark, sf)
+    val total = t.documents.count()
+    val accounted = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    assert(accounted == total, s"dedup apply accounts $accounted of $total docs")
+    // kept ids must be distinct minima: re-derive canonical set directly
+    val keptExpect = t.documents
+      .groupBy(md5(col("text"))).agg(min(col("doc_id")).as("k"))
+      .count()
+    assert(rows.map(_.getLong(1)).sum == keptExpect, "kept count != distinct-content count")
+  }
+
+  test("token budget: selected sources form a prefix of the contribution ranking") {
+    val rows = run("q_pipeline_token_budget").collect()
+    assert(rows.nonEmpty)
+    val t = graft.engine.Tables(spark, sf)
+    val all = t.documents.groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("toks"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (s2, tk) => (-tk, s2) }
+    val totalToks = all.map(_._2).sum
+    // result = the maximal prefix whose PRIOR cumulative stays under half
+    var cum = 0L
+    val expect = all.takeWhile { case (_, tk) => val keep = cum < totalToks * 0.5; cum += tk; keep }
+    assert(rows.map(_.getString(0)).toSeq == expect.map(_._1).toSeq,
+      "selected sources are not the ranking prefix")
+    // priors are consistent running sums
+    rows.foreach { r =>
+      // recompute prior directly from the ranking
+      val idx = all.indexWhere(_._1 == r.getString(0))
+      val prior = all.take(idx).map(_._2).sum
+      assert(r.getLong(2) == prior, s"source ${r.getString(0)} prior ${r.getLong(2)} != $prior")
+    }
+  }
+
   test("quality score: sigmoid in (0,1), keep flag consistent, matches a hand computation") {
     val rows = run("q_pipeline_quality_score").collect()
     assert(rows.nonEmpty)

@@ -322,6 +322,22 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Window"), "quality scoring gained a window")
   }
 
+  test("dedup apply is one hash aggregation, no window, no join back to the fact") {
+    val d = SparkEntry.defs.find(_.name == "q_pipeline_dedup_apply").get
+    val p = d.run(spark, sf).queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "dedup apply gained a window")
+    assert(!p.contains("Join"), "dedup apply joins back to documents (min(struct) shape lost)")
+  }
+
+  test("token budget prefix sum avoids the global window") {
+    val d = SparkEntry.defs.find(_.name == "q_pipeline_token_budget").get
+    val p = d.run(spark, sf).queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "token budget planned a single-partition global window")
+    // the theta-join runs on the tiny per-source side, as a broadcast NL
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "prior computation lost its broadcast pair-join shape")
+  }
+
   test("presentation sort replaces the root range exchange when enabled") {
     val d = SparkEntry.defs.find(_.name == "q_dedup_exact").get
     val off = d.run(spark, sf).queryExecution.executedPlan.toString
