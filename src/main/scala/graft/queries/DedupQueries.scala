@@ -184,6 +184,75 @@ object DedupQueries {
         .orderBy(col("d1"), col("d2"))
     },
 
+    // Prefix-filtered exact similarity join (AllPairs, Bayardo et al.
+    // WWW'07; PPJoin, Xiao et al.): the EXACT Jaccard >= 0.5 pair set
+    // with NO frequency cap. Sort every doc's shingles by a global
+    // (rarity, id) order and index only the first n - ceil(0.5*n) + 1
+    // of them — two sets with J >= t MUST collide inside these
+    // prefixes, so the candidate join touches only rare-first prefix
+    // postings (the frequent shingles that make an uncapped inverted-
+    // index join quadratic never enter the index). Candidates are then
+    // VERIFIED with their true intersection size, so the filter is
+    // lossless — unlike q_dedup_jaccard's df <= 1000 bucket cap, which
+    // is a declared approximation. Every stage is keyed: per-doc rank
+    // windows are doc-sized, the prefix self-join buckets are small by
+    // construction (rare-first), and verification joins fan the
+    // candidate list (near-dups are rare) against the shingle table on
+    // doc_id then (doc, shingle).
+    q("q_dedup_jaccard_prefix",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         ('0x' || substr(md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2]), 1, 13))::BIGINT AS sh
+        |       FROM w, UNNEST(generate_series(1, len(words)-2)) AS t(i)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |dfc AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+        |pre AS (SELECT doc_id, sh FROM (
+        |    SELECT s.doc_id, s.sh, n,
+        |      row_number() OVER (PARTITION BY s.doc_id ORDER BY df, s.sh) AS rk
+        |    FROM sh s JOIN dfc USING (sh) JOIN sizes USING (doc_id))
+        |  WHERE rk <= n - ceil(n * 0.5) + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |         FROM pre a JOIN pre b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+        |inter AS (SELECT c.d1, c.d2, count(*) AS i
+        |          FROM cand c
+        |          JOIN sh x ON x.doc_id = c.d1
+        |          JOIN sh y ON y.doc_id = c.d2 AND y.sh = x.sh
+        |          GROUP BY c.d1, c.d2)
+        |SELECT d1, d2, round(i * 1.0 / (sa.n + sb.n - i), 9) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON d1 = sa.doc_id
+        |JOIN sizes sb ON d2 = sb.doc_id
+        |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+        |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      import org.apache.spark.sql.expressions.Window
+      val sh = hashedShingles(t.documents)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val dfc = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+      val pre = sh.join(dfc, "sh")
+        .join(sizes, "doc_id")
+        .withColumn("rk", row_number().over(wDoc))
+        .filter(col("rk") <= col("n") - ceil(col("n") * 0.5) + 1)
+        .select(col("doc_id"), col("sh"))
+      val cand = pre.select(col("doc_id").as("d1"), col("sh"))
+        .join(pre.select(col("doc_id").as("d2"), col("sh").as("shb")),
+          col("sh") === col("shb") && col("d1") < col("d2"))
+        .select(col("d1"), col("d2")).distinct()
+      val inter = cand
+        .join(sh.select(col("doc_id").as("d1"), col("sh")), "d1")
+        .join(sh.select(col("doc_id").as("d2p"), col("sh").as("sh2")),
+          col("d2") === col("d2p") && col("sh") === col("sh2"))
+        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
+      inter
+        .join(sizes.select(col("doc_id").as("d1"), col("n").as("na")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("n").as("nb")), "d2")
+        .withColumn("jac_raw", col("i") * 1.0 / (col("na") + col("nb") - col("i")))
+        .filter(col("jac_raw") >= 0.5)
+        .select(col("d1"), col("d2"), round(col("jac_raw"), 9).as("jaccard"))
+        .orderBy(col("d1"), col("d2"))
+    },
+
     q("q_dedup_minhash_lsh",
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
         |sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS sh

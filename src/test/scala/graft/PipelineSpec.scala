@@ -167,6 +167,22 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("prefix-filtered jaccard is a lossless superset of the df-capped join") {
+    // the df<=1000 cap can only LOWER a pair's counted intersection, so
+    // every pair the capped operator reports must also appear in the
+    // exact prefix-filtered result, with jaccard >= the capped estimate
+    val exact = run("q_dedup_jaccard_prefix").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val capped = run("q_dedup_jaccard").collect()
+    capped.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(exact.contains(key), s"capped pair $key missing from exact result")
+      assert(exact(key) >= r.getDouble(2) - 1e-9,
+        s"exact jaccard ${exact(key)} below capped estimate ${r.getDouble(2)} for $key")
+    }
+    exact.values.foreach(j => assert(j >= 0.5 && j <= 1.0))
+  }
+
   test("quality score: sigmoid in (0,1), keep flag consistent, matches a hand computation") {
     val rows = run("q_pipeline_quality_score").collect()
     assert(rows.nonEmpty)

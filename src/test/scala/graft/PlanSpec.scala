@@ -322,6 +322,16 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Window"), "quality scoring gained a window")
   }
 
+  test("prefix-filtered jaccard joins stay keyed (no cartesian), windows are per-doc") {
+    val d = SparkEntry.defs.find(_.name == "q_dedup_jaccard_prefix").get
+    val p = d.run(spark, sf).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "prefix join degenerated to a cross product")
+    assert(!p.contains("windowspecdefinition()") &&
+      p.contains("windowspecdefinition(doc_id"),
+      "prefix rank window lost its per-doc partitioning")
+  }
+
   test("dedup apply is one hash aggregation, no window, no join back to the fact") {
     val d = SparkEntry.defs.find(_.name == "q_pipeline_dedup_apply").get
     val p = d.run(spark, sf).queryExecution.executedPlan.toString
