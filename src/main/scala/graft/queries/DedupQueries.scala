@@ -226,7 +226,12 @@ object DedupQueries {
         |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
       import org.apache.spark.sql.expressions.Window
-      val sh = hashedShingles(t.documents)
+      // the shingle table feeds FIVE consumers (sizes, df, prefix, both
+      // verification sides); without a materialization point each one
+      // re-runs the scan+explode+md5 pipeline. One localCheckpoint = one
+      // md5 pass (the dup_clusters trade: blocks are RDD-managed and
+      // GC'd with the plan, no CacheManager residue across bench reps)
+      val sh = hashedShingles(t.documents).localCheckpoint()
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val dfc = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
