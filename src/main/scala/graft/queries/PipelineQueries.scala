@@ -32,6 +32,23 @@ object PipelineQueries {
     * words here; the packing shape is what scales, not the tokenizer). */
   private val PackCapacity = 2048L
 
+  /** Fixed-weight logistic quality score over a `text` column — the
+    * deployment artifact shared by the batch operator
+    * (q_pipeline_quality_score) and the streaming gate
+    * (streaming/EventStreams.qualityGate), so the two can never drift.
+    * Row-local codegen'd arithmetic, no UDF. */
+  private[graft] val QualityStops =
+    Seq("the", "a", "of", "and", "der", "el", "le", "de", "la")
+  private[graft] def qualityScore: org.apache.spark.sql.Column = {
+    val words = split(col("text"), " ")
+    val nw = size(words)
+    val logit = lit(-2.0) + lit(0.3) * log(nw.cast("double")) +
+      lit(0.2) * ((length(col("text")) - (nw - 1)) * 1.0 / nw) -
+      lit(1.5) * (size(filter(words, x => x.isin(QualityStops.map(lit): _*))) * 1.0 / nw) +
+      lit(2.0) * (size(array_distinct(words)) * 1.0 / nw)
+    lit(1.0) / (lit(1.0) + exp(-logit))
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     q("q_pipeline_pack_sequences",
@@ -441,19 +458,9 @@ object PipelineQueries {
         |    - 1.5 * stop_ratio + 2.0 * uniq_ratio))) >= 0.5 AS keep
         |FROM feat ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
-      val words = split(col("text"), " ")
-      val nw = size(words)
-      val stops = Seq("the", "a", "of", "and", "der", "el", "le", "de", "la")
-      val feats = t.documents.select(col("doc_id"),
-        nw.cast("long").as("n_words"),
-        ((length(col("text")) - (nw - 1)) * 1.0 / nw).as("mean_wlen"),
-        (size(filter(words, x => x.isin(stops.map(lit): _*))) * 1.0 / nw).as("stop_ratio"),
-        (size(array_distinct(words)) * 1.0 / nw).as("uniq_ratio"))
-      val logit = lit(-2.0) + lit(0.3) * log(col("n_words")) +
-        lit(0.2) * col("mean_wlen") - lit(1.5) * col("stop_ratio") +
-        lit(2.0) * col("uniq_ratio")
-      val score = lit(1.0) / (lit(1.0) + exp(-logit))
-      feats.select(col("doc_id"), col("n_words"),
+      val score = qualityScore
+      t.documents.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_words"),
           round(score, 9).as("quality"), (score >= 0.5).as("keep"))
         .orderBy(col("doc_id"))
     }

@@ -179,4 +179,32 @@ object EventStreams {
           }
       }
   }
+
+  /** Streaming quality gate + ingest metering: each arriving document
+    * is scored by the SAME fixed-weight logistic classifier as the
+    * batch operator (graft.queries.PipelineQueries.qualityScore — one
+    * definition, no drift), gated at 0.5, and per-(hour, source)
+    * counters meter total/admitted docs and admitted tokens — the live
+    * dashboard of a continuous training-data ingest. A stateless
+    * row-local filter followed by a watermarked windowed aggregation:
+    * window state is evicted as the watermark passes, so state is
+    * bounded at any ingest rate.
+    *
+    * Input must carry (doc_id BIGINT, text STRING, source STRING,
+    * ts TIMESTAMP). */
+  def qualityGate(docs: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val score = graft.queries.PipelineQueries.qualityScore
+    val toks = size(split(col("text"), " ")).cast("long")
+    docs
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .withColumn("keep", score >= 0.5)
+      .withColumn("toks", toks)
+      .groupBy(window(col("ts"), "1 hour"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(col("keep"), col("toks")).otherwise(0L)).as("admitted_toks"))
+      .select(col("window.start").as("hr"), col("source"),
+        col("n_docs"), col("n_admitted"), col("admitted_toks"))
+  }
 }

@@ -195,4 +195,51 @@ class StreamingSpec extends SparkSpecBase {
       s"only ${flaggedReuploads.size} of $nDocs re-uploads were flagged against " +
         "run-1 state after restart — bucket state did not survive the checkpoint")
   }
+
+  test("streaming quality gate matches the batch scorer and meters every doc") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-qgate").toFile
+    dir.deleteOnExit()
+    // 10-minute ingest spacing spreads the corpus over ~3 days of event
+    // time, so append mode has closed windows to emit (all but the
+    // final watermark horizon)
+    val docs = graft.engine.Tables(spark, sf).documents
+      .select(col("doc_id"), col("text"), col("source"),
+        (lit(1700000000L) + col("doc_id") * 600).cast("timestamp").as("ts"))
+    docs.orderBy("doc_id").coalesce(1).write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, source STRING, ts TIMESTAMP")
+    val q = EventStreams.qualityGate(
+        spark.readStream.schema(schema).parquet(dir.getAbsolutePath))
+      .writeStream.format("memory").queryName("qgate")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("qgate")
+      .select(col("hr"), col("source"), col("n_docs"), col("n_admitted"), col("admitted_toks"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(streamed.nonEmpty, "stream emitted no closed windows")
+    // append mode emits only watermark-closed windows; compare the
+    // batch reference (SAME score definition) on the closed set
+    val maxClosed = streamed.keys.map(_._1.getTime).max
+    val score = graft.queries.PipelineQueries.qualityScore
+    val batch = docs
+      .withColumn("keep", score >= 0.5)
+      .withColumn("toks", size(split(col("text"), " ")).cast("long"))
+      .groupBy(window(col("ts"), "1 hour"), col("source"))
+      .agg(count(lit(1)).as("n"), sum(when(col("keep"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("keep"), col("toks")).otherwise(0L)).as("at"))
+      .collect()
+      .map(r => (r.getStruct(0).getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .filter(_._1._1.getTime <= maxClosed).toMap
+    assert(streamed == batch,
+      s"stream/batch metering mismatch: stream=${streamed.size} batch=${batch.size} rows")
+    // closed-window accounting covers every doc outside the final horizon
+    val metered = streamed.values.map(_._1).sum
+    val expected = docs.filter(
+      col("ts") < new java.sql.Timestamp(maxClosed + 3600 * 1000L)).count()
+    assert(metered == expected, s"metered $metered docs of $expected in closed windows")
+  }
 }
