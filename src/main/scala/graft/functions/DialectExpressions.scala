@@ -692,3 +692,57 @@ case class ElementAtDispatch(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ElementAtDispatch =
     copy(left = l, right = r)
 }
+
+/** DuckDB regexp_replace semantics (duckdb/docs regex page): replaces
+  * the FIRST match unless the options string contains 'g'; 'i'/'m'/'s'
+  * map to the matching Java regex flags, 'c' restores case
+  * sensitivity. Spark's native regexp_replace is global-only — a
+  * silent 3-arg divergence until the probe battery caught it.
+  * Backreferences use DuckDB's \1 spelling, translated to Java's $1.
+  * CodegenFallback is fine here: this binds only on the SQL wire path
+  * (the Scala query corpus uses the Spark functions API), and the
+  * compiled pattern is cached per (pattern, flags). */
+case class RegexpReplaceDuck(children: Seq[Expression]) extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  @transient private var cached: (String, Int, java.util.regex.Pattern) = _
+  private def pattern(p: String, flags: Int): java.util.regex.Pattern = {
+    if (cached == null || cached._1 != p || cached._2 != flags)
+      cached = (p, flags, java.util.regex.Pattern.compile(p, flags))
+    cached._3
+  }
+  private def javaRepl(r: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < r.length) {
+      val c = r.charAt(i)
+      if (c == '\\' && i + 1 < r.length && r.charAt(i + 1).isDigit) {
+        sb += '$'; sb += r.charAt(i + 1); i += 2
+      } else if (c == '\\' && i + 1 < r.length) {
+        sb += '\\'; sb += '\\'; sb += r.charAt(i + 1); i += 2
+      } else if (c == '$') { sb append "\\$"; i += 1 }
+      else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+  override def eval(input: InternalRow): Any = {
+    val vals = children.map(_.eval(input))
+    if (vals.take(3).contains(null)) return null
+    val subject = vals(0).asInstanceOf[UTF8String].toString
+    val pat = vals(1).asInstanceOf[UTF8String].toString
+    val repl = javaRepl(vals(2).asInstanceOf[UTF8String].toString)
+    val opts =
+      if (vals.length > 3 && vals(3) != null) vals(3).asInstanceOf[UTF8String].toString else ""
+    var flags = 0
+    if (opts.contains('i')) flags |= java.util.regex.Pattern.CASE_INSENSITIVE
+    if (opts.contains('m')) flags |= java.util.regex.Pattern.MULTILINE
+    if (opts.contains('s')) flags |= java.util.regex.Pattern.DOTALL
+    val m = pattern(pat, flags).matcher(subject)
+    UTF8String.fromString(
+      if (opts.contains('g')) m.replaceAll(repl) else m.replaceFirst(repl))
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): RegexpReplaceDuck =
+    copy(children = newChildren)
+}

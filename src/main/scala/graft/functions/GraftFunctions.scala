@@ -957,10 +957,23 @@ object GraftFunctions {
     fn("list_has_any")(es => call("arrays_overlap")(es.head, es(1)))
     fn("array_has_any")(es => call("arrays_overlap")(es.head, es(1)))
 
-    // make_time(h, m, s): Spark has no TIME type — render the wire text
-    fn("make_time")(es => call("format_string")(str("%02d:%02d:%02d"),
+    // regexp_replace: DuckDB replaces the FIRST match unless options
+    // contain 'g' — Spark's native is global-only (silent 3-arg
+    // divergence found by the probe battery). SQL wire path only; the
+    // query corpus binds Spark's Column API directly.
+    fn("regexp_replace")(es => RegexpReplaceDuck(es))
+
+    // make_time(h, m, s): Spark has no TIME type — render the wire text.
+    // Seconds keep their fraction the way DuckDB prints it (trailing
+    // zeros trimmed: 45.5 -> "45.5", 45 -> "45"): format to 6-digit
+    // micros, strip trailing zeros, then a trailing dot.
+    fn("make_time")(es => call("format_string")(str("%02d:%02d:%s"),
       Cast(es(0), IntegerType), Cast(es(1), IntegerType),
-      Cast(Cast(es(2), DoubleType), LongType, None, EvalMode.LEGACY)))
+      call("regexp_replace")(
+        call("regexp_replace")(
+          call("format_string")(str("%09.6f"), Cast(es(2), DoubleType)),
+          str("0+$"), str("")),
+        str("\\.$"), str(""))))
 
     // ---- date-function semantics
     // DuckDB dayofweek: Sunday=0 … Saturday=6 (Spark native: Sunday=1)

@@ -330,7 +330,26 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       rewritten = rewritten.substring(0, m.start) + s"SELECT $cols FROM ${m.group(2)}" +
         rewritten.substring(m.end)
     }
-    val df = spark.sql(rewritten)
+    val df =
+      try spark.sql(rewritten)
+      catch {
+        // DuckDB allows unnest() nested inside a SELECT-list expression
+        // (`select unnest(xs) + 10 from t`); Spark requires the
+        // generator at the top level. Narrow recovery: hoist the single
+        // unnest into an inner SELECT that explodes alongside the
+        // source columns, and reference its alias in the outer
+        // expression. Only attempted when Spark raised exactly this
+        // error, so no other statement shape can be affected.
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getErrorClass != null &&
+              e.getErrorClass.startsWith("UNSUPPORTED_GENERATOR.NESTED_IN_EXPRESSIONS") =>
+          hoistNestedUnnest(rewritten) match {
+            case Some(h) =>
+              try spark.sql(h)
+              catch { case _: Throwable => throw e } // surface the ORIGINAL error
+            case None => throw e
+          }
+      }
     val verb = sql.split("\\s+").head.toUpperCase
     verb match {
       case "SELECT" | "WITH" | "VALUES" | "TABLE" | "SHOW" | "DESCRIBE" | "DESC" | "EXPLAIN" | "PIVOT" | "FROM" =>
@@ -518,10 +537,90 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       val neg = if (m.group(1) != null) "NOT " else ""
       Regex.quoteReplacement(s"${neg}RLIKE '^(?:$body)$$'")
     })
+    // x [NOT] GLOB 'pat' → [NOT] RLIKE anchored regex: DuckDB GLOB is a
+    // full-string filesystem-style match (* ? [set]); regex specials in
+    // the pattern are escaped, glob metachars translate
+    s = globRe.replaceAllIn(s, m => {
+      val lit = m.group(2)
+      val pat = lit.substring(1, lit.length - 1)
+      val sb = new StringBuilder
+      pat.foreach {
+        case '*' => sb.append(".*")
+        case '?' => sb.append('.')
+        case c @ ('[' | ']' | '!' | '^' | '-') => sb.append(c) // set syntax passes through
+        case c if "\\.+(){}|$".contains(c) => sb.append('\\').append(c)
+        case c => sb.append(c)
+      }
+      val neg = if (m.group(1) != null) "NOT " else ""
+      Regex.quoteReplacement(s"${neg}RLIKE '^(?:${sb.toString})$$'")
+    })
     // constructs Spark's parser rejects outright (QUALIFY, DISTINCT ON,
     // UNION BY NAME) — structural rewrites that hoist into standard SQL
     s = rewriteStructural(s)
     s
+  }
+
+  /** DuckDB/PG allow a generator nested in a SELECT-list expression
+    * (`select unnest(xs) + 10 from t`); Spark requires it at top level.
+    * Hoist the single unnest/explode into an inner SELECT that explodes
+    * alongside the source columns and reference its alias outside.
+    * Trailing top-level GROUP/ORDER/LIMIT… stay on the OUTER query (they
+    * see post-explode rows, as DuckDB evaluates them). Any shape this
+    * doesn't understand returns None and the original Spark error
+    * surfaces. Invoked only after UNSUPPORTED_GENERATOR.NESTED_IN_
+    * EXPRESSIONS, so no other statement is ever affected. */
+  private def hoistNestedUnnest(sql: String): Option[String] = {
+    if (!sql.trim.toLowerCase.startsWith("select")) return None
+    val genRe = """(?i)\b(unnest|explode)\s*\(""".r
+    val ms = genRe.findAllMatchIn(sql).toList
+    if (ms.size != 1) return None
+    val m = ms.head
+    var depth = 1; var i = m.end; var inStr = false
+    while (i < sql.length && depth > 0) {
+      val c = sql.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    if (depth != 0) return None
+    val arg = sql.substring(m.end, i - 1)
+    def topLevelKw(s: String, from: Int, kws: Seq[String]): Int = {
+      var d = 0; var str0 = false; var j = from
+      while (j < s.length) {
+        val c = s.charAt(j)
+        if (str0) { if (c == '\'') str0 = false }
+        else c match {
+          case '\'' => str0 = true
+          case '(' => d += 1
+          case ')' => d -= 1
+          case _ if d == 0 && kws.exists(kwAt(s, j, _)) => return j
+          case _ =>
+        }
+        j += 1
+      }
+      -1
+    }
+    val fromPos0 = topLevelKw(sql, 0, Seq("from"))
+    if (fromPos0 >= 0 && fromPos0 < m.start)
+      return None // generator after FROM (in WHERE etc) — not a select-list hoist
+    val mutated = sql.substring(0, m.start) + "__unnest" + sql.substring(i)
+    val fromPos = topLevelKw(mutated, 0, Seq("from"))
+    if (fromPos < 0)
+      return Some(s"$mutated FROM (SELECT explode($arg) AS __unnest)")
+    val tailKws = Seq("group", "having", "order", "limit", "qualify",
+      "union", "intersect", "except", "window")
+    val tailPos = topLevelKw(mutated, fromPos, tailKws)
+    val (core, trailer) =
+      if (tailPos < 0) (mutated.substring(fromPos), "")
+      else (mutated.substring(fromPos, tailPos), " " + mutated.substring(tailPos))
+    val fromBody = core.trim.replaceFirst("(?i)^from\\b", "")
+    Some(mutated.substring(0, fromPos) +
+      s"FROM (SELECT *, explode($arg) AS __unnest $fromBody)" + trailer)
   }
 
   // -- structural dialect rewrites (SURVEY §2-B.5/B.7/B.9 wire path) --------
@@ -1900,10 +1999,15 @@ object Engine {
         val text = i + 2 < len && sql.charAt(i + 2) == '>'
         var k = i + (if (text) 3 else 2)
         while (k < len && sql.charAt(k).isWhitespace) k += 1
-        // QUOTED literal RHS only: a bare-integer RHS would collide
-        // with lambda bodies (`transform(l, x -> 1)`); JSON array
-        // indexing is reachable as json_extract(j, '$[0]')
+        // Quoted literal RHS always rewrites. A BARE-INTEGER RHS (JSON
+        // array index, 0-based in DuckDB) collides with lambda bodies
+        // (`transform(l, x -> 1)`), so it rewrites only when it cannot
+        // be a lambda: `->>` has no lambda reading, and for `->` the
+        // operand must already look like JSON (a string literal, a
+        // ::json cast, or a previously rewritten json_extract chain) —
+        // a lambda's parameter list never does.
         var rhsEnd = -1
+        var intRhs = false
         if (k < len && sql.charAt(k) == '\'') {
           var e = k + 1
           while (e < len && rhsEnd < 0) {
@@ -1911,14 +2015,28 @@ object Engine {
               if (e + 1 < len && sql.charAt(e + 1) == '\'') e += 2 else rhsEnd = e + 1
             } else e += 1
           }
+        } else if (k < len && sql.charAt(k).isDigit) {
+          var e = k
+          while (e < len && sql.charAt(e).isDigit) e += 1
+          rhsEnd = e
+          intRhs = true
         }
-        val start = if (rhsEnd < 0) -1 else operandStart(sb)
+        var start = if (rhsEnd < 0) -1 else operandStart(sb)
+        if (start >= 0 && intRhs && !text) {
+          val op = sb.substring(start).trim
+          val jsonish = op.startsWith("json_extract(") || op.endsWith("'") ||
+            op.toLowerCase.replaceAll("\\s+", "").endsWith("::json")
+          if (!jsonish) start = -1
+        }
         if (start < 0) { sb += c; i += 1 }
         else {
           val operand = sb.substring(start)
           sb.delete(start, sb.length)
           val fn = if (text) "json_extract_string" else "json_extract"
-          sb.append(s"$fn($operand, ${sql.substring(k, rhsEnd)})")
+          val rhs =
+            if (intRhs) s"'$$[${sql.substring(k, rhsEnd)}]'"
+            else sql.substring(k, rhsEnd)
+          sb.append(s"$fn($operand, $rhs)")
           i = rhsEnd
         }
       } else { sb += c; i += 1 }
@@ -1995,6 +2113,7 @@ object Engine {
 
   private val semiAntiRe = """(?i)\b(left\s+|right\s+)?(semi|anti)\s+join\b""".r
   private val similarToRe = """(?i)\b(not\s+)?similar\s+to\s+('(?:[^']|'')*')""".r
+  private val globRe = """(?i)\b(not\s+)?glob\s+('(?:[^']|'')*')""".r
   /** DuckDB type names Spark lacks → closest Spark type. `::` form (and
     * the cast-keyword AS form for the unambiguous names). HUGEINT is
     * int128 → DECIMAL(38,0); unsigned ints widen to the next signed

@@ -26,6 +26,19 @@ def duck_fmt(v):
         return "t"
     if v is False:
         return "f"
+    # DuckDB's own text trims trailing zeros in fractional seconds
+    # ('12:30:45.5', not python str()'s '12:30:45.500000') — render the
+    # way duck does, which is the contract the wire emulates
+    if isinstance(v, datetime.datetime):
+        s = v.strftime("%Y-%m-%d %H:%M:%S")
+        if v.microsecond:
+            s += (".%06d" % v.microsecond).rstrip("0")
+        return s
+    if isinstance(v, datetime.time):
+        s = v.strftime("%H:%M:%S")
+        if v.microsecond:
+            s += (".%06d" % v.microsecond).rstrip("0")
+        return s
     if isinstance(v, float):
         if v == int(v) and abs(v) < 1e15:
             return str(v)
@@ -136,6 +149,10 @@ DOCUMENTED = {
         "returns Spark DDL type text (STRUCT<a: BIGINT>); DuckDB "
         "returns JSON-shaped structure with unsigned inference "
         "({\"a\":\"UBIGINT\"}) — same shape, different type-name dialect",
+    "select json_structure('{\"a\": 1, \"b\": \"x\"}')":
+        "returns Spark DDL type text (STRUCT<a: BIGINT, b: STRING>); "
+        "DuckDB returns JSON-shaped structure with unsigned inference — "
+        "same shape, different type-name dialect",
     "select list_zip([1,2],[3,4])":
         "server names the zipped struct fields list_1/list_2 (DuckDB's "
         "documented shape); the embedded DuckDB 1.0 build renders "
@@ -536,6 +553,53 @@ select n_name from nation qualify row_number() over (order by n_nationkey) <= 2 
 select * from nation positional join region limit 1
 select l_orderkey from lineitem semi join orders on l_orderkey = o_orderkey order by 1 limit 1
 select n_nationkey from nation anti join region on n_nationkey = r_regionkey order by 1 limit 1
+-- round-8 additions: subscripts/slices, arrows, comprehensions, operators
+select ([1,2,3,4])[2]
+select ([1,2,3,4])[2:3]
+select ([1,2,3,4])[:2]
+select ([1,2,3,4])[3:]
+select ('abcdef')[2:4]
+select ('abcdef')[3]
+select [x * 2 for x in [1,2,3]]
+select [x for x in [1,2,3,4] if x % 2 = 0]
+select [u for u in string_split('a b c', ' ') if u <> 'b']
+select 2 ** 10, 2 ^ 10
+select @(-7), @(7)
+select [1,2] && [2,3], [1,2] && [3,4]
+select [1,2,3] @> [2], [2] <@ [1,2,3]
+select '{"a": {"b": 7}}'::json -> 'a' -> 'b'
+select '{"a": {"b": 7}}'::json ->> 'a'
+select ('{"xs": [1,2,3]}'::json -> 'xs' ->> 1)
+select json_extract('{"a": [10, 20]}', '$.a[1]')
+select json_structure('{"a": 1, "b": "x"}')
+select json_merge_patch('{"a":1,"b":2}', '{"b":3}')
+select json_contains('{"a": 7}', '7')
+select from_json('[1,2,3]', '["BIGINT"]')
+select date_part(['year', 'month'], DATE '2024-03-15')
+select make_date(2024, 3, 15), make_time(12, 30, 45.5)
+select make_timestamp(2024, 3, 15, 12, 30, 45.5)
+select generate_series(1, 7, 3)
+select * from generate_series(0, 10, 5)
+select unnest(generate_series(1, 3)) + 10
+select INTERVAL 90 MINUTE + TIMESTAMP '2024-01-01 00:00:00'
+select TIMESTAMP '2024-03-15 10:00:00' - TIMESTAMP '2024-03-14 08:30:00'
+select age(TIMESTAMP '2024-03-15 00:00:00', TIMESTAMP '2022-01-20 00:00:00')
+select {'a': 1, 'b': 'two'}.a
+select struct_pack(x := 1, y := 'z').y
+select map([1,2],['one','two'])[2]
+select 'Hello' ilike 'h%', 'Hello' similar to 'H.*o'
+select 'file.txt' glob '*.txt', 'file.txt' glob '*.csv'
+select try_cast('xyz' as integer), try_cast('12' as integer)
+select xor(12, 10), 12 & 10, 12 | 10, ~12
+select list_reduce([1,2,3,4], (a, b) -> a + b)
+select list_transform([1,2,3], x -> x + 10)
+select list_filter([1,2,3,4], x -> x > 2)
+select regexp_extract('ab12cd', '([a-z]+)([0-9]+)', 2)
+select regexp_replace('a1b2', '[0-9]', '#', 'g')
+select greatest(1, 2, 3), least(4, 5, 6)
+select n_name from nation where n_nationkey between 1 and 2 order by 1
+select 1 union all by name select 2
+select * from (select 1 AS a, 2 AS b) union by name (select 20 AS b, 10 AS a)
 """
 
 
