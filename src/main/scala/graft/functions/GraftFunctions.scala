@@ -957,11 +957,15 @@ object GraftFunctions {
     fn("list_has_any")(es => call("arrays_overlap")(es.head, es(1)))
     fn("array_has_any")(es => call("arrays_overlap")(es.head, es(1)))
 
-    // regexp_replace: DuckDB replaces the FIRST match unless options
-    // contain 'g' — Spark's native is global-only (silent 3-arg
-    // divergence found by the probe battery). SQL wire path only; the
-    // query corpus binds Spark's Column API directly.
-    fn("regexp_replace")(es => RegexpReplaceDuck(es))
+    // graft_regexp_replace: DuckDB replaces the FIRST match unless
+    // options contain 'g' — Spark's native is global-only (silent 3-arg
+    // divergence found by the probe battery). Registered under an
+    // internal name that Engine.rewrite substitutes on the SQL WIRE
+    // path only: in Spark 4 the Column API (functions.regexp_replace)
+    // ALSO resolves through this registry by name, so overriding the
+    // public name would silently flip the whole Scala query corpus to
+    // first-match semantics (caught by the oracle sweep).
+    fn("graft_regexp_replace")(es => RegexpReplaceDuck(es))
 
     // make_time(h, m, s): Spark has no TIME type — render the wire text.
     // Seconds keep their fraction the way DuckDB prints it (trailing

@@ -537,6 +537,11 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       val neg = if (m.group(1) != null) "NOT " else ""
       Regex.quoteReplacement(s"${neg}RLIKE '^(?:$body)$$'")
     })
+    // regexp_replace on the wire gets DuckDB's semantics (first-match
+    // unless 'g'); the internal name keeps the Scala corpus (Column
+    // API, which resolves registry names in Spark 4) on Spark-native
+    // global behavior
+    s = s.replaceAll("(?i)\\bregexp_replace\\s*\\(", "graft_regexp_replace(")
     // x [NOT] GLOB 'pat' → [NOT] RLIKE anchored regex: DuckDB GLOB is a
     // full-string filesystem-style match (* ? [set]); regex specials in
     // the pattern are escaped, glob metachars translate
