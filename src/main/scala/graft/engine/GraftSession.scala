@@ -31,6 +31,11 @@ object GraftSession {
       // "identifier" means identifier (PG/DuckDB convention; psql meta
       // commands and DataGrip emit double-quoted column aliases)
       .config("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+      // (string-literal backslash semantics for the WIRE are handled by
+      // Engine.rewrite's escapeLiteralBackslashes pass, not the
+      // escapedStringLiterals conf: the conf disables UNESCAPING but
+      // Spark's lexer still consumes \' — a literal ending in a lone
+      // backslash would be inexpressible)
       .config("spark.sql.adaptive.enabled", "true")
       // 100 TB levers: runtime bloom filters prune the probe side of
       // large joins at the scan; parquet aggregate pushdown answers

@@ -424,6 +424,15 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     // literals (string-aware: a $$ inside an ordinary '…' literal is
     // content, not an opener)
     s = rewriteDollarQuotes(s)
+    // PG/DuckDB string literals carry backslashes LITERALLY; Spark's
+    // lexer+unescaper treat backslash as an escape ('\d' -> 'd', '\2'
+    // backrefs silently eaten, a literal ending in \ unparseable).
+    // Double every backslash inside '…' literals so Spark's unescape
+    // restores the wire bytes exactly. After dollar-quote conversion so
+    // $$raw$$ content (also backslash-literal in PG) gets the same
+    // treatment; '' doubling is the only in-literal escape honored,
+    // matching psql's own lexing.
+    s = escapeLiteralBackslashes(s)
     // FROM-first reorder AFTER dollar-quote normalization, so clause
     // keywords inside $$-literals are already quote-protected
     s = rewriteLeadingFrom(s)
@@ -547,22 +556,49 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     // the pattern are escaped, glob metachars translate
     s = globRe.replaceAllIn(s, m => {
       val lit = m.group(2)
-      val pat = lit.substring(1, lit.length - 1)
-      val sb = new StringBuilder
-      pat.foreach {
-        case '*' => sb.append(".*")
-        case '?' => sb.append('.')
-        case c @ ('[' | ']' | '!' | '^' | '-') => sb.append(c) // set syntax passes through
-        case c if "\\.+(){}|$".contains(c) => sb.append('\\').append(c)
-        case c => sb.append(c)
+      // the literal arrives with backslashes DOUBLED by
+      // escapeLiteralBackslashes — undo, build the regex over the raw
+      // pattern, then re-escape the whole regex for Spark's literal
+      // unescaper
+      val raw = lit.substring(1, lit.length - 1).replace("\\\\", "\\")
+      val rx = new StringBuilder
+      raw.foreach {
+        case '*' => rx.append(".*")
+        case '?' => rx.append('.')
+        case c @ ('[' | ']' | '!' | '^' | '-') => rx.append(c) // set syntax passes through
+        case c if "\\.+(){}|$".contains(c) => rx.append('\\').append(c)
+        case c => rx.append(c)
       }
+      val sqlText = rx.toString.replace("\\", "\\\\")
       val neg = if (m.group(1) != null) "NOT " else ""
-      Regex.quoteReplacement(s"${neg}RLIKE '^(?:${sb.toString})$$'")
+      Regex.quoteReplacement(s"${neg}RLIKE '^(?:$sqlText)$$'")
     })
     // constructs Spark's parser rejects outright (QUALIFY, DISTINCT ON,
     // UNION BY NAME) — structural rewrites that hoist into standard SQL
     s = rewriteStructural(s)
     s
+  }
+
+  /** Double every backslash inside '…' literals (see the rewrite()
+    * call-site comment). Only '' doubling is honored as an in-literal
+    * escape — the same lexing psql and DuckDB apply. */
+  private def escapeLiteralBackslashes(sql: String): String = {
+    if (!sql.contains('\\')) return sql
+    val sb = new StringBuilder(sql.length + 8)
+    var inStr = false
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (!inStr) { sb += c; if (c == '\'') inStr = true; i += 1 }
+      else c match {
+        case '\'' =>
+          if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') { sb.append("''"); i += 2 }
+          else { sb += c; inStr = false; i += 1 }
+        case '\\' => sb.append("\\\\"); i += 1
+        case o => sb += o; i += 1
+      }
+    }
+    sb.toString
   }
 
   /** DuckDB/PG allow a generator nested in a SELECT-list expression
@@ -625,7 +661,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       else (mutated.substring(fromPos, tailPos), " " + mutated.substring(tailPos))
     val fromBody = core.trim.replaceFirst("(?i)^from\\b", "")
     Some(mutated.substring(0, fromPos) +
-      s"FROM (SELECT *, explode($arg) AS __unnest $fromBody)" + trailer)
+      s"FROM (SELECT *, explode($arg) AS __unnest FROM $fromBody)" + trailer)
   }
 
   // -- structural dialect rewrites (SURVEY §2-B.5/B.7/B.9 wire path) --------

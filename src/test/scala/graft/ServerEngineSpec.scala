@@ -499,4 +499,52 @@ class ServerEngineSpec extends SparkSpecBase {
       .df.collect()
     assert(r3.length == 2 && r3.head.schema.fieldNames.toSeq == Seq("a", "b"))
   }
+
+  test("regexp_replace: duck first-match on the wire, Spark-global in the Column API") {
+    // wire path: 3-arg replaces FIRST match only; 'g' restores global;
+    // 'i' case-folds; \1 backrefs work
+    val r = engine.execute(
+      "SELECT regexp_replace('aaa','a','b') AS f, regexp_replace('aaa','a','b','g') AS g, " +
+        "regexp_replace('AbA','a','x','gi') AS ci, " +
+        "regexp_replace('a1','([a-z])([0-9])','\\2\\1') AS br").df.head()
+    assert(r.getString(0) == "baa" && r.getString(1) == "bbb")
+    assert(r.getString(2) == "xbx" && r.getString(3) == "1a")
+    // Column API unaffected: functions.regexp_replace stays global
+    import org.apache.spark.sql.functions.{lit => flit, regexp_replace => frr}
+    val api = spark.range(1).select(frr(flit("aaa"), flit("a"), flit("b"))).head().getString(0)
+    assert(api == "bbb", "Column-API regexp_replace lost Spark-global semantics")
+  }
+
+  test("GLOB operator translates to an anchored full-string match") {
+    val r = engine.execute(
+      "SELECT 'file.txt' GLOB '*.txt' AS a, 'file.txt' GLOB '*.csv' AS b, " +
+        "'abc' GLOB 'a?c' AS c, 'abc' GLOB 'b*' AS d, 'a.c' GLOB 'a.c' AS e, " +
+        "'axc' GLOB 'a.c' AS f").df.head()
+    assert(r.getBoolean(0) && !r.getBoolean(1) && r.getBoolean(2) && !r.getBoolean(3))
+    assert(r.getBoolean(4) && !r.getBoolean(5), "glob '.' must be literal, not regex-any")
+  }
+
+  test("unnest nested in a select-list expression hoists to an inner explode") {
+    val rows = engine.execute("select unnest(generate_series(1, 3)) + 10 AS v")
+      .df.collect().map(_.getAs[Number](0).longValue).sorted
+    assert(rows.toSeq == Seq(11L, 12L, 13L))
+    // with a FROM source and trailing clauses on the outer query
+    spark.read.parquet(s"$sf/nation.parquet").createOrReplaceTempView("hu_nation")
+    val r2 = engine.execute(
+      "select n_nationkey * 100 + unnest(generate_series(1, 2)) AS v " +
+        "from hu_nation where n_nationkey < 2 order by v")
+      .df.collect().map(_.getAs[Number](0).longValue)
+    assert(r2.toSeq == Seq(1L, 2L, 101L, 102L))
+  }
+
+  test("json arrow chains take integer subscripts where a lambda reading is impossible") {
+    val r = engine.execute(
+      """SELECT '{"xs": [1,2,3]}'::json -> 'xs' ->> 1 AS a,
+        |  '[10,20,30]' -> 2 AS b""".stripMargin).df.head()
+    assert(r.getString(0) == "2", s"arrow int subscript: ${r.getString(0)}")
+    assert(r.getString(1) == "30")
+    // lambdas with integer bodies still parse (the collision case)
+    val l = engine.execute("SELECT list_transform([1,2], x -> 1) AS l").df.head()
+    assert(l.getSeq[Any](0).length == 2)
+  }
 }

@@ -188,7 +188,7 @@ def setnorm(lines):
     return sorted(out)
 
 
-BATTERY = """
+BATTERY = r"""
 -- scalar string
 select reverse('abc')
 select repeat('ab', 3)
@@ -600,6 +600,13 @@ select greatest(1, 2, 3), least(4, 5, 6)
 select n_name from nation where n_nationkey between 1 and 2 order by 1
 select 1 union all by name select 2
 select * from (select 1 AS a, 2 AS b) union by name (select 20 AS b, 10 AS a)
+-- standard-SQL literal backslashes (no escape processing, duck/PG semantics)
+select '\d'
+select length('\n')
+select regexp_extract('ab12', '\d+')
+select regexp_replace('a1b2', '\d', '#', 'g')
+select regexp_matches('x7y', '\d')
+select split_part('a\b\c', '\', 2)
 """
 
 
