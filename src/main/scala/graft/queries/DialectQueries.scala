@@ -259,6 +259,42 @@ object DialectQueries {
       engine.execute("create table graft_seq_t (sv bigint, k bigint) using parquet")
       engine.execute("insert into graft_seq_t select nextval('graft_sq'), o_orderkey from __seq_orders where o_orderkey <= 800 order by o_orderkey")
       s.sql("select sv, k from graft_seq_t order by k")
+    },
+
+    // Round-8 wire-path constructs as ORACLED rows (probe-found fixes
+    // promoted to driver-checked correctness): literal backslashes in
+    // regex + backreferences, DuckDB first-match regexp_replace + 'g',
+    // the GLOB operator, and a generator nested in a select-list
+    // expression — all pushed through Engine.execute as raw text.
+    q("q_dialect_wire_extras_sql",
+      """SELECT o_orderkey,
+        |  regexp_replace(o_orderpriority, '\d', '#') AS first_sub,
+        |  regexp_replace(o_orderpriority, '([A-Z])([A-Z])', '\2\1', 'g') AS swapped,
+        |  o_orderpriority GLOB '*URGENT' AS is_urgent,
+        |  regexp_extract(o_orderpriority, '\d+') AS num
+        |FROM orders ORDER BY o_orderkey LIMIT 300""".stripMargin) { (s, dir) =>
+      Tables(s, dir)
+      new graft.server.Engine(s).execute(
+        """SELECT o_orderkey,
+          |  regexp_replace(o_orderpriority, '\d', '#') AS first_sub,
+          |  regexp_replace(o_orderpriority, '([A-Z])([A-Z])', '\2\1', 'g') AS swapped,
+          |  o_orderpriority GLOB '*URGENT' AS is_urgent,
+          |  regexp_extract(o_orderpriority, '\d+') AS num
+          |FROM orders ORDER BY o_orderkey LIMIT 300""".stripMargin).df
+    },
+
+    q("q_dialect_unnest_expr_sql",
+      """SELECT o_orderkey * 10 + u AS slot
+        |FROM (SELECT o_orderkey, unnest(generate_series(1, 3)) AS u
+        |      FROM orders WHERE o_orderkey <= 40)
+        |ORDER BY slot""".stripMargin) { (s, dir) =>
+      Tables(s, dir)
+      // the SERVER text nests the generator inside the arithmetic — the
+      // DuckDB-legal spelling Spark rejects without the hoist
+      new graft.server.Engine(s).execute(
+        """SELECT o_orderkey * 10 + unnest(generate_series(1, 3)) AS slot
+          |FROM orders WHERE o_orderkey <= 40
+          |ORDER BY slot""".stripMargin).df
     }
   )
 }
