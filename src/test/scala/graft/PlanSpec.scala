@@ -287,15 +287,17 @@ class PlanSpec extends SparkSpecBase {
       "bm25 top-k fell back to a global sort")
   }
 
-  test("knn join blocks on the label key (no cartesian), top-k window is per-vector") {
+  test("knn join blocks on the label key (no cartesian), top-k is a bounded aggregate") {
     val d = SparkEntry.defs.find(_.name == "q_ann_knn_join").get
     val p = d.run(spark, sf).queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "knn join degenerated to a cross product")
-    // the rank window partitions by the left vector id, so no partition
-    // exceeds one block — a global (unpartitioned) window is the bug
-    assert(!p.contains("Window [") || !p.contains("windowspecdefinition(cos"),
-      "knn rank window lost its per-vector partitioning")
+    // top-3 must come from the merge-able TopKByScore aggregate (map-
+    // side partial combine, <= k rows per group-partition on the
+    // exchange) — a rank window would shuffle and sort EVERY pair
+    assert(!p.contains("Window"), "knn top-k regressed to a rank window over all pairs")
+    assert(p.contains("topkbyscore") || p.toLowerCase.contains("objecthashaggregate"),
+      "knn top-k lost the bounded-aggregate shape")
   }
 
   test("train order never funnels through one partition") {
