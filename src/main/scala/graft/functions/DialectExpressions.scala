@@ -719,8 +719,13 @@ case class RegexpReplaceDuck(children: Seq[Expression]) extends Expression
       val c = r.charAt(i)
       if (c == '\\' && i + 1 < r.length && r.charAt(i + 1).isDigit) {
         sb += '$'; sb += r.charAt(i + 1); i += 2
+      } else if (c == '\\' && i + 1 < r.length && r.charAt(i + 1) == '\\') {
+        // '\\' = one escaped literal backslash → Matcher spelling "\\"
+        sb append "\\\\"; i += 2
       } else if (c == '\\' && i + 1 < r.length) {
-        sb += '\\'; sb += '\\'; sb += r.charAt(i + 1); i += 2
+        sb append "\\\\"; sb += r.charAt(i + 1); i += 2
+      } else if (c == '\\') {
+        sb append "\\\\"; i += 1 // trailing lone backslash → literal
       } else if (c == '$') { sb append "\\$"; i += 1 }
       else { sb += c; i += 1 }
     }
@@ -735,9 +740,15 @@ case class RegexpReplaceDuck(children: Seq[Expression]) extends Expression
     val opts =
       if (vals.length > 3 && vals(3) != null) vals(3).asInstanceOf[UTF8String].toString else ""
     var flags = 0
-    if (opts.contains('i')) flags |= java.util.regex.Pattern.CASE_INSENSITIVE
-    if (opts.contains('m')) flags |= java.util.regex.Pattern.MULTILINE
-    if (opts.contains('s')) flags |= java.util.regex.Pattern.DOTALL
+    // options apply left-to-right, last wins ('ic' = case-sensitive,
+    // matching DuckDB's option handling where 'c' cancels 'i')
+    opts.foreach {
+      case 'i' => flags |= java.util.regex.Pattern.CASE_INSENSITIVE
+      case 'c' => flags &= ~java.util.regex.Pattern.CASE_INSENSITIVE
+      case 'm' => flags |= java.util.regex.Pattern.MULTILINE
+      case 's' => flags |= java.util.regex.Pattern.DOTALL
+      case _ => ()
+    }
     val m = pattern(pat, flags).matcher(subject)
     UTF8String.fromString(
       if (opts.contains('g')) m.replaceAll(repl) else m.replaceFirst(repl))

@@ -23,8 +23,15 @@ case class ScoredId(id: Long, score: Double)
 class TopKByScore(k: Int) extends Aggregator[ScoredId, List[ScoredId], Seq[ScoredId]] {
   override def zero: List[ScoredId] = Nil
 
-  private def beats(a: ScoredId, b: ScoredId): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  // java.lang.Double.compare, not primitive `>`: NaN must rank FIRST
+  // under descending order (both Spark's window sort and DuckDB place
+  // NaN above every finite double), and primitive NaN comparisons are
+  // all-false — a zero-magnitude embedding's 0/0 cosine would silently
+  // vanish from the top-k where the row_number spelling keeps it.
+  private def beats(a: ScoredId, b: ScoredId): Boolean = {
+    val c = java.lang.Double.compare(a.score, b.score)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
 
   private def insert(buf: List[ScoredId], n: ScoredId): List[ScoredId] = {
     if (buf.lengthCompare(k) >= 0 && !beats(n, buf.last)) return buf

@@ -550,7 +550,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     // unless 'g'); the internal name keeps the Scala corpus (Column
     // API, which resolves registry names in Spark 4) on Spark-native
     // global behavior
-    s = s.replaceAll("(?i)\\bregexp_replace\\s*\\(", "graft_regexp_replace(")
+    s = replaceOutsideLiterals(s, "(?i)\\bregexp_replace\\s*\\(".r, "graft_regexp_replace(")
     // x [NOT] GLOB 'pat' → [NOT] RLIKE anchored regex: DuckDB GLOB is a
     // full-string filesystem-style match (* ? [set]); regex specials in
     // the pattern are escaped, glob metachars translate
@@ -561,15 +561,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       // pattern, then re-escape the whole regex for Spark's literal
       // unescaper
       val raw = lit.substring(1, lit.length - 1).replace("\\\\", "\\")
-      val rx = new StringBuilder
-      raw.foreach {
-        case '*' => rx.append(".*")
-        case '?' => rx.append('.')
-        case c @ ('[' | ']' | '!' | '^' | '-') => rx.append(c) // set syntax passes through
-        case c if "\\.+(){}|$".contains(c) => rx.append('\\').append(c)
-        case c => rx.append(c)
-      }
-      val sqlText = rx.toString.replace("\\", "\\\\")
+      val sqlText = globToRegex(raw).replace("\\", "\\\\")
       val neg = if (m.group(1) != null) "NOT " else ""
       Regex.quoteReplacement(s"${neg}RLIKE '^(?:$sqlText)$$'")
     })
@@ -586,11 +578,24 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     if (!sql.contains('\\')) return sql
     val sb = new StringBuilder(sql.length + 8)
     var inStr = false
+    var ident = 0.toChar // '"' or '`' when inside a quoted identifier, else 0
     var i = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (!inStr) { sb += c; if (c == '\'') inStr = true; i += 1 }
-      else c match {
+      if (ident != 0) {
+        // inside "…" / `…` identifiers quotes double to escape; a '
+        // in here is identifier TEXT, not a literal delimiter
+        // (doubleQuotedIdentifiers is on — see GraftSession)
+        if (c == ident) {
+          if (i + 1 < sql.length && sql.charAt(i + 1) == ident) { sb += c; sb += c; i += 2 }
+          else { sb += c; ident = 0.toChar; i += 1 }
+        } else { sb += c; i += 1 }
+      } else if (!inStr) {
+        sb += c
+        if (c == '\'') inStr = true
+        else if (c == '"' || c == '`') ident = c
+        i += 1
+      } else c match {
         case '\'' =>
           if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') { sb.append("''"); i += 2 }
           else { sb += c; inStr = false; i += 1 }
@@ -599,6 +604,103 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       }
     }
     sb.toString
+  }
+
+  /** DuckDB GLOB pattern → Java regex body (caller anchors it).
+    * Semantics probed against DuckDB (pinned in ServerEngineSpec):
+    * '*' / '?' wildcards; '\' escapes the next char and a trailing
+    * lone '\' matches NOTHING; '[...]' sets negate with a leading '!'
+    * ONLY ('^' is a literal member, unlike fnmatch), allow ']' as the
+    * first member, take a leading '-' literally and a mid-body '-' as
+    * a range; an unclosed '[', '[!]', or a trailing '-' range makes
+    * the whole pattern match NOTHING (DuckDB's malformed-set rule),
+    * not match itself. */
+  private def globToRegex(raw: String): String = {
+    val never = "(?!x)x"
+    val rx = new StringBuilder
+    // escape regex metachars; letters/digits must stay bare (Java
+    // would read '\x'/'\d' as hex/class escapes)
+    def emitLit(c: Char): Unit = {
+      if ("\\][&^-.$|(){}*+?".contains(c)) rx.append('\\')
+      rx.append(c)
+    }
+    var i = 0
+    while (i < raw.length) {
+      raw.charAt(i) match {
+        case '*' => rx.append(".*"); i += 1
+        case '?' => rx.append('.'); i += 1
+        case '\\' =>
+          if (i + 1 >= raw.length) return never
+          emitLit(raw.charAt(i + 1)); i += 2
+        case '[' =>
+          // locate the closing ']' honoring '\' escapes; a ']' right
+          // after '[' or '[!' is a literal member, not the terminator
+          var j = i + 1
+          var neg = false
+          if (j < raw.length && raw.charAt(j) == '!') { neg = true; j += 1 }
+          val bodyStart = j
+          if (j < raw.length && raw.charAt(j) == ']') j += 1
+          var closed = false
+          while (j < raw.length && !closed) {
+            raw.charAt(j) match {
+              case '\\' => j += 2
+              case ']' => closed = true
+              case _ => j += 1
+            }
+          }
+          if (!closed || j == bodyStart) return never // unclosed or '[!]'
+          rx.append('[')
+          if (neg) rx.append('^')
+          var p = bodyStart
+          while (p < j) {
+            raw.charAt(p) match {
+              case '\\' =>
+                if (p + 1 >= j) return never
+                emitLit(raw.charAt(p + 1)); p += 2
+              case '-' =>
+                if (p == bodyStart) rx.append("\\-")
+                else if (p == j - 1) return never // trailing '-' range
+                else rx.append('-')
+                p += 1
+              case sc => emitLit(sc); p += 1
+            }
+          }
+          rx.append(']')
+          i = j + 1
+        case c => emitLit(c); i += 1
+      }
+    }
+    rx.toString
+  }
+
+  /** Apply a regex replacement only OUTSIDE '…' string literals and
+    * "…" / `…` quoted identifiers — a rewrite like the regexp_replace
+    * rename must never mutate literal data that happens to contain the
+    * function's name. Quote-doubling is the only in-region escape, the
+    * same lexing escapeLiteralBackslashes applies. */
+  private def replaceOutsideLiterals(sql: String, re: Regex, repl: String): String = {
+    val out = new StringBuilder(sql.length + 16)
+    var i = 0
+    var segStart = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        out.append(re.replaceAllIn(sql.substring(segStart, i), repl))
+        var j = i + 1
+        var done = false
+        while (j < sql.length && !done) {
+          if (sql.charAt(j) == c) {
+            if (j + 1 < sql.length && sql.charAt(j + 1) == c) j += 2 else done = true
+          } else j += 1
+        }
+        val end = if (done) j + 1 else sql.length
+        out.append(sql.substring(i, end))
+        i = end
+        segStart = end
+      } else i += 1
+    }
+    out.append(re.replaceAllIn(sql.substring(segStart), repl))
+    out.toString
   }
 
   /** DuckDB/PG allow a generator nested in a SELECT-list expression

@@ -119,3 +119,21 @@ class AliasSpec extends SparkSpecBase {
     assert(res.passed, res.status.toString)
   }
 }
+
+class TopKByScoreSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.functions.{ScoredId, TopKByScore}
+
+  test("NaN scores rank FIRST (Spark/DuckDB descending NaN semantics)") {
+    val agg = new TopKByScore(3)
+    val in = Seq(ScoredId(1, 0.9), ScoredId(2, Double.NaN), ScoredId(3, 0.5), ScoredId(4, 0.99))
+    val out = in.foldLeft(agg.zero)(agg.reduce)
+    assert(out.map(_.id) == List(2L, 4L, 1L), s"got $out")
+    // merge path sees the same order
+    val (l, r) = in.splitAt(2)
+    val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    assert(merged.map(_.id) == List(2L, 4L, 1L))
+    // equal scores tiebreak by ascending id, NaN ties included
+    val ties = Seq(ScoredId(9, Double.NaN), ScoredId(2, Double.NaN), ScoredId(5, 1.0))
+    assert(ties.foldLeft(agg.zero)(agg.reduce).map(_.id) == List(2L, 9L, 5L))
+  }
+}

@@ -524,6 +524,61 @@ class ServerEngineSpec extends SparkSpecBase {
     assert(r.getBoolean(4) && !r.getBoolean(5), "glob '.' must be literal, not regex-any")
   }
 
+  test("GLOB bracket sets, escapes and malformed patterns (DuckDB-probed)") {
+    // wire spelling: PG/DuckDB literals carry backslashes verbatim, so
+    // the raw glob pattern IS the wire text (the engine's literal
+    // pre-pass handles Spark's unescaper)
+    def g(s: String, p: String): Boolean =
+      engine.execute(s"SELECT '$s' GLOB '$p' AS v").df.head().getBoolean(0)
+    // sets + '!' negation
+    assert(g("a", "[!bc]") && !g("b", "[!bc]"))
+    assert(g("b", "[abc]") && !g("d", "[abc]"))
+    assert(g("x", "[a-z]") && !g("X", "[a-z]"))
+    assert(g("z", "[!a-y]") && !g("x", "[!a-y]"))
+    // '^' NEVER negates — it is a literal member; '!' mid-set literal
+    assert(g("^", "[^]") && g("b", "[^ab]") && !g("c", "[^ab]"))
+    assert(g("!", "[a!]"))
+    // literal '^' / '!' / '&' / ']' outside sets
+    assert(g("a^b", "a^b") && g("a!b", "a!b") && g("a&b", "a&b") && g("a]b", "a]b"))
+    // ']' as first member; '[' inside a set; leading '-' literal
+    assert(g("]", "[]]") && g("[x]", "[[]x]"))
+    assert(g("-", "[-a]") && g("a", "[-a]"))
+    // '-' after a range is a literal member (fnmatch rule)
+    assert(g("b", "[a-c-e]") && g("-", "[a-c-e]") && g("e", "[a-c-e]") && !g("d", "[a-c-e]"))
+    // malformed: unclosed '[', '[!]', trailing '-' range → match NOTHING
+    assert(!g("[", "[") && !g("a", "[a") && !g("!", "[!]") && !g("x", "[!]x"))
+    assert(!g("a", "[a-]") && !g("-", "[a-]"))
+    // backslash escapes: next char literal; trailing lone '\' fails
+    assert(g("*", "\\*") && !g("x", "\\*") && g("x", "\\x") && g("a[b", "a\\[b"))
+    assert(!g("\\", "\\") && g("a\\b", "a\\\\b"))
+  }
+
+  test("regexp_replace replacement backslash handling and 'c' option") {
+    // '\\' in the replacement = ONE literal backslash; trailing lone
+    // '\' also a literal backslash (neither may throw); 'ic' = 'c'
+    // wins (case-sensitive again)
+    val r = engine.execute(
+      "SELECT regexp_replace('ab','b','x\\\\y') AS a, " +
+        "regexp_replace('ab','b','x\\\\') AS b, " +
+        "regexp_replace('AbA','a','x','ic') AS c, " +
+        "regexp_replace('AbA','A','x','ci') AS d").df.head()
+    assert(r.getString(0) == "ax\\y", s"got ${r.getString(0)}")
+    assert(r.getString(1) == "ax\\", s"got ${r.getString(1)}")
+    assert(r.getString(2) == "AbA", "'ic': trailing c must restore case sensitivity")
+    assert(r.getString(3) == "xbA", "'ci': trailing i must win (case-insensitive, first match)")
+  }
+
+  test("rewrites never mutate string-literal or quoted-identifier content") {
+    // a literal CONTAINING 'regexp_replace(' must pass through verbatim
+    val r = engine.execute("SELECT 'use regexp_replace(x) here' AS s").df.head()
+    assert(r.getString(0) == "use regexp_replace(x) here")
+    // a single quote inside a double-quoted identifier must not flip
+    // literal state: the '\d' literal after it still arrives intact
+    val r2 = engine.execute(
+      "SELECT 1 AS \"o'clock\", regexp_matches('7', '\\d') AS m").df.head()
+    assert(r2.getInt(0) == 1 && r2.getBoolean(1))
+  }
+
   test("unnest nested in a select-list expression hoists to an inner explode") {
     val rows = engine.execute("select unnest(generate_series(1, 3)) + 10 AS v")
       .df.collect().map(_.getAs[Number](0).longValue).sorted
