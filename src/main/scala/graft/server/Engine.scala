@@ -442,6 +442,10 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       Regex.quoteReplacement("::" + typeAliasMap(m.group(1).toLowerCase)))
     s = typeAliasAsRe.replaceAllIn(s, m =>
       Regex.quoteReplacement("AS " + typeAliasMap(m.group(1).toLowerCase)))
+    // CAST(x AS VARCHAR/TEXT/JSON/TIME/…) — the AS-form regex above
+    // excludes names that could be column aliases; inside a CAST the
+    // position is unambiguous, so resolve them there explicitly
+    s = rewriteCastTypeNames(s)
     // DDL column-type position (`create table t (b text)`): alias names
     // after an identifier+space, so a COLUMN named text/time ('(time
     // timestamp)') is never rewritten, only a type token is; bare
@@ -604,6 +608,49 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       }
     }
     sb.toString
+  }
+
+  /** Rewrite the type name of CAST/TRY_CAST expressions when it is a
+    * DuckDB spelling Spark lacks (typeAliasMap): find each cast's own
+    * balanced argument list, locate its LAST top-level `AS` token, and
+    * map the bare type word that follows. Nested casts are separate
+    * matches (processed right-to-left so edits don't shift pending
+    * positions); parameterized types (VARCHAR(10)) pass through. */
+  private val castOpenRe = """(?i)\b(?:try_)?cast\s*\(""".r
+  private def rewriteCastTypeNames(sql: String): String = {
+    if (!sql.toLowerCase.contains("cast")) return sql
+    var s = sql
+    for (m <- castOpenRe.findAllMatchIn(sql).toList.reverse) {
+      var depth = 1
+      var i = m.end
+      var inq = false
+      var asPos = -1
+      while (i < s.length && depth > 0) {
+        val c = s.charAt(i)
+        if (inq) { if (c == '\'') inq = false }
+        else c match {
+          case '\'' => inq = true
+          case '(' | '[' => depth += 1
+          case ')' | ']' => depth -= 1
+          case 'a' | 'A' if depth == 1 =>
+            val wordEnd = i + 2
+            def isWord(ch: Char) = ch.isLetterOrDigit || ch == '_'
+            if (wordEnd < s.length && (s.charAt(i + 1) == 's' || s.charAt(i + 1) == 'S') &&
+                !isWord(s.charAt(wordEnd)) && (i == 0 || !isWord(s.charAt(i - 1))))
+              asPos = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (depth == 0 && asPos > 0) {
+        val close = i - 1
+        val typeName = s.substring(asPos + 2, close).trim
+        typeAliasMap.get(typeName.toLowerCase).foreach { mapped =>
+          s = s.substring(0, asPos) + "AS " + mapped + s.substring(close)
+        }
+      }
+    }
+    s
   }
 
   /** DuckDB GLOB pattern → Java regex body (caller anchors it).

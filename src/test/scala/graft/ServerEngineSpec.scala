@@ -568,6 +568,18 @@ class ServerEngineSpec extends SparkSpecBase {
     assert(r.getString(3) == "xbA", "'ci': trailing i must win (case-insensitive, first match)")
   }
 
+  test("CAST accepts DuckDB type spellings (VARCHAR/TEXT/JSON) including array-to-text") {
+    val r = engine.execute(
+      "SELECT CAST(42 AS VARCHAR) AS a, TRY_CAST('7' AS TEXT) AS b, " +
+        "CAST([1, 2] AS VARCHAR) AS c, CAST(CAST(5 AS VARCHAR) AS BIGINT) AS d").df.head()
+    assert(r.getString(0) == "42" && r.getString(1) == "7")
+    assert(r.getString(2) == "[1, 2]", s"array cast rendered ${r.getString(2)}")
+    assert(r.getLong(3) == 5L)
+    // parameterized VARCHAR(n) still passes through untouched
+    val r2 = engine.execute("SELECT CAST('abcdef' AS VARCHAR(3)) AS v").df.head()
+    assert(r2.getString(0).startsWith("abc"))
+  }
+
   test("rewrites never mutate string-literal or quoted-identifier content") {
     // a literal CONTAINING 'regexp_replace(' must pass through verbatim
     val r = engine.execute("SELECT 'use regexp_replace(x) here' AS s").df.head()
