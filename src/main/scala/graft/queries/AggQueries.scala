@@ -205,17 +205,21 @@ object AggQueries {
       // Interpolation math is identical to quantile_cont / DuckDB
       // (0-based pos = (n-1)*p; v = vlo + (vhi-vlo)*frac).
       import s.implicits._
-      import graft.functions.DoubleSortKeyFn.doubleSortKey
       val g = col("l_returnflag")
-      val stacked = t.lineitem.select(g,
-          explode(array(
-            struct(lit("qty").as("which"), col("l_quantity").cast("double").as("v")),
-            struct(lit("price").as("which"), col("l_extendedprice").cast("double").as("v"))
-          )).as("wv"))
-        .select(g, col("wv.which").as("which"), col("wv.v").as("v"))
-        .withColumn("b", shiftright(doubleSortKey(col("v")), 48))
-      val counts = stacked.groupBy(g, col("which"), col("b"))
-        .agg(count(lit(1)).as("cnt"))
+      // r8: ONE pass over lineitem total (was two — the counts pass and
+      // the pick pass each re-ran the scan+explode). The full-data work
+      // collapses to per-(group, measure, DISTINCT value) counts in a
+      // single shuffle (map-side combine; qty has ~50 distinct ints),
+      // lazily localCheckpoint'ed — the value table is distinct-values-
+      // sized, far smaller than the data, and BOTH downstream consumers
+      // (bucket totals, in-bucket pick) read the materialized copy.
+      // EAGER checkpoint: the lazy form races — the targets-broadcast
+      // thread and the main job both fire before materialization
+      // completes and each recomputes the full scan+shuffle lineage
+      // (observed: duplicated ~5 s of task time in the stage trace)
+      val values = percentileValueTable(t).localCheckpoint()
+      val counts = values.groupBy(g, col("which"), col("b"))
+        .agg(sum(col("vc")).as("cnt"))
       import org.apache.spark.sql.expressions.Window
       val wPart = Window.partitionBy(g, col("which"))
       val wPrev = wPart.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)
@@ -234,19 +238,14 @@ object AggQueries {
         .filter(col("r").between(col("below") + 1, col("below") + col("cnt")))
         .select(g, col("which"), col("pname"), col("p"), col("kind"),
           col("b"), (col("r") - col("below")).as("k"), col("n"))
-      // k-th smallest within each target's bucket, via VALUE-level
-      // counts: collapsing duplicate values first (map-side combine)
-      // makes the step skew-proof — a bucket holding 10^9 copies of one
-      // value (integer-valued measures are exactly this) would give a
-      // raw row_number window a single billion-row sort task, while the
-      // value-count cumulative sees one row. The remaining window
-      // partitions over DISTINCT values within a 1/16-binade bucket.
+      // k-th smallest within each target's bucket over the VALUE-level
+      // counts: duplicates are already collapsed, so a bucket holding
+      // 10^9 copies of one value (integer measures are exactly this)
+      // is ONE row here — skew-proof. The window partitions over
+      // DISTINCT values within a 1/16-binade bucket, never one group.
       val wV = Window.partitionBy(g, col("which"), col("pname"), col("kind")).orderBy(col("v"))
-      val picked = stacked
+      val picked = values
         .join(broadcast(targets), Seq("l_returnflag", "which", "b"))
-        .groupBy(g, col("which"), col("pname"), col("kind"),
-          col("k"), col("n"), col("p"), col("v"))
-        .agg(count(lit(1)).as("vc"))
         .withColumn("vbelow",
           coalesce(sum(col("vc")).over(wV.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .filter(col("k") > col("vbelow") && col("k") <= col("vbelow") + col("vc"))
@@ -357,4 +356,25 @@ object AggQueries {
         .orderBy(col("o_orderstatus"))
     }
   )
+
+  /** The single full-data pass of q_agg_percentile: per-(group,
+    * measure, DISTINCT value) counts carrying the data-independent
+    * IEEE-754 bit-bucket id (top 16 bits of double_sort_key — sign +
+    * exponent + 4 mantissa bits, 16 sub-ranges per binade). Exposed so
+    * PlanSpec can pin "exactly one lineitem scan, no stats pre-pass,
+    * no buffering percentile aggregate" on the subtree that the query
+    * localCheckpoints for its two consumers. */
+  def percentileValueTable(t: Tables): DataFrame = {
+    import graft.functions.DoubleSortKeyFn.doubleSortKey
+    val g = col("l_returnflag")
+    t.lineitem.select(g,
+        explode(array(
+          struct(lit("qty").as("which"), col("l_quantity").cast("double").as("v")),
+          struct(lit("price").as("which"), col("l_extendedprice").cast("double").as("v"))
+        )).as("wv"))
+      .select(g, col("wv.which").as("which"), col("wv.v").as("v"))
+      .withColumn("b", shiftright(doubleSortKey(col("v")), 48))
+      .groupBy(g, col("which"), col("b"), col("v"))
+      .agg(count(lit(1)).as("vc"))
+  }
 }
