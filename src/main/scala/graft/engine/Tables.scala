@@ -28,6 +28,25 @@ final case class Tables(
 )
 
 object Tables {
+
+  /** Restore scan parallelism for a CPU-heavy pipeline over a small
+    * input: a sub-row-group parquet file scans as ONE task no matter
+    * how small the split size, so md5 shingling / tokenization /
+    * vector math over it runs single-threaded on a 32-core session.
+    * When the scan already has enough partitions — any real multi-
+    * file / multi-row-group layout, i.e. every at-scale deployment —
+    * this is the IDENTITY and no exchange enters the plan, so the
+    * 100 TB shape is untouched while the benchmark tier stops
+    * serializing its dominant stage. The partition probe costs a
+    * physical plan, not a job. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val parts =
+      try df.queryExecution.executedPlan.execute().getNumPartitions
+      catch { case _: Throwable => target }
+    if (parts * 2 >= target) df else df.repartition(target)
+  }
+
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
@@ -58,8 +77,15 @@ object Tables {
                 org.apache.spark.sql.functions.expr("ts div 1000"))
                 .cast("timestamp_ntz"))
           else raw
-        df.createOrReplaceTempView(n)
-        n -> df
+        // the text/vector corpus tables are consumed by CPU-heavy
+        // pipelines (shingle md5, tokenization, dot products) whose
+        // cost is orders of magnitude above their byte size — restore
+        // scan parallelism here once so every consumer (DataFrame and
+        // SQL view alike) gets it; identity on any at-scale layout
+        val spreadDf =
+          if (n == "documents" || n == "embeddings") spread(df) else df
+        spreadDf.createOrReplaceTempView(n)
+        n -> spreadDf
       }.toMap
       Tables(
         dfs("region"), dfs("nation"), dfs("customer"), dfs("supplier"),

@@ -263,9 +263,12 @@ class PlanSpec extends SparkSpecBase {
   test("stratified sample is a scan-level filter (no shuffle before the sample)") {
     val d = SparkEntry.defs.find(_.name == "q_pipeline_stratified_sample").get
     val p = d.run(spark, sf).queryExecution.executedPlan.toString
-    // the keep decision must evaluate directly over the scan: the only
-    // exchange in the whole plan is the presentation sort
-    val exchanges = "Exchange".r.findAllIn(p).size
+    // the keep decision must evaluate directly over the scan: besides
+    // the presentation sort, the only allowed exchange is the tier's
+    // round-robin scan-parallelism spread (Tables.spread — identity at
+    // scale, never a data-dependent shuffle)
+    val exchanges = "Exchange".r.findAllIn(p).size -
+      "Exchange RoundRobinPartitioning".r.findAllIn(p).size
     assert(exchanges <= 1, s"sample plan shuffles $exchanges times; the quota filter must be row-local")
     assert(!p.contains("Join"), "sample plan gained a join")
   }
@@ -328,7 +331,8 @@ class PlanSpec extends SparkSpecBase {
   test("quality score is row-local: no shuffle except presentation order") {
     val d = SparkEntry.defs.find(_.name == "q_pipeline_quality_score").get
     val p = d.run(spark, sf).queryExecution.executedPlan.toString
-    val exchanges = "Exchange".r.findAllIn(p).length
+    val exchanges = "Exchange".r.findAllIn(p).length -
+      "Exchange RoundRobinPartitioning".r.findAllIn(p).length
     assert(exchanges <= 1, s"quality scoring shuffles $exchanges times (expected sort only)")
     assert(!p.contains("Window"), "quality scoring gained a window")
   }
