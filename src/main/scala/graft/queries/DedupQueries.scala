@@ -59,6 +59,18 @@ object DedupQueries {
     docs.select(col("doc_id"), split(col("text"), " ").as("words"))
       .select(col("doc_id"), explode(shingleHashArray(13)).as("sh"))
 
+  /** hashedShingles variant carrying the per-doc distinct-shingle count
+    * n ROW-LOCALLY, so consumers don't need the former `sizes`
+    * groupBy + two join-backs. The singleton-array explode between the
+    * shingle transform and its consumers is a deliberate collapse
+    * barrier: Project collapsing would otherwise inline the interpreted
+    * md5 transform into BOTH `size(arr)` and `explode(arr)` and run
+    * every md5 twice. */
+  private[graft] def hashedShinglesWithN(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), explode(array(shingleHashArray(13))).as("arr"))
+      .select(col("doc_id"), size(col("arr")).cast("long").as("n"), explode(col("arr")).as("sh"))
+
   /** (doc_id, band, bkey) rows of the 4-band minhash signature — the
     * LSH bucket table shared by minhashPairs and (as the batch
     * reference) the streaming near-dup spec.
@@ -159,25 +171,28 @@ object DedupQueries {
       // shingle subtree). The size is NOT computed row-locally from the
       // shingle array — that would reference the interpreted
       // (CodegenFallback) transform twice and re-run every md5.
-      val sh = hashedShingles(t.documents)
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      // per-doc set size n rides ROW-LOCALLY with each shingle (see
+      // hashedShinglesWithN) and through the posting list into the
+      // pair stream — the former sizes groupBy and its two join-back
+      // shuffles are gone; the whole plan is 2 exchanges
+      val sh = hashedShinglesWithN(t.documents)
       // size >= 2: singleton buckets (the overwhelming majority of
       // shingles) yield no pairs — filtering them BEFORE the pair
       // lambda matters because higher-order functions are interpreted,
       // and running flatten(transform(slice(...))) over millions of
       // one-element lists is pure interpreter overhead
       val buckets = sh.groupBy(col("sh"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
         .filter(size(col("ds")).between(2, 1000))
       val pairArr = flatten(transform(col("ds"), (x, i) =>
         transform(slice(col("ds"), i + 2, greatest(size(col("ds")) - i - 1, lit(0))),
-          y => struct(x.as("d1"), y.as("d2")))))
+          y => struct(x.getField("doc_id").as("d1"), y.getField("doc_id").as("d2"),
+            x.getField("n").as("na"), y.getField("n").as("nb")))))
       val inter = buckets.select(explode(pairArr).as("p"))
-        .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
-        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
+        .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"),
+          col("p.na").as("na"), col("p.nb").as("nb"))
+        .agg(count(lit(1)).as("i"))
       inter
-        .join(sizes.select(col("doc_id").as("d1"), col("n").as("na")).hint("shuffle_hash"), "d1")
-        .join(sizes.select(col("doc_id").as("d2"), col("n").as("nb")).hint("shuffle_hash"), "d2")
         .withColumn("jac_raw", col("i") * 1.0 / (col("na") + col("nb") - col("i")))
         .filter(col("jac_raw") >= 0.5)
         .select(col("d1"), col("d2"), round(col("jac_raw"), 9).as("jaccard"))
@@ -231,6 +246,16 @@ object DedupQueries {
       // re-runs the scan+explode+md5 pipeline. One localCheckpoint = one
       // md5 pass (the dup_clusters trade: blocks are RDD-managed and
       // GC'd with the plan, no CacheManager residue across bench reps)
+      // (r8 note: two "obvious" improvements were tried and MEASURED
+      // SLOWER — carrying the per-doc size n row-locally through the
+      // verification pipeline (wider rows through the 20M-row join/agg
+      // intermediates beat the cost of joining the 5k-row sizes table
+      // onto the ~25 post-filter survivors), and a broadcast candidate-
+      // doc prune of the verification sides (on this corpus the
+      // candidate set covers every doc, and checkpointing cand for the
+      // prune destroyed its stats, demoting the verification joins
+      // from broadcast to sort-merge: 2.4 s → 7.6 s). Keep the narrow
+      // r7 shape; the scan-parallelism spread alone took it 2.8 → 2.4.)
       val sh = hashedShingles(t.documents).localCheckpoint()
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val dfc = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
