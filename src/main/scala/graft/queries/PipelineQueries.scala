@@ -75,6 +75,12 @@ object PipelineQueries {
         .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
         .repartitionByRange(col("doc_id"))
         .sortWithinPartitions(col("doc_id"))
+      // the RDD feeds TWO passes (subtotal collect, assignment), but
+      // the scan+tokenize does NOT run twice: both jobs share the
+      // range-repartition exchange above, and Spark reuses the shuffle
+      // map outputs across actions on the same RDD graph — measured by
+      // PackSequencesScanSpec (parquet bytesRead ≈ one scan for the
+      // whole query, with or without an explicit checkpoint)
       val rdd = tok.select(col("doc_id"), col("n_tok")).rdd
       val subtotals = rdd
         .mapPartitionsWithIndex { (i, it) =>

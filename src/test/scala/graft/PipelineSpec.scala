@@ -206,3 +206,22 @@ class PipelineSpec extends SparkSpecBase {
     assert(math.abs(got - expect) < 1e-8, s"doc ${doc.getLong(0)}: $got vs $expect")
   }
 }
+
+class PackSequencesScanSpec extends SparkSpecBase {
+  test("sequence packing tokenizes once (second pass reads checkpoint blocks, not parquet)") {
+    val d = SparkEntry.defs.find(_.name == "q_pipeline_pack_sequences").get
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) bytesRead.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      d.run(spark, sf).write.format("noop").mode("overwrite").save()
+      Thread.sleep(500) // listener bus drain (bus API is private in 4.x)
+      val fileSize = new java.io.File(s"$sf/documents.parquet").length()
+      assert(bytesRead.get() < (fileSize * 3) / 2,
+        s"read ${bytesRead.get()} bytes vs file $fileSize — the tokenize scan ran twice")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+}
