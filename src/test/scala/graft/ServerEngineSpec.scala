@@ -580,6 +580,79 @@ class ServerEngineSpec extends SparkSpecBase {
     assert(r2.getString(0).startsWith("abc"))
   }
 
+  test("PRAGMA compat shims: table_info, database_size, show_tables, version; ATTACH errors") {
+    engine.execute("CREATE TABLE prag_t (a BIGINT PRIMARY KEY, b VARCHAR NOT NULL, c DOUBLE)")
+    try {
+      val ti = engine.execute("PRAGMA table_info('prag_t')").df.collect()
+      assert(ti.map(_.getString(1)).toSeq == Seq("a", "b", "c"))
+      assert(ti.head.schema.fieldNames.toSeq ==
+        Seq("cid", "name", "type", "notnull", "dflt_value", "pk"))
+      val a = ti.find(_.getString(1) == "a").get
+      assert(a.getString(2) == "BIGINT" && a.getBoolean(3) && a.getBoolean(5))
+      val b = ti.find(_.getString(1) == "b").get
+      assert(b.getString(2) == "VARCHAR" && b.getBoolean(3) && !b.getBoolean(5))
+      val sz = engine.execute("PRAGMA database_size").df.head()
+      assert(sz.schema.fieldNames.head == "database_name" && sz.getString(1).nonEmpty)
+      val names = engine.execute("PRAGMA show_tables").df.collect().map(_.getString(0))
+      assert(names.contains("prag_t"))
+      assert(engine.execute("PRAGMA version").df.head().getString(0).startsWith("v"))
+      // settings swallow like SET; unknown pragma and ATTACH error clearly
+      assert(engine.execute("PRAGMA memory_limit='2GB'").tag == "SET")
+      intercept[IllegalArgumentException] { engine.execute("PRAGMA no_such_pragma") }
+      val e = intercept[UnsupportedOperationException] {
+        engine.execute("ATTACH 'other.db' AS other") }
+      assert(e.getMessage.contains("single warehouse"))
+    } finally engine.execute("DROP TABLE IF EXISTS prag_t")
+  }
+
+  test("FOREIGN KEY constraints are enforced on ingest (NULL FKs pass)") {
+    engine.execute("CREATE TABLE fk_parent (id BIGINT PRIMARY KEY, nm VARCHAR)")
+    engine.execute(
+      "CREATE TABLE fk_child (cid BIGINT PRIMARY KEY, pid BIGINT, " +
+        "FOREIGN KEY (pid) REFERENCES fk_parent(id))")
+    try {
+      engine.execute("INSERT INTO fk_parent VALUES (1, 'a'), (2, 'b')")
+      engine.execute("INSERT INTO fk_child VALUES (10, 1), (11, 2)")
+      // NULL FK passes (PG/DuckDB semantics)
+      engine.execute("INSERT INTO fk_child VALUES (12, NULL)")
+      val e = intercept[IllegalArgumentException] {
+        engine.execute("INSERT INTO fk_child VALUES (13, 99)") }
+      assert(e.getMessage.contains("foreign key"), e.getMessage)
+      // the violating batch wrote nothing
+      assert(engine.execute("SELECT count(*) AS c FROM fk_child").df.head().getLong(0) == 3L)
+      // column-level REFERENCES spelling records and enforces too
+      engine.execute(
+        "CREATE TABLE fk_child2 (cid BIGINT, pid BIGINT REFERENCES fk_parent(id))")
+      intercept[IllegalArgumentException] {
+        engine.execute("INSERT INTO fk_child2 VALUES (1, 42)") }
+      engine.execute("INSERT INTO fk_child2 VALUES (1, 2)")
+    } finally Seq("fk_child2", "fk_child", "fk_parent").foreach(t =>
+      engine.execute(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("ROLLBACK after writes raises instead of silently keeping them") {
+    engine.execute("CREATE TABLE txn_t (a BIGINT)")
+    try {
+      // read-only transaction: rollback is a clean no-op
+      engine.execute("BEGIN")
+      engine.execute("SELECT 1")
+      assert(engine.execute("ROLLBACK").tag == "ROLLBACK")
+      // write transaction: rollback must FAIL (writes are statement-atomic)
+      engine.execute("BEGIN")
+      engine.execute("INSERT INTO txn_t VALUES (1)")
+      val e = intercept[IllegalArgumentException] { engine.execute("ROLLBACK") }
+      assert(e.getMessage.contains("statement-atomic"), e.getMessage)
+      // the write is (honestly) still there, and txn state is cleared
+      assert(engine.execute("SELECT count(*) AS c FROM txn_t").df.head().getLong(0) == 1L)
+      assert(engine.execute("ROLLBACK").tag == "ROLLBACK") // no open txn → no-op
+      // COMMIT path unaffected
+      engine.execute("BEGIN")
+      engine.execute("INSERT INTO txn_t VALUES (2)")
+      assert(engine.execute("COMMIT").tag == "COMMIT")
+      assert(engine.execute("SELECT count(*) AS c FROM txn_t").df.head().getLong(0) == 2L)
+    } finally engine.execute("DROP TABLE IF EXISTS txn_t")
+  }
+
   test("rewrites never mutate string-literal or quoted-identifier content") {
     // a literal CONTAINING 'regexp_replace(' must pass through verbatim
     val r = engine.execute("SELECT 'use regexp_replace(x) here' AS s").df.head()
