@@ -201,10 +201,19 @@ object TpchQueries {
         .groupBy(col("l_orderkey"), col("l_suppkey"))
         .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("late"),
           sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_r_lines"))
-      val stats = rolled.groupBy(col("l_orderkey"))
-        .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late_supp"))
-      val lateSupp = rolled.filter(col("late") === 1)
-        .select(col("l_orderkey"), col("l_suppkey"), col("n_r_lines"))
+      // per-order stats via a window over the roll-up, NOT a second
+      // aggregation branch: a branch duplicates the whole scan+agg
+      // (column pruning diverges the two subtrees, so ReuseExchange
+      // never fires — measured 5 scans / 0 reuses); the window keeps
+      // everything one pipeline, partitioned by order (never global)
+      import org.apache.spark.sql.expressions.Window
+      val wOrd = Window.partitionBy(col("l_orderkey"))
+      val lateSupp = rolled
+        .withColumn("n_supp", count(lit(1)).over(wOrd))
+        .withColumn("n_late_supp", sum(col("late")).over(wOrd))
+        .filter(col("late") === 1)
+        .select(col("l_orderkey"), col("l_suppkey"), col("n_r_lines"),
+          col("n_supp"), col("n_late_supp"))
       val ordF = t.orders.filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
       // nation is fixed-size → broadcast; supplier stays a shuffle join
       // (at 100 TB supplier is a 1B-row dim; AQE demotes to broadcast
@@ -214,9 +223,8 @@ object TpchQueries {
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("s_name"))
       lateSupp
-        .join(ordF, col("l_orderkey") === col("o_orderkey"))
-        .join(stats, "l_orderkey")
         .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+        .join(ordF, col("l_orderkey") === col("o_orderkey"))
         .join(supp, col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_name"))
         .agg(sum(col("n_r_lines")).as("numwait"))

@@ -589,6 +589,12 @@ select struct_pack(x := 1, y := 'z').y
 select map([1,2],['one','two'])[2]
 select 'Hello' ilike 'h%', 'Hello' similar to 'H.*o'
 select 'file.txt' glob '*.txt', 'file.txt' glob '*.csv'
+select 'a' glob '[!bc]', 'b' glob '[!bc]', 'x' glob '[a-z]', 'X' glob '[a-z]'
+select '^' glob '[^]', 'b' glob '[^ab]', ']' glob '[]]', '-' glob '[-a]'
+select 'a' glob '[a', '!' glob '[!]', 'a' glob '[a-]', '*' glob '\*'
+select cast(42 as varchar), try_cast('x' as text), cast([1,2] as varchar)
+select regexp_replace('AbA','a','x','ic'), regexp_replace('ab','b','x\\y')
+select 'keep regexp_replace(x) literal' as s
 select try_cast('xyz' as integer), try_cast('12' as integer)
 select xor(12, 10), 12 & 10, 12 | 10, ~12
 select list_reduce([1,2,3,4], (a, b) -> a + b)
