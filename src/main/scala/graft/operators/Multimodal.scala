@@ -7,10 +7,13 @@ import org.apache.spark.sql.functions._
   * image/audio/video as opaque `binary` payloads + typed metadata, with
   * decode / feature-extraction / resize / frame-sample stages.
   *
-  * The DECODE STEP IS A STUB — real codecs (JPEG/PCM/H.264) are not in
-  * this container, so `FakeDecoder` derives deterministic "pixels" from
-  * the payload bytes. Everything around the stub is the real
-  * production shape:
+  * r8: audio and image decode are REAL — [[MediaCodecs.WavCodec]]
+  * parses actual RIFF/WAVE PCM and [[MediaCodecs.PpmCodec]] actual P6
+  * ppm (see mediaAssets/wavStats/ppmStats below, oracle-checked).
+  * Only VIDEO decode remains a stub — an H.264 parser is not honestly
+  * reachable without native codecs, so `FakeDecoder` derives
+  * deterministic "pixels" from the payload bytes for that kind.
+  * Everything around it is the real production shape:
   *  - payloads live in a `BinaryType` column (columnar parquet pages,
   *    never materialized on the driver);
   *  - per-row metadata is a typed struct column, so filters on
@@ -90,6 +93,72 @@ object Multimodal {
           md5(concat(col("text"), lit("y"))), md5(concat(col("text"), lit("z")))))
           .as("payload"))
       .as[MediaRow]
+  }
+
+  // ------------------------------------------------------- real codecs
+
+  /** A media row whose payload is a REAL encoded file (RIFF/WAVE PCM
+    * for audio, binary PPM for images) — the decode stage below parses
+    * actual headers and sample/pixel planes via [[MediaCodecs]], no
+    * stub. Video keeps the documented deterministic stand-in (H.264 is
+    * not honestly parseable without native codecs). */
+  case class MediaAsset(mediaId: Long, kind: String, payload: Array[Byte])
+  case class WavStats(mediaId: Long, sampleRate: Int, channels: Int,
+      nSamples: Int, sumAmp: Long, sumSq: Long)
+  case class PpmStats(mediaId: Long, width: Int, height: Int,
+      nBytes: Int, sumPx: Long)
+
+  /** Synthesize REAL media files distributed-side, one per document:
+    * deterministic sample/pixel sequences with a closed form, so the
+    * DuckDB oracle can recompute the decoded features arithmetically —
+    * an endianness or header-walk bug in the decoder fails the hash
+    * gate, not just a unit test. */
+  def mediaAssets(spark: SparkSession, sfDir: String): Dataset[MediaAsset] = {
+    import spark.implicits._
+    import graft.operators.MediaCodecs._
+    val ids = graft.engine.Tables(spark, sfDir).documents
+      .select(col("doc_id")).as[Long]
+    ids.map { id =>
+      (id % 3) match {
+        case 1 => // audio: 16-bit PCM, LCG-ish samples
+          val n = (400 + id % 100).toInt
+          val rate = (8000 + (id % 5) * 2000).toInt
+          val samples = Array.tabulate(n)(i => (((id * 31 + i * 7) % 65536) - 32768).toShort)
+          MediaAsset(id, "audio", WavCodec.encode(samples, rate))
+        case 0 => // image: P6 ppm, gradient pixels
+          val w = (id % 16 + 8).toInt
+          val h = (id % 12 + 8).toInt
+          val rgb = Array.tabulate(w * h * 3)(i => ((id + i) % 256).toByte)
+          MediaAsset(id, "image", PpmCodec.encode(PpmImage(w, h, rgb)))
+        case _ => // video: deterministic opaque payload (stub class)
+          MediaAsset(id, "video", Array.tabulate(64)(i => ((id * 7 + i) % 256).toByte))
+      }
+    }
+  }
+
+  /** REAL WAV decode per partition: header chunk walk + 16-bit PCM
+    * parse (MediaCodecs.WavCodec); features are exact integer sums so
+    * the oracle compare is bit-exact. */
+  def wavStats(assets: Dataset[MediaAsset]): Dataset[WavStats] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "audio").mapPartitions(_.map { a =>
+      val w = MediaCodecs.WavCodec.decode(a.payload)
+      var s = 0L
+      var q = 0L
+      w.samples.foreach { v => s += v; q += v.toLong * v }
+      WavStats(a.mediaId, w.sampleRate, w.channels, w.samples.length, s, q)
+    })
+  }
+
+  /** REAL PPM decode per partition (MediaCodecs.PpmCodec). */
+  def ppmStats(assets: Dataset[MediaAsset]): Dataset[PpmStats] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "image").mapPartitions(_.map { a =>
+      val img = MediaCodecs.PpmCodec.decode(a.payload)
+      var s = 0L
+      img.rgb.foreach(b => s += (b & 0xff))
+      PpmStats(a.mediaId, img.width, img.height, img.rgb.length, s)
+    })
   }
 
   /** Batch feature extraction: decoder constructed once per partition;

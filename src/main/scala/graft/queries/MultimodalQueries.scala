@@ -76,6 +76,52 @@ object MultimodalQueries {
         .orderBy(col("media_id"), col("bucket")).limit(4800)
     },
 
+    // REAL codec paths (r8): the Spark side synthesizes actual
+    // RIFF/WAVE and P6 files distributed-side and DECODES them with
+    // MediaCodecs (header chunk walk, little-endian PCM, PPM header
+    // tokenizer); the oracle recomputes the decoded features from the
+    // generators' closed forms — a parse bug fails the hash gate.
+    q("q_mm_wav_stats",
+      """WITH a AS (SELECT doc_id, 400 + doc_id % 100 AS n
+        |           FROM documents WHERE doc_id % 3 = 1),
+        |s AS (SELECT doc_id, ((doc_id*31 + i*7) % 65536) - 32768 AS v
+        |      FROM a, UNNEST(generate_series(0, n - 1)) AS t(i))
+        |SELECT a.doc_id AS media_id,
+        |  CAST(8000 + (a.doc_id % 5) * 2000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(a.n AS BIGINT) AS n_samples,
+        |  CAST(sum(s.v) AS BIGINT) AS sum_amp,
+        |  CAST(sum(s.v * s.v) AS BIGINT) AS sum_sq
+        |FROM a JOIN s USING (doc_id)
+        |GROUP BY 1, 2, 3, 4 ORDER BY media_id""".stripMargin) { (s, dir) =>
+      Multimodal.wavStats(Multimodal.mediaAssets(s, dir)).toDF()
+        .select(col("mediaId").as("media_id"),
+          col("sampleRate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("nSamples").cast("long").as("n_samples"),
+          col("sumAmp").as("sum_amp"), col("sumSq").as("sum_sq"))
+        .orderBy(col("media_id"))
+    },
+
+    q("q_mm_ppm_stats",
+      """WITH p AS (SELECT doc_id, doc_id % 16 + 8 AS w, doc_id % 12 + 8 AS h
+        |           FROM documents WHERE doc_id % 3 = 0),
+        |px AS (SELECT doc_id, (doc_id + i) % 256 AS v
+        |       FROM p, UNNEST(generate_series(0, w*h*3 - 1)) AS t(i))
+        |SELECT p.doc_id AS media_id,
+        |  CAST(p.w AS BIGINT) AS width, CAST(p.h AS BIGINT) AS height,
+        |  CAST(p.w * p.h * 3 AS BIGINT) AS n_bytes,
+        |  CAST(sum(px.v) AS BIGINT) AS sum_px
+        |FROM p JOIN px USING (doc_id)
+        |GROUP BY 1, 2, 3, 4 ORDER BY media_id""".stripMargin) { (s, dir) =>
+      Multimodal.ppmStats(Multimodal.mediaAssets(s, dir)).toDF()
+        .select(col("mediaId").as("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("nBytes").cast("long").as("n_bytes"), col("sumPx").as("sum_px"))
+        .orderBy(col("media_id"))
+    },
+
     q("q_mm_frames",
       """SELECT media_id, frame_no, frame_bytes_len FROM (
         |  SELECT doc_id AS media_id, f.f AS frame_no, CAST(64 AS BIGINT) AS frame_bytes_len

@@ -225,3 +225,54 @@ class PackSequencesScanSpec extends SparkSpecBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 }
+
+class MediaCodecsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.operators.MediaCodecs._
+
+  test("WAV round trip preserves rate/channels/samples") {
+    val s = Array.tabulate(777)(i => ((i * 131) % 65536 - 32768).toShort)
+    val w = WavCodec.decode(WavCodec.encode(s, 16000, channels = 2))
+    assert(w.sampleRate == 16000 && w.channels == 2)
+    assert(w.samples.toSeq == s.toSeq)
+  }
+
+  test("WAV decode walks real chunk layouts (hand-built, not via encode)") {
+    // golden bytes built by hand: LIST chunk before fmt, an odd-sized
+    // chunk with its pad byte, then data — the layouts real encoders
+    // produce. Symmetric encode/decode bugs cannot hide here.
+    val bb = java.nio.ByteBuffer.allocate(128).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(0); bb.put("WAVE".getBytes)
+    bb.put("LIST".getBytes); bb.putInt(4); bb.put("INFO".getBytes)
+    bb.put("junk".getBytes); bb.putInt(3); bb.put(Array[Byte](1, 2, 3)); bb.put(0.toByte) // pad
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1); bb.putInt(8000); bb.putInt(16000); bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(6)
+    bb.putShort(100); bb.putShort(-200); bb.putShort(32767)
+    val w = WavCodec.decode(java.util.Arrays.copyOf(bb.array(), bb.position()))
+    assert(w.sampleRate == 8000 && w.channels == 1)
+    assert(w.samples.toSeq == Seq[Short](100, -200, 32767))
+  }
+
+  test("WAV decode rejects malformed payloads with clear errors") {
+    def err(b: Array[Byte]) = intercept[IllegalArgumentException](WavCodec.decode(b))
+    assert(err("not a wav at all".getBytes).getMessage.contains("RIFF"))
+    assert(err(Array[Byte](1, 2)).getMessage.contains("truncated"))
+    // float PCM (format 3) is honestly rejected, not mis-parsed
+    val f = WavCodec.encode(Array[Short](1, 2), 8000)
+    f(20) = 3 // audioFormat field
+    assert(err(f).getMessage.contains("unsupported audio format"))
+  }
+
+  test("PPM decode handles comments and arbitrary header whitespace (hand-built)") {
+    val rgb = Array.tabulate(2 * 2 * 3)(i => (i * 9).toByte)
+    val hdr = "P6 # a comment\n# another\n  2\t2 # dims\n255\n".getBytes("US-ASCII")
+    val img = PpmCodec.decode(hdr ++ rgb)
+    assert(img.width == 2 && img.height == 2 && img.rgb.toSeq == rgb.toSeq)
+    // round trip
+    val rt = PpmCodec.decode(PpmCodec.encode(PpmImage(2, 2, rgb)))
+    assert(rt.rgb.toSeq == rgb.toSeq)
+    // truncated raster and wrong magic are rejected
+    intercept[IllegalArgumentException](PpmCodec.decode(hdr ++ rgb.take(5)))
+    intercept[IllegalArgumentException](PpmCodec.decode("P5 2 2 255\n....".getBytes))
+  }
+}
