@@ -86,32 +86,6 @@ object PgTypes {
     }
   }
 
-  /** PostgreSQL interval text: "N years M mons D days HH:MM:SS.ffffff",
-    * zero components omitted (an all-zero interval prints 00:00:00). */
-  private def renderInterval(totalMonths: Long, days: Long, time: java.time.Duration): String = {
-    val parts = scala.collection.mutable.ArrayBuffer[String]()
-    val years = totalMonths / 12
-    val months = totalMonths % 12
-    if (years != 0) parts += s"$years ${if (math.abs(years) == 1) "year" else "years"}"
-    if (months != 0) parts += s"$months ${if (math.abs(months) == 1) "mon" else "mons"}"
-    if (days != 0) parts += s"$days ${if (math.abs(days) == 1) "day" else "days"}"
-    if (!time.isZero || parts.isEmpty) {
-      val neg = time.isNegative
-      val abs = time.abs()
-      val h = abs.toHours
-      val m = abs.toMinutesPart
-      val sec = abs.toSecondsPart
-      val micros = abs.toNanosPart / 1000
-      val frac = if (micros == 0) "" else {
-        var f = f".$micros%06d"
-        while (f.endsWith("0")) f = f.dropRight(1)
-        f
-      }
-      parts += f"${if (neg) "-" else ""}$h%02d:$m%02d:$sec%02d$frac"
-    }
-    parts.mkString(" ")
-  }
-
   /** Render one value as PG text. None ⇒ SQL NULL. */
   def render(v: Any): Option[String] = v match {
     case null => None
@@ -129,14 +103,8 @@ object PgTypes {
       Some(ldt.format(tsFmt) + renderMicros(ldt.getNano) + "+00")
     case bytes: Array[Byte] =>
       Some("\\x" + bytes.map(b => f"${b & 0xff}%02x").mkString)
-    case t: java.time.LocalTime => // TIME: PG text, micros trimmed
+    case t: java.time.LocalTime => // TIME: HH:MM:SS[.ffffff], micros trimmed
       Some(t.format(DateTimeFormatter.ofPattern("HH:mm:ss")) + renderMicros(t.getNano))
-    case d: java.time.Duration => Some(renderInterval(0, d.toDays, d.minusDays(d.toDays)))
-    case per: java.time.Period => // YEAR-MONTH interval
-      Some(renderInterval(per.getYears * 12L + per.getMonths, 0L, java.time.Duration.ZERO))
-    case ci: org.apache.spark.unsafe.types.CalendarInterval =>
-      Some(renderInterval(ci.months.toLong, ci.days.toLong,
-        java.time.Duration.ofNanos(ci.microseconds * 1000L)))
     case seq: scala.collection.Seq[_] =>
       Some(seq.map(e => renderArrayElem(e)).mkString("{", ",", "}"))
     // intervals in DuckDB's text style ("1 day 02:00:00", "1 year

@@ -613,11 +613,12 @@ class ServerEngineSpec extends SparkSpecBase {
     assert(PgTypes.oidOf(YearMonthIntervalType()) == 1186)
     assert(PgTypes.nameOf(1186, -1) == "interval")
     assert(PgTypes.nameOf(1083, -1) == "time without time zone")
-    // PG interval text, not java.time toString ("PT26H")
+    // DuckDB interval text (the reference returns DuckDB's renderings
+    // through the PG wire), not java.time toString ("PT26H")
     assert(PgTypes.render(java.time.Duration.ofHours(26)) == Some("1 day 02:00:00"))
     assert(PgTypes.render(java.time.Duration.ofMinutes(90)) == Some("01:30:00"))
     assert(PgTypes.render(java.time.Duration.ZERO) == Some("00:00:00"))
-    assert(PgTypes.render(java.time.Period.of(1, 2, 0)) == Some("1 year 2 mons"))
+    assert(PgTypes.render(java.time.Period.of(1, 2, 0)) == Some("1 year 2 months"))
     assert(PgTypes.render(java.time.LocalTime.of(12, 30, 45, 500000000)) == Some("12:30:45.5"))
     // end-to-end: a SELECT interval literal carries through the engine
     val df = engine.execute("SELECT INTERVAL '1' DAY + INTERVAL '2' HOUR AS iv").df
