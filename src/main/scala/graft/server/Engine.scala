@@ -268,6 +268,9 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         } finally lock.unlock()
       }
     }
+    alterColTypeRe.findFirstMatchIn(sql).foreach { m =>
+      return alterColumnType(m.group(1), m.group(2), m.group(3).trim, Option(m.group(4)))
+    }
     updateRe.findFirstMatchIn(sql).foreach { m =>
       return copyOnWriteUpdate(m.group(1), m.group(2), Option(m.group(3)))
     }
@@ -1205,6 +1208,43 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * projection, then overwrite — Spark cannot read and overwrite the
     * same table in one job, so the new image goes through a staging
     * table (the copy in copy-on-write). */
+  /** DuckDB `ALTER TABLE t ALTER [COLUMN] c [SET DATA] TYPE T [USING e]`
+    * — Spark's v1 parquet tables cannot change a column's type in
+    * place, so this is a copy-on-write REBUILD: stage a CTAS with the
+    * cast (or the USING expression), then drop + rename under the
+    * table's write lock. Was a declared scope-down ("type changes
+    * out") through r7. */
+  private def alterColumnType(table: String, column: String, newType: String,
+      usingExpr: Option[String]): ExecResult = {
+    val lock = lockFor(table).writeLock()
+    lock.lock()
+    try {
+      val cols = spark.table(table).schema.fieldNames
+      val colName = column.stripPrefix("\"").stripSuffix("\"")
+      if (!cols.exists(_.equalsIgnoreCase(colName)))
+        throw new IllegalArgumentException(
+          s"""column "$colName" of relation "$table" does not exist""")
+      val mapped = typeAliasMap.getOrElse(newType.toLowerCase, newType)
+      val proj = cols.map { c =>
+        if (c.equalsIgnoreCase(colName))
+          s"CAST(${usingExpr.getOrElse(s"`$c`")} AS $mapped) AS `$c`"
+        else s"`$c`"
+      }.mkString(", ")
+      // the stage must live in the TARGET's database (RENAME cannot
+      // cross databases)
+      val stage = table + "__alter"
+      spark.sql(s"DROP TABLE IF EXISTS $stage")
+      spark.sql(s"CREATE TABLE $stage AS SELECT $proj FROM $table")
+      try {
+        spark.sql(s"DROP TABLE $table")
+        spark.sql(s"ALTER TABLE $stage RENAME TO $table")
+      } catch {
+        case e: Throwable => spark.sql(s"DROP TABLE IF EXISTS $stage"); throw e
+      }
+      ExecResult(null, "ALTER TABLE")
+    } finally lock.unlock()
+  }
+
   private def copyOnWriteUpdate(table: String, setClause: String, where: Option[String]): ExecResult = {
     val lock = lockFor(table).writeLock()
     lock.lock()
@@ -2127,6 +2167,8 @@ object Engine {
     """(?is)^\s*show\s+transaction\s+isolation\s+level\s*$""".r
   private val swallowedSetRe =
     """(?is)^\s*set\s+(extra_float_digits|application_name|search_path|datestyle|client_min_messages)\b.*""".r
+  private val alterColTypeRe =
+    """(?is)^\s*alter\s+table\s+([\w.]+)\s+alter\s+(?:column\s+)?("?\w+"?)\s+(?:set\s+data\s+type|type)\s+([\w]+(?:\s*\([\d\s,]*\))?)\s*(?:using\s+(.+))?\s*$""".r
   private val updateRe =
     """(?is)^\s*update\s+([\w.]+)\s+set\s+(.+?)(?:\s+where\s+(.+))?\s*$""".r
   private val createTableRe =

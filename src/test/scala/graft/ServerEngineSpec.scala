@@ -605,6 +605,28 @@ class ServerEngineSpec extends SparkSpecBase {
     } finally engine.execute("DROP TABLE IF EXISTS prag_t")
   }
 
+  test("ALTER COLUMN TYPE rebuilds the table with the cast (and USING expr)") {
+    fresh("alt_t")
+    engine.execute("create table main.alt_t (k INT PRIMARY KEY, v STRING) using parquet")
+    engine.execute("insert into main.alt_t values (1, '10'), (2, '20')")
+    engine.execute("ALTER TABLE main.alt_t ALTER COLUMN v TYPE BIGINT")
+    val sch = spark.table("main.alt_t").schema
+    assert(sch("v").dataType == org.apache.spark.sql.types.LongType)
+    assert(spark.table("main.alt_t").collect().map(_.getLong(1)).sorted.toSeq == Seq(10L, 20L))
+    // USING expression form + DuckDB type spelling
+    engine.execute("ALTER TABLE main.alt_t ALTER v SET DATA TYPE VARCHAR USING concat('x', v)")
+    val vs = spark.table("main.alt_t").collect().map(_.getString(1)).sorted
+    assert(vs.toSeq == Seq("x10", "x20"))
+    // PK knowledge survives the rebuild
+    intercept[IllegalArgumentException] {
+      engine.execute("insert into main.alt_t values (1, 'dup')") }
+    // unknown column errors cleanly
+    val e = intercept[IllegalArgumentException] {
+      engine.execute("ALTER TABLE main.alt_t ALTER COLUMN nope TYPE INT") }
+    assert(e.getMessage.contains("does not exist"))
+    engine.execute("drop table main.alt_t")
+  }
+
   test("interval and time values get real OIDs and PG text renderings") {
     import graft.server.pg.PgTypes
     import org.apache.spark.sql.types._
