@@ -52,10 +52,18 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * record them at CREATE TABLE and enforce on the ingest paths). */
   case class Fk(cols: Seq[String], refTable: String, refCols: Seq[String])
   case class Constraints(pk: Seq[String], unique: Seq[Seq[String]], notNull: Seq[String],
-      fks: Seq[Fk] = Nil) {
-    def isEmpty: Boolean = pk.isEmpty && unique.isEmpty && notNull.isEmpty && fks.isEmpty
+      fks: Seq[Fk] = Nil, enumCols: Seq[(String, String)] = Nil) {
+    def isEmpty: Boolean =
+      pk.isEmpty && unique.isEmpty && notNull.isEmpty && fks.isEmpty && enumCols.isEmpty
   }
   private val constraints = new ConcurrentHashMap[String, Constraints]()
+
+  /** User-defined ENUM types (DuckDB CREATE TYPE … AS ENUM): name →
+    * allowed values. Columns of an enum type are stored as STRING and
+    * MEMBERSHIP-ENFORCED on every ingest path (DuckDB rejects
+    * out-of-set values at insert; we do the same with a row-local
+    * isin filter under the table write lock). */
+  private[server] val enums = new ConcurrentHashMap[String, Seq[String]]()
 
   /** Canonical `db.table` key for an possibly-unqualified name — the
     * current session database qualifies bare names (one shared helper;
@@ -113,6 +121,18 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
           throw new IllegalArgumentException(
             s"insert into $table violates foreign key constraint: " +
               s"(${fk.cols.mkString(", ")}) not present in ${fk.refTable}(${fk.refCols.mkString(", ")})")
+      }
+      // ENUM membership: a row-local isin check against the type's
+      // value set (DuckDB rejects out-of-set values at insert)
+      c.enumCols.foreach { case (cn, en) =>
+        Option(enums.get(en)).foreach { vals =>
+          val bad = newData.filter(col(cn).isNotNull && !col(cn).isin(vals.map(lit): _*))
+          if (bad.limit(1).count() > 0) {
+            val v = bad.select(col(cn)).head().get(0)
+            throw new IllegalArgumentException(
+              s"Could not convert string '$v' to enum $en (${vals.mkString(", ")})")
+          }
+        }
       }
     }
 
@@ -238,8 +258,30 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     if (swallowedSetRe.matches(sql))
       return ExecResult(spark.sql("SELECT 1 LIMIT 0"), "SET")
 
+    createEnumRe.findFirstMatchIn(sql).foreach { m =>
+      val vals = splitTopLevel(m.group(2), ',').map(_.trim.stripPrefix("'").stripSuffix("'"))
+      enums.put(m.group(1).toLowerCase, vals)
+      persistEnums()
+      return ExecResult(null, "CREATE TYPE")
+    }
+    dropTypeRe.findFirstMatchIn(sql).foreach { m =>
+      if (enums.remove(m.group(2).toLowerCase) == null && m.group(1) == null)
+        throw new IllegalArgumentException(s"type ${m.group(2)} does not exist")
+      persistEnums()
+      return ExecResult(null, "DROP TYPE")
+    }
     createTableRe.findFirstMatchIn(sql).foreach { m =>
       return createTableWithConstraints(m.group(1), m.group(2), Option(m.group(3)).getOrElse(""))
+    }
+    // a plain column-list CREATE TABLE (no constraint keywords) still
+    // needs the constraints path when a column is enum-typed
+    if (!enums.isEmpty) plainCreateTableRe.findFirstMatchIn(sql).foreach { m =>
+      val mentionsEnum = splitTopLevel(m.group(2), ',').exists { item =>
+        val t = item.trim.split("\\s+", 3)
+        t.length >= 2 && enums.containsKey(t(1).toLowerCase)
+      }
+      if (mentionsEnum)
+        return createTableWithConstraints(m.group(1), m.group(2), Option(m.group(3)).getOrElse(""))
     }
     onConflictRe.findFirstMatchIn(sql).foreach { m =>
       return insertOnConflict(m.group(1),
@@ -507,6 +549,11 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       Regex.quoteReplacement("::" + typeAliasMap(m.group(1).toLowerCase)))
     s = typeAliasAsRe.replaceAllIn(s, m =>
       Regex.quoteReplacement("AS " + typeAliasMap(m.group(1).toLowerCase)))
+    // user-defined ENUM names cast to their STRING storage type
+    if (!enums.isEmpty)
+      s = enumColonCastRe.replaceAllIn(s, m =>
+        if (enums.containsKey(m.group(1).toLowerCase)) "::STRING"
+        else Regex.quoteReplacement(m.matched))
     // CAST(x AS VARCHAR/TEXT/JSON/TIME/…) — the AS-form regex above
     // excludes names that could be column aliases; inside a CAST the
     // position is unambiguous, so resolve them there explicitly
@@ -1654,6 +1701,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     var unique = Seq.empty[Seq[String]]
     var notNull = Seq.empty[String]
     var fks = Seq.empty[Fk]
+    var enumCols = Seq.empty[(String, String)]
     val kept = splitTopLevel(colSpec, ',').flatMap { item0 =>
       val item = item0.trim
       val lower = item.toLowerCase
@@ -1696,6 +1744,13 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         if (cleaned.toLowerCase.matches(".*\\bunique\\b.*"))
           unique :+= Seq(colName)
         cleaned = cleaned.replaceAll("(?i)\\s+unique\\b", "")
+        // enum-typed column: store as STRING, record for membership
+        // enforcement (the declared type is the item's second token)
+        val toks = cleaned.trim.split("\\s+", 3)
+        if (toks.length >= 2 && enums.containsKey(toks(1).toLowerCase)) {
+          enumCols :+= (colName -> toks(1).toLowerCase)
+          cleaned = (Seq(toks(0), "STRING") ++ toks.drop(2)).mkString(" ")
+        }
         // column-level `x T REFERENCES ref(y)` — enforced on ingest
         val colFkRe = """(?is)\s+references\s+([\w.]+)\s*(?:\(([^)]*)\))?""".r
         colFkRe.findFirstMatchIn(cleaned).foreach { fm =>
@@ -1710,7 +1765,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     // through rewrite(): the rebuilt DDL still carries DuckDB type
     // spellings (bare VARCHAR/TEXT/...) that the alias pass resolves
     spark.sql(rewrite(s"CREATE TABLE $table (${kept.mkString(", ")}) $rest"))
-    constraints.put(qualify(table), Constraints(pk, unique, notNull, fks))
+    constraints.put(qualify(table), Constraints(pk, unique, notNull, fks, enumCols))
     persistConstraints()
     ExecResult(null, "CREATE TABLE")
   }
@@ -1997,10 +2052,18 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       constraints.asScala.toSeq.sortBy(_._1).map { case (t, c) =>
         val fkStr = c.fks.map(f =>
           s"${f.cols.mkString(",")}>${f.refTable}:${f.refCols.mkString(",")}").mkString("|")
-        s"$t\t${c.pk.mkString(",")}\t${c.unique.map(_.mkString(",")).mkString("|")}\t${c.notNull.mkString(",")}\t$fkStr"
+        val enStr = c.enumCols.map { case (cn, en) => s"$cn:$en" }.mkString("|")
+        s"$t\t${c.pk.mkString(",")}\t${c.unique.map(_.mkString(",")).mkString("|")}\t${c.notNull.mkString(",")}\t$fkStr\t$enStr"
       }
     }
     writeFile(s"$p/constraints.tsv", lines.mkString("\n"))
+  }
+
+  private def persistEnums(): Unit = dbPath.foreach { p =>
+    import scala.jdk.CollectionConverters._
+    val lines = enums.asScala.toSeq.sortBy(_._1)
+      .map { case (n, vs) => s"$n\t${vs.mkString(",")}" }
+    writeFile(s"$p/enums.tsv", lines.mkString("\n"))
   }
 
   /** Replayable view DDL log (views have no on-disk footprint in the
@@ -2054,6 +2117,12 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         case _ =>
       }
     }
+    lines("enums.tsv").foreach { l =>
+      l.split("\t", -1) match {
+        case Array(n, vs) => enums.put(n, if (vs.isEmpty) Nil else vs.split(",").toSeq)
+        case _ =>
+      }
+    }
     lines("constraints.tsv").foreach { l =>
       val parts = l.split("\t", -1)
       if (parts.length >= 4) {
@@ -2069,9 +2138,17 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
               case _ => None
             }
           }
+        val enumCols =
+          if (parts.length < 6 || parts(5).isEmpty) Nil
+          else parts(5).split("\\|").toSeq.flatMap { e =>
+            e.split(":", 2) match {
+              case Array(cn, en) => Some(cn -> en)
+              case _ => None
+            }
+          }
         constraints.put(parts(0), Constraints(list(parts(1)),
           if (parts(2).isEmpty) Nil else parts(2).split("\\|").toSeq.map(_.split(",").toSeq),
-          list(parts(3)), fks))
+          list(parts(3)), fks, enumCols))
       }
     }
     // re-register surviving managed tables: every parquet dir under
@@ -2171,6 +2248,12 @@ object Engine {
     """(?is)^\s*alter\s+table\s+([\w.]+)\s+alter\s+(?:column\s+)?("?\w+"?)\s+(?:set\s+data\s+type|type)\s+([\w]+(?:\s*\([\d\s,]*\))?)\s*(?:using\s+(.+))?\s*$""".r
   private val updateRe =
     """(?is)^\s*update\s+([\w.]+)\s+set\s+(.+?)(?:\s+where\s+(.+))?\s*$""".r
+  private val enumColonCastRe = """::\s*(\w+)""".r
+  private val createEnumRe =
+    """(?is)^\s*create\s+type\s+([\w.]+)\s+as\s+enum\s*\(([^)]*)\)\s*$""".r
+  private val dropTypeRe = """(?is)^\s*drop\s+type\s+(if\s+exists\s+)?([\w.]+)\s*$""".r
+  private val plainCreateTableRe =
+    """(?is)^\s*create\s+table\s+(?!if\s)([\w.]+)\s*\((.*)\)\s*(using\s+\w+)?\s*$""".r
   private val createTableRe =
     """(?is)^\s*create\s+table\s+(?!if\s)([\w.]+)\s*\((.*(?:primary\s+key|unique|not\s+null|foreign\s+key|references\s|check\s*\().*)\)\s*(using\s+\w+)?\s*$""".r
   private val insertStmtRe =

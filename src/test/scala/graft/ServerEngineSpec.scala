@@ -605,6 +605,30 @@ class ServerEngineSpec extends SparkSpecBase {
     } finally engine.execute("DROP TABLE IF EXISTS prag_t")
   }
 
+  test("CREATE TYPE ... AS ENUM: membership enforced on ingest, casts resolve") {
+    engine.execute("CREATE TYPE mood AS ENUM ('sad', 'ok', 'happy')")
+    fresh("en_t")
+    try {
+      engine.execute("create table main.en_t (id INT, m mood) using parquet")
+      engine.execute("insert into main.en_t values (1, 'ok'), (2, 'happy')")
+      val e = intercept[IllegalArgumentException] {
+        engine.execute("insert into main.en_t values (3, 'angry')") }
+      assert(e.getMessage.contains("angry") && e.getMessage.contains("mood"), e.getMessage)
+      assert(spark.table("main.en_t").count() == 2)
+      // NULL passes; ::mood cast resolves to the storage type
+      engine.execute("insert into main.en_t values (4, NULL)")
+      val r = engine.execute("SELECT 'sad'::mood AS m").df.head()
+      assert(r.getString(0) == "sad")
+      // DROP TYPE: gone; IF EXISTS tolerant
+      engine.execute("DROP TYPE mood")
+      intercept[IllegalArgumentException] { engine.execute("DROP TYPE mood") }
+      engine.execute("DROP TYPE IF EXISTS mood")
+    } finally {
+      engine.execute("drop table if exists main.en_t")
+      engine.execute("DROP TYPE IF EXISTS mood")
+    }
+  }
+
   test("ALTER COLUMN TYPE rebuilds the table with the cast (and USING expr)") {
     fresh("alt_t")
     engine.execute("create table main.alt_t (k INT PRIMARY KEY, v STRING) using parquet")
