@@ -263,6 +263,9 @@ object GraftFunctions {
     if (reg.lookupFunctionBuilder(FunctionIdentifier("graft_registry_marker")).isDefined) return
 
     reg.createOrReplaceTempFunction("typeof", es => TypeOf(es.head), "scala_udf")
+    // DuckDB gen_random_uuid()/uuid() — Spark's uuid() expression
+    reg.createOrReplaceTempFunction("gen_random_uuid",
+      _ => org.apache.spark.sql.catalyst.expressions.Uuid(), "scala_udf")
     reg.createOrReplaceTempFunction("vector_dot", es => VectorDot(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("list_aggregate", listAggregate, "scala_udf")
     reg.createOrReplaceTempFunction("list_aggr", listAggregate, "scala_udf")

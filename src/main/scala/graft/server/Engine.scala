@@ -2612,7 +2612,8 @@ object Engine {
     "utinyint" -> "SMALLINT", "usmallint" -> "INT", "uinteger" -> "BIGINT",
     "ubigint" -> "DECIMAL(20,0)", "float4" -> "FLOAT", "float8" -> "DOUBLE",
     "blob" -> "BINARY", "bytea" -> "BINARY", "json" -> "STRING", "time" -> "STRING",
-    "varchar" -> "STRING", "text" -> "STRING", "logical" -> "BOOLEAN")
+    "varchar" -> "STRING", "text" -> "STRING", "logical" -> "BOOLEAN",
+    "uuid" -> "STRING")
   private val typeAliasColonRe =
     ("""(?i)::\s*(""" + typeAliasMap.keys.mkString("|") + """)\b(?!\s*\()""").r
   // DDL column-type position: identifier + whitespace + alias name, not

@@ -605,6 +605,16 @@ class ServerEngineSpec extends SparkSpecBase {
     } finally engine.execute("DROP TABLE IF EXISTS prag_t")
   }
 
+  test("uuid type spelling and gen_random_uuid()") {
+    val r = engine.execute(
+      "SELECT gen_random_uuid() AS u, CAST('a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11' AS uuid) AS v").df.head()
+    assert(r.getString(0).matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"))
+    assert(r.getString(1) == "a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11")
+    // ::uuid spelling too
+    assert(engine.execute("SELECT 'a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11'::uuid AS v")
+      .df.head().getString(0).startsWith("a0eebc99"))
+  }
+
   test("CREATE TYPE ... AS ENUM: membership enforced on ingest, casts resolve") {
     engine.execute("CREATE TYPE mood AS ENUM ('sad', 'ok', 'happy')")
     fresh("en_t")
