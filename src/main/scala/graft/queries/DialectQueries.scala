@@ -13,6 +13,19 @@ import QueryDef.q
   */
 object DialectQueries {
 
+  /** Remove an orphaned warehouse dir for a managed table a crashed
+    * previous run may have left (CREATE TABLE otherwise fails with
+    * LOCATION_ALREADY_EXISTS). */
+  private def dropStaleDir(s: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    val stale = new java.io.File(
+      s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    if (stale.exists()) rm(stale)
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     q("q_dialect_ilike",
@@ -265,6 +278,56 @@ object DialectQueries {
       engine.execute("create table graft_seq_t (sv bigint, k bigint) using parquet")
       engine.execute("insert into graft_seq_t select nextval('graft_sq'), o_orderkey from __seq_orders where o_orderkey <= 800 order by o_orderkey")
       s.sql("select sv, k from graft_seq_t order by k")
+    },
+
+    // (dropStaleDir: a crashed previous run can leave an orphaned
+    // warehouse dir that makes CREATE TABLE fail with
+    // LOCATION_ALREADY_EXISTS — same hygiene as the sequence query)
+
+    // ALTER COLUMN TYPE (r8): the retype must be REAL — the final
+    // select does arithmetic on the retyped column, which errors under
+    // ANSI if the cast never happened. Oracle runs the identical
+    // statement sequence on DuckDB's native ALTER.
+    q("q_dml_alter_column_type",
+      """CREATE TABLE graft_alt_t AS
+        |  SELECT o_orderkey AS k, CAST(o_custkey AS VARCHAR) AS v
+        |  FROM orders WHERE o_orderkey <= 400;
+        |ALTER TABLE graft_alt_t ALTER COLUMN v TYPE BIGINT;
+        |SELECT k, v + 1 AS v1 FROM graft_alt_t ORDER BY k""".stripMargin) { (s, dir) =>
+      val engine = new graft.server.Engine(s)
+      Tables(s, dir)
+      engine.execute("drop table if exists graft_alt_t")
+      dropStaleDir(s, "graft_alt_t")
+      engine.execute(
+        "CREATE TABLE graft_alt_t AS SELECT o_orderkey AS k, CAST(o_custkey AS VARCHAR) AS v " +
+          "FROM orders WHERE o_orderkey <= 400")
+      engine.execute("ALTER TABLE graft_alt_t ALTER COLUMN v TYPE BIGINT")
+      engine.execute("SELECT k, v + 1 AS v1 FROM graft_alt_t ORDER BY k").df
+    },
+
+    // User-defined ENUM end-to-end (r8): type creation, enum-typed
+    // column ingest, aggregation over the column. ORDER BY casts to
+    // VARCHAR on both sides — DuckDB orders raw enums by definition
+    // order, strings textually.
+    q("q_dml_enum_type",
+      """CREATE TYPE graft_mood AS ENUM ('low', 'mid', 'high');
+        |CREATE TABLE graft_en_t (k BIGINT, m graft_mood);
+        |INSERT INTO graft_en_t SELECT o_orderkey, ['low','mid','high'][CAST(o_orderkey % 3 + 1 AS INT)] FROM orders WHERE o_orderkey <= 400;
+        |SELECT CAST(m AS VARCHAR) AS mood, CAST(count(*) AS BIGINT) AS n
+        |FROM graft_en_t GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val engine = new graft.server.Engine(s)
+      Tables(s, dir)
+      engine.execute("drop table if exists graft_en_t")
+      dropStaleDir(s, "graft_en_t")
+      engine.execute("DROP TYPE IF EXISTS graft_mood")
+      engine.execute("CREATE TYPE graft_mood AS ENUM ('low', 'mid', 'high')")
+      engine.execute("CREATE TABLE graft_en_t (k BIGINT, m graft_mood)")
+      engine.execute(
+        "INSERT INTO graft_en_t SELECT o_orderkey, ['low','mid','high'][CAST(o_orderkey % 3 + 1 AS INT)] " +
+          "FROM orders WHERE o_orderkey <= 400")
+      engine.execute(
+        "SELECT CAST(m AS VARCHAR) AS mood, CAST(count(*) AS BIGINT) AS n " +
+          "FROM graft_en_t GROUP BY 1 ORDER BY 1").df
     },
 
     // Round-8 wire-path constructs as ORACLED rows (probe-found fixes
