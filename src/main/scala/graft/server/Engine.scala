@@ -319,6 +319,12 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     deleteRe.findFirstMatchIn(sql).foreach { m =>
       return copyOnWriteDelete(m.group(1), Option(m.group(2)))
     }
+    exportDbRe.findFirstMatchIn(sql).foreach { m =>
+      return exportDatabase(m.group(1))
+    }
+    importDbRe.findFirstMatchIn(sql).foreach { m =>
+      return importDatabase(m.group(1))
+    }
     copyToRe.findFirstMatchIn(sql).foreach { m =>
       return copyTo(m.group(1), m.group(2), Option(m.group(3)).getOrElse(""))
     }
@@ -1985,6 +1991,74 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
   }
 
   /** COPY table FROM 'file' (FORMAT …) → read + insertInto. */
+  /** DuckDB `EXPORT DATABASE 'dir'` (reference pass-through surface):
+    * every managed table of the current database -> dir/<t>.parquet,
+    * plus schema.sql (DDL with declared constraints and enum types)
+    * and load.sql (COPY ... FROM ... (FORMAT PARQUET)) — the artifact
+    * layout DuckDB emits, re-runnable by IMPORT DATABASE below, which
+    * simply executes both files through this engine (so the DDL
+    * dialect, constraint registration and the COPY ingest path are the
+    * ones under test everywhere else). File I/O gated like COPY. */
+  private def exportDatabase(path: String): ExecResult = {
+    requireFileIo()
+    import scala.jdk.CollectionConverters._
+    val dir = new java.io.File(path)
+    dir.mkdirs()
+    val db = spark.catalog.currentDatabase
+    val tables = spark.catalog.listTables(db).collect()
+      .filter(t => t.tableType == "MANAGED" || t.tableType == "EXTERNAL")
+      .map(_.name).sorted
+    val schemaSql = new StringBuilder
+    val loadSql = new StringBuilder
+    enums.asScala.toSeq.sortBy(_._1).foreach { case (n, vs) =>
+      schemaSql.append(
+        s"CREATE TYPE $n AS ENUM (${vs.map(v => s"'$v'").mkString(", ")});\n")
+    }
+    tables.foreach { t =>
+      val out = s"$path/$t.parquet"
+      spark.table(t).write.mode("overwrite").parquet(out)
+      val cons = constraintsOf(t)
+      val pkSet = cons.map(_.pk.map(_.toLowerCase).toSet).getOrElse(Set.empty)
+      val nn = cons.map(_.notNull.map(_.toLowerCase).toSet).getOrElse(Set.empty)
+      val enumBy = cons.map(_.enumCols.toMap).getOrElse(Map.empty)
+      val colDefs = spark.table(t).schema.fields.map { f =>
+        val ty = enumBy.getOrElse(f.name.toLowerCase,
+          graft.functions.DuckTypeNames.of(f.dataType))
+        s"${f.name} $ty" +
+          (if (nn.contains(f.name.toLowerCase) && !pkSet.contains(f.name.toLowerCase)) " NOT NULL" else "")
+      }
+      val tail = cons.toSeq.flatMap { c =>
+        (if (c.pk.nonEmpty) Seq(s"PRIMARY KEY (${c.pk.mkString(", ")})") else Nil) ++
+          c.unique.map(u => s"UNIQUE (${u.mkString(", ")})") ++
+          c.fks.map(f => s"FOREIGN KEY (${f.cols.mkString(", ")}) REFERENCES ${f.refTable}(${f.refCols.mkString(", ")})")
+      }
+      schemaSql.append(s"CREATE TABLE $t (${(colDefs ++ tail).mkString(", ")});\n")
+      loadSql.append(s"COPY $t FROM '$out' (FORMAT PARQUET);\n")
+    }
+    writeFile(s"$path/schema.sql", schemaSql.toString)
+    writeFile(s"$path/load.sql", loadSql.toString)
+    ExecResult(null, s"EXPORT ${tables.length}")
+  }
+
+  /** DuckDB `IMPORT DATABASE 'dir'`: replay schema.sql then load.sql
+    * through execute() — constraints and enum types re-register on the
+    * way in. */
+  private def importDatabase(path: String): ExecResult = {
+    requireFileIo()
+    var n = 0
+    Seq("schema.sql", "load.sql").foreach { f =>
+      val file = new java.io.File(path, f)
+      if (!file.isFile)
+        throw new IllegalArgumentException(s"IMPORT DATABASE: missing $path/$f")
+      val text = new String(java.nio.file.Files.readAllBytes(file.toPath), "UTF-8")
+      splitTopLevel(text, ';').map(_.trim).filter(_.nonEmpty).foreach { st =>
+        execute(st)
+        n += 1
+      }
+    }
+    ExecResult(null, s"IMPORT $n")
+  }
+
   private def copyFromFile(table: String, path: String, opts: String): ExecResult = {
     requireFileIo()
     val target = spark.table(table)
@@ -2249,6 +2323,8 @@ object Engine {
   private val updateRe =
     """(?is)^\s*update\s+([\w.]+)\s+set\s+(.+?)(?:\s+where\s+(.+))?\s*$""".r
   private val enumColonCastRe = """::\s*(\w+)""".r
+  private val exportDbRe = """(?is)^\s*export\s+database\s+'([^']+)'\s*(?:\(.*\))?\s*$""".r
+  private val importDbRe = """(?is)^\s*import\s+database\s+'([^']+)'\s*$""".r
   private val createEnumRe =
     """(?is)^\s*create\s+type\s+([\w.]+)\s+as\s+enum\s*\(([^)]*)\)\s*$""".r
   private val dropTypeRe = """(?is)^\s*drop\s+type\s+(if\s+exists\s+)?([\w.]+)\s*$""".r

@@ -605,6 +605,44 @@ class ServerEngineSpec extends SparkSpecBase {
     } finally engine.execute("DROP TABLE IF EXISTS prag_t")
   }
 
+  test("EXPORT DATABASE / IMPORT DATABASE round-trips tables, constraints and enums") {
+    val dir = Files.createTempDirectory("graft-export").toFile.getAbsolutePath
+    engine.execute("DROP TYPE IF EXISTS exp_kind")
+    engine.execute("CREATE TYPE exp_kind AS ENUM ('a', 'b')")
+    fresh("exp_t")
+    engine.execute(
+      "create table main.exp_t (k BIGINT PRIMARY KEY, v VARCHAR NOT NULL, m exp_kind) using parquet")
+    engine.execute("insert into main.exp_t values (1, 'x', 'a'), (2, 'y', 'b')")
+    val prevDb = spark.catalog.currentDatabase
+    spark.catalog.setCurrentDatabase("main")
+    try {
+      val ex = engine.execute(s"EXPORT DATABASE '$dir'")
+      assert(ex.tag.startsWith("EXPORT"))
+      val schema = new String(Files.readAllBytes(new java.io.File(dir, "schema.sql").toPath))
+      assert(schema.contains("CREATE TYPE exp_kind AS ENUM"))
+      assert(schema.contains("PRIMARY KEY (k)") && schema.contains("v VARCHAR NOT NULL"))
+      assert(new java.io.File(dir, "exp_t.parquet").exists())
+      // wipe and re-import
+      engine.execute("drop table main.exp_t")
+      fresh("exp_t")
+      engine.execute("DROP TYPE exp_kind")
+      val im = engine.execute(s"IMPORT DATABASE '$dir'")
+      assert(im.tag.startsWith("IMPORT"))
+      val rows = spark.table("main.exp_t").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+      assert(rows.toSeq == Seq((1L, "x", "a"), (2L, "y", "b")))
+      // constraints live again after import: dup PK and bad enum rejected
+      intercept[IllegalArgumentException] {
+        engine.execute("insert into main.exp_t values (1, 'dup', 'a')") }
+      intercept[IllegalArgumentException] {
+        engine.execute("insert into main.exp_t values (3, 'z', 'nope')") }
+    } finally {
+      spark.catalog.setCurrentDatabase(prevDb)
+      engine.execute("drop table if exists main.exp_t")
+      engine.execute("DROP TYPE IF EXISTS exp_kind")
+    }
+  }
+
   test("uuid type spelling and gen_random_uuid()") {
     val r = engine.execute(
       "SELECT gen_random_uuid() AS u, CAST('a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11' AS uuid) AS v").df.head()
