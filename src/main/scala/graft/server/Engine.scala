@@ -52,9 +52,10 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * record them at CREATE TABLE and enforce on the ingest paths). */
   case class Fk(cols: Seq[String], refTable: String, refCols: Seq[String])
   case class Constraints(pk: Seq[String], unique: Seq[Seq[String]], notNull: Seq[String],
-      fks: Seq[Fk] = Nil, enumCols: Seq[(String, String)] = Nil) {
-    def isEmpty: Boolean =
-      pk.isEmpty && unique.isEmpty && notNull.isEmpty && fks.isEmpty && enumCols.isEmpty
+      fks: Seq[Fk] = Nil, enumCols: Seq[(String, String)] = Nil,
+      checks: Seq[String] = Nil) {
+    def isEmpty: Boolean = pk.isEmpty && unique.isEmpty && notNull.isEmpty &&
+      fks.isEmpty && enumCols.isEmpty && checks.isEmpty
   }
   private val constraints = new ConcurrentHashMap[String, Constraints]()
 
@@ -121,6 +122,15 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
           throw new IllegalArgumentException(
             s"insert into $table violates foreign key constraint: " +
               s"(${fk.cols.mkString(", ")}) not present in ${fk.refTable}(${fk.refCols.mkString(", ")})")
+      }
+      // CHECK constraints: row-local predicate sweep (PG semantics —
+      // a NULL check result passes, only FALSE rejects)
+      c.checks.foreach { ck =>
+        import org.apache.spark.sql.functions.{coalesce, expr}
+        val bad = newData.filter(!coalesce(expr(ck), lit(true)))
+        if (bad.limit(1).count() > 0)
+          throw new IllegalArgumentException(
+            s"new row violates check constraint ($ck)")
       }
       // ENUM membership: a row-local isin check against the type's
       // value set (DuckDB rejects out-of-set values at insert)
@@ -1708,6 +1718,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     var notNull = Seq.empty[String]
     var fks = Seq.empty[Fk]
     var enumCols = Seq.empty[(String, String)]
+    var checks = Seq.empty[String]
     val kept = splitTopLevel(colSpec, ',').flatMap { item0 =>
       val item = item0.trim
       val lower = item.toLowerCase
@@ -1732,7 +1743,11 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         }
         None
       } else if (lower.startsWith("check")) {
-        None // recorded-but-unenforced class: dropped (documented divergence)
+        // CHECK (expr) — enforced on ingest (r8)
+        val open = item.indexOf('(')
+        val close = item.lastIndexOf(')')
+        if (open >= 0 && close > open) checks :+= item.substring(open + 1, close).trim
+        None
       } else {
         val colName = item.split("\\s+").head.toLowerCase
         var cleaned = item
@@ -1757,6 +1772,24 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
           enumCols :+= (colName -> toks(1).toLowerCase)
           cleaned = (Seq(toks(0), "STRING") ++ toks.drop(2)).mkString(" ")
         }
+        // column-level `x T CHECK (expr)` — strip and record (enforced)
+        val ckIdx = "(?is)\\scheck\\s*\\(".r.findFirstMatchIn(cleaned)
+        ckIdx.foreach { cm =>
+          var depth = 1
+          var j = cm.end
+          while (j < cleaned.length && depth > 0) {
+            cleaned.charAt(j) match {
+              case '(' => depth += 1
+              case ')' => depth -= 1
+              case _ =>
+            }
+            j += 1
+          }
+          if (depth == 0) {
+            checks :+= cleaned.substring(cm.end, j - 1).trim
+            cleaned = cleaned.substring(0, cm.start) + cleaned.substring(j)
+          }
+        }
         // column-level `x T REFERENCES ref(y)` — enforced on ingest
         val colFkRe = """(?is)\s+references\s+([\w.]+)\s*(?:\(([^)]*)\))?""".r
         colFkRe.findFirstMatchIn(cleaned).foreach { fm =>
@@ -1771,7 +1804,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     // through rewrite(): the rebuilt DDL still carries DuckDB type
     // spellings (bare VARCHAR/TEXT/...) that the alias pass resolves
     spark.sql(rewrite(s"CREATE TABLE $table (${kept.mkString(", ")}) $rest"))
-    constraints.put(qualify(table), Constraints(pk, unique, notNull, fks, enumCols))
+    constraints.put(qualify(table), Constraints(pk, unique, notNull, fks, enumCols, checks))
     persistConstraints()
     ExecResult(null, "CREATE TABLE")
   }
@@ -2030,7 +2063,8 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       val tail = cons.toSeq.flatMap { c =>
         (if (c.pk.nonEmpty) Seq(s"PRIMARY KEY (${c.pk.mkString(", ")})") else Nil) ++
           c.unique.map(u => s"UNIQUE (${u.mkString(", ")})") ++
-          c.fks.map(f => s"FOREIGN KEY (${f.cols.mkString(", ")}) REFERENCES ${f.refTable}(${f.refCols.mkString(", ")})")
+          c.fks.map(f => s"FOREIGN KEY (${f.cols.mkString(", ")}) REFERENCES ${f.refTable}(${f.refCols.mkString(", ")})") ++
+          c.checks.map(ck => s"CHECK ($ck)")
       }
       schemaSql.append(s"CREATE TABLE $t (${(colDefs ++ tail).mkString(", ")});\n")
       loadSql.append(s"COPY $t FROM '$out' (FORMAT PARQUET);\n")
@@ -2127,7 +2161,9 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         val fkStr = c.fks.map(f =>
           s"${f.cols.mkString(",")}>${f.refTable}:${f.refCols.mkString(",")}").mkString("|")
         val enStr = c.enumCols.map { case (cn, en) => s"$cn:$en" }.mkString("|")
-        s"$t\t${c.pk.mkString(",")}\t${c.unique.map(_.mkString(",")).mkString("|")}\t${c.notNull.mkString(",")}\t$fkStr\t$enStr"
+        val ckStr = c.checks.map(ck => java.util.Base64.getEncoder
+          .encodeToString(ck.getBytes("UTF-8"))).mkString("|")
+        s"$t\t${c.pk.mkString(",")}\t${c.unique.map(_.mkString(",")).mkString("|")}\t${c.notNull.mkString(",")}\t$fkStr\t$enStr\t$ckStr"
       }
     }
     writeFile(s"$p/constraints.tsv", lines.mkString("\n"))
@@ -2220,9 +2256,13 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
               case _ => None
             }
           }
+        val checks =
+          if (parts.length < 7 || parts(6).isEmpty) Nil
+          else parts(6).split("\\|").toSeq.map(b =>
+            new String(java.util.Base64.getDecoder.decode(b), "UTF-8"))
         constraints.put(parts(0), Constraints(list(parts(1)),
           if (parts(2).isEmpty) Nil else parts(2).split("\\|").toSeq.map(_.split(",").toSeq),
-          list(parts(3)), fks, enumCols))
+          list(parts(3)), fks, enumCols, checks))
       }
     }
     // re-register surviving managed tables: every parquet dir under

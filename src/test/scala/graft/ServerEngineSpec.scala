@@ -605,6 +605,22 @@ class ServerEngineSpec extends SparkSpecBase {
     } finally engine.execute("DROP TABLE IF EXISTS prag_t")
   }
 
+  test("CHECK constraints enforced on ingest (table-level and column-level)") {
+    fresh("ck_t")
+    engine.execute(
+      "create table main.ck_t (a BIGINT CHECK (a > 0), b BIGINT, CHECK (b < 100)) using parquet")
+    engine.execute("insert into main.ck_t values (1, 50)")
+    val e1 = intercept[IllegalArgumentException] {
+      engine.execute("insert into main.ck_t values (-1, 50)") }
+    assert(e1.getMessage.contains("check constraint"), e1.getMessage)
+    intercept[IllegalArgumentException] {
+      engine.execute("insert into main.ck_t values (2, 200)") }
+    // NULL check result passes (PG semantics)
+    engine.execute("insert into main.ck_t values (3, NULL)")
+    assert(spark.table("main.ck_t").count() == 2)
+    engine.execute("drop table main.ck_t")
+  }
+
   test("EXPORT DATABASE / IMPORT DATABASE round-trips tables, constraints and enums") {
     val dir = Files.createTempDirectory("graft-export").toFile.getAbsolutePath
     engine.execute("DROP TYPE IF EXISTS exp_kind")
