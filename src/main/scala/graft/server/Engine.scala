@@ -90,7 +90,8 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * column names) against the table's declared constraints. Throws on
     * violation — before anything is written. All checks are aggregates
     * or semi-joins: at scale the PK check shuffles once on the key. */
-  private def enforceConstraints(table: String, newData: DataFrame): Unit =
+  private def enforceConstraints(table: String, newData: DataFrame,
+      againstExisting: Boolean = true): Unit =
     constraintsOf(table).foreach { c =>
       import org.apache.spark.sql.functions.{col, count, lit}
       enforceNotNull((c.notNull ++ c.pk).distinct, newData)
@@ -104,7 +105,10 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
             .filter(col("n") > 1).limit(1).count() > 0)
           throw new IllegalArgumentException(
             s"duplicate key in inserted rows violates unique constraint (${keys.mkString(", ")})")
-        if (keyed.join(spark.table(table).select(kc: _*), keys, "left_semi")
+        // againstExisting=false on whole-table rewrites (UPDATE): the
+        // rewritten rows ARE the table, so only intra-batch dups apply
+        if (againstExisting &&
+            keyed.join(spark.table(table).select(kc: _*), keys, "left_semi")
             .limit(1).count() > 0)
           throw new IllegalArgumentException(
             s"duplicate key value violates unique constraint (${keys.mkString(", ")})")
@@ -1324,7 +1328,17 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
           case None => s"`$c`"
         }
       }.mkString(", ")
-      val touched = spark.sql(s"SELECT count(*) FROM $table WHERE ($pred)").head().getLong(0)
+      // no-WHERE form must not emit `FROM t WHERE (true)`: the parser
+      // reads a parenthesized IDENTIFIER after a relation as a
+      // column-alias list ("t WHERE (true)" = alias WHERE, cols (true))
+      // and dies with ASSIGNMENT_ARITY_MISMATCH
+      val predSql = where.map(w => s" WHERE ($w)").getOrElse("")
+      val touched = spark.sql(s"SELECT count(*) FROM $table$predSql").head().getLong(0)
+      // UPDATE must re-validate: a SET can break NOT NULL / CHECK /
+      // enum / FK, or collapse two PKs onto one value (DuckDB rejects
+      // all of these at update time)
+      enforceConstraints(table, spark.sql(s"SELECT $proj FROM $table"),
+        againstExisting = false)
       stageAndSwap(table, s"SELECT $proj FROM $table")
       ExecResult(null, s"UPDATE $touched")
     } finally lock.unlock()

@@ -605,6 +605,26 @@ class ServerEngineSpec extends SparkSpecBase {
     } finally engine.execute("DROP TABLE IF EXISTS prag_t")
   }
 
+  test("UPDATE re-validates constraints (PK collapse, CHECK, NOT NULL)") {
+    fresh("upd_t")
+    engine.execute(
+      "create table main.upd_t (k BIGINT PRIMARY KEY, v BIGINT NOT NULL CHECK (v >= 0)) using parquet")
+    engine.execute("insert into main.upd_t values (1, 10), (2, 20)")
+    // collapse both PKs onto one value → reject
+    intercept[IllegalArgumentException] {
+      engine.execute("update main.upd_t set k = 7") }
+    // CHECK violation via SET → reject; NOT NULL via SET → reject
+    intercept[IllegalArgumentException] {
+      engine.execute("update main.upd_t set v = -5 where k = 1") }
+    intercept[IllegalArgumentException] {
+      engine.execute("update main.upd_t set v = NULL where k = 1") }
+    // a legal update still works
+    engine.execute("update main.upd_t set v = 11 where k = 1")
+    val rows = spark.table("main.upd_t").collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq(1L -> 11L, 2L -> 20L))
+    engine.execute("drop table main.upd_t")
+  }
+
   test("CHECK constraints enforced on ingest (table-level and column-level)") {
     fresh("ck_t")
     engine.execute(
