@@ -1349,7 +1349,32 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     lock.lock()
     try {
       val pred = where.getOrElse("true")
-      val removed = spark.sql(s"SELECT count(*) FROM $table WHERE ($pred)").head().getLong(0)
+      // same WHERE-less parse hazard as UPDATE: `FROM t WHERE (true)`
+      // reads as an alias + column-alias list
+      val predSql = where.map(w => s" WHERE ($w)").getOrElse("")
+      val removed = spark.sql(s"SELECT count(*) FROM $table$predSql").head().getLong(0)
+      // FK RESTRICT: deleting rows still referenced by a child table
+      // is rejected (DuckDB/PG default behavior for enforced FKs)
+      if (removed > 0) {
+        import scala.jdk.CollectionConverters._
+        import org.apache.spark.sql.functions.col
+        val referencing = constraints.asScala.toSeq.flatMap { case (child, c2) =>
+          c2.fks.filter(f => qualify(f.refTable) == qualify(table)).map(child -> _)
+        }
+        referencing.foreach { case (child, fk) =>
+          val deletedKeys = spark.sql(
+            s"SELECT ${fk.refCols.mkString(", ")} FROM $table$predSql")
+            .toDF(fk.cols: _*)
+          val hit = spark.table(child)
+            .select(fk.cols.map(col): _*)
+            .filter(fk.cols.map(col(_).isNotNull).reduce(_ && _))
+            .join(deletedKeys, fk.cols, "left_semi")
+          if (hit.limit(1).count() > 0)
+            throw new IllegalArgumentException(
+              s"delete from $table violates foreign key constraint: " +
+                s"rows are still referenced by $child(${fk.cols.mkString(", ")})")
+        }
+      }
       stageAndSwap(table, s"SELECT * FROM $table WHERE NOT ($pred) OR ($pred) IS NULL")
       ExecResult(null, s"DELETE $removed")
     } finally lock.unlock()

@@ -605,6 +605,26 @@ class ServerEngineSpec extends SparkSpecBase {
     } finally engine.execute("DROP TABLE IF EXISTS prag_t")
   }
 
+  test("DELETE restricts on referenced FK rows; WHERE-less DELETE works") {
+    fresh("del_p"); fresh("del_c")
+    engine.execute("create table main.del_p (id BIGINT PRIMARY KEY, nm VARCHAR) using parquet")
+    engine.execute(
+      "create table main.del_c (cid BIGINT, pid BIGINT, FOREIGN KEY (pid) REFERENCES main.del_p(id)) using parquet")
+    try {
+      engine.execute("insert into main.del_p values (1, 'a'), (2, 'b'), (3, 'c')")
+      engine.execute("insert into main.del_c values (10, 1)")
+      // deleting a referenced parent row → reject
+      val e = intercept[IllegalArgumentException] {
+        engine.execute("delete from main.del_p where id = 1") }
+      assert(e.getMessage.contains("still referenced"), e.getMessage)
+      // unreferenced parent rows delete fine
+      assert(engine.execute("delete from main.del_p where id = 3").tag == "DELETE 1")
+      // whole-child delete (no WHERE — the parse-hazard form), then parent clears
+      assert(engine.execute("delete from main.del_c").tag == "DELETE 1")
+      assert(engine.execute("delete from main.del_p").tag == "DELETE 2")
+    } finally Seq("del_c", "del_p").foreach(t => engine.execute(s"drop table if exists main.$t"))
+  }
+
   test("UPDATE re-validates constraints (PK collapse, CHECK, NOT NULL)") {
     fresh("upd_t")
     engine.execute(
