@@ -1339,6 +1339,34 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       // all of these at update time)
       enforceConstraints(table, spark.sql(s"SELECT $proj FROM $table"),
         againstExisting = false)
+      // FK RESTRICT when this table is REFERENCED: keys the update
+      // removes (present before, absent after) must not still be
+      // referenced by a child. Exact old-minus-new key-set diff, so
+      // updates that keep a referenced key intact pass.
+      locally {
+        import scala.jdk.CollectionConverters._
+        import org.apache.spark.sql.functions.col
+        val referencing = constraints.asScala.toSeq.flatMap { case (child, c2) =>
+          c2.fks.filter(f => qualify(f.refTable) == qualify(table)).map(child -> _)
+        }
+        referencing.foreach { case (child, fk) =>
+          val touchesKey = fk.refCols.exists(rc => sets.contains(rc.toLowerCase))
+          if (touchesKey) {
+            val oldKeys = spark.table(table).select(fk.refCols.map(col): _*)
+            val newKeys = spark.sql(s"SELECT $proj FROM $table")
+              .select(fk.refCols.map(col): _*)
+            val removed = oldKeys.except(newKeys).toDF(fk.cols: _*)
+            val hit = spark.table(child)
+              .select(fk.cols.map(col): _*)
+              .filter(fk.cols.map(col(_).isNotNull).reduce(_ && _))
+              .join(removed, fk.cols, "left_semi")
+            if (hit.limit(1).count() > 0)
+              throw new IllegalArgumentException(
+                s"update on $table violates foreign key constraint: " +
+                  s"a referenced key would change while rows in $child still reference it")
+          }
+        }
+      }
       stageAndSwap(table, s"SELECT $proj FROM $table")
       ExecResult(null, s"UPDATE $touched")
     } finally lock.unlock()

@@ -605,6 +605,27 @@ class ServerEngineSpec extends SparkSpecBase {
     } finally engine.execute("DROP TABLE IF EXISTS prag_t")
   }
 
+  test("UPDATE of a referenced FK key restricts when children still reference it") {
+    fresh("ufk_p"); fresh("ufk_c")
+    engine.execute("create table main.ufk_p (id BIGINT PRIMARY KEY, nm VARCHAR) using parquet")
+    engine.execute(
+      "create table main.ufk_c (cid BIGINT, pid BIGINT REFERENCES main.ufk_p(id)) using parquet")
+    try {
+      engine.execute("insert into main.ufk_p values (1, 'a'), (2, 'b')")
+      engine.execute("insert into main.ufk_c values (10, 1)")
+      // changing the REFERENCED key away while a child points at it → reject
+      val e = intercept[IllegalArgumentException] {
+        engine.execute("update main.ufk_p set id = 99 where id = 1") }
+      assert(e.getMessage.contains("still reference"), e.getMessage)
+      // changing an unreferenced key passes; non-key updates pass
+      engine.execute("update main.ufk_p set id = 20 where id = 2")
+      engine.execute("update main.ufk_p set nm = 'A' where id = 1")
+      val rows = spark.table("main.ufk_p").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      assert(rows.toSeq == Seq(1L -> "A", 20L -> "b"))
+    } finally Seq("ufk_c", "ufk_p").foreach(t => engine.execute(s"drop table if exists main.$t"))
+  }
+
   test("DELETE restricts on referenced FK rows; WHERE-less DELETE works") {
     fresh("del_p"); fresh("del_c")
     engine.execute("create table main.del_p (id BIGINT PRIMARY KEY, nm VARCHAR) using parquet")
