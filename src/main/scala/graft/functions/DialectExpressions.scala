@@ -649,6 +649,113 @@ case class ParsePathPart(fn: String, child: Expression, trimExt: Boolean)
   override protected def withNewChildInternal(c: Expression): ParsePathPart = copy(child = c)
 }
 
+/** DuckDB `//` dispatch (fuzzer find): integer operands → integral
+  * division; ANY non-integral operand → PLAIN division (probed:
+  * 7.5 // 2 = 3.75, -27 // 7 = -3 in DuckDB 1.0 — the operator is
+  * only "integer division" for integer inputs). */
+case class FloorDivDispatch(left: Expression, right: Expression)
+    extends RuntimeReplaceable with BinaryLike[Expression] {
+  import org.apache.spark.sql.catalyst.expressions._
+  private def integral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+  override lazy val replacement: Expression =
+    if (integral(left.dataType) && integral(right.dataType))
+      // IntegralDivide is LONG-typed in Spark; the analyzer's coercion
+      // doesn't run inside a replacement, so cast explicitly
+      IntegralDivide(Cast(left, LongType), Cast(right, LongType))
+    else Divide(Cast(left, DoubleType), Cast(right, DoubleType))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): FloorDivDispatch =
+    copy(left = l, right = r)
+}
+
+/** DuckDB floor()/ceil() PRESERVE a floating-point input type (DOUBLE
+  * → DOUBLE; DECIMAL → DECIMAL(p,0)); Spark's return BIGINT for
+  * doubles. The type matters downstream: `floor(2.0) // 7` is PLAIN
+  * division in DuckDB (0.2857…) because the operand is DOUBLE
+  * (fuzzer find, seed 1). Decimal/integer inputs keep Spark's native
+  * typing (already DECIMAL(p-s+1,0) / pass-through). */
+case class FloorCeilDuck(child: Expression, isFloor: Boolean)
+    extends RuntimeReplaceable with UnaryLike[Expression] {
+  import org.apache.spark.sql.catalyst.expressions._
+  override lazy val replacement: Expression = {
+    val core: Expression = if (isFloor) Floor(child) else Ceil(child)
+    child.dataType match {
+      case DoubleType | FloatType => Cast(core, DoubleType)
+      case _ => core
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): FloorCeilDuck =
+    copy(child = c)
+}
+
+/** DuckDB TRY_CAST(string AS integral) parses the string as a NUMBER
+  * and ROUNDS half away from zero ('3.9' → 4, '-2.5' → -3, '3.14' →
+  * 3); Spark's try_cast only accepts integer-shaped strings. Non-
+  * string inputs keep plain TRY semantics. */
+case class TryIntCastDuck(child: Expression, tyLit: Expression)
+    extends RuntimeReplaceable with BinaryLike[Expression] {
+  import org.apache.spark.sql.catalyst.expressions._
+  override def left: Expression = child
+  override def right: Expression = tyLit
+  private def target: DataType = tyLit match {
+    case Literal(s: UTF8String, StringType) => s.toString.toLowerCase match {
+      case "bigint" => LongType
+      case "int" | "integer" => IntegerType
+      case "smallint" => ShortType
+      case "tinyint" => ByteType
+      case _ => LongType
+    }
+    case _ => LongType
+  }
+  override lazy val replacement: Expression = child.dataType match {
+    case StringType =>
+      Cast(Round(Cast(child, DoubleType, None, EvalMode.TRY), Literal(0)),
+        target, None, EvalMode.TRY)
+    case _ => Cast(child, target, None, EvalMode.TRY)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TryIntCastDuck =
+    copy(child = l, tyLit = r)
+}
+
+/** DuckDB list_contains/list_has semantics (fuzzer find): a NULL
+  * needle gives NULL, but NULL ELEMENTS never make the result NULL —
+  * an absent needle is plain FALSE (Spark's array_contains returns
+  * NULL there). The needle coerces to the array element type (DuckDB
+  * compares in a common type; Spark errors on e.g. ARRAY<BIGINT> vs
+  * DECIMAL). */
+case class ListContainsDuck(left: Expression, right: Expression)
+    extends RuntimeReplaceable with BinaryLike[Expression] {
+  import org.apache.spark.sql.catalyst.expressions._
+  override lazy val replacement: Expression = left.dataType match {
+    case ArrayType(et, _) =>
+      val needle = if (right.dataType == et) right
+        else Cast(right, et, None, EvalMode.TRY)
+      If(IsNull(right), Literal.create(null, BooleanType),
+        Coalesce(Seq(ArrayContains(left, needle), Literal(false))))
+    case _ => ArrayContains(left, right)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ListContainsDuck =
+    copy(left = l, right = r)
+}
+
+/** DuckDB list_position: needle coerced to the element type; absent →
+  * 0 (Spark matches) — only the coercion differs (fuzzer find). */
+case class ListPositionDuck(left: Expression, right: Expression)
+    extends RuntimeReplaceable with BinaryLike[Expression] {
+  import org.apache.spark.sql.catalyst.expressions._
+  override lazy val replacement: Expression = left.dataType match {
+    case ArrayType(et, _) =>
+      val needle = if (right.dataType == et) right
+        else Cast(right, et, None, EvalMode.TRY)
+      ArrayPosition(left, needle)
+    case _ => ArrayPosition(left, right)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ListPositionDuck =
+    copy(left = l, right = r)
+}
+
 /** DuckDB element_at / list subscript semantics, dispatched on the
   * resolved input: arrays — 1-based, negative from the end, 0 and
   * out-of-bounds give NULL (never an error: a scalar cannot fail one

@@ -87,25 +87,16 @@ object GraftFunctions {
       ("suffix", "endswith", id),
       ("starts_with", "startswith", id),
       ("ends_with", "endswith", id),
-      ("format", "format_string", id),
-      ("printf", "format_string", id),
       // list family (DuckDB list_* → Spark array functions; both 1-based)
       ("list_value", "array", id),
       ("list_pack", "array", id),
       ("list_extract", "element_at", id),
       ("list_element", "element_at", id),
-      ("list_contains", "array_contains", id),
-      ("list_has", "array_contains", id),
       ("array_length", "size", id),
-      ("list_concat", "concat", id),
-      ("list_cat", "concat", id),
       ("list_distinct", "array_distinct", id),
       ("list_transform", "transform", id),
       ("list_apply", "transform", id),
       ("list_filter", "filter", id),
-      ("array_position", "array_position", id),
-      ("list_position", "array_position", id),
-      ("list_indexof", "array_position", id),
       ("list_min", "array_min", id),
       ("list_append", "array_append", id),
       ("array_push_back", "array_append", id),
@@ -117,8 +108,6 @@ object GraftFunctions {
       ("array_prepend", "array_prepend", es => Seq(es(1), es.head)),
       ("list_max", "array_max", id),
       ("array_extract", "element_at", id),
-      ("array_concat", "concat", id),
-      ("array_cat", "concat", id),
       ("array_reverse", "reverse", id),
       ("array_transform", "transform", id),
       ("apply", "transform", id),
@@ -266,6 +255,69 @@ object GraftFunctions {
     // DuckDB gen_random_uuid()/uuid() — Spark's uuid() expression
     reg.createOrReplaceTempFunction("gen_random_uuid",
       _ => org.apache.spark.sql.catalyst.expressions.Uuid(), "scala_udf")
+    // DuckDB sign() is TINYINT (-1/0/1); Spark's signum is DOUBLE and
+    // renders "-1.0" wherever the value is stringified (fuzzer find)
+    for (n <- Seq("sign", "signum"))
+      reg.createOrReplaceTempFunction(n, es =>
+        Cast(org.apache.spark.sql.catalyst.expressions.Signum(
+          Cast(es.head, org.apache.spark.sql.types.DoubleType)), org.apache.spark.sql.types.IntegerType), "scala_udf")
+    // DuckDB // dispatch and try_cast-to-int rounding (fuzzer finds)
+    reg.createOrReplaceTempFunction("graft_fdiv",
+      es => FloorDivDispatch(es.head, es(1)), "scala_udf")
+    // DuckDB floor/ceil keep DOUBLE inputs DOUBLE (fuzzer find: the
+    // result type drives // dispatch)
+    reg.createOrReplaceTempFunction("floor",
+      es => FloorCeilDuck(es.head, isFloor = true), "scala_udf")
+    for (n <- Seq("ceil", "ceiling"))
+      reg.createOrReplaceTempFunction(n,
+        es => FloorCeilDuck(es.head, isFloor = false), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_tryint",
+      es => TryIntCastDuck(es.head, es(1)), "scala_udf")
+    // DuckDB split_part NULL semantics (fuzzer find, probed): NULL
+    // string → '', NULL delimiter → the whole string, NULL index → ''
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.{If, IsNull}
+      val native = reg.lookupFunctionBuilder(FunctionIdentifier("split_part")).get
+      val empty = Literal(UTF8String.fromString(""), StringType)
+      reg.createOrReplaceTempFunction("split_part", es => {
+        val Seq(str, delim, n) = es.take(3)
+        If(IsNull(str), empty,
+          If(IsNull(delim), str,
+            If(IsNull(n), empty, native(es))))
+      }, "scala_udf")
+    }
+    // DuckDB list_contains/list_has/array_contains: NULL needle → NULL,
+    // NULL elements never poison the result (absent → false), needle
+    // coerces to the element type; list_position family coerces too
+    // (fuzzer finds, tools/expr_fuzz.py)
+    for (n <- Seq("list_contains", "list_has", "array_contains"))
+      reg.createOrReplaceTempFunction(n, es => ListContainsDuck(es.head, es(1)), "scala_udf")
+    for (n <- Seq("list_position", "array_position", "list_indexof"))
+      reg.createOrReplaceTempFunction(n, es => ListPositionDuck(es.head, es(1)), "scala_udf")
+    // DuckDB format/printf return NULL when ANY argument is NULL
+    // (fmt-library semantics); Spark's format_string renders "null"
+    val fmtNullProp: Seq[Expression] => Expression = es => {
+      import org.apache.spark.sql.catalyst.expressions.{FormatString, IsNull, Or}
+      val anyNull = es.tail.map(e => IsNull(e): Expression)
+        .reduceOption[Expression](Or(_, _)).getOrElse(Literal(false))
+      If(anyNull, Literal.create(null, StringType), FormatString(es: _*))
+    }
+    for (n <- Seq("graft_format", "format", "printf"))
+      reg.createOrReplaceTempFunction(n, fmtNullProp, "scala_udf")
+    // DuckDB concat SKIPS NULL arguments and stringifies every input
+    // (concat(NULL,'x')='x', concat([1],[2])='[1][2]', concat(NULL)='');
+    // Spark's concat is NULL-propagating and type-preserving. Fuzzer
+    // find (tools/expr_fuzz.py seed 42). The || operator stays
+    // NULL-propagating in both engines, so only the function name is
+    // rebound; casts on already-string children fold away.
+    reg.createOrReplaceTempFunction("concat",
+      es => org.apache.spark.sql.catalyst.expressions.ConcatWs(Literal(UTF8String.fromString(""), StringType) +:
+        es.map(e => Cast(e, StringType))), "scala_udf")
+    // list_concat/array_cat keep ARRAY semantics — bind to the native
+    // Concat expression, not the registry's rebound string "concat"
+    for (n <- Seq("list_concat", "list_cat", "array_concat", "array_cat"))
+      reg.createOrReplaceTempFunction(n,
+        es => org.apache.spark.sql.catalyst.expressions.Concat(es), "scala_udf")
     reg.createOrReplaceTempFunction("vector_dot", es => VectorDot(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("list_aggregate", listAggregate, "scala_udf")
     reg.createOrReplaceTempFunction("list_aggr", listAggregate, "scala_udf")
@@ -386,7 +438,10 @@ object GraftFunctions {
           Not(EqualTo(x, Literal(Double.NegativeInfinity)))))
     }, "scala_udf")
     reg.createOrReplaceTempFunction("regexp_full_match", es => {
-      val anchored = call("concat")(str("^(?:"), es(1), str(")$"))
+      // native Concat, not call("concat"): the registry name is rebound
+      // to DuckDB's NULL-skipping string concat below
+      val anchored = org.apache.spark.sql.catalyst.expressions.Concat(
+        Seq(str("^(?:"), es(1), str(")$")))
       call("rlike")(es.head, anchored)
     }, "scala_udf")
     // 2-arg regexp_extract_all: DuckDB returns whole matches (group 0)
@@ -733,8 +788,10 @@ object GraftFunctions {
       else {
         val nulls = ArrayFilter(l, lam(IsNull))
         val sorted = nativeSortArray(Seq(ArrayFilter(l, lam(IsNotNull)), Literal(asc)))
-        if (nullsFirst) call("concat")(nulls, sorted)
-        else call("concat")(sorted, nulls)
+        // native Concat (array form); the registry's "concat" is the
+        // rebound NULL-skipping string concat
+        if (nullsFirst) org.apache.spark.sql.catalyst.expressions.Concat(Seq(nulls, sorted))
+        else org.apache.spark.sql.catalyst.expressions.Concat(Seq(sorted, nulls))
       }
     def nullOrderOf(e: Expression, fn: String): Boolean =
       !litStr(e, fn).trim.toUpperCase.endsWith("LAST")

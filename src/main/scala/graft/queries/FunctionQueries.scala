@@ -141,8 +141,11 @@ object FunctionQueries {
         .select(
           col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           abs(col("l_quantity") - 25).as("ab"),
-          ceil(col("l_discount") * 100).as("ce"),
-          floor(col("l_tax") * 100).as("fl"),
+          // ceil/floor are rebound to DuckDB typing (DOUBLE in →
+          // DOUBLE out) and functions.ceil resolves via the registry —
+          // cast explicitly, mirroring the oracle's CAST AS BIGINT
+          ceil(col("l_discount") * 100).cast("bigint").as("ce"),
+          floor(col("l_tax") * 100).cast("bigint").as("fl"),
           round(col("l_extendedprice").cast(DecimalType(18, 6)), 1).cast("double").as("rnd"),
           sqrt(col("l_quantity")).as("sq"),
           round(exp(col("l_discount")), 9).as("ex"),

@@ -591,8 +591,10 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     s = rewriteJsonArrows(s)
     s = rewriteStructLiterals(s)
     s = rewriteStructPackArgs(s)
-    // DuckDB // integer division → div (outside string literals)
-    s = replaceOutsideStrings(s, "//", " div ")
+    // DuckDB // division: operand-aware rewrite to graft_fdiv(l, r)
+    // (integral//integral = integer division, anything else = plain
+    // division — probed; a bare ` div ` would ERROR on double operands)
+    s = rewriteFloorDiv(s)
     // DuckDB date_diff('day', a, b) counts UNIT BOUNDARY CROSSINGS —
     // route to a registered builder that truncates both sides to the
     // unit before timestampdiff (Spark's quoted-unit builtin both
@@ -605,7 +607,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     s = formatFnRe.replaceAllIn(s, m =>
       if (m.group(1).matches("""[^{}]*(\{\}[^{}]*)*"""))
         Regex.quoteReplacement(
-          s"format_string('${m.group(1).replace("%", "%%").replace("{}", "%s")}',")
+          s"graft_format('${m.group(1).replace("%", "%%").replace("{}", "%s")}',")
       else Regex.quoteReplacement(m.matched))
     // PG regex-match operators with a string-literal pattern:
     // x ~ 'p' → rlike, !~ negates, ~* / !~* case-insensitive. String-
@@ -777,7 +779,20 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       if (depth == 0 && asPos > 0) {
         val close = i - 1
         val typeName = s.substring(asPos + 2, close).trim
-        typeAliasMap.get(typeName.toLowerCase).foreach { mapped =>
+        val isTry = m.matched.toLowerCase.contains("try_")
+        val intTypes = Set("bigint", "int", "integer", "smallint", "tinyint", "int8", "int4", "int2")
+        if (isTry && intTypes.contains(typeName.toLowerCase)) {
+          // DuckDB TRY_CAST(string AS integral) parses numbers and
+          // ROUNDS ('3.9' → 4); route through the dispatch expression
+          val norm = typeName.toLowerCase match {
+            case "int8" => "bigint"
+            case "int4" => "integer"
+            case "int2" => "smallint"
+            case t => t
+          }
+          s = s.substring(0, m.start) + "graft_tryint((" +
+            s.substring(m.end, asPos) + "), '" + norm + "')" + s.substring(close + 1)
+        } else typeAliasMap.get(typeName.toLowerCase).foreach { mapped =>
           s = s.substring(0, asPos) + "AS " + mapped + s.substring(close)
         }
       }
@@ -2505,6 +2520,76 @@ object Engine {
     * (foo(a)[1], x.y[1], (sub)[1], a[1][2]). A quoted-literal operand
     * ('abc'[2]) or anything unrecognized returns -1 → caller passes the
     * construct through untouched. */
+  /** `a // b` → graft_fdiv(a, b): left operand via operandStart (the
+    * emitted text), right operand via a forward primary-expression
+    * scan (unary sign, literal/identifier/call/parenthesized, trailing
+    * subscripts); the right side is recursively rewritten. Falls back
+    * to emitting ` div ` when either operand cannot be delimited. */
+  private def rewriteFloorDiv(sql: String): String = {
+    if (!sql.contains("//")) return sql
+    val sb = new StringBuilder
+    val len = sql.length
+    var i = 0
+    var inStr = false
+    def scanBalanced(from: Int, open: Char, close: Char): Int = {
+      var depth = 0; var j = from; var q = false
+      while (j < len) {
+        val c = sql.charAt(j)
+        if (q) { if (c == '\'') q = false }
+        else if (c == '\'') q = true
+        else if (c == open) depth += 1
+        else if (c == close) { depth -= 1; if (depth == 0) return j + 1 }
+        j += 1
+      }
+      -1
+    }
+    def rhsEnd(from: Int): Int = {
+      var j = from
+      while (j < len && sql.charAt(j).isWhitespace) j += 1
+      while (j < len && (sql.charAt(j) == '-' || sql.charAt(j) == '+')) j += 1
+      if (j >= len) return -1
+      sql.charAt(j) match {
+        case '\'' =>
+          var e = j + 1
+          while (e < len) {
+            if (sql.charAt(e) == '\'') {
+              if (e + 1 < len && sql.charAt(e + 1) == '\'') e += 2
+              else return e + 1
+            } else e += 1
+          }
+          -1
+        case '(' => scanBalanced(j, '(', ')')
+        case '[' => scanBalanced(j, '[', ']')
+        case c if c.isLetterOrDigit || c == '_' || c == '`' =>
+          var e = j
+          while (e < len && { val c2 = sql.charAt(e)
+            c2.isLetterOrDigit || c2 == '_' || c2 == '.' || c2 == '`' }) e += 1
+          // function call?
+          var k = e
+          while (k < len && sql.charAt(k).isWhitespace) k += 1
+          if (k < len && sql.charAt(k) == '(') scanBalanced(k, '(', ')') else e
+        case _ => -1
+      }
+    }
+    while (i < len) {
+      val c = sql.charAt(i)
+      if (inStr) { sb += c; if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { sb += c; inStr = true; i += 1 }
+      else if (c == '/' && i + 1 < len && sql.charAt(i + 1) == '/') {
+        val lhsStart = operandStart(sb)
+        val re = rhsEnd(i + 2)
+        if (lhsStart >= 0 && re > 0) {
+          val lhs = sb.substring(lhsStart)
+          sb.delete(lhsStart, sb.length)
+          val rhs = rewriteFloorDiv(sql.substring(i + 2, re)).trim
+          sb.append(s"graft_fdiv($lhs, $rhs)")
+          i = re
+        } else { sb.append(" div "); i += 2 }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
   private def operandStart(s: StringBuilder): Int = {
     var k = s.length - 1
     while (k >= 0 && s.charAt(k).isWhitespace) k -= 1 // `x -> 'a'` spacing
@@ -2885,7 +2970,11 @@ object Engine {
               val op = if (ci) "ILIKE" else "LIKE"
               sb.append(if (neg) s" NOT $op " else s" $op ").append(lit0)
             } else {
-              val lit = if (ci) "'(?i)" + lit0.substring(1) else lit0
+              // DuckDB's ~ / !~ are FULL-string matches (regexp_full_
+              // match, unlike PG's partial-match ~) — anchor the body.
+              // Fuzzer find: 'aaa' ~ '[ab]' is FALSE in DuckDB.
+              val body = lit0.substring(1, lit0.length - 1)
+              val lit = s"'${if (ci) "(?i)" else ""}^(?:$body)$$'"
               sb.append(if (neg) " NOT RLIKE " else " RLIKE ").append(lit)
             }
             i = closed + 1

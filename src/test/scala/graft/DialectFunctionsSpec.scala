@@ -435,7 +435,11 @@ class DialectFunctionsSpec extends SparkSpecBase {
   }
 
   test("PG regex-match operators ~ / !~ / ~* / !~*") {
-    assert(one("select 'abc' ~ 'b.'") == true)
+    // DuckDB's ~ is regexp_full_match (probed: 'aaa' ~ '[ab]' is
+    // FALSE, 'abc' ~ '.b.' TRUE), unlike PG's partial-match ~
+    assert(one("select 'abc' ~ 'b.'") == false)
+    assert(one("select 'abc' ~ '.b.'") == true)
+    assert(one("select 'aaa' ~ '[ab]'") == false)
     assert(one("select 'abc' !~ 'z'") == true)
     assert(one("select 'ABC' ~* 'abc'") == true)
     assert(one("select 'ABC' !~* 'abc'") == false)

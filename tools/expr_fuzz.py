@@ -1,0 +1,203 @@
+#!/usr/bin/env python3
+"""Differential expression fuzzer: generate random, deterministic scalar
+expressions from a typed grammar, evaluate each as `SELECT <expr> AS v`
+in BOTH the embedded DuckDB oracle and the live graft PG server, and
+diff the rendered text (same normalization ladder as dialect_probe).
+
+The battery in dialect_probe.py is hand-curated; this sweeps the
+combinatorial space around it. Seeded — a failure report names the seed
+and the statement, so every find is replayable and can be promoted to a
+probe-battery regression line.
+
+Usage: python3 tools/expr_fuzz.py [port] [n_exprs] [seed]
+"""
+import random
+import sys
+
+import duckdb
+
+from dialect_probe import run_duck, run_pg, norm, canon
+
+# ---------------------------------------------------------------- grammar
+
+STR_POOL = [
+    "''", "'a'", "'abc'", "'a b c'", "'Hello, World'", "'x%y_z'",
+    "'MiXeD Case'", "'  padded  '", "'O''Brien'", "'tab\tchar'",
+    "'héllo wörld'", "'123'", "'-42'", "'3.14'", "'not a number'",
+    "'a,b,c'", "'aaa'",
+]
+
+DATE_POOL = ["date '2024-03-15'", "date '1999-12-31'", "date '2024-02-29'"]
+
+
+def lit(r, ty):
+    if ty == "int":
+        return str(r.choice([0, 1, -1, 2, 7, -13, 42, 100, 999, -1000]))
+    if ty == "double":
+        return repr(round(r.uniform(-100, 100), 3))
+    if ty == "str":
+        return r.choice(STR_POOL)
+    if ty == "bool":
+        return r.choice(["true", "false"])
+    raise AssertionError(ty)
+
+
+def gen(r, ty, depth):
+    """Return SQL text of an expression of type `ty`."""
+    if depth <= 0 or r.random() < 0.25:
+        # NULL sometimes, typed literal otherwise
+        if r.random() < 0.08:
+            return f"CAST(NULL AS {dict(int='BIGINT', double='DOUBLE', str='VARCHAR', bool='BOOLEAN')[ty]})"
+        return lit(r, ty)
+    d = depth - 1
+    if ty == "int":
+        return r.choice([
+            lambda: f"({gen(r, 'int', d)} + {gen(r, 'int', d)})",
+            lambda: f"({gen(r, 'int', d)} - {gen(r, 'int', d)})",
+            lambda: f"abs({gen(r, 'int', d)})",
+            lambda: f"length({gen(r, 'str', d)})",
+            lambda: f"greatest({gen(r, 'int', d)}, {gen(r, 'int', d)})",
+            lambda: f"least({gen(r, 'int', d)}, {gen(r, 'int', d)})",
+            lambda: f"strpos({gen(r, 'str', d)}, {gen(r, 'str', d)})",
+            lambda: f"sign({gen(r, 'int', d)})",
+            lambda: f"coalesce({gen(r, 'int', d)}, {gen(r, 'int', d)})",
+            lambda: f"nullif({gen(r, 'int', d)}, {gen(r, 'int', d)})",
+            lambda: f"(CASE WHEN {gen(r, 'bool', d)} THEN {gen(r, 'int', d)} ELSE {gen(r, 'int', d)} END)",
+            lambda: f"CAST(round({gen(r, 'double', d)}) AS BIGINT)",
+            lambda: f"floor({gen(r, 'double', d)})",
+            lambda: f"ceil({gen(r, 'double', d)})",
+            lambda: f"date_part('day', {r.choice(DATE_POOL)})",
+            lambda: f"date_part('month', {r.choice(DATE_POOL)})",
+            lambda: f"year({r.choice(DATE_POOL)})",
+            lambda: f"({gen(r, 'int', d)} % {r.choice([2, 3, 7, -5, 10])})",
+            lambda: f"({gen(r, 'int', d)} // {r.choice([2, 3, 7, -4])})",
+            lambda: f"len([{gen(r, 'int', d)}, {gen(r, 'int', d)}, {gen(r, 'int', d)}])",
+            lambda: f"[{gen(r, 'int', d)}, {gen(r, 'int', d)}][{r.randint(1, 2)}]",
+            lambda: f"TRY_CAST({gen(r, 'str', d)} AS BIGINT)",
+            lambda: f"date_diff('day', {r.choice(DATE_POOL)}, {r.choice(DATE_POOL)})",
+            lambda: f"datepart('doy', {r.choice(DATE_POOL)})",
+            lambda: f"list_position([{gen(r, 'int', d)}, {gen(r, 'int', d)}], {gen(r, 'int', d)})",
+        ])()
+    if ty == "double":
+        return r.choice([
+            lambda: f"({gen(r, 'double', d)} + {gen(r, 'double', d)})",
+            lambda: f"({gen(r, 'double', d)} * 0.5)",
+            lambda: f"abs({gen(r, 'double', d)})",
+            lambda: f"round({gen(r, 'double', d)}, {r.randint(0, 4)})",
+            lambda: f"sqrt(abs({gen(r, 'double', d)}))",
+            lambda: f"ln(abs({gen(r, 'double', d)}) + 1.0)",
+            lambda: f"coalesce({gen(r, 'double', d)}, {gen(r, 'double', d)})",
+            lambda: f"(CASE WHEN {gen(r, 'bool', d)} THEN {gen(r, 'double', d)} ELSE {gen(r, 'double', d)} END)",
+            lambda: f"CAST({gen(r, 'int', d)} AS DOUBLE)",
+        ])()
+    if ty == "str":
+        return r.choice([
+            lambda: f"upper({gen(r, 'str', d)})",
+            lambda: f"lower({gen(r, 'str', d)})",
+            lambda: f"trim({gen(r, 'str', d)})",
+            lambda: f"reverse({gen(r, 'str', d)})",
+            lambda: f"({gen(r, 'str', d)} || {gen(r, 'str', d)})",
+            lambda: f"concat({gen(r, 'str', d)}, {gen(r, 'str', d)})",
+            lambda: f"substr({gen(r, 'str', d)}, {r.randint(1, 4)}, {r.randint(0, 5)})",
+            lambda: f"replace({gen(r, 'str', d)}, {r.choice(STR_POOL)}, {r.choice(STR_POOL)})",
+            lambda: f"left({gen(r, 'str', d)}, {r.randint(0, 5)})",
+            lambda: f"right({gen(r, 'str', d)}, {r.randint(0, 5)})",
+            lambda: f"lpad({gen(r, 'str', d)}, {r.randint(0, 8)}, '*')",
+            lambda: f"rpad({gen(r, 'str', d)}, {r.randint(0, 8)}, '-')",
+            lambda: f"repeat({r.choice(STR_POOL)}, {r.randint(0, 3)})",
+            lambda: f"split_part({gen(r, 'str', d)}, ',', {r.randint(1, 3)})",
+            lambda: f"ltrim({gen(r, 'str', d)})",
+            lambda: f"rtrim({gen(r, 'str', d)})",
+            lambda: f"coalesce({gen(r, 'str', d)}, {gen(r, 'str', d)})",
+            lambda: f"nullif({gen(r, 'str', d)}, {gen(r, 'str', d)})",
+            lambda: f"(CASE WHEN {gen(r, 'bool', d)} THEN {gen(r, 'str', d)} ELSE {gen(r, 'str', d)} END)",
+            lambda: f"CAST({gen(r, 'int', d)} AS VARCHAR)",
+            lambda: f"strftime({r.choice(DATE_POOL)}, '%Y-%m-%d')",
+            lambda: f"strftime({r.choice(DATE_POOL)} + INTERVAL {r.randint(1, 40)} DAY, '%Y-%m-%d')",
+            lambda: f"regexp_replace({gen(r, 'str', d)}, '[aeiou]', '#')",
+            lambda: f"regexp_replace({gen(r, 'str', d)}, '[aeiou]', '#', 'g')",
+            lambda: f"regexp_extract({gen(r, 'str', d)}, '([a-z]+)', 1)",
+            lambda: f"list_aggregate([{gen(r, 'str', d)}, {gen(r, 'str', d)}], 'string_agg', '/')",
+            lambda: f"array_to_string([{gen(r, 'str', d)}, {gen(r, 'str', d)}], '+')",
+            lambda: f"md5({gen(r, 'str', d)})",
+            lambda: f"format('{{}}-{{}}', {gen(r, 'int', d)}, {gen(r, 'str', d)})",
+            lambda: f"string_split({gen(r, 'str', d)}, ' ')[{r.randint(1, 2)}]",
+            lambda: f"last_day({r.choice(DATE_POOL)})::VARCHAR",
+            lambda: f"monthname({r.choice(DATE_POOL)})",
+        ])()
+    if ty == "bool":
+        return r.choice([
+            lambda: f"({gen(r, 'int', d)} < {gen(r, 'int', d)})",
+            lambda: f"({gen(r, 'int', d)} = {gen(r, 'int', d)})",
+            lambda: f"({gen(r, 'str', d)} = {gen(r, 'str', d)})",
+            lambda: f"({gen(r, 'str', d)} LIKE '%a%')",
+            lambda: f"({gen(r, 'bool', d)} AND {gen(r, 'bool', d)})",
+            lambda: f"({gen(r, 'bool', d)} OR {gen(r, 'bool', d)})",
+            lambda: f"(NOT {gen(r, 'bool', d)})",
+            lambda: f"({gen(r, 'str', d)} IS NULL)",
+            lambda: f"({gen(r, 'int', d)} IS DISTINCT FROM {gen(r, 'int', d)})",
+            lambda: f"contains({gen(r, 'str', d)}, {gen(r, 'str', d)})",
+            lambda: f"starts_with({gen(r, 'str', d)}, {gen(r, 'str', d)})",
+            lambda: f"({gen(r, 'str', d)} GLOB '*a*')",
+            lambda: f"({gen(r, 'str', d)} LIKE '{r.choice(['a%', '%c', '_b%', '%a b%', '%'])}')",
+            lambda: f"({gen(r, 'str', d)} SIMILAR TO '[a-z ]*')",
+            lambda: f"regexp_matches({gen(r, 'str', d)}, '{r.choice(['[0-9]+', '^a', 'b$', '[A-Z]', chr(92) + chr(92) + 'd'])}')",
+            lambda: f"({gen(r, 'int', d)} IN ({gen(r, 'int', d)}, {gen(r, 'int', d)}, {gen(r, 'int', d)}))",
+            lambda: f"({gen(r, 'int', d)} BETWEEN -10 AND {r.randint(0, 50)})",
+            lambda: f"list_contains([{gen(r, 'int', d)}, {gen(r, 'int', d)}], {gen(r, 'int', d)})",
+            lambda: f"({gen(r, 'str', d)} ~ '[ab]')",
+        ])()
+    raise AssertionError(ty)
+
+
+# Known, intentional divergences (same contract as dialect_probe's
+# DOCUMENTED map, but pattern-shaped since statements are generated):
+#  - DuckDB's format()/printf() renders DECIMAL-typed floor()/ceil()
+#    results with a trailing ".0" ("{}" on DECIMAL(5,0) -58 -> "-58.0")
+#    while a direct SELECT of the same value prints "-58". Spark floor
+#    returns BIGINT, so format prints "-58" — matching duck's DIRECT
+#    rendering. Emulating fmt-of-decimal would break direct parity;
+#    documented instead.
+import re as _re
+def documented(sql):
+    return bool(_re.search(r"format\(", sql) and _re.search(r"floor\(|ceil\(", sql))
+
+
+def main(port, n, seed):
+    con = duckdb.connect()
+    r = random.Random(seed)
+    counts = {"OK": 0, "PARITY_ERR": 0, "DUCKERR": 0, "SRVERR": 0, "DIFF": 0, "DOC": 0}
+    fails = []
+    for i in range(n):
+        ty = r.choice(["int", "double", "str", "bool"])
+        e = gen(r, ty, 3)
+        sql = f"select {e} as v"
+        drows, derr = run_duck(con, sql)
+        srows, serr = run_pg(port, sql)
+        if derr is not None and serr is not None:
+            counts["PARITY_ERR"] += 1
+        elif derr is not None:
+            counts["DUCKERR"] += 1  # server superset: fine, note it
+        elif serr is not None:
+            counts["SRVERR"] += 1
+            fails.append(("SRVERR", sql, serr, drows))
+        elif norm(drows) == norm(srows) or canon(drows) == canon(srows):
+            counts["OK"] += 1
+        elif documented(sql):
+            counts["DOC"] += 1
+        else:
+            counts["DIFF"] += 1
+            fails.append(("DIFF", sql, srows, drows))
+    for kind, sql, got, want in fails[:40]:
+        print(f"{kind}  {sql}")
+        print(f"    server: {got}")
+        print(f"    oracle: {want}")
+    print(f"\nSEED {seed} SUMMARY {counts} total={n}")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    port = int(sys.argv[1]) if len(sys.argv) > 1 else 5433
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 400
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 42
+    sys.exit(main(port, n, seed))
