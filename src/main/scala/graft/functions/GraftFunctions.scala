@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Add, And, ArrayAggregate, ArrayFilter, ArrayJoin, ArrayMax, ArrayMin, Cast, DateAdd, Divide, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, If, IsNotNull, LambdaFunction, LessThan, LessThanOrEqual, Literal, Multiply, Not, Or, Size, Slice, SortArray, Subtract, TimestampDiff, TruncTimestamp, UnresolvedNamedLambdaVariable}
+import org.apache.spark.sql.catalyst.expressions.{Add, And, ArrayAggregate, ArrayFilter, ArrayJoin, ArrayMax, ArrayMin, Cast, DateAdd, Divide, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, If, IsNotNull, LambdaFunction, LessThan, LessThanOrEqual, Literal, Multiply, Not, Or, Size, Slice, SortArray, Subtract, TimestampDiff, TruncTimestamp, UnresolvedNamedLambdaVariable, UnscaledValue}
 import org.apache.spark.sql.types.{CalendarIntervalType, DayTimeIntervalType, DoubleType, NullType, TimestampType, YearMonthIntervalType}
 import org.apache.spark.sql.functions.udaf
 import org.apache.spark.sql.types.StringType
@@ -72,6 +72,11 @@ object GraftFunctions {
   /** name → (target Spark function, argument rewrite). */
   private val aliases: Seq[(String, String, Seq[Expression] => Seq[Expression])] = {
     val id = identity[Seq[Expression]] _
+    val argNullSkip: Seq[Expression] => Seq[Expression] = es =>
+      if (es.length == 2)
+        Seq(es.head, If(org.apache.spark.sql.catalyst.expressions.IsNull(es.head),
+          Literal.create(null, es(1).dataType), es(1)))
+      else es
     Seq(
       // string family
       ("string_split", "split", id),
@@ -154,12 +159,14 @@ object GraftFunctions {
       ("countif", "count_if", id),
       ("favg", "avg", id),   // Kahan-compensated in DuckDB; double avg here
       ("fsum", "sum", id),
-      ("arg_min", "min_by", id),
-      ("arg_max", "max_by", id),
-      ("argmin", "min_by", id),
-      ("argmax", "max_by", id),
+      // DuckDB arg_min/arg_max IGNORE rows whose VALUE is NULL (probed:
+      // arg_max(s,k) over (0,'b'),(1,NULL) is 'b'); null out the key on
+      // those rows so min_by/max_by skips them (fuzzer find)
+      ("arg_min", "min_by", argNullSkip),
+      ("arg_max", "max_by", argNullSkip),
+      ("argmin", "min_by", argNullSkip),
+      ("argmax", "max_by", argNullSkip),
       ("approx_quantile", "percentile_approx", id),
-      ("quantile_cont", "percentile", id),
       // catalog macro (reference pg_server.go:42)
       ("currentdatabase", "current_database", id)
     )
@@ -488,10 +495,61 @@ object GraftFunctions {
       val idx = Add(Cast(call("floor")(Multiply(Cast(es(1), DoubleType),
         Cast(Subtract(call("size")(l), Literal(1)), DoubleType))),
         org.apache.spark.sql.types.IntegerType), Literal(1))
-      call("element_at")(call("array_sort")(l), idx)
+      // collect_list drops NULLs; an all-NULL group is an empty list —
+      // index (0·p)+1 over it would be INVALID_INDEX_OF_ZERO where
+      // DuckDB returns NULL (fuzzer find)
+      If(EqualTo(call("size")(l), Literal(0)),
+        Literal.create(null, org.apache.spark.sql.types.NullType),
+        call("element_at")(call("array_sort")(l), idx))
     }
     reg.createOrReplaceTempFunction("quantile_disc", quantileDisc, "scala_udf")
     reg.createOrReplaceTempFunction("quantile", quantileDisc, "scala_udf")
+    // DuckDB median/quantile_cont keep DECIMAL inputs DECIMAL: median
+    // of a decimal column is the DISCRETE lower-middle element (probed:
+    // median of (1.5, 2.5) is 1.5, not 2.0) and quantile_cont rounds
+    // the double interpolation back to the input's decimal type
+    // (fuzzer finds). Builders see resolved children (ResolveFunctions
+    // fires only when childrenResolved), so dispatch on dataType here.
+    // DuckDB any_value/arbitrary return the first NON-NULL value;
+    // Spark's default keeps NULLs (fuzzer find)
+    for (n <- Seq("any_value", "arbitrary"))
+      reg.createOrReplaceTempFunction(n, es =>
+        org.apache.spark.sql.catalyst.expressions.aggregate.AnyValue(es.head, true),
+        "scala_udf")
+    val nativeMedian = reg.lookupFunctionBuilder(FunctionIdentifier("median")).get
+    val nativePercentile = reg.lookupFunctionBuilder(FunctionIdentifier("percentile")).get
+    reg.createOrReplaceTempFunction("median", { es =>
+      es.head.dataType match {
+        case _: org.apache.spark.sql.types.DecimalType =>
+          quantileDisc(Seq(es.head, Literal(0.5d)))
+        case _ => nativeMedian(es)
+      }
+    }, "scala_udf")
+    def wrapAgg(e: Expression): Expression = e match {
+      case a: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction =>
+        a.toAggregateExpression()
+      case other => other
+    }
+    reg.createOrReplaceTempFunction("quantile_cont", { es =>
+      es.head.dataType match {
+        case dt: org.apache.spark.sql.types.DecimalType if dt.precision <= 18 =>
+          // DuckDB interpolates over the UNSCALED integer representation
+          // and truncates toward zero (probed: raw 565.75 → 565, raw
+          // -12.75 → -12) — interpolating the scaled doubles instead
+          // rounds differently at the .xx5 boundaries (fuzzer find).
+          // The cast hides the aggregate from the analyzer's top-level
+          // wrap, so wrap explicitly.
+          val raw = wrapAgg(nativePercentile(
+            UnscaledValue(es.head) +: es.tail))
+          val trunc = Cast(raw, org.apache.spark.sql.types.LongType)
+          Cast(Divide(Cast(trunc, DoubleType), Literal(math.pow(10, dt.scale))),
+            dt, None, org.apache.spark.sql.catalyst.expressions.EvalMode.TRY)
+        case dt: org.apache.spark.sql.types.DecimalType =>
+          Cast(wrapAgg(nativePercentile(Cast(es.head, DoubleType) +: es.tail)),
+            dt, None, org.apache.spark.sql.catalyst.expressions.EvalMode.TRY)
+        case _ => nativePercentile(es)
+      }
+    }, "scala_udf")
     // entropy: Shannon entropy (base 2) of the value distribution,
     // computed from the collected multiset — compat alias; the scale
     // path is an explicit count-by-value aggregation
@@ -852,7 +910,9 @@ object GraftFunctions {
         Divide(Add(lo, hi), Literal(2.0d))
       }
       val med = interpMedian(l)
-      interpMedian(call("transform")(l, lam(x => Abs(Subtract(x, med)))))
+      // all-NULL group → empty list → index 0 error; DuckDB gives NULL
+      If(EqualTo(Size(l), Literal(0)), Literal.create(null, DoubleType),
+        interpMedian(call("transform")(l, lam(x => Abs(Subtract(x, med))))))
     }
     // DuckDB skewness/kurtosis are SAMPLE-corrected; Spark's are
     // population moments — correct them from (g, n)
@@ -863,19 +923,38 @@ object GraftFunctions {
         a.toAggregateExpression()
       case other => other
     }
+    // Degenerate groups give NULL like DuckDB (probed: n<3 / n<4 and
+    // zero variance are all NULL) — the unguarded correction divides
+    // by (n-2)/(n-3), an ANSI divide-by-zero error (fuzzer find).
+    val nullD = Literal.create(null, DoubleType)
     fn("skewness") { es =>
       val g1 = aggWrap(nativeSkewness(es))
       val n = Cast(aggCall("count")(es.head), DoubleType)
-      Multiply(g1, Divide(Sqrt(Multiply(n, Subtract(n, Literal(1.0d)))),
-        Subtract(n, Literal(2.0d))))
+      If(LessThan(n, Literal(3.0d)), nullD,
+        Multiply(g1, Divide(Sqrt(Multiply(n, Subtract(n, Literal(1.0d)))),
+          Subtract(n, Literal(2.0d)))))
     }
     fn("kurtosis") { es =>
       val g2 = aggWrap(nativeKurtosis(es))
       val n = Cast(aggCall("count")(es.head), DoubleType)
-      Multiply(
-        Divide(Subtract(n, Literal(1.0d)),
-          Multiply(Subtract(n, Literal(2.0d)), Subtract(n, Literal(3.0d)))),
-        Add(Multiply(Add(n, Literal(1.0d)), g2), Literal(6.0d)))
+      If(LessThan(n, Literal(4.0d)), nullD,
+        Multiply(
+          Divide(Subtract(n, Literal(1.0d)),
+            Multiply(Subtract(n, Literal(2.0d)), Subtract(n, Literal(3.0d)))),
+          Add(Multiply(Add(n, Literal(1.0d)), g2), Literal(6.0d))))
+    }
+    // corr: Spark's native divides ck / sqrt(xMk·yMk) — a zero-variance
+    // side is an ANSI divide-by-zero error where DuckDB returns NULL
+    // (fuzzer find). Rebuilt from covar_pop / stddev_pop over the
+    // PAIRWISE-non-null rows with a NULLIF'd denominator.
+    fn("corr") { es =>
+      val x = Cast(es.head, DoubleType)
+      val y = Cast(es(1), DoubleType)
+      val px = If(IsNull(y), nullD, x)
+      val py = If(IsNull(x), nullD, y)
+      Divide(aggCall("covar_pop")(x, y),
+        call("nullif")(Multiply(aggCall("stddev_pop")(px), aggCall("stddev_pop")(py)),
+          Literal(0.0d)))
     }
     // bitstring_agg(x, min, max): '1' bits at the observed positions
     // over [min, max] (explicit-bounds form; DuckDB's 1-arg form needs

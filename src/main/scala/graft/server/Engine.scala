@@ -649,7 +649,10 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         val sorted0 = s"transform(array_sort(collect_list(struct($fields, $e AS __v))), s -> s.__v)"
         val sorted = if (dirs.headOption.contains(true)) s"reverse($sorted0)" else sorted0
         Regex.quoteReplacement(fn match {
-          case "first" | "any_value" => s"element_at($sorted, 1)"
+          // DuckDB first keeps a leading NULL; any_value skips to the
+          // first NON-NULL in order (probed, fuzzer find)
+          case "first" => s"element_at($sorted, 1)"
+          case "any_value" => s"element_at(filter($sorted, __av -> __av IS NOT NULL), 1)"
           case "last" => s"element_at($sorted, -1)"
           case _ => sorted // list / array_agg
         })
