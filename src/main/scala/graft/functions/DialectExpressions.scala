@@ -496,10 +496,19 @@ case class DateTruncDispatch(fmt: Expression, child: Expression)
   // explicit Casts AND timezone ids throughout — a replacement gets no
   // implicit coercion and no ResolveTimeZone pass, so every
   // TimeZoneAwareExpression must be born with its zone set
+  /** DuckDB returns DATE for day-or-coarser units on ANY temporal
+    * input (probed: date_trunc('day', ts) is a DATE), and the input's
+    * timestamp flavor for finer units (fuzzer find). */
+  private def coarse: Boolean = fmt match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(u: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+      Set("year", "quarter", "month", "week", "day").contains(u.toString.toLowerCase)
+    case _ => false
+  }
   override lazy val replacement: Expression = {
     val tz = Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
     def toTs(e: Expression) = Cast(e, TimestampType, tz)
     child.dataType match {
+      case _ if coarse => Cast(TruncTimestamp(fmt, toTs(child), tz), DateType, tz)
       case TimestampType => TruncTimestamp(fmt, child, tz)
       case DateType => Cast(TruncTimestamp(fmt, toTs(child), tz), DateType, tz)
       case TimestampNTZType =>

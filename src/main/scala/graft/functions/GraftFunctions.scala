@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Add, And, ArrayAggregate, ArrayFilter, ArrayJoin, ArrayMax, ArrayMin, Cast, DateAdd, Divide, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, If, IsNotNull, LambdaFunction, LessThan, LessThanOrEqual, Literal, Multiply, Not, Or, Size, Slice, SortArray, Subtract, TimestampDiff, TruncTimestamp, UnresolvedNamedLambdaVariable, UnscaledValue}
-import org.apache.spark.sql.types.{CalendarIntervalType, DayTimeIntervalType, DoubleType, NullType, TimestampType, YearMonthIntervalType}
+import org.apache.spark.sql.types.{CalendarIntervalType, DateType, DayTimeIntervalType, DoubleType, NullType, TimestampNTZType, TimestampType, YearMonthIntervalType}
 import org.apache.spark.sql.functions.udaf
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
@@ -146,13 +146,11 @@ object GraftFunctions {
       ("sha256", "sha2", es => es :+ Literal(256)),
       ("hash", "xxhash64", id),
       // date/time
-      ("strftime", "date_format",
-        es => Seq(es.head, Literal(UTF8String.fromString(
-          translateStrftime(litString(es(1), "strftime"))), StringType))),
+      // strftime is a registered builder (the %W/%U week numbers are
+      // computed, not pattern-expressible); strptime stays an alias
       ("strptime", "to_timestamp",
         es => Seq(es.head, Literal(UTF8String.fromString(
           translateStrftime(litString(es(1), "strptime"))), StringType))),
-      ("epoch", "unix_timestamp", id),
       ("epoch_ms", "unix_millis", id),
       // aggregates (probed batch: DuckDB names over Spark natives)
       ("list", "collect_list", id),
@@ -245,7 +243,26 @@ object GraftFunctions {
     * currentDatabase() is in the alias table above. */
   private val macros: Seq[(String, Seq[Expression] => Expression)] = Seq(
     ("array_positions", _ => Literal(0)),
-    ("timezone", _ => Literal(UTF8String.fromString("utc"), StringType))
+    ("timezone", {
+      // 2-arg DuckDB timezone(tz, ts): a NAIVE timestamp is interpreted
+      // as local time in tz (→ instant); an instant is converted to
+      // naive local time in tz (probed both ways, fuzzer find). The
+      // no-arg pg_catalog spelling keeps the session constant.
+      case Seq(tz, ts) =>
+        val zone = Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+        ts.dataType match {
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          Cast(org.apache.spark.sql.catalyst.expressions.ConvertTimezone(
+            tz, Literal(UTF8String.fromString("UTC"), StringType),
+            ts), TimestampType, zone)
+        case _ =>
+          Cast(org.apache.spark.sql.catalyst.expressions.ConvertTimezone(
+            Literal(UTF8String.fromString("UTC"), StringType), tz,
+            Cast(ts, org.apache.spark.sql.types.TimestampNTZType, zone)),
+            org.apache.spark.sql.types.TimestampNTZType, zone)
+      }
+      case _ => Literal(UTF8String.fromString("utc"), StringType)
+    })
   )
 
   def registerAll(spark: SparkSession): Unit = synchronized {
@@ -439,10 +456,18 @@ object GraftFunctions {
         EqualTo(x, Literal(Double.NegativeInfinity)))
     }, "scala_udf")
     reg.createOrReplaceTempFunction("isfinite", es => {
-      val x = Cast(es.head, DoubleType)
-      And(Not(call("isnan")(x)),
-        And(Not(EqualTo(x, Literal(Double.PositiveInfinity))),
-          Not(EqualTo(x, Literal(Double.NegativeInfinity)))))
+      es.head.dataType match {
+        // DuckDB: any representable date/timestamp is finite (the
+        // ±infinity sentinels don't round-trip our wire) — fuzzer find
+        case DateType | TimestampType | TimestampNTZType =>
+          If(org.apache.spark.sql.catalyst.expressions.IsNull(es.head),
+            Literal.create(null, org.apache.spark.sql.types.BooleanType), Literal(true))
+        case _ =>
+          val x = Cast(es.head, DoubleType)
+          And(Not(call("isnan")(x)),
+            And(Not(EqualTo(x, Literal(Double.PositiveInfinity))),
+              Not(EqualTo(x, Literal(Double.NegativeInfinity)))))
+      }
     }, "scala_udf")
     reg.createOrReplaceTempFunction("regexp_full_match", es => {
       // native Concat, not call("concat"): the registry name is rebound
@@ -712,15 +737,104 @@ object GraftFunctions {
           case other => other.toUpperCase
         }
       }
-      TimestampDiff(u, Cast(es(1), TimestampType), Cast(es(2), TimestampType))
+      val a = Cast(es(1), TimestampType,
+        Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+      val b = Cast(es(2), TimestampType,
+        Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+      u match {
+        case "MONTH" | "QUARTER" | "YEAR" =>
+          // DuckDB counts complete CLAMPED month steps: datesub('month',
+          // '2024-01-31', '2024-02-29') = 1 because Jan 31 + 1 month
+          // clamps to Feb 29; Spark's timestampdiff requires the day of
+          // month to be reached and answers 0 (fuzzer find). Count
+          // lo→hi with clamped candidate check; negate when a > b.
+          val div = u match { case "MONTH" => 1L; case "QUARTER" => 3L; case _ => 12L }
+          def months(lo: Expression, hi: Expression): Expression = {
+            val m0 = Add(Multiply(Subtract(call("year")(hi), call("year")(lo)),
+              Literal(12)), Subtract(call("month")(hi), call("month")(lo)))
+            val cand = org.apache.spark.sql.catalyst.expressions.TimestampAdd(
+              "MONTH", m0, lo)
+            If(GreaterThan(cand, hi), Subtract(m0, Literal(1)), m0)
+          }
+          val fwd = org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+            Cast(months(a, b), LongType), Literal(div))
+          val bwd = org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+            Cast(months(b, a), LongType), Literal(div))
+          If(LessThanOrEqual(a, b), fwd,
+            org.apache.spark.sql.catalyst.expressions.UnaryMinus(bwd))
+        case _ => TimestampDiff(u, a, b)
+      }
     }
     fn("date_sub") {
       case es if es.length == 3 => unitDiff(es)
       case es => nativeDateSub(es)
     }
     fn("datesub")(unitDiff)
-    fn("isodow")(es => Add(call("weekday")(es.head), Literal(1))) // Monday=1 … Sunday=7
+    // strftime: %W (Monday-based week 00-53) and %U (Sunday-based) are
+    // COMPUTED, not pattern-expressible — compose date_format segments
+    // around lpad'ed week numbers (fuzzer find: %W rendered literal 'W')
+    fn("strftime") { es =>
+      val x = es.head
+      val fmt = litStr(es(1), "strftime")
+      def weekNum(sundayBased: Boolean): Expression = {
+        // a fully-resolved DATE operand (explicit zone): the lpad/
+        // date_format natives are expressionBuilders that assert
+        // resolved arguments at build time
+        val xd = Cast(x, org.apache.spark.sql.types.DateType,
+          Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+        val d0: Expression =
+          if (sundayBased)
+            Subtract(org.apache.spark.sql.catalyst.expressions.DayOfWeek(xd), Literal(1))
+          else org.apache.spark.sql.catalyst.expressions.WeekDay(xd)
+        val w = org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          Cast(Subtract(Add(org.apache.spark.sql.catalyst.expressions.DayOfYear(xd),
+            Literal(6)), d0), LongType),
+          Literal(7L))
+        call("lpad")(Cast(w, StringType), Literal(2), str("0"))
+      }
+      // split the format at %W/%U markers ( %% stays literal )
+      val parts = scala.collection.mutable.ArrayBuffer[scala.util.Either[String, Boolean]]()
+      val seg = new StringBuilder
+      var i = 0
+      while (i < fmt.length) {
+        if (fmt.charAt(i) == '%' && i + 1 < fmt.length) {
+          fmt.charAt(i + 1) match {
+            case 'W' => parts += scala.util.Left(seg.toString); seg.clear(); parts += scala.util.Right(false); i += 2
+            case 'U' => parts += scala.util.Left(seg.toString); seg.clear(); parts += scala.util.Right(true); i += 2
+            case c => seg.append('%').append(c); i += 2
+          }
+        } else { seg.append(fmt.charAt(i)); i += 1 }
+      }
+      parts += scala.util.Left(seg.toString)
+      def dfmt(s: String): Expression =
+        call("date_format")(x, Literal(UTF8String.fromString(translateStrftime(s)), StringType))
+      if (!parts.exists(_.isRight)) dfmt(fmt)
+      else org.apache.spark.sql.catalyst.expressions.Concat(parts.toSeq.collect {
+        case scala.util.Left(s) if s.nonEmpty => dfmt(s)
+        case scala.util.Right(sunday) => weekNum(sunday)
+      })
+    }
+    // DuckDB epoch(x) is DOUBLE and keeps the sub-second fraction
+    // (probed: 1710513045.123); unix_timestamp truncates (fuzzer find)
+    fn("epoch")(es => Divide(
+      Cast(call("unix_micros")(Cast(es.head, TimestampType)), DoubleType),
+      Literal(1000000.0d)))
+    // Spark's WeekDay (Monday=0) directly — the registry name
+    // "weekday" is rebound below to DuckDB's Sunday=0 convention
+    fn("isodow")(es => Add( // Monday=1 … Sunday=7
+      org.apache.spark.sql.catalyst.expressions.WeekDay(es.head), Literal(1)))
+    // DuckDB weekday/dayofweek are both Sunday=0 (probed); Spark's
+    // weekday is Monday=0 (fuzzer find)
+    fn("weekday")(es => Subtract(
+      org.apache.spark.sql.catalyst.expressions.DayOfWeek(es.head), Literal(1)))
     fn("isoyear")(es => call("date_part")(str("YEAROFWEEK"), es.head))
+    fn("decade")(es => // floor(year/10): 1999 → 199
+      Cast(Divide(call("year")(es.head), Literal(10),
+        evalMode = EvalMode.LEGACY), LongType, None, EvalMode.LEGACY))
+    fn("week")(es => call("weekofyear")(es.head)) // ISO week in both
+    fn("yearweek")(es => // ISO year·100 + ISO week: '1999-12-31' → 199952
+      Add(Multiply(Cast(call("date_part")(str("YEAROFWEEK"), es.head), LongType),
+        Literal(100L)), Cast(call("weekofyear")(es.head), LongType)))
     fn("century")(es => // (year+99)/100 for CE years
       Cast(Divide(Add(call("year")(es.head), Literal(99)), Literal(100),
         evalMode = EvalMode.LEGACY), LongType, None, EvalMode.LEGACY))
@@ -1124,6 +1238,41 @@ object GraftFunctions {
     fn("dayofweek")(es => Subtract(nativeDow(es), Literal(1)))
     // date_part(['year','month'], x) list form → struct of parts
     val nativeDatePart = reg.lookupFunctionBuilder(FunctionIdentifier("date_part")).get
+    // one part, DuckDB unit spellings translated (fuzzer finds): dow/
+    // weekday are Sunday=0 (Spark: Sun=1 / unsupported), isodow is
+    // Monday=1..Sunday=7, isoyear→YEAROFWEEK, epoch keeps the fraction,
+    // millisecond/microsecond include the seconds, and the PG-ish
+    // millennium/century/decade/era fields aren't Spark extract fields
+    val TZ = Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    def partOne(u0: Expression, x: Expression): Expression = u0 match {
+      case Literal(u: UTF8String, StringType) => u.toString.toLowerCase match {
+        case "dow" | "dayofweek" | "weekday" =>
+          Subtract(org.apache.spark.sql.catalyst.expressions.DayOfWeek(x), Literal(1))
+        case "isodow" =>
+          Add(org.apache.spark.sql.catalyst.expressions.WeekDay(x), Literal(1))
+        case "isoyear" => nativeDatePart(Seq(str("YEAROFWEEK"), x))
+        case "century" => call("century")(x)
+        case "millennium" => call("millennium")(x)
+        case "decade" => call("decade")(x)
+        case "era" => call("era")(x)
+        case "epoch" => call("epoch")(x)
+        case "second" | "seconds" =>
+          // DuckDB extract(second) is integral; Spark's keeps fraction.
+          // Casts born with the session zone — an expressionBuilder
+          // native ASSERTS its arguments are already resolved, and a
+          // zoneless temporal Cast is not
+          Cast(nativeDatePart(Seq(str("SECOND"), Cast(x, TimestampType, TZ))),
+            LongType, None, EvalMode.LEGACY)
+        case "milliseconds" | "millisecond" =>
+          Cast(Multiply(Cast(nativeDatePart(Seq(str("SECOND"), Cast(x, TimestampType, TZ))),
+            DoubleType), Literal(1000.0d)), LongType, None, EvalMode.LEGACY)
+        case "microseconds" | "microsecond" =>
+          Cast(Multiply(Cast(nativeDatePart(Seq(str("SECOND"), Cast(x, TimestampType, TZ))),
+            DoubleType), Literal(1000000.0d)), LongType, None, EvalMode.LEGACY)
+        case _ => nativeDatePart(Seq(u0, x))
+      }
+      case _ => nativeDatePart(Seq(u0, x))
+    }
     fn("date_part") { es =>
       val parts = es.head match {
         case CreateArray(children, _) => Some(children)
@@ -1134,9 +1283,17 @@ object GraftFunctions {
       parts match {
         case Some(ps) if ps.nonEmpty && ps.forall {
             case Literal(_: UTF8String, StringType) => true; case _ => false } =>
-          CreateNamedStruct(ps.flatMap(p => Seq(p, nativeDatePart(Seq(p, es(1))))).toSeq)
+          CreateNamedStruct(ps.flatMap(p => Seq(p, partOne(p, es(1)))).toSeq)
+        case _ if es.length == 2 => partOne(es.head, es(1))
         case _ => nativeDatePart(es)
       }
+    }
+    // EXTRACT(field FROM x) resolves through the registry's "extract";
+    // route it through the same unit translation
+    val nativeExtract = reg.lookupFunctionBuilder(FunctionIdentifier("extract")).get
+    fn("extract") {
+      case Seq(u, x) => partOne(u, x)
+      case es => nativeExtract(es)
     }
     // DuckDB date_trunc keeps DATE inputs DATE
     val nativeDateTrunc = reg.lookupFunctionBuilder(FunctionIdentifier("date_trunc")).get

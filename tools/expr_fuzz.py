@@ -239,10 +239,129 @@ def gen_window(r):
 #    returns BIGINT, so format prints "-58" — matching duck's DIRECT
 #    rendering. Emulating fmt-of-decimal would break direct parity;
 #    documented instead.
+# -------------------------------------------------------- date / time
+
+TS_POOL = [
+    "timestamp '2024-03-15 14:30:45'", "timestamp '1999-12-31 23:59:59'",
+    "timestamp '2024-02-29 00:00:00'", "timestamp '2024-03-15 14:30:45.123'",
+    "timestamp '2000-01-01 00:00:00'",
+]
+TRUNC_UNITS = ["year", "quarter", "month", "week", "day", "hour", "minute", "second"]
+PART_UNITS = ["year", "month", "day", "hour", "minute", "second",
+              "dow", "isodow", "doy", "week", "quarter"]
+DIFF_UNITS = ["year", "quarter", "month", "week", "day", "hour", "minute", "second"]
+
+
+def gen_datetime(r):
+    d = lambda: r.choice(DATE_POOL)
+    t = lambda: r.choice(TS_POOL)
+    return r.choice([
+        lambda: f"select date_trunc('{r.choice(TRUNC_UNITS)}', {t()}) as v",
+        lambda: f"select date_trunc('{r.choice(['year','month','week','day'])}', {d()}) as v",
+        lambda: f"select epoch({t()}) as v",
+        lambda: f"select epoch_ms({t()}) as v",
+        lambda: f"select extract({r.choice(PART_UNITS)} from {d()}) as v",
+        lambda: f"select date_part('{r.choice(PART_UNITS)}', {t()}) as v",
+        lambda: f"select ({t()} + interval {r.randint(1, 400)} {r.choice(['minute','hour','day'])}) as v",
+        lambda: f"select ({d()} + interval {r.randint(1, 25)} month) as v",
+        lambda: f"select ({d()} - interval {r.randint(1, 1000)} day) as v",
+        lambda: f"select datediff('{r.choice(DIFF_UNITS)}', {d()}, {d()}) as v",
+        lambda: f"select date_diff('{r.choice(DIFF_UNITS)}', {t()}, {t()}) as v",
+        lambda: f"select datesub('{r.choice(['day','month','year'])}', {d()}, {d()}) as v",
+        lambda: f"select last_day({d()}) as v",
+        lambda: f"select make_date({r.randint(1990, 2030)}, {r.randint(1, 12)}, {r.randint(1, 28)}) as v",
+        lambda: f"select make_timestamp({r.randint(1990, 2030)}, {r.randint(1, 12)}, {r.randint(1, 28)}, {r.randint(0, 23)}, {r.randint(0, 59)}, {r.randint(0, 59)}) as v",
+        lambda: f"select dayname({d()}) as v",
+        lambda: f"select monthname({d()}) as v",
+        lambda: f"select week({d()}) as v",
+        lambda: f"select quarter({t()}) as v",
+        lambda: f"select yearweek({d()}) as v",
+        lambda: f"select strptime('2024-{r.randint(1,12):02d}-{r.randint(1,28):02d} 14:30', '%Y-%m-%d %H:%M') as v",
+        lambda: f"select strftime({t()}, '{r.choice(['%Y-%m-%d', '%H:%M:%S', '%Y/%m/%d %H:%M', '%j', '%W', '%A %B'])}') as v",
+        lambda: f"select ({t()} - {t()}) as v",
+        lambda: f"select greatest({d()}, {d()}) as v",
+        lambda: f"select ({d()} {r.choice(['<', '>', '='])} {d()}) as v",
+        lambda: f"select date_part('epoch', {d()}) as v",
+        lambda: f"select isfinite({d()}) as v",
+        lambda: f"select century({d()}) as v",
+        lambda: f"select dayofmonth({d()}) as v",
+        lambda: f"select timezone('UTC', {t()}) as v",
+    ])()
+
+
+# --------------------------------------------- joins / setops / rollup
+
+def small_table(r, alias):
+    """VALUES relation with int key + payload columns, NULLs included."""
+    n = r.randint(2, 7)
+    rows = []
+    for _ in range(n):
+        key = "NULL" if r.random() < 0.12 else str(r.randint(0, 4))
+        v = "NULL" if r.random() < 0.15 else str(r.choice([1, 2, 5, -3, 10]))
+        s = "NULL" if r.random() < 0.15 else r.choice(["'a'", "'b'", "'c'", "'zz'"])
+        rows.append(f"({key}, {v}, {s})")
+    return f"(VALUES {', '.join(rows)}) {alias}(key, v, s)"
+
+
+def gen_join(r):
+    t1 = small_table(r, "a")
+    t2 = small_table(r, "b")
+    style = r.randrange(7)
+    if style == 0:
+        jt = r.choice(["JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"])
+        extra = r.choice(["", " AND a.v > 1", " AND b.v IS NOT NULL"])
+        return (f"select a.key, a.v, b.v as bv, b.s from {t1} "
+                f"{jt} {t2} ON a.key = b.key{extra}")
+    if style == 1:
+        # USING collapses the key column
+        jt = r.choice(["JOIN", "LEFT JOIN", "FULL JOIN"])
+        return f"select key, a.v, b.s from {t1} {jt} {t2} USING (key)"
+    if style == 2:  # semi via EXISTS
+        return (f"select a.key, a.v from {t1} "
+                f"WHERE EXISTS (select 1 from {t2} where b.key = a.key)")
+    if style == 3:  # anti via NOT EXISTS
+        return (f"select a.key, a.s from {t1} "
+                f"WHERE NOT EXISTS (select 1 from {t2} where b.key = a.key)")
+    if style == 4:  # IN subquery
+        return (f"select a.key, a.v from {t1} "
+                f"WHERE a.v IN (select b.v from {t2})")
+    if style == 5:  # scalar subquery in projection
+        agg = r.choice(["max(b.v)", "min(b.v)", "count(*)", "sum(b.v)"])
+        return f"select a.key, a.v + (select {agg} from {t2}) as x from {t1}"
+    # cross join, bounded
+    return f"select a.key, b.key as k2, a.v * b.v as p from {t1} CROSS JOIN {t2}"
+
+
+def gen_setop(r):
+    t1 = small_table(r, "a")
+    t2 = small_table(r, "b")
+    op = r.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT",
+                   "INTERSECT ALL", "EXCEPT ALL", "UNION BY NAME"])
+    if op == "UNION BY NAME":
+        return (f"select key, v from {t1} UNION BY NAME "
+                f"select v, key from {t2}")
+    return f"select key, v from {t1} {op} select key, v from {t2}"
+
+
+def gen_rollup(r):
+    t = small_table(r, "a")
+    g = r.choice(["ROLLUP(key, s)", "CUBE(key, s)",
+                  "GROUPING SETS ((key), (s), ())", "GROUPING SETS ((key, s), (key))"])
+    aggs = ", ".join(r.sample(
+        ["sum(v) as sv", "count(*) as c", "min(v) as mn", "max(s) as mx",
+         "avg(v) as av", "count(distinct v) as cd"], r.randint(1, 2)))
+    return f"select key, s, {aggs} from {t} group by {g}"
+
+
 def numclose(a, b, rel=1e-9, absol=1e-12):
     """Numeric fallback: accumulation-order noise (e.g. corr of a
     near-zero covariance: one engine 0.0, the other -8e-17) is not a
-    semantic divergence. Cells must pair as floats within tolerance."""
+    semantic divergence. Cells must pair as floats within tolerance.
+    Also equates DATE with midnight TIMESTAMP spellings: DuckDB
+    promotes date ± interval to TIMESTAMP while the server keeps
+    Spark's DATE — same instant, documented divergence (promoting for
+    real would put a Cast on scan columns compared against such
+    literals and kill parquet filter pushdown)."""
     if len(a) != len(b):
         return False
     for la, lb in zip(sorted(a), sorted(b)):
@@ -251,6 +370,8 @@ def numclose(a, b, rel=1e-9, absol=1e-12):
             return False
         for x, y in zip(ca, cb):
             if x == y:
+                continue
+            if x.removesuffix(" 00:00:00") == y.removesuffix(" 00:00:00"):
                 continue
             try:
                 fx, fy = float(x), float(y)
@@ -273,10 +394,18 @@ def main(port, n, seed):
     fails = []
     for i in range(n):
         kind = r.random()
-        if kind < 0.25:
+        if kind < 0.20:
             sql = gen_agg(r)
-        elif kind < 0.40:
+        elif kind < 0.32:
             sql = gen_window(r)
+        elif kind < 0.44:
+            sql = gen_join(r)
+        elif kind < 0.50:
+            sql = gen_setop(r)
+        elif kind < 0.56:
+            sql = gen_rollup(r)
+        elif kind < 0.70:
+            sql = gen_datetime(r)
         else:
             ty = r.choice(["int", "double", "str", "bool"])
             sql = f"select {gen(r, ty, 3)} as v"
