@@ -207,7 +207,10 @@ object GraftFunctions {
       case "string_agg" =>
         val sep = if (es.length >= 3) es(2)
                   else Literal(UTF8String.fromString(","), StringType)
-        ArrayJoin(list, sep, None)
+        // all-NULL (or empty) list → NULL like the aggregate, not ''
+        // (fuzzer find, seed 1006)
+        If(EqualTo(countExpr, Literal(0)),
+          Literal.create(null, StringType), ArrayJoin(list, sep, None))
       case other => throw new IllegalArgumentException(
         s"list_aggregate: unsupported aggregate '$other' (sum/min/max/count/avg/string_agg)")
     }

@@ -91,7 +91,8 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * violation — before anything is written. All checks are aggregates
     * or semi-joins: at scale the PK check shuffles once on the key. */
   private def enforceConstraints(table: String, newData: DataFrame,
-      againstExisting: Boolean = true): Unit =
+      againstExisting: Boolean = true): Unit = {
+    enforceRowLocal(table, newData)
     constraintsOf(table).foreach { c =>
       import org.apache.spark.sql.functions.{col, count, lit}
       enforceNotNull((c.notNull ++ c.pk).distinct, newData)
@@ -127,6 +128,17 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
             s"insert into $table violates foreign key constraint: " +
               s"(${fk.cols.mkString(", ")}) not present in ${fk.refTable}(${fk.refCols.mkString(", ")})")
       }
+    }
+  }
+
+  /** The row-local constraint subset (CHECK predicates + ENUM
+    * membership) — also applied to ON CONFLICT upsert rows, where the
+    * full unique/FK validation takes a different shape (PG/DuckDB
+    * evaluate CHECK on the incoming row BEFORE conflict resolution,
+    * and on the SET-updated image). */
+  private def enforceRowLocal(table: String, newData: DataFrame): Unit =
+    constraintsOf(table).foreach { c =>
+      import org.apache.spark.sql.functions.{col, lit}
       // CHECK constraints: row-local predicate sweep (PG semantics —
       // a NULL check result passes, only FALSE rejects)
       c.checks.foreach { ck =>
@@ -623,9 +635,38 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       if (m.group(1) != null) Regex.quoteReplacement(m.matched)
       else s"LEFT ${m.group(2).toUpperCase} JOIN")
     // DuckDB/PG in-aggregate ordering: string_agg(e, sep ORDER BY k) →
-    // Spark's WITHIN GROUP spelling (one nested-paren level supported)
-    s = orderedAggRe.replaceAllIn(s, m => Regex.quoteReplacement(
-      s"${m.group(1)}(${m.group(2).trim}) WITHIN GROUP (ORDER BY ${m.group(3).trim})"))
+    // sorted-struct collect + array_join (array_join skips NULL
+    // elements, matching string_agg). NOT Spark's WITHIN GROUP
+    // spelling: ListAgg's order expressions break Spark's distinct-
+    // aggregate rewrite when any other DISTINCT aggregate shares the
+    // query ("AttributeReference cannot be cast to SortOrder" —
+    // fuzzer find, seed 1030).
+    s = orderedAggRe.replaceAllIn(s, m => {
+      val args = splitTopLevel(m.group(2).trim, ',').map(_.trim)
+      val (e, sep) = args match {
+        case Seq(only) => (only, "','")
+        case Seq(a, b) => (a, b)
+        case other => (other.head, other.tail.mkString(", "))
+      }
+      val keys = splitTopLevel(m.group(3).trim, ',').map { k0 =>
+        val k = k0.trim; val lower = k.toLowerCase
+        if (lower.endsWith(" desc")) (k.dropRight(5).trim, true)
+        else if (lower.endsWith(" asc")) (k.dropRight(4).trim, false)
+        else (k, false)
+      }
+      val dirs = keys.map(_._2).distinct
+      if (dirs.length > 1) Regex.quoteReplacement(m.matched) // mixed: surface at parse
+      else {
+        val fields = keys.zipWithIndex.map { case ((k, _), i) => s"$k AS __k$i" }.mkString(", ")
+        val sorted0 = s"transform(array_sort(collect_list(struct($fields, CAST($e AS STRING) AS __v))), s -> s.__v)"
+        val sorted = if (dirs.headOption.contains(true)) s"reverse($sorted0)" else sorted0
+        // all-NULL (or empty) group → NULL like the aggregate, not ''
+        val filtered = s"filter($sorted, __sa -> __sa IS NOT NULL)"
+        Regex.quoteReplacement(
+          s"(CASE WHEN size($filtered) = 0 THEN CAST(NULL AS STRING) " +
+          s"ELSE array_join($filtered, $sep) END)")
+      }
+    })
     // DuckDB ordered aggregates Spark lacks: first/last/list(expr ORDER
     // BY key [DESC]) → sort collect_list(struct(key, expr)) and project
     // the value back out (structs sort by field order, key first)
@@ -1334,15 +1375,21 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     val lock = lockFor(table).writeLock()
     lock.lock()
     try {
-      val cols = spark.table(table).schema.fieldNames
+      val schema = spark.table(table).schema
+      val cols = schema.fieldNames
       val sets = splitTopLevel(setClause, ',').map { a =>
         val Array(c, e) = a.split("=", 2).map(_.trim)
         c.toLowerCase -> e
       }.toMap
       val pred = where.getOrElse("true")
+      // assignment cast: the SET expression coerces to the COLUMN's
+      // declared type (PG/DuckDB). Without it the CASE's branch
+      // coercion can go the other way — SET varchar_col = 7 typed the
+      // CASE BIGINT and cast the column's strings (dml_fuzz find).
       val proj = cols.map { c =>
         sets.get(c.toLowerCase) match {
-          case Some(e) => s"CASE WHEN ($pred) THEN ($e) ELSE `$c` END AS `$c`"
+          case Some(e) =>
+            s"CASE WHEN ($pred) THEN CAST(($e) AS ${schema(c).dataType.sql}) ELSE `$c` END AS `$c`"
           case None => s"`$c`"
         }
       }.mkString(", ")
@@ -1478,26 +1525,19 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         val raw = spark.table(rawTable)
         val keyNull = keys.map(k => col(k).isNull).reduce(_ || _)
         val keyed = raw.filter(!keyNull)
-        val deduped = setClause match {
-          case Some(_) =>
-            // PostgreSQL/DuckDB raise rather than pick one SET image
-            // when the same key appears twice under DO UPDATE
-            if (keyed.groupBy(keys.map(col): _*)
-                .agg(org.apache.spark.sql.functions.count(lit(1)).as("__oc_n"))
-                .filter(col("__oc_n") > 1).limit(1).count() > 0)
-              throw new IllegalArgumentException(
-                "ON CONFLICT DO UPDATE command cannot affect row a second time")
-            keyed
-          case None =>
-            // DO NOTHING: the first source row inserts, later dup-key
-            // rows conflict with it and are skipped — keep the first
-            val w = org.apache.spark.sql.expressions.Window
-              .partitionBy(keys.map(col): _*).orderBy(col("__oc_rowid"))
-            keyed.withColumn("__oc_rn",
-                org.apache.spark.sql.functions.row_number().over(w))
-              .filter(col("__oc_rn") === 1).drop("__oc_rn")
-        }
-        deduped.unionAll(raw.filter(keyNull)).drop("__oc_rowid")
+        // DuckDB raises on a duplicate key WITHIN the batch under BOTH
+        // DO UPDATE and DO NOTHING (probed 1.0; dml_fuzz find — PG
+        // would let the first row insert and skip the rest, the
+        // reference's engine does not), and validates every incoming
+        // row's NOT NULL before conflict resolution
+        if (keyed.groupBy(keys.map(col): _*)
+            .agg(org.apache.spark.sql.functions.count(lit(1)).as("__oc_n"))
+            .filter(col("__oc_n") > 1).limit(1).count() > 0)
+          throw new IllegalArgumentException(
+            "PRIMARY KEY or UNIQUE constraint violated: duplicate key in inserted rows")
+        constraintsOf(table).foreach(c =>
+          enforceNotNull((c.notNull ++ c.pk).distinct, raw))
+        keyed.unionAll(raw.filter(keyNull)).drop("__oc_rowid")
           .createOrReplaceTempView(srcTable + "_v")
         spark.sql(s"CREATE TABLE $srcTable AS SELECT * FROM ${srcTable}_v")
         spark.catalog.dropTempView(srcTable + "_v")
@@ -1518,12 +1558,16 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
             // pair failing cond keeps the existing row unchanged, and
             // the source row is neither inserted nor counted.
             val (setsPart, whereOpt) = splitTopLevelWhere(sets0)
-            // NOT NULL still applies to the incoming rows (non-target
-            // unique constraints under DO UPDATE are a documented
-            // divergence — validating the merged image needs a second
-            // full pass)
+            // NOT NULL and the row-local constraints (CHECK/enum)
+            // apply to the incoming rows BEFORE conflict resolution —
+            // PG/DuckDB reject the insert attempt even when the row
+            // would have conflicted into an update (dml_fuzz find).
+            // Non-target unique constraints under DO UPDATE stay a
+            // documented divergence (validating them on the merged
+            // image needs a second full pass).
             constraintsOf(table).foreach(c =>
               enforceNotNull((c.notNull ++ c.pk).distinct, staged))
+            enforceRowLocal(table, staged)
             // DO UPDATE: new table image = existing rows (updated where
             // a source row matches) + non-matching source rows
             val sets = splitTopLevel(setsPart, ',').map { a =>
@@ -1536,7 +1580,10 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
             }
             val proj = target.schema.fieldNames.map { c =>
               sets.get(c.toLowerCase) match {
-                case Some(e) => s"CASE WHEN $upd THEN ($e) ELSE $tAlias.`$c` END AS `$c`"
+                // assignment cast to the column's declared type, like
+                // copyOnWriteUpdate (dml_fuzz find)
+                case Some(e) =>
+                  s"CASE WHEN $upd THEN CAST(($e) AS ${target.schema(c).dataType.sql}) ELSE $tAlias.`$c` END AS `$c`"
                 case None => s"$tAlias.`$c` AS `$c`"
               }
             }.mkString(", ")
@@ -1550,10 +1597,13 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
                   .head()
                 staged.count() - mu.getLong(0) + mu.getLong(1)
             }
+            // the merged image re-validates the row-local constraints:
+            // a SET expression can push an existing row out of a CHECK
             stageAndSwap(table,
               s"""SELECT $proj FROM $table $tAlias LEFT JOIN $srcTable excluded ON $on
                  |UNION ALL
-                 |SELECT excluded.* FROM $srcTable excluded LEFT ANTI JOIN $table $tAlias ON $on""".stripMargin)
+                 |SELECT excluded.* FROM $srcTable excluded LEFT ANTI JOIN $table $tAlias ON $on""".stripMargin,
+              check = df => enforceRowLocal(table, df))
             cnt
         }
         ExecResult(null, s"INSERT 0 $n")
@@ -1735,12 +1785,15 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     }
   }
 
-  private def stageAndSwap(table: String, select: String): Unit = {
+  private def stageAndSwap(table: String, select: String,
+      check: DataFrame => Unit = _ => ()): Unit = {
     val stage = table.replace('.', '_') + "__cow"
     spark.sql(s"DROP TABLE IF EXISTS $stage")
     spark.sql(s"CREATE TABLE $stage AS $select")
-    try spark.sql(s"INSERT OVERWRITE TABLE $table SELECT * FROM $stage").collect()
-    finally spark.sql(s"DROP TABLE IF EXISTS $stage")
+    try {
+      check(spark.table(stage)) // validate the staged image pre-swap
+      spark.sql(s"INSERT OVERWRITE TABLE $table SELECT * FROM $stage").collect()
+    } finally spark.sql(s"DROP TABLE IF EXISTS $stage")
   }
 
   /** information_schema.{schemata,tables,columns} (SURVEY §2-B.9 🔧):
@@ -3196,7 +3249,7 @@ object Engine {
     out.toString
   }
   private val orderedAggRe =
-    """(?i)\b(string_agg|listagg)\s*\(((?:[^()']|\([^()]*\)|'[^']*')*?)\s+order\s+by\s+((?:[^()']|\([^()]*\)|'[^']*')*?)\)""".r
+    """(?i)\b(string_agg|listagg|group_concat)\s*\(((?:[^()']|\([^()]*\)|'[^']*')*?)\s+order\s+by\s+((?:[^()']|\([^()]*\)|'[^']*')*?)\)""".r
   private val orderedFllRe =
     """(?i)\b(first|last|list|array_agg|any_value)\s*\(((?:[^()']|\([^()]*\)|'[^']*')*?)\s+order\s+by\s+((?:[^()']|\([^()]*\)|'[^']*')*?)(?:\s+(asc|desc))?\s*\)""".r
   private val readParquetRe = """(?i)(?:read_parquet|parquet_scan)\s*\(\s*'([^']+)'\s*\)""".r

@@ -195,7 +195,7 @@ class ServerEngineSpec extends SparkSpecBase {
       engine.execute(
         "insert into main.oc_w values (1,'x'),(1,'y') on conflict (k) do update set v = excluded.v where false")
     }
-    assert(e.getMessage.contains("second time"), e.getMessage)
+    assert(e.getMessage.contains("duplicate key"), e.getMessage)
     engine.execute("drop table main.oc_w")
   }
 
@@ -226,22 +226,27 @@ class ServerEngineSpec extends SparkSpecBase {
     engine.execute("drop table main.oc_edge")
   }
 
-  test("ON CONFLICT duplicate source keys: DO UPDATE raises, DO NOTHING keeps the first") {
+  test("ON CONFLICT duplicate source keys raise under DO UPDATE and DO NOTHING (DuckDB 1.0)") {
     fresh("oc_dup")
     engine.execute("create table main.oc_dup (k INT PRIMARY KEY, v STRING) using parquet")
     engine.execute("insert into main.oc_dup values (1,'a')")
-    // PostgreSQL/DuckDB: 'ON CONFLICT DO UPDATE command cannot affect
-    // row a second time' — never a nondeterministic pick of SET images
+    // DuckDB 1.0 (probed): a duplicate key WITHIN the batch raises
+    // 'PRIMARY KEY or UNIQUE constraint violated: duplicate key' under
+    // BOTH arms — it never picks a SET image or keeps the first row
+    // (PG would keep-first under DO NOTHING; the reference's engine
+    // does not)
     val e = intercept[IllegalArgumentException] {
       engine.execute(
         "insert into main.oc_dup values (1,'x'),(1,'y') on conflict (k) do update set v = excluded.v")
     }
-    assert(e.getMessage.contains("second time"), e.getMessage)
+    assert(e.getMessage.contains("duplicate key"), e.getMessage)
     assert(spark.table("main.oc_dup").count() == 1) // nothing written
-    // DO NOTHING: the FIRST source occurrence inserts, statement order
-    engine.execute(
-      "insert into main.oc_dup values (2,'first'),(2,'second'),(2,'third') on conflict (k) do nothing")
-    assert(spark.table("main.oc_dup").filter("k = 2").head().getString(1) == "first")
+    val e2 = intercept[IllegalArgumentException] {
+      engine.execute(
+        "insert into main.oc_dup values (2,'first'),(2,'second'),(2,'third') on conflict (k) do nothing")
+    }
+    assert(e2.getMessage.contains("duplicate key"), e2.getMessage)
+    assert(spark.table("main.oc_dup").count() == 1) // nothing written
     engine.execute("drop table main.oc_dup")
   }
 
