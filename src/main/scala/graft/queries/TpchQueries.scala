@@ -187,33 +187,36 @@ object TpchQueries {
         |  AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
-      val li = t.lineitem.select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
-      // ONE lineitem scan + ONE (order, supplier) shuffle for the whole
-      // query: the roll-up carries both the per-supplier late flag and
-      // the R-line multiplicity, so the per-order stats AND the late-
-      // line stream both derive from it — the two consumers contain the
-      // identical aggregation subtree and ReuseExchange computes it
-      // once. (The former shape scanned lineitem twice: a full roll-up
-      // branch plus a separate filtered line stream.) A mixed
-      // multi-distinct agg was rejected earlier for the same reason: it
-      // plans through Expand and doubles the shuffled rows.
+      val li = t.lineitem.select(col("l_orderkey"), col("l_suppkey"),
+        when(col("l_returnflag") === "R", 1).otherwise(0).as("is_r"))
+      // ONE shuffle of the raw fact for the whole reduction: explicitly
+      // repartition by l_orderkey, then BOTH aggregation levels — the
+      // (order, supplier) roll-up and the per-order stats — are
+      // partition-local (HashPartitioning(orderkey) satisfies the
+      // clustered distribution of any key set containing orderkey).
+      // The roll-up barely compacts (~4 lines/order, distinct
+      // suppliers), so shuffling raw rows costs the same as shuffling
+      // partials — and the second 15M-row exchange + full window SORT
+      // of the previous shape disappear. (History: a two-branch
+      // aggregate diverges under column pruning — 5 scans, 0 reuses;
+      // the window shape fixed that but sorted the whole roll-up; this
+      // one-pipeline double-local-agg needs neither sort nor diamond.)
       val rolled = li
+        .repartition(col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("l_suppkey"))
-        .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("late"),
-          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_r_lines"))
-      // per-order stats via a window over the roll-up, NOT a second
-      // aggregation branch: a branch duplicates the whole scan+agg
-      // (column pruning diverges the two subtrees, so ReuseExchange
-      // never fires — measured 5 scans / 0 reuses); the window keeps
-      // everything one pipeline, partitioned by order (never global)
-      import org.apache.spark.sql.expressions.Window
-      val wOrd = Window.partitionBy(col("l_orderkey"))
-      val lateSupp = rolled
-        .withColumn("n_supp", count(lit(1)).over(wOrd))
-        .withColumn("n_late_supp", sum(col("late")).over(wOrd))
-        .filter(col("late") === 1)
-        .select(col("l_orderkey"), col("l_suppkey"), col("n_r_lines"),
-          col("n_supp"), col("n_late_supp"))
+        .agg(max(col("is_r")).as("late"),
+          sum(col("is_r").cast("long")).as("n_r_lines"))
+      // per-order stats in one more LOCAL aggregate; the single late
+      // supplier's identity and R-line count ride out via max(when):
+      // with n_late_supp = 1 the max picks exactly that supplier
+      val perOrder = rolled
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supp"),
+          sum(col("late")).as("n_late_supp"),
+          max(when(col("late") === 1, col("l_suppkey"))).as("l_suppkey"),
+          max(when(col("late") === 1, col("n_r_lines"))).as("n_r_lines"))
+        .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+        .select(col("l_orderkey"), col("l_suppkey"), col("n_r_lines"))
       val ordF = t.orders.filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
       // nation is fixed-size → broadcast; supplier stays a shuffle join
       // (at 100 TB supplier is a 1B-row dim; AQE demotes to broadcast
@@ -222,8 +225,7 @@ object TpchQueries {
           broadcast(t.nation.filter(col("n_name") === "NATION_7").select(col("n_nationkey"))),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("s_name"))
-      lateSupp
-        .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      perOrder
         .join(ordF, col("l_orderkey") === col("o_orderkey"))
         .join(supp, col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_name"))
