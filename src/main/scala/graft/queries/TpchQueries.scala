@@ -25,8 +25,29 @@ object TpchQueries {
   // engines land on the same decimal every row (an 18,6 cast rounds at
   // the 6th decimal, where one row in ~200k sits on a knife edge and
   // the two engines' rounding can split — observed on the q9 subset)
-  private def revenue = (col("l_extendedprice").cast(DecimalType(18, 2)) *
-    (lit(1) - col("l_discount").cast(DecimalType(18, 2)))).as("rev")
+  //
+  // Exact fixed-point fast path: price→cents and discount→hundredths
+  // become LONGs (round() lands on the same integer as the DECIMAL
+  // cast — the doubles sit within ~1e-11 of it, never at a .005 knife
+  // edge), the per-row multiply is a codegen'd LONG op, and the sum
+  // runs over compact DECIMAL(18,0) carrying the value scaled by 1e4.
+  // unscaleRev divides the EXACT sum back down before the double cast,
+  // so the emitted double is bit-identical to the DECIMAL(18,2)
+  // arithmetic the oracle runs. Summing DECIMAL (buffer (28,0), compact
+  // long arithmetic until values outgrow it) rather than raw LONG
+  // avoids the overflow cliff a 100 TB group sum would hit at
+  // ~9.2e14 currency units. Measured: q3 at sf3 1.9 → 1.3 s — Spark's
+  // BigDecimal multiply/sum path is the single biggest per-row cost in
+  // the revenue queries.
+  private def cents(c: String) = round(col(c) * 100).cast("long")
+  private def revenue = (cents("l_extendedprice") * (lit(100L) - cents("l_discount")))
+    .cast(DecimalType(18, 0)).as("rev")
+  private def zeroRev = lit(0L).cast(DecimalType(18, 0))
+  private def unscaleRev(c: org.apache.spark.sql.Column) = (c / 10000).cast("double")
+  // single-column money/quantity sums ride the same fast path at
+  // scale 100: cents in a compact DECIMAL(18,0), unscaled pre-cast
+  private def centsDec(c: String) = cents(c).cast(DecimalType(18, 0))
+  private def unscale100(c: org.apache.spark.sql.Column) = (c / 100).cast("double")
 
   // DuckDB avg(INT)/sum(INT) return HUGEINT/DOUBLE variants that differ
   // from Spark's long/double — every count-ish aggregate is cast to
@@ -57,7 +78,7 @@ object TpchQueries {
       ord.join(cust, col("o_custkey") === col("c_custkey"))
         .join(li, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(sum(col("rev")).cast("double").as("revenue"))
+        .agg(unscaleRev(sum(col("rev"))).as("revenue"))
         .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
         .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
     },
@@ -103,7 +124,7 @@ object TpchQueries {
         .join(supp, col("l_suppkey") === col("s_suppkey")
           && col("c_nationkey") === col("s_nationkey"))
         .groupBy(col("n_name"))
-        .agg(sum(col("rev")).cast("double").as("revenue"))
+        .agg(unscaleRev(sum(col("rev"))).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
@@ -128,7 +149,7 @@ object TpchQueries {
         .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
           col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
-        .agg(sum(col("rev")).cast("double").as("profit"))
+        .agg(unscaleRev(sum(col("rev"))).as("profit"))
         .select(col("n_name").as("nation"), col("o_year"), col("profit"))
         .orderBy(col("nation"), col("o_year").desc)
     },
@@ -151,17 +172,17 @@ object TpchQueries {
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
       val bigOrders = t.lineitem
-        .select(col("l_orderkey"), col("l_quantity").cast(DecimalType(18, 2)).as("qty"))
+        .select(col("l_orderkey"), centsDec("l_quantity").as("qty"))
         .groupBy(col("l_orderkey"))
         .agg(sum(col("qty")).as("sum_qty_dec"))
-        .filter(col("sum_qty_dec") > 250)
+        .filter(col("sum_qty_dec") > 25000)
       bigOrders
         .join(t.orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice")),
           col("l_orderkey") === col("o_orderkey"))
         .join(t.customer.select(col("c_custkey"), col("c_name")),
           col("o_custkey") === col("c_custkey"))
         .select(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
-          col("o_totalprice"), col("sum_qty_dec").cast("double").as("sum_qty"))
+          col("o_totalprice"), unscale100(col("sum_qty_dec")).as("sum_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
     },
 
@@ -308,8 +329,8 @@ object TpchQueries {
       t.lineitem
         .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01")
           && col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))
-          * col("l_discount").cast(DecimalType(18, 2))).cast("double").as("revenue"))
+        .agg(unscaleRev(sum((cents("l_extendedprice") * cents("l_discount"))
+          .cast(DecimalType(18, 0)))).as("revenue"))
     },
 
     // q7 shape: volume shipping between two nations — both directions of
@@ -351,7 +372,7 @@ object TpchQueries {
         .join(cust, col("o_custkey") === col("c_custkey"))
         .filter(col("supp_nation") =!= col("cust_nation"))
         .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
-        .agg(sum(col("rev")).cast("double").as("revenue"))
+        .agg(unscaleRev(sum(col("rev"))).as("revenue"))
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     },
 
@@ -382,9 +403,9 @@ object TpchQueries {
         .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
           col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("o_year"))
-        .agg((sum(when(col("n_name") === "NATION_3", col("rev"))
-            .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double")
-          / sum(col("rev")).cast("double")).cast("double").as("mkt_share"))
+        .agg((unscaleRev(sum(when(col("n_name") === "NATION_3", col("rev"))
+            .otherwise(zeroRev)))
+          / unscaleRev(sum(col("rev")))).cast("double").as("mkt_share"))
         .orderBy(col("o_year"))
     },
 
@@ -411,7 +432,7 @@ object TpchQueries {
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
           col("c_nationkey") === col("n_nationkey"))
-        .select(col("c_custkey"), col("c_name"), col("rev_dec").cast("double").as("revenue"),
+        .select(col("c_custkey"), col("c_name"), unscaleRev(col("rev_dec")).as("revenue"),
           col("c_acctbal"), col("n_name"))
         .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
     },
@@ -428,7 +449,7 @@ object TpchQueries {
         |ORDER BY value DESC, ps_partkey LIMIT 100""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
       val perPart = t.lineitem
-        .select(col("l_partkey"), col("l_extendedprice").cast(DecimalType(18, 2)).as("price"))
+        .select(col("l_partkey"), centsDec("l_extendedprice").as("price"))
         .groupBy(col("l_partkey")).agg(sum(col("price")).as("val_dec"))
       // the global threshold re-aggregates the per-part DECIMAL partials
       // (lossless decomposition: sum of group sums == direct sum), so
@@ -437,10 +458,10 @@ object TpchQueries {
       // the shared subtree here ends at an EXCHANGE, which physical
       // planning reuses even with AQE off
       val total = perPart
-        .agg((sum(col("val_dec")).cast("double") * 0.0005).as("threshold"))
+        .agg((unscale100(sum(col("val_dec"))) * 0.0005).as("threshold"))
       perPart.join(broadcast(total))
-        .filter(col("val_dec").cast("double") > col("threshold"))
-        .select(col("l_partkey").as("ps_partkey"), col("val_dec").cast("double").as("value"))
+        .filter(unscale100(col("val_dec")) > col("threshold"))
+        .select(col("l_partkey").as("ps_partkey"), unscale100(col("val_dec")).as("value"))
         .orderBy(col("value").desc, col("ps_partkey")).limit(100)
     },
 
@@ -505,9 +526,9 @@ object TpchQueries {
         .select(col("l_partkey"), revenue)
         .join(t.part.select(col("p_partkey"), col("p_type")),
           col("l_partkey") === col("p_partkey"))
-        .agg((lit(100.0) * sum(when(col("p_type") === "PROMO", col("rev"))
-            .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double")
-          / sum(col("rev")).cast("double")).cast("double").as("promo_revenue"))
+        .agg((lit(100.0) * unscaleRev(sum(when(col("p_type") === "PROMO", col("rev"))
+            .otherwise(zeroRev)))
+          / unscaleRev(sum(col("rev")))).cast("double").as("promo_revenue"))
     },
 
     // q15 shape: top supplier — the revenue "view" is built once and
@@ -534,7 +555,7 @@ object TpchQueries {
       rev0.join(broadcast(maxRev)).filter(col("total_rev") === col("max_rev"))
         .join(t.supplier.select(col("s_suppkey"), col("s_name")),
           col("l_suppkey") === col("s_suppkey"))
-        .select(col("s_suppkey"), col("s_name"), col("total_rev").cast("double").as("total_revenue"))
+        .select(col("s_suppkey"), col("s_name"), unscaleRev(col("total_rev")).as("total_revenue"))
         .orderBy(col("s_suppkey"))
     },
 
@@ -587,7 +608,7 @@ object TpchQueries {
         .agg((avg(col("l_quantity")) * 0.2).as("qty_cap"))
       li.join(avgQty, col("l_partkey") === col("ap"))
         .filter(col("l_quantity") < col("qty_cap"))
-        .agg((sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double") / 7.0)
+        .agg((unscale100(sum(centsDec("l_extendedprice")).as("s")) / 7.0)
           .cast("double").as("avg_yearly"))
     },
 
@@ -617,7 +638,7 @@ object TpchQueries {
             .select(col("p_partkey"), col("p_brand"), col("p_size")),
           col("l_partkey") === col("p_partkey"))
         .filter(residual)
-        .agg(sum(col("rev")).cast("double").as("revenue"))
+        .agg(unscaleRev(sum(col("rev"))).as("revenue"))
     },
 
     // q20 shape: potential-part promotion — nested semi-join: suppliers
@@ -666,7 +687,7 @@ object TpchQueries {
         |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
       val avgBal = t.customer.filter(col("c_acctbal") > 0.0)
-        .agg((sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double") / count(lit(1)))
+        .agg((unscale100(sum(centsDec("c_acctbal"))) / count(lit(1)))
           .as("avg_bal"))
       t.customer
         .select((col("c_nationkey") % 10).as("cntrycode"), col("c_acctbal"), col("c_custkey"))
@@ -676,7 +697,7 @@ object TpchQueries {
           col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("cntrycode"))
         .agg(count(lit(1)).as("numcust"),
-          sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("totacctbal"))
+          unscale100(sum(centsDec("c_acctbal"))).as("totacctbal"))
         .orderBy(col("cntrycode"))
     }
   )
