@@ -500,12 +500,16 @@ object TpchQueries {
         |      GROUP BY c_custkey) c_orders
         |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
+      // aggregate orders to (custkey, n) BEFORE the outer join: the
+      // count distributes over the join key, so the join ships one row
+      // per customer-with-orders instead of every order row (map-side
+      // combine on the orders scan; at 100 TB orders is the big side)
+      val perCust = t.orders.filter(col("o_orderpriority") =!= "5-LOW")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"))
       t.customer.select("c_custkey")
-        .join(t.orders.filter(col("o_orderpriority") =!= "5-LOW")
-            .select(col("o_custkey"), col("o_orderkey")),
-          col("c_custkey") === col("o_custkey"), "left_outer")
-        .groupBy(col("c_custkey"))
-        .agg(count(col("o_orderkey")).as("c_count"))
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(coalesce(col("n"), lit(0L)).as("c_count"))
         .groupBy(col("c_count"))
         .agg(count(lit(1)).as("custdist"))
         .orderBy(col("custdist").desc, col("c_count").desc)
