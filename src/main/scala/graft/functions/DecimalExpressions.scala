@@ -74,3 +74,43 @@ object DoubleToDec6 {
     toColumn(DoubleToDec6(toExpression(c)))
   }
 }
+
+/** `double → long` at a fixed decimal scale: `(long) Math.floor(v *
+  * factor + 0.5)` — nearest-rounding for inputs that sit on the
+  * `1/factor` grid (the 2-decimal money/rate columns: their doubles
+  * are within ~1e-9 of the grid point, never at a .5/factor tie), as
+  * one codegen'd multiply+floor with no allocation. `round()` on
+  * DOUBLE routes every row through `BigDecimal.setScale`, and the
+  * dialect layer rewrites `floor()` to the DOUBLE-returning DuckDB
+  * form — this expression is the internal fast path the fixed-point
+  * aggregates (FixedPointSum) consume.
+  */
+case class DoubleToScaledLong(child: Expression, factor: Int) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType | FloatType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"to_scaled_long expects DOUBLE, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = v match {
+    case f: java.lang.Float => Math.floor(f.toDouble * factor + 0.5).toLong
+    case d => Math.floor(d.asInstanceOf[Double] * factor + 0.5).toLong
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"(long) Math.floor((double)($v) * $factor + 0.5d)")
+
+  override protected def withNewChildInternal(c: Expression): DoubleToScaledLong = copy(child = c)
+}
+
+object DoubleToScaledLong {
+  /** Column helper: 2-decimal double → integer cents/hundredths long. */
+  def cents(c: Column): Column = {
+    import org.apache.spark.sql.GraftBridge.{toColumn, toExpression}
+    toColumn(DoubleToScaledLong(toExpression(c), 100))
+  }
+}

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.engine.Tables
+import graft.functions.FixedPointSum.sumFix
 import QueryDef.q
 
 /** Core relational surface (SURVEY §2-B.1–B.7): scans, predicates,
@@ -55,16 +56,42 @@ object CoreQueries {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
+      // Fixed-point fast path (the TpchQueries revenue pattern): every
+      // measure is a 2-decimal value, so price→cents, disc/tax→
+      // hundredths become LONGs, the disc_price/charge products are
+      // codegen'd long multiplies carrying the value at scale 1e4/1e6,
+      // and each sum runs through the zero-allocation FixedPointSum.
+      // The exact DECIMAL(38,0) sums are divided back to scale 6 (the
+      // divisions are exact: the scaled values have ≤6 decimals) before
+      // the DECIMAL(38,6)→VARCHAR render, so the strings are
+      // bit-identical to the oracle's per-row DECIMAL(18,6) arithmetic:
+      // the double products sit within ~4e-10 of their exact 6-decimal
+      // expansion, far inside the 5e-7 rounding boundary, so both
+      // engines' per-row rounding lands on the same grid point.
+      // one codegen'd multiply+floor per row, no BigDecimal — see
+      // functions/DecimalExpressions.scala (DoubleToScaledLong)
+      def cents(c: String) = graft.functions.DoubleToScaledLong.cents(col(c))
+      val qty = cents("l_quantity")
+      val price = cents("l_extendedprice")
+      val disc = cents("l_discount")
+      val tax = cents("l_tax")
+      val discPrice = price * (lit(100L) - disc)          // scale 1e4
+      val charge = discPrice * (lit(100L) + tax)          // scale 1e6
+      def str6(c: Column, div: Long): Column =
+        (c / div).cast(DecimalType(38, 6)).cast("string")
       t.lineitem
-        .filter(col("l_shipdate").cast("date") <= lit(java.sql.Date.valueOf("1998-09-02")))
+        // ts ≤ end-of-1998-09-02 ⇔ ts < 1998-09-03: the raw TIMESTAMP
+        // compare pushes to the parquet scan (row-group pruning +
+        // primitive long compare); the per-row ts→date cast did not
+        .filter(col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-09-03 00:00:00")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec(col("l_quantity"))).cast(DecimalType(38, 6)).cast("string").as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).cast(DecimalType(38, 6)).cast("string").as("sum_base_price"),
-          sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).cast(DecimalType(38, 6)).cast("string").as("sum_disc_price"),
-          sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).cast(DecimalType(38, 6)).cast("string").as("sum_charge"),
+          str6(sumFix(qty), 100L).as("sum_qty"),
+          str6(sumFix(price), 100L).as("sum_base_price"),
+          str6(sumFix(discPrice), 10000L).as("sum_disc_price"),
+          str6(sumFix(charge), 1000000L).as("sum_charge"),
           count(lit(1)).as("count_order"),
-          (sum(dec(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"))
+          ((sumFix(disc) / 100L).cast("double") / count(lit(1))).as("avg_disc"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
 

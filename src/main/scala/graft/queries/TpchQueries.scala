@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.engine.Tables
+import graft.functions.FixedPointSum.sumFix
 import QueryDef.q
 
 /** TPC-H-shaped multi-join headliners (q3/q5/q9 shapes, adapted to the
@@ -30,23 +31,28 @@ object TpchQueries {
   // become LONGs (round() lands on the same integer as the DECIMAL
   // cast — the doubles sit within ~1e-11 of it, never at a .005 knife
   // edge), the per-row multiply is a codegen'd LONG op, and the sum
-  // runs over compact DECIMAL(18,0) carrying the value scaled by 1e4.
-  // unscaleRev divides the EXACT sum back down before the double cast,
-  // so the emitted double is bit-identical to the DECIMAL(18,2)
-  // arithmetic the oracle runs. Summing DECIMAL (buffer (28,0), compact
-  // long arithmetic until values outgrow it) rather than raw LONG
-  // avoids the overflow cliff a 100 TB group sum would hit at
-  // ~9.2e14 currency units. Measured: q3 at sf3 1.9 → 1.3 s — Spark's
-  // BigDecimal multiply/sum path is the single biggest per-row cost in
-  // the revenue queries.
-  private def cents(c: String) = round(col(c) * 100).cast("long")
-  private def revenue = (cents("l_extendedprice") * (lit(100L) - cents("l_discount")))
-    .cast(DecimalType(18, 0)).as("rev")
-  private def zeroRev = lit(0L).cast(DecimalType(18, 0))
+  // runs through FixedPointSum — a two-long 124-bit accumulator whose
+  // update is pure primitive codegen (no Decimal allocation per row,
+  // no overflow cliff: capacity 4e37 vs the ~9.2e14 currency units
+  // where a raw LONG sum would wrap at 100 TB). unscaleRev divides the
+  // EXACT DECIMAL(38,0) sum back down before the double cast, so the
+  // emitted double is bit-identical to the DECIMAL(18,2) arithmetic
+  // the oracle runs. Measured: q3 at sf3 1.9 → 1.3 s for the long
+  // multiply alone — Spark's BigDecimal multiply/sum path is the
+  // single biggest per-row cost in the revenue queries.
+  // one codegen'd multiply+floor per row, no BigDecimal — see
+  // functions/DecimalExpressions.scala (DoubleToScaledLong)
+  private def cents(c: String) = graft.functions.DoubleToScaledLong.cents(col(c))
+  // rev stays a raw LONG per row; the exactness moves into the
+  // aggregate itself: FixedPointSum accumulates in a two-long 124-bit
+  // buffer (zero allocation, pure codegen long ops) and emits the
+  // exact DECIMAL(38,0) per group — see functions/FixedPointSum.scala
+  private def revenue = (cents("l_extendedprice") * (lit(100L) - cents("l_discount"))).as("rev")
+  private def zeroRev = lit(0L)
   private def unscaleRev(c: org.apache.spark.sql.Column) = (c / 10000).cast("double")
   // single-column money/quantity sums ride the same fast path at
-  // scale 100: cents in a compact DECIMAL(18,0), unscaled pre-cast
-  private def centsDec(c: String) = cents(c).cast(DecimalType(18, 0))
+  // scale 100: cents as a raw long into the fixed-point aggregate
+  private def centsDec(c: String) = cents(c)
   private def unscale100(c: org.apache.spark.sql.Column) = (c / 100).cast("double")
 
   // DuckDB avg(INT)/sum(INT) return HUGEINT/DOUBLE variants that differ
@@ -78,7 +84,7 @@ object TpchQueries {
       ord.join(cust, col("o_custkey") === col("c_custkey"))
         .join(li, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(unscaleRev(sum(col("rev"))).as("revenue"))
+        .agg(unscaleRev(sumFix(col("rev"))).as("revenue"))
         .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
         .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
     },
@@ -124,7 +130,7 @@ object TpchQueries {
         .join(supp, col("l_suppkey") === col("s_suppkey")
           && col("c_nationkey") === col("s_nationkey"))
         .groupBy(col("n_name"))
-        .agg(unscaleRev(sum(col("rev"))).as("revenue"))
+        .agg(unscaleRev(sumFix(col("rev"))).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
@@ -149,7 +155,7 @@ object TpchQueries {
         .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
           col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
-        .agg(unscaleRev(sum(col("rev"))).as("profit"))
+        .agg(unscaleRev(sumFix(col("rev"))).as("profit"))
         .select(col("n_name").as("nation"), col("o_year"), col("profit"))
         .orderBy(col("nation"), col("o_year").desc)
     },
@@ -174,7 +180,7 @@ object TpchQueries {
       val bigOrders = t.lineitem
         .select(col("l_orderkey"), centsDec("l_quantity").as("qty"))
         .groupBy(col("l_orderkey"))
-        .agg(sum(col("qty")).as("sum_qty_dec"))
+        .agg(sumFix(col("qty")).as("sum_qty_dec"))
         .filter(col("sum_qty_dec") > 25000)
       bigOrders
         .join(t.orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice")),
@@ -329,8 +335,7 @@ object TpchQueries {
       t.lineitem
         .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01")
           && col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-        .agg(unscaleRev(sum((cents("l_extendedprice") * cents("l_discount"))
-          .cast(DecimalType(18, 0)))).as("revenue"))
+        .agg(unscaleRev(sumFix(cents("l_extendedprice") * cents("l_discount"))).as("revenue"))
     },
 
     // q7 shape: volume shipping between two nations — both directions of
@@ -372,7 +377,7 @@ object TpchQueries {
         .join(cust, col("o_custkey") === col("c_custkey"))
         .filter(col("supp_nation") =!= col("cust_nation"))
         .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
-        .agg(unscaleRev(sum(col("rev"))).as("revenue"))
+        .agg(unscaleRev(sumFix(col("rev"))).as("revenue"))
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     },
 
@@ -403,9 +408,9 @@ object TpchQueries {
         .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
           col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("o_year"))
-        .agg((unscaleRev(sum(when(col("n_name") === "NATION_3", col("rev"))
+        .agg((unscaleRev(sumFix(when(col("n_name") === "NATION_3", col("rev"))
             .otherwise(zeroRev)))
-          / unscaleRev(sum(col("rev")))).cast("double").as("mkt_share"))
+          / unscaleRev(sumFix(col("rev")))).cast("double").as("mkt_share"))
         .orderBy(col("o_year"))
     },
 
@@ -427,7 +432,7 @@ object TpchQueries {
         .select(col("o_orderkey"), col("o_custkey"))
       val li = t.lineitem.filter(col("l_returnflag") === "R").select(col("l_orderkey"), revenue)
       ord.join(li, col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("o_custkey")).agg(sum(col("rev")).as("rev_dec"))
+        .groupBy(col("o_custkey")).agg(sumFix(col("rev")).as("rev_dec"))
         .join(t.customer.select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey")),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
@@ -450,7 +455,7 @@ object TpchQueries {
       val t = Tables(s, dir)
       val perPart = t.lineitem
         .select(col("l_partkey"), centsDec("l_extendedprice").as("price"))
-        .groupBy(col("l_partkey")).agg(sum(col("price")).as("val_dec"))
+        .groupBy(col("l_partkey")).agg(sumFix(col("price")).as("val_dec"))
       // the global threshold re-aggregates the per-part DECIMAL partials
       // (lossless decomposition: sum of group sums == direct sum), so
       // both consumers share one fact scan via ReusedExchange instead of
@@ -530,9 +535,9 @@ object TpchQueries {
         .select(col("l_partkey"), revenue)
         .join(t.part.select(col("p_partkey"), col("p_type")),
           col("l_partkey") === col("p_partkey"))
-        .agg((lit(100.0) * unscaleRev(sum(when(col("p_type") === "PROMO", col("rev"))
+        .agg((lit(100.0) * unscaleRev(sumFix(when(col("p_type") === "PROMO", col("rev"))
             .otherwise(zeroRev)))
-          / unscaleRev(sum(col("rev")))).cast("double").as("promo_revenue"))
+          / unscaleRev(sumFix(col("rev")))).cast("double").as("promo_revenue"))
     },
 
     // q15 shape: top supplier — the revenue "view" is built once and
@@ -554,7 +559,7 @@ object TpchQueries {
       val rev0 = t.lineitem
         .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1997-04-01"))
         .select(col("l_suppkey"), revenue)
-        .groupBy(col("l_suppkey")).agg(sum(col("rev")).as("total_rev"))
+        .groupBy(col("l_suppkey")).agg(sumFix(col("rev")).as("total_rev"))
       val maxRev = rev0.agg(max(col("total_rev")).as("max_rev"))
       rev0.join(broadcast(maxRev)).filter(col("total_rev") === col("max_rev"))
         .join(t.supplier.select(col("s_suppkey"), col("s_name")),
@@ -612,7 +617,7 @@ object TpchQueries {
         .agg((avg(col("l_quantity")) * 0.2).as("qty_cap"))
       li.join(avgQty, col("l_partkey") === col("ap"))
         .filter(col("l_quantity") < col("qty_cap"))
-        .agg((unscale100(sum(centsDec("l_extendedprice")).as("s")) / 7.0)
+        .agg((unscale100(sumFix(centsDec("l_extendedprice")).as("s")) / 7.0)
           .cast("double").as("avg_yearly"))
     },
 
@@ -642,7 +647,7 @@ object TpchQueries {
             .select(col("p_partkey"), col("p_brand"), col("p_size")),
           col("l_partkey") === col("p_partkey"))
         .filter(residual)
-        .agg(unscaleRev(sum(col("rev"))).as("revenue"))
+        .agg(unscaleRev(sumFix(col("rev"))).as("revenue"))
     },
 
     // q20 shape: potential-part promotion — nested semi-join: suppliers
@@ -691,7 +696,7 @@ object TpchQueries {
         |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
       val avgBal = t.customer.filter(col("c_acctbal") > 0.0)
-        .agg((unscale100(sum(centsDec("c_acctbal"))) / count(lit(1)))
+        .agg((unscale100(sumFix(centsDec("c_acctbal"))) / count(lit(1)))
           .as("avg_bal"))
       t.customer
         .select((col("c_nationkey") % 10).as("cntrycode"), col("c_acctbal"), col("c_custkey"))
@@ -701,7 +706,7 @@ object TpchQueries {
           col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("cntrycode"))
         .agg(count(lit(1)).as("numcust"),
-          unscale100(sum(centsDec("c_acctbal"))).as("totacctbal"))
+          unscale100(sumFix(centsDec("c_acctbal"))).as("totacctbal"))
         .orderBy(col("cntrycode"))
     }
   )
