@@ -103,7 +103,18 @@ object TextQueries {
         .filter(col("n_chars").between(20, 2000) && col("n_words") >= 5)
       val keyed = quality.withColumn("h", md5(col("text")))
       val keep = keyed.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      // exactKept feeds TWO consumers (the minhash signature pipeline
+      // and the final per-(lang, source) aggregate) with no exchange
+      // between them — without a materialization point the corpus scan,
+      // quality gate, and full-text md5 dedup would execute twice (at
+      // 100 TB: a second full corpus read). Eager localCheckpoint (the
+      // lazy form races a broadcast thread into double-computing the
+      // lineage) materializes the deduped corpus once; columns are
+      // pruned first so only what either consumer needs is stored.
       val exactKept = keyed.join(keep, Seq("h", "doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_words"), col("n_chars"), col("text"))
+        .localCheckpoint()
       val w = exactKept.select(col("doc_id"), split(col("text"), " ").as("words"))
       val sh = w.select(col("doc_id"),
           explode(sequence(lit(1), size(col("words")) - 2)).as("i"), col("words"))
@@ -315,16 +326,25 @@ object TextQueries {
       // document frequency per word (broadcast — vocabulary ≪ corpus),
       // score in one codegen'd projection. At 100 TB both aggregations
       // are map-side-combined shuffles on their natural keys.
+      // the word filter is applied AT the explode (Catalyst pushes it
+      // below both aggregates anyway — making it explicit keeps the
+      // shape honest), and tf is localCheckpointed because it feeds two
+      // consumers (the df aggregation and the scoring join): without a
+      // materialization point the scan+explode+tf subtree executes
+      // twice — the diamond-over-aggregate never gets ReuseExchange.
+      // Post-filter tf is ≤ |IN-list| rows per doc, so the checkpoint
+      // is corpus-bounded at any scale. Measured sf0.1: 1.1 → 0.73 s.
       val words = t.documents
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word").isin("spark", "join", "window"))
       val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("f"))
+        .localCheckpoint()
       val df = tf.groupBy(col("word")).agg(count(lit(1)).as("d"))
       // corpus size stays IN the plan (broadcast 1-row cross join, the
       // oracle's own CROSS JOIN n shape) — a driver-side .count() would
       // be a second Spark job per execution
       val n = t.documents.agg(count(lit(1)).cast("double").as("total"))
       tf.join(broadcast(df), "word")
-        .filter(col("word").isin("spark", "join", "window"))
         .crossJoin(broadcast(n))
         .select(col("doc_id"), col("word"),
           round(col("f") * log(col("total") / col("d")), 9).as("tfidf"))
