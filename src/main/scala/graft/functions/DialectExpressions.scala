@@ -689,10 +689,14 @@ case class FloorCeilDuck(child: Expression, isFloor: Boolean)
     extends RuntimeReplaceable with UnaryLike[Expression] {
   import org.apache.spark.sql.catalyst.expressions._
   override lazy val replacement: Expression = {
-    val core: Expression = if (isFloor) Floor(child) else Ceil(child)
+    def core(c: Expression): Expression = if (isFloor) Floor(c) else Ceil(c)
     child.dataType match {
-      case DoubleType | FloatType => Cast(core, DoubleType)
-      case _ => core
+      case DoubleType => Cast(core(child), DoubleType)
+      // preserve the INPUT float width — DuckDB floor(FLOAT) is FLOAT;
+      // Spark's Floor itself only accepts DOUBLE/DECIMAL/LONG, so the
+      // FLOAT rides through DOUBLE and back
+      case FloatType => Cast(core(Cast(child, DoubleType)), FloatType)
+      case _ => core(child)
     }
   }
   override protected def withNewChildInternal(c: Expression): FloorCeilDuck =

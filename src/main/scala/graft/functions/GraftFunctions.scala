@@ -283,11 +283,12 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("gen_random_uuid",
       _ => org.apache.spark.sql.catalyst.expressions.Uuid(), "scala_udf")
     // DuckDB sign() is TINYINT (-1/0/1); Spark's signum is DOUBLE and
-    // renders "-1.0" wherever the value is stringified (fuzzer find)
+    // renders "-1.0" wherever the value is stringified (fuzzer find);
+    // the result type is TINYINT on the wire and in typeof (ADVICE r8)
     for (n <- Seq("sign", "signum"))
       reg.createOrReplaceTempFunction(n, es =>
         Cast(org.apache.spark.sql.catalyst.expressions.Signum(
-          Cast(es.head, org.apache.spark.sql.types.DoubleType)), org.apache.spark.sql.types.IntegerType), "scala_udf")
+          Cast(es.head, org.apache.spark.sql.types.DoubleType)), org.apache.spark.sql.types.ByteType), "scala_udf")
     // DuckDB // dispatch and try_cast-to-int rounding (fuzzer finds)
     reg.createOrReplaceTempFunction("graft_fdiv",
       es => FloorDivDispatch(es.head, es(1)), "scala_udf")

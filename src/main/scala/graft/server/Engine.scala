@@ -143,7 +143,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       // a NULL check result passes, only FALSE rejects)
       c.checks.foreach { ck =>
         import org.apache.spark.sql.functions.{coalesce, expr}
-        val bad = newData.filter(!coalesce(expr(ck), lit(true)))
+        val bad = newData.filter(!coalesce(expr(rewriteCheckExpr(ck)), lit(true)))
         if (bad.limit(1).count() > 0)
           throw new IllegalArgumentException(
             s"new row violates check constraint ($ck)")
@@ -551,6 +551,16 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
 
   /** Dialect-level string rewrites (SURVEY §4.2-§4.3: read_* TVF
     * aliasing; the rest of the dialect layer lives in GraftFunctions). */
+  /** CHECK predicates are recorded in the user's ORIGINAL spelling
+    * (DESCRIBE/EXPORT show it verbatim) but enforced through Spark's
+    * expr(), so the dialect rewrite must run over the text first —
+    * `CHECK (v // 2 = 0)` or `CHECK (v ~ 'x')` would otherwise be
+    * accepted at CREATE TABLE and then error on every ingest (ADVICE
+    * r8). The fragment rides through rewrite() wrapped as a statement;
+    * rewrites are deterministic from the stored original each time. */
+  def rewriteCheckExpr(e: String): String =
+    rewrite(s"SELECT ($e)").trim.replaceFirst("(?is)^SELECT\\s*", "")
+
   def rewrite(sql: String): String = {
     var s = sql
     // DuckDB literal syntax: [1,2,3] list literals → array(1,2,3)
@@ -582,8 +592,10 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     s = typeAliasAsRe.replaceAllIn(s, m =>
       Regex.quoteReplacement("AS " + typeAliasMap(m.group(1).toLowerCase)))
     // user-defined ENUM names cast to their STRING storage type
+    // literal-aware: a data string containing '::<enum_name>' must
+    // not be rewritten (ADVICE r8)
     if (!enums.isEmpty)
-      s = enumColonCastRe.replaceAllIn(s, m =>
+      s = replaceOutsideLiteralsF(s, enumColonCastRe)(m =>
         if (enums.containsKey(m.group(1).toLowerCase)) "::STRING"
         else Regex.quoteReplacement(m.matched))
     // CAST(x AS VARCHAR/TEXT/JSON/TIME/…) — the AS-form regex above
@@ -916,7 +928,14 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * rename must never mutate literal data that happens to contain the
     * function's name. Quote-doubling is the only in-region escape, the
     * same lexing escapeLiteralBackslashes applies. */
-  private def replaceOutsideLiterals(sql: String, re: Regex, repl: String): String = {
+  private def replaceOutsideLiterals(sql: String, re: Regex, repl: String): String =
+    replaceOutsideLiteralsF(sql, re)(_ => Regex.quoteReplacement(repl))
+
+  /** Function-replacement form of [[replaceOutsideLiterals]] for
+    * rewrites whose replacement depends on the match (the enum ::cast
+    * scan) — same literal/identifier skipping. */
+  private def replaceOutsideLiteralsF(sql: String, re: Regex)(
+      repl: Regex.Match => String): String = {
     val out = new StringBuilder(sql.length + 16)
     var i = 0
     var segStart = 0
@@ -1365,7 +1384,24 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         spark.sql(s"DROP TABLE $table")
         spark.sql(s"ALTER TABLE $stage RENAME TO $table")
       } catch {
-        case e: Throwable => spark.sql(s"DROP TABLE IF EXISTS $stage"); throw e
+        case e: Throwable =>
+          // recovery must never destroy the only copy of the data: once
+          // the original DROP has happened the stage IS the table, so a
+          // rename failure renames it back into place (or, failing
+          // that, leaves it and names it in the error). Only a failure
+          // BEFORE the drop may discard the stage.
+          val originalExists =
+            try spark.catalog.tableExists(table) catch { case _: Throwable => false }
+          if (originalExists) {
+            spark.sql(s"DROP TABLE IF EXISTS $stage")
+            throw e
+          }
+          val renamedBack =
+            try { spark.sql(s"ALTER TABLE $stage RENAME TO $table"); true }
+            catch { case _: Throwable => false }
+          if (renamedBack) throw e
+          throw new IllegalStateException(
+            s"ALTER TABLE failed mid-rebuild; data preserved in staging table $stage: ${e.getMessage}", e)
       }
       ExecResult(null, "ALTER TABLE")
     } finally lock.unlock()
@@ -1454,14 +1490,27 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         val referencing = constraints.asScala.toSeq.flatMap { case (child, c2) =>
           c2.fks.filter(f => qualify(f.refTable) == qualify(table)).map(child -> _)
         }
+        val remainingSql = s"FROM $table WHERE NOT ($pred) OR ($pred) IS NULL"
         referencing.foreach { case (child, fk) =>
+          // exact old-minus-new key diff (mirrors copyOnWriteUpdate):
+          // deleting one of several rows sharing a referenced key value
+          // leaves the key present, so it must not be counted as removed
           val deletedKeys = spark.sql(
             s"SELECT ${fk.refCols.mkString(", ")} FROM $table$predSql")
             .toDF(fk.cols: _*)
-          val hit = spark.table(child)
+          val remainingKeys = spark.sql(
+            s"SELECT ${fk.refCols.mkString(", ")} $remainingSql")
+            .toDF(fk.cols: _*)
+          val removedKeys = deletedKeys.except(remainingKeys)
+          // self-FK: child rows deleted by this same statement cannot
+          // hold a reference afterwards — check the POST-delete image
+          val childRows =
+            if (qualify(child) == qualify(table)) spark.sql(s"SELECT * $remainingSql")
+            else spark.table(child)
+          val hit = childRows
             .select(fk.cols.map(col): _*)
             .filter(fk.cols.map(col(_).isNotNull).reduce(_ && _))
-            .join(deletedKeys, fk.cols, "left_semi")
+            .join(removedKeys, fk.cols, "left_semi")
           if (hit.limit(1).count() > 0)
             throw new IllegalArgumentException(
               s"delete from $table violates foreign key constraint: " +
@@ -1941,6 +1990,13 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     }
     // through rewrite(): the rebuilt DDL still carries DuckDB type
     // spellings (bare VARCHAR/TEXT/...) that the alias pass resolves
+    // a CHECK the engine cannot evaluate must fail HERE, not on the
+    // first ingest: parse each predicate through the dialect rewrite
+    checks.foreach { ck =>
+      try org.apache.spark.sql.functions.expr(rewriteCheckExpr(ck))
+      catch { case e: Throwable => throw new IllegalArgumentException(
+        s"unsupported CHECK expression ($ck): ${e.getMessage}") }
+    }
     spark.sql(rewrite(s"CREATE TABLE $table (${kept.mkString(", ")}) $rest"))
     constraints.put(qualify(table), Constraints(pk, unique, notNull, fks, enumCols, checks))
     persistConstraints()
