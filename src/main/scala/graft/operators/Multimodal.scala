@@ -1,118 +1,47 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (builder-prompt extension surface):
-  * image/audio/video as opaque `binary` payloads + typed metadata, with
-  * decode / feature-extraction / resize / frame-sample stages.
+  * image/audio/video as opaque `binary` payloads, with decode /
+  * feature-extraction / frame-sample stages.
   *
-  * r8: audio and image decode are REAL — [[MediaCodecs.WavCodec]]
-  * parses actual RIFF/WAVE PCM and [[MediaCodecs.PpmCodec]] actual P6
-  * ppm (see mediaAssets/wavStats/ppmStats below, oracle-checked).
-  * Only VIDEO decode remains a stub — an H.264 parser is not honestly
-  * reachable without native codecs, so `FakeDecoder` derives
-  * deterministic "pixels" from the payload bytes for that kind.
-  * Everything around it is the real production shape:
+  * ALL THREE decode paths are REAL (r9): [[MediaCodecs.WavCodec]]
+  * parses RIFF/WAVE PCM, [[MediaCodecs.PpmCodec]] binary P6 ppm, and
+  * [[MediaCodecs.AviCodec]] uncompressed 24-bit RIFF/AVI (bottom-up
+  * padded DIB rows → top-down RGB planes). The r8 "video stays a
+  * deterministic stand-in" scope-down is gone. Production shape:
   *  - payloads live in a `BinaryType` column (columnar parquet pages,
   *    never materialized on the driver);
-  *  - per-row metadata is a typed struct column, so filters on
-  *    width/duration prune without touching payload bytes (parquet
-  *    column projection);
-  *  - heavy per-item work runs in `mapPartitions` over a typed
-  *    Dataset — one JVM-side batch loop per partition, the Scala
-  *    analog of a mapInPandas batch UDF: amortized setup (the decoder
-  *    is constructed once per partition, not per row), streaming
+  *  - heavy per-item work runs in `mapPartitions`/`flatMap` over a
+  *    typed Dataset — one JVM-side batch loop per partition, the Scala
+  *    analog of a mapInPandas batch UDF: amortized setup, streaming
   *    iterator in/out, no driver collect;
   *  - output schemas are fixed case classes, so downstream stages are
   *    ordinary relational ops again.
   */
 object Multimodal {
 
-  case class MediaMeta(kind: String, width: Int, height: Int,
-      sampleRate: Int, nFrames: Int)
-  case class MediaRow(mediaId: Long, meta: MediaMeta, payload: Array[Byte])
+  /** A media row whose payload is a REAL encoded file — the decode
+    * stages parse actual headers and sample/pixel planes via
+    * [[MediaCodecs]], no stub. */
+  case class MediaAsset(mediaId: Long, kind: String, payload: Array[Byte])
   case class MediaFeatures(mediaId: Long, kind: String, nBytes: Int,
       byteMean: Double, histogram: Array[Long])
   case class Frame(mediaId: Long, frameNo: Int, frameBytes: Array[Byte])
-
-  /** Deterministic stand-in for an image/audio/video decoder. A real
-    * deployment swaps `decode` for the codec call; the partition/batch
-    * shape around it is unchanged. */
-  object FakeDecoder {
-    /** "Decode" = identity over payload bytes (a real decoder would
-      * produce pixel/sample buffers here). */
-    def decode(payload: Array[Byte]): Array[Byte] = payload
-
-    def features(r: MediaRow): MediaFeatures = {
-      val px = decode(r.payload)
-      val hist = new Array[Long](16)
-      var sum = 0L
-      var i = 0
-      while (i < px.length) {
-        val b = px(i) & 0xff
-        hist(b >> 4) += 1
-        sum += b
-        i += 1
-      }
-      MediaFeatures(r.mediaId, r.meta.kind, px.length,
-        if (px.length == 0) 0.0 else sum.toDouble / px.length, hist)
-    }
-
-    /** "Resize": crop/pad the decoded buffer to w*h bytes — stands in
-      * for a real scaler; keeps output size metadata-driven. */
-    def resize(px: Array[Byte], w: Int, h: Int): Array[Byte] =
-      java.util.Arrays.copyOf(px, w * h)
-
-    /** Frame sampling for "video": every strideth 64-byte window. */
-    def sampleFrames(r: MediaRow, stride: Int): Iterator[Frame] = {
-      val px = decode(r.payload)
-      Iterator.range(0, r.meta.nFrames, stride).map { f =>
-        val off = math.min(f * 64, math.max(px.length - 64, 0))
-        Frame(r.mediaId, f, java.util.Arrays.copyOfRange(px, off, math.min(off + 64, px.length)))
-      }
-    }
-  }
-
-  /** Synthesize a media table from the documents fixture: payload bytes
-    * from md5 (deterministic), kind/meta from doc_id. Stands in for
-    * `spark.read.format("binaryFile")` or a parquet lake of blobs. */
-  def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
-    import spark.implicits._
-    val docs = graft.engine.Tables(spark, sfDir).documents
-    docs.select(
-        col("doc_id").as("mediaId"),
-        struct(
-          element_at(array(lit("image"), lit("audio"), lit("video")),
-            (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-          (col("doc_id") % 64 + 16).cast("int").as("width"),
-          (col("doc_id") % 48 + 16).cast("int").as("height"),
-          lit(16000).cast("int").as("sampleRate"),
-          (col("doc_id") % 30 + 1).cast("int").as("nFrames")).as("meta"),
-        unhex(concat(md5(col("text")), md5(concat(col("text"), lit("x"))),
-          md5(concat(col("text"), lit("y"))), md5(concat(col("text"), lit("z")))))
-          .as("payload"))
-      .as[MediaRow]
-  }
-
-  // ------------------------------------------------------- real codecs
-
-  /** A media row whose payload is a REAL encoded file (RIFF/WAVE PCM
-    * for audio, binary PPM for images) — the decode stage below parses
-    * actual headers and sample/pixel planes via [[MediaCodecs]], no
-    * stub. Video keeps the documented deterministic stand-in (H.264 is
-    * not honestly parseable without native codecs). */
-  case class MediaAsset(mediaId: Long, kind: String, payload: Array[Byte])
   case class WavStats(mediaId: Long, sampleRate: Int, channels: Int,
       nSamples: Int, sumAmp: Long, sumSq: Long)
   case class PpmStats(mediaId: Long, width: Int, height: Int,
       nBytes: Int, sumPx: Long)
+  case class AviStats(mediaId: Long, width: Int, height: Int, nFrames: Int,
+      sumPx: Long, wSumPx: Long)
 
   /** Synthesize REAL media files distributed-side, one per document:
     * deterministic sample/pixel sequences with a closed form, so the
     * DuckDB oracle can recompute the decoded features arithmetically —
-    * an endianness or header-walk bug in the decoder fails the hash
-    * gate, not just a unit test. */
+    * an endianness, header-walk, row-flip, or padding bug in a decoder
+    * fails the hash gate, not just a unit test. */
   def mediaAssets(spark: SparkSession, sfDir: String): Dataset[MediaAsset] = {
     import spark.implicits._
     import graft.operators.MediaCodecs._
@@ -130,9 +59,74 @@ object Multimodal {
           val h = (id % 12 + 8).toInt
           val rgb = Array.tabulate(w * h * 3)(i => ((id + i) % 256).toByte)
           MediaAsset(id, "image", PpmCodec.encode(PpmImage(w, h, rgb)))
-        case _ => // video: deterministic opaque payload (stub class)
-          MediaAsset(id, "video", Array.tabulate(64)(i => ((id * 7 + i) % 256).toByte))
+        case _ => // video: uncompressed 24-bit AVI, per-frame gradients
+          val w = (id % 13 + 6).toInt
+          val h = (id % 9 + 5).toInt
+          val nf = (id % 4 + 2).toInt
+          val frames = Array.tabulate(nf)(f =>
+            Array.tabulate(w * h * 3)(i => ((id + f * 17 + i) % 256).toByte))
+          MediaAsset(id, "video", AviCodec.encode(AviVideo(w, h, 10, frames)))
       }
+    }
+  }
+
+  /** Decode a payload to its 8-bit plane view: image → RGB raster,
+    * audio → little-endian 16-bit sample bytes, video → concatenated
+    * top-down RGB frame planes. Real codec dispatch — the downstream
+    * histogram/mean features are over DECODED content, not file bytes. */
+  def decodePlane(kind: String, payload: Array[Byte]): Array[Byte] = kind match {
+    case "image" => MediaCodecs.PpmCodec.decode(payload).rgb
+    case "audio" =>
+      val w = MediaCodecs.WavCodec.decode(payload)
+      val out = new Array[Byte](w.samples.length * 2)
+      var i = 0
+      while (i < w.samples.length) {
+        out(2 * i) = (w.samples(i) & 0xff).toByte
+        out(2 * i + 1) = ((w.samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      out
+    case "video" =>
+      val v = MediaCodecs.AviCodec.decode(payload)
+      val frameLen = v.width * v.height * 3
+      val out = new Array[Byte](v.frames.length * frameLen)
+      var f = 0
+      while (f < v.frames.length) {
+        System.arraycopy(v.frames(f), 0, out, f * frameLen, frameLen)
+        f += 1
+      }
+      out
+    case other => throw new IllegalArgumentException(s"unknown media kind $other")
+  }
+
+  /** Batch feature extraction over DECODED planes: one streaming pass
+    * per partition, 16-bucket histogram + exact byte mean. */
+  def extractFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      val px = decodePlane(a.kind, a.payload)
+      val hist = new Array[Long](16)
+      var sum = 0L
+      var i = 0
+      while (i < px.length) {
+        val b = px(i) & 0xff
+        hist(b >> 4) += 1
+        sum += b
+        i += 1
+      }
+      MediaFeatures(a.mediaId, a.kind, px.length,
+        if (px.length == 0) 0.0 else sum.toDouble / px.length, hist)
+    })
+  }
+
+  /** Frame sampling: REAL AVI decode, every strideth frame's top-down
+    * RGB plane. flatMap keeps the op streaming per partition. */
+  def sampleFrames(assets: Dataset[MediaAsset], stride: Int): Dataset[Frame] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "video").flatMap { a =>
+      val v = MediaCodecs.AviCodec.decode(a.payload)
+      Iterator.range(0, v.frames.length, stride)
+        .map(f => Frame(a.mediaId, f, v.frames(f)))
     }
   }
 
@@ -161,21 +155,25 @@ object Multimodal {
     })
   }
 
-  /** Batch feature extraction: decoder constructed once per partition;
-    * rows stream through in one pass. */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
-    import media.sparkSession.implicits._
-    media.mapPartitions { rows =>
-      // per-partition setup would open the real codec once here
-      rows.map(FakeDecoder.features)
-    }
-  }
-
-  /** Frame sampling: flatMap keeps the operation streaming — a media
-    * item never has all frames resident unless consumed. */
-  def sampleFrames(media: Dataset[MediaRow], stride: Int): Dataset[Frame] = {
-    import media.sparkSession.implicits._
-    media.filter(_.meta.kind == "video")
-      .flatMap(FakeDecoder.sampleFrames(_, stride))
+  /** REAL AVI decode per partition (MediaCodecs.AviCodec). sumPx is
+    * flip-invariant, so wSumPx weights each decoded byte by its
+    * top-down position — a row-order or padding bug changes it. */
+  def aviStats(assets: Dataset[MediaAsset]): Dataset[AviStats] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "video").mapPartitions(_.map { a =>
+      val v = MediaCodecs.AviCodec.decode(a.payload)
+      var s = 0L
+      var ws = 0L
+      v.frames.foreach { fr =>
+        var i = 0
+        while (i < fr.length) {
+          val b = fr(i) & 0xff
+          s += b
+          ws += b.toLong * (i + 1)
+          i += 1
+        }
+      }
+      AviStats(a.mediaId, v.width, v.height, v.frames.length, s, ws)
+    })
   }
 }

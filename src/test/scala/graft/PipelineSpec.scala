@@ -275,4 +275,34 @@ class MediaCodecsSpec extends org.scalatest.funsuite.AnyFunSuite {
     intercept[IllegalArgumentException](PpmCodec.decode(hdr ++ rgb.take(5)))
     intercept[IllegalArgumentException](PpmCodec.decode("P5 2 2 255\n....".getBytes))
   }
+
+  test("AVI round-trips frames through bottom-up padded DIB rows") {
+    // w=7 -> row 21 bytes, stride 24: padding is actually exercised
+    val w = 7; val h = 3; val nf = 3
+    val frames = Array.tabulate(nf)(f =>
+      Array.tabulate(w * h * 3)(i => ((f * 17 + i) % 256).toByte))
+    val enc = AviCodec.encode(AviVideo(w, h, 10, frames))
+    val dec = AviCodec.decode(enc)
+    assert(dec.width == w && dec.height == h && dec.fps == 10)
+    assert(dec.frames.length == nf)
+    for (f <- 0 until nf)
+      assert(dec.frames(f).toSeq == frames(f).toSeq, s"frame $f")
+  }
+
+  test("AVI decode rejects malformed payloads with clear errors") {
+    def err(b: Array[Byte]) = intercept[IllegalArgumentException](AviCodec.decode(b))
+    assert(err("nonsense".getBytes).getMessage.contains("truncated"))
+    assert(err(("RIFF" + "\u0004\u0000\u0000\u0000" + "WAVE").getBytes("ISO-8859-1"))
+      .getMessage.contains("not an AVI"))
+    val good = AviCodec.encode(AviVideo(6, 5, 10, Array(Array.fill(90)(1.toByte))))
+    // truncating mid-frame must fail the chunk walk, not decode garbage
+    intercept[IllegalArgumentException](AviCodec.decode(java.util.Arrays.copyOf(good, good.length - 40)))
+    // compressed streams are honestly rejected: biCompression != 0
+    val bad = good.clone()
+    // strf payload starts after RIFF(12)+LIST hdrl hdr(12)+avih(8+56)+LIST strl hdr(12)+strh(8+56)+strf hdr(8)
+    val strfOff = 12 + 12 + 64 + 12 + 64 + 8
+    bad(strfOff + 16) = 1 // biCompression = BI_RLE8
+    assert(intercept[IllegalArgumentException](AviCodec.decode(bad))
+      .getMessage.contains("compressed"))
+  }
 }
