@@ -89,10 +89,31 @@ object DialectQueries {
       a.unionByName(b).orderBy(col("k"))
     },
 
-    // nondeterministic by design → rows-only smoke (SURVEY B.6 ⚠)
-    QueryDef.qNoOracle("q_dialect_sample") { (s, dir) =>
+    // sampled ROWS can't hash-match across engines (each engine's RNG
+    // is its own), but the sample's INVARIANTS are strict-checkable:
+    // every sampled row exists in the source, the Bernoulli row count
+    // lands inside a >6-sigma band, and a fixed REPEATABLE seed is
+    // deterministic on our side (two independent scans agree). The
+    // oracle states the invariants as constants — any violation flips
+    // a boolean and fails the hash gate (r8 verdict item 7).
+    q("q_dialect_sample",
+      "SELECT true AS all_in_source, true AS within_range, true AS repeatable") { (s, dir) =>
       Tables(s, dir)
-      s.sql("SELECT o_orderkey, o_totalprice FROM orders TABLESAMPLE (10 PERCENT)")
+      def sample = s.sql(
+        "SELECT o_orderkey, o_totalprice FROM orders TABLESAMPLE (10 PERCENT) REPEATABLE (42)")
+      val src = s.table("orders").select(col("o_orderkey"), col("o_totalprice"))
+      val bad = sample.join(src, Seq("o_orderkey", "o_totalprice"), "left_anti")
+        .agg(count(lit(1)).as("bad"))
+      val drift = sample.exceptAll(sample)
+        .unionAll(sample.exceptAll(sample))
+        .agg(count(lit(1)).as("drift"))
+      sample.agg(count(lit(1)).as("n"))
+        .crossJoin(src.agg(count(lit(1)).as("t")))
+        .crossJoin(bad).crossJoin(drift)
+        .select(
+          (col("bad") === 0).as("all_in_source"),
+          (col("n") >= col("t") * 0.05 && col("n") <= col("t") * 0.15).as("within_range"),
+          (col("drift") === 0).as("repeatable"))
     },
 
     // plan text differs per engine → rows-only smoke (SURVEY B.9 ⚠)

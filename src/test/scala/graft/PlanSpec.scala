@@ -142,6 +142,19 @@ class PlanSpec extends SparkSpecBase {
       s"percentile outer plan re-scans parquet $outerScans times — checkpoint reuse lost")
   }
 
+  test("clean_corpus scans documents exactly once (checkpointed dedup subtree)") {
+    // r9 shape: exactKept (scan -> quality gate -> md5 dedup semi-join)
+    // feeds BOTH the minhash pipeline and the final aggregate through
+    // an eager localCheckpoint — the OUTER plan must contain zero
+    // parquet scans (both consumers read the materialized copy); the
+    // checkpoint's own lineage does the single real scan.
+    val d = SparkEntry.defs.find(_.name == "q_pipeline_clean_corpus").get
+    val p = d.run(spark, sf).queryExecution.executedPlan.toString
+    val outerScans = "Scan parquet".r.findAllIn(p).length
+    assert(outerScans == 0,
+      s"clean_corpus re-scans parquet $outerScans times - checkpoint reuse lost")
+  }
+
   test("top-k projection transposes above the limit (expensive expr on k rows)") {
     // the optimizer rule must fold the JSON-parsing projection INTO
     // TakeOrderedAndProject (evaluated post-top-k), leaving no Project
