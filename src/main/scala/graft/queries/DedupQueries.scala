@@ -48,27 +48,20 @@ object DedupQueries {
     * so no engine-wide DISTINCT shuffle is ever needed ((doc_id, sh)
     * can only repeat within a doc). */
   private[graft] def shingleHashArray(hexDigits: Int): org.apache.spark.sql.Column =
-    array_distinct(transform(
-      sequence(lit(1), size(col("words")) - 2),
-      i => conv(substring(md5(concat_ws(" ",
-        element_at(col("words"), i),
-        element_at(col("words"), i + 1),
-        element_at(col("words"), i + 2))), 1, hexDigits), 16, 10).cast("long")))
+    graft.functions.TextHashColumns.shingleHashes(col("text"), hexDigits, distinct = true)
 
   private[graft] def hashedShingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("words"))
-      .select(col("doc_id"), explode(shingleHashArray(13)).as("sh"))
+    docs.select(col("doc_id"), explode(shingleHashArray(13)).as("sh"))
 
   /** hashedShingles variant carrying the per-doc distinct-shingle count
     * n ROW-LOCALLY, so consumers don't need the former `sizes`
     * groupBy + two join-backs. The singleton-array explode between the
-    * shingle transform and its consumers is a deliberate collapse
-    * barrier: Project collapsing would otherwise inline the interpreted
-    * md5 transform into BOTH `size(arr)` and `explode(arr)` and run
-    * every md5 twice. */
+    * shingle expression and its consumers is a deliberate collapse
+    * barrier: Project collapsing would otherwise inline the digest
+    * pass into BOTH `size(arr)` and `explode(arr)` and run every md5
+    * twice. */
   private[graft] def hashedShinglesWithN(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("words"))
-      .select(col("doc_id"), explode(array(shingleHashArray(13))).as("arr"))
+    docs.select(col("doc_id"), explode(array(shingleHashArray(13))).as("arr"))
       .select(col("doc_id"), size(col("arr")).cast("long").as("n"), explode(col("arr")).as("sh"))
 
   /** (doc_id, band, bkey) rows of the 4-band minhash signature — the
@@ -82,23 +75,24 @@ object DedupQueries {
     * per seed. The explode+groupBy shape below keeps the md5 in
     * whole-stage codegen, computed once per shingle.) */
   private[graft] def minhashBands(docs: DataFrame): DataFrame = {
-    val w = docs.select(col("doc_id"), split(col("text"), " ").as("words"))
-    val sh = w.select(col("doc_id"),
-        explode(sequence(lit(1), size(col("words")) - 2)).as("i"), col("words"))
-      .select(col("doc_id"), concat_ws(" ",
-        element_at(col("words"), col("i")),
-        element_at(col("words"), col("i") + 1),
-        element_at(col("words"), col("i") + 2)).as("sh"))
-    val vs = sh.select(col("doc_id"),
-      conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long").as("v"))
-    val mins = (0 to 7).map(seed =>
-      min((col("v") * lit(1000003L + 999983L * seed) + lit(seed.toLong))
-        % lit(4294967291L)).as(s"m$seed"))
-    val sigs = vs.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    // ALL 8 Carter-Wegman min-hashes in ONE row-local pass over the
+    // text bytes (functions.MinHashSigs): no shingle explode, no
+    // groupBy(doc) shuffle — the signature is computed where the row
+    // already is. Docs with < 3 words have no shingles (null sig),
+    // matching the min-over-empty-group semantics of the aggregate
+    // spelling. The singleton-array explode is the usual collapse
+    // barrier so the 8 element_at references downstream read ONE
+    // computed array.
+    val sigs = docs.select(col("doc_id"),
+        graft.functions.TextHashColumns.minHashSigs(col("text"),
+          (0 to 7).map(seed => 1000003L + 999983L * seed),
+          (0 to 7).map(_.toLong), 4294967291L).as("mh0"))
+      .filter(col("mh0").isNotNull)
+      .select(col("doc_id"), explode(array(col("mh0"))).as("mh"))
     val bandArr = array((0 to 3).map(b => struct(
       lit(b).as("band"),
-      concat(col(s"m${2 * b}").cast("string"), lit(","),
-        col(s"m${2 * b + 1}").cast("string")).as("bkey"))): _*)
+      concat(element_at(col("mh"), 2 * b + 1).cast("string"), lit(","),
+        element_at(col("mh"), 2 * b + 2).cast("string")).as("bkey"))): _*)
     sigs.select(col("doc_id"), explode(bandArr).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
   }
@@ -342,23 +336,18 @@ object DedupQueries {
       // explode): the former explode-then-DISTINCT spelling shuffled
       // every (doc, word) occurrence just to dedup within a document —
       // (doc_id, word) can only repeat inside its own row
-      val wd = t.documents
-        .select(col("doc_id"),
-          explode(array_distinct(split(col("text"), " "))).as("word"))
-        .withColumn("h4", substring(md5(col("word")), 1, 4))
-      val wts = for (j <- 1 to 4; k <- 0 to 3) yield {
-        val b = (j - 1) * 4 + k
-        when(expr(s"((instr('0123456789abcdef', substr(h4, $j, 1)) - 1) div ${1 << k}) % 2") === 1,
-          1).otherwise(-1).as(s"w$b")
-      }
-      val perWord = wd.select(col("doc_id") +: wts: _*)
-      val sums = (0 until 16).map(b => sum(col(s"w$b")).as(s"s$b"))
-      val fpExpr = (0 until 16).map(b =>
-        when(col(s"s$b") > 0, 1L << b).otherwise(0L)).reduce[Column](_ + _)
-      val fps = perWord.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
-        .select(col("doc_id"), fpExpr.as("fp"))
-      val groups = fps.groupBy(col("fp")).agg(count(lit(1)).as("grp_size"))
-      fps.join(groups, "fp")
+      // the ENTIRE fingerprint is one row-local expression pass
+      // (functions.SimHashFp: distinct words via an in-row hash set,
+      // one md5 per word, 16 +-1 counters, digit-wise bit layout
+      // matching the oracle) — the former shape exploded every word
+      // and shuffled 16 weight sums per doc. grp_size comes from a
+      // window over fp instead of a groupBy+join-back: a second
+      // aggregation branch would re-run the scan+fp subtree (diamonds
+      // over aggregates never get ReuseExchange).
+      import org.apache.spark.sql.expressions.Window
+      val fps = t.documents.select(col("doc_id"),
+        graft.functions.TextHashColumns.simHashFp(col("text"), 4, digitWise = true).as("fp"))
+      fps.withColumn("grp_size", count(lit(1)).over(Window.partitionBy(col("fp"))))
         .select(col("doc_id"), col("fp"), col("grp_size"))
         .orderBy(col("doc_id"))
     },
@@ -397,23 +386,12 @@ object DedupQueries {
           |FROM pairs WHERE bit_count(xor(f1, f2)) <= 3
           |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
         val t = Tables(s, dir)
-        // row-local word dedup — same no-shuffle trick as q_dedup_simhash
-        val wd = t.documents
-          .select(col("doc_id"),
-            explode(array_distinct(split(col("text"), " "))).as("word"))
-        val wv = wd.select(col("doc_id"),
-          conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long").as("v"))
-        // all 60 per-bit weight sums in ONE aggregation pass (the same
-        // conditional-aggregate trick as the 8 min-hashes): no per-bit
-        // explode, one shuffle on doc_id
-        val sums = (0 until 60).map(b =>
-          sum(when(shiftright(col("v"), b).bitwiseAND(lit(1L)) === 1, 1)
-            .otherwise(-1)).as(s"s$b"))
-        val fp = (0 until 60)
-          .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _)
-        val fps = wv.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
-          .select(col("doc_id"), fp.as("fp"))
+        // the whole 60-bit fingerprint is one row-local expression
+        // (functions.SimHashFp, value-wise bit layout): distinct words
+        // deduped in-row, one md5 per word, 60 +-1 counters — no word
+        // explode, no 60-column aggregate, no shuffle before the bands
+        val fps = t.documents.select(col("doc_id"),
+          graft.functions.TextHashColumns.simHashFp(col("text"), 15, digitWise = false).as("fp"))
         val bands = fps.select(col("doc_id"), col("fp"),
             explode(sequence(lit(0), lit(3))).as("b"))
           .withColumn("bk", expr("shiftright(fp, 15 * b) & 32767"))

@@ -142,14 +142,19 @@ object SubqueryQueries {
         |  ON l_returnflag IN ('A', 'N', 'R') USING sum(qty) GROUP BY l_linestatus
         |) ORDER BY l_linestatus""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
+      // the measure rides the fixed-point fast path: cents as a raw
+      // long into FixedPointSum (no per-row BigDecimal cast), the
+      // exact DECIMAL(38,0) sums divided back before the double cast —
+      // same value as the oracle's DECIMAL(18,6) sum, bit-identical
+      def un(c: org.apache.spark.sql.Column) = (c / 100).cast("double")
       t.lineitem
         .select(col("l_linestatus"), col("l_returnflag"),
-          col("l_quantity").cast(DecimalType(18, 6)).as("qty"))
+          graft.functions.DoubleToScaledLong.cents(col("l_quantity")).as("qty"))
         .groupBy(col("l_linestatus"))
         .pivot("l_returnflag", Seq("A", "N", "R"))
-        .agg(sum(col("qty")))
-        .select(col("l_linestatus"), col("A").cast("double").as("A"),
-          col("N").cast("double").as("N"), col("R").cast("double").as("R"))
+        .agg(graft.functions.FixedPointSum.sumFix(col("qty")))
+        .select(col("l_linestatus"), un(col("A")).as("A"),
+          un(col("N")).as("N"), un(col("R")).as("R"))
         .orderBy(col("l_linestatus"))
     },
 

@@ -115,21 +115,20 @@ object TextQueries {
         .select(col("doc_id"), col("lang"), col("source"),
           col("n_words"), col("n_chars"), col("text"))
         .localCheckpoint()
-      val w = exactKept.select(col("doc_id"), split(col("text"), " ").as("words"))
-      val sh = w.select(col("doc_id"),
-          explode(sequence(lit(1), size(col("words")) - 2)).as("i"), col("words"))
-        .select(col("doc_id"), concat_ws(" ",
-          element_at(col("words"), col("i")),
-          element_at(col("words"), col("i") + 1),
-          element_at(col("words"), col("i") + 2)).as("sh"))
-      // md5 once per shingle; two (a·v + b) mod p universal hashes over
-      // its first 32 bits form the 2-hash band (see q_dedup_minhash_lsh)
-      val vs = sh.select(col("doc_id"),
-        conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long").as("v"))
-      val sigs = vs.groupBy(col("doc_id"))
-        .agg(concat(
-          min((col("v") * lit(1000003L)) % lit(4294967291L)).cast("string"), lit(","),
-          min((col("v") * lit(1999966L) + lit(1L)) % lit(4294967291L)).cast("string")).as("bkey"))
+      val w0 = exactKept.select(col("doc_id"), col("text"))
+      // both (a·v + b) mod p universal min-hashes in ONE row-local
+      // expression pass over the kept text (functions.MinHashSigs) —
+      // no shingle explode, no groupBy(doc) shuffle. The singleton
+      // explode is the collapse barrier for the two element_at reads.
+      val sigs = w0
+        .select(col("doc_id"),
+          graft.functions.TextHashColumns.minHashSigs(col("text"),
+            Seq(1000003L, 1999966L), Seq(0L, 1L), 4294967291L).as("mh0"))
+        .filter(col("mh0").isNotNull)
+        .select(col("doc_id"), explode(array(col("mh0"))).as("mh"))
+        .select(col("doc_id"), concat(
+          element_at(col("mh"), 1).cast("string"), lit(","),
+          element_at(col("mh"), 2).cast("string")).as("bkey"))
       val nearDropped = sigs.as("a")
         .join(sigs.as("b"), col("a.bkey") === col("b.bkey")
           && col("a.doc_id") < col("b.doc_id"))
@@ -539,6 +538,11 @@ object TextQueries {
         .select(col("doc_id"), size(col("words")).cast("long").as("dl"),
           explode(col("words")).as("word"))
         .filter(col("word").isin("spark", "query", "join"))
+      // tf DOES feed two consumers (df + the scoring join), but unlike
+      // tfidf a localCheckpoint here measured SLOWER (0.5 -> 0.7 s at
+      // sf0.1): bm25 already pays a third scan for the corpus stats,
+      // and the added materialization barrier costs more than the
+      // re-executed post-filter subtree saves. BENCH_NOTES r9.
       val tf = postings.groupBy(col("doc_id"), col("word"))
         .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
       val dfT = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
