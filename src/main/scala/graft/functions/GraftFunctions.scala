@@ -545,6 +545,19 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction(n, es =>
         org.apache.spark.sql.catalyst.expressions.aggregate.AnyValue(es.head, true),
         "scala_udf")
+    // DuckDB avg/mean over DECIMAL returns DOUBLE; Spark returns
+    // DECIMAL(p+4, s+4), whose fixed-scale rendering truncates the
+    // digits the oracle prints (fuzzer find, seed 64). Integer/double
+    // inputs already agree.
+    val nativeAvg = reg.lookupFunctionBuilder(FunctionIdentifier("avg")).get
+    for (n <- Seq("avg", "mean"))
+      reg.createOrReplaceTempFunction(n, { es =>
+        es.head.dataType match {
+          case _: org.apache.spark.sql.types.DecimalType =>
+            nativeAvg(Seq(Cast(es.head, DoubleType)))
+          case _ => nativeAvg(es)
+        }
+      }, "scala_udf")
     val nativeMedian = reg.lookupFunctionBuilder(FunctionIdentifier("median")).get
     val nativePercentile = reg.lookupFunctionBuilder(FunctionIdentifier("percentile")).get
     reg.createOrReplaceTempFunction("median", { es =>
