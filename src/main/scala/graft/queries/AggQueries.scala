@@ -23,6 +23,12 @@ import QueryDef.{q, qNoOracle}
   */
 object AggQueries {
 
+  // 2-decimal measure -> cents-long -> zero-allocation exact sum
+  // (DECIMAL(38,0) scaled by 100); see functions/FixedPointSum.scala
+  private def sum_fix_cents(c: org.apache.spark.sql.Column) =
+    graft.functions.FixedPointSum.sumFix(graft.functions.DoubleToScaledLong.cents(c))
+
+
   val all: Seq[QueryDef] = Seq(
 
     q("q_agg_rollup",
@@ -43,12 +49,12 @@ object AggQueries {
       val base = t.lineitem
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("pn"),
-          sum(col("l_quantity").cast(DecimalType(18, 6))).as("pq"))
+          sum_fix_cents(col("l_quantity")).as("pq"))
       base.rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(grouping(col("l_returnflag")).cast("long").as("g1"),
           grouping(col("l_linestatus")).cast("long").as("g2"),
           sum(col("pn")).as("n"),
-          sum(col("pq")).cast("double").as("qty"))
+          (sum(col("pq")) / 100).cast("double").as("qty"))
         .orderBy(col("g1"), col("g2"),
           col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
@@ -67,12 +73,12 @@ object AggQueries {
       val base = t.orders
         .groupBy(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("pn"),
-          sum(col("o_totalprice").cast(DecimalType(18, 6))).as("pt"))
+          sum_fix_cents(col("o_totalprice")).as("pt"))
       base.cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(grouping(col("o_orderstatus")).cast("long").as("g1"),
           grouping(col("o_orderpriority")).cast("long").as("g2"),
           sum(col("pn")).as("n"),
-          sum(col("pt")).cast("double").as("total"))
+          (sum(col("pt")) / 100).cast("double").as("total"))
         .orderBy(col("g1"), col("g2"),
           col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     },

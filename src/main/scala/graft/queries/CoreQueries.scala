@@ -33,6 +33,12 @@ object CoreQueries {
   private def dec(c: Column): Column =
     graft.functions.DoubleToDec6.dec6(c.cast("double"))
 
+  // fixed-point fast path for 2-decimal money sums (same contract as
+  // TpchQueries): cents-long per row, zero-allocation exact sum, one
+  // exact division back before the double cast
+  private def cents(c: Column): Column = graft.functions.DoubleToScaledLong.cents(c)
+  private def unfix(c: Column): Column = (c / 100).cast("double")
+
   val all: Seq[QueryDef] = Seq(
 
     // ---------------------------------------------------------------- B.4/B.1
@@ -150,7 +156,7 @@ object CoreQueries {
         .join(t.customer, col("o_custkey") === col("c_custkey"))
         .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).cast("double").as("total"))
+        .agg(count(lit(1)).as("n_orders"), unfix(sumFix(cents(col("o_totalprice")))).as("total"))
         .orderBy(col("n_name"))
     },
 
@@ -187,7 +193,7 @@ object CoreQueries {
       s.table(ot).hint("merge")
         .join(s.table(ct), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey"))
-        .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).cast("double").as("spend"))
+        .agg(count(lit(1)).as("n_orders"), unfix(sumFix(cents(col("o_totalprice")))).as("spend"))
         .orderBy(col("c_custkey")).limit(400)
     },
 
@@ -214,7 +220,7 @@ object CoreQueries {
       big.join(small,
           big("o_custkey") === small("c_custkey") && big("salt") === small("salt"))
         .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).cast("double").as("total"))
+        .agg(count(lit(1)).as("n"), unfix(sumFix(cents(col("o_totalprice")))).as("total"))
         .orderBy(col("o_orderpriority"))
     },
 
@@ -229,7 +235,7 @@ object CoreQueries {
         .join(t.orders, col("c_custkey") === col("o_custkey"), "left")
         .groupBy(col("c_custkey"))
         .agg(count(col("o_orderkey")).as("n_orders"),
-          coalesce(sum(dec(col("o_totalprice"))), lit(0).cast(DecimalType(18, 6))).cast("double").as("spend"))
+          unfix(coalesce(sumFix(cents(col("o_totalprice"))), lit(0).cast(DecimalType(38, 0)))).as("spend"))
         .orderBy(col("c_custkey")).limit(200)
     },
 

@@ -35,7 +35,7 @@ object EventQueries {
       val t = Tables(s, dir)
       t.events
         .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hr"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total"))
+        .agg(count(lit(1)).as("n"), (graft.functions.FixedPointSum.sumFix(graft.functions.DoubleToScaledLong.cents(col("value"))) / 100).cast("double").as("total"))
         .orderBy(col("hr"), col("event_type")).limit(700)
     },
 

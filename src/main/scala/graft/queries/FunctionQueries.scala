@@ -428,7 +428,7 @@ object FunctionQueries {
       t.events
         .groupBy(expr("time_bucket(INTERVAL '6 hours', ts)").as("bucket"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total"))
+          (graft.functions.FixedPointSum.sumFix(graft.functions.DoubleToScaledLong.cents(col("value"))) / 100).cast("double").as("total"))
         .orderBy(col("bucket")).limit(500)
     }
   )

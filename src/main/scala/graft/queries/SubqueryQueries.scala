@@ -170,7 +170,7 @@ object SubqueryQueries {
         |ORDER BY o_orderstatus, metric""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
       t.orders.groupBy(col("o_orderstatus"))
-        .agg(sum(col("o_totalprice").cast(DecimalType(18, 6))).cast("double").as("total"),
+        .agg((graft.functions.FixedPointSum.sumFix(graft.functions.DoubleToScaledLong.cents(col("o_totalprice"))) / 100).cast("double").as("total"),
           count(lit(1)).cast("double").as("cnt"))
         .unpivot(Array(col("o_orderstatus")), Array(col("total"), col("cnt")), "metric", "val")
         .orderBy(col("o_orderstatus"), col("metric"))
