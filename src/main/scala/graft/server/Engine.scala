@@ -109,7 +109,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         // againstExisting=false on whole-table rewrites (UPDATE): the
         // rewritten rows ARE the table, so only intra-batch dups apply
         if (againstExisting &&
-            keyed.join(spark.table(table).select(kc: _*), keys, "left_semi")
+            keyed.join(spark.table(physRead(table)).select(kc: _*), keys, "left_semi")
             .limit(1).count() > 0)
           throw new IllegalArgumentException(
             s"duplicate key value violates unique constraint (${keys.mkString(", ")})")
@@ -121,7 +121,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         val present = newData
           .filter(fk.cols.map(col(_).isNotNull).reduce(_ && _))
           .select(fk.cols.map(col): _*)
-        val ref = spark.table(fk.refTable)
+        val ref = spark.table(physRead(fk.refTable))
           .select(fk.refCols.map(col): _*).toDF(fk.cols: _*)
         if (present.join(ref, fk.cols, "left_anti").limit(1).count() > 0)
           throw new IllegalArgumentException(
@@ -164,28 +164,212 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
 
   // -- statement execution ---------------------------------------------------
 
-  /** Per-connection explicit-transaction state. Connections run on
-    * their own thread (PgConnection is one Runnable per socket), so a
-    * ThreadLocal keys the state to the connection without touching the
-    * shared engine. graft transactions are STATEMENT-ATOMIC: every
-    * write commits as its own unit (copy-on-write swap under the table
-    * lock) and BEGIN/COMMIT are accepted for driver compatibility —
-    * but a ROLLBACK that would have to undo writes must FAIL loudly
-    * rather than silently keep them (VERDICT r7 "transaction honesty";
-    * the reference hands real MVCC to DuckDB, which we do not have). */
-  private case class TxnState(var open: Boolean = false, var writes: Boolean = false)
+  /** Per-connection explicit-transaction state (staged-overlay
+    * transactions, r9 — replaces the r7/r8 statement-atomic
+    * scope-down). Connections run on their own thread (PgConnection is
+    * one Runnable per socket), so a ThreadLocal keys the state to the
+    * connection without touching the shared engine.
+    *
+    * Model: the first in-txn write to a table snapshots it into a
+    * txn-private staged copy (`db.t__txnN`) under the base read lock;
+    * all later in-txn reads and writes of that table resolve to the
+    * staged copy (reads via a Catalyst plan rewrite in [[txnExec]],
+    * writes via [[physWrite]] in every DML path). COMMIT takes the
+    * base write locks in sorted order, verifies no other writer
+    * committed to a touched table since its snapshot (per-table epoch
+    * counters — write-write conflict detection at table granularity,
+    * the coarse-but-sound analog of DuckDB's row-level MVCC abort;
+    * reference hands this to DuckDB per-conn, pg_conn.go:51), then
+    * publishes each staged image with INSERT OVERWRITE. ROLLBACK drops
+    * the staged copies — a real undo. Isolation: read committed for
+    * untouched tables, snapshot for touched ones. DDL auto-commits
+    * (applied to the base immediately); a ROLLBACK after in-txn DDL
+    * still raises, honestly, for the DDL only. A statement error
+    * aborts the transaction until COMMIT/ROLLBACK (PG semantics);
+    * COMMIT of an aborted transaction rolls back and says so. */
+  private case class TxnState(var open: Boolean = false, var writes: Boolean = false,
+      var ddl: Boolean = false, var aborted: Boolean = false,
+      staged: scala.collection.mutable.LinkedHashMap[String, String] =
+        scala.collection.mutable.LinkedHashMap.empty,
+      baseEpochs: scala.collection.mutable.HashMap[String, Long] =
+        scala.collection.mutable.HashMap.empty) {
+    def reset(): Unit = {
+      open = false; writes = false; ddl = false; aborted = false
+      staged.clear(); baseEpochs.clear()
+    }
+  }
   private val txn: ThreadLocal[TxnState] = ThreadLocal.withInitial(() => TxnState())
   private def isWriteTag(tag: String): Boolean =
     tag != null && Seq("INSERT", "UPDATE", "DELETE", "CREATE", "DROP",
       "ALTER", "COPY", "TRUNCATE").exists(tag.startsWith)
 
+  /** ReadyForQuery status for the wire: idle / in-transaction /
+    * failed-transaction (the reference always reports idle;
+    * pg_conn.go:220 hardcodes 'I' — reporting the real state is a
+    * strict improvement for psql's prompt and driver bookkeeping). */
+  def txnStatus: Char = {
+    val st = txn.get()
+    if (!st.open) 'I' else if (st.aborted) 'E' else 'T'
+  }
+
+  /** Committed-write version per table (qualified name). Bumped under
+    * the table's write lock by every NON-txn write path and by txn
+    * COMMIT; a transaction records the epoch when it snapshots a table
+    * and COMMIT rejects if the epoch moved (write-write conflict). */
+  private val tableEpochs =
+    new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private def epochOf(t: String): Long = {
+    val a = tableEpochs.get(qualify(t)); if (a == null) 0L else a.get()
+  }
+  private def bumpEpoch(t: String): Unit =
+    tableEpochs.computeIfAbsent(qualify(t),
+      _ => new java.util.concurrent.atomic.AtomicLong(0L)).incrementAndGet()
+
+  private val txnSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def isTxnOpen: Boolean = txn.get().open
+
+  /** Physical name for in-txn READS of a table: the staged copy when
+    * this transaction has written it, the base otherwise. Identity
+    * outside a transaction. */
+  private def physRead(t: String): String = {
+    val st = txn.get()
+    if (st.open) st.staged.getOrElse(qualify(t), t) else t
+  }
+
+  /** In-txn WRITE target: the staged copy, snapshot on first touch
+    * (CTAS under the base read lock — read acquisition while the
+    * caller holds the same table's write lock is a legal downgrade).
+    * Identity outside a transaction. */
+  private def physWrite(t: String): String = {
+    val st = txn.get()
+    if (!st.open) return t
+    val q = qualify(t)
+    st.staged.getOrElse(q, {
+      val stg = q + "__txn" + txnSeq.incrementAndGet()
+      val lock = lockFor(q).readLock()
+      lock.lock()
+      try {
+        spark.sql(s"DROP TABLE IF EXISTS $stg")
+        spark.sql(s"CREATE TABLE $stg AS SELECT * FROM $q")
+        st.baseEpochs(q) = epochOf(q)
+        st.staged(q) = stg
+      } finally lock.unlock()
+      stg
+    })
+  }
+
+  private def dropStaged(st: TxnState): Unit = {
+    st.staged.values.foreach(s =>
+      try spark.sql(s"DROP TABLE IF EXISTS $s")
+      catch { case _: Throwable => })
+    st.staged.clear(); st.baseEpochs.clear()
+  }
+
+  /** Publish a transaction's staged tables: lock all touched bases in
+    * sorted order (no lock-order deadlock between concurrent commits),
+    * verify epochs, then overwrite each base from its staged image.
+    * On conflict the whole transaction rolls back with a
+    * serialization error, like DuckDB's optimistic write conflict. */
+  private def commitTxn(st: TxnState): Unit = {
+    if (st.staged.isEmpty) return
+    val tables = st.staged.keys.toSeq.sorted
+    val locks = tables.map(t => lockFor(t).writeLock())
+    locks.foreach(_.lock())
+    try {
+      tables.find(t => epochOf(t) != st.baseEpochs(t)).foreach { t =>
+        throw new IllegalArgumentException(
+          s"could not commit transaction: table $t was modified by a concurrent " +
+            "transaction after this transaction first touched it (write-write " +
+            "conflict); the transaction was rolled back")
+      }
+      tables.foreach { t =>
+        spark.sql(s"INSERT OVERWRITE TABLE $t SELECT * FROM ${st.staged(t)}").collect()
+        bumpEpoch(t)
+      }
+    } finally {
+      locks.reverse.foreach(_.unlock())
+      dropStaged(st)
+    }
+  }
+
+  /** DDL on a table with uncommitted in-txn changes would make the
+    * staged image unpublishable (or silently resurrect dropped data at
+    * COMMIT) — reject it up front. */
+  private def guardStagedDdl(table: String): Unit = {
+    val st = txn.get()
+    if (st.open && st.staged.contains(qualify(table)))
+      throw new IllegalArgumentException(
+        s"cannot run DDL on table $table: it has uncommitted changes in this " +
+          "transaction (COMMIT or ROLLBACK first)")
+  }
+
+  /** Execute statement text honoring the staged-overlay transaction:
+    * outside a transaction this is exactly `spark.sql`. Inside one,
+    * the statement is parsed and every `UnresolvedRelation` naming a
+    * staged table is redirected to the staged copy (wrapped in a
+    * `SubqueryAlias` of the ORIGINAL name so `t.col` qualifiers keep
+    * resolving); an INSERT target is staged on first write. CTE names
+    * shadow tables, exactly as the analyzer would resolve them. */
+  private def txnExec(sqlText: String): DataFrame = {
+    val st = txn.get()
+    if (!st.open) return spark.sql(sqlText)
+    val isInsert = sqlText.matches("(?is)^\\s*insert\\b.*")
+    if (st.staged.isEmpty && !isInsert) return spark.sql(sqlText)
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, SubqueryAlias, UnresolvedWith}
+    val parsed =
+      try spark.sessionState.sqlParser.parsePlan(sqlText)
+      catch { case scala.util.control.NonFatal(_) => return spark.sql(sqlText) }
+    val cteNames: Set[String] = parsed.collect {
+      case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
+    }.flatten.toSet
+    // strip a leading catalog qualifier; >2 parts after that is not ours
+    def baseParts(parts: Seq[String]): Seq[String] =
+      if (parts.length == 3) parts.drop(1) else parts
+    def stagedFor(parts0: Seq[String]): Option[String] = {
+      val p = baseParts(parts0)
+      if (p.length > 2 || cteNames.contains(p.last.toLowerCase)) None
+      else st.staged.get(qualify(p.mkString(".")))
+    }
+    def rewriteReads(p: LogicalPlan): LogicalPlan = p transformUp {
+      case r: UnresolvedRelation =>
+        stagedFor(r.multipartIdentifier) match {
+          case Some(stg) =>
+            SubqueryAlias(r.multipartIdentifier.last,
+              UnresolvedRelation(stg.split('.').toIndexedSeq))
+          case None => r
+        }
+    }
+    val finalPlan = parsed match {
+      case i: InsertIntoStatement =>
+        val tgt = i.table match {
+          case r: UnresolvedRelation if baseParts(r.multipartIdentifier).length <= 2 =>
+            val stg = physWrite(baseParts(r.multipartIdentifier).mkString("."))
+            UnresolvedRelation(stg.split('.').toIndexedSeq)
+          case o => o
+        }
+        i.copy(table = tgt, query = rewriteReads(i.query))
+      case p => rewriteReads(p)
+    }
+    org.apache.spark.sql.GraftBridge.dataset(spark, finalPlan)
+  }
+
   /** Execute one statement; returns (df-or-null, commandTag). DDL/DML
     * run eagerly; SELECT-ish statements return a lazy DataFrame the
     * caller pumps with toLocalIterator. */
   def execute(sql0: String): ExecResult = {
-    val r = executeInner(sql0)
     val st = txn.get()
-    if (st.open && isWriteTag(r.tag)) st.writes = true
+    if (st.open && st.aborted &&
+        !txnRe.matches(sql0.trim.stripSuffix(";").trim))
+      throw new IllegalArgumentException(
+        "current transaction is aborted, commands ignored until end of transaction block")
+    val r =
+      try executeInner(sql0)
+      catch { case e: Throwable => if (st.open) st.aborted = true; throw e }
+    if (st.open && isWriteTag(r.tag)) {
+      if (Seq("CREATE", "DROP", "ALTER").exists(r.tag.startsWith)) st.ddl = true
+      else st.writes = true
+    }
     r
   }
 
@@ -198,6 +382,23 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     // bursts (several catalog queries per meta-command) previously paid
     // a full listTables×listColumns walk EACH; now one per DDL epoch.
     if (Engine.ddlRe.findFirstIn(sql).isDefined) Engine.ddlEpoch.incrementAndGet()
+
+    // staged-overlay txn: DDL on a table this transaction has written
+    // must not invalidate the staged image under it (see guardStagedDdl)
+    if (isTxnOpen) {
+      dropTableRe.findFirstMatchIn(sql).foreach(m => guardStagedDdl(m.group(1)))
+      alterColTypeRe.findFirstMatchIn(sql).foreach(m => guardStagedDdl(m.group(1)))
+    }
+    truncateRe.findFirstMatchIn(sql).foreach { m =>
+      val t = m.group(1)
+      val lock = lockFor(t).writeLock()
+      lock.lock()
+      try {
+        spark.sql(s"TRUNCATE TABLE ${physWrite(t)}")
+        if (!isTxnOpen) bumpEpoch(t)
+      } finally lock.unlock()
+      return ExecResult(null, "TRUNCATE TABLE")
+    }
 
     createUserRe.findFirstMatchIn(sql) match {
       case Some(m) =>
@@ -258,23 +459,32 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       return execute(sqlSeq)
     }
     if (txnRe.matches(sql)) {
-      // status stays 'I' like the reference; state tracks write honesty
       val kw = sql.split("\\s+").head.toUpperCase
       val st = txn.get()
       kw match {
-        case "BEGIN" | "START" => st.open = true; st.writes = false
-        case "COMMIT" | "END" => st.open = false; st.writes = false
+        case "BEGIN" | "START" =>
+          // BEGIN inside an open transaction: PG warns and no-ops —
+          // the open transaction (and its staged writes) continue
+          if (!st.open) { st.reset(); st.open = true }
+          return ExecResult(null, if (kw == "START") "START TRANSACTION" else "BEGIN")
+        case "COMMIT" | "END" =>
+          val wasAborted = st.aborted
+          try { if (wasAborted) dropStaged(st) else commitTxn(st) }
+          finally st.reset()
+          // PG: COMMIT of an aborted transaction performs (and tags) a ROLLBACK
+          return ExecResult(null, if (wasAborted) "ROLLBACK" else "COMMIT")
         case "ROLLBACK" =>
-          val hadWrites = st.open && st.writes
-          st.open = false
-          st.writes = false
-          if (hadWrites) throw new IllegalArgumentException(
-            "ROLLBACK cannot undo committed writes: transactions are statement-atomic " +
-              "(each write commits as its own unit); the writes in this transaction " +
-              "were already applied")
+          val hadDdl = st.open && st.ddl
+          dropStaged(st)
+          st.reset()
+          if (hadDdl) throw new IllegalArgumentException(
+            "ROLLBACK cannot undo DDL: CREATE/DROP/ALTER auto-commit when executed " +
+              "inside a transaction (the staged DML changes in this transaction HAVE " +
+              "been rolled back)")
+          return ExecResult(null, "ROLLBACK")
         case _ =>
+          return ExecResult(null, kw)
       }
-      return ExecResult(null, kw)
     }
     if (showTxnReadOnlyRe.matches(sql))
       return ExecResult(spark.sql("SELECT 'off' AS transaction_read_only"), "SELECT 1")
@@ -327,12 +537,14 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         lock.lock()
         try {
           val cols = Option(m.group(2)).map(_.split(",").map(_.trim).toSeq)
-            .getOrElse(spark.table(table).schema.fieldNames.toSeq)
+            .getOrElse(spark.table(physRead(table)).schema.fieldNames.toSeq)
           val srcSql = m.group(3).trim
           val src = if (srcSql.toLowerCase.startsWith("values")) spark.sql(s"SELECT * FROM $srcSql")
-            else spark.sql(rewrite(srcSql))
+            else txnExec(rewrite(srcSql))
           enforceConstraints(table, src.toDF(cols: _*))
-          return runInsert(spark.sql(rewrite(sql)))
+          val res = runInsert(txnExec(rewrite(sql)))
+          if (!isTxnOpen) bumpEpoch(table)
+          return res
         } finally lock.unlock()
       }
     }
@@ -470,7 +682,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         rewritten.substring(m.end)
     }
     val df =
-      try spark.sql(rewritten)
+      try txnExec(rewritten)
       catch {
         // DuckDB allows unnest() nested inside a SELECT-list expression
         // (`select unnest(xs) + 10 from t`); Spark requires the
@@ -484,7 +696,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
               e.getErrorClass.startsWith("UNSUPPORTED_GENERATOR.NESTED_IN_EXPRESSIONS") =>
           hoistNestedUnnest(rewritten) match {
             case Some(h) =>
-              try spark.sql(h)
+              try txnExec(h)
               catch { case _: Throwable => throw e } // surface the ORIGINAL error
             case None => throw e
           }
@@ -493,7 +705,11 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     verb match {
       case "SELECT" | "WITH" | "VALUES" | "TABLE" | "SHOW" | "DESCRIBE" | "DESC" | "EXPLAIN" | "PIVOT" | "FROM" =>
         ExecResult(df, "SELECT")
-      case "INSERT" => runInsert(df)
+      case "INSERT" =>
+        val r = runInsert(df)
+        if (!isTxnOpen)
+          insertStmtRe.findFirstMatchIn(sql).foreach(m => bumpEpoch(m.group(1)))
+        r
       case _ =>
         df.collect()
         verb match {
@@ -1277,7 +1493,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         case Some(alias) =>
           val staged = items.updated(nvIdx, s"0L AS $alias")
           val stagedSql = "SELECT " + staged.mkString(", ") + " " + src.substring(fromIdx)
-          val df0 = spark.sql(rewrite(stagedSql))
+          val df0 = txnExec(rewrite(stagedSql))
           df0.persist()
           try {
             val n = df0.count()
@@ -1300,7 +1516,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
           } finally df0.unpersist()
         case None =>
           // embedded-expression fallback: correct but single-task window
-          val n = spark.sql(rewrite(nextvalRe.replaceAllIn(src, _ => "0L"))).count()
+          val n = txnExec(rewrite(nextvalRe.replaceAllIn(src, _ => "0L"))).count()
           if (n == 0) return ExecResult(null, "INSERT 0 0")
           val base = reserve(n)
           val obIdx = firstTopLevelKw(src, 0, "order")
@@ -1361,6 +1577,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * out") through r7. */
   private def alterColumnType(table: String, column: String, newType: String,
       usingExpr: Option[String]): ExecResult = {
+    guardStagedDdl(table)
     val lock = lockFor(table).writeLock()
     lock.lock()
     try {
@@ -1403,6 +1620,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
           throw new IllegalStateException(
             s"ALTER TABLE failed mid-rebuild; data preserved in staging table $stage: ${e.getMessage}", e)
       }
+      bumpEpoch(table)
       ExecResult(null, "ALTER TABLE")
     } finally lock.unlock()
   }
@@ -1411,7 +1629,11 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     val lock = lockFor(table).writeLock()
     lock.lock()
     try {
-      val schema = spark.table(table).schema
+      val phys = physWrite(table)
+      // alias the staged relation with the base table's bare name so
+      // predicates written as `t.col` keep resolving against the copy
+      val rel = if (phys == table) table else s"$phys ${table.split('.').last}"
+      val schema = spark.table(phys).schema
       val cols = schema.fieldNames
       val sets = splitTopLevel(setClause, ',').map { a =>
         val Array(c, e) = a.split("=", 2).map(_.trim)
@@ -1434,11 +1656,11 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       // column-alias list ("t WHERE (true)" = alias WHERE, cols (true))
       // and dies with ASSIGNMENT_ARITY_MISMATCH
       val predSql = where.map(w => s" WHERE ($w)").getOrElse("")
-      val touched = spark.sql(s"SELECT count(*) FROM $table$predSql").head().getLong(0)
+      val touched = spark.sql(s"SELECT count(*) FROM $rel$predSql").head().getLong(0)
       // UPDATE must re-validate: a SET can break NOT NULL / CHECK /
       // enum / FK, or collapse two PKs onto one value (DuckDB rejects
       // all of these at update time)
-      enforceConstraints(table, spark.sql(s"SELECT $proj FROM $table"),
+      enforceConstraints(table, spark.sql(s"SELECT $proj FROM $rel"),
         againstExisting = false)
       // FK RESTRICT when this table is REFERENCED: keys the update
       // removes (present before, absent after) must not still be
@@ -1453,11 +1675,11 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         referencing.foreach { case (child, fk) =>
           val touchesKey = fk.refCols.exists(rc => sets.contains(rc.toLowerCase))
           if (touchesKey) {
-            val oldKeys = spark.table(table).select(fk.refCols.map(col): _*)
-            val newKeys = spark.sql(s"SELECT $proj FROM $table")
+            val oldKeys = spark.table(phys).select(fk.refCols.map(col): _*)
+            val newKeys = spark.sql(s"SELECT $proj FROM $rel")
               .select(fk.refCols.map(col): _*)
             val removed = oldKeys.except(newKeys).toDF(fk.cols: _*)
-            val hit = spark.table(child)
+            val hit = spark.table(physRead(child))
               .select(fk.cols.map(col): _*)
               .filter(fk.cols.map(col(_).isNotNull).reduce(_ && _))
               .join(removed, fk.cols, "left_semi")
@@ -1468,7 +1690,8 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
           }
         }
       }
-      stageAndSwap(table, s"SELECT $proj FROM $table")
+      stageAndSwap(phys, s"SELECT $proj FROM $rel")
+      if (!isTxnOpen) bumpEpoch(table)
       ExecResult(null, s"UPDATE $touched")
     } finally lock.unlock()
   }
@@ -1480,8 +1703,10 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       val pred = where.getOrElse("true")
       // same WHERE-less parse hazard as UPDATE: `FROM t WHERE (true)`
       // reads as an alias + column-alias list
+      val phys = physWrite(table)
+      val rel = if (phys == table) table else s"$phys ${table.split('.').last}"
       val predSql = where.map(w => s" WHERE ($w)").getOrElse("")
-      val removed = spark.sql(s"SELECT count(*) FROM $table$predSql").head().getLong(0)
+      val removed = spark.sql(s"SELECT count(*) FROM $rel$predSql").head().getLong(0)
       // FK RESTRICT: deleting rows still referenced by a child table
       // is rejected (DuckDB/PG default behavior for enforced FKs)
       if (removed > 0) {
@@ -1490,13 +1715,13 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         val referencing = constraints.asScala.toSeq.flatMap { case (child, c2) =>
           c2.fks.filter(f => qualify(f.refTable) == qualify(table)).map(child -> _)
         }
-        val remainingSql = s"FROM $table WHERE NOT ($pred) OR ($pred) IS NULL"
+        val remainingSql = s"FROM $rel WHERE NOT ($pred) OR ($pred) IS NULL"
         referencing.foreach { case (child, fk) =>
           // exact old-minus-new key diff (mirrors copyOnWriteUpdate):
           // deleting one of several rows sharing a referenced key value
           // leaves the key present, so it must not be counted as removed
           val deletedKeys = spark.sql(
-            s"SELECT ${fk.refCols.mkString(", ")} FROM $table$predSql")
+            s"SELECT ${fk.refCols.mkString(", ")} FROM $rel$predSql")
             .toDF(fk.cols: _*)
           val remainingKeys = spark.sql(
             s"SELECT ${fk.refCols.mkString(", ")} $remainingSql")
@@ -1506,7 +1731,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
           // hold a reference afterwards — check the POST-delete image
           val childRows =
             if (qualify(child) == qualify(table)) spark.sql(s"SELECT * $remainingSql")
-            else spark.table(child)
+            else spark.table(physRead(child))
           val hit = childRows
             .select(fk.cols.map(col): _*)
             .filter(fk.cols.map(col(_).isNotNull).reduce(_ && _))
@@ -1517,7 +1742,8 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
                 s"rows are still referenced by $child(${fk.cols.mkString(", ")})")
         }
       }
-      stageAndSwap(table, s"SELECT * FROM $table WHERE NOT ($pred) OR ($pred) IS NULL")
+      stageAndSwap(phys, s"SELECT * FROM $rel WHERE NOT ($pred) OR ($pred) IS NULL")
+      if (!isTxnOpen) bumpEpoch(table)
       ExecResult(null, s"DELETE $removed")
     } finally lock.unlock()
   }
@@ -1536,10 +1762,11 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     val lock = lockFor(table).writeLock()
     lock.lock()
     try {
-      val target = spark.table(table)
+      val phys = physWrite(table)
+      val target = spark.table(phys)
       val cols = colList.getOrElse(target.schema.fieldNames.toSeq)
       val src0 = if (srcSql.toLowerCase.startsWith("values")) spark.sql(s"SELECT * FROM $srcSql")
-        else spark.sql(rewrite(srcSql))
+        else txnExec(rewrite(srcSql))
       val full = target.schema.fieldNames.map { c =>
         if (cols.exists(_.equalsIgnoreCase(c)))
           col(cols.find(_.equalsIgnoreCase(c)).get).cast(target.schema(c).dataType).as(c)
@@ -1600,7 +1827,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
             // staged copy (NOT NULL + non-target uniques still apply),
             // then append it — one anti-join execution total
             val fresh = staged.join(target.select(keys.map(col): _*), keys, "left_anti")
-            stageAndAppend(table, fresh, check = df => enforceConstraints(table, df))
+            stageAndAppend(phys, fresh, check = df => enforceConstraints(table, df))
           case Some(sets0) =>
             // `SET … WHERE cond` (PostgreSQL/DuckDB): cond sees the
             // existing row (table alias) and excluded.*; a conflicting
@@ -1642,19 +1869,20 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
                 // affected = inserted (no conflict) + conflicts passing
                 // the WHERE; one join pass counts both
                 val mu = spark.sql(
-                  s"SELECT count(*), count(CASE WHEN ($w) THEN 1 END) FROM $srcTable excluded JOIN $table $tAlias ON $on")
+                  s"SELECT count(*), count(CASE WHEN ($w) THEN 1 END) FROM $srcTable excluded JOIN $phys $tAlias ON $on")
                   .head()
                 staged.count() - mu.getLong(0) + mu.getLong(1)
             }
             // the merged image re-validates the row-local constraints:
             // a SET expression can push an existing row out of a CHECK
-            stageAndSwap(table,
-              s"""SELECT $proj FROM $table $tAlias LEFT JOIN $srcTable excluded ON $on
+            stageAndSwap(phys,
+              s"""SELECT $proj FROM $phys $tAlias LEFT JOIN $srcTable excluded ON $on
                  |UNION ALL
-                 |SELECT excluded.* FROM $srcTable excluded LEFT ANTI JOIN $table $tAlias ON $on""".stripMargin,
+                 |SELECT excluded.* FROM $srcTable excluded LEFT ANTI JOIN $phys $tAlias ON $on""".stripMargin,
               check = df => enforceRowLocal(table, df))
             cnt
         }
+        if (!isTxnOpen) bumpEpoch(table)
         ExecResult(null, s"INSERT 0 $n")
       } finally {
         spark.sql(s"DROP TABLE IF EXISTS $srcTable")
@@ -1715,7 +1943,8 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
             ExecResult(spark.createDataFrame(rows.asJava, st), "SELECT 1")
           case "show_tables" =>
             import spark.implicits._
-            val names = spark.catalog.listTables().collect().map(_.name).sorted.toSeq
+            val names = spark.catalog.listTables().collect().map(_.name)
+              .filterNot(Engine.isInternalTable).sorted.toSeq
             ExecResult(names.toDF("name"), s"SELECT ${names.size}")
           case "version" =>
             import spark.implicits._
@@ -1863,7 +2092,8 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     dbs.toSeq.map(d => ("spark", d)).toDF("catalog_name", "schema_name")
       .createOrReplaceTempView("__is_schemata")
     val tables = dbs.flatMap { d =>
-      spark.catalog.listTables(d).collect().filterNot(_.isTemporary).map(t =>
+      spark.catalog.listTables(d).collect().filterNot(_.isTemporary)
+        .filterNot(t => Engine.isInternalTable(t.name)).map(t =>
         ("spark", d, t.name, t.tableType match {
           case "VIEW" => "VIEW"
           case _ => "BASE TABLE"
@@ -2021,7 +2251,8 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     // database's oids between psql's successive catalog queries, and
     // collisions need >10k tables in one db
     val tables = dbs.flatMap { d =>
-      spark.catalog.listTables(d).collect().filterNot(_.isTemporary).sortBy(_.name)
+      spark.catalog.listTables(d).collect().filterNot(_.isTemporary)
+      .filterNot(t => Engine.isInternalTable(t.name)).sortBy(_.name)
         .zipWithIndex.map { case (t, i) => (100000 + (nsOid(d) - 1000) * 10000 + i, d, t) }
     }
     tables.map { case (oid, d, t) =>
@@ -2137,13 +2368,15 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     dbs.toSeq.toDF("name").createOrReplaceTempView("__sys_databases")
     val tables = dbs.flatMap { d =>
       spark.catalog.listTables(d).collect().filterNot(_.isTemporary)
+      .filterNot(t => Engine.isInternalTable(t.name))
         .filter(_.tableType != "VIEW")
         .map(t => (t.name, d, "uuid", "graft", 0, ""))
     }
     tables.toSeq.toDF("name", "database", "uuid", "engine", "is_temporary", "comment")
       .createOrReplaceTempView("__sys_tables")
     val columns = dbs.flatMap { d =>
-      spark.catalog.listTables(d).collect().filterNot(_.isTemporary).flatMap { t =>
+      spark.catalog.listTables(d).collect().filterNot(_.isTemporary)
+        .filterNot(t => Engine.isInternalTable(t.name)).flatMap { t =>
         try spark.catalog.listColumns(s"$d.${t.name}").collect().map(c =>
           (d, t.name, c.name, c.dataType, "", c.dataType, ""))
         catch { case scala.util.control.NonFatal(_) =>
@@ -2233,6 +2466,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     dir.mkdirs()
     val db = spark.catalog.currentDatabase
     val tables = spark.catalog.listTables(db).collect()
+      .filterNot(t => Engine.isInternalTable(t.name))
       .filter(t => t.tableType == "MANAGED" || t.tableType == "EXTERNAL")
       .map(_.name).sorted
     val schemaSql = new StringBuilder
@@ -2300,8 +2534,10 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     val lock = lockFor(table).readLock()
     lock.lock()
     try {
+      val phys = physWrite(table)
       val n = df.count()
-      df.write.insertInto(table)
+      df.write.insertInto(phys)
+      if (!isTxnOpen) bumpEpoch(table)
       ExecResult(null, s"COPY $n")
     } finally lock.unlock()
   }
@@ -2489,6 +2725,9 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     val key = qualify(table)
     constraints.remove(key)
     persistConstraints()
+    // a txn that staged this table before the drop must not publish
+    // onto whatever replaces it — epoch mismatch aborts it at COMMIT
+    bumpEpoch(key)
     dbPath.foreach { _ =>
       val Array(db, t) = key.split("\\.", 2)
       val dir = new java.io.File(
@@ -2515,7 +2754,8 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       else lockFor(table).readLock()
     lock.lock()
     try {
-      val target = spark.table(table)
+      val phys = physWrite(table)
+      val target = spark.table(phys)
       val schema = org.apache.spark.sql.types.StructType(
         columns.map(c => target.schema(target.schema.fieldIndex(c))))
       val rdd = spark.sparkContext.parallelize(
@@ -2528,7 +2768,12 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       }
       val aligned = df.select(full.toIndexedSeq: _*)
       enforceConstraints(table, aligned)
-      aligned.write.insertInto(table)
+      aligned.write.insertInto(phys)
+      // appendBatch is called directly (COPY FROM STDIN / CH insert),
+      // not through execute(), so the txn write flag and the committed
+      // epoch are maintained here
+      val st = txn.get()
+      if (st.open) st.writes = true else bumpEpoch(table)
     } finally lock.unlock()
   }
 }
@@ -2575,6 +2820,12 @@ object Engine {
   private val createViewRe =
     """(?is)^\s*create\s+(?:or\s+replace\s+)?(?:temp(?:orary)?\s+)?view\s+(?:if\s+not\s+exists\s+)?([\w.]+).*""".r
   private val dropTableRe = """(?is)^\s*drop\s+table\s+(?:if\s+exists\s+)?([\w.]+)\s*$""".r
+  private val truncateRe = """(?is)^\s*truncate\s+(?:table\s+)?([\w.]+)\s*$""".r
+
+  /** Engine-internal staging tables (txn overlays, CoW/upsert/ALTER
+    * scratch) — hidden from every catalog listing the user can see. */
+  private[server] def isInternalTable(name: String): Boolean =
+    name.matches("(?i).*__(txn\\d+|cow|oc_src(_raw)?|oc_stage|alter)$")
   private val dropViewRe = """(?is)^\s*drop\s+view\s+(?:if\s+exists\s+)?([\w.]+)\s*$""".r
   /** Staging dirs a crash may leave behind — never re-register them. */
   private val staleStagingRe = """.*(__cow|__oc_src|__oc_src_raw|__oc_stage)$""".r

@@ -133,8 +133,9 @@ final class PgConnection(socket: Socket, server: PgServer) extends Runnable {
       val (typ, body) = in.readMessage()
       typ.toChar match {
         case 'X' => return
-        case 'Q' => simpleQuery(new Payload(body).cstr()); inError = false; out.readyForQuery()
-        case 'S' => inError = false; out.readyForQuery()
+        case 'Q' => simpleQuery(new Payload(body).cstr()); inError = false
+          out.readyForQuery(engine.txnStatus)
+        case 'S' => inError = false; out.readyForQuery(engine.txnStatus)
         case 'H' => out.flush()
         case 'P' => if (!inError) guard(parse(body))
         case 'B' => if (!inError) guard(bind(body))

@@ -10,4 +10,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Run a (possibly hand-transformed) unresolved logical plan through
+    * the session's analyzer/optimizer — the staged-overlay transaction
+    * layer parses a statement, redirects table relations to the
+    * connection's staged copies, and needs `Dataset.ofRows` to execute
+    * the result. */
+  def dataset(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

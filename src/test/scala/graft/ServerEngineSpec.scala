@@ -827,27 +827,147 @@ class ServerEngineSpec extends SparkSpecBase {
       engine.execute(s"DROP TABLE IF EXISTS $t"))
   }
 
-  test("ROLLBACK after writes raises instead of silently keeping them") {
+  test("staged-overlay transactions: rollback undoes, commit publishes") {
     engine.execute("CREATE TABLE txn_t (a BIGINT)")
     try {
       // read-only transaction: rollback is a clean no-op
       engine.execute("BEGIN")
       engine.execute("SELECT 1")
       assert(engine.execute("ROLLBACK").tag == "ROLLBACK")
-      // write transaction: rollback must FAIL (writes are statement-atomic)
+      // write transaction: ROLLBACK really undoes the staged writes
       engine.execute("BEGIN")
       engine.execute("INSERT INTO txn_t VALUES (1)")
-      val e = intercept[IllegalArgumentException] { engine.execute("ROLLBACK") }
-      assert(e.getMessage.contains("statement-atomic"), e.getMessage)
-      // the write is (honestly) still there, and txn state is cleared
+      // read-your-writes inside the transaction
       assert(engine.execute("SELECT count(*) AS c FROM txn_t").df.head().getLong(0) == 1L)
+      assert(engine.execute("ROLLBACK").tag == "ROLLBACK")
+      assert(engine.execute("SELECT count(*) AS c FROM txn_t").df.head().getLong(0) == 0L)
       assert(engine.execute("ROLLBACK").tag == "ROLLBACK") // no open txn → no-op
-      // COMMIT path unaffected
+      // COMMIT publishes
       engine.execute("BEGIN")
       engine.execute("INSERT INTO txn_t VALUES (2)")
+      engine.execute("INSERT INTO txn_t VALUES (3)")
+      engine.execute("UPDATE txn_t SET a = a + 10 WHERE a = 2")
       assert(engine.execute("COMMIT").tag == "COMMIT")
+      val vals = engine.execute("SELECT a FROM txn_t ORDER BY a").df
+        .collect().map(_.getLong(0)).toSeq
+      assert(vals == Seq(3L, 12L), vals)
+      // DELETE + TRUNCATE in a rolled-back transaction leave no trace
+      engine.execute("BEGIN")
+      engine.execute("DELETE FROM txn_t WHERE a = 3")
+      engine.execute("TRUNCATE TABLE txn_t")
+      assert(engine.execute("SELECT count(*) AS c FROM txn_t").df.head().getLong(0) == 0L)
+      engine.execute("ROLLBACK")
       assert(engine.execute("SELECT count(*) AS c FROM txn_t").df.head().getLong(0) == 2L)
-    } finally engine.execute("DROP TABLE IF EXISTS txn_t")
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => () }
+      engine.execute("DROP TABLE IF EXISTS txn_t")
+    }
+  }
+
+  test("transaction isolation: other connections see base until COMMIT") {
+    engine.execute("CREATE TABLE txn_iso (a BIGINT)")
+    engine.execute("INSERT INTO txn_iso VALUES (1)")
+    try {
+      def countFromOtherThread(): Long = {
+        var n = -1L
+        val t = new Thread(() => {
+          n = engine.execute("SELECT count(*) AS c FROM txn_iso").df.head().getLong(0)
+        })
+        t.start(); t.join()
+        n
+      }
+      engine.execute("BEGIN")
+      engine.execute("INSERT INTO txn_iso VALUES (2)")
+      assert(engine.execute("SELECT count(*) AS c FROM txn_iso").df.head().getLong(0) == 2L)
+      assert(countFromOtherThread() == 1L) // uncommitted writes invisible elsewhere
+      engine.execute("COMMIT")
+      assert(countFromOtherThread() == 2L)
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => () }
+      engine.execute("DROP TABLE IF EXISTS txn_iso")
+    }
+  }
+
+  test("transaction write-write conflict aborts the later commit") {
+    engine.execute("CREATE TABLE txn_ww (a BIGINT)")
+    engine.execute("INSERT INTO txn_ww VALUES (1)")
+    try {
+      engine.execute("BEGIN")
+      engine.execute("UPDATE txn_ww SET a = 100") // stages txn_ww, snapshot a=1
+      // a concurrent connection commits a write to the same table
+      var otherErr: Throwable = null
+      val other = new Thread(() => {
+        try engine.execute("INSERT INTO txn_ww VALUES (2)")
+        catch { case e: Throwable => otherErr = e }
+      })
+      other.start(); other.join()
+      assert(otherErr == null, String.valueOf(otherErr))
+      val e = intercept[IllegalArgumentException] { engine.execute("COMMIT") }
+      assert(e.getMessage.contains("write-write"), e.getMessage)
+      // the losing transaction rolled back; the concurrent write survived
+      val vals = engine.execute("SELECT a FROM txn_ww ORDER BY a").df
+        .collect().map(_.getLong(0)).toSeq
+      assert(vals == Seq(1L, 2L), vals)
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => () }
+      engine.execute("DROP TABLE IF EXISTS txn_ww")
+    }
+  }
+
+  test("statement error aborts the transaction until ROLLBACK (PG semantics)") {
+    engine.execute("CREATE TABLE txn_ab (a BIGINT)")
+    try {
+      engine.execute("BEGIN")
+      engine.execute("INSERT INTO txn_ab VALUES (1)")
+      intercept[Throwable] { engine.execute("SELECT * FROM txn_ab_nonexistent") }
+      val e = intercept[IllegalArgumentException] { engine.execute("SELECT 1") }
+      assert(e.getMessage.contains("aborted"), e.getMessage)
+      // COMMIT of an aborted transaction rolls back and says so
+      assert(engine.execute("COMMIT").tag == "ROLLBACK")
+      assert(engine.execute("SELECT count(*) AS c FROM txn_ab").df.head().getLong(0) == 0L)
+      assert(engine.txnStatus == 'I')
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => () }
+      engine.execute("DROP TABLE IF EXISTS txn_ab")
+    }
+  }
+
+  test("constraints enforce against the transaction's own staged state") {
+    engine.execute("CREATE TABLE txn_pk (id BIGINT PRIMARY KEY)")
+    try {
+      engine.execute("BEGIN")
+      engine.execute("INSERT INTO txn_pk VALUES (1)")
+      // duplicate of an uncommitted row must be rejected inside the txn
+      intercept[IllegalArgumentException] { engine.execute("INSERT INTO txn_pk VALUES (1)") }
+      engine.execute("ROLLBACK")
+      // after rollback the key is free again
+      engine.execute("INSERT INTO txn_pk VALUES (1)")
+      assert(engine.execute("SELECT count(*) AS c FROM txn_pk").df.head().getLong(0) == 1L)
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => () }
+      engine.execute("DROP TABLE IF EXISTS txn_pk")
+    }
+  }
+
+  test("DDL inside a transaction auto-commits; ROLLBACK says so honestly") {
+    try {
+      engine.execute("BEGIN")
+      engine.execute("CREATE TABLE txn_ddl (a BIGINT)")
+      engine.execute("INSERT INTO txn_ddl VALUES (1)")
+      val e = intercept[IllegalArgumentException] { engine.execute("ROLLBACK") }
+      assert(e.getMessage.contains("DDL"), e.getMessage)
+      // the table (DDL) survives; the staged DML was rolled back
+      assert(engine.execute("SELECT count(*) AS c FROM txn_ddl").df.head().getLong(0) == 0L)
+      // DDL on a table with uncommitted txn changes is rejected up front
+      engine.execute("BEGIN")
+      engine.execute("INSERT INTO txn_ddl VALUES (2)")
+      val e2 = intercept[IllegalArgumentException] { engine.execute("DROP TABLE txn_ddl") }
+      assert(e2.getMessage.contains("uncommitted"), e2.getMessage)
+      engine.execute("ROLLBACK")
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => () }
+      engine.execute("DROP TABLE IF EXISTS txn_ddl")
+    }
   }
 
   test("rewrites never mutate string-literal or quoted-identifier content") {

@@ -109,6 +109,16 @@ psql $P -c "create sequence main.sq_smoke start with 100" >/dev/null 2>&1
 chk "pg sequence"     "100|101"  "$(psql $P -tA -c "select nextval('main.sq_smoke') as a, nextval('main.sq_smoke') as b" 2>&1)"
 chk "pg currval"      "101"      "$(psql $P -tA -c "select currval('main.sq_smoke')" 2>&1)"
 psql $P -c "drop sequence main.sq_smoke" >/dev/null 2>&1
+# staged-overlay transactions: rollback really undoes, commit publishes,
+# and a statement error aborts the block until ROLLBACK (PG semantics)
+psql $P -c "drop table if exists main.txn_smoke" >/dev/null 2>&1
+psql $P -c "create table main.txn_smoke (a bigint) using parquet" >/dev/null 2>&1
+psql $P -c "insert into main.txn_smoke values (1)" >/dev/null 2>&1
+chk "pg txn rollback" "1"        "$(psql $P -tA -c "begin" -c "insert into main.txn_smoke values (2)" -c "update main.txn_smoke set a = 99 where a = 1" -c "rollback" -c "select string_agg(a::varchar, ',' order by a) from main.txn_smoke" 2>&1 | tail -1)"
+chk "pg txn commit"   "1,2"      "$(psql $P -tA -c "begin" -c "insert into main.txn_smoke values (2)" -c "commit" -c "select string_agg(a::varchar, ',' order by a) from main.txn_smoke" 2>&1 | tail -1)"
+chk "pg txn ryw"      "1,2,3"    "$(psql $P -tA -c "begin" -c "insert into main.txn_smoke values (3)" -c "select string_agg(a::varchar, ',' order by a) from main.txn_smoke" -c "rollback" 2>&1 | grep -v 'BEGIN\|INSERT\|ROLLBACK' | head -1)"
+chk "pg txn abort"    "aborted"  "$(psql $P -tA -c "begin" -c "select * from main.txn_smoke_missing" -c "select 1" -c "rollback" 2>&1 | grep -o 'aborted' | head -1)"
+psql $P -c "drop table main.txn_smoke" >/dev/null 2>&1
 # DuckDB statement forms: SUMMARIZE and FROM-first
 chk "pg summarize"    "r_regionkey|INTEGER" "$(psql $P -tA -c "summarize region" 2>&1 | head -1 | cut -d'|' -f1,2)"
 chk "pg from-first"   "5"        "$(psql $P -tA -c "from region select count(*)" 2>&1)"
