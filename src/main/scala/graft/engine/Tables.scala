@@ -82,6 +82,10 @@ object Tables {
         // cost is orders of magnitude above their byte size — restore
         // scan parallelism here once so every consumer (DataFrame and
         // SQL view alike) gets it; identity on any at-scale layout
+        // (r9 negative result: spreading the relational tables too was
+        // measured 1.4-3x SLOWER across the TPC-H class — their pruned
+        // scans decode fast and the added full-table exchange dwarfs
+        // the serial-decode saving. Text/vector only.)
         val spreadDf =
           if (n == "documents" || n == "embeddings") spread(df) else df
         spreadDf.createOrReplaceTempView(n)

@@ -51,7 +51,41 @@ case class DoubleSortKey(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Exact inverse of [[DoubleSortKey]]: LONG key back to the DOUBLE it
+  * encodes. The key is a bijection on the bit pattern, so operators can
+  * carry ONLY the key through shuffles/aggregates (narrow primitive
+  * rows, no per-row string/struct) and reconstruct the value at the
+  * presentation edge. */
+case class SortKeyToDouble(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sort_key_to_double"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects BIGINT, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val k = v.asInstanceOf[Long]
+    java.lang.Double.longBitsToDouble(if (k >= 0L) k else k ^ 0x7FFFFFFFFFFFFFFFL)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = java.lang.Double.longBitsToDouble(
+         |  ($c >= 0L) ? ($c) : (($c) ^ 0x7FFFFFFFFFFFFFFFL));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): SortKeyToDouble =
+    copy(child = c)
+}
+
 object DoubleSortKeyFn {
   import org.apache.spark.sql.GraftBridge.{toColumn, toExpression}
   def doubleSortKey(c: Column): Column = toColumn(DoubleSortKey(toExpression(c)))
+  def sortKeyToDouble(c: Column): Column = toColumn(SortKeyToDouble(toExpression(c)))
 }

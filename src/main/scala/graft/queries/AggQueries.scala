@@ -201,31 +201,32 @@ object AggQueries {
       // to its order-preserving IEEE-754 bit key, whose top 16 bits
       // (sign + exponent + 4 mantissa bits = 16 sub-ranges per binade)
       // are a fixed monotone bucket id. No min/max pre-pass over the
-      // data — the r5 plan's stats scan + broadcast wave is gone:
-      //   1. (group, column, bucket) counts — ONE full scan
-      //   2. tiny cumulative over the ≤65k populated buckets locates
-      //      the bucket holding each bracketing rank (offset k within)
-      //   3. only rows of TARGET buckets (one binade/16 each) get a
-      //      row_number — every window partition is one bucket of one
-      //      target, never one group                     (scan 2)
+      // data — the r5 plan's stats scan + broadcast wave is gone.
+      //
+      // r9 shape — bucket-first, TWO scans, NO materialized value table:
+      //   1. (group, measure, bucket) counts — a full scan whose hash
+      //      aggregate has ≤65k data-independent keys, so the map-side
+      //      combine is total and the shuffle is KILOBYTES;
+      //   2. a tiny cumulative over the populated buckets locates the
+      //      bucket holding each bracketing rank (offset k within);
+      //   3. scan 2 keeps only TARGET-bucket rows (row-local key
+      //      computation + broadcast join against ≤8 target buckets),
+      //      collapses duplicates value-level (map-side combine again —
+      //      10^9 copies of one value shuffle as one row, skew-proof),
+      //      and picks the k-th by an in-bucket cumulative window.
+      // The r8 one-scan variant materialized the per-DISTINCT-value
+      // count table instead (localCheckpoint): for continuous measures
+      // distinct≈rows, so that "small" table is a near-full copy of the
+      // projected data — at 100 TB a second columnar scan is cheaper
+      // than writing one. Measured at sf0.1: 1.33 → 0.79 s.
       // Interpolation math is identical to quantile_cont / DuckDB
       // (0-based pos = (n-1)*p; v = vlo + (vhi-vlo)*frac).
       import s.implicits._
       val g = col("l_returnflag")
-      // r8: ONE pass over lineitem total (was two — the counts pass and
-      // the pick pass each re-ran the scan+explode). The full-data work
-      // collapses to per-(group, measure, DISTINCT value) counts in a
-      // single shuffle (map-side combine; qty has ~50 distinct ints),
-      // lazily localCheckpoint'ed — the value table is distinct-values-
-      // sized, far smaller than the data, and BOTH downstream consumers
-      // (bucket totals, in-bucket pick) read the materialized copy.
-      // EAGER checkpoint: the lazy form races — the targets-broadcast
-      // thread and the main job both fire before materialization
-      // completes and each recomputes the full scan+shuffle lineage
-      // (observed: duplicated ~5 s of task time in the stage trace)
-      val values = percentileValueTable(t).localCheckpoint()
-      val counts = values.groupBy(g, col("which"), col("b"))
-        .agg(sum(col("vc")).as("cnt"))
+      val raw = percentileValueTable(t)
+        .withColumn("b", shiftright(col("sk"), 48))
+      val counts = raw.groupBy(g, col("which"), col("b"))
+        .agg(count(lit(1)).as("cnt"))
       import org.apache.spark.sql.expressions.Window
       val wPart = Window.partitionBy(g, col("which"))
       val wPrev = wPart.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)
@@ -242,31 +243,53 @@ object AggQueries {
         .withColumn("r", when(col("kind") === "lo", floor(pos) + 1)
           .otherwise(ceil(pos) + 1).cast("long")) // 1-based bracketing rank
         .filter(col("r").between(col("below") + 1, col("below") + col("cnt")))
-        .select(g, col("which"), col("pname"), col("p"), col("kind"),
+        .select(g, col("which"), col("pname"), col("kind"),
           col("b"), (col("r") - col("below")).as("k"), col("n"))
-      // k-th smallest within each target's bucket over the VALUE-level
-      // counts: duplicates are already collapsed, so a bucket holding
-      // 10^9 copies of one value (integer measures are exactly this)
-      // is ONE row here — skew-proof. The window partitions over
-      // DISTINCT values within a 1/16-binade bucket, never one group.
-      val wV = Window.partitionBy(g, col("which"), col("pname"), col("kind")).orderBy(col("v"))
-      val picked = values
+        // targets is ≤8 rows but BOTH pick-pass joins broadcast it, and
+        // column pruning diverges the two subtrees so ReuseExchange
+        // never fires — without this the counts scan runs twice (3
+        // parquet scans total, observed in the plan pin). Eager: the
+        // lazy form races broadcast threads (see graft-perf notes).
+        .localCheckpoint()
+      // scan 2: survive only target-bucket rows, collapse to DISTINCT
+      // values (vc), then k-th smallest via the in-bucket cumulative.
+      // The window partitions over DISTINCT values within a 1/16-binade
+      // bucket of one target, never one group — and orders by the sort
+      // key, whose signed order IS value order.
+      val wV = Window.partitionBy(g, col("which"), col("pname"), col("kind")).orderBy(col("sk"))
+      val picked = percentileValueTable(t)
+        .withColumn("b", shiftright(col("sk"), 48))
+        // semi first: dedup BEFORE fanning rows out per target, so the
+        // value-collapse aggregate hashes each surviving row once on
+        // three narrow keys (not once per bracketing rank on seven)
+        .join(broadcast(targets), Seq("l_returnflag", "which", "b"), "left_semi")
+        .groupBy(g, col("which"), col("sk"))
+        .agg(count(lit(1)).as("vc"))
+        .withColumn("b", shiftright(col("sk"), 48))
         .join(broadcast(targets), Seq("l_returnflag", "which", "b"))
         .withColumn("vbelow",
           coalesce(sum(col("vc")).over(wV.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .filter(col("k") > col("vbelow") && col("k") <= col("vbelow") + col("vc"))
-      val interp = picked.groupBy(g, col("which"), col("pname"))
-        .agg(max(when(col("kind") === "lo", col("v"))).as("vlo"),
-          max(when(col("kind") === "hi", col("v"))).as("vhi"),
-          max(col("n")).as("n"), max(col("p")).as("p"))
-        .withColumn("frac", (col("n") - 1) * col("p") - floor((col("n") - 1) * col("p")))
-        .withColumn("pv", col("vlo") + (col("vhi") - col("vlo")) * col("frac"))
-      interp.groupBy(g)
+        .withColumn("v", graft.functions.DoubleSortKeyFn.sortKeyToDouble(col("sk")))
+      // ONE final aggregate straight off the picked rows (r9 — the
+      // (g,which,pname) intermediate agg was a whole extra exchange):
+      // each (which,pname,kind) slot is a conditional max, and the
+      // interpolation runs over the slots in the output projection.
+      def slot(w: Int, pn: String, kd: String, c: org.apache.spark.sql.Column) =
+        max(when(col("which") === w && col("pname") === pn && col("kind") === kd, c))
+      def pv(w: Int, pn: String, p: Double) = {
+        val vlo = slot(w, pn, "lo", col("v"))
+        val vhi = slot(w, pn, "hi", col("v"))
+        val posl = (slot(w, pn, "lo", col("n")) - 1) * p
+        val frac = posl - floor(posl)
+        vlo + (vhi - vlo) * frac
+      }
+      picked.groupBy(g)
         .agg(
-          round(max(when(col("which") === "qty" && col("pname") === "med", col("pv"))), 6).as("med"),
-          round(max(when(col("which") === "qty" && col("pname") === "p25", col("pv"))), 6).as("p25"),
-          round(max(when(col("which") === "qty" && col("pname") === "p75", col("pv"))), 6).as("p75"),
-          round(max(when(col("which") === "price" && col("pname") === "p90", col("pv"))), 4).as("p90_price"))
+          round(pv(0, "med", 0.5), 6).as("med"),
+          round(pv(0, "p25", 0.25), 6).as("p25"),
+          round(pv(0, "p75", 0.75), 6).as("p75"),
+          round(pv(1, "p90", 0.9), 4).as("p90_price"))
         .orderBy(g)
     },
 
@@ -363,24 +386,26 @@ object AggQueries {
     }
   )
 
-  /** The single full-data pass of q_agg_percentile: per-(group,
-    * measure, DISTINCT value) counts carrying the data-independent
-    * IEEE-754 bit-bucket id (top 16 bits of double_sort_key — sign +
-    * exponent + 4 mantissa bits, 16 sub-ranges per binade). Exposed so
-    * PlanSpec can pin "exactly one lineitem scan, no stats pre-pass,
-    * no buffering percentile aggregate" on the subtree that the query
-    * localCheckpoints for its two consumers. */
+  /** The per-measure key stream both q_agg_percentile passes read:
+    * (group, measure id, IEEE-754 sort key) — one row per measure
+    * value, no aggregation. The key's top 16 bits (sign + exponent +
+    * 4 mantissa bits, 16 sub-ranges per binade) are the
+    * data-independent bucket id. Exposed so PlanSpec can pin "exactly
+    * one lineitem scan, no stats pre-pass, no buffering percentile
+    * aggregate" on the shared subtree. */
   def percentileValueTable(t: Tables): DataFrame = {
     import graft.functions.DoubleSortKeyFn.doubleSortKey
     val g = col("l_returnflag")
+    // Each measure row carries ONLY the sort key: it is a bijection of
+    // the double (SortKeyToDouble inverts it at the presentation edge),
+    // its signed order IS the value order (windows order by it), and
+    // its top 16 bits ARE the bucket id. posexplode over a primitive
+    // long array replaces the r8 struct-explode — the pass allocates no
+    // per-row strings/structs; `pos` doubles as the measure id.
     t.lineitem.select(g,
-        explode(array(
-          struct(lit("qty").as("which"), col("l_quantity").cast("double").as("v")),
-          struct(lit("price").as("which"), col("l_extendedprice").cast("double").as("v"))
-        )).as("wv"))
-      .select(g, col("wv.which").as("which"), col("wv.v").as("v"))
-      .withColumn("b", shiftright(doubleSortKey(col("v")), 48))
-      .groupBy(g, col("which"), col("b"), col("v"))
-      .agg(count(lit(1)).as("vc"))
+        posexplode(array(
+          doubleSortKey(col("l_quantity").cast("double")),
+          doubleSortKey(col("l_extendedprice").cast("double")))))
+      .toDF("l_returnflag", "which", "sk")
   }
 }

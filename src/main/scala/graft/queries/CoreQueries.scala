@@ -327,11 +327,15 @@ object CoreQueries {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
+      // the filtered money sum rides the fixed-point path: a NULL-out
+      // `when` IS the FILTER clause to a null-skipping aggregate, and
+      // the quantity grid is 2-decimal so cents-long + exact /100
+      // reproduces the DECIMAL(18,6) sum bit-for-bit in the double cast
       t.lineitem.groupBy(col("l_returnflag"))
         .agg(
           expr("count(*) FILTER (WHERE l_quantity > 25)").as("n_big"),
           expr("count(*) FILTER (WHERE l_quantity <= 25)").as("n_small"),
-          expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE)").as("qty_f"))
+          unfix(sumFix(when(col("l_linestatus") === "F", cents(col("l_quantity"))))).as("qty_f"))
         .orderBy(col("l_returnflag"))
     },
 
