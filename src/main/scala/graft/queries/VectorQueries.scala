@@ -129,30 +129,32 @@ object VectorQueries {
         |GROUP BY q_id, cell
         |ORDER BY q_id""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
-      // centroid per label, each dim rounded so float-merge order can't
-      // leak into cell assignment
-      val dims = t.embeddings
-        .select(col("label"), explode(sequence(lit(1), lit(64))).as("i"), col("embedding"))
-        .select(col("label"), col("i"),
-          element_at(col("embedding"), col("i")).cast("double").as("v"))
-        .groupBy(col("label"), col("i"))
-        .agg(round(avg(col("v")), 6).as("c"))
-      val centroids = dims
-        .groupBy(col("label"))
-        .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
-          x => x.getField("c")).as("centroid"))
+      // ONE full-corpus aggregate yields BOTH the k centroids and the
+      // cell sizes: per-label row count + 64 per-dim sums, all
+      // row-local expressions with total map-side combine (k keys), so
+      // the shuffle is k rows of 65 doubles — the r8 shape instead
+      // exploded the corpus 64× and shuffled the fan-out on (label, i),
+      // then joined the FULL table back just to count cells. Each dim's
+      // mean is rounded so float-merge order can't leak into cell
+      // assignment (same guard as before: avg ≡ sum/n in both engines).
+      val dimSums = (1 to 64).map(i =>
+        sum(element_at(col("embedding"), lit(i)).cast("double")).as(s"s$i"))
+      val perLabel = t.embeddings.groupBy(col("label"))
+        .agg(count(lit(1)).as("cell_size"), dimSums: _*)
+      val centroids = perLabel.select(col("label"), col("cell_size"),
+        array((1 to 64).map(i => round(col(s"s$i") / col("cell_size"), 6)): _*)
+          .as("centroid"))
       val queries = t.embeddings.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
       val cos = VectorFunctions.cosineSimilarity(col("qe"), col("centroid"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos_raw").desc, col("label"))
-      val assign = queries.crossJoin(broadcast(centroids))
+      // nearest centroid per query; its row already carries the cell
+      // size, so no join back to the corpus
+      queries.crossJoin(broadcast(centroids))
         .withColumn("cos_raw", cos)
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
-        .select(col("q_id"), col("label").as("cell"))
-      assign.join(t.embeddings.select(col("label")), col("label") === col("cell"))
-        .groupBy(col("q_id"), col("cell"))
-        .agg(count(lit(1)).as("cell_size"))
+        .select(col("q_id"), col("label").as("cell"), col("cell_size"))
         .orderBy(col("q_id"))
     },
 

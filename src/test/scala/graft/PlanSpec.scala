@@ -102,6 +102,20 @@ class PlanSpec extends SparkSpecBase {
       "ann corpus scan should join against broadcast queries")
   }
 
+  test("ivf centroids come from one row-local aggregate (no dim fan-out, no corpus join-back)") {
+    // the centroid pass is per-label count + 64 per-dim sums — all
+    // row-local with total map-side combine. An explode would mean the
+    // 64× dim fan-out shuffle crept back; >2 scans would mean the cell
+    // sizes went back to joining the full corpus instead of riding the
+    // same aggregate.
+    val p = planOf("q_ann_ivf")
+    assert(!p.contains("Generate"),
+      "ivf centroid pass exploded the corpus per-dimension again")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 2,
+      s"ivf scans parquet $scans times (expected 2: centroid/cell-size aggregate + query rows)")
+  }
+
   test("positional join and nested-CTE rank have no single-partition window") {
     // both were global row_number()/dense_rank() windows (one task sorts
     // the whole input); now zipWithIndex / top-k-then-rank shapes

@@ -1,0 +1,352 @@
+#!/usr/bin/env python3
+"""Transaction differential fuzzer: random BEGIN/DML/COMMIT/ROLLBACK
+scripts replayed statement-by-statement on ONE persistent server
+connection and on an embedded DuckDB connection (DuckDB's explicit
+transactions follow the same PG semantics the server implements:
+statement error aborts the block, COMMIT of an aborted block acts as
+ROLLBACK). After every statement the fuzzer compares (a) ok/fail
+status, (b) the table contents as the transaction's own connection
+sees them, and (c) with some probability the contents as a SECOND
+connection sees them (isolation: base state until COMMIT — DuckDB
+side uses a cursor, which has an independent transaction context).
+
+A second mode fuzzes two interleaved server transactions and checks
+the commit-order replay invariant: the final committed content equals
+replaying the successfully-committed transactions' statements in
+commit order on a fresh oracle, and a serialization-failed COMMIT
+leaves no trace. (Table-granularity write-write conflicts are a
+declared divergence from DuckDB's row-level MVCC, so concurrency is
+checked against invariants, not differentially.)
+
+Usage: python3 tools/txn_fuzz.py [port] [n_scripts] [seed]
+"""
+import random
+import socket
+import struct
+import sys
+
+import duckdb
+
+from dialect_probe import run_duck, norm
+
+
+# ------------------------------------------------- persistent PG client
+
+def _msg(typ, payload):
+    return typ + struct.pack(">i", len(payload) + 4) + payload
+
+
+def _cstr(s):
+    return s.encode() + b"\0"
+
+
+class PgSession:
+    """Minimal simple-query client over one persistent connection."""
+
+    def __init__(self, port, user="txnfuzz"):
+        self.s = socket.create_connection(("127.0.0.1", port))
+        body = struct.pack(">i", 196608) + _cstr("user") + _cstr(user) + \
+            _cstr("database") + _cstr("main") + b"\0"
+        self.s.sendall(struct.pack(">i", len(body) + 4) + body)
+        self.buf = b""
+        self._drain()
+
+    def _read(self):
+        while len(self.buf) < 5:
+            d = self.s.recv(65536)
+            if not d:
+                raise ConnectionError("server closed")
+            self.buf += d
+        t = self.buf[:1]
+        (ln,) = struct.unpack(">i", self.buf[1:5])
+        while len(self.buf) < 1 + ln:
+            self.buf += self.s.recv(65536)
+        payload = self.buf[5:1 + ln]
+        self.buf = self.buf[1 + ln:]
+        return t, payload
+
+    def _drain(self):
+        msgs = []
+        while True:
+            t, p = self._read()
+            msgs.append((t, p))
+            if t == b"Z":
+                return msgs
+
+    def query(self, sql):
+        """Returns (rows_as_pipe_joined_text, err, txn_status)."""
+        self.s.sendall(_msg(b"Q", _cstr(sql)))
+        rows, err, status = [], None, "I"
+        for t, p in self._drain():
+            if t == b"D":
+                (n,) = struct.unpack(">h", p[:2])
+                off, cells = 2, []
+                for _ in range(n):
+                    (l,) = struct.unpack(">i", p[off:off + 4])
+                    off += 4
+                    if l == -1:
+                        cells.append("")
+                    else:
+                        cells.append(p[off:off + l].decode("utf-8", "replace"))
+                        off += l
+                rows.append("|".join(cells))
+            elif t == b"E":
+                fields = {c[:1]: c[1:] for c in p.split(b"\0") if c}
+                err = fields.get(b"M", b"?").decode("utf-8", "replace")
+            elif t == b"Z":
+                status = p[:1].decode()
+        return (None, err, status) if err else (rows, None, status)
+
+    def close(self):
+        try:
+            self.s.sendall(_msg(b"X", b""))
+            self.s.close()
+        except Exception:
+            pass
+
+
+# ------------------------------------------------------------ generator
+
+VALS = lambda r: str(r.randint(0, 30))
+
+
+def gen_events(r, tname, n_ops):
+    """Yield (sql, kind) where kind tags txn boundaries for the driver.
+    Tracks txn state so BEGIN-in-txn / COMMIT-outside are never emitted
+    (DuckDB errors on those where PG only warns — a declared, boring
+    divergence)."""
+    events = []
+    in_txn = False
+    for _ in range(n_ops):
+        roll = r.random()
+        if not in_txn and roll < 0.30:
+            events.append(("BEGIN", "begin"))
+            in_txn = True
+        elif in_txn and roll < 0.25:
+            events.append((r.choice(["COMMIT", "ROLLBACK"]), "end"))
+            in_txn = False
+        else:
+            op = r.random()
+            if op < 0.40:
+                rows = ", ".join(
+                    f"({VALS(r)}, {VALS(r)}, '{r.choice('abcde')}')"
+                    for _ in range(r.randint(1, 3)))
+                sql = f"INSERT INTO {tname} VALUES {rows}"
+                if r.random() < 0.3:
+                    sql += " ON CONFLICT (id) " + r.choice(
+                        ["DO NOTHING", "DO UPDATE SET a = excluded.a"])
+                events.append((sql, "dml"))
+            elif op < 0.60:
+                pred = r.choice(["id % 2 = 0", f"id > {r.randint(0, 25)}",
+                                 f"id = {r.randint(0, 30)}"])
+                sv = "NULL" if r.random() < 0.15 else VALS(r)
+                events.append(
+                    (f"UPDATE {tname} SET a = {sv} WHERE {pred}", "dml"))
+            elif op < 0.75:
+                pred = r.choice([f"id % 3 = {r.randint(0, 2)}",
+                                 f"id > {r.randint(5, 28)}"])
+                events.append((f"DELETE FROM {tname} WHERE {pred}", "dml"))
+            elif op < 0.85:
+                # deliberate error: PK dup (no ON CONFLICT) or CHECK bust
+                events.append((r.choice([
+                    f"INSERT INTO {tname} SELECT id, a, b FROM {tname} "
+                    f"WHERE id = (SELECT min(id) FROM {tname})",
+                    f"UPDATE {tname} SET a = 999 WHERE id = "
+                    f"(SELECT max(id) FROM {tname})",  # busts CHECK (a<100)
+                ]), "dml"))
+            else:
+                events.append((f"SELECT count(*) FROM {tname}", "dml"))
+    if in_txn:
+        events.append((r.choice(["COMMIT", "ROLLBACK"]), "end"))
+    return events
+
+
+# ------------------------------------------------------- differential
+
+def canon_pg(rows):
+    return norm(rows)
+
+
+def canon_duck(rows):
+    return norm(rows)
+
+
+def differential_scripts(port, n_scripts, r, finds):
+    ok = 0
+    for si in range(n_scripts):
+        tname = f"tx_{r.randint(0, 10**9)}_{si}"
+        ddl = (f"CREATE TABLE {tname} (id INTEGER PRIMARY KEY, "
+               f"a INTEGER CHECK (a < 100), b VARCHAR)")
+        seed_rows = ", ".join(
+            f"({i}, {r.randint(0, 40)}, '{r.choice('abc')}')"
+            for i in r.sample(range(0, 20), r.randint(3, 8)))
+
+        dcon = duckdb.connect()
+        dcur = dcon.cursor()          # independent txn view (isolation probe)
+        pg1 = PgSession(port)
+        pg2 = PgSession(port)
+
+        diverged = False
+        try:
+            for setup in (ddl, f"INSERT INTO {tname} VALUES {seed_rows}"):
+                _, de = run_duck(dcon, setup)
+                _, se, _ = pg1.query(setup)
+                assert de is None and se is None, (de, se, setup)
+
+            events = gen_events(r, tname, r.randint(6, 14))
+            duck_aborted = False
+            for sql, kind in events:
+                drows, derr = run_duck(dcon, sql)
+                srows, serr, status = pg1.query(sql)
+                if kind == "end":
+                    duck_aborted = False
+                # status agreement. One normalization: our server follows
+                # PG in letting statements *report* the abort error while
+                # DuckDB's python driver wraps it — both are failures, so
+                # only the ok/fail bit is compared.
+                if (derr is None) != (serr is None):
+                    finds.append(("STATUS", sql, serr, derr))
+                    diverged = True
+                    break
+                if derr is not None and "transaction is aborted" in str(derr).lower():
+                    duck_aborted = True
+                # own-connection contents after every statement (inside a
+                # txn this sees the staged overlay). Skip while the block
+                # is aborted: both sides refuse reads there.
+                q = f"SELECT * FROM {tname} ORDER BY id"
+                drows, derr = run_duck(dcon, q)
+                srows, serr, _ = pg1.query(q)
+                if (derr is None) != (serr is None):
+                    finds.append(("READBACK-STATUS", sql, serr, derr))
+                    diverged = True
+                    break
+                if derr is None and canon_duck(drows) != canon_pg(srows):
+                    finds.append(("CONTENT", sql, canon_pg(srows),
+                                  canon_duck(drows)))
+                    diverged = True
+                    break
+                # isolation: a second connection must see base state
+                if r.random() < 0.4:
+                    d2rows, d2err = run_duck(dcur, q)
+                    s2rows, s2err, _ = pg2.query(q)
+                    if d2err is None and s2err is None and \
+                            canon_duck(d2rows) != canon_pg(s2rows):
+                        finds.append(("ISOLATION", sql, canon_pg(s2rows),
+                                      canon_duck(d2rows)))
+                        diverged = True
+                        break
+        finally:
+            pg1.query(f"DROP TABLE IF EXISTS {tname}")
+            pg1.close()
+            pg2.close()
+            dcon.close()
+        if not diverged:
+            ok += 1
+    return ok
+
+
+# ------------------------------------------- interleaved two-txn invariant
+
+def interleave_scripts(port, n_scripts, r, finds):
+    """Two server connections run interleaved transactions on one table.
+    Invariant: final content == replay of the successfully COMMITTED
+    transactions, in commit order, on a fresh DuckDB (plus any
+    autocommit statements at their original positions relative to the
+    commits). Conflict-failed commits must leave no trace."""
+    ok = 0
+    for si in range(n_scripts):
+        tname = f"txi_{r.randint(0, 10**9)}_{si}"
+        pg = [PgSession(port), PgSession(port)]
+        replay = [f"CREATE TABLE {tname} (id INTEGER PRIMARY KEY, a INTEGER)"]
+        pg[0].query(replay[0])
+        seed = f"INSERT INTO {tname} VALUES " + ", ".join(
+            f"({i}, {r.randint(0, 50)})" for i in range(0, 6))
+        pg[0].query(seed)
+        replay.append(seed)
+
+        txstmts = [[], []]   # per-connection uncommitted statement log
+        in_txn = [False, False]
+        diverged = False
+        for _ in range(r.randint(6, 16)):
+            c = r.randint(0, 1)
+            if not in_txn[c] and r.random() < 0.5:
+                pg[c].query("BEGIN")
+                in_txn[c] = True
+                txstmts[c] = []
+            elif in_txn[c] and r.random() < 0.3:
+                if r.random() < 0.7:
+                    _, err, status = pg[c].query("COMMIT")
+                    # serialization failure surfaces as an error; then
+                    # the txn must be gone (status I) and leave no trace
+                    if err is None:
+                        replay.extend(txstmts[c])
+                    elif "serial" not in err.lower() and "conflict" not in err.lower():
+                        finds.append(("COMMIT-ERR", err, None, None))
+                        diverged = True
+                        break
+                else:
+                    pg[c].query("ROLLBACK")
+                in_txn[c] = False
+                txstmts[c] = []
+            else:
+                sql = r.choice([
+                    f"INSERT INTO {tname} VALUES ({r.randint(6, 40)}, {r.randint(0, 50)}) "
+                    f"ON CONFLICT (id) DO UPDATE SET a = excluded.a",
+                    f"UPDATE {tname} SET a = a + 1 WHERE id % 2 = {r.randint(0, 1)}",
+                    f"DELETE FROM {tname} WHERE id = {r.randint(0, 40)}",
+                ])
+                _, err, _ = pg[c].query(sql)
+                if err is None:
+                    if in_txn[c]:
+                        txstmts[c].append(sql)
+                    else:
+                        replay.append(sql)
+        if not diverged:
+            for c in (0, 1):
+                if in_txn[c]:
+                    _, err, _ = pg[c].query("COMMIT")
+                    if err is None:
+                        replay.extend(txstmts[c])
+            srows, serr, _ = pg[0].query(f"SELECT * FROM {tname} ORDER BY id")
+            dcon = duckdb.connect()
+            for sql in replay:
+                _, de = run_duck(dcon, sql)
+                if de is not None:
+                    finds.append(("REPLAY-ERR", sql, None, de))
+                    diverged = True
+                    break
+            if not diverged:
+                drows, derr = run_duck(
+                    dcon, f"SELECT * FROM {tname} ORDER BY id")
+                if canon_duck(drows) != canon_pg(srows):
+                    finds.append(("FINAL-CONTENT", "interleave",
+                                  canon_pg(srows), canon_duck(drows)))
+                    diverged = True
+            dcon.close()
+        pg[0].query(f"DROP TABLE IF EXISTS {tname}")
+        pg[0].close()
+        pg[1].close()
+        if not diverged:
+            ok += 1
+    return ok
+
+
+def main(port, n_scripts, seed):
+    r = random.Random(seed)
+    finds = []
+    ok1 = differential_scripts(port, n_scripts, r, finds)
+    ok2 = interleave_scripts(port, max(1, n_scripts // 2), r, finds)
+    for kind, st, got, want in finds[:20]:
+        print(f"{kind}  {st}")
+        print(f"    server: {str(got)[:400]}")
+        print(f"    oracle: {str(want)[:400]}")
+    print(f"\nSEED {seed} SUMMARY diff_ok={ok1}/{n_scripts} "
+          f"interleave_ok={ok2}/{max(1, n_scripts // 2)} finds={len(finds)}")
+    return 1 if finds else 0
+
+
+if __name__ == "__main__":
+    port = int(sys.argv[1]) if len(sys.argv) > 1 else 5433
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 42
+    sys.exit(main(port, n, seed))
