@@ -395,6 +395,14 @@ case class TruncTowardZero(child: Expression)
       val truncated = Cast(Cast(d, LongType, None, EvalMode.LEGACY), DoubleType)
       Cast(If(alreadyIntegral, d, truncated), child.dataType)
     case ByteType | ShortType | IntegerType | LongType => child
+    // DuckDB trunc(DECIMAL(p,s)) keeps the decimal family: DECIMAL(p,0)
+    // (fuzzer find: the BIGINT fallback diverged the wire OID/typeof).
+    // Toward-zero = floor for ≥0, ceil for <0 — exact decimal ops, no
+    // Long round-trip (which would clamp beyond-2^63 values)
+    case dt: DecimalType =>
+      val zero = Cast(Literal(0), dt)
+      Cast(If(GreaterThanOrEqual(child, zero), Floor(child), Ceil(child)),
+        DecimalType(math.max(dt.precision, 1), 0))
     case _ => Cast(child, LongType, None, EvalMode.LEGACY)
   }
   override protected def withNewChildInternal(c: Expression): TruncTowardZero = copy(child = c)
@@ -696,6 +704,13 @@ case class FloorCeilDuck(child: Expression, isFloor: Boolean)
       // Spark's Floor itself only accepts DOUBLE/DECIMAL/LONG, so the
       // FLOAT rides through DOUBLE and back
       case FloatType => Cast(core(Cast(child, DoubleType)), FloatType)
+      // DuckDB floor/ceil(DECIMAL(p,s)) → DECIMAL(p,0); Spark's native
+      // DECIMAL(p-s+1,0) holds the same values but diverges typeof()
+      // and the wire type (fuzzer find; the ceil-of-all-nines value
+      // always fits p-s+1 ≤ p digits for s ≥ 1, and s = 0 is identity)
+      case dt: DecimalType =>
+      val p = dt.precision
+        Cast(core(child), DecimalType(p, 0))
       case _ => core(child)
     }
   }
@@ -743,14 +758,49 @@ case class ListContainsDuck(left: Expression, right: Expression)
   import org.apache.spark.sql.catalyst.expressions._
   override lazy val replacement: Expression = left.dataType match {
     case ArrayType(et, _) =>
-      val needle = if (right.dataType == et) right
-        else Cast(right, et, None, EvalMode.TRY)
+      val (arr, needle) = ListNeedleCoercion(left, right, et)
       If(IsNull(right), Literal.create(null, BooleanType),
-        Coalesce(Seq(ArrayContains(left, needle), Literal(false))))
+        Coalesce(Seq(ArrayContains(arr, needle), Literal(false))))
     case _ => ArrayContains(left, right)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ListContainsDuck =
     copy(left = l, right = r)
+}
+
+/** DuckDB compares list elements and the needle in their COMMON wider
+  * type. A needle-to-element TRY cast instead NULLs any needle outside
+  * the element type's range (fuzzer find: list_position(DECIMAL(4,0)[],
+  * -1000) must be 0, not NULL) — so widen BOTH sides when the wider
+  * type differs from the element type. */
+private[functions] object ListNeedleCoercion {
+  import org.apache.spark.sql.catalyst.expressions._
+  def apply(arr: Expression, needle: Expression, et: DataType): (Expression, Expression) = {
+    val ArrayType(_, cn) = arr.dataType: @unchecked
+    if (needle.dataType == et) (arr, needle)
+    else org.apache.spark.sql.catalyst.analysis.TypeCoercion
+      .findWiderTypeForTwo(et, needle.dataType) match {
+      case Some(w) if w == et => (arr, Cast(needle, et))
+      case Some(w) => (Cast(arr, ArrayType(w, cn)), Cast(needle, w))
+      case None => (arr, Cast(needle, et, None, EvalMode.TRY))
+    }
+  }
+}
+
+/** DuckDB 1-arg round(DECIMAL(p,s)) → DECIMAL(p,0); Spark's native
+  * result is DECIMAL(p-s+1,0) — same values, diverged typeof()/wire
+  * type (fuzzer find, same family as floor/ceil/trunc). Non-decimal
+  * inputs keep Spark's native round. */
+case class RoundDuck(child: Expression)
+    extends RuntimeReplaceable with UnaryLike[Expression] {
+  import org.apache.spark.sql.catalyst.expressions._
+  override lazy val replacement: Expression = child.dataType match {
+    case dt: DecimalType =>
+      val p = dt.precision
+      Cast(Round(child, Literal(0)), DecimalType(p, 0))
+    case _ => Round(child, Literal(0))
+  }
+  override protected def withNewChildInternal(c: Expression): RoundDuck =
+    copy(child = c)
 }
 
 /** DuckDB list_position: needle coerced to the element type; absent →
@@ -760,9 +810,8 @@ case class ListPositionDuck(left: Expression, right: Expression)
   import org.apache.spark.sql.catalyst.expressions._
   override lazy val replacement: Expression = left.dataType match {
     case ArrayType(et, _) =>
-      val needle = if (right.dataType == et) right
-        else Cast(right, et, None, EvalMode.TRY)
-      ArrayPosition(left, needle)
+      val (arr, needle) = ListNeedleCoercion(left, right, et)
+      ArrayPosition(arr, needle)
     case _ => ArrayPosition(left, right)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ListPositionDuck =

@@ -722,6 +722,13 @@ object GraftFunctions {
       case Seq(x) => TruncTowardZero(x)
       case es => nativeTrunc(es)
     }
+    // DuckDB 1-arg round(DECIMAL(p,s)) types as DECIMAL(p,0) (fuzzer
+    // find); 2-arg round keeps Spark's native typing (already matches)
+    val nativeRound = reg.lookupFunctionBuilder(FunctionIdentifier("round")).get
+    fn("round") {
+      case Seq(x) => RoundDuck(x)
+      case es => nativeRound(es)
+    }
     // DuckDB log(x) is log10; log(b, x) is log base b
     val nativeLog = reg.lookupFunctionBuilder(FunctionIdentifier("log")).get
     fn("log") {

@@ -320,7 +320,12 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     val parsed =
       try spark.sessionState.sqlParser.parsePlan(sqlText)
       catch { case scala.util.control.NonFatal(_) => return spark.sql(sqlText) }
-    val cteNames: Set[String] = parsed.collect {
+    // collectWithSubqueries: a WITH inside a subquery expression
+    // shadows table names for ITS subtree too — gathering all of them
+    // over-shadows conservatively (a staged read through a CTE name
+    // that only exists elsewhere stays unrewritten), which can only
+    // fall back to base reads, never corrupt a write
+    val cteNames: Set[String] = parsed.collectWithSubqueries {
       case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
     }.flatten.toSet
     // strip a leading catalog qualifier; >2 parts after that is not ours
@@ -331,7 +336,11 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       if (p.length > 2 || cteNames.contains(p.last.toLowerCase)) None
       else st.staged.get(qualify(p.mkString(".")))
     }
-    def rewriteReads(p: LogicalPlan): LogicalPlan = p transformUp {
+    // transformUpWithSubqueries: scalar/EXISTS/IN subqueries carry
+    // their plans INSIDE expressions — a plain transformUp never sees
+    // them, so `WHERE id = (SELECT max(id) FROM t)` read the BASE
+    // table mid-transaction (txn_fuzz find, seed 23)
+    def rewriteReads(p: LogicalPlan): LogicalPlan = p transformUpWithSubqueries {
       case r: UnresolvedRelation =>
         stagedFor(r.multipartIdentifier) match {
           case Some(stg) =>
@@ -1656,11 +1665,14 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       // column-alias list ("t WHERE (true)" = alias WHERE, cols (true))
       // and dies with ASSIGNMENT_ARITY_MISMATCH
       val predSql = where.map(w => s" WHERE ($w)").getOrElse("")
-      val touched = spark.sql(s"SELECT count(*) FROM $rel$predSql").head().getLong(0)
+      // txnExec, not spark.sql: user predicates/SET expressions can
+      // embed subqueries naming the BASE table — mid-transaction those
+      // must read the staged copy (txn_fuzz find, seed 23)
+      val touched = txnExec(s"SELECT count(*) FROM $rel$predSql").head().getLong(0)
       // UPDATE must re-validate: a SET can break NOT NULL / CHECK /
       // enum / FK, or collapse two PKs onto one value (DuckDB rejects
       // all of these at update time)
-      enforceConstraints(table, spark.sql(s"SELECT $proj FROM $rel"),
+      enforceConstraints(table, txnExec(s"SELECT $proj FROM $rel"),
         againstExisting = false)
       // FK RESTRICT when this table is REFERENCED: keys the update
       // removes (present before, absent after) must not still be
@@ -1676,7 +1688,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
           val touchesKey = fk.refCols.exists(rc => sets.contains(rc.toLowerCase))
           if (touchesKey) {
             val oldKeys = spark.table(phys).select(fk.refCols.map(col): _*)
-            val newKeys = spark.sql(s"SELECT $proj FROM $rel")
+            val newKeys = txnExec(s"SELECT $proj FROM $rel")
               .select(fk.refCols.map(col): _*)
             val removed = oldKeys.except(newKeys).toDF(fk.cols: _*)
             val hit = spark.table(physRead(child))
@@ -1706,7 +1718,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       val phys = physWrite(table)
       val rel = if (phys == table) table else s"$phys ${table.split('.').last}"
       val predSql = where.map(w => s" WHERE ($w)").getOrElse("")
-      val removed = spark.sql(s"SELECT count(*) FROM $rel$predSql").head().getLong(0)
+      val removed = txnExec(s"SELECT count(*) FROM $rel$predSql").head().getLong(0)
       // FK RESTRICT: deleting rows still referenced by a child table
       // is rejected (DuckDB/PG default behavior for enforced FKs)
       if (removed > 0) {
@@ -1720,17 +1732,17 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
           // exact old-minus-new key diff (mirrors copyOnWriteUpdate):
           // deleting one of several rows sharing a referenced key value
           // leaves the key present, so it must not be counted as removed
-          val deletedKeys = spark.sql(
+          val deletedKeys = txnExec(
             s"SELECT ${fk.refCols.mkString(", ")} FROM $rel$predSql")
             .toDF(fk.cols: _*)
-          val remainingKeys = spark.sql(
+          val remainingKeys = txnExec(
             s"SELECT ${fk.refCols.mkString(", ")} $remainingSql")
             .toDF(fk.cols: _*)
           val removedKeys = deletedKeys.except(remainingKeys)
           // self-FK: child rows deleted by this same statement cannot
           // hold a reference afterwards — check the POST-delete image
           val childRows =
-            if (qualify(child) == qualify(table)) spark.sql(s"SELECT * $remainingSql")
+            if (qualify(child) == qualify(table)) txnExec(s"SELECT * $remainingSql")
             else spark.table(physRead(child))
           val hit = childRows
             .select(fk.cols.map(col): _*)
@@ -1868,7 +1880,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
               case Some(w) =>
                 // affected = inserted (no conflict) + conflicts passing
                 // the WHERE; one join pass counts both
-                val mu = spark.sql(
+                val mu = txnExec(
                   s"SELECT count(*), count(CASE WHEN ($w) THEN 1 END) FROM $srcTable excluded JOIN $phys $tAlias ON $on")
                   .head()
                 staged.count() - mu.getLong(0) + mu.getLong(1)
@@ -2067,7 +2079,10 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       check: DataFrame => Unit = _ => ()): Unit = {
     val stage = table.replace('.', '_') + "__cow"
     spark.sql(s"DROP TABLE IF EXISTS $stage")
-    spark.sql(s"CREATE TABLE $stage AS $select")
+    // txnExec: the SELECT carries user expressions (SET/WHERE/merge
+    // projections) whose subqueries must resolve staged reads in-txn;
+    // a CTAS root is not an InsertIntoStatement, so only reads rewrite
+    txnExec(s"CREATE TABLE $stage AS $select")
     try {
       check(spark.table(stage)) // validate the staged image pre-swap
       spark.sql(s"INSERT OVERWRITE TABLE $table SELECT * FROM $stage").collect()

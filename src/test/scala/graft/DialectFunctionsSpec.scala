@@ -347,7 +347,12 @@ class DialectFunctionsSpec extends SparkSpecBase {
   test("probed batch 2: numeric and date semantics") {
     assert(one("select log(100)") == 2.0) // DuckDB single-arg log is log10
     assert(one("select log(2, 8)") == 3.0)
-    assert(one("select trunc(-1.9)") == -1L)
+    // DECIMAL input keeps the decimal family: trunc(DECIMAL(p,s)) is
+    // DECIMAL(p,0) like DuckDB (was BIGINT — wire OID divergence)
+    assert(one("select trunc(-1.9)") == new java.math.BigDecimal(-1))
+    assert(one("select typeof(trunc(-1.9))") == "DECIMAL(2,0)")
+    assert(one("select typeof(ceil(80.79))") == "DECIMAL(4,0)")
+    assert(one("select typeof(round(80.79))") == "DECIMAL(4,0)")
     // DOUBLE input keeps DOUBLE type (DuckDB); huge/NaN doubles pass through
     assert(one("select trunc(cast(1.9 as double))") == 1.0)
     assert(one("select trunc(cast(-2.7 as double))") == -2.0)

@@ -289,6 +289,45 @@ class MediaCodecsSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(dec.frames(f).toSeq == frames(f).toSeq, s"frame $f")
   }
 
+  test("randomized round trips: every codec, arbitrary geometry (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def check(p: Prop): Unit = {
+      val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), p)
+      assert(res.passed, res.status.toString)
+    }
+    val wav = for {
+      n <- Gen.choose(0, 4000)
+      rate <- Gen.oneOf(8000, 16000, 22050, 44100, 48000)
+      ch <- Gen.choose(1, 4)
+      seed <- Gen.choose(Int.MinValue, Int.MaxValue)
+    } yield (Array.tabulate(n)(i => ((i * 131 + seed) % 65536 - 32768).toShort), rate, ch)
+    check(Prop.forAll(wav) { case (s, rate, ch) =>
+      val w = WavCodec.decode(WavCodec.encode(s, rate, channels = ch))
+      w.sampleRate == rate && w.channels == ch && w.samples.toSeq == s.toSeq
+    })
+    val ppm = for {
+      w <- Gen.choose(1, 64); h <- Gen.choose(1, 64)
+      seed <- Gen.choose(0, 255)
+    } yield PpmImage(w, h, Array.tabulate(w * h * 3)(i => ((i * 7 + seed) % 256).toByte))
+    check(Prop.forAll(ppm) { img =>
+      val rt = PpmCodec.decode(PpmCodec.encode(img))
+      rt.width == img.width && rt.height == img.height && rt.rgb.toSeq == img.rgb.toSeq
+    })
+    // widths chosen to hit every stride-padding residue (w*3 mod 4)
+    val avi = for {
+      w <- Gen.choose(1, 33); h <- Gen.choose(1, 17)
+      nf <- Gen.choose(1, 5); fps <- Gen.choose(1, 60)
+      seed <- Gen.choose(0, 255)
+    } yield AviVideo(w, h, fps,
+      Array.tabulate(nf)(f => Array.tabulate(w * h * 3)(i => ((f * 31 + i * 13 + seed) % 256).toByte)))
+    check(Prop.forAll(avi) { v =>
+      val d = AviCodec.decode(AviCodec.encode(v))
+      d.width == v.width && d.height == v.height && d.fps == v.fps &&
+        d.frames.length == v.frames.length &&
+        v.frames.indices.forall(f => d.frames(f).toSeq == v.frames(f).toSeq)
+    })
+  }
+
   test("AVI decode rejects malformed payloads with clear errors") {
     def err(b: Array[Byte]) = intercept[IllegalArgumentException](AviCodec.decode(b))
     assert(err("nonsense".getBytes).getMessage.contains("truncated"))

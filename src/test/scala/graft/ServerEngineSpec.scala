@@ -827,6 +827,26 @@ class ServerEngineSpec extends SparkSpecBase {
       engine.execute(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("in-txn subqueries read the staged copy, including inside DML (txn_fuzz find)") {
+    engine.execute("CREATE TABLE txn_sq (id INT, a INT CHECK (a < 100))")
+    try {
+      engine.execute("INSERT INTO txn_sq VALUES (1, 10), (19, 50)")
+      engine.execute("BEGIN")
+      engine.execute("DELETE FROM txn_sq WHERE id > 7")
+      // scalar subquery carries its plan inside an EXPRESSION — a plain
+      // plan-transform never rewrites it, so it read the BASE (19)
+      assert(engine.execute("SELECT (SELECT max(id) FROM txn_sq) AS m")
+        .df.head().getInt(0) == 1)
+      // the same subquery inside an UPDATE's WHERE must hit the staged
+      // max (id 1, still present) and so trip the CHECK — pre-fix it
+      // located the base max (19, deleted in-txn) and no-op'd
+      val err = intercept[Exception](
+        engine.execute("UPDATE txn_sq SET a = 999 WHERE id = (SELECT max(id) FROM txn_sq)"))
+      assert(err.getMessage.contains("check constraint"), err.getMessage)
+      engine.execute("ROLLBACK")
+    } finally engine.execute("DROP TABLE IF EXISTS txn_sq")
+  }
+
   test("staged-overlay transactions: rollback undoes, commit publishes") {
     engine.execute("CREATE TABLE txn_t (a BIGINT)")
     try {

@@ -47,9 +47,33 @@ object Scratch {
       }
     }
 
+    // SPARK_GRAFT_RULES=1: per-rule Catalyst time across 20 plan-only
+    // reps of the first named query
+    if (sys.env.contains("SPARK_GRAFT_RULES")) {
+      val fn = SparkEntry.queries(args.head)
+      for (_ <- 1 to 3) fn(spark, sfDir).queryExecution.executedPlan // warm
+      org.apache.spark.sql.catalyst.rules.RuleExecutor.resetMetrics()
+      val t0 = System.nanoTime()
+      for (_ <- 1 to 20) fn(spark, sfDir).queryExecution.executedPlan
+      println(f"20 plan reps: ${(System.nanoTime() - t0) / 1e6}%.0f ms total")
+      println(org.apache.spark.sql.catalyst.rules.RuleExecutor.dumpTimeSpent()
+        .linesIterator.take(40).mkString("\n"))
+      return
+    }
+
     val names = if (args.nonEmpty) args.toSeq else Seq("q_agg_percentile")
     for (n <- names) {
       val fn = SparkEntry.queries(n)
+      // planning-vs-execution split: construction + analysis +
+      // optimization + physical planning, then the run itself
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val df = fn(spark, sfDir)
+        val t1 = System.nanoTime()
+        df.queryExecution.executedPlan
+        val t2 = System.nanoTime()
+        println(f"$n plan rep$i: construct ${(t1 - t0) / 1e6}%.0f ms, plan ${(t2 - t1) / 1e6}%.0f ms")
+      }
       time(n) { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
     }
   }

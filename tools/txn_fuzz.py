@@ -117,14 +117,17 @@ def gen_events(r, tname, n_ops):
     divergence)."""
     events = []
     in_txn = False
+    deleted_in_txn = False   # see ON CONFLICT note below
     for _ in range(n_ops):
         roll = r.random()
         if not in_txn and roll < 0.30:
             events.append(("BEGIN", "begin"))
             in_txn = True
+            deleted_in_txn = False
         elif in_txn and roll < 0.25:
             events.append((r.choice(["COMMIT", "ROLLBACK"]), "end"))
             in_txn = False
+            deleted_in_txn = False
         else:
             op = r.random()
             if op < 0.40:
@@ -132,7 +135,15 @@ def gen_events(r, tname, n_ops):
                     f"({VALS(r)}, {VALS(r)}, '{r.choice('abcde')}')"
                     for _ in range(r.randint(1, 3)))
                 sql = f"INSERT INTO {tname} VALUES {rows}"
-                if r.random() < 0.3:
+                # ON CONFLICT after an in-txn DELETE hits DuckDB's
+                # documented ART limitation SILENTLY: the deleted key
+                # still registers as a conflict, so DO NOTHING skips a
+                # row the overlay (correctly, PG-semantically) inserts.
+                # The plain-INSERT variant of the same collision errors
+                # with the "known index limitations" hint and is
+                # screened by text; this silent variant must be avoided
+                # at generation time.
+                if r.random() < 0.3 and not (in_txn and deleted_in_txn):
                     sql += " ON CONFLICT (id) " + r.choice(
                         ["DO NOTHING", "DO UPDATE SET a = excluded.a"])
                 events.append((sql, "dml"))
@@ -146,6 +157,8 @@ def gen_events(r, tname, n_ops):
                 pred = r.choice([f"id % 3 = {r.randint(0, 2)}",
                                  f"id > {r.randint(5, 28)}"])
                 events.append((f"DELETE FROM {tname} WHERE {pred}", "dml"))
+                if in_txn:
+                    deleted_in_txn = True
             elif op < 0.85:
                 # deliberate error: PK dup (no ON CONFLICT) or CHECK bust
                 events.append((r.choice([
@@ -195,9 +208,19 @@ def differential_scripts(port, n_scripts, r, finds):
 
             events = gen_events(r, tname, r.randint(6, 14))
             duck_aborted = False
+            trace = []
             for sql, kind in events:
+                trace.append(sql)
                 drows, derr = run_duck(dcon, sql)
                 srows, serr, status = pg1.query(sql)
+                # DuckDB-internal failures are oracle artifacts, not
+                # engine divergences: ART's documented delete-then-
+                # reinsert-same-key-in-txn false positive, and the
+                # LocalTableStorage internal assertion
+                if derr is not None and (
+                        "internal error" in str(derr).lower() or
+                        "known index limitations" in str(derr)):
+                    break
                 if kind == "end":
                     duck_aborted = False
                 # status agreement. One normalization: our server follows
@@ -206,6 +229,7 @@ def differential_scripts(port, n_scripts, r, finds):
                 # only the ok/fail bit is compared.
                 if (derr is None) != (serr is None):
                     finds.append(("STATUS", sql, serr, derr))
+                    print("TRACE:"); [print("   ", t) for t in trace]
                     diverged = True
                     break
                 if derr is not None and "transaction is aborted" in str(derr).lower():
@@ -223,6 +247,7 @@ def differential_scripts(port, n_scripts, r, finds):
                 if derr is None and canon_duck(drows) != canon_pg(srows):
                     finds.append(("CONTENT", sql, canon_pg(srows),
                                   canon_duck(drows)))
+                    print("TRACE:"); [print("   ", t) for t in trace]
                     diverged = True
                     break
                 # isolation: a second connection must see base state
@@ -236,6 +261,7 @@ def differential_scripts(port, n_scripts, r, finds):
                         diverged = True
                         break
         finally:
+            pg1.query("ROLLBACK")   # a diverged script may hold staged
             pg1.query(f"DROP TABLE IF EXISTS {tname}")
             pg1.close()
             pg2.close()
@@ -323,6 +349,8 @@ def interleave_scripts(port, n_scripts, r, finds):
                                   canon_pg(srows), canon_duck(drows)))
                     diverged = True
             dcon.close()
+        pg[0].query("ROLLBACK")
+        pg[1].query("ROLLBACK")
         pg[0].query(f"DROP TABLE IF EXISTS {tname}")
         pg[0].close()
         pg[1].close()
