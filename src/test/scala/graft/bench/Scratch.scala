@@ -61,6 +61,47 @@ object Scratch {
       return
     }
 
+    // SPARK_GRAFT_Q21AB=1: shipped q21 (repartition + partition-local
+    // agg) vs the no-repartition two-level variant, same downstream
+    if (sys.env.contains("SPARK_GRAFT_Q21AB")) {
+      val t = graft.engine.Tables(spark, sfDir)
+      def downstream(perOrder: org.apache.spark.sql.DataFrame) = {
+        val ordF = t.orders.filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+        val supp = t.supplier.join(
+            broadcast(t.nation.filter(col("n_name") === "NATION_7").select(col("n_nationkey"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"))
+        perOrder
+          .join(ordF, col("l_orderkey") === col("o_orderkey"))
+          .join(supp, col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(sum(col("n_r_lines")).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name")).limit(100)
+      }
+      val li = t.lineitem.select(col("l_orderkey"), col("l_suppkey"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("is_r"))
+      def aggCols = Seq(
+        min(col("l_suppkey")).as("sk_min"),
+        max(col("l_suppkey")).as("sk_max"),
+        min(when(col("is_r") === 1L, col("l_suppkey"))).as("late_min"),
+        max(when(col("is_r") === 1L, col("l_suppkey"))).as("late_max"),
+        sum(col("is_r")).as("n_r_lines"))
+      def post(df: org.apache.spark.sql.DataFrame) = df
+        .filter(col("sk_min") =!= col("sk_max")
+          && col("late_min").isNotNull && col("late_min") === col("late_max"))
+        .select(col("l_orderkey"), col("late_min").as("l_suppkey"), col("n_r_lines"))
+      val shipped = downstream(post(
+        li.repartition(col("l_orderkey")).groupBy(col("l_orderkey"))
+          .agg(aggCols.head, aggCols.tail: _*)))
+      val twoLevel = downstream(post(
+        li.groupBy(col("l_orderkey")).agg(aggCols.head, aggCols.tail: _*)))
+      time("q21 shipped (repartition+local)") {
+        shipped.write.format("noop").mode("overwrite").save() }
+      time("q21 two-level (no repartition)") {
+        twoLevel.write.format("noop").mode("overwrite").save() }
+      return
+    }
+
     val names = if (args.nonEmpty) args.toSeq else Seq("q_agg_percentile")
     for (n <- names) {
       val fn = SparkEntry.queries(n)
