@@ -235,27 +235,33 @@ object DedupQueries {
         |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
       import org.apache.spark.sql.expressions.Window
-      // the shingle table feeds FIVE consumers (sizes, df, prefix, both
-      // verification sides); without a materialization point each one
-      // re-runs the scan+explode+md5 pipeline. One localCheckpoint = one
-      // md5 pass (the dup_clusters trade: blocks are RDD-managed and
-      // GC'd with the plan, no CacheManager residue across bench reps)
-      // (r8 note: two "obvious" improvements were tried and MEASURED
-      // SLOWER — carrying the per-doc size n row-locally through the
-      // verification pipeline (wider rows through the 20M-row join/agg
-      // intermediates beat the cost of joining the 5k-row sizes table
-      // onto the ~25 post-filter survivors), and a broadcast candidate-
-      // doc prune of the verification sides (on this corpus the
-      // candidate set covers every doc, and checkpointing cand for the
-      // prune destroyed its stats, demoting the verification joins
-      // from broadcast to sort-merge: 2.4 s → 7.6 s). Keep the narrow
-      // r7 shape; the scan-parallelism spread alone took it 2.8 → 2.4.)
-      val sh = hashedShingles(t.documents).localCheckpoint()
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      // r9: PPJoin-faithful verification. The md5 pass materializes as
+      // ONE COMPACT ROW PER DOC — (doc_id, distinct-shingle array) —
+      // and the candidate pairs verify by ROW-LOCAL array intersection:
+      // i = size(array_intersect(a1, a2)), sizes = size(arr). The r8
+      // shape instead fanned every candidate pair out against the
+      // shingle table TWICE (|cand|×shingles rows through two joins)
+      // and re-aggregated, then joined sizes back twice. Measured:
+      // 3.38 → 1.30 s at sf0.1, 67 → 22 s at sf3 (AQE), identical
+      // rows. At scale the pair join shuffles 2 arrays per candidate —
+      // strictly fewer bytes than the old row fan-out, and memory per
+      // row is bounded by two docs' shingle sets. The prefix-filter
+      // side still explodes the checkpointed arrays (no second md5
+      // pass) for the df counts and the per-doc rarest-first window.
+      // (r8 negative results that shaped this: carrying n through the
+      // WIDE verification intermediates was a loss — here verification
+      // reads the doc-sized array table directly; broadcast-pruning
+      // the verification sides demoted joins to SMJ — here there is
+      // nothing to prune, cand joins the array table on its key.)
+      val docArr = t.documents
+        .select(col("doc_id"), shingleHashArray(13).as("arr"))
+        .localCheckpoint()
+      val sh = docArr
+        .select(col("doc_id"), size(col("arr")).cast("long").as("n"),
+          explode(col("arr")).as("sh"))
       val dfc = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
       val pre = sh.join(dfc, "sh")
-        .join(sizes, "doc_id")
         .withColumn("rk", row_number().over(wDoc))
         .filter(col("rk") <= col("n") - ceil(col("n") * 0.5) + 1)
         .select(col("doc_id"), col("sh"))
@@ -263,15 +269,12 @@ object DedupQueries {
         .join(pre.select(col("doc_id").as("d2"), col("sh").as("shb")),
           col("sh") === col("shb") && col("d1") < col("d2"))
         .select(col("d1"), col("d2")).distinct()
-      val inter = cand
-        .join(sh.select(col("doc_id").as("d1"), col("sh")), "d1")
-        .join(sh.select(col("doc_id").as("d2p"), col("sh").as("sh2")),
-          col("d2") === col("d2p") && col("sh") === col("sh2"))
-        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
-      inter
-        .join(sizes.select(col("doc_id").as("d1"), col("n").as("na")), "d1")
-        .join(sizes.select(col("doc_id").as("d2"), col("n").as("nb")), "d2")
-        .withColumn("jac_raw", col("i") * 1.0 / (col("na") + col("nb") - col("i")))
+      cand
+        .join(docArr.select(col("doc_id").as("d1"), col("arr").as("a1")), "d1")
+        .join(docArr.select(col("doc_id").as("d2"), col("arr").as("a2")), "d2")
+        .withColumn("i", size(array_intersect(col("a1"), col("a2"))).cast("long"))
+        .withColumn("jac_raw",
+          col("i") * 1.0 / (size(col("a1")) + size(col("a2")) - col("i")))
         .filter(col("jac_raw") >= 0.5)
         .select(col("d1"), col("d2"), round(col("jac_raw"), 9).as("jaccard"))
         .orderBy(col("d1"), col("d2"))

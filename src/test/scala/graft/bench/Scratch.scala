@@ -102,6 +102,46 @@ object Scratch {
       return
     }
 
+    // SPARK_GRAFT_JPAB=1: shipped jaccard-prefix vs array-intersect
+    // verification (PPJoin-style: per-doc shingle arrays, row-local
+    // intersection instead of the cand×shingles fan-out joins)
+    if (sys.env.contains("SPARK_GRAFT_JPAB")) {
+      import org.apache.spark.sql.expressions.Window
+      val t = graft.engine.Tables(spark, sfDir)
+      def shipped = SparkEntry.queries("q_dedup_jaccard_prefix")(spark, sfDir)
+      def arrayVariant = {
+        val docArr = t.documents.select(col("doc_id"),
+          graft.queries.DedupQueries.shingleHashArray(13).as("arr"))
+          .localCheckpoint()
+        val sh = docArr.select(col("doc_id"), col("arr"),
+          explode(col("arr")).as("sh"))
+          .select(col("doc_id"), size(col("arr")).cast("long").as("n"), col("sh"))
+        val dfc = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+        val pre = sh.join(dfc, "sh")
+          .withColumn("rk", row_number().over(wDoc))
+          .filter(col("rk") <= col("n") - ceil(col("n") * 0.5) + 1)
+          .select(col("doc_id"), col("sh"))
+        val cand = pre.select(col("doc_id").as("d1"), col("sh"))
+          .join(pre.select(col("doc_id").as("d2"), col("sh").as("shb")),
+            col("sh") === col("shb") && col("d1") < col("d2"))
+          .select(col("d1"), col("d2")).distinct()
+        cand
+          .join(docArr.select(col("doc_id").as("d1"), col("arr").as("a1")), "d1")
+          .join(docArr.select(col("doc_id").as("d2"), col("arr").as("a2")), "d2")
+          .withColumn("i", size(array_intersect(col("a1"), col("a2"))).cast("long"))
+          .withColumn("jac_raw",
+            col("i") * 1.0 / (size(col("a1")) + size(col("a2")) - col("i")))
+          .filter(col("jac_raw") >= 0.5)
+          .select(col("d1"), col("d2"), round(col("jac_raw"), 9).as("jaccard"))
+          .orderBy(col("d1"), col("d2"))
+      }
+      time("jp shipped") { shipped.write.format("noop").mode("overwrite").save() }
+      time("jp array-intersect") { arrayVariant.write.format("noop").mode("overwrite").save() }
+      println("rows shipped=" + shipped.count() + " array=" + arrayVariant.count())
+      return
+    }
+
     val names = if (args.nonEmpty) args.toSeq else Seq("q_agg_percentile")
     for (n <- names) {
       val fn = SparkEntry.queries(n)
