@@ -142,6 +142,41 @@ object Scratch {
       return
     }
 
+    // SPARK_GRAFT_BJAB=1: shipped bucket jaccard vs distinct-pair +
+    // rare-array intersection
+    if (sys.env.contains("SPARK_GRAFT_BJAB")) {
+      val t = graft.engine.Tables(spark, sfDir)
+      def shipped = SparkEntry.queries("q_dedup_jaccard")(spark, sfDir)
+      def arrayVariant = {
+        val sh = graft.queries.DedupQueries.hashedShinglesWithN(t.documents)
+          .localCheckpoint()
+        val dfc = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .filter(col("df").between(2, 1000))
+        val shr = sh.join(dfc.select("sh"), "sh")
+        val rareArr = shr.groupBy(col("doc_id"), col("n"))
+          .agg(collect_list(col("sh")).as("arr"))
+        val buckets = shr.groupBy(col("sh"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        val pairArr = flatten(transform(col("ds"), (x, i) =>
+          transform(slice(col("ds"), i + 2, greatest(size(col("ds")) - i - 1, lit(0))),
+            y => struct(x.as("d1"), y.as("d2")))))
+        val cand = buckets.select(explode(pairArr).as("p"))
+          .select(col("p.d1").as("d1"), col("p.d2").as("d2")).distinct()
+        cand
+          .join(rareArr.select(col("doc_id").as("d1"), col("arr").as("a1"), col("n").as("na")), "d1")
+          .join(rareArr.select(col("doc_id").as("d2"), col("arr").as("a2"), col("n").as("nb")), "d2")
+          .withColumn("i", size(array_intersect(col("a1"), col("a2"))).cast("long"))
+          .withColumn("jac_raw", col("i") * 1.0 / (col("na") + col("nb") - col("i")))
+          .filter(col("jac_raw") >= 0.5)
+          .select(col("d1"), col("d2"), round(col("jac_raw"), 9).as("jaccard"))
+          .orderBy(col("d1"), col("d2"))
+      }
+      time("bj shipped") { shipped.write.format("noop").mode("overwrite").save() }
+      time("bj rare-array") { arrayVariant.write.format("noop").mode("overwrite").save() }
+      println("rows shipped=" + shipped.count() + " array=" + arrayVariant.count())
+      return
+    }
+
     val names = if (args.nonEmpty) args.toSeq else Seq("q_agg_percentile")
     for (n <- names) {
       val fn = SparkEntry.queries(n)
