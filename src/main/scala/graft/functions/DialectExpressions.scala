@@ -387,6 +387,13 @@ case class LenOf(child: Expression) extends RuntimeReplaceable with UnaryLike[Ex
 case class TruncTowardZero(child: Expression)
     extends RuntimeReplaceable with UnaryLike[Expression] {
   import org.apache.spark.sql.catalyst.expressions._
+  override def prettyName: String = "trunc"
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: NumericType | NullType => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a numeric argument, got ${dt.simpleString}")
+    }
   override lazy val replacement: Expression = child.dataType match {
     case DoubleType | FloatType =>
       val d = Cast(child, DoubleType)
@@ -696,6 +703,13 @@ case class FloorDivDispatch(left: Expression, right: Expression)
 case class FloorCeilDuck(child: Expression, isFloor: Boolean)
     extends RuntimeReplaceable with UnaryLike[Expression] {
   import org.apache.spark.sql.catalyst.expressions._
+  override def prettyName: String = if (isFloor) "floor" else "ceil"
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: NumericType | NullType => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a numeric argument, got ${dt.simpleString}")
+    }
   override lazy val replacement: Expression = {
     def core(c: Expression): Expression = if (isFloor) Floor(c) else Ceil(c)
     child.dataType match {
@@ -793,6 +807,13 @@ private[functions] object ListNeedleCoercion {
 case class RoundDuck(child: Expression)
     extends RuntimeReplaceable with UnaryLike[Expression] {
   import org.apache.spark.sql.catalyst.expressions._
+  override def prettyName: String = "round"
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: NumericType | NullType => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a numeric argument, got ${dt.simpleString}")
+    }
   override lazy val replacement: Expression = child.dataType match {
     case dt: DecimalType =>
       val p = dt.precision
