@@ -31,6 +31,7 @@ final class ChServer(engine: Engine, port: Int, authEnabled: Boolean,
     """(?is)^\s*insert\s+into\s+([\w.]+)\s*(\(([^)]*)\))?\s*format\s+(\w+)\s*$""".r
   private val formatClauseRe = """(?is)\s+format\s+(\w+)\s*$""".r
   private val limitNmRe = """(?i)limit\s+(\d+)\s*,\s*(\d+)""".r
+  private val txnCtlRe = """(?is)^\s*(begin|commit|rollback|start\s+transaction|end)\b.*""".r
 
   def start(): ChServer = {
     server = HttpServer.create(new InetSocketAddress(bindAddr, port), 128)
@@ -64,13 +65,28 @@ final class ChServer(engine: Engine, port: Int, authEnabled: Boolean,
     } catch {
       case NonFatal(e) =>
         respond(ex, 500, s"error: ${Option(e.getMessage).getOrElse(e.toString)}\n")
-    } finally ex.close()
+    } finally {
+      // HTTP is stateless but the executor is a cached thread POOL: a
+      // transaction left open on this thread (engine txn state is
+      // per-thread) would silently stage later, unrelated requests'
+      // writes into never-committed copies. Reset unconditionally.
+      try engine.rollbackDanglingTxn() catch { case NonFatal(_) => }
+      ex.close()
+    }
 
   /** Classify: SELECT-ish → stream result; INSERT…FORMAT → ingest;
     * other → exec (reference ch_server.go:107-150). */
   private def run(ex: HttpExchange, sql0: String, payload: String): Unit = {
     val sql = sql0.trim.stripSuffix(";")
     if (sql.isEmpty) { respond(ex, 200, "Ok.\n"); return }
+    // explicit transactions need a session; HTTP requests don't have
+    // one (and real ClickHouse rejects these too)
+    if (txnCtlRe.matches(sql)) {
+      respond(ex, 400,
+        "error: transaction control statements are not supported over the " +
+          "ClickHouse HTTP protocol (each request auto-commits)\n")
+      return
+    }
     insertFormatRe.findFirstMatchIn(sql) match {
       case Some(m) =>
         val cols = Option(m.group(3)).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

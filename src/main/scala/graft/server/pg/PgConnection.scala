@@ -51,6 +51,10 @@ final class PgConnection(socket: Socket, server: PgServer) extends Runnable {
       case _: EOFException | _: java.net.SocketException => // client went away
       case NonFatal(e) => System.err.println(s"[pg] conn error: $e")
     } finally {
+      // a client that disconnects (or Terminates) mid-transaction must
+      // roll back: the thread is about to die, and without this its
+      // staged overlay tables would leak on disk forever
+      try engine.rollbackDanglingTxn() catch { case NonFatal(_) => }
       server.unregister(this)
       try socket.close() catch { case NonFatal(_) => }
     }

@@ -110,7 +110,7 @@ class PgSession:
 VALS = lambda r: str(r.randint(0, 30))
 
 
-def gen_events(r, tname, n_ops):
+def gen_events(r, tname, n_ops, vname=None):
     """Yield (sql, kind) where kind tags txn boundaries for the driver.
     Tracks txn state so BEGIN-in-txn / COMMIT-outside are never emitted
     (DuckDB errors on those where PG only warns — a declared, boring
@@ -160,15 +160,19 @@ def gen_events(r, tname, n_ops):
                 if in_txn:
                     deleted_in_txn = True
             elif op < 0.85:
-                # deliberate error: PK dup (no ON CONFLICT) or CHECK bust
+                # deliberate error: PK dup (no ON CONFLICT) or CHECK bust.
+                # The subquery randomly reads THROUGH THE VIEW — in-txn
+                # view reads must see the staged overlay (r9 judge find)
+                src = vname if (vname and r.random() < 0.5) else tname
                 events.append((r.choice([
                     f"INSERT INTO {tname} SELECT id, a, b FROM {tname} "
-                    f"WHERE id = (SELECT min(id) FROM {tname})",
+                    f"WHERE id = (SELECT min(id) FROM {src})",
                     f"UPDATE {tname} SET a = 999 WHERE id = "
-                    f"(SELECT max(id) FROM {tname})",  # busts CHECK (a<100)
+                    f"(SELECT max(id) FROM {src})",  # busts CHECK (a<100)
                 ]), "dml"))
             else:
-                events.append((f"SELECT count(*) FROM {tname}", "dml"))
+                src = vname if (vname and r.random() < 0.5) else tname
+                events.append((f"SELECT count(*) FROM {src}", "dml"))
     if in_txn:
         events.append((r.choice(["COMMIT", "ROLLBACK"]), "end"))
     return events
@@ -200,13 +204,15 @@ def differential_scripts(port, n_scripts, r, finds):
         pg2 = PgSession(port)
 
         diverged = False
+        vname = f"{tname}_v"
         try:
-            for setup in (ddl, f"INSERT INTO {tname} VALUES {seed_rows}"):
+            for setup in (ddl, f"INSERT INTO {tname} VALUES {seed_rows}",
+                          f"CREATE VIEW {vname} AS SELECT * FROM {tname}"):
                 _, de = run_duck(dcon, setup)
                 _, se, _ = pg1.query(setup)
                 assert de is None and se is None, (de, se, setup)
 
-            events = gen_events(r, tname, r.randint(6, 14))
+            events = gen_events(r, tname, r.randint(6, 14), vname=vname)
             duck_aborted = False
             trace = []
             for sql, kind in events:
@@ -236,8 +242,10 @@ def differential_scripts(port, n_scripts, r, finds):
                     duck_aborted = True
                 # own-connection contents after every statement (inside a
                 # txn this sees the staged overlay). Skip while the block
-                # is aborted: both sides refuse reads there.
-                q = f"SELECT * FROM {tname} ORDER BY id"
+                # is aborted: both sides refuse reads there. Half the
+                # readbacks go THROUGH THE VIEW — in-txn view reads must
+                # track the overlay exactly like direct reads.
+                q = f"SELECT * FROM {vname if r.random() < 0.5 else tname} ORDER BY id"
                 drows, derr = run_duck(dcon, q)
                 srows, serr, _ = pg1.query(q)
                 if (derr is None) != (serr is None):
@@ -262,6 +270,7 @@ def differential_scripts(port, n_scripts, r, finds):
                         break
         finally:
             pg1.query("ROLLBACK")   # a diverged script may hold staged
+            pg1.query(f"DROP VIEW IF EXISTS {vname}")
             pg1.query(f"DROP TABLE IF EXISTS {tname}")
             pg1.close()
             pg2.close()
@@ -292,6 +301,14 @@ def interleave_scripts(port, n_scripts, r, finds):
 
         txstmts = [[], []]   # per-connection uncommitted statement log
         in_txn = [False, False]
+        # read-stability (r10): an in-txn READ pins the table's epoch,
+        # and a later read (or COMMIT) after a concurrent commit fails
+        # with a serialization error, aborting the block — STRICTER
+        # than DuckDB's snapshot isolation, never weaker. The invariant
+        # handles it via abort tracking: an aborted txn's statements
+        # must never appear in the replay, even though its terminal
+        # COMMIT "succeeds" (as a rollback, PG semantics).
+        aborted = [False, False]
         diverged = False
         for _ in range(r.randint(6, 16)):
             c = r.randint(0, 1)
@@ -299,12 +316,15 @@ def interleave_scripts(port, n_scripts, r, finds):
                 pg[c].query("BEGIN")
                 in_txn[c] = True
                 txstmts[c] = []
+                aborted[c] = False
             elif in_txn[c] and r.random() < 0.3:
                 if r.random() < 0.7:
                     _, err, status = pg[c].query("COMMIT")
                     # serialization failure surfaces as an error; then
                     # the txn must be gone (status I) and leave no trace
-                    if err is None:
+                    if aborted[c]:
+                        pass  # COMMIT of an aborted block = rollback
+                    elif err is None:
                         replay.extend(txstmts[c])
                     elif "serial" not in err.lower() and "conflict" not in err.lower():
                         finds.append(("COMMIT-ERR", err, None, None))
@@ -314,24 +334,33 @@ def interleave_scripts(port, n_scripts, r, finds):
                     pg[c].query("ROLLBACK")
                 in_txn[c] = False
                 txstmts[c] = []
+                aborted[c] = False
             else:
                 sql = r.choice([
                     f"INSERT INTO {tname} VALUES ({r.randint(6, 40)}, {r.randint(0, 50)}) "
                     f"ON CONFLICT (id) DO UPDATE SET a = excluded.a",
                     f"UPDATE {tname} SET a = a + 1 WHERE id % 2 = {r.randint(0, 1)}",
                     f"DELETE FROM {tname} WHERE id = {r.randint(0, 40)}",
+                    # plain reads: pin the read set without writing, so
+                    # read-only and read-mostly transactions interleave
+                    f"SELECT count(*) FROM {tname}",
+                    f"SELECT count(*) FROM {tname}",
                 ])
                 _, err, _ = pg[c].query(sql)
                 if err is None:
-                    if in_txn[c]:
+                    if in_txn[c] and not sql.startswith("SELECT"):
                         txstmts[c].append(sql)
-                    else:
+                    elif not in_txn[c] and not sql.startswith("SELECT"):
                         replay.append(sql)
+                elif in_txn[c]:
+                    # statement failure (incl. serialization) aborts the
+                    # block; nothing from it may reach the replay
+                    aborted[c] = True
         if not diverged:
             for c in (0, 1):
                 if in_txn[c]:
                     _, err, _ = pg[c].query("COMMIT")
-                    if err is None:
+                    if err is None and not aborted[c]:
                         replay.extend(txstmts[c])
             srows, serr, _ = pg[0].query(f"SELECT * FROM {tname} ORDER BY id")
             dcon = duckdb.connect()
