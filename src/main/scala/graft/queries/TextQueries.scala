@@ -510,14 +510,22 @@ object TextQueries {
     // BM25 ranked retrieval (k1 = 1.2, b = 0.75): top-10 documents for
     // a 3-term query — the search archetype (eval-set mining, nearest-
     // document lookup) the per-document scores above don't cover.
-    // Scale shape: the term filter lands immediately after the explode
-    // so only query-term postings survive into any shuffle; df and the
-    // corpus stats (N, avgdl) are broadcast 1-row/3-row sides kept
-    // IN-PLAN (no driver count, same shape as tfidf); dl rides the
-    // postings as max(dl) instead of a second doc-level join. The
-    // decimal intermediate makes the per-doc score sum merge-order-
-    // independent, and ranking orders by the RAW double score (the
-    // bit-identical fold both engines compute) with doc_id tiebreak.
+    // Scale shape (r10 rework — was 9-18x DuckDB at tiers): the query
+    // terms are a FIXED short list, so term frequencies are ROW-LOCAL
+    // array counters — the (doc, word) explode fan-out (docs x ~words
+    // rows through a shuffle), the df join and the dl roll-up of the
+    // posting-list shape all disappear. One scan of documents produces
+    // a per-doc numeric table (dl + one tf per term, eagerly
+    // checkpointed: O(#docs) x 5 numerics, a classic doc-stats table,
+    // 1000x smaller than the text it summarizes); one 1-row aggregate
+    // over it yields N/avgdl/df for every term at once, broadcast back;
+    // scoring and the top-k are row-local from there. Per-term decimal
+    // casts before the in-row sum keep the fold bit-identical to the
+    // oracle's per-(doc,word) decimal sum (absent terms contribute an
+    // exact decimal 0). Docs containing none of the terms are filtered
+    // before ranking — the oracle's inner tf join has no row for them,
+    // and with df > N/2 the idf goes negative, so a no-hit doc's 0.0
+    // could otherwise outrank real hits.
     q("q_text_bm25",
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
         |stats AS (SELECT count(*) AS n_docs, avg(len(words)) AS avgdl FROM d),
@@ -532,27 +540,30 @@ object TextQueries {
         |SELECT doc_id, round(CAST(sum(CAST(s AS DECIMAL(28,15))) AS DOUBLE), 9) AS bm25
         |FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
-      val d = t.documents.select(col("doc_id"), split(col("text"), " ").as("words"))
-      val stats = d.agg(count(lit(1)).as("n_docs"), avg(size(col("words"))).as("avgdl"))
-      val postings = d
-        .select(col("doc_id"), size(col("words")).cast("long").as("dl"),
-          explode(col("words")).as("word"))
-        .filter(col("word").isin("spark", "query", "join"))
-      // tf DOES feed two consumers (df + the scoring join), but unlike
-      // tfidf a localCheckpoint here measured SLOWER (0.5 -> 0.7 s at
-      // sf0.1): bm25 already pays a third scan for the corpus stats,
-      // and the added materialization barrier costs more than the
-      // re-executed post-filter subtree saves. BENCH_NOTES r9.
-      val tf = postings.groupBy(col("doc_id"), col("word"))
-        .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
-      val dfT = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-      val score = log(lit(1) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
-        col("tf") * 2.2 / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
-      tf.join(broadcast(dfT), "word")
-        .crossJoin(broadcast(stats))
-        .withColumn("s", score)
-        .groupBy(col("doc_id"))
-        .agg(round(sum(col("s").cast("decimal(28,15)")).cast("double"), 9).as("bm25"))
+      val terms = Seq("spark", "query", "join")
+      // row-local counters: one split + three ArrayFilter counts. (A/B'd
+      // against per-term lookaround-regex split counts — "codegen-
+      // friendly" on paper but 2x SLOWER at sf3 (1.4 vs 0.73 s): three
+      // extra regex passes over the text cost more than the HOF's
+      // CodegenFallback. Measured, BENCH_NOTES r10.)
+      val words = split(col("text"), " ")
+      val perDocCols = Seq(col("doc_id"), size(words).cast("long").as("dl")) ++
+        terms.map(w => size(filter(words, x => x === lit(w))).cast("long").as(s"tf_$w"))
+      val perDoc = t.documents.select(perDocCols: _*).localCheckpoint(true)
+      val gAggs = Seq(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")) ++
+        terms.map(w => sum(when(col(s"tf_$w") > 0, 1L).otherwise(0L)).as(s"df_$w"))
+      val g = perDoc.agg(gAggs.head, gAggs.tail: _*)
+      def termScore(w: String): Column = {
+        val tf = col(s"tf_$w"); val dfc = col(s"df_$w")
+        val sc = log(lit(1) + (col("n_docs") - dfc + 0.5) / (dfc + 0.5)) *
+          tf * 2.2 / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+        sc.cast("decimal(28,15)")
+      }
+      perDoc
+        .filter(terms.map(w => col(s"tf_$w") > 0).reduce(_ || _))
+        .crossJoin(broadcast(g))
+        .select(col("doc_id"),
+          round(terms.map(termScore).reduce(_ + _).cast("double"), 9).as("bm25"))
         .orderBy(col("bm25").desc, col("doc_id")).limit(10)
     }
   )
