@@ -104,16 +104,26 @@ object DialectQueries {
       val src = s.table("orders").select(col("o_orderkey"), col("o_totalprice"))
       val bad = sample.join(src, Seq("o_orderkey", "o_totalprice"), "left_anti")
         .agg(count(lit(1)).as("bad"))
-      val drift = sample.exceptAll(sample)
-        .unionAll(sample.exceptAll(sample))
-        .agg(count(lit(1)).as("drift"))
-      sample.agg(count(lit(1)).as("n"))
+      // repeatability: two INDEPENDENT sample scans must agree. An
+      // order-independent multiset digest (count + sum of row hashes)
+      // replaces the r9 exceptAll-both-ways — same invariant strength
+      // for this purpose at two aggregate stages instead of four
+      // shuffling set-difference subtrees (the query was pure floor on
+      // the sf0.1 board; data is one 150k-row column pair)
+      def digest(tag: String) = sample.agg(
+        count(lit(1)).as(s"n_$tag"),
+        // decimal accumulator: a long sum of 64-bit hashes overflows
+        // under ANSI mode
+        sum(xxhash64(col("o_orderkey"), col("o_totalprice"))
+          .cast("decimal(38,0)")).as(s"h_$tag"))
+      digest("a")
+        .crossJoin(digest("b"))
         .crossJoin(src.agg(count(lit(1)).as("t")))
-        .crossJoin(bad).crossJoin(drift)
+        .crossJoin(bad)
         .select(
           (col("bad") === 0).as("all_in_source"),
-          (col("n") >= col("t") * 0.05 && col("n") <= col("t") * 0.15).as("within_range"),
-          (col("drift") === 0).as("repeatable"))
+          (col("n_a") >= col("t") * 0.05 && col("n_a") <= col("t") * 0.15).as("within_range"),
+          (col("n_a") === col("n_b") && col("h_a") === col("h_b")).as("repeatable"))
     },
 
     // plan text differs per engine → rows-only smoke (SURVEY B.9 ⚠)
