@@ -189,7 +189,12 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * verifies the whole pinned set (write-write AND read-write
     * conflicts at table granularity — the coarse-but-sound analog of
     * DuckDB's row-level MVCC abort; the reference hands this to DuckDB
-    * per-conn, pg_conn.go:51). This is a checkable read-stability
+    * per-conn, pg_conn.go:51). One row-level refinement: an
+    * insert-only (delta) overlay conflicts only with concurrent
+    * REWRITES ([[rewriteEpochs]]) — concurrent appends commute and
+    * both commit, with PK/UNIQUE safety restored by a commit-time
+    * delta-vs-base key re-validation under the write lock
+    * ([[recheckDeltaKeys]]). This is a checkable read-stability
     * declaration: stricter than DuckDB's snapshot isolation (which
     * would serve the old snapshot), never weaker — it aborts rather
     * than expose torn reads, and closes the FK write-skew window (the
@@ -211,10 +216,12 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       deltas: scala.collection.mutable.LinkedHashMap[String, String] =
         scala.collection.mutable.LinkedHashMap.empty,
       baseEpochs: scala.collection.mutable.HashMap[String, Long] =
+        scala.collection.mutable.HashMap.empty,
+      deltaRewritePins: scala.collection.mutable.HashMap[String, Long] =
         scala.collection.mutable.HashMap.empty) {
     def reset(): Unit = {
       open = false; writes = false; ddl = false; aborted = false
-      staged.clear(); deltas.clear(); baseEpochs.clear()
+      staged.clear(); deltas.clear(); baseEpochs.clear(); deltaRewritePins.clear()
     }
   }
   private val txn: ThreadLocal[TxnState] = ThreadLocal.withInitial(() => TxnState())
@@ -242,6 +249,23 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
   }
   private def bumpEpoch(t: String): Unit =
     tableEpochs.computeIfAbsent(qualify(t),
+      _ => new java.util.concurrent.atomic.AtomicLong(0L)).incrementAndGet()
+
+  /** Like [[tableEpochs]] but bumped ONLY by operations that change or
+    * remove EXISTING rows (UPDATE/DELETE/TRUNCATE/upsert/ALTER/DROP and
+    * staged-image publishes) — pure appends don't move it. An
+    * insert-only transaction's COMMIT checks THIS epoch: concurrent
+    * appends commute (both commit, like DuckDB's row-level MVCC would
+    * allow), while a concurrent rewrite still aborts it. Constraint
+    * safety against concurrent appends is restored by a commit-time
+    * key re-validation ([[recheckDeltaKeys]]). */
+  private val rewriteEpochs =
+    new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private def rewriteEpochOf(t: String): Long = {
+    val a = rewriteEpochs.get(qualify(t)); if (a == null) 0L else a.get()
+  }
+  private def bumpRewriteEpoch(t: String): Unit =
+    rewriteEpochs.computeIfAbsent(qualify(t),
       _ => new java.util.concurrent.atomic.AtomicLong(0L)).incrementAndGet()
 
   private val txnSeq = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -314,6 +338,9 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       lock.lock()
       try {
         pinOrCheck(q)
+        // rewrite-epoch pin: the delta commit conflicts only on
+        // concurrent REWRITES, not on concurrent appends (commutative)
+        st.deltaRewritePins(q) = rewriteEpochOf(q)
         spark.sql(s"DROP TABLE IF EXISTS $d")
         spark.sql(s"CREATE TABLE $d AS SELECT * FROM $q LIMIT 0")
         st.deltas(q) = d
@@ -341,6 +368,9 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         spark.sql(s"DROP TABLE IF EXISTS $stg")
         st.deltas.remove(q) match {
           case Some(d) =>
+            // upgrading to a full snapshot: the commit check reverts to
+            // the (stricter) total-epoch pin, so the rewrite pin retires
+            st.deltaRewritePins.remove(q)
             spark.sql(s"CREATE TABLE $stg AS SELECT * FROM $q UNION ALL SELECT * FROM $d")
             try spark.sql(s"DROP TABLE IF EXISTS $d") catch { case _: Throwable => }
           case None =>
@@ -357,6 +387,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       try spark.sql(s"DROP TABLE IF EXISTS $s")
       catch { case _: Throwable => })
     st.staged.clear(); st.deltas.clear(); st.baseEpochs.clear()
+    st.deltaRewritePins.clear()
   }
 
   /** Roll back any transaction left open on the CURRENT thread: the
@@ -390,8 +421,21 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     try {
       try {
         st.baseEpochs.toSeq.sortBy(_._1).foreach { case (t, e) =>
-          if (epochOf(t) != e) {
-            val how = if (st.staged.contains(t) || st.deltas.contains(t)) "touched" else "read"
+          if (st.deltas.contains(t)) {
+            // append-only overlay: concurrent APPENDS commute with ours
+            // (both commit — matching what DuckDB's row-level conflict
+            // detection would allow); only a concurrent REWRITE of
+            // existing rows invalidates the transaction
+            if (rewriteEpochOf(t) != st.deltaRewritePins.getOrElse(t, 0L))
+              throw new IllegalArgumentException(
+                s"could not commit transaction: table $t had existing rows " +
+                  "rewritten by a concurrent transaction (serialization " +
+                  "conflict); the transaction was rolled back")
+            // concurrent appends may have landed keys our insert-time
+            // constraint check never saw — re-validate under the lock
+            if (epochOf(t) != e) recheckDeltaKeys(t, st.deltas(t))
+          } else if (epochOf(t) != e) {
+            val how = if (st.staged.contains(t)) "touched" else "read"
             throw new IllegalArgumentException(
               s"could not commit transaction: table $t was modified by a concurrent " +
                 s"transaction after this transaction first $how it (serialization " +
@@ -405,6 +449,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
           st.staged.get(t) match {
             case Some(stg) =>
               spark.sql(s"INSERT OVERWRITE TABLE $t SELECT * FROM $stg").collect()
+              bumpRewriteEpoch(t) // an overwrite can change existing rows
             case None =>
               spark.sql(s"INSERT INTO $t SELECT * FROM ${st.deltas(t)}").collect()
           }
@@ -430,6 +475,32 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       }
     } finally locks.reverse.foreach(_.unlock())
   }
+
+  /** Commit-time PK/UNIQUE re-validation of an append-only delta
+    * against the CURRENT base (held under the table's write lock): a
+    * concurrent append that committed after this transaction's
+    * insert-time check may have landed a colliding key. Intra-delta
+    * duplicates were already rejected at insert; only the
+    * delta-vs-base semi-join needs re-running, and only when the
+    * table's epoch actually moved. NULL keys never collide
+    * (unique-index semantics, same as enforceConstraints). */
+  private def recheckDeltaKeys(table: String, delta: String): Unit =
+    constraintsOf(table).foreach { c =>
+      import org.apache.spark.sql.functions.col
+      val keySets = (if (c.pk.nonEmpty) Seq(c.pk) else Nil) ++ c.unique
+      keySets.foreach { keys =>
+        val kc = keys.map(col)
+        val hit = spark.table(delta)
+          .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+          .select(kc: _*)
+          .join(spark.table(table).select(kc: _*), keys, "left_semi")
+        if (hit.limit(1).count() > 0)
+          throw new IllegalArgumentException(
+            s"could not commit transaction: a concurrent transaction inserted a " +
+              s"duplicate key into $table (${keys.mkString(", ")}) (serialization " +
+              "conflict); the transaction was rolled back")
+      }
+    }
 
   /** DDL on a table with uncommitted in-txn changes would make the
     * staged/delta image unpublishable — or publish a schema-mismatched
@@ -589,7 +660,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
           }
         } else {
           spark.sql(s"TRUNCATE TABLE $t")
-          bumpEpoch(t)
+          bumpEpoch(t); bumpRewriteEpoch(t)
         }
       } finally lock.unlock()
       return ExecResult(null, "TRUNCATE TABLE")
@@ -1827,7 +1898,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
           throw new IllegalStateException(
             s"ALTER TABLE failed mid-rebuild; data preserved in staging table $stage: ${e.getMessage}", e)
       }
-      bumpEpoch(table)
+      bumpEpoch(table); bumpRewriteEpoch(table)
       refreshPin(table) // in-txn DDL auto-commits: our own bump is not a conflict
       ExecResult(null, "ALTER TABLE")
     } finally lock.unlock()
@@ -1902,7 +1973,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         }
       }
       stageAndSwap(phys, s"SELECT $proj FROM $rel")
-      if (!isTxnOpen) bumpEpoch(table)
+      if (!isTxnOpen) { bumpEpoch(table); bumpRewriteEpoch(table) }
       ExecResult(null, s"UPDATE $touched")
     } finally lock.unlock()
   }
@@ -1954,7 +2025,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         }
       }
       stageAndSwap(phys, s"SELECT * FROM $rel WHERE NOT ($pred) OR ($pred) IS NULL")
-      if (!isTxnOpen) bumpEpoch(table)
+      if (!isTxnOpen) { bumpEpoch(table); bumpRewriteEpoch(table) }
       ExecResult(null, s"DELETE $removed")
     } finally lock.unlock()
   }
@@ -2093,7 +2164,9 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
               check = df => enforceRowLocal(table, df))
             cnt
         }
-        if (!isTxnOpen) bumpEpoch(table)
+        // upsert counts as a rewrite (DO UPDATE mutates existing rows;
+        // classifying conservatively keeps delta commits sound)
+        if (!isTxnOpen) { bumpEpoch(table); bumpRewriteEpoch(table) }
         ExecResult(null, s"INSERT 0 $n")
       } finally {
         spark.sql(s"DROP TABLE IF EXISTS $srcTable")
@@ -2941,7 +3014,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     persistConstraints()
     // a txn that staged this table before the drop must not publish
     // onto whatever replaces it — epoch mismatch aborts it at COMMIT
-    bumpEpoch(key)
+    bumpEpoch(key); bumpRewriteEpoch(key)
     dbPath.foreach { _ =>
       val Array(db, t) = key.split("\\.", 2)
       val dir = new java.io.File(

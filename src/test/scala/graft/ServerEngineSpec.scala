@@ -1147,6 +1147,51 @@ class ServerEngineSpec extends SparkSpecBase {
     }
   }
 
+  test("concurrent appends commute: insert-only txn commits past a concurrent insert") {
+    fresh("txc_t")
+    engine.execute("CREATE TABLE main.txc_t (a BIGINT) USING parquet")
+    try {
+      engine.execute("BEGIN")
+      engine.execute("INSERT INTO main.txc_t VALUES (1)")
+      val other = new Thread(() => engine.execute("INSERT INTO main.txc_t VALUES (2)"))
+      other.start(); other.join()
+      // r9 semantics aborted here (table-granularity write-write);
+      // appends commute, so both must land — like DuckDB's row-level MVCC
+      assert(engine.execute("COMMIT").tag == "COMMIT")
+      val vals = engine.execute("SELECT a FROM main.txc_t ORDER BY a").df
+        .collect().map(_.getLong(0)).toSeq
+      assert(vals == Seq(1L, 2L), vals)
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => () }
+      engine.execute("DROP TABLE IF EXISTS main.txc_t")
+    }
+  }
+
+  test("delta commit still aborts on concurrent duplicate key / concurrent rewrite") {
+    fresh("txk_t")
+    engine.execute("CREATE TABLE main.txk_t (id INT PRIMARY KEY, a INT)")
+    try {
+      // duplicate key landed by a concurrent append AFTER our insert-time check
+      engine.execute("BEGIN")
+      engine.execute("INSERT INTO main.txk_t VALUES (5, 1)")
+      val t1 = new Thread(() => engine.execute("INSERT INTO main.txk_t VALUES (5, 2)"))
+      t1.start(); t1.join()
+      val e1 = intercept[IllegalArgumentException] { engine.execute("COMMIT") }
+      assert(e1.getMessage.contains("duplicate key"), e1.getMessage)
+      assert(engine.execute("SELECT count(*) AS c FROM main.txk_t").df.head().getLong(0) == 1L)
+      // concurrent REWRITE (UPDATE) aborts an insert-only txn
+      engine.execute("BEGIN")
+      engine.execute("INSERT INTO main.txk_t VALUES (7, 1)")
+      val t2 = new Thread(() => engine.execute("UPDATE main.txk_t SET a = 99 WHERE id = 5"))
+      t2.start(); t2.join()
+      val e2 = intercept[IllegalArgumentException] { engine.execute("COMMIT") }
+      assert(e2.getMessage.contains("rewritten by a concurrent"), e2.getMessage)
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => () }
+      engine.execute("DROP TABLE IF EXISTS main.txk_t")
+    }
+  }
+
   test("rollbackDanglingTxn drops overlays (disconnect / pooled-thread hygiene)") {
     fresh("txh_t")
     engine.execute("CREATE TABLE main.txh_t (a BIGINT) USING parquet")

@@ -341,6 +341,11 @@ def interleave_scripts(port, n_scripts, r, finds):
                     f"ON CONFLICT (id) DO UPDATE SET a = excluded.a",
                     f"UPDATE {tname} SET a = a + 1 WHERE id % 2 = {r.randint(0, 1)}",
                     f"DELETE FROM {tname} WHERE id = {r.randint(0, 40)}",
+                    # plain INSERTs (disjoint id range): exercise the
+                    # append-only delta commit path, incl. the r10
+                    # append-append commute + commit-time key recheck
+                    f"INSERT INTO {tname} VALUES ({r.randint(50, 99)}, {r.randint(0, 50)})",
+                    f"INSERT INTO {tname} VALUES ({r.randint(50, 99)}, {r.randint(0, 50)})",
                     # plain reads: pin the read set without writing, so
                     # read-only and read-mostly transactions interleave
                     f"SELECT count(*) FROM {tname}",
