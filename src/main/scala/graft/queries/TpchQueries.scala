@@ -81,11 +81,20 @@ object TpchQueries {
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
       val li = t.lineitem.filter(col("l_shipdate") > lit("1997-06-15"))
         .select(col("l_orderkey"), revenue)
-      ord.join(cust, col("o_custkey") === col("c_custkey"))
-        .join(li, col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(unscaleRev(sumFix(col("rev"))).as("revenue"))
-        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+      // aggregate lineitem BEFORE the join (o_orderdate is functionally
+      // dependent on the group key, so per-orderkey revenue is the same
+      // reduction): lineitem is orderkey-clustered in any realistic
+      // layout, so the map-side partial compacts ~4:1 and the join
+      // ships one pre-summed row per order instead of every line —
+      // the q21 two-level lesson applied. The filtered orders⋈customer
+      // side shrinks to ~10% of orders; AQE broadcast-promotes it at
+      // bench tiers and splits it if skewed at cluster scale.
+      val liAgg = li.groupBy(col("l_orderkey")).agg(sumFix(col("rev")).as("rev_sum"))
+      liAgg
+        .join(ord.join(cust, col("o_custkey") === col("c_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), unscaleRev(col("rev_sum")).as("revenue"),
+          col("o_orderdate"))
         .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
     },
 
