@@ -691,12 +691,24 @@ class ServerEngineSpec extends SparkSpecBase {
     val dir = Files.createTempDirectory("graft-export").toFile.getAbsolutePath
     engine.execute("DROP TYPE IF EXISTS exp_kind")
     engine.execute("CREATE TYPE exp_kind AS ENUM ('a', 'b')")
-    fresh("exp_t")
+    // a DEDICATED database: EXPORT dumps the whole current db, so any
+    // leftover table in `main` (e.g. from a live-server probe sharing
+    // target/warehouse) would be exported too and collide at IMPORT
+    spark.sql("CREATE DATABASE IF NOT EXISTS expdb")
+    spark.sql("DROP TABLE IF EXISTS expdb.exp_t")
+    locally { // clear any stale warehouse dir for expdb.exp_t (cf. fresh())
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val d = new java.io.File(s"$wh/expdb.db/exp_t")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      if (d.exists()) rm(d)
+    }
     engine.execute(
-      "create table main.exp_t (k BIGINT PRIMARY KEY, v VARCHAR NOT NULL, m exp_kind) using parquet")
-    engine.execute("insert into main.exp_t values (1, 'x', 'a'), (2, 'y', 'b')")
+      "create table expdb.exp_t (k BIGINT PRIMARY KEY, v VARCHAR NOT NULL, m exp_kind) using parquet")
+    engine.execute("insert into expdb.exp_t values (1, 'x', 'a'), (2, 'y', 'b')")
     val prevDb = spark.catalog.currentDatabase
-    spark.catalog.setCurrentDatabase("main")
+    spark.catalog.setCurrentDatabase("expdb")
     try {
       val ex = engine.execute(s"EXPORT DATABASE '$dir'")
       assert(ex.tag.startsWith("EXPORT"))
@@ -705,22 +717,21 @@ class ServerEngineSpec extends SparkSpecBase {
       assert(schema.contains("PRIMARY KEY (k)") && schema.contains("v VARCHAR NOT NULL"))
       assert(new java.io.File(dir, "exp_t.parquet").exists())
       // wipe and re-import
-      engine.execute("drop table main.exp_t")
-      fresh("exp_t")
+      engine.execute("drop table expdb.exp_t")
       engine.execute("DROP TYPE exp_kind")
       val im = engine.execute(s"IMPORT DATABASE '$dir'")
       assert(im.tag.startsWith("IMPORT"))
-      val rows = spark.table("main.exp_t").collect()
+      val rows = spark.table("expdb.exp_t").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
       assert(rows.toSeq == Seq((1L, "x", "a"), (2L, "y", "b")))
       // constraints live again after import: dup PK and bad enum rejected
       intercept[IllegalArgumentException] {
-        engine.execute("insert into main.exp_t values (1, 'dup', 'a')") }
+        engine.execute("insert into expdb.exp_t values (1, 'dup', 'a')") }
       intercept[IllegalArgumentException] {
-        engine.execute("insert into main.exp_t values (3, 'z', 'nope')") }
+        engine.execute("insert into expdb.exp_t values (3, 'z', 'nope')") }
     } finally {
       spark.catalog.setCurrentDatabase(prevDb)
-      engine.execute("drop table if exists main.exp_t")
+      engine.execute("drop table if exists expdb.exp_t")
       engine.execute("DROP TYPE IF EXISTS exp_kind")
     }
   }
