@@ -183,18 +183,23 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * overlay too — rewriting the parsed plan missed them, r9 judge
     * find); engine-internal reads go through [[readTable]].
     *
-    * Isolation: every table is epoch-PINNED at its first in-txn read
-    * or write; a later in-txn read of a table another connection has
-    * since committed to fails with a serialization error, and COMMIT
+    * Isolation: every table is PINNED at its first in-txn read or
+    * write — total epoch, rewrite epoch, and its parquet FILE LIST.
+    * Reads are SNAPSHOT reads: parquet files are immutable and appends
+    * only add files, so once a concurrent append commits, reads switch
+    * to the pinned file list and keep serving the first-touch image
+    * (DuckDB-equivalent for the append case). A concurrent REWRITE
+    * deletes pinned files, so it fails the read fast with a clean
+    * serialization error instead. COMMIT of a writing transaction
     * verifies the whole pinned set (write-write AND read-write
     * conflicts at table granularity — the coarse-but-sound analog of
     * DuckDB's row-level MVCC abort; the reference hands this to DuckDB
-    * per-conn, pg_conn.go:51). One row-level refinement: an
-    * insert-only (delta) overlay conflicts only with concurrent
-    * REWRITES ([[rewriteEpochs]]) — concurrent appends commute and
-    * both commit, with PK/UNIQUE safety restored by a commit-time
-    * delta-vs-base key re-validation under the write lock
-    * ([[recheckDeltaKeys]]). This is a checkable read-stability
+    * per-conn, pg_conn.go:51); read-only transactions always commit.
+    * One row-level refinement: an insert-only (delta) overlay
+    * conflicts only with concurrent REWRITES ([[rewriteEpochs]]) —
+    * concurrent appends commute and both commit, with PK/UNIQUE safety
+    * restored by a commit-time delta-vs-base key re-validation under
+    * the write lock ([[recheckDeltaKeys]]). This is a checkable read-stability
     * declaration: stricter than DuckDB's snapshot isolation (which
     * would serve the old snapshot), never weaker — it aborts rather
     * than expose torn reads, and closes the FK write-skew window (the
@@ -217,11 +222,14 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         scala.collection.mutable.LinkedHashMap.empty,
       baseEpochs: scala.collection.mutable.HashMap[String, Long] =
         scala.collection.mutable.HashMap.empty,
-      deltaRewritePins: scala.collection.mutable.HashMap[String, Long] =
+      rewritePins: scala.collection.mutable.HashMap[String, Long] =
+        scala.collection.mutable.HashMap.empty,
+      pinnedFiles: scala.collection.mutable.HashMap[String, Seq[String]] =
         scala.collection.mutable.HashMap.empty) {
     def reset(): Unit = {
       open = false; writes = false; ddl = false; aborted = false
-      staged.clear(); deltas.clear(); baseEpochs.clear(); deltaRewritePins.clear()
+      staged.clear(); deltas.clear(); baseEpochs.clear()
+      rewritePins.clear(); pinnedFiles.clear()
     }
   }
   private val txn: ThreadLocal[TxnState] = ThreadLocal.withInitial(() => TxnState())
@@ -271,23 +279,49 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
   private val txnSeq = new java.util.concurrent.atomic.AtomicLong(0L)
   private def isTxnOpen: Boolean = txn.get().open
 
-  /** Pin a table's committed epoch into the open transaction's read
-    * set at FIRST touch (read or write); on every later touch, verify
-    * it hasn't moved. The pin is taken BEFORE any snapshot scan, so a
-    * concurrent writer landing mid-scan shows up as epoch movement at
-    * COMMIT — a spurious abort at worst, never a lost update (the r9
-    * pin-after-CTAS ordering had exactly that window). No-op outside a
-    * transaction. */
+  /** Pin a table into the open transaction's read set at FIRST touch
+    * (read or write): the total epoch (verified at COMMIT — read-write
+    * conflicts abort there, which is what keeps FK write-skew closed),
+    * the rewrite epoch (verified HERE on every later touch — a
+    * concurrent UPDATE/DELETE/TRUNCATE deletes the files a snapshot
+    * read would scan, so it must fail fast with a clean serialization
+    * error), and the table's current parquet FILE LIST. The file list
+    * is the snapshot: parquet files are immutable and appends only ADD
+    * files, so reads against the pinned list serve the
+    * first-touch-time image even while concurrent appends commit —
+    * DuckDB-equivalent snapshot reads for the append case, instead of
+    * the r10-interim abort-on-change. Pins are taken BEFORE any
+    * snapshot scan, so a concurrent writer landing mid-scan shows up
+    * as epoch movement at COMMIT — a spurious abort at worst, never a
+    * lost update. No-op outside a transaction. */
   private def pinOrCheck(q: String): Unit = {
     val st = txn.get()
     if (!st.open) return
-    st.baseEpochs.get(q) match {
-      case None => st.baseEpochs(q) = epochOf(q)
-      case Some(e) => if (epochOf(q) != e)
+    st.rewritePins.get(q) match {
+      case None =>
+        st.rewritePins(q) = rewriteEpochOf(q)
+        st.baseEpochs.getOrElseUpdate(q, epochOf(q))
+        st.pinnedFiles.getOrElseUpdate(q,
+          try spark.table(q).inputFiles.toSeq catch { case _: Throwable => Seq.empty })
+      case Some(e) => if (rewriteEpochOf(q) != e)
         throw new IllegalArgumentException(
-          s"could not serialize access: table $q was modified by a concurrent " +
-            "transaction after this transaction first read it; the transaction " +
-            "must be rolled back")
+          s"could not serialize access: table $q had existing rows rewritten by " +
+            "a concurrent transaction after this transaction first read it; the " +
+            "transaction must be rolled back")
+    }
+  }
+
+  /** The pinned-snapshot image of a base table: the live relation when
+    * nothing committed since the pin (keeps catalog stats and the
+    * unmodified plan), else a scan of the pinned file list (immutable
+    * parquet — concurrent appends' new files are simply not in it). */
+  private def snapshotBase(q: String): DataFrame = {
+    val st = txn.get()
+    val live = spark.table(q)
+    if (epochOf(q) == st.baseEpochs.getOrElse(q, -1L)) live
+    else st.pinnedFiles.getOrElse(q, Seq.empty) match {
+      case Seq() => live.filter(org.apache.spark.sql.functions.lit(false)) // pinned-empty
+      case files => spark.read.schema(live.schema).parquet(files: _*)
     }
   }
 
@@ -317,8 +351,8 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       case None =>
         pinOrCheck(q)
         st.deltas.get(q) match {
-          case Some(d) => spark.table(q).unionAll(spark.table(d))
-          case None => spark.table(t)
+          case Some(d) => snapshotBase(q).unionAll(spark.table(d))
+          case None => snapshotBase(q)
         }
     }
   }
@@ -337,10 +371,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       val lock = lockFor(q).readLock()
       lock.lock()
       try {
-        pinOrCheck(q)
-        // rewrite-epoch pin: the delta commit conflicts only on
-        // concurrent REWRITES, not on concurrent appends (commutative)
-        st.deltaRewritePins(q) = rewriteEpochOf(q)
+        pinOrCheck(q) // pins total + rewrite epochs and the file list
         spark.sql(s"DROP TABLE IF EXISTS $d")
         spark.sql(s"CREATE TABLE $d AS SELECT * FROM $q LIMIT 0")
         st.deltas(q) = d
@@ -368,9 +399,6 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         spark.sql(s"DROP TABLE IF EXISTS $stg")
         st.deltas.remove(q) match {
           case Some(d) =>
-            // upgrading to a full snapshot: the commit check reverts to
-            // the (stricter) total-epoch pin, so the rewrite pin retires
-            st.deltaRewritePins.remove(q)
             spark.sql(s"CREATE TABLE $stg AS SELECT * FROM $q UNION ALL SELECT * FROM $d")
             try spark.sql(s"DROP TABLE IF EXISTS $d") catch { case _: Throwable => }
           case None =>
@@ -387,7 +415,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       try spark.sql(s"DROP TABLE IF EXISTS $s")
       catch { case _: Throwable => })
     st.staged.clear(); st.deltas.clear(); st.baseEpochs.clear()
-    st.deltaRewritePins.clear()
+    st.rewritePins.clear(); st.pinnedFiles.clear()
   }
 
   /** Roll back any transaction left open on the CURRENT thread: the
@@ -426,7 +454,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
             // (both commit — matching what DuckDB's row-level conflict
             // detection would allow); only a concurrent REWRITE of
             // existing rows invalidates the transaction
-            if (rewriteEpochOf(t) != st.deltaRewritePins.getOrElse(t, 0L))
+            if (rewriteEpochOf(t) != st.rewritePins.getOrElse(t, 0L))
               throw new IllegalArgumentException(
                 s"could not commit transaction: table $t had existing rows " +
                   "rewritten by a concurrent transaction (serialization " +
@@ -579,21 +607,26 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
           !Engine.isInternalTable(lr.catalogTable.get.identifier.table) =>
         val ident = lr.catalogTable.get.identifier
         val q = qualify(ident.database.map(_ + ".").getOrElse("") + ident.table)
+        // rebind a substituted relation's columns onto the ORIGINAL
+        // attribute ids so everything already resolved above stays
+        // resolved (schemas are identical across overlay images)
+        def rebind(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+          Project(lr.output.zip(plan.output).map { case (o, n) =>
+            Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+          }, plan)
         st.staged.get(q) match {
-          case Some(stg) =>
-            // rebind the staged relation's columns onto the ORIGINAL
-            // attribute ids so everything already resolved above stays
-            // resolved (schemas are identical: the stage is a CTAS)
-            val stgPlan = spark.table(stg).queryExecution.analyzed
-            Project(lr.output.zip(stgPlan.output).map { case (o, n) =>
-              Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier)
-            }, stgPlan)
+          case Some(stg) => rebind(spark.table(stg).queryExecution.analyzed)
           case None =>
             pinOrCheck(q)
+            // snapshot reads: the live relation while nothing committed
+            // since the pin, the pinned-file scan once something did
+            val base =
+              if (epochOf(q) == st.baseEpochs.getOrElse(q, -1L)) lr
+              else rebind(snapshotBase(q).queryExecution.analyzed)
             st.deltas.get(q) match {
               case Some(d) =>
-                Union(lr, spark.table(d).queryExecution.analyzed)
-              case None => lr
+                Union(base, spark.table(d).queryExecution.analyzed)
+              case None => base
             }
         }
     }

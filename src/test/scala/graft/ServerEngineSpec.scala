@@ -1108,7 +1108,7 @@ class ServerEngineSpec extends SparkSpecBase {
     }
   }
 
-  test("read-stability: a pinned table moved by a concurrent commit aborts") {
+  test("snapshot reads: concurrent appends stay invisible; rewrites abort the read") {
     fresh("txr_t"); fresh("txr_u")
     engine.execute("CREATE TABLE main.txr_t (a BIGINT) USING parquet")
     engine.execute("CREATE TABLE main.txr_u (a BIGINT) USING parquet")
@@ -1118,17 +1118,34 @@ class ServerEngineSpec extends SparkSpecBase {
       // pin txr_t into the read set (no write to it)
       assert(engine.execute("SELECT count(*) AS c FROM main.txr_t").df.head().getLong(0) == 1L)
       engine.execute("INSERT INTO main.txr_u VALUES (7)") // the txn's own write
-      // concurrent connection commits to the READ table
+      // concurrent connection APPENDS to the READ table
       val other = new Thread(() => engine.execute("INSERT INTO main.txr_t VALUES (2)"))
       other.start(); other.join()
-      // the next read of the moved table fails honestly (serialization),
-      // rather than silently switching snapshots mid-transaction
-      val e = intercept[IllegalArgumentException] {
-        engine.execute("SELECT count(*) FROM main.txr_t") }
-      assert(e.getMessage.contains("could not serialize"), e.getMessage)
-      // the block is now aborted; COMMIT acts as ROLLBACK (PG semantics)
-      assert(engine.execute("COMMIT").tag == "ROLLBACK")
+      // the read keeps serving the pinned-file snapshot (parquet appends
+      // only ADD files) — DuckDB-equivalent, no mid-txn switch, no abort
+      assert(engine.execute("SELECT count(*) AS c FROM main.txr_t").df.head().getLong(0) == 1L)
+      // ...but COMMIT of this WRITING txn verifies the read set: the
+      // read table moved, so the commit aborts (read-write conflict)
+      val e = intercept[IllegalArgumentException] { engine.execute("COMMIT") }
+      assert(e.getMessage.contains("first read it"), e.getMessage)
       assert(engine.execute("SELECT count(*) AS c FROM main.txr_u").df.head().getLong(0) == 0L)
+      // a concurrent REWRITE of a pinned table fails the next read fast
+      engine.execute("BEGIN")
+      assert(engine.execute("SELECT count(*) AS c FROM main.txr_t").df.head().getLong(0) == 2L)
+      val upd = new Thread(() => engine.execute("UPDATE main.txr_t SET a = a + 10"))
+      upd.start(); upd.join()
+      val e2 = intercept[IllegalArgumentException] {
+        engine.execute("SELECT count(*) FROM main.txr_t") }
+      assert(e2.getMessage.contains("could not serialize"), e2.getMessage)
+      assert(engine.execute("COMMIT").tag == "ROLLBACK") // aborted block
+      // read-only transactions always commit, snapshot or not
+      engine.execute("BEGIN")
+      assert(engine.execute("SELECT count(*) AS c FROM main.txr_t").df.head().getLong(0) == 2L)
+      val app = new Thread(() => engine.execute("INSERT INTO main.txr_t VALUES (3)"))
+      app.start(); app.join()
+      assert(engine.execute("SELECT count(*) AS c FROM main.txr_t").df.head().getLong(0) == 2L)
+      assert(engine.execute("COMMIT").tag == "COMMIT")
+      assert(engine.execute("SELECT count(*) AS c FROM main.txr_t").df.head().getLong(0) == 3L)
     } finally {
       try engine.execute("ROLLBACK") catch { case _: Throwable => () }
       engine.execute("DROP TABLE IF EXISTS main.txr_t")
