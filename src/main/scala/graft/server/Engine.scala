@@ -225,11 +225,16 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       rewritePins: scala.collection.mutable.HashMap[String, Long] =
         scala.collection.mutable.HashMap.empty,
       pinnedFiles: scala.collection.mutable.HashMap[String, Seq[String]] =
-        scala.collection.mutable.HashMap.empty) {
+        scala.collection.mutable.HashMap.empty,
+      // tables CREATED inside this transaction (user name → staged
+      // physical name; also present in `staged`): COMMIT renames them
+      // into place, ROLLBACK drops them — transactional CREATE TABLE
+      created: scala.collection.mutable.LinkedHashMap[String, String] =
+        scala.collection.mutable.LinkedHashMap.empty) {
     def reset(): Unit = {
       open = false; writes = false; ddl = false; aborted = false
       staged.clear(); deltas.clear(); baseEpochs.clear()
-      rewritePins.clear(); pinnedFiles.clear()
+      rewritePins.clear(); pinnedFiles.clear(); created.clear()
     }
   }
   private val txn: ThreadLocal[TxnState] = ThreadLocal.withInitial(() => TxnState())
@@ -414,8 +419,49 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     (st.staged.values ++ st.deltas.values).foreach(s =>
       try spark.sql(s"DROP TABLE IF EXISTS $s")
       catch { case _: Throwable => })
+    // tables created in this txn roll back fully: their constraint
+    // registrations go too (entries still in `created` were NOT
+    // published — commitTxn clears the map before dropping on success)
+    if (st.created.nonEmpty) {
+      st.created.keys.foreach(constraints.remove)
+      persistConstraints()
+    }
     st.staged.clear(); st.deltas.clear(); st.baseEpochs.clear()
-    st.rewritePins.clear(); st.pinnedFiles.clear()
+    st.rewritePins.clear(); st.pinnedFiles.clear(); st.created.clear()
+  }
+
+  /** Register a table CREATED inside the open transaction: it lives
+    * under a txn-private physical name and behaves as a staged overlay
+    * (reads/writes redirect to it); COMMIT renames it into place,
+    * ROLLBACK drops it — transactional CREATE TABLE / CTAS, like
+    * DuckDB's transactional DDL. Returns the physical name to create. */
+  private def stageCreatedTable(table: String): String = {
+    val st = txn.get()
+    val q = qualify(table)
+    val stg = q + "__txn" + txnSeq.incrementAndGet()
+    st.created(q) = stg
+    st.staged(q) = stg
+    absorbedDdl.set(true)
+    stg
+  }
+
+  /** Set when a CREATE was absorbed transactionally (so execute() must
+    * NOT mark the txn as carrying un-rollback-able DDL). */
+  private val absorbedDdl: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+  private def consumeAbsorbedDdl(): Boolean = {
+    val v = absorbedDdl.get(); absorbedDdl.set(false); v
+  }
+
+  /** Mark the current thread's open transaction aborted after a
+    * statement failed DURING EXECUTION (row pumping happens outside
+    * [[execute]]'s catch for lazy SELECTs — the wire layer calls this
+    * from its error handler). Analysis-class errors stay non-aborting
+    * (DuckDB binder semantics); anything reaching the pump is runtime. */
+  def abortOpenTxn(e: Throwable): Unit = {
+    val st = txn.get()
+    if (st.open && !e.isInstanceOf[org.apache.spark.sql.AnalysisException])
+      st.aborted = true
   }
 
   /** Roll back any transaction left open on the CURRENT thread: the
@@ -470,11 +516,27 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
                 "conflict); the transaction was rolled back")
           }
         }
+        // tables this txn CREATED must still be free (another connection
+        // may have created the same name since)
+        st.created.keys.toSeq.sorted.foreach { t =>
+          if (spark.catalog.tableExists(t))
+            throw new IllegalArgumentException(
+              s"could not commit transaction: table $t was created by a concurrent " +
+                "transaction (serialization conflict); the transaction was rolled back")
+        }
       } catch { case e: Throwable => dropStaged(st); throw e }
       val published = scala.collection.mutable.Buffer.empty[String]
       try {
         tables.foreach { t =>
-          st.staged.get(t) match {
+          if (st.created.contains(t)) {
+            // created in this txn: publish by RENAME (no data movement);
+            // existence was verified in the conflict phase, and a racing
+            // non-txn CREATE in between makes the rename fail cleanly
+            // (AlreadyExists) → publish-failure path preserves the image
+            spark.sql(s"ALTER TABLE ${st.staged(t)} RENAME TO $t")
+            st.created.remove(t)
+            st.staged.remove(t)
+          } else st.staged.get(t) match {
             case Some(stg) =>
               spark.sql(s"INSERT OVERWRITE TABLE $t SELECT * FROM $stg").collect()
               bumpRewriteEpoch(t) // an overwrite can change existing rows
@@ -588,7 +650,30 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         i.copy(table = tgt)
       case p => p
     }
-    val analyzed = spark.sessionState.executePlan(finalPlan).analyzed
+    // tables CREATED in this txn exist only under their staged names, so
+    // their READS must redirect BEFORE analysis (the analyzer cannot
+    // resolve the user name; every pre-existing table redirects on the
+    // analyzed plan below instead, where views are already expanded).
+    // CTE names shadow table names, conservatively.
+    val withCreated =
+      if (st.created.isEmpty) finalPlan
+      else {
+        import org.apache.spark.sql.catalyst.plans.logical.{SubqueryAlias, UnresolvedWith}
+        val cteNames: Set[String] = finalPlan.collectWithSubqueries {
+          case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
+        }.flatten.toSet
+        finalPlan transformUpWithSubqueries {
+          case r: UnresolvedRelation =>
+            val p = baseParts(r.multipartIdentifier)
+            if (p.length > 2 || cteNames.contains(p.last.toLowerCase)) r
+            else st.created.get(qualify(p.mkString("."))) match {
+              case Some(stg) =>
+                SubqueryAlias(p.last, UnresolvedRelation(stg.split('.').toIndexedSeq))
+              case None => r
+            }
+        }
+      }
+    val analyzed = spark.sessionState.executePlan(withCreated).analyzed
     org.apache.spark.sql.GraftBridge.dataset(spark, redirectAnalyzed(analyzed, st))
   }
 
@@ -643,9 +728,26 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         "current transaction is aborted, commands ignored until end of transaction block")
     val r =
       try executeInner(sql0)
-      catch { case e: Throwable => if (st.open) st.aborted = true; throw e }
+      catch {
+        case e: Throwable =>
+          // DuckDB (the reference's engine) aborts an open transaction
+          // on RUNTIME/constraint errors but NOT on binder/catalog
+          // errors (missing table, unknown column, duplicate name):
+          // those leave the block usable. Analysis-class exceptions map
+          // to duck's binder errors; everything else aborts.
+          // (txn_fuzz aux-table find: strict abort-on-any-error, PG
+          // style, diverged on every missing-table probe.)
+          if (st.open &&
+              !e.isInstanceOf[org.apache.spark.sql.AnalysisException])
+            st.aborted = true
+          throw e
+      }
     if (st.open && isWriteTag(r.tag)) {
-      if (Seq("CREATE", "DROP", "ALTER").exists(r.tag.startsWith)) st.ddl = true
+      // a CREATE TABLE absorbed into the txn as a staged overlay is
+      // fully rollback-able — it counts as a write, not as the
+      // auto-committed DDL that makes ROLLBACK raise
+      if (Seq("CREATE", "DROP", "ALTER").exists(r.tag.startsWith)
+          && !consumeAbsorbedDdl()) st.ddl = true
       else st.writes = true
     }
     r
@@ -817,6 +919,29 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       }
       if (mentionsEnum)
         return createTableWithConstraints(m.group(1), m.group(2), Option(m.group(3)).getOrElse(""))
+    }
+    // transactional CREATE for the remaining table-creating forms
+    // (plain column list without constraints, CTAS, USING) — the
+    // constrained forms took createTableWithConstraints above. Guarded
+    // to exclude OR REPLACE / TEMP / VIEW / DATABASE, which keep their
+    // auto-commit behavior (declared).
+    if (isTxnOpen) txnCreateTableRe.findFirstMatchIn(sql).foreach { m =>
+      val ifNotExists = m.group(1) != null
+      val table = m.group(2)
+      if (spark.catalog.tableExists(table)
+          || txn.get().created.contains(qualify(table))) {
+        if (ifNotExists) return ExecResult(null, "CREATE TABLE")
+        throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+          table.split('.').toSeq)
+      }
+      val stg = stageCreatedTable(table)
+      val sql2 = sql.replaceFirst(
+        "(?is)(create\\s+table\\s+(?:if\\s+not\\s+exists\\s+)?)" +
+          java.util.regex.Pattern.quote(table),
+        "$1" + java.util.regex.Matcher.quoteReplacement(stg))
+      val df = txnExec(rewrite(sql2))
+      if (df != null) df.collect()
+      return ExecResult(null, "CREATE TABLE")
     }
     onConflictRe.findFirstMatchIn(sql).foreach { m =>
       return insertOnConflict(m.group(1),
@@ -2547,7 +2672,19 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       catch { case e: Throwable => throw new IllegalArgumentException(
         s"unsupported CHECK expression ($ck): ${e.getMessage}") }
     }
-    spark.sql(rewrite(s"CREATE TABLE $table (${kept.mkString(", ")}) $rest"))
+    // transactional CREATE (in-txn): the table is born as a staged
+    // overlay under a txn-private name; constraints register under the
+    // USER name immediately (the txn's own inserts must enforce them)
+    // and are unregistered again if the txn rolls back (dropStaged)
+    val phys =
+      if (isTxnOpen) {
+        if (spark.catalog.tableExists(table)
+            || txn.get().created.contains(qualify(table)))
+          throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+            table.split('.').toSeq)
+        stageCreatedTable(table)
+      } else table
+    spark.sql(rewrite(s"CREATE TABLE $phys (${kept.mkString(", ")}) $rest"))
     constraints.put(qualify(table), Constraints(pk, unique, notNull, fks, enumCols, checks))
     persistConstraints()
     ExecResult(null, "CREATE TABLE")
@@ -3146,6 +3283,11 @@ object Engine {
     * contract just like COLUMN TYPE does). */
   private val alterTableAnyRe =
     """(?is)^\s*alter\s+table\s+(?:if\s+exists\s+)?([\w.]+)""".r
+  /** Table-creating forms eligible for TRANSACTIONAL CREATE inside a
+    * txn: plain column list, CTAS, USING. `OR REPLACE` and TEMP forms
+    * deliberately don't match (they keep auto-commit, declared). */
+  private val txnCreateTableRe =
+    """(?is)^\s*create\s+table\s+(if\s+not\s+exists\s+)?([\w.]+)\s*(?:\(|as\b|using\b|$).*""".r
 
   /** Engine-internal staging tables (txn overlays + deltas, CoW/upsert/
     * ALTER scratch) — hidden from every catalog listing the user can

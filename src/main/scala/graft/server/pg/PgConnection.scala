@@ -157,6 +157,12 @@ final class PgConnection(socket: Socket, server: PgServer) extends Runnable {
     try body
     catch {
       case NonFatal(e) =>
+        // a RUNTIME failure during row pumping happens OUTSIDE
+        // engine.execute's catch (SELECTs are lazy) — the open
+        // transaction must still abort, DuckDB-style. Analysis errors
+        // were classified inside execute() already; anything surfacing
+        // here is execution.
+        engine.abortOpenTxn(e)
         out.errorResponse(trimmedMessage(e))
         inError = true // skip until Sync (reference pg_conn.go:145-193)
     }
@@ -179,7 +185,12 @@ final class PgConnection(socket: Socket, server: PgServer) extends Runnable {
       // Q8 fixed: split multi-statement simple queries
       Engine.splitStatements(sql).foreach(runOne)
     } catch {
-      case NonFatal(e) => out.errorResponse(trimmedMessage(e))
+      case NonFatal(e) =>
+        // runtime failures during lazy-SELECT pumping surface here,
+        // outside engine.execute's catch — the open txn must still
+        // abort (DuckDB semantics; same hook as guard())
+        engine.abortOpenTxn(e)
+        out.errorResponse(trimmedMessage(e))
     }
   }
 

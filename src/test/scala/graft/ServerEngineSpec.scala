@@ -946,11 +946,16 @@ class ServerEngineSpec extends SparkSpecBase {
   }
 
   test("statement error aborts the transaction until ROLLBACK (PG semantics)") {
-    engine.execute("CREATE TABLE txn_ab (a BIGINT)")
+    engine.execute("CREATE TABLE txn_ab (a BIGINT, c BIGINT CHECK (c < 100))")
     try {
       engine.execute("BEGIN")
-      engine.execute("INSERT INTO txn_ab VALUES (1)")
+      engine.execute("INSERT INTO txn_ab VALUES (1, 1)")
+      // a BINDER error (missing table) does NOT abort the block —
+      // DuckDB semantics (the reference's engine; txn_fuzz find r10)
       intercept[Throwable] { engine.execute("SELECT * FROM txn_ab_nonexistent") }
+      assert(engine.execute("SELECT count(*) AS c FROM txn_ab").df.head().getLong(0) == 1L)
+      // a RUNTIME/constraint error DOES abort it
+      intercept[Throwable] { engine.execute("INSERT INTO txn_ab VALUES (2, 999)") }
       val e = intercept[IllegalArgumentException] { engine.execute("SELECT 1") }
       assert(e.getMessage.contains("aborted"), e.getMessage)
       // COMMIT of an aborted transaction rolls back and says so
@@ -982,12 +987,17 @@ class ServerEngineSpec extends SparkSpecBase {
 
   test("DDL inside a transaction auto-commits; ROLLBACK says so honestly") {
     try {
-      engine.execute("BEGIN")
+      // CREATE TABLE is transactional since r10 — the auto-commit
+      // honesty contract now covers the remaining DDL (ALTER et al.)
       engine.execute("CREATE TABLE txn_ddl (a BIGINT)")
-      engine.execute("INSERT INTO txn_ddl VALUES (1)")
+      engine.execute("BEGIN")
+      engine.execute("ALTER TABLE txn_ddl ALTER COLUMN a TYPE STRING")
+      engine.execute("INSERT INTO txn_ddl VALUES ('x')")
       val e = intercept[IllegalArgumentException] { engine.execute("ROLLBACK") }
       assert(e.getMessage.contains("DDL"), e.getMessage)
-      // the table (DDL) survives; the staged DML was rolled back
+      // the type change (DDL) survives; the staged DML was rolled back
+      assert(spark.table("txn_ddl").schema("a").dataType ==
+        org.apache.spark.sql.types.StringType)
       assert(engine.execute("SELECT count(*) AS c FROM txn_ddl").df.head().getLong(0) == 0L)
       // DDL on a table with uncommitted txn changes is rejected up front
       engine.execute("BEGIN")
@@ -1217,6 +1227,61 @@ class ServerEngineSpec extends SparkSpecBase {
     } finally {
       try engine.execute("ROLLBACK") catch { case _: Throwable => () }
       engine.execute("DROP TABLE IF EXISTS main.txk_t")
+    }
+  }
+
+  test("transactional CREATE TABLE: rollback undoes it, commit publishes it") {
+    fresh("txn_ct"); fresh("txn_ct2"); fresh("txn_ctas")
+    try {
+      // plain create + insert + read-own, then ROLLBACK: fully undone
+      engine.execute("BEGIN")
+      assert(engine.execute("CREATE TABLE main.txn_ct (a BIGINT)").tag == "CREATE TABLE")
+      engine.execute("INSERT INTO main.txn_ct VALUES (1), (2)")
+      assert(engine.execute("SELECT sum(a) AS s FROM main.txn_ct").df.head().getLong(0) == 3L)
+      // invisible to the rest of the world until COMMIT
+      assert(!spark.catalog.tableExists("main.txn_ct"))
+      assert(engine.execute("ROLLBACK").tag == "ROLLBACK") // NOT the DDL error: create was absorbed
+      assert(!spark.catalog.tableExists("main.txn_ct"))
+      intercept[Throwable] { engine.execute("SELECT * FROM main.txn_ct").df.collect() }
+      // create + UPDATE (delta→staged upgrade on a created table) + COMMIT
+      engine.execute("BEGIN")
+      engine.execute("CREATE TABLE main.txn_ct (a BIGINT)")
+      engine.execute("INSERT INTO main.txn_ct VALUES (5)")
+      engine.execute("UPDATE main.txn_ct SET a = a + 1")
+      assert(engine.execute("COMMIT").tag == "COMMIT")
+      assert(spark.table("main.txn_ct").collect().map(_.getLong(0)).toSeq == Seq(6L))
+      // CTAS inside a txn, reading an existing table
+      engine.execute("BEGIN")
+      engine.execute("CREATE TABLE main.txn_ctas AS SELECT a * 10 AS b FROM main.txn_ct")
+      assert(engine.execute("SELECT b FROM main.txn_ctas").df.head().getLong(0) == 60L)
+      engine.execute("ROLLBACK")
+      assert(!spark.catalog.tableExists("main.txn_ctas"))
+      // constrained create in-txn: PK enforced inside the txn, and the
+      // registration rolls back with the table
+      engine.execute("BEGIN")
+      engine.execute("CREATE TABLE main.txn_ct2 (id INT PRIMARY KEY, v INT)")
+      engine.execute("INSERT INTO main.txn_ct2 VALUES (1, 10)")
+      intercept[IllegalArgumentException] {
+        engine.execute("INSERT INTO main.txn_ct2 VALUES (1, 20)") }
+      engine.execute("ROLLBACK")
+      // re-created WITHOUT constraints: the old PK must not linger
+      engine.execute("CREATE TABLE main.txn_ct2 (id INT, v INT)")
+      engine.execute("INSERT INTO main.txn_ct2 VALUES (1, 10)")
+      engine.execute("INSERT INTO main.txn_ct2 VALUES (1, 20)") // dup OK now
+      assert(spark.table("main.txn_ct2").count() == 2L)
+      // creating an existing table inside a txn errors; IF NOT EXISTS no-ops
+      engine.execute("BEGIN")
+      intercept[Throwable] { engine.execute("CREATE TABLE main.txn_ct2 (x INT)") }
+      engine.execute("ROLLBACK")
+      engine.execute("BEGIN")
+      assert(engine.execute("CREATE TABLE IF NOT EXISTS main.txn_ct2 (x INT)").tag == "CREATE TABLE")
+      engine.execute("COMMIT")
+      assert(spark.table("main.txn_ct2").schema.fieldNames.toSeq == Seq("id", "v"))
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => () }
+      engine.execute("DROP TABLE IF EXISTS main.txn_ct")
+      engine.execute("DROP TABLE IF EXISTS main.txn_ct2")
+      engine.execute("DROP TABLE IF EXISTS main.txn_ctas")
     }
   }
 

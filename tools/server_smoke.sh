@@ -117,7 +117,10 @@ psql $P -c "insert into main.txn_smoke values (1)" >/dev/null 2>&1
 chk "pg txn rollback" "1"        "$(psql $P -tA -c "begin" -c "insert into main.txn_smoke values (2)" -c "update main.txn_smoke set a = 99 where a = 1" -c "rollback" -c "select string_agg(a::varchar, ',' order by a) from main.txn_smoke" 2>&1 | tail -1)"
 chk "pg txn commit"   "1,2"      "$(psql $P -tA -c "begin" -c "insert into main.txn_smoke values (2)" -c "commit" -c "select string_agg(a::varchar, ',' order by a) from main.txn_smoke" 2>&1 | tail -1)"
 chk "pg txn ryw"      "1,2,3"    "$(psql $P -tA -c "begin" -c "insert into main.txn_smoke values (3)" -c "select string_agg(a::varchar, ',' order by a) from main.txn_smoke" -c "rollback" 2>&1 | grep -v 'BEGIN\|INSERT\|ROLLBACK' | head -1)"
-chk "pg txn abort"    "aborted"  "$(psql $P -tA -c "begin" -c "select * from main.txn_smoke_missing" -c "select 1" -c "rollback" 2>&1 | grep -o 'aborted' | head -1)"
+# a RUNTIME error aborts the block; a binder error (missing table) does
+# NOT — DuckDB semantics, the reference's engine (r10)
+chk "pg txn abort"    "aborted"  "$(psql $P -tA -c "begin" -c "select cast('x' as int)" -c "select 1" -c "rollback" 2>&1 | grep -o 'aborted' | head -1)"
+chk "pg txn binder-err keeps block" "1" "$(psql $P -tA -c "begin" -c "select * from main.txn_smoke_missing" -c "select 1" -c "rollback" 2>&1 | grep -x '1' | head -1)"
 psql $P -c "drop table main.txn_smoke" >/dev/null 2>&1
 # DuckDB statement forms: SUMMARIZE and FROM-first
 chk "pg summarize"    "r_regionkey|INTEGER" "$(psql $P -tA -c "summarize region" 2>&1 | head -1 | cut -d'|' -f1,2)"

@@ -110,7 +110,7 @@ class PgSession:
 VALS = lambda r: str(r.randint(0, 30))
 
 
-def gen_events(r, tname, n_ops, vname=None):
+def gen_events(r, tname, n_ops, vname=None, aux=None):
     """Yield (sql, kind) where kind tags txn boundaries for the driver.
     Tracks txn state so BEGIN-in-txn / COMMIT-outside are never emitted
     (DuckDB errors on those where PG only warns — a declared, boring
@@ -128,6 +128,19 @@ def gen_events(r, tname, n_ops, vname=None):
             events.append((r.choice(["COMMIT", "ROLLBACK"]), "end"))
             in_txn = False
             deleted_in_txn = False
+        elif aux and roll < 0.40:
+            # transactional DDL surface: CREATE/INSERT/SELECT on an aux
+            # table, differentially vs DuckDB's transactional DDL.
+            # Double-creates / missing-table reads fail on BOTH sides
+            # (only the ok/fail bit is compared). DROP of the aux table
+            # only OUTSIDE a txn: in-txn DROP of an overlay table is our
+            # declared guard divergence (DuckDB allows it).
+            cands = [f"CREATE TABLE {aux} (x INTEGER)",
+                     f"INSERT INTO {aux} VALUES ({r.randint(0, 9)})",
+                     f"SELECT count(*) FROM {aux}"]
+            if not in_txn:
+                cands.append(f"DROP TABLE {aux}")
+            events.append((r.choice(cands), "dml"))
         else:
             op = r.random()
             if op < 0.40:
@@ -212,7 +225,8 @@ def differential_scripts(port, n_scripts, r, finds):
                 _, se, _ = pg1.query(setup)
                 assert de is None and se is None, (de, se, setup)
 
-            events = gen_events(r, tname, r.randint(6, 14), vname=vname)
+            events = gen_events(r, tname, r.randint(6, 14), vname=vname,
+                                aux=f"{tname}_aux")
             duck_aborted = False
             trace = []
             for sql, kind in events:
@@ -238,6 +252,16 @@ def differential_scripts(port, n_scripts, r, finds):
                     print("TRACE:"); [print("   ", t) for t in trace]
                     diverged = True
                     break
+                # SELECT statements: compare the rows themselves (covers
+                # the aux-table content and any snapshot-read divergence)
+                if derr is None and serr is None and \
+                        sql.lstrip().upper().startswith("SELECT"):
+                    if canon_duck(drows) != canon_pg(srows):
+                        finds.append(("STMT-CONTENT", sql, canon_pg(srows),
+                                      canon_duck(drows)))
+                        print("TRACE:"); [print("   ", t) for t in trace]
+                        diverged = True
+                        break
                 if derr is not None and "transaction is aborted" in str(derr).lower():
                     duck_aborted = True
                 # own-connection contents after every statement (inside a
@@ -271,6 +295,7 @@ def differential_scripts(port, n_scripts, r, finds):
         finally:
             pg1.query("ROLLBACK")   # a diverged script may hold staged
             pg1.query(f"DROP VIEW IF EXISTS {vname}")
+            pg1.query(f"DROP TABLE IF EXISTS {tname}_aux")
             pg1.query(f"DROP TABLE IF EXISTS {tname}")
             pg1.close()
             pg2.close()
