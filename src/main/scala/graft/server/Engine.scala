@@ -769,7 +769,22 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     // ADD/RENAME/DROP COLUMN would make COMMIT's INSERT OVERWRITE
     // publish a schema-mismatched image)
     if (isTxnOpen) {
-      dropTableRe.findFirstMatchIn(sql).foreach(m => guardStagedDdl(m.group(1)))
+      dropTableRe.findFirstMatchIn(sql).foreach { m =>
+        // DROP of a table CREATED in this same transaction is a clean
+        // net no-op (DuckDB allows it): drop the overlay, unregister
+        // its constraints, done — nothing auto-commits
+        val st = txn.get()
+        val q = qualify(m.group(1))
+        st.created.remove(q).foreach { stg =>
+          st.staged.remove(q)
+          try spark.sql(s"DROP TABLE IF EXISTS $stg") catch { case _: Throwable => }
+          constraints.remove(q)
+          persistConstraints()
+          absorbedDdl.set(true) // absorbed: ROLLBACK has nothing left to undo
+          return ExecResult(null, "DROP TABLE")
+        }
+        guardStagedDdl(m.group(1))
+      }
       alterTableAnyRe.findFirstMatchIn(sql).foreach(m => guardStagedDdl(m.group(1)))
     }
     truncateRe.findFirstMatchIn(sql).foreach { m =>

@@ -1269,6 +1269,15 @@ class ServerEngineSpec extends SparkSpecBase {
       engine.execute("INSERT INTO main.txn_ct2 VALUES (1, 10)")
       engine.execute("INSERT INTO main.txn_ct2 VALUES (1, 20)") // dup OK now
       assert(spark.table("main.txn_ct2").count() == 2L)
+      // DROP of a table created in the SAME txn is a clean net no-op
+      // (DuckDB allows it); a fresh re-create afterwards commits fine
+      engine.execute("BEGIN")
+      engine.execute("CREATE TABLE main.txn_ct3 (a BIGINT)")
+      engine.execute("INSERT INTO main.txn_ct3 VALUES (1)")
+      assert(engine.execute("DROP TABLE main.txn_ct3").tag == "DROP TABLE")
+      engine.execute("CREATE TABLE main.txn_ct3 (b BIGINT)")
+      assert(engine.execute("ROLLBACK").tag == "ROLLBACK") // no DDL error: all absorbed
+      assert(!spark.catalog.tableExists("main.txn_ct3"))
       // creating an existing table inside a txn errors; IF NOT EXISTS no-ops
       engine.execute("BEGIN")
       intercept[Throwable] { engine.execute("CREATE TABLE main.txn_ct2 (x INT)") }
