@@ -199,21 +199,31 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * conflicts only with concurrent REWRITES ([[rewriteEpochs]]) —
     * concurrent appends commute and both commit, with PK/UNIQUE safety
     * restored by a commit-time delta-vs-base key re-validation under
-    * the write lock ([[recheckDeltaKeys]]). This is a checkable read-stability
-    * declaration: stricter than DuckDB's snapshot isolation (which
-    * would serve the old snapshot), never weaker — it aborts rather
-    * than expose torn reads, and closes the FK write-skew window (the
-    * FK checks' reads pin the referenced tables). COMMIT takes the
-    * base write locks in sorted order, re-verifies epochs, then
-    * publishes deltas with INSERT INTO (append) and staged images with
-    * INSERT OVERWRITE; a mid-publish failure preserves the
+    * the write lock ([[recheckDeltaKeys]]). Two more commute rules
+    * (r11) narrow the table-granularity aborts further: a READ-ONLY
+    * pin tolerates concurrent appends (the txn's reads served the
+    * pinned snapshot, so it serializes first), and a staged REWRITE
+    * whose base only gained appends REPLAYS the post-pin files into
+    * its image at COMMIT ([[replayBaseAppends]]) instead of aborting —
+    * matching DuckDB's row-level MVCC where updates of old rows and
+    * inserts of new rows commute. Rewrite-vs-rewrite still aborts
+    * (table-granularity, declared); the FK write-skew window stays
+    * closed because rewrites of read-pinned tables abort, and COMMIT
+    * holds locks on the WHOLE pinned set (write locks on written
+    * tables, read locks on read pins, globally sorted — two commits
+    * with crossed read/write sets serialize instead of both passing
+    * validation). Publishes: deltas with INSERT INTO (append), staged
+    * images with INSERT OVERWRITE; a mid-publish failure preserves the
     * not-yet-published images and names them (never destroys the only
-    * copy). ROLLBACK drops the overlays — a real undo. DDL
-    * auto-commits (applied to the base immediately); a ROLLBACK after
-    * in-txn DDL still raises, honestly, for the DDL only. A statement
-    * error aborts the transaction until COMMIT/ROLLBACK (PG
-    * semantics); COMMIT of an aborted transaction rolls back and says
-    * so. */
+    * copy). ROLLBACK drops the overlays — a real undo. CREATE TABLE /
+    * CTAS and DROP TABLE are TRANSACTIONAL (created tables are
+    * overlays renamed into place at COMMIT; dropped tables are intents
+    * applied at COMMIT, reads of them failing in-txn); other DDL
+    * (ALTER etc.) auto-commits, and a ROLLBACK after such in-txn DDL
+    * still raises, honestly, for the DDL only. A statement error
+    * aborts the transaction until COMMIT/ROLLBACK (PG semantics;
+    * binder-class errors do NOT abort, DuckDB semantics); COMMIT of an
+    * aborted transaction rolls back and says so. */
   private case class TxnState(var open: Boolean = false, var writes: Boolean = false,
       var ddl: Boolean = false, var aborted: Boolean = false,
       staged: scala.collection.mutable.LinkedHashMap[String, String] =
@@ -224,17 +234,29 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         scala.collection.mutable.HashMap.empty,
       rewritePins: scala.collection.mutable.HashMap[String, Long] =
         scala.collection.mutable.HashMap.empty,
-      pinnedFiles: scala.collection.mutable.HashMap[String, Seq[String]] =
+      // pinned snapshot file list per table: Some(files) = a usable
+      // parquet snapshot (possibly legitimately EMPTY — an empty table
+      // has no files); None = the listing failed or the table is not
+      // parquet-backed, so no stable snapshot exists and any read that
+      // would need one must raise a serialization error rather than
+      // silently serve an empty image (ADVICE r10)
+      pinnedFiles: scala.collection.mutable.HashMap[String, Option[Seq[String]]] =
         scala.collection.mutable.HashMap.empty,
       // tables CREATED inside this transaction (user name → staged
       // physical name; also present in `staged`): COMMIT renames them
       // into place, ROLLBACK drops them — transactional CREATE TABLE
       created: scala.collection.mutable.LinkedHashMap[String, String] =
-        scala.collection.mutable.LinkedHashMap.empty) {
+        scala.collection.mutable.LinkedHashMap.empty,
+      // pre-existing tables DROPPED inside this transaction: reads of
+      // them fail (like DuckDB's transactional DDL), COMMIT performs
+      // the real drop under the write lock with an epoch conflict
+      // check, ROLLBACK forgets the intent and the table is intact
+      dropped: scala.collection.mutable.LinkedHashSet[String] =
+        scala.collection.mutable.LinkedHashSet.empty) {
     def reset(): Unit = {
       open = false; writes = false; ddl = false; aborted = false
       staged.clear(); deltas.clear(); baseEpochs.clear()
-      rewritePins.clear(); pinnedFiles.clear(); created.clear()
+      rewritePins.clear(); pinnedFiles.clear(); created.clear(); dropped.clear()
     }
   }
   private val txn: ThreadLocal[TxnState] = ThreadLocal.withInitial(() => TxnState())
@@ -306,8 +328,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       case None =>
         st.rewritePins(q) = rewriteEpochOf(q)
         st.baseEpochs.getOrElseUpdate(q, epochOf(q))
-        st.pinnedFiles.getOrElseUpdate(q,
-          try spark.table(q).inputFiles.toSeq catch { case _: Throwable => Seq.empty })
+        st.pinnedFiles.getOrElseUpdate(q, listPinnedFiles(q))
       case Some(e) => if (rewriteEpochOf(q) != e)
         throw new IllegalArgumentException(
           s"could not serialize access: table $q had existing rows rewritten by " +
@@ -315,6 +336,30 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
             "transaction must be rolled back")
     }
   }
+
+  /** Snapshot-pin a table's current parquet file list. Some(files) —
+    * possibly empty for a legitimately empty table — is a servable
+    * snapshot; None means no stable snapshot exists: the table is not
+    * parquet-backed (a pinned-list scan with the wrong reader would
+    * misread csv/json sources) or the listing itself failed. A None
+    * pin forces a clean serialization error if a snapshot is ever
+    * NEEDED (concurrent commit moved the epoch), instead of silently
+    * serving an empty image (ADVICE r10: the old `catch → Seq.empty`
+    * conflated "cannot list" with "empty table"). */
+  private def listPinnedFiles(q: String): Option[Seq[String]] =
+    try {
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(q)
+      val meta = spark.sessionState.catalog.getTableMetadata(ident)
+      if (meta.provider.exists(_.equalsIgnoreCase("parquet")))
+        Some(spark.table(q).inputFiles.toSeq)
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def noSnapshotError(q: String): Nothing =
+    throw new IllegalArgumentException(
+      s"could not serialize access: table $q was modified by a concurrent " +
+        "transaction and no stable snapshot of it is available (non-parquet " +
+        "source or file listing failure); the transaction must be rolled back")
 
   /** The pinned-snapshot image of a base table: the live relation when
     * nothing committed since the pin (keeps catalog stats and the
@@ -324,20 +369,46 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     val st = txn.get()
     val live = spark.table(q)
     if (epochOf(q) == st.baseEpochs.getOrElse(q, -1L)) live
-    else st.pinnedFiles.getOrElse(q, Seq.empty) match {
-      case Seq() => live.filter(org.apache.spark.sql.functions.lit(false)) // pinned-empty
-      case files => spark.read.schema(live.schema).parquet(files: _*)
+    else st.pinnedFiles.getOrElse(q, None) match {
+      case Some(Seq()) => live.filter(org.apache.spark.sql.functions.lit(false)) // genuinely empty at pin time
+      case Some(files) => spark.read.schema(live.schema).parquet(files: _*)
+      case None => noSnapshotError(q)
+    }
+  }
+
+  /** The pinned file list as a DataFrame, used where the snapshot must
+    * be EXACTLY the pinned image even while the epoch is unchanged:
+    * [[physWrite]]'s staging CTAS. A concurrent plain INSERT holds only
+    * the table READ lock (appends interleave), so it can land between
+    * the pin and the CTAS — scanning the live relation there would
+    * bake the interloper's rows into the staged image, and the
+    * commit-time append REPLAY would then add them AGAIN (duplicate
+    * rows instead of the pre-replay design's worst case of a spurious
+    * abort). Falls back to the live relation when no parquet snapshot
+    * exists — safe, because a None pin makes any epoch movement abort
+    * at COMMIT rather than replay. */
+  private def pinnedScan(q: String): DataFrame = {
+    val live = spark.table(q)
+    txn.get().pinnedFiles.getOrElse(q, None) match {
+      case Some(Seq()) => live.filter(org.apache.spark.sql.functions.lit(false))
+      case Some(files) => spark.read.schema(live.schema).parquet(files: _*)
+      case None => live
     }
   }
 
   /** Re-pin after this connection's OWN auto-commit DDL bumped a
     * pinned table's epoch (in-txn DDL auto-commits by declaration —
-    * the bump must not read as a concurrent conflict at COMMIT). */
+    * the bump must not read as a concurrent conflict at COMMIT).
+    * Refreshes ALL three pins: epochs, rewrite pins, and the snapshot
+    * file list — an ALTER COLUMN TYPE rewrites the table's files, so a
+    * stale file pin would serve (or fail on) deleted files (ADVICE r10). */
   private def refreshPin(t: String): Unit = {
     val st = txn.get()
     if (st.open) {
       val q = qualify(t)
       if (st.baseEpochs.contains(q)) st.baseEpochs(q) = epochOf(q)
+      if (st.rewritePins.contains(q)) st.rewritePins(q) = rewriteEpochOf(q)
+      if (st.pinnedFiles.contains(q)) st.pinnedFiles(q) = listPinnedFiles(q)
     }
   }
 
@@ -347,13 +418,24 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * Used by the engine-internal readers (constraint + FK checks);
     * statement text goes through [[txnExec]]'s analyzed-plan redirect
     * instead. */
+  /** A table this transaction DROPPED no longer exists from its own
+    * point of view: reads and writes of it raise the binder-class
+    * not-found error (non-aborting, DuckDB semantics) until COMMIT
+    * makes the drop real or ROLLBACK forgets it. */
+  private def droppedInTxn(q: String): Nothing =
+    throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+      q.split('.').toIndexedSeq)
+
   private def readTable(t: String): DataFrame = {
     val st = txn.get()
     if (!st.open) return spark.table(t)
     val q = qualify(t)
+    // staged first: a table DROPPED and then RE-CREATED in this txn is
+    // readable again through its new overlay
     st.staged.get(q) match {
       case Some(stg) => spark.table(stg)
       case None =>
+        if (st.dropped.contains(q)) droppedInTxn(q)
         pinOrCheck(q)
         st.deltas.get(q) match {
           case Some(d) => snapshotBase(q).unionAll(spark.table(d))
@@ -372,6 +454,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     if (!st.open) return t
     val q = qualify(t)
     st.staged.getOrElse(q, st.deltas.getOrElse(q, {
+      if (st.dropped.contains(q)) droppedInTxn(q) // dropped, NOT re-created
       val d = q + "__txn" + txnSeq.incrementAndGet() + "delta"
       val lock = lockFor(q).readLock()
       lock.lock()
@@ -396,18 +479,23 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     if (!st.open) return t
     val q = qualify(t)
     st.staged.getOrElse(q, {
+      if (st.dropped.contains(q)) droppedInTxn(q) // dropped, NOT re-created
       val stg = q + "__txn" + txnSeq.incrementAndGet()
       val lock = lockFor(q).readLock()
       lock.lock()
       try {
         pinOrCheck(q)
         spark.sql(s"DROP TABLE IF EXISTS $stg")
+        // snapshot EXACTLY the pinned file image (not the live
+        // relation): a plain INSERT interleaving on the read lock
+        // between pin and CTAS must not leak into the staged copy —
+        // the commit-time append replay would duplicate its rows
         st.deltas.remove(q) match {
           case Some(d) =>
-            spark.sql(s"CREATE TABLE $stg AS SELECT * FROM $q UNION ALL SELECT * FROM $d")
+            pinnedScan(q).unionAll(spark.table(d)).write.saveAsTable(stg)
             try spark.sql(s"DROP TABLE IF EXISTS $d") catch { case _: Throwable => }
           case None =>
-            spark.sql(s"CREATE TABLE $stg AS SELECT * FROM $q")
+            pinnedScan(q).write.saveAsTable(stg)
         }
         st.staged(q) = stg
       } finally lock.unlock()
@@ -428,6 +516,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     }
     st.staged.clear(); st.deltas.clear(); st.baseEpochs.clear()
     st.rewritePins.clear(); st.pinnedFiles.clear(); st.created.clear()
+    st.dropped.clear() // ROLLBACK of a transactional DROP: table intact
   }
 
   /** Register a table CREATED inside the open transaction: it lives
@@ -443,6 +532,20 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     st.staged(q) = stg
     absorbedDdl.set(true)
     stg
+  }
+
+  /** Undo [[stageCreatedTable]] after the physical CREATE failed: the
+    * phantom registration would otherwise redirect later reads of the
+    * name to a nonexistent overlay, make a retried CREATE throw
+    * "already exists", and fail COMMIT mid-publish on the rename —
+    * and the stale absorbedDdl flag would leak into the NEXT
+    * statement's tag accounting (ADVICE r10). */
+  private def unstageCreatedTable(table: String): Unit = {
+    val st = txn.get()
+    val q = qualify(table)
+    st.created.remove(q)
+    st.staged.remove(q)
+    absorbedDdl.set(false)
   }
 
   /** Set when a CREATE was absorbed transactionally (so execute() must
@@ -476,21 +579,33 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     }
   }
 
-  /** Publish a transaction's overlays: lock all touched bases in
-    * sorted order (no lock-order deadlock between concurrent commits),
-    * verify the WHOLE pinned epoch set (touched AND read tables —
-    * write-write and read-write conflicts both abort, closing the FK
-    * write-skew window), then append each delta with INSERT INTO and
-    * overwrite each staged image with INSERT OVERWRITE. On conflict
-    * the whole transaction rolls back with a serialization error, like
-    * DuckDB's optimistic write conflict. A mid-publish failure never
-    * destroys the only copy of unpublished data: the remaining images
-    * are kept on disk and named in the error (mirrors
-    * alterColumnType's recovery contract). */
+  /** Publish a transaction's overlays: lock EVERY pinned table in
+    * globally sorted order — write locks on the tables this
+    * transaction wrote or dropped, read locks on its read-only pins
+    * (ADVICE r10: validating read pins without their locks let two
+    * commits with crossed read/write sets both pass validation —
+    * classic write-skew; sorted acquisition keeps it deadlock-free) —
+    * verify the WHOLE pinned epoch set, then publish: transactional
+    * DROPs first (freeing names for same-txn re-CREATEs), created
+    * tables by RENAME, deltas with INSERT INTO, staged images with
+    * INSERT OVERWRITE. A staged table whose base only received
+    * concurrent APPENDS since the pin does not abort: the post-pin
+    * files are replayed into the staged image first
+    * ([[replayBaseAppends]]), matching DuckDB's row-level MVCC where
+    * an update of old rows and an insert of new rows commute. On
+    * conflict the whole transaction rolls back with a serialization
+    * error. A mid-publish failure never destroys the only copy of
+    * unpublished data: the remaining images are kept on disk and named
+    * in the error (mirrors alterColumnType's recovery contract). */
   private def commitTxn(st: TxnState): Unit = {
-    if (st.staged.isEmpty && st.deltas.isEmpty) { st.baseEpochs.clear(); return }
-    val tables = (st.staged.keySet ++ st.deltas.keySet).toSeq.sorted
-    val locks = tables.map(t => lockFor(t).writeLock())
+    if (st.staged.isEmpty && st.deltas.isEmpty && st.dropped.isEmpty) {
+      st.baseEpochs.clear(); return
+    }
+    val written = (st.staged.keySet ++ st.deltas.keySet ++ st.dropped).toSet
+    val tables = written.toSeq.sorted
+    val pinnedAll = (written ++ st.baseEpochs.keySet).toSeq.sorted
+    val locks = pinnedAll.map(t =>
+      if (written(t)) lockFor(t).writeLock() else lockFor(t).readLock())
     locks.foreach(_.lock())
     try {
       try {
@@ -509,17 +624,38 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
             // constraint check never saw — re-validate under the lock
             if (epochOf(t) != e) recheckDeltaKeys(t, st.deltas(t))
           } else if (epochOf(t) != e) {
-            val how = if (st.staged.contains(t)) "touched" else "read"
-            throw new IllegalArgumentException(
-              s"could not commit transaction: table $t was modified by a concurrent " +
-                s"transaction after this transaction first $how it (serialization " +
-                "conflict); the transaction was rolled back")
+            val appendsOnly = rewriteEpochOf(t) == st.rewritePins.getOrElse(t, -1L)
+            val readOnlyPin = !st.staged.contains(t) && !st.dropped.contains(t)
+            if (readOnlyPin && appendsOnly) {
+              // read-only pin + concurrent appends: every in-txn read
+              // served the PINNED snapshot, so serializing this txn
+              // before the appenders is sound — commute, don't abort.
+              // A concurrent REWRITE still aborts (rows this txn read
+              // may have changed — the FK write-skew closure relies on
+              // exactly that).
+            } else if (st.staged.contains(t) && !st.created.contains(t) &&
+                !st.dropped.contains(t) && appendsOnly)
+              // a staged REWRITE whose base only gained appends since
+              // the pin commutes too: replay the appended files into
+              // the staged image before publishing it
+              replayBaseAppends(t, st)
+            else {
+              val how =
+                if (st.dropped.contains(t)) "dropped"
+                else if (st.staged.contains(t)) "touched" else "read"
+              throw new IllegalArgumentException(
+                s"could not commit transaction: table $t was modified by a concurrent " +
+                  s"transaction after this transaction first $how it (serialization " +
+                  "conflict); the transaction was rolled back")
+            }
           }
         }
         // tables this txn CREATED must still be free (another connection
-        // may have created the same name since)
+        // may have created the same name since) — unless this txn also
+        // DROPPED the pre-existing table (drop-then-recreate publishes
+        // drop first, freeing the name)
         st.created.keys.toSeq.sorted.foreach { t =>
-          if (spark.catalog.tableExists(t))
+          if (!st.dropped.contains(t) && spark.catalog.tableExists(t))
             throw new IllegalArgumentException(
               s"could not commit transaction: table $t was created by a concurrent " +
                 "transaction (serialization conflict); the transaction was rolled back")
@@ -528,6 +664,16 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       val published = scala.collection.mutable.Buffer.empty[String]
       try {
         tables.foreach { t =>
+          if (st.dropped.contains(t)) {
+            // transactional DROP becomes real: a same-txn re-CREATE's
+            // fresh constraint registration must survive the cleanup
+            val recreated =
+              if (st.created.contains(t)) Option(constraints.get(qualify(t))) else None
+            spark.sql(s"DROP TABLE IF EXISTS $t")
+            afterDropTable(t) // constraints, epochs, on-disk dir
+            recreated.foreach { c => constraints.put(qualify(t), c); persistConstraints() }
+            st.dropped.remove(t)
+          }
           if (st.created.contains(t)) {
             // created in this txn: publish by RENAME (no data movement);
             // existence was verified in the conflict phase, and a racing
@@ -536,14 +682,17 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
             spark.sql(s"ALTER TABLE ${st.staged(t)} RENAME TO $t")
             st.created.remove(t)
             st.staged.remove(t)
+            bumpEpoch(t)
           } else st.staged.get(t) match {
             case Some(stg) =>
               spark.sql(s"INSERT OVERWRITE TABLE $t SELECT * FROM $stg").collect()
               bumpRewriteEpoch(t) // an overwrite can change existing rows
-            case None =>
-              spark.sql(s"INSERT INTO $t SELECT * FROM ${st.deltas(t)}").collect()
+              bumpEpoch(t)
+            case None => st.deltas.get(t).foreach { d =>
+              spark.sql(s"INSERT INTO $t SELECT * FROM $d").collect()
+              bumpEpoch(t)
+            }
           }
-          bumpEpoch(t)
           published += t
         }
         dropStaged(st)
@@ -557,13 +706,55 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
               try spark.sql(s"DROP TABLE IF EXISTS $s") catch { case _: Throwable => })
           }
           val kept = tables.filterNot(published.contains).map(t =>
-            s"$t (uncommitted image preserved in ${st.staged.get(t).orElse(st.deltas.get(t)).getOrElse("?")})")
+            st.staged.get(t).orElse(st.deltas.get(t)) match {
+              case Some(img) => s"$t (uncommitted image preserved in $img)"
+              case None => s"$t (transactional DROP not applied)"
+            })
           if (kept.nonEmpty) throw new IllegalStateException(
             s"COMMIT failed mid-publish: [${published.mkString(", ")}] committed; " +
               s"NOT committed: ${kept.mkString("; ")}: ${e.getMessage}", e)
           throw e
       }
     } finally locks.reverse.foreach(_.unlock())
+  }
+
+  /** Commit-time replay of concurrent base APPENDS into this
+    * transaction's staged rewrite image: `current files − pinned
+    * files` is exactly the appended row set (parquet files are
+    * immutable; appends only add files, and [[physWrite]] staged from
+    * the PINNED list, so no appended row is already in the image).
+    * The replayed rows are re-checked against the staged image for
+    * PK/UNIQUE collisions — they were constraint-valid against the OLD
+    * base when their transaction committed, but this transaction's own
+    * inserts may collide. FK/CHECK/NOT NULL hold unchanged (replay
+    * copies committed rows verbatim). Runs under the table's write
+    * lock inside COMMIT validation; any failure aborts the commit. */
+  private def replayBaseAppends(t: String, st: TxnState): Unit = {
+    import org.apache.spark.sql.functions.col
+    val pinned = st.pinnedFiles.getOrElse(t, None).getOrElse(noSnapshotError(t))
+    val current =
+      try spark.table(t).inputFiles.toSeq
+      catch { case scala.util.control.NonFatal(_) => noSnapshotError(t) }
+    val newFiles = current.filterNot(pinned.toSet)
+    if (newFiles.isEmpty) return // epoch moved without new files (zero-row insert)
+    val stg = st.staged(t)
+    val appended = spark.read.schema(spark.table(stg).schema).parquet(newFiles: _*)
+    constraintsOf(t).foreach { c =>
+      val keySets = (if (c.pk.nonEmpty) Seq(c.pk) else Nil) ++ c.unique
+      keySets.foreach { keys =>
+        val kc = keys.map(col)
+        val hit = appended
+          .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+          .select(kc: _*)
+          .join(spark.table(stg).select(kc: _*), keys, "left_semi")
+        if (hit.limit(1).count() > 0)
+          throw new IllegalArgumentException(
+            s"could not commit transaction: a concurrent append to $t collides with " +
+              s"this transaction's rows on (${keys.mkString(", ")}) (serialization " +
+              "conflict); the transaction was rolled back")
+      }
+    }
+    appended.write.insertInto(stg)
   }
 
   /** Commit-time PK/UNIQUE re-validation of an append-only delta
@@ -592,12 +783,12 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       }
     }
 
-  /** DDL on a table with uncommitted in-txn changes would make the
+  /** ALTER on a table with uncommitted in-txn changes would make the
     * staged/delta image unpublishable — or publish a schema-mismatched
     * image at COMMIT (INSERT OVERWRITE … SELECT * against a table whose
     * columns moved under it) — so reject it up front. Guards EVERY
-    * ALTER form plus DROP TABLE (the r9 guard covered only DROP and
-    * ALTER COLUMN TYPE; ADD/RENAME/DROP COLUMN had the same hazard). */
+    * ALTER form; DROP TABLE no longer routes here — it is transactional
+    * (r11): the overlays are discarded with the drop intent instead. */
   private def guardStagedDdl(table: String): Unit = {
     val st = txn.get()
     val q = qualify(table)
@@ -692,6 +883,11 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
           !Engine.isInternalTable(lr.catalogTable.get.identifier.table) =>
         val ident = lr.catalogTable.get.identifier
         val q = qualify(ident.database.map(_ + ".").getOrElse("") + ident.table)
+        // a table this txn DROPPED is gone from its own viewpoint even
+        // though the catalog still resolves it (drop publishes at
+        // COMMIT) — reads of it, direct or through a view, fail as
+        // not-found (binder-class, non-aborting, DuckDB semantics)
+        if (st.dropped.contains(q)) droppedInTxn(q)
         // rebind a substituted relation's columns onto the ORIGINAL
         // attribute ids so everything already resolved above stays
         // resolved (schemas are identical across overlay images)
@@ -783,7 +979,31 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
           absorbedDdl.set(true) // absorbed: ROLLBACK has nothing left to undo
           return ExecResult(null, "DROP TABLE")
         }
-        guardStagedDdl(m.group(1))
+        // pre-existing table: TRANSACTIONAL DROP — record the intent
+        // and discard any overlays this txn built on the table (their
+        // changes die with it); reads of the name now fail, COMMIT
+        // performs the real drop under the write lock with an epoch
+        // conflict check, ROLLBACK forgets it and the table is intact
+        // (DuckDB transactional DDL, reachable via pg_conn.go:314)
+        val ifExists = """(?is)\bif\s+exists\b""".r.findFirstIn(sql).isDefined
+        if (st.dropped.contains(q)) {
+          if (ifExists) return ExecResult(null, "DROP TABLE")
+          droppedInTxn(q) // already dropped in this txn: not found
+        }
+        if (spark.catalog.tableExists(q)) {
+          st.staged.remove(q).foreach(s =>
+            try spark.sql(s"DROP TABLE IF EXISTS $s") catch { case _: Throwable => })
+          st.deltas.remove(q).foreach(d =>
+            try spark.sql(s"DROP TABLE IF EXISTS $d") catch { case _: Throwable => })
+          val lock = lockFor(q).readLock()
+          lock.lock()
+          try pinOrCheck(q) finally lock.unlock()
+          st.dropped += q
+          absorbedDdl.set(true) // fully rollback-able: a write, not auto-commit DDL
+          return ExecResult(null, "DROP TABLE")
+        }
+        // name unknown: fall through — IF EXISTS no-ops, a plain DROP
+        // raises spark's binder-class not-found (non-aborting)
       }
       alterTableAnyRe.findFirstMatchIn(sql).foreach(m => guardStagedDdl(m.group(1)))
     }
@@ -943,7 +1163,10 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     if (isTxnOpen) txnCreateTableRe.findFirstMatchIn(sql).foreach { m =>
       val ifNotExists = m.group(1) != null
       val table = m.group(2)
-      if (spark.catalog.tableExists(table)
+      // a name this txn DROPPED is free to re-create (drop-then-create
+      // publishes in that order at COMMIT)
+      if ((spark.catalog.tableExists(table)
+            && !txn.get().dropped.contains(qualify(table)))
           || txn.get().created.contains(qualify(table))) {
         if (ifNotExists) return ExecResult(null, "CREATE TABLE")
         throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
@@ -954,8 +1177,17 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         "(?is)(create\\s+table\\s+(?:if\\s+not\\s+exists\\s+)?)" +
           java.util.regex.Pattern.quote(table),
         "$1" + java.util.regex.Matcher.quoteReplacement(stg))
-      val df = txnExec(rewrite(sql2))
-      if (df != null) df.collect()
+      try {
+        val df = txnExec(rewrite(sql2))
+        if (df != null) df.collect()
+      } catch { case e: Throwable =>
+        // the CREATE failed (e.g. an AnalysisException in a CTAS
+        // source, which deliberately does not abort the txn): the
+        // registration must not outlive it (ADVICE r10 phantom entry)
+        unstageCreatedTable(table)
+        try spark.sql(s"DROP TABLE IF EXISTS $stg") catch { case _: Throwable => }
+        throw e
+      }
       return ExecResult(null, "CREATE TABLE")
     }
     onConflictRe.findFirstMatchIn(sql).foreach { m =>
@@ -2693,13 +2925,23 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     // and are unregistered again if the txn rolls back (dropStaged)
     val phys =
       if (isTxnOpen) {
-        if (spark.catalog.tableExists(table)
+        if ((spark.catalog.tableExists(table)
+              && !txn.get().dropped.contains(qualify(table)))
             || txn.get().created.contains(qualify(table)))
           throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
             table.split('.').toSeq)
         stageCreatedTable(table)
       } else table
-    spark.sql(rewrite(s"CREATE TABLE $phys (${kept.mkString(", ")}) $rest"))
+    try spark.sql(rewrite(s"CREATE TABLE $phys (${kept.mkString(", ")}) $rest"))
+    catch { case e: Throwable =>
+      // failed CREATE must not leave a phantom staged registration
+      // behind (ADVICE r10) — same contract as the CTAS path
+      if (phys != table) {
+        unstageCreatedTable(table)
+        try spark.sql(s"DROP TABLE IF EXISTS $phys") catch { case _: Throwable => }
+      }
+      throw e
+    }
     constraints.put(qualify(table), Constraints(pk, unique, notNull, fks, enumCols, checks))
     persistConstraints()
     ExecResult(null, "CREATE TABLE")

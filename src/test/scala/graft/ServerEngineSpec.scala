@@ -919,13 +919,16 @@ class ServerEngineSpec extends SparkSpecBase {
     }
   }
 
-  test("transaction write-write conflict aborts the later commit") {
+  test("staged rewrite + concurrent APPEND commute: COMMIT replays the appended rows") {
     engine.execute("CREATE TABLE txn_ww (a BIGINT)")
     engine.execute("INSERT INTO txn_ww VALUES (1)")
     try {
       engine.execute("BEGIN")
       engine.execute("UPDATE txn_ww SET a = 100") // stages txn_ww, snapshot a=1
-      // a concurrent connection commits a write to the same table
+      // a concurrent connection commits an APPEND to the same table —
+      // in DuckDB's row-level MVCC the update (old rows) and the
+      // insert (a new row) commute; r11 replays the appended files
+      // into the staged image at COMMIT instead of aborting
       var otherErr: Throwable = null
       val other = new Thread(() => {
         try engine.execute("INSERT INTO txn_ww VALUES (2)")
@@ -933,15 +936,156 @@ class ServerEngineSpec extends SparkSpecBase {
       })
       other.start(); other.join()
       assert(otherErr == null, String.valueOf(otherErr))
-      val e = intercept[IllegalArgumentException] { engine.execute("COMMIT") }
-      assert(e.getMessage.contains("serialization conflict"), e.getMessage)
-      // the losing transaction rolled back; the concurrent write survived
+      engine.execute("COMMIT")
+      // the update applied to the OLD rows; the concurrent append
+      // survived UNMODIFIED (it was not in the update's snapshot)
       val vals = engine.execute("SELECT a FROM txn_ww ORDER BY a").df
         .collect().map(_.getLong(0)).toSeq
-      assert(vals == Seq(1L, 2L), vals)
+      assert(vals == Seq(2L, 100L), vals)
     } finally {
       try engine.execute("ROLLBACK") catch { case _: Throwable => () }
       engine.execute("DROP TABLE IF EXISTS txn_ww")
+    }
+  }
+
+  test("rewrite-vs-rewrite conflict still aborts the later commit") {
+    engine.execute("CREATE TABLE txn_wr (a BIGINT)")
+    engine.execute("INSERT INTO txn_wr VALUES (1)")
+    try {
+      engine.execute("BEGIN")
+      engine.execute("UPDATE txn_wr SET a = 100")
+      // a concurrent connection commits a REWRITE of the same table
+      var otherErr: Throwable = null
+      val other = new Thread(() => {
+        try engine.execute("UPDATE txn_wr SET a = a + 7")
+        catch { case e: Throwable => otherErr = e }
+      })
+      other.start(); other.join()
+      assert(otherErr == null, String.valueOf(otherErr))
+      val e = intercept[IllegalArgumentException] { engine.execute("COMMIT") }
+      assert(e.getMessage.contains("serialization conflict"), e.getMessage)
+      // the losing transaction rolled back; the concurrent rewrite survived
+      val vals = engine.execute("SELECT a FROM txn_wr ORDER BY a").df
+        .collect().map(_.getLong(0)).toSeq
+      assert(vals == Seq(8L), vals)
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => () }
+      engine.execute("DROP TABLE IF EXISTS txn_wr")
+    }
+  }
+
+  test("read-only pin tolerates a concurrent append (reader serializes first)") {
+    engine.execute("CREATE TABLE txn_rp_a (a BIGINT)")
+    engine.execute("CREATE TABLE txn_rp_b (b BIGINT)")
+    engine.execute("INSERT INTO txn_rp_a VALUES (1)")
+    try {
+      engine.execute("BEGIN")
+      // read A (pins it), write B based on the read
+      val seen = engine.execute("SELECT count(*) AS c FROM txn_rp_a").df.head().getLong(0)
+      engine.execute(s"INSERT INTO txn_rp_b VALUES ($seen)")
+      val other = new Thread(() => engine.execute("INSERT INTO txn_rp_a VALUES (2)"))
+      other.start(); other.join()
+      // in-txn re-read still serves the pinned snapshot
+      assert(engine.execute("SELECT count(*) AS c FROM txn_rp_a").df.head().getLong(0) == 1L)
+      engine.execute("COMMIT") // appends to a read pin commute — no abort
+      assert(engine.execute("SELECT b FROM txn_rp_b").df.head().getLong(0) == 1L)
+      assert(engine.execute("SELECT count(*) AS c FROM txn_rp_a").df.head().getLong(0) == 2L)
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => () }
+      engine.execute("DROP TABLE IF EXISTS txn_rp_a")
+      engine.execute("DROP TABLE IF EXISTS txn_rp_b")
+    }
+  }
+
+  test("transactional DROP TABLE: ROLLBACK keeps the table, COMMIT drops it") {
+    engine.execute("CREATE TABLE txn_drop (a BIGINT)")
+    engine.execute("INSERT INTO txn_drop VALUES (1)")
+    try {
+      // ROLLBACK forgets the drop intent — the table is intact
+      engine.execute("BEGIN")
+      engine.execute("DROP TABLE txn_drop")
+      // reads of a dropped table fail as not-found (binder-class: the
+      // block stays USABLE, DuckDB semantics) …
+      intercept[org.apache.spark.sql.AnalysisException] {
+        engine.execute("SELECT * FROM txn_drop").df.collect()
+      }
+      // … and writes too
+      intercept[org.apache.spark.sql.AnalysisException] {
+        engine.execute("INSERT INTO txn_drop VALUES (9)")
+      }
+      assert(engine.txnStatus == 'T') // NOT aborted
+      engine.execute("ROLLBACK") // no "cannot undo DDL" error: the drop was staged
+      assert(engine.execute("SELECT a FROM txn_drop").df.head().getLong(0) == 1L)
+      // COMMIT performs the real drop
+      engine.execute("BEGIN")
+      engine.execute("DROP TABLE txn_drop")
+      engine.execute("COMMIT")
+      assert(!spark.catalog.tableExists("txn_drop"))
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => () }
+      engine.execute("DROP TABLE IF EXISTS txn_drop")
+    }
+  }
+
+  test("in-txn write then DROP discards the overlay with the table") {
+    engine.execute("CREATE TABLE txn_wd (a BIGINT)")
+    engine.execute("INSERT INTO txn_wd VALUES (1)")
+    try {
+      engine.execute("BEGIN")
+      engine.execute("UPDATE txn_wd SET a = 50") // stages a rewrite
+      engine.execute("INSERT INTO txn_wd VALUES (2)")
+      engine.execute("DROP TABLE txn_wd") // allowed: overlay dies with the drop intent
+      engine.execute("COMMIT")
+      assert(!spark.catalog.tableExists("txn_wd"))
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => () }
+      engine.execute("DROP TABLE IF EXISTS txn_wd")
+    }
+  }
+
+  test("DROP then re-CREATE in one transaction publishes the new table") {
+    engine.execute("CREATE TABLE txn_dc (a BIGINT)")
+    engine.execute("INSERT INTO txn_dc VALUES (1)")
+    try {
+      engine.execute("BEGIN")
+      engine.execute("DROP TABLE txn_dc")
+      engine.execute("CREATE TABLE txn_dc (s STRING)") // name freed by the in-txn drop
+      engine.execute("INSERT INTO txn_dc VALUES ('new')")
+      assert(engine.execute("SELECT s FROM txn_dc").df.head().getString(0) == "new")
+      engine.execute("COMMIT")
+      assert(spark.table("txn_dc").schema.fieldNames.toSeq == Seq("s"))
+      assert(engine.execute("SELECT s FROM txn_dc").df.head().getString(0) == "new")
+      // and the ROLLBACK variant restores the ORIGINAL table
+      engine.execute("BEGIN")
+      engine.execute("DROP TABLE txn_dc")
+      engine.execute("CREATE TABLE txn_dc (z BIGINT)")
+      engine.execute("ROLLBACK")
+      assert(spark.table("txn_dc").schema.fieldNames.toSeq == Seq("s"))
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => () }
+      engine.execute("DROP TABLE IF EXISTS txn_dc")
+    }
+  }
+
+  test("a failed in-txn CREATE leaves no phantom registration (ADVICE r10)") {
+    try {
+      engine.execute("BEGIN")
+      // CTAS from a nonexistent source: binder error, non-aborting —
+      // and the staged registration must be unwound with it
+      intercept[Throwable] {
+        engine.execute("CREATE TABLE txn_ph AS SELECT * FROM txn_ph_no_such_source")
+      }
+      assert(engine.txnStatus == 'T')
+      // the name must NOT redirect to a nonexistent overlay
+      intercept[Throwable] { engine.execute("SELECT * FROM txn_ph").df.collect() }
+      // a retried CREATE succeeds (no phantom "already exists")
+      engine.execute("CREATE TABLE txn_ph AS SELECT 42 AS v")
+      assert(engine.execute("SELECT v FROM txn_ph").df.head().getInt(0) == 42)
+      engine.execute("COMMIT")
+      assert(engine.execute("SELECT v FROM txn_ph").df.head().getInt(0) == 42)
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => () }
+      engine.execute("DROP TABLE IF EXISTS txn_ph")
     }
   }
 
@@ -999,10 +1143,12 @@ class ServerEngineSpec extends SparkSpecBase {
       assert(spark.table("txn_ddl").schema("a").dataType ==
         org.apache.spark.sql.types.StringType)
       assert(engine.execute("SELECT count(*) AS c FROM txn_ddl").df.head().getLong(0) == 0L)
-      // DDL on a table with uncommitted txn changes is rejected up front
+      // ALTER on a table with uncommitted txn changes is rejected up
+      // front (DROP no longer is — it's transactional since r11)
       engine.execute("BEGIN")
       engine.execute("INSERT INTO txn_ddl VALUES (2)")
-      val e2 = intercept[IllegalArgumentException] { engine.execute("DROP TABLE txn_ddl") }
+      val e2 = intercept[IllegalArgumentException] {
+        engine.execute("ALTER TABLE txn_ddl ADD COLUMN b INT") }
       assert(e2.getMessage.contains("uncommitted"), e2.getMessage)
       engine.execute("ROLLBACK")
     } finally {
@@ -1103,8 +1249,7 @@ class ServerEngineSpec extends SparkSpecBase {
       Seq(
         "ALTER TABLE main.txa_t ADD COLUMN b INT",
         "ALTER TABLE main.txa_t RENAME COLUMN a TO z",
-        "ALTER TABLE main.txa_t ALTER COLUMN a TYPE STRING",
-        "DROP TABLE main.txa_t"
+        "ALTER TABLE main.txa_t ALTER COLUMN a TYPE STRING"
       ).foreach { ddl =>
         val e = intercept[IllegalArgumentException] { engine.execute(ddl) }
         assert(e.getMessage.contains("uncommitted changes"), s"$ddl → ${e.getMessage}")
@@ -1134,11 +1279,10 @@ class ServerEngineSpec extends SparkSpecBase {
       // the read keeps serving the pinned-file snapshot (parquet appends
       // only ADD files) — DuckDB-equivalent, no mid-txn switch, no abort
       assert(engine.execute("SELECT count(*) AS c FROM main.txr_t").df.head().getLong(0) == 1L)
-      // ...but COMMIT of this WRITING txn verifies the read set: the
-      // read table moved, so the commit aborts (read-write conflict)
-      val e = intercept[IllegalArgumentException] { engine.execute("COMMIT") }
-      assert(e.getMessage.contains("first read it"), e.getMessage)
-      assert(engine.execute("SELECT count(*) AS c FROM main.txr_u").df.head().getLong(0) == 0L)
+      // COMMIT commutes with the concurrent APPEND (r11): every in-txn
+      // read served the pinned snapshot, so this txn serializes first
+      engine.execute("COMMIT")
+      assert(engine.execute("SELECT count(*) AS c FROM main.txr_u").df.head().getLong(0) == 1L)
       // a concurrent REWRITE of a pinned table fails the next read fast
       engine.execute("BEGIN")
       assert(engine.execute("SELECT count(*) AS c FROM main.txr_t").df.head().getLong(0) == 2L)
@@ -1172,7 +1316,9 @@ class ServerEngineSpec extends SparkSpecBase {
       engine.execute("BEGIN")
       assert(engine.execute("SELECT count(*) AS c FROM main.txrw_r").df.head().getLong(0) == 1L)
       engine.execute("INSERT INTO main.txrw_w VALUES (7)")
-      val other = new Thread(() => engine.execute("INSERT INTO main.txrw_r VALUES (2)"))
+      // a concurrent REWRITE of the read table (an append would
+      // commute — r11): rows this txn read may have changed
+      val other = new Thread(() => engine.execute("UPDATE main.txrw_r SET a = a + 1"))
       other.start(); other.join()
       // no further reads of txrw_r — the conflict must be caught at COMMIT
       val e = intercept[IllegalArgumentException] { engine.execute("COMMIT") }
