@@ -3417,13 +3417,25 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       .foreach { dbDir =>
         val db = dbDir.getName.stripSuffix(".db")
         spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-        Option(dbDir.listFiles()).getOrElse(Array.empty)
-          .filter(t => t.isDirectory && !staleStagingRe.matches(t.getName)).foreach { tDir =>
-            try
-              if (!spark.catalog.tableExists(s"$db.${tDir.getName}"))
-                spark.sql(s"CREATE TABLE $db.${tDir.getName} USING parquet LOCATION '${tDir.getAbsolutePath}'")
-            catch { case scala.util.control.NonFatal(_) => } // unreadable dir: skip
+        val (stale, live) = Option(dbDir.listFiles()).getOrElse(Array.empty)
+          .filter(_.isDirectory).partition(t => staleStagingRe.matches(t.getName))
+        // reclaim crash leftovers fully: excluding them from
+        // re-registration keeps phantom tables out of the catalog, but
+        // the dirs themselves are uncommitted garbage that would leak
+        // disk forever (crash_recovery_test find, r11)
+        stale.foreach { tDir =>
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete()
           }
+          rm(tDir)
+        }
+        live.foreach { tDir =>
+          try
+            if (!spark.catalog.tableExists(s"$db.${tDir.getName}"))
+              spark.sql(s"CREATE TABLE $db.${tDir.getName} USING parquet LOCATION '${tDir.getAbsolutePath}'")
+          catch { case scala.util.control.NonFatal(_) => } // unreadable dir: skip
+        }
       }
     // replay journaled view DDL (best-effort: later statements may
     // legitimately re-define earlier ones)

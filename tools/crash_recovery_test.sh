@@ -1,0 +1,75 @@
+#!/bin/bash
+# Crash-recovery probe: kill -9 the server MID-TRANSACTION (staged
+# overlay + delta + transactional CREATE all live on disk), restart
+# against the same --db_path, and assert the restart bootstrap
+# (staleStagingRe, Engine.bootstrap) reclaims every __txn leftover,
+# no phantom table registers, and the base tables carry exactly their
+# pre-transaction content.
+# Usage: bash tools/crash_recovery_test.sh [pg_port] [ch_port]
+set -u
+PG=${1:-5437}
+CH=${2:-8128}
+DB=$(mktemp -d /tmp/graft_crash.XXXXXX)
+LOG=/tmp/graft_crash_server.log
+P="-h 127.0.0.1 -p $PG -U crash -d main"
+pass=0; fail=0
+ok()  { pass=$((pass+1)); echo "PASS $1"; }
+bad() { fail=$((fail+1)); echo "FAIL $1"; }
+chk() { if [ "$2" = "$3" ]; then ok "$1"; else bad "$1 (expected [$2] got [$3])"; fi }
+
+start_server() {
+  rm -f "$LOG"
+  nohup bash "$(dirname "$0")/run_server.sh" "$PG" "$CH" \
+    /root/testdata/sf0.001 "--db_path=$DB" > "$LOG" 2>&1 &
+  SRV_PID=$!
+  for i in $(seq 1 90); do
+    grep -q "graft server ready" "$LOG" 2>/dev/null && return 0
+    sleep 2
+  done
+  echo "server failed to start"; tail -5 "$LOG"; exit 1
+}
+
+cd "$(dirname "$0")/.."
+start_server
+
+chk "create base" "CREATE TABLE" "$(psql $P -c 'create table main.ct (k int primary key, v string) using parquet' 2>&1 | head -1)"
+chk "seed base"   "INSERT 0 2"   "$(psql $P -c "insert into main.ct values (1,'a'),(2,'b')" 2>&1 | head -1)"
+
+# open a transaction on a LONG-LIVED psql and leave it mid-flight:
+# a delta (INSERT), a staged rewrite (UPDATE), and a transactional
+# CREATE all have on-disk __txn artifacts at kill time
+FIFO=$(mktemp -u /tmp/graft_crash_fifo.XXXXXX)
+mkfifo "$FIFO"
+psql $P -f /dev/stdin < "$FIFO" > /tmp/graft_crash_psql.log 2>&1 &
+PSQL_PID=$!
+exec 9>"$FIFO"
+cat >&9 <<'SQL'
+BEGIN;
+INSERT INTO main.ct VALUES (3,'c');
+UPDATE main.ct SET v = 'zz' WHERE k = 1;
+CREATE TABLE main.ct_phantom AS SELECT 42 AS x;
+SELECT pg_sleep(0);
+SQL
+sleep 8   # let the staged overlay + created table materialize on disk
+
+overlays_before=$(ls -d "$DB"/warehouse/main.db/*__txn* 2>/dev/null | wc -l)
+if [ "$overlays_before" -ge 1 ]; then ok "overlays on disk pre-crash ($overlays_before)"; else bad "no overlays found pre-crash"; fi
+
+kill -9 "$SRV_PID" 2>/dev/null
+wait "$SRV_PID" 2>/dev/null
+exec 9>&-
+kill "$PSQL_PID" 2>/dev/null; wait "$PSQL_PID" 2>/dev/null
+rm -f "$FIFO"
+
+start_server
+chk "base content intact"   "1|a,2|b" "$(psql $P -tA -F'|' -c 'select k, v from main.ct order by k' 2>&1 | paste -sd, -)"
+chk "no phantom table"      "gone"    "$(psql $P -tA -c 'select count(*) from main.ct_phantom' >/dev/null 2>&1 && echo present || echo gone)"
+overlays_after=$(ls -d "$DB"/warehouse/main.db/*__txn* 2>/dev/null | wc -l)
+chk "overlay dirs reclaimed" "0" "$overlays_after"
+chk "no overlay registered"  ""  "$(psql $P -tA -c "select table_name from information_schema.tables where table_name like '%__txn%'" 2>&1)"
+chk "table still writable"  "INSERT 0 1" "$(psql $P -c "insert into main.ct values (9,'i')" 2>&1 | head -1)"
+kill "$SRV_PID" 2>/dev/null; wait "$SRV_PID" 2>/dev/null
+
+rm -rf "$DB"
+echo "crash-recovery: $pass passed, $fail failed"
+[ "$fail" -eq 0 ]

@@ -129,17 +129,17 @@ def gen_events(r, tname, n_ops, vname=None, aux=None):
             in_txn = False
             deleted_in_txn = False
         elif aux and roll < 0.40:
-            # transactional DDL surface: CREATE/INSERT/SELECT on an aux
-            # table, differentially vs DuckDB's transactional DDL.
-            # Double-creates / missing-table reads fail on BOTH sides
-            # (only the ok/fail bit is compared). DROP of the aux table
-            # only OUTSIDE a txn: in-txn DROP of an overlay table is our
-            # declared guard divergence (DuckDB allows it).
+            # transactional DDL surface: CREATE/DROP/INSERT/SELECT on an
+            # aux table, differentially vs DuckDB's transactional DDL.
+            # Double-creates / missing-table reads/drops fail on BOTH
+            # sides (only the ok/fail bit is compared). DROP inside a
+            # txn is transactional since r11 (ROLLBACK restores the
+            # table, reads of it fail in-txn, drop-then-recreate works) —
+            # exactly DuckDB's semantics, so it fuzzes differentially.
             cands = [f"CREATE TABLE {aux} (x INTEGER)",
                      f"INSERT INTO {aux} VALUES ({r.randint(0, 9)})",
-                     f"SELECT count(*) FROM {aux}"]
-            if not in_txn:
-                cands.append(f"DROP TABLE {aux}")
+                     f"SELECT count(*) FROM {aux}",
+                     f"DROP TABLE {aux}"]
             events.append((r.choice(cands), "dml"))
         else:
             op = r.random()
@@ -310,37 +310,52 @@ def differential_scripts(port, n_scripts, r, finds):
 def interleave_scripts(port, n_scripts, r, finds):
     """Two server connections run interleaved transactions on one table.
     Invariant: final content == replay of the successfully COMMITTED
-    transactions, in commit order, on a fresh DuckDB (plus any
-    autocommit statements at their original positions relative to the
-    commits). Conflict-failed commits must leave no trace."""
+    transactions on a fresh DuckDB, each ordered at its FIRST TOUCH of
+    the table (its snapshot point), with autocommit statements at their
+    own positions. First-touch order — not commit order — is the
+    correct linear oracle once appends commute (r10/r11): a rewriter
+    that commits AFTER a concurrent append serializes BEFORE it (the
+    rewrite applied to its pinned snapshot; the appended rows were
+    replayed in unmodified), exactly like DuckDB's row-level MVCC.
+    Conflict-failed commits must leave no trace."""
     ok = 0
     for si in range(n_scripts):
         tname = f"txi_{r.randint(0, 10**9)}_{si}"
         pg = [PgSession(port), PgSession(port)]
-        replay = [f"CREATE TABLE {tname} (id INTEGER PRIMARY KEY, a INTEGER)"]
-        pg[0].query(replay[0])
+        step = 0
+        replay = [(step, f"CREATE TABLE {tname} (id INTEGER PRIMARY KEY, a INTEGER)")]
+        pg[0].query(replay[0][1])
         seed = f"INSERT INTO {tname} VALUES " + ", ".join(
             f"({i}, {r.randint(0, 50)})" for i in range(0, 6))
         pg[0].query(seed)
-        replay.append(seed)
+        step += 1
+        replay.append((step, seed))
 
         txstmts = [[], []]   # per-connection uncommitted statement log
         in_txn = [False, False]
-        # read-stability (r10): an in-txn READ pins the table's epoch,
-        # and a later read (or COMMIT) after a concurrent commit fails
-        # with a serialization error, aborting the block — STRICTER
-        # than DuckDB's snapshot isolation, never weaker. The invariant
-        # handles it via abort tracking: an aborted txn's statements
-        # must never appear in the replay, even though its terminal
-        # COMMIT "succeeds" (as a rollback, PG semantics).
+        first_touch = [None, None]  # step of the txn's snapshot point
+        # a txn that REWROTE rows serializes at its snapshot point; an
+        # APPEND-ONLY txn serializes at COMMIT (its rows materialize
+        # then, and appends commute with everything but a rewrite —
+        # which would have aborted it)
+        has_rewrite = [False, False]
+        # read-stability (r10): an in-txn statement after a concurrent
+        # REWRITE commit fails with a serialization error, aborting the
+        # block. The invariant handles it via abort tracking: an
+        # aborted txn's statements must never appear in the replay,
+        # even though its terminal COMMIT "succeeds" (as a rollback,
+        # PG semantics).
         aborted = [False, False]
         diverged = False
         for _ in range(r.randint(6, 16)):
             c = r.randint(0, 1)
+            step += 1
             if not in_txn[c] and r.random() < 0.5:
                 pg[c].query("BEGIN")
                 in_txn[c] = True
                 txstmts[c] = []
+                first_touch[c] = None
+                has_rewrite[c] = False
                 aborted[c] = False
             elif in_txn[c] and r.random() < 0.3:
                 if r.random() < 0.7:
@@ -350,7 +365,10 @@ def interleave_scripts(port, n_scripts, r, finds):
                     if aborted[c]:
                         pass  # COMMIT of an aborted block = rollback
                     elif err is None:
-                        replay.extend(txstmts[c])
+                        key = (first_touch[c]
+                               if has_rewrite[c] and first_touch[c] is not None
+                               else step)
+                        replay.extend((key, s) for s in txstmts[c])
                     elif "serial" not in err.lower() and "conflict" not in err.lower():
                         finds.append(("COMMIT-ERR", err, None, None))
                         diverged = True
@@ -378,10 +396,17 @@ def interleave_scripts(port, n_scripts, r, finds):
                 ])
                 _, err, _ = pg[c].query(sql)
                 if err is None:
+                    if in_txn[c] and first_touch[c] is None:
+                        # any successful touch (read OR write) pins the
+                        # snapshot the txn's rewrites will stage from
+                        first_touch[c] = step
+                    if in_txn[c] and ("UPDATE" in sql or "DELETE" in sql
+                                      or "ON CONFLICT" in sql):
+                        has_rewrite[c] = True
                     if in_txn[c] and not sql.startswith("SELECT"):
                         txstmts[c].append(sql)
                     elif not in_txn[c] and not sql.startswith("SELECT"):
-                        replay.append(sql)
+                        replay.append((step, sql))
                 elif in_txn[c]:
                     # statement failure (incl. serialization) aborts the
                     # block; nothing from it may reach the replay
@@ -389,10 +414,17 @@ def interleave_scripts(port, n_scripts, r, finds):
         if not diverged:
             for c in (0, 1):
                 if in_txn[c]:
+                    step += 1
                     _, err, _ = pg[c].query("COMMIT")
                     if err is None and not aborted[c]:
-                        replay.extend(txstmts[c])
+                        key = (first_touch[c]
+                               if has_rewrite[c] and first_touch[c] is not None
+                               else step)
+                        replay.extend((key, s) for s in txstmts[c])
             srows, serr, _ = pg[0].query(f"SELECT * FROM {tname} ORDER BY id")
+            # stable sort: ties (a txn's own statements) keep their
+            # intra-txn order; distinct steps order the serialization
+            replay = [s for _, s in sorted(replay, key=lambda kv: kv[0])]
             dcon = duckdb.connect()
             for sql in replay:
                 _, de = run_duck(dcon, sql)
