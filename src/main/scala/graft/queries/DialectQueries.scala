@@ -116,14 +116,22 @@ object DialectQueries {
         // under ANSI mode
         sum(xxhash64(col("o_orderkey"), col("o_totalprice"))
           .cast("decimal(38,0)")).as(s"h_$tag"))
-      digest("a")
-        .crossJoin(digest("b"))
+      // the two "independent" scans must be PHYSICALLY independent:
+      // in one plan, ReuseExchange canonicalizes the two identical
+      // aggregate subtrees (aliases are stripped) into ONE sample scan,
+      // making the repeatability assertion vacuously true (ADVICE r10).
+      // Running digest "a" as its own eager job guarantees a second
+      // real execution below — exchange reuse cannot span jobs. The
+      // collect is a single aggregate row, fine at any scale.
+      val a = digest("a").head()
+      val (na, ha) = (a.getLong(0), a.getDecimal(1))
+      digest("b")
         .crossJoin(src.agg(count(lit(1)).as("t")))
         .crossJoin(bad)
         .select(
           (col("bad") === 0).as("all_in_source"),
-          (col("n_a") >= col("t") * 0.05 && col("n_a") <= col("t") * 0.15).as("within_range"),
-          (col("n_a") === col("n_b") && col("h_a") === col("h_b")).as("repeatable"))
+          (col("n_b") >= col("t") * 0.05 && col("n_b") <= col("t") * 0.15).as("within_range"),
+          (col("n_b") === lit(na) && col("h_b") === lit(ha)).as("repeatable"))
     },
 
     // plan text differs per engine → rows-only smoke (SURVEY B.9 ⚠)
