@@ -736,6 +736,44 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
                 "transaction (serialization conflict); the transaction was rolled back")
         }
       } catch { case e: Throwable => dropStaged(st); throw e }
+      // ---- publish journal (r12): validation passed, so the commit
+      // DECISION is made — record the op list (atomically, via
+      // temp+rename) BEFORE the first destructive step. A crash
+      // anywhere in the publish loop leaves the journal + the staged
+      // images on disk; boot-time [[recoverPublishJournals]] rolls the
+      // commit FORWARD at the file level (the only correct direction:
+      // a half-done INSERT OVERWRITE has already damaged the base, and
+      // the staged image is the only intact copy). Without the journal
+      // the restart's stale-staging reclaim would DELETE that only
+      // copy. No dbPath → no durability contract → no journal.
+      val journal: Option[java.io.File] = dbPath.map { p =>
+        val ops = tables.flatMap { t =>
+          val drop = if (st.dropped.contains(t)) Seq(s"drop\t$t\t\t\t") else Nil
+          val rest =
+            if (st.created.contains(t)) {
+              val cl = st.txnConstraints.get(t).flatten.filterNot(_.isEmpty)
+                .map(c => java.util.Base64.getEncoder.encodeToString(
+                  constraintLine(t, c).getBytes("UTF-8"))).getOrElse("")
+              Seq(s"rename\t$t\t${st.staged(t)}\t\t$cl")
+            } else if (st.altered.contains(t)) Seq(s"replace\t$t\t${st.staged(t)}\t\t")
+            else st.staged.get(t) match {
+              case Some(stg) => Seq(s"overwrite\t$t\t$stg\t\t")
+              case None => st.deltas.get(t).toSeq.map { d =>
+                // base file list: recovery deletes files a crashed
+                // partial append left behind, then re-copies the delta
+                val base =
+                  try spark.table(t).inputFiles.toSeq
+                    .map(f => f.substring(f.lastIndexOf('/') + 1))
+                  catch { case scala.util.control.NonFatal(_) => Seq.empty[String] }
+                s"append\t$t\t$d\t${base.mkString(",")}\t"
+              }
+            }
+          drop ++ rest
+        }
+        val f = new java.io.File(p, s"publish_journal_${txnSeq.incrementAndGet()}.tsv")
+        writeFile(f.getAbsolutePath, ops.mkString("\n"))
+        f
+      }
       val published = scala.collection.mutable.Buffer.empty[String]
       try {
         tables.foreach { t =>
@@ -788,8 +826,13 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
           published += t
         }
         dropStaged(st)
+        journal.foreach(_.delete())
       } catch {
         case e: Throwable =>
+          // an in-process publish FAILURE (no crash) is handled here
+          // authoritatively — the journal must not also roll it
+          // forward at a later restart, so it goes first
+          journal.foreach(_.delete())
           // published tables' images are consumed — drop those; keep
           // the unpublished ones ON DISK and name them, so a partial
           // multi-table commit failure is recoverable by the operator
@@ -3559,17 +3602,23 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     writeFile(s"$p/sequences.tsv", lines.mkString("\n"))
   }
 
+  /** One constraints.tsv line — the persisted registration format,
+    * shared by [[persistConstraints]] and the publish journal (which
+    * must carry a created table's registration so boot-time
+    * roll-forward can finish installing it). */
+  private def constraintLine(t: String, c: Constraints): String = {
+    val fkStr = c.fks.map(f =>
+      s"${f.cols.mkString(",")}>${f.refTable}:${f.refCols.mkString(",")}").mkString("|")
+    val enStr = c.enumCols.map { case (cn, en) => s"$cn:$en" }.mkString("|")
+    val ckStr = c.checks.map(ck => java.util.Base64.getEncoder
+      .encodeToString(ck.getBytes("UTF-8"))).mkString("|")
+    s"$t\t${c.pk.mkString(",")}\t${c.unique.map(_.mkString(",")).mkString("|")}\t${c.notNull.mkString(",")}\t$fkStr\t$enStr\t$ckStr"
+  }
+
   private def persistConstraints(): Unit = dbPath.foreach { p =>
     val lines = {
       import scala.jdk.CollectionConverters._
-      constraints.asScala.toSeq.sortBy(_._1).map { case (t, c) =>
-        val fkStr = c.fks.map(f =>
-          s"${f.cols.mkString(",")}>${f.refTable}:${f.refCols.mkString(",")}").mkString("|")
-        val enStr = c.enumCols.map { case (cn, en) => s"$cn:$en" }.mkString("|")
-        val ckStr = c.checks.map(ck => java.util.Base64.getEncoder
-          .encodeToString(ck.getBytes("UTF-8"))).mkString("|")
-        s"$t\t${c.pk.mkString(",")}\t${c.unique.map(_.mkString(",")).mkString("|")}\t${c.notNull.mkString(",")}\t$fkStr\t$enStr\t$ckStr"
-      }
+      constraints.asScala.toSeq.sortBy(_._1).map { case (t, c) => constraintLine(t, c) }
     }
     writeFile(s"$p/constraints.tsv", lines.mkString("\n"))
   }
@@ -3612,7 +3661,118 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     }
   }
 
+  /** Warehouse dir of a qualified table (or staging) name. */
+  private def tableDirOf(name: String): java.io.File = {
+    val Array(db, t) = name.split("\\.", 2)
+    new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), s"$db.db/$t")
+  }
+
+  /** Boot-time roll-forward of COMMITs that crashed mid-publish. Each
+    * `publish_journal_*.tsv` in dbPath was written AFTER commit
+    * validation passed and deleted after the publish completed, so its
+    * presence means the commit decision was made but the publish may be
+    * half-done — e.g. an INSERT OVERWRITE that deleted the base's files
+    * and died before writing the new ones. Rolling FORWARD from the
+    * still-on-disk staged images (pure file-level ops, before any
+    * catalog registration) is the only direction that never loses data.
+    * Every op is idempotent against a crash DURING recovery:
+    *   drop      — delete the target dir (+ its constraints.tsv line)
+    *   rename    — move the staged dir to the target name (created
+    *               tables); (re-)install the journaled constraint line
+    *   replace   — delete the target dir, move the staged dir in
+    *               (transactional ALTER: schema changed)
+    *   overwrite — clear the target's data files, COPY the staged
+    *               image's in (copy, not move: a crash mid-copy must
+    *               leave the source whole for the retry)
+    *   append    — delete target files NOT in the journaled base list
+    *               (a crashed partial append's leftovers), then COPY
+    *               the delta's files in under a `jr_` prefix
+    * A table whose staged source dir is GONE already published fully
+    * (sources are only dropped after the last table publishes). Runs
+    * BEFORE constraints.tsv is read and before the stale-staging
+    * reclaim (which deletes the now-consumed sources). */
+  private def recoverPublishJournals(p: String): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val journals = Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("publish_journal_"))
+      .sortBy(_.getName)
+    if (journals.isEmpty) return
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    def dataFiles(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")).toSeq
+    def clearCruft(d: java.io.File): Unit =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName == "_temporary").foreach(rm)
+    val dropNames = scala.collection.mutable.Set.empty[String]
+    val addLines = scala.collection.mutable.Map.empty[String, String]
+    journals.foreach { jf =>
+      val ops = scala.io.Source.fromFile(jf).getLines().filter(_.nonEmpty)
+        .map(_.split("\t", -1)).toList
+      ops.groupBy(_(1)).foreach { case (t, tOps) =>
+        val tDir = tableDirOf(t)
+        val dropOp = tOps.find(_(0) == "drop")
+        val srcOp = tOps.find(_(0) != "drop")
+        val srcDone = srcOp.exists(o => !tableDirOf(o(2)).exists())
+        if (srcOp.isDefined && srcDone) {
+          // this table's publish completed pre-crash; the one
+          // non-file step — a created table's registration — is
+          // idempotent to re-apply from the journal
+          srcOp.filter(o => o(0) == "rename" && o(4).nonEmpty && tDir.exists())
+            .foreach(o => addLines(t) =
+              new String(java.util.Base64.getDecoder.decode(o(4)), "UTF-8"))
+        } else {
+          dropOp.foreach { _ => if (tDir.exists()) rm(tDir); dropNames += t }
+          srcOp.foreach { o =>
+            val sDir = tableDirOf(o(2))
+            o(0) match {
+              case "rename" =>
+                if (!tDir.exists()) Files.move(sDir.toPath, tDir.toPath)
+                if (o(4).nonEmpty) addLines(t) =
+                  new String(java.util.Base64.getDecoder.decode(o(4)), "UTF-8")
+              case "replace" =>
+                if (tDir.exists()) rm(tDir)
+                Files.move(sDir.toPath, tDir.toPath)
+              case "overwrite" =>
+                tDir.mkdirs(); clearCruft(tDir)
+                dataFiles(tDir).foreach(_.delete())
+                dataFiles(sDir).foreach(f => Files.copy(f.toPath,
+                  new java.io.File(tDir, f.getName).toPath,
+                  StandardCopyOption.REPLACE_EXISTING))
+              case "append" =>
+                val base = if (o(3).isEmpty) Set.empty[String]
+                  else o(3).split(",").toSet
+                tDir.mkdirs(); clearCruft(tDir)
+                dataFiles(tDir).filterNot(f => base(f.getName)).foreach(_.delete())
+                dataFiles(sDir).foreach(f => Files.copy(f.toPath,
+                  new java.io.File(tDir, "jr_" + f.getName).toPath,
+                  StandardCopyOption.REPLACE_EXISTING))
+              case _ =>
+            }
+          }
+        }
+      }
+      jf.delete()
+    }
+    if (dropNames.nonEmpty || addLines.nonEmpty) {
+      val f = new java.io.File(p, "constraints.tsv")
+      val existing =
+        if (f.exists()) scala.io.Source.fromFile(f).getLines().filter(_.nonEmpty).toList
+        else Nil
+      val kept = existing.filterNot { l =>
+        val n = l.takeWhile(_ != '\t')
+        dropNames.contains(n) || addLines.contains(n)
+      }
+      writeFile(f.getAbsolutePath, (kept ++ addLines.values.toSeq).mkString("\n"))
+    }
+  }
+
   def loadPersisted(): Unit = dbPath.foreach { p =>
+    recoverPublishJournals(p)
     def lines(name: String): Seq[String] = {
       val f = new java.io.File(s"$p/$name")
       if (!f.exists()) Nil

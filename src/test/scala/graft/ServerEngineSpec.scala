@@ -1765,4 +1765,69 @@ class ServerEngineSpec extends SparkSpecBase {
       assert(e.getMessage.contains("reserved"), e.getMessage)
     } finally engine.execute("DROP TABLE IF EXISTS main.rsv_t")
   }
+
+  test("publish journal rolls a crashed COMMIT forward at boot (r12)") {
+    // Simulate a SIGKILL mid-INSERT-OVERWRITE: the base dir is damaged
+    // (files half-deleted), the staged image and the publish journal
+    // are still on disk. Boot recovery must rebuild the base FROM the
+    // staged image (roll forward), not reclaim it as stale staging —
+    // the staged image is the only intact copy at that point.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jr").toString
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    def dir(t: String) = new java.io.File(wh, s"main.db/$t")
+    spark.sql("CREATE DATABASE IF NOT EXISTS main")
+    spark.sql("DROP TABLE IF EXISTS main.jrt")
+    spark.sql("DROP TABLE IF EXISTS main.jrt__txn901")
+    spark.sql("DROP TABLE IF EXISTS main.jrt__txn902delta")
+    try {
+      val e1 = new Engine(spark, allowFileIo = true, dbPath = Some(tmp))
+      e1.execute("CREATE TABLE main.jrt (k INT, v STRING)")
+      e1.execute("INSERT INTO main.jrt VALUES (1,'old'), (2,'old'), (3,'old')")
+      // staged overwrite image (what the txn would publish)
+      spark.sql("CREATE TABLE main.jrt__txn901 USING parquet AS " +
+        "SELECT k, 'new' AS v FROM main.jrt")
+      // the crash: half the base's data files are already gone
+      dir("jrt").listFiles().filter(f =>
+        f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).take(1).foreach(_.delete())
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp, "publish_journal_1.tsv"),
+        "overwrite\tmain.jrt\tmain.jrt__txn901\t\t".getBytes("UTF-8"))
+      val e2 = new Engine(spark, allowFileIo = true, dbPath = Some(tmp))
+      e2.loadPersisted()
+      spark.catalog.refreshTable("main.jrt") // fresh-JVM boot has no cache
+      val rows = spark.table("main.jrt").collect()
+      assert(rows.length == 3 && rows.forall(_.getString(1) == "new"),
+        rows.mkString(","))
+      assert(!new java.io.File(tmp, "publish_journal_1.tsv").exists())
+      assert(!dir("jrt__txn901").exists(), "consumed staging reclaimed")
+
+      // append roll-forward: a stray partial-append file must go, the
+      // delta must land exactly once
+      val base = dir("jrt").listFiles().filter(f =>
+        f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).map(_.getName)
+      spark.sql("CREATE TABLE main.jrt__txn902delta USING parquet AS " +
+        "SELECT 9 AS k, 'app' AS v")
+      val deltaFile = dir("jrt__txn902delta").listFiles().filter(f =>
+        f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).head
+      java.nio.file.Files.copy(deltaFile.toPath,   // the crashed partial append
+        new java.io.File(dir("jrt"), deltaFile.getName).toPath)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp, "publish_journal_2.tsv"),
+        ("append\tmain.jrt\tmain.jrt__txn902delta\t" +
+          base.mkString(",") + "\t").getBytes("UTF-8"))
+      val e3 = new Engine(spark, allowFileIo = true, dbPath = Some(tmp))
+      e3.loadPersisted()
+      spark.catalog.refreshTable("main.jrt")
+      val rows2 = spark.table("main.jrt").orderBy("k").collect()
+      assert(rows2.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 9), rows2.mkString(","))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS main.jrt")
+      spark.sql("DROP TABLE IF EXISTS main.jrt__txn901")
+      spark.sql("DROP TABLE IF EXISTS main.jrt__txn902delta")
+    }
+  }
 }

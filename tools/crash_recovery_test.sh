@@ -68,6 +68,53 @@ overlays_after=$(ls -d "$DB"/warehouse/main.db/*__txn* 2>/dev/null | wc -l)
 chk "overlay dirs reclaimed" "0" "$overlays_after"
 chk "no overlay registered"  ""  "$(psql $P -tA -c "select table_name from information_schema.tables where table_name like '%__txn%'" 2>&1)"
 chk "table still writable"  "INSERT 0 1" "$(psql $P -c "insert into main.ct values (9,'i')" 2>&1 | head -1)"
+
+# ---- scenario 2: SIGKILL DURING COMMIT PUBLISH (r12 publish journal) ----
+# A big staged rewrite makes the INSERT OVERWRITE publish take seconds;
+# killing inside that window used to leave a half-overwritten base whose
+# only intact copy (the staged image) the next boot would reclaim-delete.
+# With the journal, boot rolls the commit FORWARD: full row count, the
+# update fully applied, journal consumed.
+N=3000000
+chk "create big"  "CREATE" "$(psql $P -c "create table main.big as select id k, 'orig' v from range($N)" 2>&1 | head -1 | awk '{print $1}')"
+
+FIFO2=$(mktemp -u /tmp/graft_crash_fifo2.XXXXXX)
+mkfifo "$FIFO2"
+psql $P -f /dev/stdin < "$FIFO2" > /tmp/graft_crash_psql2.log 2>&1 &
+PSQL2_PID=$!
+exec 8>"$FIFO2"
+cat >&8 <<'SQL'
+BEGIN;
+UPDATE main.big SET v = 'upd' WHERE k >= 0;
+SQL
+# wait for the UPDATE (stages the full image) to finish
+for i in $(seq 1 120); do
+  grep -q "UPDATE" /tmp/graft_crash_psql2.log 2>/dev/null && break
+  sleep 2
+done
+grep -q "UPDATE" /tmp/graft_crash_psql2.log && ok "staged rewrite ready" || bad "staged rewrite never finished"
+echo "COMMIT;" >&8
+# kill while the publish (INSERT OVERWRITE of $N rows) is in flight;
+# poll for the journal so the kill lands INSIDE the publish window
+for i in $(seq 1 200); do
+  ls "$DB"/publish_journal_*.tsv >/dev/null 2>&1 && break
+  sleep 0.05
+done
+if ls "$DB"/publish_journal_*.tsv >/dev/null 2>&1; then ok "journal present at kill time"; else bad "journal never appeared"; fi
+sleep 0.7   # let the overwrite get mid-flight (destructive window)
+kill -9 "$SRV_PID" 2>/dev/null
+wait "$SRV_PID" 2>/dev/null
+exec 8>&-
+kill "$PSQL2_PID" 2>/dev/null; wait "$PSQL2_PID" 2>/dev/null
+rm -f "$FIFO2"
+
+start_server
+chk "rolled forward: full count" "$N" "$(psql $P -tA -c 'select count(*) from main.big' 2>&1)"
+chk "rolled forward: update applied everywhere" "$N" "$(psql $P -tA -c "select count(*) from main.big where v = 'upd'" 2>&1)"
+chk "journal consumed" "0" "$(ls "$DB"/publish_journal_*.tsv 2>/dev/null | wc -l)"
+overlays_final=$(ls -d "$DB"/warehouse/main.db/*__txn* 2>/dev/null | wc -l)
+chk "staging reclaimed after roll-forward" "0" "$overlays_final"
+chk "big still writable" "INSERT 0 1" "$(psql $P -c "insert into main.big values (-1,'x')" 2>&1 | head -1)"
 kill "$SRV_PID" 2>/dev/null; wait "$SRV_PID" 2>/dev/null
 
 rm -rf "$DB"

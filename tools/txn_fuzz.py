@@ -129,16 +129,27 @@ def gen_events(r, tname, n_ops, vname=None, aux=None):
             in_txn = False
             deleted_in_txn = False
         elif aux and roll < 0.40:
-            # transactional DDL surface: CREATE/DROP/INSERT/SELECT on an
-            # aux table, differentially vs DuckDB's transactional DDL.
-            # Double-creates / missing-table reads/drops fail on BOTH
-            # sides (only the ok/fail bit is compared). DROP inside a
-            # txn is transactional since r11 (ROLLBACK restores the
-            # table, reads of it fail in-txn, drop-then-recreate works) —
-            # exactly DuckDB's semantics, so it fuzzes differentially.
-            cands = [f"CREATE TABLE {aux} (x INTEGER)",
-                     f"INSERT INTO {aux} VALUES ({r.randint(0, 9)})",
+            # transactional DDL surface: CREATE/DROP/ALTER/INSERT/SELECT
+            # on an aux table, differentially vs DuckDB's transactional
+            # DDL. Double-creates / missing-table reads/drops fail on
+            # BOTH sides (only the ok/fail bit is compared). DROP inside
+            # a txn is transactional since r11, ALTER (except RENAME TO)
+            # since r12 — DuckDB's semantics, so both fuzz
+            # differentially. The create candidates alternate between a
+            # PRIMARY-KEY and a bare variant, and the tiny insert range
+            # forces PK collisions: if a drop-then-recreate ROLLBACK
+            # loses (or a COMMIT fails to install) the right
+            # registration, a later duplicate insert's ok/fail bit
+            # diverges from DuckDB — the class the r11 judge probe
+            # caught, now asserted on every script.
+            cands = [f"CREATE TABLE {aux} (x INTEGER PRIMARY KEY)",
+                     f"CREATE TABLE {aux} (x INTEGER)",
+                     f"INSERT INTO {aux} VALUES ({r.randint(0, 4)})",
+                     f"INSERT INTO {aux} VALUES ({r.randint(0, 4)})",
                      f"SELECT count(*) FROM {aux}",
+                     f"SELECT * FROM {aux} ORDER BY 1",
+                     f"ALTER TABLE {aux} ADD COLUMN y INTEGER",
+                     f"ALTER TABLE {aux} DROP COLUMN y",
                      f"DROP TABLE {aux}"]
             events.append((r.choice(cands), "dml"))
         else:
@@ -450,17 +461,85 @@ def interleave_scripts(port, n_scripts, r, finds):
     return ok
 
 
+# -------------------------------------------- FK referential invariant
+
+def fk_scripts(port, n_scripts, r, finds):
+    """Two connections race parent-deletes against child-appends under
+    a declared FOREIGN KEY. Whatever interleaving of BEGIN/DML/COMMIT/
+    ROLLBACK the generator produces, and whichever statements abort
+    (FK RESTRICT violations, serialization failures — both fine), the
+    COMMITTED state must never contain an orphan child row. This is the
+    invariant the r12 commit-time FK recheck (recheckFkAppends) and the
+    read-pin epoch abort jointly guarantee; r11's append-commute rule
+    alone would have violated it (ADVICE r11 high)."""
+    ok = 0
+    for si in range(n_scripts):
+        p = f"fkp_{r.randint(0, 10**9)}_{si}"
+        c = f"fkc_{r.randint(0, 10**9)}_{si}"
+        pg = [PgSession(port), PgSession(port)]
+        pg[0].query(f"CREATE TABLE {p} (id INTEGER PRIMARY KEY)")
+        pg[0].query(f"CREATE TABLE {c} (cid INTEGER, pid INTEGER, "
+                    f"FOREIGN KEY (pid) REFERENCES {p}(id))")
+        pg[0].query(f"INSERT INTO {p} VALUES " +
+                    ", ".join(f"({i})" for i in range(0, 8)))
+        pg[0].query(f"INSERT INTO {c} VALUES " + ", ".join(
+            f"({i}, {r.randint(0, 7)})" for i in range(0, 5)))
+        in_txn = [False, False]
+        diverged = False
+        cid = 100
+        for _ in range(r.randint(8, 20)):
+            k = r.randint(0, 1)
+            roll = r.random()
+            if not in_txn[k] and roll < 0.35:
+                pg[k].query("BEGIN")
+                in_txn[k] = True
+            elif in_txn[k] and roll < 0.30:
+                pg[k].query(r.choice(["COMMIT", "COMMIT", "ROLLBACK"]))
+                in_txn[k] = False
+            else:
+                cid += 1
+                sql = r.choice([
+                    # child append referencing a key that may be dying
+                    f"INSERT INTO {c} VALUES ({cid}, {r.randint(0, 7)})",
+                    f"INSERT INTO {c} VALUES ({cid}, {r.randint(0, 7)})",
+                    # parent delete that FK RESTRICT may reject
+                    f"DELETE FROM {p} WHERE id = {r.randint(0, 7)}",
+                    # child delete frees a parent for later deletion
+                    f"DELETE FROM {c} WHERE pid = {r.randint(0, 7)}",
+                    f"SELECT count(*) FROM {c}",
+                ])
+                pg[k].query(sql)   # errors (FK/serialization/abort) OK
+        for k in (0, 1):
+            if in_txn[k]:
+                pg[k].query("COMMIT")
+        orphans, err, _ = pg[0].query(
+            f"SELECT count(*) FROM {c} ch LEFT JOIN {p} pa "
+            f"ON ch.pid = pa.id WHERE ch.pid IS NOT NULL AND pa.id IS NULL")
+        if err is not None or orphans != ["0"]:
+            finds.append(("FK-ORPHAN", f"{p}/{c}", orphans, err))
+            diverged = True
+        pg[0].query(f"DROP TABLE IF EXISTS {c}")
+        pg[0].query(f"DROP TABLE IF EXISTS {p}")
+        pg[0].close()
+        pg[1].close()
+        if not diverged:
+            ok += 1
+    return ok
+
+
 def main(port, n_scripts, seed):
     r = random.Random(seed)
     finds = []
     ok1 = differential_scripts(port, n_scripts, r, finds)
     ok2 = interleave_scripts(port, max(1, n_scripts // 2), r, finds)
+    ok3 = fk_scripts(port, max(1, n_scripts // 2), r, finds)
     for kind, st, got, want in finds[:20]:
         print(f"{kind}  {st}")
         print(f"    server: {str(got)[:400]}")
         print(f"    oracle: {str(want)[:400]}")
     print(f"\nSEED {seed} SUMMARY diff_ok={ok1}/{n_scripts} "
-          f"interleave_ok={ok2}/{max(1, n_scripts // 2)} finds={len(finds)}")
+          f"interleave_ok={ok2}/{max(1, n_scripts // 2)} "
+          f"fk_ok={ok3}/{max(1, n_scripts // 2)} finds={len(finds)}")
     return 1 if finds else 0
 
 
