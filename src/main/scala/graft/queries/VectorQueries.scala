@@ -149,13 +149,22 @@ object VectorQueries {
       val cos = VectorFunctions.cosineSimilarity(col("qe"), col("centroid"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos_raw").desc, col("label"))
       // nearest centroid per query; its row already carries the cell
-      // size, so no join back to the corpus
-      queries.crossJoin(broadcast(centroids))
+      // size, so no join back to the corpus. r12 fuse: broadcast the
+      // 10-row QUERY side (its build job is a pushed-down scan that
+      // overlaps the corpus aggregate) instead of the centroid side —
+      // broadcasting centroids serialized the whole corpus aggregate
+      // into the broadcast-build job BEFORE the main job could start.
+      // The k-row aggregate output coalesces to one partition, so the
+      // join, the per-query window (SinglePartition satisfies its
+      // ClusteredDistribution) and the presentation sort all run
+      // narrow in the same stage — two stage waves total instead of
+      // four. At 100 TB the corpus aggregate stays the only wide op.
+      broadcast(queries).crossJoin(centroids.coalesce(1))
         .withColumn("cos_raw", cos)
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select(col("q_id"), col("label").as("cell"), col("cell_size"))
-        .orderBy(col("q_id"))
+        .sortWithinPartitions(col("q_id"))
     },
 
     // One Lloyd (k-means) assignment step over the embedding corpus:
