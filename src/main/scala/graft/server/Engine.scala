@@ -313,12 +313,20 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       // globally, then blanket-removing by name at rollback, silently
       // deleted the SURVIVING base table's PK/UNIQUE/FK registrations.)
       txnConstraints: scala.collection.mutable.HashMap[String, Option[Constraints]] =
+        scala.collection.mutable.HashMap.empty,
+      // PRIMARY-KEY tuples this txn's writes touched, per table (r12
+      // rewrite-vs-rewrite commute): Some(tuples) = the exact key set
+      // this txn inserted/updated/deleted (its staged image differs
+      // from its pinned base ONLY on these keys), None = unknown
+      // (over-cap, PK-column update, TRUNCATE, upsert, no PK) — a
+      // concurrent rewrite then aborts at table granularity as before
+      changedKeys: scala.collection.mutable.HashMap[String, Option[Vector[Seq[Any]]]] =
         scala.collection.mutable.HashMap.empty) {
     def reset(): Unit = {
       open = false; writes = false; ddl = false; aborted = false
       staged.clear(); deltas.clear(); baseEpochs.clear()
       rewritePins.clear(); pinnedFiles.clear(); created.clear(); dropped.clear()
-      altered.clear(); txnConstraints.clear()
+      altered.clear(); txnConstraints.clear(); changedKeys.clear()
     }
   }
   private val txn: ThreadLocal[TxnState] = ThreadLocal.withInitial(() => TxnState())
@@ -364,6 +372,121 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
   private def bumpRewriteEpoch(t: String): Unit =
     rewriteEpochs.computeIfAbsent(qualify(t),
       _ => new java.util.concurrent.atomic.AtomicLong(0L)).incrementAndGet()
+
+  // ---- rewrite-vs-rewrite row granularity (r12, VERDICT Missing #1) ------
+  // DuckDB's row-level MVCC commits two transactions that update
+  // DIFFERENT rows of one table. The engine's analog: every rewrite
+  // records the PRIMARY-KEY tuples it touched (the PK is the stable row
+  // identity parquet lacks); committed rewrites keep their key sets in
+  // a short per-table log; a COMMIT whose base was rewritten since the
+  // pin commutes iff every logged key set is known and DISJOINT from
+  // its own — the staged image is then rebuilt as current-base minus
+  // own keys, union own changed rows ([[mergeDisjointRewrite]]).
+  // Anything un-attributable (no PK, key-column update, TRUNCATE,
+  // upsert, >cap keys, unlogged epoch) falls back to the table-
+  // granularity abort — conservative, never wrong.
+
+  /** Driver-memory bound on an attributable change set: collecting the
+    * key tuples replaces the UPDATE/DELETE's count job (LIMIT cap+1
+    * either IS the exact count or proves the set over-cap), so small
+    * rewrites pay nothing extra and huge ones keep today's behavior. */
+  private val ChangedKeyCap = 100000
+
+  /** Accumulate PK tuples the open txn's write touched on `table`;
+    * None poisons the table's set (unknown → no commute). */
+  private def recordChangedKeys(table: String, keys: Option[Seq[Seq[Any]]]): Unit = {
+    val st = txn.get()
+    if (!st.open) return
+    val q = qualify(table)
+    val merged = (st.changedKeys.getOrElse(q, Some(Vector.empty[Seq[Any]])), keys) match {
+      case (Some(a), Some(b)) if a.size + b.size <= ChangedKeyCap => Some(a ++ b.toVector)
+      case _ => None
+    }
+    st.changedKeys(q) = merged
+  }
+
+  /** Short per-table log of COMMITTED rewrites: (rewriteEpoch after
+    * the bump → PK tuples it changed, None = whole-table/unknown).
+    * Bounded to the last 8 entries; a txn pinned further back than the
+    * log reaches simply aborts (the epoch-coverage check below). */
+  private val rewriteLog =
+    new ConcurrentHashMap[String, List[(Long, Option[Vector[Seq[Any]]])]]()
+  private def logRewrite(t: String, keys: Option[Seq[Seq[Any]]]): Unit = {
+    val q = qualify(t)
+    rewriteLog.compute(q, (_, old) =>
+      ((rewriteEpochOf(q), keys.map(_.toVector)) ::
+        (if (old == null) Nil else old)).take(8))
+  }
+
+  private def canonKey(k: Seq[Any]): String =
+    k.map(v => if (v == null) "\u0000" else v.toString).mkString("\u0001")
+
+  /** True iff this txn's staged rewrite of `t` commutes with the
+    * rewrites committed since its pin: every interleaved commit is a
+    * LOGGED rewrite with a KNOWN key set, no appends interleaved (each
+    * rewrite bumps both epochs once, so unequal deltas mean appends —
+    * an appended row could share a key this txn deleted and would
+    * silently vanish in the merge), and all key sets are disjoint from
+    * this txn's own known set. */
+  private def canCommuteRewrites(t: String, st: TxnState,
+      allowAppends: Boolean = false): Boolean = {
+    val pinnedRe = st.rewritePins.getOrElse(t, return false)
+    val curRe = rewriteEpochOf(t)
+    val pinnedE = st.baseEpochs.getOrElse(t, return false)
+    // for a staged-image merge, interleaved appends are excluded (an
+    // appended row sharing a key this txn deleted would vanish in the
+    // merge); for an append-only DELTA they are fine — recheckDeltaKeys
+    // re-validates every delta key against the current base anyway
+    if (!allowAppends && epochOf(t) - pinnedE != curRe - pinnedRe) return false
+    val mine = st.changedKeys.getOrElse(t, None).getOrElse(return false)
+    val entries = Option(rewriteLog.get(t)).getOrElse(Nil)
+      .filter { case (e, _) => e > pinnedRe && e <= curRe }
+    if (entries.size != (curRe - pinnedRe).toInt) return false
+    if (entries.exists(_._2.isEmpty)) return false
+    val mineSet = mine.iterator.map(canonKey).toSet
+    entries.forall(_._2.get.forall(k => !mineSet.contains(canonKey(k))))
+  }
+
+  /** Rebuild this txn's staged image of `t` on top of the CURRENT base
+    * (which carries the concurrent, key-disjoint rewrites): current
+    * base minus this txn's keys, union its own changed rows from the
+    * old image. Disjointness makes the base rows under this txn's keys
+    * exactly the pin-time rows, so nothing is lost; non-PK UNIQUE
+    * columns are re-validated against the kept base (a concurrent
+    * txn's new rows can collide there even when PKs don't). Runs under
+    * the table's write lock inside COMMIT validation. */
+  private def mergeDisjointRewrite(t: String, st: TxnState): Unit = {
+    import org.apache.spark.sql.functions.col
+    val stg = st.staged(t)
+    val keys = st.changedKeys(t).get
+    val pkCols = constraintsOf(t).map(_.pk).getOrElse(Nil)
+    val live = spark.table(t)
+    val keySchema = live.select(pkCols.map(col): _*).schema
+    val keysDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        keys.map(org.apache.spark.sql.Row.fromSeq), 1), keySchema)
+    val bKeys = org.apache.spark.sql.functions.broadcast(keysDf) // <=cap rows
+    val baseKept = live.join(bKeys, pkCols.toSeq, "left_anti")
+    val mineRows = spark.table(stg).join(bKeys, pkCols.toSeq, "left_semi")
+    constraintsOf(t).foreach { c =>
+      c.unique.foreach { u =>
+        val uc = u.map(col)
+        val hit = mineRows.filter(u.map(col(_).isNotNull).reduce(_ && _))
+          .select(uc: _*)
+          .join(baseKept.select(uc: _*), u, "left_semi")
+        if (hit.limit(1).count() > 0)
+          throw new IllegalArgumentException(
+            s"could not commit transaction: a concurrent transaction's rows in $t " +
+              s"collide with this transaction's on unique (${u.mkString(", ")}) " +
+              "(serialization conflict); the transaction was rolled back")
+      }
+    }
+    val stg2 = qualify(t) + "__txn" + txnSeq.incrementAndGet()
+    spark.sql(s"DROP TABLE IF EXISTS $stg2")
+    baseKept.unionByName(mineRows).write.saveAsTable(stg2)
+    try spark.sql(s"DROP TABLE IF EXISTS $stg") catch { case _: Throwable => }
+    st.staged(t) = stg2
+  }
 
   private val txnSeq = new java.util.concurrent.atomic.AtomicLong(0L)
   private def isTxnOpen: Boolean = txn.get().open
@@ -677,9 +800,14 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
           if (st.deltas.contains(t)) {
             // append-only overlay: concurrent APPENDS commute with ours
             // (both commit — matching what DuckDB's row-level conflict
-            // detection would allow); only a concurrent REWRITE of
-            // existing rows invalidates the transaction
-            if (rewriteEpochOf(t) != st.rewritePins.getOrElse(t, 0L))
+            // detection would allow). A concurrent REWRITE commutes too
+            // when it is fully attributable by key (r12: plain DML on
+            // known keys, no schema change — TRUNCATE/ALTER/upsert log
+            // None and still abort); the delta's keys were absent from
+            // the pinned base by insert-time check, and the key
+            // re-validation below runs against the CURRENT base
+            if (rewriteEpochOf(t) != st.rewritePins.getOrElse(t, 0L) &&
+                !canCommuteRewrites(t, st, allowAppends = true))
               throw new IllegalArgumentException(
                 s"could not commit transaction: table $t had existing rows " +
                   "rewritten by a concurrent transaction (serialization " +
@@ -714,6 +842,14 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
               // the txn aborts below instead.
               recheckFkAppends(t, st)
               replayBaseAppends(t, st)
+            } else if (st.staged.contains(t) && !st.created.contains(t) &&
+                !st.dropped.contains(t) && !st.altered.contains(t) &&
+                canCommuteRewrites(t, st)) {
+              // rewrite-vs-rewrite on DISJOINT key sets (r12): rebuild
+              // this txn's image on the current base — row-granularity
+              // conflict detection like DuckDB's MVCC, for the
+              // attributable case (see canCommuteRewrites)
+              mergeDisjointRewrite(t, st)
             } else {
               val how =
                 if (st.dropped.contains(t)) "dropped"
@@ -813,10 +949,14 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
               st.altered.remove(t)
               st.staged.remove(t)
               bumpRewriteEpoch(t) // schema rewrite invalidates snapshots
+              logRewrite(t, None) // whole-table: nothing commutes past an ALTER
               bumpEpoch(t)
             case Some(stg) =>
               spark.sql(s"INSERT OVERWRITE TABLE $t SELECT * FROM $stg").collect()
               bumpRewriteEpoch(t) // an overwrite can change existing rows
+              // the published image differs from the pre-image exactly
+              // on this txn's recorded key set (None = unattributable)
+              logRewrite(t, st.changedKeys.getOrElse(t, None))
               bumpEpoch(t)
             case None => st.deltas.get(t).foreach { d =>
               spark.sql(s"INSERT INTO $t SELECT * FROM $d").collect()
@@ -1319,6 +1459,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
           // to truncate them would be a full-table copy for nothing
           val st = txn.get()
           val q = qualify(t)
+          recordChangedKeys(q, None) // whole-table: never commutes
           st.staged.get(q) match {
             case Some(stg) => spark.sql(s"TRUNCATE TABLE $stg")
             case None =>
@@ -1333,6 +1474,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         } else {
           spark.sql(s"TRUNCATE TABLE $t")
           bumpEpoch(t); bumpRewriteEpoch(t)
+          logRewrite(t, None)
         }
       } finally lock.unlock()
       return ExecResult(null, "TRUNCATE TABLE")
@@ -1516,6 +1658,24 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
           val src = if (srcSql.toLowerCase.startsWith("values")) spark.sql(s"SELECT * FROM $srcSql")
             else txnExec(rewrite(srcSql))
           enforceConstraints(table, src.toDF(cols: _*))
+          // r12 rewrite commute: in-txn inserted keys join the txn's
+          // change set — they merge into the staged image if a later
+          // rewrite upgrades the delta, and a concurrent rewrite must
+          // see them in the disjointness check
+          if (isTxnOpen) {
+            val pkCols = constraintsOf(table).map(_.pk).getOrElse(Nil)
+            if (pkCols.nonEmpty) {
+              val rows =
+                if (pkCols.forall(pc => cols.exists(_.equalsIgnoreCase(pc))))
+                  src.toDF(cols: _*)
+                    .select(pkCols.map(org.apache.spark.sql.functions.col): _*)
+                    .limit(ChangedKeyCap + 1).collect()
+                else Array.fill(ChangedKeyCap + 1)(null: org.apache.spark.sql.Row)
+              recordChangedKeys(table,
+                if (rows.length <= ChangedKeyCap) Some(rows.toSeq.map(_.toSeq))
+                else None)
+            }
+          }
           val res = runInsert(txnExec(rewrite(sql)))
           if (!isTxnOpen) bumpEpoch(table)
           return res
@@ -2608,6 +2768,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
             s"ALTER TABLE failed mid-rebuild; data preserved in staging table $stage: ${e.getMessage}", e)
       }
       bumpEpoch(table); bumpRewriteEpoch(table)
+      logRewrite(table, None)
       refreshPin(table) // in-txn DDL auto-commits: our own bump is not a conflict
       ExecResult(null, "ALTER TABLE")
     } finally lock.unlock()
@@ -2647,7 +2808,27 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       // txnExec, not spark.sql: user predicates/SET expressions can
       // embed subqueries naming the BASE table — mid-transaction those
       // must read the staged copy (txn_fuzz find, seed 23)
-      val touched = txnExec(s"SELECT count(*) FROM $rel$predSql").head().getLong(0)
+      // Change-set capture (r12 rewrite commute): when the predicate's
+      // row set is attributable by PRIMARY KEY and the SET leaves the
+      // key columns alone, collect the touched keys — LIMIT cap+1
+      // either IS the exact count (replacing the count job) or proves
+      // the set over-cap. A key-column SET changes row identities both
+      // ways — unattributable, poison the set.
+      val pkCols = constraintsOf(table).map(_.pk).getOrElse(Nil)
+      val attributable = pkCols.nonEmpty &&
+        !pkCols.exists(pc => sets.contains(pc.toLowerCase))
+      var keysOpt: Option[Seq[Seq[Any]]] = None
+      val touched: Long =
+        if (attributable) {
+          val sel = pkCols.map(c => s"`$c`").mkString(", ")
+          val rows = txnExec(s"SELECT $sel FROM $rel$predSql")
+            .limit(ChangedKeyCap + 1).collect()
+          if (rows.length <= ChangedKeyCap) {
+            keysOpt = Some(rows.toSeq.map(_.toSeq))
+            rows.length.toLong
+          } else txnExec(s"SELECT count(*) FROM $rel$predSql").head().getLong(0)
+        } else txnExec(s"SELECT count(*) FROM $rel$predSql").head().getLong(0)
+      recordChangedKeys(table, keysOpt)
       // UPDATE must re-validate: a SET can break NOT NULL / CHECK /
       // enum / FK, or collapse two PKs onto one value (DuckDB rejects
       // all of these at update time)
@@ -2679,7 +2860,10 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         }
       }
       stageAndSwap(phys, s"SELECT $proj FROM $rel")
-      if (!isTxnOpen) { bumpEpoch(table); bumpRewriteEpoch(table) }
+      if (!isTxnOpen) {
+        bumpEpoch(table); bumpRewriteEpoch(table)
+        logRewrite(table, keysOpt)
+      }
       ExecResult(null, s"UPDATE $touched")
     } finally lock.unlock()
   }
@@ -2694,7 +2878,23 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       val phys = physWrite(table)
       val rel = if (phys == table) table else s"$phys ${table.split('.').last}"
       val predSql = where.map(w => s" WHERE ($w)").getOrElse("")
-      val removed = txnExec(s"SELECT count(*) FROM $rel$predSql").head().getLong(0)
+      // change-set capture (r12 rewrite commute): a DELETE never moves
+      // key columns, so the predicate's PK tuples fully attribute it —
+      // the LIMIT cap+1 collect doubles as the exact removed-count for
+      // small deletes (same trade as copyOnWriteUpdate)
+      val pkCols = constraintsOf(table).map(_.pk).getOrElse(Nil)
+      var keysOpt: Option[Seq[Seq[Any]]] = None
+      val removed: Long =
+        if (pkCols.nonEmpty) {
+          val sel = pkCols.map(c => s"`$c`").mkString(", ")
+          val rows = txnExec(s"SELECT $sel FROM $rel$predSql")
+            .limit(ChangedKeyCap + 1).collect()
+          if (rows.length <= ChangedKeyCap) {
+            keysOpt = Some(rows.toSeq.map(_.toSeq))
+            rows.length.toLong
+          } else txnExec(s"SELECT count(*) FROM $rel$predSql").head().getLong(0)
+        } else txnExec(s"SELECT count(*) FROM $rel$predSql").head().getLong(0)
+      recordChangedKeys(table, keysOpt)
       // FK RESTRICT: deleting rows still referenced by a child table
       // is rejected (DuckDB/PG default behavior for enforced FKs)
       if (removed > 0) {
@@ -2728,7 +2928,10 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         }
       }
       stageAndSwap(phys, s"SELECT * FROM $rel WHERE NOT ($pred) OR ($pred) IS NULL")
-      if (!isTxnOpen) { bumpEpoch(table); bumpRewriteEpoch(table) }
+      if (!isTxnOpen) {
+        bumpEpoch(table); bumpRewriteEpoch(table)
+        logRewrite(table, keysOpt)
+      }
       ExecResult(null, s"DELETE $removed")
     } finally lock.unlock()
   }
@@ -2868,8 +3071,15 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
             cnt
         }
         // upsert counts as a rewrite (DO UPDATE mutates existing rows;
-        // classifying conservatively keeps delta commits sound)
-        if (!isTxnOpen) { bumpEpoch(table); bumpRewriteEpoch(table) }
+        // classifying conservatively keeps delta commits sound). Its
+        // change set is left unattributed (r12 rewrite commute: the
+        // merged-image rewrite touches source keys AND may insert — a
+        // concurrent rewrite conflicts at table granularity, declared)
+        recordChangedKeys(table, None)
+        if (!isTxnOpen) {
+          bumpEpoch(table); bumpRewriteEpoch(table)
+          logRewrite(table, None)
+        }
         ExecResult(null, s"INSERT 0 $n")
       } finally {
         spark.sql(s"DROP TABLE IF EXISTS $srcTable")
@@ -3875,6 +4085,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     // a txn that staged this table before the drop must not publish
     // onto whatever replaces it — epoch mismatch aborts it at COMMIT
     bumpEpoch(key); bumpRewriteEpoch(key)
+    logRewrite(key, None) // a drop (or drop-then-recreate) never commutes
     removeTableDir(key)
   }
 
@@ -3927,7 +4138,19 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       // not through execute(), so the txn write flag and the committed
       // epoch are maintained here
       val st = txn.get()
-      if (st.open) st.writes = true else bumpEpoch(table)
+      if (st.open) {
+        st.writes = true
+        // r12 rewrite commute: batch-appended keys join the change set
+        // (the rows are in memory — no extra job)
+        val pkCols = constraintsOf(table).map(_.pk).getOrElse(Nil)
+        if (pkCols.nonEmpty) {
+          val idx = pkCols.map(pc => columns.indexWhere(_.equalsIgnoreCase(pc)))
+          recordChangedKeys(table,
+            if (idx.forall(_ >= 0) && rows.size <= ChangedKeyCap)
+              Some(rows.map(r => idx.map(r(_))))
+            else None)
+        }
+      } else bumpEpoch(table)
     } finally lock.unlock()
   }
 }

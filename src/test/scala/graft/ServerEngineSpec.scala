@@ -1365,11 +1365,23 @@ class ServerEngineSpec extends SparkSpecBase {
       val e1 = intercept[IllegalArgumentException] { engine.execute("COMMIT") }
       assert(e1.getMessage.contains("duplicate key"), e1.getMessage)
       assert(engine.execute("SELECT count(*) AS c FROM main.txk_t").df.head().getLong(0) == 1L)
-      // concurrent REWRITE (UPDATE) aborts an insert-only txn
+      // concurrent KEY-DISJOINT rewrite (UPDATE of id=5) now COMMUTES
+      // with an insert-only txn (r12 row granularity): both commit
       engine.execute("BEGIN")
       engine.execute("INSERT INTO main.txk_t VALUES (7, 1)")
       val t2 = new Thread(() => engine.execute("UPDATE main.txk_t SET a = 99 WHERE id = 5"))
       t2.start(); t2.join()
+      assert(engine.execute("COMMIT").tag == "COMMIT")
+      val rows = engine.execute("SELECT id, a FROM main.txk_t ORDER BY id").df
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+      assert(rows == Seq((5, 99), (7, 1)), rows)
+      // an UNATTRIBUTABLE concurrent rewrite (upsert logs no key set)
+      // still aborts at table granularity
+      engine.execute("BEGIN")
+      engine.execute("INSERT INTO main.txk_t VALUES (8, 1)")
+      val t3 = new Thread(() => engine.execute(
+        "INSERT INTO main.txk_t VALUES (5, 77) ON CONFLICT (id) DO UPDATE SET a = 77"))
+      t3.start(); t3.join()
       val e2 = intercept[IllegalArgumentException] { engine.execute("COMMIT") }
       assert(e2.getMessage.contains("rewritten by a concurrent"), e2.getMessage)
     } finally {
@@ -1828,6 +1840,98 @@ class ServerEngineSpec extends SparkSpecBase {
       spark.sql("DROP TABLE IF EXISTS main.jrt")
       spark.sql("DROP TABLE IF EXISTS main.jrt__txn901")
       spark.sql("DROP TABLE IF EXISTS main.jrt__txn902delta")
+    }
+  }
+
+  test("disjoint-row rewrites both commit (r12 row granularity)") {
+    fresh("txrr")
+    engine.execute("CREATE TABLE main.txrr (id INT PRIMARY KEY, v STRING)")
+    try {
+      engine.execute("INSERT INTO main.txrr VALUES (1,'a'), (2,'b'), (3,'c')")
+      engine.execute("BEGIN")
+      engine.execute("UPDATE main.txrr SET v = 'T1' WHERE id = 1")
+      var otherErr: Throwable = null
+      val other = new Thread(() => {
+        try engine.execute("UPDATE main.txrr SET v = 'T2' WHERE id = 2")
+        catch { case e: Throwable => otherErr = e }
+      })
+      other.start(); other.join()
+      assert(otherErr == null, String.valueOf(otherErr))
+      // DuckDB's row-level MVCC commits both — so do we now
+      assert(engine.execute("COMMIT").tag == "COMMIT")
+      val rows = engine.execute("SELECT id, v FROM main.txrr ORDER BY id").df
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      assert(rows == Seq((1, "T1"), (2, "T2"), (3, "c")), rows)
+
+      // disjoint DELETE vs UPDATE commute too
+      engine.execute("BEGIN")
+      engine.execute("DELETE FROM main.txrr WHERE id = 3")
+      val other2 = new Thread(() => engine.execute(
+        "UPDATE main.txrr SET v = 'T3' WHERE id = 1"))
+      other2.start(); other2.join()
+      assert(engine.execute("COMMIT").tag == "COMMIT")
+      val rows2 = engine.execute("SELECT id, v FROM main.txrr ORDER BY id").df
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      assert(rows2 == Seq((1, "T3"), (2, "T2")), rows2)
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => () }
+      engine.execute("DROP TABLE IF EXISTS main.txrr")
+    }
+  }
+
+  test("overlapping-row rewrites still abort; so do rewrite+append mixes") {
+    fresh("txro")
+    engine.execute("CREATE TABLE main.txro (id INT PRIMARY KEY, v STRING)")
+    try {
+      engine.execute("INSERT INTO main.txro VALUES (1,'a'), (2,'b')")
+      // same-key overlap: first committer wins, second aborts
+      engine.execute("BEGIN")
+      engine.execute("UPDATE main.txro SET v = 'mine' WHERE id = 1")
+      val o1 = new Thread(() => engine.execute(
+        "UPDATE main.txro SET v = 'theirs' WHERE id = 1"))
+      o1.start(); o1.join()
+      val e1 = intercept[IllegalArgumentException] { engine.execute("COMMIT") }
+      assert(e1.getMessage.contains("serialization conflict"), e1.getMessage)
+      assert(engine.execute("SELECT v FROM main.txro WHERE id = 1").df
+        .head().getString(0) == "theirs")
+      // disjoint rewrite + an interleaved APPEND: the merge cannot
+      // attribute appended rows, so the staged commit aborts (declared)
+      engine.execute("BEGIN")
+      engine.execute("UPDATE main.txro SET v = 'M' WHERE id = 1")
+      val o2 = new Thread(() => {
+        engine.execute("UPDATE main.txro SET v = 'X' WHERE id = 2")
+        engine.execute("INSERT INTO main.txro VALUES (9, 'new')")
+      })
+      o2.start(); o2.join()
+      val e2 = intercept[IllegalArgumentException] { engine.execute("COMMIT") }
+      assert(e2.getMessage.contains("serialization conflict"), e2.getMessage)
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => () }
+      engine.execute("DROP TABLE IF EXISTS main.txro")
+    }
+  }
+
+  test("disjoint-key merge still re-validates non-PK UNIQUE collisions") {
+    fresh("txru")
+    engine.execute("CREATE TABLE main.txru (id INT PRIMARY KEY, u INT UNIQUE)")
+    try {
+      engine.execute("INSERT INTO main.txru VALUES (1, 10), (2, 20)")
+      engine.execute("BEGIN")
+      engine.execute("UPDATE main.txru SET u = 55 WHERE id = 1")
+      // concurrent, KEY-disjoint rewrite takes the same UNIQUE value —
+      // both were valid against their snapshots (classic write skew on
+      // a unique column); the merge's recheck must abort ours
+      val other = new Thread(() => engine.execute(
+        "UPDATE main.txru SET u = 55 WHERE id = 2"))
+      other.start(); other.join()
+      val e = intercept[IllegalArgumentException] { engine.execute("COMMIT") }
+      assert(e.getMessage.contains("unique"), e.getMessage)
+      val rows = engine.execute("SELECT id, u FROM main.txru ORDER BY id").df
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+      assert(rows == Seq((1, 10), (2, 55)), rows)
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => () }
+      engine.execute("DROP TABLE IF EXISTS main.txru")
     }
   }
 }
