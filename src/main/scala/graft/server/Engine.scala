@@ -251,7 +251,12 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * PK/UNIQUE via [[recheckDeltaKeys]]/[[replayBaseAppends]] and FK
     * RESTRICT via [[recheckFkAppends]] (child rows appended after the
     * pin that reference keys this txn removes abort the commit).
-    * Rewrite-vs-rewrite still aborts (table-granularity, declared).
+    * Rewrite-vs-rewrite commits commute at ROW granularity when both
+    * sides are attributable by PRIMARY KEY with disjoint key sets and
+    * no appends interleaved ([[canCommuteRewrites]] /
+    * [[mergeDisjointRewrite]], r12 — DuckDB's row-level MVCC
+    * behavior); unattributable rewrites (no PK, key-column update,
+    * TRUNCATE, upsert, over-cap) abort at table granularity.
     * Publishes: deltas with INSERT INTO (append), staged images with
     * INSERT OVERWRITE (altered tables by DROP+RENAME replace); a
     * mid-publish failure preserves the not-yet-published images and
