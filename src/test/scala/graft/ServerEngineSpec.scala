@@ -1836,10 +1836,51 @@ class ServerEngineSpec extends SparkSpecBase {
       spark.catalog.refreshTable("main.jrt")
       val rows2 = spark.table("main.jrt").orderBy("k").collect()
       assert(rows2.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 9), rows2.mkString(","))
+
+      // drop + rename roll-forward (a drop-then-recreate commit that
+      // crashed before either op ran): the old dir must go, the staged
+      // dir must take the name, and the journaled constraint line must
+      // install durably
+      spark.sql("CREATE TABLE main.jrt__txn903 USING parquet AS " +
+        "SELECT 7 AS k, 'recreated' AS v")
+      val cl = java.util.Base64.getEncoder.encodeToString(
+        "main.jrt\tk\t\t\t\t\t".getBytes("UTF-8"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp, "publish_journal_3.tsv"),
+        (s"drop\tmain.jrt\t\t\t\nrename\tmain.jrt\tmain.jrt__txn903\t\t$cl")
+          .getBytes("UTF-8"))
+      val e4 = new Engine(spark, allowFileIo = true, dbPath = Some(tmp))
+      e4.loadPersisted()
+      spark.catalog.refreshTable("main.jrt")
+      val rows3 = spark.table("main.jrt").collect()
+      assert(rows3.length == 1 && rows3.head.getString(1) == "recreated",
+        rows3.mkString(","))
+      // the journaled PK registration survived into constraints.tsv
+      val tsv = scala.io.Source.fromFile(s"$tmp/constraints.tsv").mkString
+      assert(tsv.contains("main.jrt\tk"), tsv)
+
+      // replace roll-forward (transactional ALTER publish that crashed
+      // between DROP and RENAME — target dir already gone)
+      spark.sql("DROP TABLE IF EXISTS main.jrt")
+      spark.sql("CREATE TABLE main.jrt USING parquet AS SELECT 1 AS k")
+      spark.sql("CREATE TABLE main.jrt__txn904 USING parquet AS " +
+        "SELECT 2 AS k, 'extra' AS e")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp, "publish_journal_4.tsv"),
+        "replace\tmain.jrt\tmain.jrt__txn904\t\t".getBytes("UTF-8"))
+      val e5 = new Engine(spark, allowFileIo = true, dbPath = Some(tmp))
+      e5.loadPersisted()
+      // assert on the dir directly: the shared-session catalog keeps
+      // the pre-replace schema, which a fresh JVM's boot would not
+      val rows4 = spark.read.parquet(dir("jrt").getAbsolutePath).collect()
+      assert(rows4.length == 1 && rows4.head.schema.fieldNames.toSeq == Seq("k", "e"),
+        rows4.mkString(","))
     } finally {
       spark.sql("DROP TABLE IF EXISTS main.jrt")
       spark.sql("DROP TABLE IF EXISTS main.jrt__txn901")
       spark.sql("DROP TABLE IF EXISTS main.jrt__txn902delta")
+      spark.sql("DROP TABLE IF EXISTS main.jrt__txn903")
+      spark.sql("DROP TABLE IF EXISTS main.jrt__txn904")
     }
   }
 

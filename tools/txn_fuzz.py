@@ -394,6 +394,11 @@ def interleave_scripts(port, n_scripts, r, finds):
                     f"INSERT INTO {tname} VALUES ({r.randint(6, 40)}, {r.randint(0, 50)}) "
                     f"ON CONFLICT (id) DO UPDATE SET a = excluded.a",
                     f"UPDATE {tname} SET a = a + 1 WHERE id % 2 = {r.randint(0, 1)}",
+                    # single-key updates: DISJOINT keys from two txns must
+                    # both commit (r12 row-granularity commute), same key
+                    # must serialize — the replay invariant checks both
+                    f"UPDATE {tname} SET a = a + 10 WHERE id = {r.randint(0, 5)}",
+                    f"UPDATE {tname} SET a = a + 10 WHERE id = {r.randint(0, 5)}",
                     f"DELETE FROM {tname} WHERE id = {r.randint(0, 40)}",
                     # plain INSERTs (disjoint id range): exercise the
                     # append-only delta commit path, incl. the r10
