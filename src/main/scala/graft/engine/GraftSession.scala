@@ -20,8 +20,19 @@ import org.apache.spark.sql.SparkSession
   *    in [[Tables]].
   */
 object GraftSession {
+  /** Ephemeral default warehouse, PER PROCESS: a test/bench/fuzz JVM
+    * and a live server on the same box must never share a warehouse —
+    * Engine.bootstrap WIPES the ephemeral dir at startup, and two JVMs
+    * sharing one dir delete each other's staged tables mid-statement
+    * (observed as FILE_NOT_EXIST finds in fuzz campaigns that only
+    * "reproduced" while `sbt test` ran concurrently). Stale dirs from
+    * dead processes are reclaimed by [[Engine.bootstrap]]. */
+  val ephemeralWarehouse: String =
+    s"/root/repo/target/warehouse-${java.lang.ProcessHandle.current().pid()}"
+
   def builder(master: String, cores: String,
-      warehouse: String = "/root/repo/target/warehouse"): SparkSession.Builder =
+      warehouse: String = null): SparkSession.Builder = {
+    val wh = Option(warehouse).getOrElse(ephemeralWarehouse)
     SparkSession.builder()
       .master(master)
       .appName("graft")
@@ -47,7 +58,7 @@ object GraftSession {
       // bootstrap); ServerMain --db_path relocates it to a persistent
       // dir and Engine.bootstrap re-registers surviving tables — the
       // analog of the reference's single-file store (main.go:18)
-      .config("spark.sql.warehouse.dir", warehouse)
+      .config("spark.sql.warehouse.dir", wh)
       .config("spark.ui.enabled", "false")
       // custom optimizer rules (graft.plans): top-k projection
       // transpose — expensive per-row expressions evaluate on the k
@@ -57,11 +68,12 @@ object GraftSession {
       // range-sampling job); opt-in per session via
       // spark.graft.presentationSort — see the rule's scale note
       .withExtensions(_.injectOptimizerRule(_ => graft.plans.PresentationSort))
+  }
 
   def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
       warehouse: Option[String] = None): SparkSession = {
     val spark = builder(s"local[$cores]", cores,
-      warehouse.getOrElse("/root/repo/target/warehouse")).getOrCreate()
+      warehouse.orNull).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.registerAll(spark)
     spark

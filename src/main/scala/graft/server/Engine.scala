@@ -5014,6 +5014,17 @@ object Engine {
         f.delete()
       }
       if (wh.exists()) rm(wh)
+      // reclaim per-process ephemeral warehouses of DEAD processes
+      // (GraftSession names them warehouse-<pid> so concurrent JVMs on
+      // one box never wipe each other's live staging); a pid that is
+      // alive — ours or another JVM's — is left strictly alone
+      Option(wh.getParentFile.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d != wh &&
+          d.getName.matches("warehouse-\\d+"))
+        .filterNot(d => java.lang.ProcessHandle
+          .of(d.getName.stripPrefix("warehouse-").toLong)
+          .map[Boolean](_.isAlive).orElse(false))
+        .foreach(rm)
     }
     spark.sql("CREATE DATABASE IF NOT EXISTS main")
     graft.engine.Tables.names.foreach { t =>
