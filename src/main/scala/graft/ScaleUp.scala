@@ -71,7 +71,14 @@ object ScaleUp {
     replicate("embeddings") { (d, i) =>
       val emb = if (i == 0) col("embedding")
         else transform(col("embedding"), x => (x + lit(i * 0.001f)).cast("float"))
-      d.select(off("vec_id", i), emb.as("embedding"), col("label"))
+      // label offset per replica (r12): like documents' per-word suffix,
+      // this keeps BLOCK sizes constant as K grows — near-dup pairs and
+      // label-blocked join work scale ×K, not ×K² (an unreplicated label
+      // made sf10's embedding-dedup blocks 100× denser than any real
+      // corpus at 100× data: more data means more shards, not denser
+      // ones). Replica 0 keeps the original labels verbatim.
+      d.select(off("vec_id", i), emb.as("embedding"),
+        (col("label") + lit(i * 1000)).as("label"))
     }
     spark.stop()
   }
