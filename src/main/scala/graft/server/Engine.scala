@@ -397,6 +397,17 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * rewrites pay nothing extra and huge ones keep today's behavior. */
   private val ChangedKeyCap = 100000
 
+  /** True iff no expression anywhere in the analyzed plan is
+    * non-deterministic (rand(), uuid(), …). A non-deterministic
+    * predicate or insert source re-evaluates differently between the
+    * key capture and the actual write, so the captured set would
+    * mis-attribute the change — such writes poison the key set
+    * instead (no commute). Analysis-only: nothing executes. */
+  private def planDeterministic(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.collectFirst {
+      case p if p.expressions.exists(e => e.exists(!_.deterministic)) => p
+    }.isEmpty
+
   /** Accumulate PK tuples the open txn's write touched on `table`;
     * None poisons the table's set (unknown → no commute). */
   private def recordChangedKeys(table: String, keys: Option[Seq[Seq[Any]]]): Unit = {
@@ -1671,7 +1682,11 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
             val pkCols = constraintsOf(table).map(_.pk).getOrElse(Nil)
             if (pkCols.nonEmpty) {
               val rows =
-                if (pkCols.forall(pc => cols.exists(_.equalsIgnoreCase(pc))))
+                if (pkCols.forall(pc => cols.exists(_.equalsIgnoreCase(pc))) &&
+                    planDeterministic(src))
+                  // runInsert re-evaluates the source: a rand()/uuid()
+                  // key would insert DIFFERENT keys than were captured
+                  // (and than were constraint-checked) — poison instead
                   src.toDF(cols: _*)
                     .select(pkCols.map(org.apache.spark.sql.functions.col): _*)
                     .limit(ChangedKeyCap + 1).collect()
@@ -2820,20 +2835,27 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       // the set over-cap. A key-column SET changes row identities both
       // ways — unattributable, poison the set.
       val pkCols = constraintsOf(table).map(_.pk).getOrElse(Nil)
-      val attributable = pkCols.nonEmpty &&
-        !pkCols.exists(pc => sets.contains(pc.toLowerCase))
       var keysOpt: Option[Seq[Seq[Any]]] = None
-      val touched: Long =
-        if (attributable) {
-          val sel = pkCols.map(c => s"`$c`").mkString(", ")
-          val rows = txnExec(s"SELECT $sel FROM $rel$predSql")
-            .limit(ChangedKeyCap + 1).collect()
+      var exactCount = -1L
+      if (pkCols.nonEmpty && !pkCols.exists(pc => sets.contains(pc.toLowerCase))) {
+        val sel = pkCols.map(c => s"`$c`").mkString(", ")
+        val keyDf = txnExec(s"SELECT $sel FROM $rel$predSql")
+        // the swap's CASE re-evaluates the predicate: a rand()/uuid()
+        // in it updates DIFFERENT rows than were captured — poison.
+        // (Non-deterministic SET values are fine: the staged CTAS
+        // freezes them, and the key set only depends on the predicate.)
+        if (planDeterministic(keyDf)) {
+          val rows = keyDf.limit(ChangedKeyCap + 1).collect()
           if (rows.length <= ChangedKeyCap) {
             keysOpt = Some(rows.toSeq.map(_.toSeq))
-            rows.length.toLong
-          } else txnExec(s"SELECT count(*) FROM $rel$predSql").head().getLong(0)
-        } else txnExec(s"SELECT count(*) FROM $rel$predSql").head().getLong(0)
+            exactCount = rows.length.toLong
+          }
+        }
+      }
       recordChangedKeys(table, keysOpt)
+      val touched: Long =
+        if (exactCount >= 0) exactCount
+        else txnExec(s"SELECT count(*) FROM $rel$predSql").head().getLong(0)
       // UPDATE must re-validate: a SET can break NOT NULL / CHECK /
       // enum / FK, or collapse two PKs onto one value (DuckDB rejects
       // all of these at update time)
@@ -2889,17 +2911,24 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       // small deletes (same trade as copyOnWriteUpdate)
       val pkCols = constraintsOf(table).map(_.pk).getOrElse(Nil)
       var keysOpt: Option[Seq[Seq[Any]]] = None
-      val removed: Long =
-        if (pkCols.nonEmpty) {
-          val sel = pkCols.map(c => s"`$c`").mkString(", ")
-          val rows = txnExec(s"SELECT $sel FROM $rel$predSql")
-            .limit(ChangedKeyCap + 1).collect()
+      var exactCount = -1L
+      if (pkCols.nonEmpty) {
+        val sel = pkCols.map(c => s"`$c`").mkString(", ")
+        val keyDf = txnExec(s"SELECT $sel FROM $rel$predSql")
+        // the swap's NOT(pred) re-evaluates the predicate — same
+        // non-determinism poisoning as copyOnWriteUpdate
+        if (planDeterministic(keyDf)) {
+          val rows = keyDf.limit(ChangedKeyCap + 1).collect()
           if (rows.length <= ChangedKeyCap) {
             keysOpt = Some(rows.toSeq.map(_.toSeq))
-            rows.length.toLong
-          } else txnExec(s"SELECT count(*) FROM $rel$predSql").head().getLong(0)
-        } else txnExec(s"SELECT count(*) FROM $rel$predSql").head().getLong(0)
+            exactCount = rows.length.toLong
+          }
+        }
+      }
       recordChangedKeys(table, keysOpt)
+      val removed: Long =
+        if (exactCount >= 0) exactCount
+        else txnExec(s"SELECT count(*) FROM $rel$predSql").head().getLong(0)
       // FK RESTRICT: deleting rows still referenced by a child table
       // is rejected (DuckDB/PG default behavior for enforced FKs)
       if (removed > 0) {

@@ -1952,6 +1952,30 @@ class ServerEngineSpec extends SparkSpecBase {
     }
   }
 
+  test("non-deterministic predicates poison the change set (no mis-attributed commute)") {
+    fresh("txnd")
+    engine.execute("CREATE TABLE main.txnd (id INT PRIMARY KEY, v INT)")
+    try {
+      engine.execute("INSERT INTO main.txnd VALUES (1, 10), (2, 20), (3, 30)")
+      // a rand() predicate re-evaluates differently between the key
+      // capture and the swap — the captured keys would mis-attribute
+      // the change, so the set must be poisoned: a concurrent
+      // KEY-DISJOINT rewrite then aborts this txn instead of merging
+      engine.execute("BEGIN")
+      engine.execute("UPDATE main.txnd SET v = 99 WHERE rand() < 2") // always true, but non-deterministic
+      val other = new Thread(() => engine.execute(
+        "UPDATE main.txnd SET v = 7 WHERE id = 2"))
+      other.start(); other.join()
+      val e = intercept[IllegalArgumentException] { engine.execute("COMMIT") }
+      assert(e.getMessage.contains("serialization conflict"), e.getMessage)
+      assert(engine.execute("SELECT v FROM main.txnd WHERE id = 2").df
+        .head().getInt(0) == 7)
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => () }
+      engine.execute("DROP TABLE IF EXISTS main.txnd")
+    }
+  }
+
   test("disjoint-key merge still re-validates non-PK UNIQUE collisions") {
     fresh("txru")
     engine.execute("CREATE TABLE main.txru (id INT PRIMARY KEY, u INT UNIQUE)")
