@@ -154,12 +154,17 @@ object TpchQueries {
         |GROUP BY n_name, year(o_orderdate)
         |ORDER BY nation, o_year DESC""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
+      // the two selective dims broadcast EXPLICITLY: the filtered part
+      // keys (~6% of part, 8 bytes each) and the 2-column supplier
+      // projection are MBs at any tier, and hinting them keeps the only
+      // unavoidable shuffle (filtered-lineitem ⋈ orders) as the plan's
+      // single wide edge even where stats under- or over-estimate
       val redParts = t.part.filter(col("p_name").like("%red%")).select("p_partkey")
       val li = t.lineitem.select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), revenue)
-      li.join(redParts, col("l_partkey") === col("p_partkey"))
+      li.join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
         .join(t.orders.select(col("o_orderkey"), col("o_orderdate")),
           col("l_orderkey") === col("o_orderkey"))
-        .join(t.supplier.select(col("s_suppkey"), col("s_nationkey")),
+        .join(broadcast(t.supplier.select(col("s_suppkey"), col("s_nationkey"))),
           col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
           col("s_nationkey") === col("n_nationkey"))
