@@ -1143,15 +1143,17 @@ class ServerEngineSpec extends SparkSpecBase {
       // the view (auto-commit DDL) survives; the staged DML rolled back
       assert(spark.catalog.tableExists("txn_ddl_v"))
       assert(engine.execute("SELECT count(*) AS c FROM txn_ddl").df.head().getLong(0) == 0L)
-      // ALTER … RENAME TO is the declared auto-commit exception among
-      // table DDL: on a table with uncommitted txn changes it is
-      // rejected up front (the staged image is keyed by name)
+      // ALTER … RENAME TO is transactional too (r12b): it composes
+      // with uncommitted txn changes — the overlays answer to the new
+      // name — and ROLLBACK undoes both the rename and the DML
       engine.execute("BEGIN")
       engine.execute("INSERT INTO txn_ddl VALUES (2)")
-      val e2 = intercept[IllegalArgumentException] {
-        engine.execute("ALTER TABLE txn_ddl RENAME TO txn_ddl_z") }
-      assert(e2.getMessage.contains("uncommitted"), e2.getMessage)
+      engine.execute("ALTER TABLE txn_ddl RENAME TO txn_ddl_z")
+      assert(engine.execute("SELECT count(*) AS c FROM txn_ddl_z").df.head().getLong(0) == 1L)
       engine.execute("ROLLBACK")
+      assert(spark.catalog.tableExists("txn_ddl"))
+      assert(!spark.catalog.tableExists("txn_ddl_z"))
+      assert(engine.execute("SELECT count(*) AS c FROM txn_ddl").df.head().getLong(0) == 0L)
     } finally {
       try engine.execute("ROLLBACK") catch { case _: Throwable => () }
       engine.execute("DROP VIEW IF EXISTS txn_ddl_v")
@@ -1997,6 +1999,305 @@ class ServerEngineSpec extends SparkSpecBase {
     } finally {
       try engine.execute("ROLLBACK") catch { case _: Throwable => () }
       engine.execute("DROP TABLE IF EXISTS main.txru")
+    }
+  }
+
+  // ---- ALTER TABLE … RENAME TO (r12b) --------------------------------------
+
+  test("rename moves the constraint registration with the table") {
+    fresh("rnm_a"); fresh("rnm_b")
+    engine.execute("CREATE TABLE main.rnm_a (k INT PRIMARY KEY, v STRING)")
+    try {
+      engine.execute("INSERT INTO main.rnm_a VALUES (1, 'a')")
+      engine.execute("ALTER TABLE main.rnm_a RENAME TO main.rnm_b")
+      // the PK follows the table to its new name …
+      val dup = intercept[IllegalArgumentException] {
+        engine.execute("INSERT INTO main.rnm_b VALUES (1, 'dup')")
+      }
+      assert(dup.getMessage.contains("unique"), dup.getMessage)
+      // … and a RECREATED old name does NOT inherit the stale set
+      engine.execute("CREATE TABLE main.rnm_a (k INT, v STRING)")
+      engine.execute("INSERT INTO main.rnm_a VALUES (7, 'x')")
+      engine.execute("INSERT INTO main.rnm_a VALUES (7, 'x')") // no PK here: fine
+      assert(engine.execute("SELECT count(*) FROM main.rnm_a").df.head().getLong(0) == 2L)
+    } finally {
+      engine.execute("DROP TABLE IF EXISTS main.rnm_a")
+      engine.execute("DROP TABLE IF EXISTS main.rnm_b")
+    }
+  }
+
+  test("rename rekeys FK registrations that reference the old name") {
+    fresh("rnm_p"); fresh("rnm_p2"); fresh("rnm_c")
+    engine.execute("CREATE TABLE main.rnm_p (k INT PRIMARY KEY)")
+    engine.execute("INSERT INTO main.rnm_p VALUES (1)")
+    engine.execute(
+      "CREATE TABLE main.rnm_c (ck INT, FOREIGN KEY (ck) REFERENCES main.rnm_p (k))")
+    try {
+      engine.execute("ALTER TABLE main.rnm_p RENAME TO main.rnm_p2")
+      // child inserts still validate against the (renamed) parent
+      engine.execute("INSERT INTO main.rnm_c VALUES (1)")
+      val bad = intercept[IllegalArgumentException] {
+        engine.execute("INSERT INTO main.rnm_c VALUES (99)")
+      }
+      assert(bad.getMessage.toLowerCase.contains("foreign key"), bad.getMessage)
+      // and parent deletes still RESTRICT through the new name
+      val del = intercept[IllegalArgumentException] {
+        engine.execute("DELETE FROM main.rnm_p2 WHERE k = 1")
+      }
+      assert(del.getMessage.toLowerCase.contains("foreign key"), del.getMessage)
+    } finally {
+      engine.execute("DROP TABLE IF EXISTS main.rnm_c")
+      engine.execute("DROP TABLE IF EXISTS main.rnm_p")
+      engine.execute("DROP TABLE IF EXISTS main.rnm_p2")
+    }
+  }
+
+  test("rename target conflicts and IF EXISTS behave like the catalog says") {
+    fresh("rnm_e1"); fresh("rnm_e2")
+    engine.execute("CREATE TABLE main.rnm_e1 (a INT)")
+    engine.execute("CREATE TABLE main.rnm_e2 (a INT)")
+    try {
+      intercept[Throwable] {
+        engine.execute("ALTER TABLE main.rnm_e1 RENAME TO main.rnm_e2")
+      }
+      intercept[Throwable] {
+        engine.execute("ALTER TABLE main.rnm_nope RENAME TO main.rnm_e3")
+      }
+      // IF EXISTS on an unknown source: clean no-op
+      engine.execute("ALTER TABLE IF EXISTS main.rnm_nope RENAME TO main.rnm_e3")
+      intercept[IllegalArgumentException] {
+        engine.execute("ALTER TABLE main.rnm_e1 RENAME TO other_db.rnm_x")
+      }
+    } finally {
+      engine.execute("DROP TABLE IF EXISTS main.rnm_e1")
+      engine.execute("DROP TABLE IF EXISTS main.rnm_e2")
+    }
+  }
+
+  test("transactional RENAME: ROLLBACK forgets it, COMMIT publishes it") {
+    fresh("rnt_a"); fresh("rnt_b")
+    engine.execute("CREATE TABLE main.rnt_a (k INT PRIMARY KEY, v STRING)")
+    engine.execute("INSERT INTO main.rnt_a VALUES (1, 'a')")
+    try {
+      engine.execute("BEGIN")
+      engine.execute("ALTER TABLE main.rnt_a RENAME TO main.rnt_b")
+      // in-txn: the new name reads the table, the old name is gone
+      assert(engine.execute("SELECT v FROM main.rnt_b").df.head().getString(0) == "a")
+      intercept[org.apache.spark.sql.AnalysisException] {
+        engine.execute("SELECT * FROM main.rnt_a").df.collect()
+      }
+      assert(engine.txnStatus == 'T') // binder-class: block stays usable
+      // constraints follow the new name mid-txn
+      val dup = intercept[IllegalArgumentException] {
+        engine.execute("INSERT INTO main.rnt_b VALUES (1, 'dup')")
+      }
+      assert(dup.getMessage.contains("unique"), dup.getMessage)
+      engine.execute("ROLLBACK") // NOT "cannot undo DDL": the rename was staged
+      assert(spark.catalog.tableExists("main.rnt_a"))
+      assert(!spark.catalog.tableExists("main.rnt_b"))
+      // the base registration never moved
+      intercept[IllegalArgumentException] {
+        engine.execute("INSERT INTO main.rnt_a VALUES (1, 'dup')")
+      }
+
+      engine.execute("BEGIN")
+      engine.execute("ALTER TABLE main.rnt_a RENAME TO main.rnt_b")
+      engine.execute("INSERT INTO main.rnt_b VALUES (2, 'b')") // write via new name
+      engine.execute("UPDATE main.rnt_b SET v = 'A' WHERE k = 1")
+      engine.execute("COMMIT")
+      assert(!spark.catalog.tableExists("main.rnt_a"))
+      val rows = engine.execute("SELECT k, v FROM main.rnt_b ORDER BY k").df
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      assert(rows == Seq((1, "A"), (2, "b")), rows)
+      // committed registration followed the rename
+      intercept[IllegalArgumentException] {
+        engine.execute("INSERT INTO main.rnt_b VALUES (2, 'dup')")
+      }
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => () }
+      engine.execute("DROP TABLE IF EXISTS main.rnt_a")
+      engine.execute("DROP TABLE IF EXISTS main.rnt_b")
+    }
+  }
+
+  test("transactional RENAME: chains collapse, rename-back cancels") {
+    fresh("rnc_a"); fresh("rnc_b"); fresh("rnc_c")
+    engine.execute("CREATE TABLE main.rnc_a (x INT)")
+    engine.execute("INSERT INTO main.rnc_a VALUES (5)")
+    try {
+      engine.execute("BEGIN")
+      engine.execute("ALTER TABLE main.rnc_a RENAME TO main.rnc_b")
+      engine.execute("ALTER TABLE main.rnc_b RENAME TO main.rnc_c") // collapses to a→c
+      assert(engine.execute("SELECT x FROM main.rnc_c").df.head().getInt(0) == 5)
+      intercept[org.apache.spark.sql.AnalysisException] {
+        engine.execute("SELECT * FROM main.rnc_b").df.collect()
+      }
+      engine.execute("COMMIT")
+      assert(spark.catalog.tableExists("main.rnc_c") &&
+        !spark.catalog.tableExists("main.rnc_a") &&
+        !spark.catalog.tableExists("main.rnc_b"))
+
+      engine.execute("BEGIN")
+      engine.execute("ALTER TABLE main.rnc_c RENAME TO main.rnc_a")
+      engine.execute("ALTER TABLE main.rnc_a RENAME TO main.rnc_c") // back: net no-op
+      assert(engine.execute("SELECT x FROM main.rnc_c").df.head().getInt(0) == 5)
+      engine.execute("COMMIT")
+      assert(spark.catalog.tableExists("main.rnc_c"))
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => () }
+      engine.execute("DROP TABLE IF EXISTS main.rnc_a")
+      engine.execute("DROP TABLE IF EXISTS main.rnc_b")
+      engine.execute("DROP TABLE IF EXISTS main.rnc_c")
+    }
+  }
+
+  test("re-CREATE of a renamed-away name is cleanly rejected in-txn") {
+    fresh("rnr_a"); fresh("rnr_b")
+    engine.execute("CREATE TABLE main.rnr_a (x INT)")
+    engine.execute("INSERT INTO main.rnr_a VALUES (1)")
+    try {
+      engine.execute("BEGIN")
+      engine.execute("ALTER TABLE main.rnr_a RENAME TO main.rnr_b")
+      // re-creating the freed name in the SAME txn would make the
+      // renamed base's and the new table's overlays collide — declared
+      // unsupported, rejected with a clear error (separate txns work)
+      val e = intercept[IllegalArgumentException] {
+        engine.execute("CREATE TABLE main.rnr_a (s STRING)")
+      }
+      assert(e.getMessage.contains("RENAME"), e.getMessage)
+      // the unsupported-DDL guard aborts the block (same contract as
+      // guardStagedDdl); roll back and run the steps in separate txns
+      engine.execute("ROLLBACK")
+      engine.execute("ALTER TABLE main.rnr_a RENAME TO main.rnr_b")
+      // …and the SEPARATE-transaction sequence works fine
+      engine.execute("CREATE TABLE main.rnr_a (s STRING)")
+      engine.execute("INSERT INTO main.rnr_a VALUES ('new')")
+      assert(engine.execute("SELECT s FROM main.rnr_a").df.head().getString(0) == "new")
+      assert(engine.execute("SELECT x FROM main.rnr_b").df.head().getInt(0) == 1)
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => () }
+      engine.execute("DROP TABLE IF EXISTS main.rnr_a")
+      engine.execute("DROP TABLE IF EXISTS main.rnr_b")
+    }
+  }
+
+  test("transactional RENAME: drop-via-new-name, created-table rename") {
+    fresh("rnd_a"); fresh("rnd_b"); fresh("rnd_c")
+    engine.execute("CREATE TABLE main.rnd_a (x INT)")
+    try {
+      engine.execute("BEGIN")
+      engine.execute("ALTER TABLE main.rnd_a RENAME TO main.rnd_b")
+      engine.execute("DROP TABLE main.rnd_b") // resolves to the original
+      intercept[org.apache.spark.sql.AnalysisException] {
+        engine.execute("SELECT * FROM main.rnd_b").df.collect()
+      }
+      engine.execute("COMMIT")
+      assert(!spark.catalog.tableExists("main.rnd_a") &&
+        !spark.catalog.tableExists("main.rnd_b"))
+
+      // a table CREATED in the txn renames by rekeying its overlay
+      engine.execute("BEGIN")
+      engine.execute("CREATE TABLE main.rnd_c (y INT)")
+      engine.execute("INSERT INTO main.rnd_c VALUES (9)")
+      engine.execute("ALTER TABLE main.rnd_c RENAME TO main.rnd_a")
+      assert(engine.execute("SELECT y FROM main.rnd_a").df.head().getInt(0) == 9)
+      engine.execute("COMMIT")
+      assert(engine.execute("SELECT y FROM main.rnd_a").df.head().getInt(0) == 9)
+      assert(!spark.catalog.tableExists("main.rnd_c"))
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => () }
+      engine.execute("DROP TABLE IF EXISTS main.rnd_a")
+      engine.execute("DROP TABLE IF EXISTS main.rnd_b")
+      engine.execute("DROP TABLE IF EXISTS main.rnd_c")
+    }
+  }
+
+  test("transactional RENAME: concurrent create of the target aborts the commit") {
+    fresh("rnx_a"); fresh("rnx_b")
+    engine.execute("CREATE TABLE main.rnx_a (x INT)")
+    try {
+      engine.execute("BEGIN")
+      engine.execute("ALTER TABLE main.rnx_a RENAME TO main.rnx_b")
+      val other = new Thread(() =>
+        engine.execute("CREATE TABLE main.rnx_b (z STRING)"))
+      other.start(); other.join()
+      val e = intercept[IllegalArgumentException] { engine.execute("COMMIT") }
+      assert(e.getMessage.contains("serialization"), e.getMessage)
+      // the loser rolled back: the original is intact, the winner kept
+      assert(spark.catalog.tableExists("main.rnx_a"))
+      assert(spark.table("main.rnx_b").schema.fieldNames.toSeq == Seq("z"))
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => () }
+      engine.execute("DROP TABLE IF EXISTS main.rnx_a")
+      engine.execute("DROP TABLE IF EXISTS main.rnx_b")
+    }
+  }
+
+  test("rename journal (mv) rolls forward at boot") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rn").toString
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    def dir(t: String) = new java.io.File(wh, s"main.db/$t")
+    spark.sql("CREATE DATABASE IF NOT EXISTS main")
+    fresh("rnj_a"); fresh("rnj_b")
+    try {
+      val e1 = new Engine(spark, allowFileIo = true, dbPath = Some(tmp))
+      e1.execute("CREATE TABLE main.rnj_a (k INT PRIMARY KEY)")
+      e1.execute("INSERT INTO main.rnj_a VALUES (1)")
+      // crash BEFORE any rename step ran: only the journal exists (the
+      // catalog entry for rnj_a stays — a real fresh JVM would simply
+      // not have it; the dir walk below registers the NEW name)
+      val cl = java.util.Base64.getEncoder.encodeToString(
+        "main.rnj_b\tk\t\t\t\t\t".getBytes("UTF-8"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp, "publish_journal_9.tsv"),
+        s"mv\tmain.rnj_b\tmain.rnj_a\t\t$cl".getBytes("UTF-8"))
+      val e2 = new Engine(spark, allowFileIo = true, dbPath = Some(tmp))
+      e2.loadPersisted()
+      assert(!dir("rnj_a").exists() && dir("rnj_b").exists())
+      // boot re-registration picked the NEW name; registration rekeyed
+      assert(spark.catalog.tableExists("main.rnj_b"))
+      val tsv = scala.io.Source.fromFile(s"$tmp/constraints.tsv").mkString
+      assert(tsv.contains("main.rnj_b\tk") && !tsv.contains("main.rnj_a"), tsv)
+      val dup = intercept[IllegalArgumentException] {
+        e2.execute("INSERT INTO main.rnj_b VALUES (1)")
+      }
+      assert(dup.getMessage.contains("unique"), dup.getMessage)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS main.rnj_a")
+      spark.sql("DROP TABLE IF EXISTS main.rnj_b")
+    }
+  }
+
+  test("rename survives an engine restart (external dir moves)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rp").toString
+    spark.sql("CREATE DATABASE IF NOT EXISTS main")
+    fresh("rps_a"); fresh("rps_b")
+    val whDir = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    try {
+      val e1 = new Engine(spark, allowFileIo = true, dbPath = Some(tmp))
+      // an EXTERNAL table at the warehouse-canonical path — exactly
+      // what boot re-registration produces, and the case Spark's own
+      // RENAME does NOT move the dir for (managed dirs move themselves)
+      e1.execute("CREATE TABLE main.rps_a (k INT) USING parquet " +
+        s"LOCATION '$whDir/main.db/rps_a'")
+      e1.execute("INSERT INTO main.rps_a VALUES (42)")
+      spark.sql("DROP TABLE main.rps_a") // external: the dir survives
+      val e2 = new Engine(spark, allowFileIo = true, dbPath = Some(tmp))
+      e2.loadPersisted()
+      assert(spark.catalog.tableExists("main.rps_a"))
+      e2.execute("ALTER TABLE main.rps_a RENAME TO main.rps_b")
+      assert(e2.execute("SELECT k FROM main.rps_b").df.head().getInt(0) == 42)
+      // a restart must come back with the NEW name, not revert
+      spark.sql("DROP TABLE IF EXISTS main.rps_b")
+      val e3 = new Engine(spark, allowFileIo = true, dbPath = Some(tmp))
+      e3.loadPersisted()
+      assert(spark.catalog.tableExists("main.rps_b"))
+      assert(!spark.catalog.tableExists("main.rps_a"))
+      assert(e3.execute("SELECT k FROM main.rps_b").df.head().getInt(0) == 42)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS main.rps_a")
+      spark.sql("DROP TABLE IF EXISTS main.rps_b")
     }
   }
 }

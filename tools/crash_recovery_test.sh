@@ -115,6 +115,47 @@ chk "journal consumed" "0" "$(ls "$DB"/publish_journal_*.tsv 2>/dev/null | wc -l
 overlays_final=$(ls -d "$DB"/warehouse/main.db/*__txn* 2>/dev/null | wc -l)
 chk "staging reclaimed after roll-forward" "0" "$overlays_final"
 chk "big still writable" "INSERT 0 1" "$(psql $P -c "insert into main.big values (-1,'x')" 2>&1 | head -1)"
+# ---- scenario 3: RENAME durability across restarts (r12b) ----
+# main.ct has been through restarts, so it is a boot-registered
+# EXTERNAL table — the case where Spark's own RENAME does NOT move the
+# dir and the engine must (else the rename silently reverts at boot).
+# Two rename+restart cycles; the PK registration must follow each time.
+chk "rename external 1" "ALTER TABLE" "$(psql $P -c 'alter table main.ct rename to main.ct2' 2>&1 | head -1)"
+chk "renamed readable" "1|a" "$(psql $P -tA -F'|' -c 'select k, v from main.ct2 where k = 1' 2>&1)"
+kill "$SRV_PID" 2>/dev/null; wait "$SRV_PID" 2>/dev/null
+start_server
+chk "rename survives restart" "1|a,2|b,9|i" "$(psql $P -tA -F'|' -c 'select k, v from main.ct2 order by k' 2>&1 | paste -sd, -)"
+chk "old name gone after restart" "gone" "$(psql $P -tA -c 'select count(*) from main.ct' >/dev/null 2>&1 && echo present || echo gone)"
+chk "pk followed rename 1" "dup" "$(psql $P -c "insert into main.ct2 values (1,'dup')" 2>&1 | grep -q 'duplicate key' && echo dup || echo accepted)"
+chk "rename external 2" "ALTER TABLE" "$(psql $P -c 'alter table main.ct2 rename to main.ct3' 2>&1 | head -1)"
+kill "$SRV_PID" 2>/dev/null; wait "$SRV_PID" 2>/dev/null
+start_server
+chk "external rename survives restart" "1|a,2|b,9|i" "$(psql $P -tA -F'|' -c 'select k, v from main.ct3 order by k' 2>&1 | paste -sd, -)"
+chk "pk followed external rename" "dup" "$(psql $P -c "insert into main.ct3 values (2,'dup')" 2>&1 | grep -q 'duplicate key' && echo dup || echo accepted)"
+
+# ---- scenario 4: SIGKILL with a staged RENAME INTENT mid-txn ----
+# the intent lives only in connection memory — a crash must leave the
+# ORIGINAL name intact and nothing under the new name
+FIFO3=$(mktemp -u /tmp/graft_crash_fifo3.XXXXXX)
+mkfifo "$FIFO3"
+psql $P -f /dev/stdin < "$FIFO3" > /tmp/graft_crash_psql3.log 2>&1 &
+PSQL3_PID=$!
+exec 7>"$FIFO3"
+cat >&7 <<'SQL'
+BEGIN;
+ALTER TABLE main.ct3 RENAME TO main.ct4;
+INSERT INTO main.ct4 VALUES (7,'g');
+SELECT pg_sleep(0);
+SQL
+sleep 8
+kill -9 "$SRV_PID" 2>/dev/null
+wait "$SRV_PID" 2>/dev/null
+exec 7>&-
+kill "$PSQL3_PID" 2>/dev/null; wait "$PSQL3_PID" 2>/dev/null
+rm -f "$FIFO3"
+start_server
+chk "mid-txn rename rolled back" "1|a,2|b,9|i" "$(psql $P -tA -F'|' -c 'select k, v from main.ct3 order by k' 2>&1 | paste -sd, -)"
+chk "new name never materialized" "gone" "$(psql $P -tA -c 'select count(*) from main.ct4' >/dev/null 2>&1 && echo present || echo gone)"
 kill "$SRV_PID" 2>/dev/null; wait "$SRV_PID" 2>/dev/null
 
 rm -rf "$DB"

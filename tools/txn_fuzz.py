@@ -124,16 +124,19 @@ def gen_events(r, tname, n_ops, vname=None, aux=None):
     events = []
     in_txn = False
     deleted_in_txn = False   # see ON CONFLICT note below
+    renamed_in_txn = False   # see RENAME note below
     for _ in range(n_ops):
         roll = r.random()
         if not in_txn and roll < 0.30:
             events.append(("BEGIN", "begin"))
             in_txn = True
             deleted_in_txn = False
+            renamed_in_txn = False
         elif in_txn and roll < 0.25:
             events.append((r.choice(["COMMIT", "ROLLBACK"]), "end"))
             in_txn = False
             deleted_in_txn = False
+            renamed_in_txn = False
         elif aux and roll < 0.40:
             # transactional DDL surface: CREATE/DROP/ALTER/INSERT/SELECT
             # on an aux table, differentially vs DuckDB's transactional
@@ -148,16 +151,33 @@ def gen_events(r, tname, n_ops, vname=None, aux=None):
             # registration, a later duplicate insert's ok/fail bit
             # diverges from DuckDB — the class the r11 judge probe
             # caught, now asserted on every script.
-            cands = [f"CREATE TABLE {aux} (x INTEGER PRIMARY KEY)",
-                     f"CREATE TABLE {aux} (x INTEGER)",
+            # RENAME (r12b, transactional): the aux table flips between
+            # its two names; reads/writes of both spellings, drops via
+            # the new name, and rename-backs all run differentially vs
+            # DuckDB. One declared engine limitation is screened at
+            # GENERATION time (like the ON CONFLICT case): re-creating
+            # a name renamed AWAY in the SAME txn is rejected here but
+            # allowed by DuckDB, so CREATE {aux} candidates are withheld
+            # once a rename was emitted inside the open txn.
+            cands = ([f"CREATE TABLE {aux} (x INTEGER PRIMARY KEY)",
+                      f"CREATE TABLE {aux} (x INTEGER)"]
+                     if not (in_txn and renamed_in_txn) else []) + \
+                    [f"INSERT INTO {aux} VALUES ({r.randint(0, 4)})",
                      f"INSERT INTO {aux} VALUES ({r.randint(0, 4)})",
-                     f"INSERT INTO {aux} VALUES ({r.randint(0, 4)})",
+                     f"INSERT INTO {aux}_r VALUES ({r.randint(0, 4)})",
                      f"SELECT count(*) FROM {aux}",
                      f"SELECT * FROM {aux} ORDER BY 1",
+                     f"SELECT count(*) FROM {aux}_r",
                      f"ALTER TABLE {aux} ADD COLUMN y INTEGER",
                      f"ALTER TABLE {aux} DROP COLUMN y",
-                     f"DROP TABLE {aux}"]
-            events.append((r.choice(cands), "dml"))
+                     f"ALTER TABLE {aux} RENAME TO {aux}_r",
+                     f"ALTER TABLE {aux}_r RENAME TO {aux}",
+                     f"DROP TABLE {aux}",
+                     f"DROP TABLE {aux}_r"]
+            sql = r.choice(cands)
+            if in_txn and "RENAME" in sql:
+                renamed_in_txn = True
+            events.append((sql, "dml"))
         else:
             op = r.random()
             if op < 0.40:
@@ -313,6 +333,7 @@ def differential_scripts(port, n_scripts, r, finds):
             pg1.query("ROLLBACK")   # a diverged script may hold staged
             pg1.query(f"DROP VIEW IF EXISTS {vname}")
             pg1.query(f"DROP TABLE IF EXISTS {tname}_aux")
+            pg1.query(f"DROP TABLE IF EXISTS {tname}_aux_r")
             pg1.query(f"DROP TABLE IF EXISTS {tname}")
             pg1.close()
             pg2.close()
