@@ -279,10 +279,14 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * dir move + registration rekey under write locks on both names,
     * journaled for crash roll-forward. Two declared RENAME
     * limitations: re-creating a renamed-away name and renaming onto a
-    * name another rename freed, both rejected in ONE transaction);
-    * the rest of DDL (views, schemas, types) auto-commits, and a
-    * ROLLBACK after such in-txn DDL still raises, honestly, for the
-    * DDL only. A statement error
+    * name another rename freed, both rejected in ONE transaction).
+    * CREATE/DROP VIEW are transactional intents too (r12b): in-txn
+    * reads substitute the parsed view body pre-analysis (iterated to a
+    * fixpoint so views compose with created/renamed tables), COMMIT
+    * publishes + journals after the table passes, ROLLBACK forgets;
+    * TEMP views, schemas and types keep auto-commit, and a ROLLBACK
+    * after such in-txn DDL still raises, honestly, for the DDL only.
+    * A statement error
     * aborts the transaction until COMMIT/ROLLBACK (PG semantics;
     * binder-class errors do NOT abort, DuckDB semantics); COMMIT of an
     * aborted transaction rolls back and says so. */
@@ -335,6 +339,19 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       // into it (old-schema files), so they abort instead of commuting
       altered: scala.collection.mutable.LinkedHashSet[String] =
         scala.collection.mutable.LinkedHashSet.empty,
+      // views CREATED (or REPLACED) inside this transaction (r12b):
+      // qualified name → the view's QUERY text (dialect-rewritten).
+      // Pure intents: reads substitute the parsed query pre-analysis
+      // (iterated to a fixpoint, so views over views and views over
+      // created/renamed tables resolve), COMMIT publishes CREATE OR
+      // REPLACE VIEW + journals it, ROLLBACK forgets. TEMP views keep
+      // auto-commit (session objects; declared).
+      createdViews: scala.collection.mutable.LinkedHashMap[String, String] =
+        scala.collection.mutable.LinkedHashMap.empty,
+      // views DROPPED inside this transaction: reads fail binder-class,
+      // COMMIT drops + unjournals, ROLLBACK leaves the view intact
+      droppedViews: scala.collection.mutable.LinkedHashSet[String] =
+        scala.collection.mutable.LinkedHashSet.empty,
       // txn-LOCAL constraint-registration overlay for names this txn
       // created or dropped: Some(c) = this txn's registration (a table
       // it created), None = this txn sees no registration (a table it
@@ -358,7 +375,8 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       open = false; writes = false; ddl = false; aborted = false
       staged.clear(); deltas.clear(); baseEpochs.clear()
       rewritePins.clear(); pinnedFiles.clear(); created.clear(); dropped.clear()
-      renames.clear(); altered.clear(); txnConstraints.clear(); changedKeys.clear()
+      renames.clear(); altered.clear(); createdViews.clear(); droppedViews.clear()
+      txnConstraints.clear(); changedKeys.clear()
     }
   }
   private val txn: ThreadLocal[TxnState] = ThreadLocal.withInitial(() => TxnState())
@@ -858,7 +876,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * (mirrors alterColumnType's recovery contract). */
   private def commitTxn(st: TxnState): Unit = {
     if (st.staged.isEmpty && st.deltas.isEmpty && st.dropped.isEmpty &&
-        st.renames.isEmpty) {
+        st.renames.isEmpty && st.createdViews.isEmpty && st.droppedViews.isEmpty) {
       st.baseEpochs.clear(); return
     }
     // rename SOURCES are written (their catalog entry and dir move);
@@ -997,7 +1015,14 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
           // them AFTER the per-table publishes and BEFORE created-
           // table publishes (a same-txn recreate of the freed name)
           renameJournalOps(o, n)
-        }
+        } ++ st.droppedViews.toSeq.sorted.map(v => s"vdrop\t$v\t\t\t") ++
+          st.createdViews.toSeq.map { case (v, text) =>
+            // view intents edit views.sql at recovery (catalog views
+            // have no warehouse dir; the journal replays their DDL)
+            val stmt = s"CREATE OR REPLACE VIEW $v AS $text"
+            s"vcreate\t$v\t\t\t" + java.util.Base64.getEncoder
+              .encodeToString(stmt.getBytes("UTF-8"))
+          }
         val f = new java.io.File(p, s"publish_journal_${txnSeq.incrementAndGet()}.tsv")
         writeFile(f.getAbsolutePath, ops.mkString("\n"))
         f
@@ -1079,6 +1104,27 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
             published += t
           }
         }
+        // ---- pass 5: view DDL — catalog-only, applied AFTER the table
+        // passes so a view over a created/renamed table binds
+        st.droppedViews.toSeq.sorted.foreach { v =>
+          spark.sql(s"DROP VIEW IF EXISTS $v")
+          unlogView(v)
+          st.droppedViews.remove(v)
+        }
+        st.createdViews.keys.toSeq.foreach { v =>
+          val text = st.createdViews(v)
+          val stmt = s"CREATE OR REPLACE VIEW $v AS $text"
+          // a body broken by a LATER same-txn statement (view over a
+          // table the txn then dropped/renamed) cannot analyze — DuckDB
+          // commits such a view broken; Spark cannot store one, so the
+          // commit proceeds WITHOUT it (reads of the name fail either
+          // way, just with a different message)
+          try {
+            spark.sql(rewrite(stmt))
+            if (dbPath.isDefined) { unlogView(v); logViewDdl(stmt) }
+          } catch { case scala.util.control.NonFatal(_) => }
+          st.createdViews.remove(v)
+        }
         dropStaged(st)
         journal.foreach(_.delete())
       } catch {
@@ -1103,7 +1149,9 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
                 else if (st.renames.contains(t))
                   Some(s"$t (transactional RENAME to ${st.renames(t)} not applied)")
                 else None // rename target / pin-only name: nothing pending
-            })
+            }) ++
+            st.droppedViews.toSeq.map(v => s"$v (transactional DROP VIEW not applied)") ++
+            st.createdViews.keys.map(v => s"$v (transactional CREATE VIEW not applied)")
           if (kept.nonEmpty) throw new IllegalStateException(
             s"COMMIT failed mid-publish: [${published.mkString(", ")}] committed; " +
               s"NOT committed: ${kept.mkString("; ")}: ${e.getMessage}", e)
@@ -1491,6 +1539,69 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         qn.split('.').toIndexedSeq)
   }
 
+  private def isView(q: String): Boolean =
+    try spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(q)).tableType ==
+      org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW
+    catch { case scala.util.control.NonFatal(_) => false }
+
+  /** Transactional CREATE [OR REPLACE] VIEW (r12b): record the intent;
+    * in-txn reads substitute the parsed query pre-analysis (so the
+    * view sees the txn's own overlays exactly like a direct read);
+    * COMMIT publishes + journals it AFTER the table passes (a view
+    * over a created/renamed table must bind), ROLLBACK forgets. The
+    * query is ANALYZED here through the txn overlay so binder errors
+    * surface at CREATE time (DuckDB binds views at creation). TEMP
+    * views keep auto-commit (session objects; declared). */
+  private def transactionalCreateView(orReplace: Boolean, ifNotExists: Boolean,
+      name: String, query: String): ExecResult = {
+    val st = txn.get()
+    val q = qualify(name)
+    val viewHere = st.createdViews.contains(q) ||
+      (isView(q) && !st.droppedViews.contains(q))
+    if (viewHere && !orReplace) {
+      if (ifNotExists) { absorbedDdl.set(true); return ExecResult(null, "CREATE VIEW") }
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        q.split('.').toIndexedSeq)
+    }
+    // a TABLE under the name is always a conflict (even for OR REPLACE)
+    if (!isView(q) && !st.createdViews.contains(q) &&
+        ((spark.catalog.tableExists(q) && !st.dropped.contains(q) &&
+          !st.renames.contains(q)) || st.created.contains(q) ||
+          st.renames.valuesIterator.contains(q)))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        q.split('.').toIndexedSeq)
+    txnExec(rewrite(query)) // analysis through the overlay: binder errors NOW
+    st.createdViews(q) = query
+    absorbedDdl.set(true)
+    ExecResult(null, "CREATE VIEW")
+  }
+
+  /** Transactional DROP VIEW: a view created in this txn is absorbed
+    * (and, if it had REPLACED a catalog view, the base view becomes a
+    * drop intent — DuckDB drops the name outright, not back to the old
+    * text); an existing catalog view becomes a drop INTENT (reads fail
+    * binder-class, COMMIT drops + unjournals, ROLLBACK leaves it).
+    * None → unknown name or a temp view: the generic path raises
+    * Spark's own error or performs the auto-commit temp-view drop. */
+  private def transactionalDropView(sql: String, name: String): Option[ExecResult] = {
+    val st = txn.get()
+    val q = qualify(name)
+    val ifExists = """(?is)\bif\s+exists\b""".r.findFirstIn(sql).isDefined
+    def ok(): Option[ExecResult] =
+      { absorbedDdl.set(true); Some(ExecResult(null, "DROP VIEW")) }
+    if (st.createdViews.remove(q).isDefined) {
+      if (isView(q)) st.droppedViews += q
+      return ok()
+    }
+    if (st.droppedViews.contains(q)) {
+      if (ifExists) return ok()
+      droppedInTxn(q)
+    }
+    if (isView(q)) { st.droppedViews += q; return ok() }
+    None
+  }
+
   /** ALTER on a table with uncommitted in-txn changes would make the
     * staged/delta image unpublishable — or publish a schema-mismatched
     * image at COMMIT (INSERT OVERWRITE … SELECT * against a table whose
@@ -1577,31 +1688,62 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         st.altered.iterator.filterNot(st.renames.contains)
           .flatMap(q => st.staged.get(q).map(q -> _)) ++ renameTargets
     val withCreated =
-      if (preAnalysis.isEmpty && st.renames.isEmpty) finalPlan
+      if (preAnalysis.isEmpty && st.renames.isEmpty &&
+          st.createdViews.isEmpty && st.droppedViews.isEmpty) finalPlan
       else {
         import org.apache.spark.sql.catalyst.plans.logical.{SubqueryAlias, UnresolvedWith}
-        val cteNames: Set[String] = finalPlan.collectWithSubqueries {
-          case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
-        }.flatten.toSet
-        finalPlan transformUpWithSubqueries {
-          case r: UnresolvedRelation =>
-            val p = baseParts(r.multipartIdentifier)
-            if (p.length > 2 || cteNames.contains(p.last.toLowerCase)) r
-            else {
-              val q = qualify(p.mkString("."))
-              // a DIRECT read of a name this txn renamed AWAY fails
-              // binder-class (the table answers to its new name only);
-              // a same-txn CREATE may have retaken the name, in which
-              // case the created entry below serves it
-              if (st.renames.contains(q) && !st.created.contains(q))
-                droppedInTxn(q)
-              preAnalysis.get(q) match {
-                case Some(stg) =>
-                  SubqueryAlias(p.last, UnresolvedRelation(stg.split('.').toIndexedSeq))
-                case None => r
+        // iterate to a FIXPOINT: a substituted in-txn VIEW body
+        // introduces new UnresolvedRelations (the view's own reads)
+        // that must resolve through the same maps — views over views,
+        // views over created/renamed tables. Bounded; a self-
+        // referential view stops substituting and fails analysis.
+        var plan = finalPlan
+        var rounds = 0
+        var changed = true
+        while (changed && rounds < 8) {
+          changed = false
+          rounds += 1
+          val cteNames: Set[String] = plan.collectWithSubqueries {
+            case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
+          }.flatten.toSet
+          plan = plan transformUpWithSubqueries {
+            case r: UnresolvedRelation =>
+              val p = baseParts(r.multipartIdentifier)
+              if (p.length > 2 || cteNames.contains(p.last.toLowerCase)) r
+              else {
+                val q = qualify(p.mkString("."))
+                // failure checks apply to USER-written names (round 1)
+                // only: later rounds re-examine names the substitutions
+                // themselves inserted — a rename target legitimately
+                // resolves TO the renamed-away original, and in-txn
+                // view bodies were validated at CREATE time
+                if (rounds == 1) {
+                  // a read of a view this txn DROPPED fails binder-class
+                  if (st.droppedViews.contains(q)) droppedInTxn(q)
+                  // a DIRECT read of a name this txn renamed AWAY fails
+                  // binder-class (the table answers to its new name
+                  // only); a same-txn CREATE may have retaken the name,
+                  // in which case the created entry below serves it
+                  if (st.renames.contains(q) && !st.created.contains(q))
+                    droppedInTxn(q)
+                }
+                st.createdViews.get(q) match {
+                  case Some(text) =>
+                    changed = true
+                    SubqueryAlias(p.last,
+                      spark.sessionState.sqlParser.parsePlan(text))
+                  case None => preAnalysis.get(q) match {
+                    case Some(stg) =>
+                      changed = true
+                      SubqueryAlias(p.last,
+                        UnresolvedRelation(stg.split('.').toIndexedSeq))
+                    case None => r
+                  }
+                }
               }
-            }
+          }
         }
+        plan
       }
     val analyzed = spark.sessionState.executePlan(withCreated).analyzed
     org.apache.spark.sql.GraftBridge.dataset(spark, redirectAnalyzed(analyzed, st))
@@ -1804,10 +1946,20 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         if (ifExists) { absorbedDdl.set(true); return ExecResult(null, "DROP TABLE") }
       }
       alterTableAnyRe.findFirstMatchIn(sql).foreach { m =>
-        // RENAME TO keeps auto-commit (declared; the txn maps are keyed
-        // by name) — everything else is transactional (r12)
+        // quoted-identifier RENAME forms bypass alterRenameFullRe and
+        // keep the pre-r12b staged-DDL guard; everything else is
+        // transactional (r12)
         if (alterRenameToRe.matches(sql)) guardStagedDdl(m.group(1))
         else transactionalAlter(m.group(1), sql).foreach(r => return r)
+      }
+      // transactional VIEW DDL (r12b): CREATE/DROP VIEW become intents
+      // like DROP TABLE — TEMP views (session objects) keep auto-commit
+      createViewFullRe.findFirstMatchIn(sql).foreach { m =>
+        return transactionalCreateView(m.group(1) != null, m.group(2) != null,
+          m.group(3), m.group(4))
+      }
+      dropViewRe.findFirstMatchIn(sql).foreach { m =>
+        transactionalDropView(sql, m.group(1)).foreach(r => return r)
       }
     }
     truncateRe.findFirstMatchIn(sql).foreach { m =>
@@ -4391,6 +4543,25 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
           if (o(4).nonEmpty) addLines(t) = b64dec(o(4))
         }
       }
+      // ---- phase 5: view intents — rewrite the view DDL journal
+      // (catalog views replay from views.sql at boot, so editing it IS
+      // the durable commit of the txn's view DDL)
+      val vdrops = ops.filter(_(0) == "vdrop").map(_(1))
+      val vcreates = ops.filter(_(0) == "vcreate").map(o => (o(1), b64dec(o(4))))
+      if (vdrops.nonEmpty || vcreates.nonEmpty) journalLock.synchronized {
+        val f = new java.io.File(p, "views.sql")
+        val existing =
+          if (f.exists())
+            scala.io.Source.fromFile(f).getLines().filter(_.nonEmpty).toList
+          else Nil
+        val names = (vdrops ++ vcreates.map(_._1)).toSet
+        val kept = existing.filterNot { l =>
+          createViewRe.findFirstMatchIn(l)
+            .exists(m => names.contains(qualify(m.group(1))))
+        }
+        val out = kept ++ vcreates.map(_._2.replace("\n", " "))
+        writeFile(f.getPath, if (out.isEmpty) "" else out.mkString("\n") + "\n")
+      }
       jf.delete()
     }
     if (dropNames.nonEmpty || addLines.nonEmpty) {
@@ -4622,6 +4793,10 @@ object Engine {
     """(?is)^\s*delete\s+from\s+([\w.]+)(?:\s+where\s+(.+))?\s*$""".r
   private val createViewRe =
     """(?is)^\s*create\s+(?:or\s+replace\s+)?(?:temp(?:orary)?\s+)?view\s+(?:if\s+not\s+exists\s+)?([\w.]+).*""".r
+  /** Non-TEMP CREATE VIEW with the pieces captured — the transactional
+    * view-intent path (r12b). TEMP views deliberately do not match. */
+  private val createViewFullRe =
+    """(?is)^\s*create\s+(or\s+replace\s+)?view\s+(if\s+not\s+exists\s+)?([\w.]+)\s+as\s+(.+)$""".r
   private val dropTableRe = """(?is)^\s*drop\s+table\s+(?:if\s+exists\s+)?([\w.]+)\s*$""".r
   private val truncateRe = """(?is)^\s*truncate\s+(?:table\s+)?([\w.]+)\s*$""".r
   /** Any ALTER TABLE form — the in-txn staged-DDL guard must cover all

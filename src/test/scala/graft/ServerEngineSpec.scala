@@ -261,6 +261,7 @@ class ServerEngineSpec extends SparkSpecBase {
 
   test("view journal survives drop-then-create (trailing newline kept)") {
     val tmp = Files.createTempDirectory("graft-vj").toFile.getAbsolutePath
+    spark.sql("CREATE DATABASE IF NOT EXISTS main") // order-independent
     val e = new Engine(spark, allowFileIo = true, dbPath = Some(tmp))
     e.execute("create or replace view main.vj1 as select 1 as x")
     e.execute("create or replace view main.vj2 as select 2 as x")
@@ -1131,18 +1132,20 @@ class ServerEngineSpec extends SparkSpecBase {
 
   test("auto-commit DDL inside a transaction: ROLLBACK says so honestly") {
     try {
-      // table CREATE/DROP/ALTER are transactional since r10/r11/r12 —
-      // the auto-commit honesty contract covers the REST (views etc.)
+      // table CREATE/DROP/ALTER and views are transactional since
+      // r10/r11/r12/r12b — the auto-commit honesty contract covers the
+      // REST (schemas, types, temp views)
       engine.execute("CREATE TABLE txn_ddl (a BIGINT)")
-      engine.execute("DROP VIEW IF EXISTS txn_ddl_v")
+      engine.execute("DROP SCHEMA IF EXISTS txn_ddl_s")
       engine.execute("BEGIN")
-      engine.execute("CREATE VIEW txn_ddl_v AS SELECT * FROM txn_ddl")
+      engine.execute("CREATE SCHEMA txn_ddl_s")
       engine.execute("INSERT INTO txn_ddl VALUES (1)")
       val e = intercept[IllegalArgumentException] { engine.execute("ROLLBACK") }
       assert(e.getMessage.contains("DDL"), e.getMessage)
-      // the view (auto-commit DDL) survives; the staged DML rolled back
-      assert(spark.catalog.tableExists("txn_ddl_v"))
+      // the schema (auto-commit DDL) survives; the staged DML rolled back
+      assert(spark.catalog.databaseExists("txn_ddl_s"))
       assert(engine.execute("SELECT count(*) AS c FROM txn_ddl").df.head().getLong(0) == 0L)
+      engine.execute("DROP SCHEMA txn_ddl_s")
       // ALTER … RENAME TO is transactional too (r12b): it composes
       // with uncommitted txn changes — the overlays answer to the new
       // name — and ROLLBACK undoes both the rename and the DML
@@ -2230,6 +2233,143 @@ class ServerEngineSpec extends SparkSpecBase {
       try engine.execute("ROLLBACK") catch { case _: Throwable => () }
       engine.execute("DROP TABLE IF EXISTS main.rnx_a")
       engine.execute("DROP TABLE IF EXISTS main.rnx_b")
+    }
+  }
+
+  // ---- transactional VIEW DDL (r12b) ---------------------------------------
+
+  test("transactional CREATE VIEW: ROLLBACK forgets, COMMIT publishes") {
+    fresh("tv_t")
+    engine.execute("DROP VIEW IF EXISTS main.tv_v")
+    engine.execute("CREATE TABLE main.tv_t (x INT)")
+    engine.execute("INSERT INTO main.tv_t VALUES (1), (2)")
+    try {
+      engine.execute("BEGIN")
+      engine.execute("CREATE VIEW main.tv_v AS SELECT x * 10 AS y FROM main.tv_t")
+      // in-txn reads substitute the view body…
+      assert(engine.execute("SELECT sum(y) FROM main.tv_v").df.head().getLong(0) == 30L)
+      // …and the body sees the txn's own overlay
+      engine.execute("INSERT INTO main.tv_t VALUES (3)")
+      assert(engine.execute("SELECT sum(y) FROM main.tv_v").df.head().getLong(0) == 60L)
+      engine.execute("ROLLBACK") // no "cannot undo DDL": the view was staged
+      assert(!spark.catalog.tableExists("main.tv_v"))
+
+      engine.execute("BEGIN")
+      engine.execute("CREATE VIEW main.tv_v AS SELECT x FROM main.tv_t WHERE x > 1")
+      engine.execute("COMMIT")
+      assert(engine.execute("SELECT count(*) FROM main.tv_v").df.head().getLong(0) == 1L)
+      // duplicate name: binder-class, block stays usable; IF NOT EXISTS no-ops
+      engine.execute("BEGIN")
+      intercept[org.apache.spark.sql.AnalysisException] {
+        engine.execute("CREATE VIEW main.tv_v AS SELECT 1")
+      }
+      assert(engine.txnStatus == 'T')
+      engine.execute("CREATE VIEW IF NOT EXISTS main.tv_v AS SELECT 1")
+      engine.execute("ROLLBACK")
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => () }
+      engine.execute("DROP VIEW IF EXISTS main.tv_v")
+      engine.execute("DROP TABLE IF EXISTS main.tv_t")
+    }
+  }
+
+  test("transactional DROP VIEW and OR REPLACE semantics") {
+    fresh("tvd_t")
+    engine.execute("DROP VIEW IF EXISTS main.tvd_v")
+    engine.execute("CREATE TABLE main.tvd_t (x INT)")
+    engine.execute("INSERT INTO main.tvd_t VALUES (7)")
+    engine.execute("CREATE VIEW main.tvd_v AS SELECT x FROM main.tvd_t")
+    try {
+      engine.execute("BEGIN")
+      engine.execute("DROP VIEW main.tvd_v")
+      intercept[org.apache.spark.sql.AnalysisException] {
+        engine.execute("SELECT * FROM main.tvd_v").df.collect()
+      }
+      assert(engine.txnStatus == 'T')
+      engine.execute("ROLLBACK")
+      assert(engine.execute("SELECT x FROM main.tvd_v").df.head().getInt(0) == 7)
+
+      // OR REPLACE in-txn: reads see the new text, ROLLBACK restores old
+      engine.execute("BEGIN")
+      engine.execute("CREATE OR REPLACE VIEW main.tvd_v AS SELECT x + 1 AS x FROM main.tvd_t")
+      assert(engine.execute("SELECT x FROM main.tvd_v").df.head().getInt(0) == 8)
+      engine.execute("ROLLBACK")
+      assert(engine.execute("SELECT x FROM main.tvd_v").df.head().getInt(0) == 7)
+
+      // replace-then-drop drops the NAME (not back to the old text)
+      engine.execute("BEGIN")
+      engine.execute("CREATE OR REPLACE VIEW main.tvd_v AS SELECT 99 AS x")
+      engine.execute("DROP VIEW main.tvd_v")
+      intercept[org.apache.spark.sql.AnalysisException] {
+        engine.execute("SELECT * FROM main.tvd_v").df.collect()
+      }
+      engine.execute("COMMIT")
+      assert(!spark.catalog.tableExists("main.tvd_v"))
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => () }
+      engine.execute("DROP VIEW IF EXISTS main.tvd_v")
+      engine.execute("DROP TABLE IF EXISTS main.tvd_t")
+    }
+  }
+
+  test("in-txn view over a created table and over a renamed table") {
+    fresh("tvc_t"); fresh("tvc_r"); fresh("tvc_r2")
+    engine.execute("DROP VIEW IF EXISTS main.tvc_v")
+    engine.execute("DROP VIEW IF EXISTS main.tvc_w")
+    engine.execute("CREATE TABLE main.tvc_r (k INT)")
+    engine.execute("INSERT INTO main.tvc_r VALUES (5)")
+    try {
+      engine.execute("BEGIN")
+      engine.execute("CREATE TABLE main.tvc_t (a INT)")
+      engine.execute("INSERT INTO main.tvc_t VALUES (4)")
+      engine.execute("CREATE VIEW main.tvc_v AS SELECT a FROM main.tvc_t")
+      engine.execute("ALTER TABLE main.tvc_r RENAME TO main.tvc_r2")
+      engine.execute("CREATE VIEW main.tvc_w AS SELECT k FROM main.tvc_r2")
+      assert(engine.execute("SELECT a FROM main.tvc_v").df.head().getInt(0) == 4)
+      assert(engine.execute("SELECT k FROM main.tvc_w").df.head().getInt(0) == 5)
+      engine.execute("COMMIT")
+      // post-commit the views bind against the real catalog objects
+      assert(engine.execute("SELECT a FROM main.tvc_v").df.head().getInt(0) == 4)
+      assert(engine.execute("SELECT k FROM main.tvc_w").df.head().getInt(0) == 5)
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => () }
+      engine.execute("DROP VIEW IF EXISTS main.tvc_v")
+      engine.execute("DROP VIEW IF EXISTS main.tvc_w")
+      engine.execute("DROP TABLE IF EXISTS main.tvc_t")
+      engine.execute("DROP TABLE IF EXISTS main.tvc_r")
+      engine.execute("DROP TABLE IF EXISTS main.tvc_r2")
+    }
+  }
+
+  test("view journal ops (vcreate/vdrop) roll forward at boot") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vj").toString
+    spark.sql("CREATE DATABASE IF NOT EXISTS main")
+    fresh("vj_t")
+    spark.sql("DROP VIEW IF EXISTS main.vj_v")
+    spark.sql("DROP VIEW IF EXISTS main.vj_old")
+    try {
+      val e1 = new Engine(spark, allowFileIo = true, dbPath = Some(tmp))
+      e1.execute("CREATE TABLE main.vj_t (x INT)")
+      e1.execute("INSERT INTO main.vj_t VALUES (6)")
+      e1.execute("CREATE VIEW main.vj_old AS SELECT x FROM main.vj_t")
+      // crash mid-commit: the journal carries a vdrop of the old view
+      // and a vcreate of a new one, neither applied to the catalog yet
+      def b64(s: String) = java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+      val stmt = "CREATE OR REPLACE VIEW main.vj_v AS SELECT x * 2 AS d FROM main.vj_t"
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp, "publish_journal_7.tsv"),
+        s"vdrop\tmain.vj_old\t\t\t\nvcreate\tmain.vj_v\t\t\t${b64(stmt)}"
+          .getBytes("UTF-8"))
+      spark.sql("DROP VIEW IF EXISTS main.vj_old") // a fresh JVM has no catalog
+      val e2 = new Engine(spark, allowFileIo = true, dbPath = Some(tmp))
+      e2.loadPersisted() // rewrites views.sql, then replays it
+      assert(e2.execute("SELECT d FROM main.vj_v").df.head().getInt(0) == 12)
+      val vs = scala.io.Source.fromFile(s"$tmp/views.sql").mkString
+      assert(vs.contains("main.vj_v") && !vs.contains("vj_old"), vs)
+    } finally {
+      spark.sql("DROP VIEW IF EXISTS main.vj_v")
+      spark.sql("DROP VIEW IF EXISTS main.vj_old")
+      spark.sql("DROP TABLE IF EXISTS main.vj_t")
     }
   }
 
