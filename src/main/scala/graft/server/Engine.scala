@@ -66,6 +66,28 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * isin filter under the table write lock). */
   private[server] val enums = new ConcurrentHashMap[String, Seq[String]]()
 
+  /** ENUM type lookup honoring the open transaction's type intents
+    * (r12b): types created in the txn resolve for its own statements,
+    * dropped ones don't; the committed map serves everyone else. */
+  private def enumValuesOf(name: String): Option[Seq[String]] = {
+    val st = txn.get()
+    val n = name.toLowerCase
+    if (st.open) {
+      st.createdEnums.get(n) match {
+        case Some(vs) => return Some(vs)
+        case None => if (st.droppedEnums.contains(n)) return None
+      }
+    }
+    Option(enums.get(n))
+  }
+  private def enumExists(name: String): Boolean = enumValuesOf(name).isDefined
+  /** True when ANY enum could be in scope (fast-path guard for the
+    * dialect rewrites and create-table scans). */
+  private def anyEnums: Boolean = {
+    val st = txn.get()
+    !enums.isEmpty || (st.open && st.createdEnums.nonEmpty)
+  }
+
   /** Canonical `db.table` key for an possibly-unqualified name — the
     * current session database qualifies bare names (one shared helper;
     * constraints keys, journal entries and dir cleanup must agree). */
@@ -188,7 +210,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       // ENUM membership: a row-local isin check against the type's
       // value set (DuckDB rejects out-of-set values at insert)
       c.enumCols.foreach { case (cn, en) =>
-        Option(enums.get(en)).foreach { vals =>
+        enumValuesOf(en).foreach { vals =>
           val bad = newData.filter(col(cn).isNotNull && !col(cn).isin(vals.map(lit): _*))
           if (bad.limit(1).count() > 0) {
             val v = bad.select(col(cn)).head().get(0)
@@ -280,13 +302,14 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * journaled for crash roll-forward. Two declared RENAME
     * limitations: re-creating a renamed-away name and renaming onto a
     * name another rename freed, both rejected in ONE transaction).
-    * CREATE/DROP VIEW are transactional intents too (r12b): in-txn
-    * reads substitute the parsed view body pre-analysis (iterated to a
-    * fixpoint so views compose with created/renamed tables), COMMIT
-    * publishes + journals after the table passes, ROLLBACK forgets;
-    * TEMP views, schemas and types keep auto-commit, and a ROLLBACK
-    * after such in-txn DDL still raises, honestly, for the DDL only.
-    * A statement error
+    * CREATE/DROP VIEW and CREATE/DROP TYPE are transactional intents
+    * too (r12b): in-txn reads substitute the parsed view body
+    * pre-analysis (iterated to a fixpoint so views compose with
+    * created/renamed tables), enum lookups answer from the txn-local
+    * type overlay ([[enumValuesOf]]), COMMIT publishes + journals
+    * after the table passes, ROLLBACK forgets; TEMP views and schemas
+    * keep auto-commit, and a ROLLBACK after such in-txn DDL still
+    * raises, honestly, for the DDL only. A statement error
     * aborts the transaction until COMMIT/ROLLBACK (PG semantics;
     * binder-class errors do NOT abort, DuckDB semantics); COMMIT of an
     * aborted transaction rolls back and says so. */
@@ -352,6 +375,16 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       // COMMIT drops + unjournals, ROLLBACK leaves the view intact
       droppedViews: scala.collection.mutable.LinkedHashSet[String] =
         scala.collection.mutable.LinkedHashSet.empty,
+      // ENUM types CREATED / DROPPED inside this transaction (r12b):
+      // pure intents — this txn's own statements resolve them through
+      // [[enumValuesOf]] (its CREATE TABLEs may use a new type, its
+      // inserts enforce membership against it), other connections keep
+      // the committed map, COMMIT publishes enums.put/remove +
+      // persistEnums (journaled), ROLLBACK forgets
+      createdEnums: scala.collection.mutable.LinkedHashMap[String, Seq[String]] =
+        scala.collection.mutable.LinkedHashMap.empty,
+      droppedEnums: scala.collection.mutable.LinkedHashSet[String] =
+        scala.collection.mutable.LinkedHashSet.empty,
       // txn-LOCAL constraint-registration overlay for names this txn
       // created or dropped: Some(c) = this txn's registration (a table
       // it created), None = this txn sees no registration (a table it
@@ -376,6 +409,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       staged.clear(); deltas.clear(); baseEpochs.clear()
       rewritePins.clear(); pinnedFiles.clear(); created.clear(); dropped.clear()
       renames.clear(); altered.clear(); createdViews.clear(); droppedViews.clear()
+      createdEnums.clear(); droppedEnums.clear()
       txnConstraints.clear(); changedKeys.clear()
     }
   }
@@ -876,7 +910,8 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * (mirrors alterColumnType's recovery contract). */
   private def commitTxn(st: TxnState): Unit = {
     if (st.staged.isEmpty && st.deltas.isEmpty && st.dropped.isEmpty &&
-        st.renames.isEmpty && st.createdViews.isEmpty && st.droppedViews.isEmpty) {
+        st.renames.isEmpty && st.createdViews.isEmpty && st.droppedViews.isEmpty &&
+        st.createdEnums.isEmpty && st.droppedEnums.isEmpty) {
       st.baseEpochs.clear(); return
     }
     // rename SOURCES are written (their catalog entry and dir move);
@@ -1022,6 +1057,12 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
             val stmt = s"CREATE OR REPLACE VIEW $v AS $text"
             s"vcreate\t$v\t\t\t" + java.util.Base64.getEncoder
               .encodeToString(stmt.getBytes("UTF-8"))
+          } ++ st.droppedEnums.toSeq.sorted.map(n => s"edrop\t$n\t\t\t") ++
+          st.createdEnums.toSeq.map { case (n, vs) =>
+            // enum intents edit enums.tsv at recovery (same line format
+            // persistEnums writes)
+            s"ecreate\t$n\t\t\t" + java.util.Base64.getEncoder
+              .encodeToString(s"$n\t${vs.mkString(",")}".getBytes("UTF-8"))
           }
         val f = new java.io.File(p, s"publish_journal_${txnSeq.incrementAndGet()}.tsv")
         writeFile(f.getAbsolutePath, ops.mkString("\n"))
@@ -1124,6 +1165,14 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
             if (dbPath.isDefined) { unlogView(v); logViewDdl(stmt) }
           } catch { case scala.util.control.NonFatal(_) => }
           st.createdViews.remove(v)
+        }
+        // ---- pass 6: enum-type intents — publish to the committed map
+        if (st.droppedEnums.nonEmpty || st.createdEnums.nonEmpty) {
+          st.droppedEnums.foreach(enums.remove(_))
+          st.droppedEnums.clear()
+          st.createdEnums.foreach { case (n, vs) => enums.put(n, vs) }
+          st.createdEnums.clear()
+          persistEnums()
         }
         dropStaged(st)
         journal.foreach(_.delete())
@@ -2090,12 +2139,33 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
 
     createEnumRe.findFirstMatchIn(sql).foreach { m =>
       val vals = splitTopLevel(m.group(2), ',').map(_.trim.stripPrefix("'").stripSuffix("'"))
-      enums.put(m.group(1).toLowerCase, vals)
+      val n = m.group(1).toLowerCase
+      if (isTxnOpen) {
+        // transactional CREATE TYPE (r12b): an intent — this txn's own
+        // statements resolve it via enumValuesOf, COMMIT publishes,
+        // ROLLBACK forgets. (Both paths keep the engine's declared
+        // replace-on-duplicate semantics.)
+        txn.get().createdEnums(n) = vals
+        absorbedDdl.set(true)
+        return ExecResult(null, "CREATE TYPE")
+      }
+      enums.put(n, vals)
       persistEnums()
       return ExecResult(null, "CREATE TYPE")
     }
     dropTypeRe.findFirstMatchIn(sql).foreach { m =>
-      if (enums.remove(m.group(2).toLowerCase) == null && m.group(1) == null)
+      val n = m.group(2).toLowerCase
+      if (isTxnOpen) {
+        val st = txn.get()
+        val existedInTxn = st.createdEnums.remove(n).isDefined
+        if (!existedInTxn && !enumExists(n)) {
+          if (m.group(1) == null)
+            throw new IllegalArgumentException(s"type ${m.group(2)} does not exist")
+        } else if (enums.containsKey(n)) st.droppedEnums += n
+        absorbedDdl.set(true)
+        return ExecResult(null, "DROP TYPE")
+      }
+      if (enums.remove(n) == null && m.group(1) == null)
         throw new IllegalArgumentException(s"type ${m.group(2)} does not exist")
       persistEnums()
       return ExecResult(null, "DROP TYPE")
@@ -2105,10 +2175,10 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     }
     // a plain column-list CREATE TABLE (no constraint keywords) still
     // needs the constraints path when a column is enum-typed
-    if (!enums.isEmpty) plainCreateTableRe.findFirstMatchIn(sql).foreach { m =>
+    if (anyEnums) plainCreateTableRe.findFirstMatchIn(sql).foreach { m =>
       val mentionsEnum = splitTopLevel(m.group(2), ',').exists { item =>
         val t = item.trim.split("\\s+", 3)
-        t.length >= 2 && enums.containsKey(t(1).toLowerCase)
+        t.length >= 2 && enumExists(t(1))
       }
       if (mentionsEnum)
         return createTableWithConstraints(m.group(1), m.group(2), Option(m.group(3)).getOrElse(""))
@@ -2480,9 +2550,9 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     // user-defined ENUM names cast to their STRING storage type
     // literal-aware: a data string containing '::<enum_name>' must
     // not be rewritten (ADVICE r8)
-    if (!enums.isEmpty)
+    if (anyEnums)
       s = replaceOutsideLiteralsF(s, enumColonCastRe)(m =>
-        if (enums.containsKey(m.group(1).toLowerCase)) "::STRING"
+        if (enumExists(m.group(1))) "::STRING"
         else Regex.quoteReplacement(m.matched))
     // CAST(x AS VARCHAR/TEXT/JSON/TIME/…) — the AS-form regex above
     // excludes names that could be column aliases; inside a CAST the
@@ -3929,7 +3999,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         // enum-typed column: store as STRING, record for membership
         // enforcement (the declared type is the item's second token)
         val toks = cleaned.trim.split("\\s+", 3)
-        if (toks.length >= 2 && enums.containsKey(toks(1).toLowerCase)) {
+        if (toks.length >= 2 && enumExists(toks(1))) {
           enumCols :+= (colName -> toks(1).toLowerCase)
           cleaned = (Seq(toks(0), "STRING") ++ toks.drop(2)).mkString(" ")
         }
@@ -4561,6 +4631,20 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         }
         val out = kept ++ vcreates.map(_._2.replace("\n", " "))
         writeFile(f.getPath, if (out.isEmpty) "" else out.mkString("\n") + "\n")
+      }
+      // ---- phase 6: enum-type intents — same treatment on enums.tsv
+      val edrops = ops.filter(_(0) == "edrop").map(_(1))
+      val ecreates = ops.filter(_(0) == "ecreate").map(o => b64dec(o(4)))
+      if (edrops.nonEmpty || ecreates.nonEmpty) {
+        val f = new java.io.File(p, "enums.tsv")
+        val existing =
+          if (f.exists())
+            scala.io.Source.fromFile(f).getLines().filter(_.nonEmpty).toList
+          else Nil
+        val names = (edrops ++ ecreates.map(_.takeWhile(_ != '\t'))).toSet
+        val kept = existing.filterNot(l => names.contains(l.takeWhile(_ != '\t')))
+        val out = kept ++ ecreates
+        writeFile(f.getPath, out.mkString("\n"))
       }
       jf.delete()
     }

@@ -2373,6 +2373,50 @@ class ServerEngineSpec extends SparkSpecBase {
     }
   }
 
+  test("transactional CREATE/DROP TYPE (enum intents)") {
+    fresh("te_t")
+    engine.execute("DROP TYPE IF EXISTS te_mood")
+    try {
+      engine.execute("BEGIN")
+      engine.execute("CREATE TYPE te_mood AS ENUM ('ok', 'sad')")
+      engine.execute("CREATE TABLE main.te_t (m te_mood)")
+      engine.execute("INSERT INTO main.te_t VALUES ('ok')")
+      // membership enforced against the txn-local type
+      val bad = intercept[IllegalArgumentException] {
+        engine.execute("INSERT INTO main.te_t VALUES ('angry')")
+      }
+      assert(bad.getMessage.contains("enum"), bad.getMessage)
+      engine.execute("ROLLBACK") // type and table both forgotten
+      assert(!spark.catalog.tableExists("main.te_t"))
+      // the type never reached the committed map: a table using it now
+      // fails (unknown type)
+      intercept[Throwable] { engine.execute("CREATE TABLE main.te_t (m te_mood)") }
+
+      engine.execute("BEGIN")
+      engine.execute("CREATE TYPE te_mood AS ENUM ('ok', 'sad')")
+      engine.execute("CREATE TABLE main.te_t (m te_mood)")
+      engine.execute("COMMIT")
+      engine.execute("INSERT INTO main.te_t VALUES ('sad')")
+      intercept[IllegalArgumentException] {
+        engine.execute("INSERT INTO main.te_t VALUES ('angry')")
+      }
+      // transactional DROP TYPE: ROLLBACK keeps it, COMMIT removes it
+      engine.execute("BEGIN")
+      engine.execute("DROP TYPE te_mood")
+      engine.execute("ROLLBACK")
+      engine.execute("BEGIN")
+      engine.execute("DROP TYPE te_mood")
+      engine.execute("COMMIT")
+      // gone: enforcement no longer knows the type (insert passes raw)
+      engine.execute("INSERT INTO main.te_t VALUES ('angry')")
+      assert(engine.execute("SELECT count(*) FROM main.te_t").df.head().getLong(0) == 2L)
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => () }
+      engine.execute("DROP TABLE IF EXISTS main.te_t")
+      engine.execute("DROP TYPE IF EXISTS te_mood")
+    }
+  }
+
   test("rename journal (mv) rolls forward at boot") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_rn").toString
     val wh = new java.io.File(
