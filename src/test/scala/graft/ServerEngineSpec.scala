@@ -2373,6 +2373,84 @@ class ServerEngineSpec extends SparkSpecBase {
     }
   }
 
+  test("view intents: drop-then-recreate, self-reference, dialect bodies, collisions") {
+    fresh("vx_t")
+    engine.execute("DROP VIEW IF EXISTS main.vx_v")
+    engine.execute("CREATE TABLE main.vx_t (x INT)")
+    engine.execute("INSERT INTO main.vx_t VALUES (10)")
+    engine.execute("CREATE VIEW main.vx_v AS SELECT x FROM main.vx_t")
+    try {
+      // DROP then re-CREATE in one txn: reads serve the NEW body
+      engine.execute("BEGIN")
+      engine.execute("DROP VIEW main.vx_v")
+      engine.execute("CREATE VIEW main.vx_v AS SELECT x + 5 AS x FROM main.vx_t")
+      assert(engine.execute("SELECT x FROM main.vx_v").df.head().getInt(0) == 15)
+      engine.execute("COMMIT")
+      assert(engine.execute("SELECT x FROM main.vx_v").df.head().getInt(0) == 15)
+
+      // self-referential OR REPLACE keeps the creation-time binding:
+      // the body's vx_v is the OLD view (x+5), so reads add exactly 1
+      engine.execute("BEGIN")
+      engine.execute("CREATE OR REPLACE VIEW main.vx_v AS SELECT x + 1 AS x FROM main.vx_v")
+      assert(engine.execute("SELECT x FROM main.vx_v").df.head().getInt(0) == 16)
+      engine.execute("ROLLBACK")
+      assert(engine.execute("SELECT x FROM main.vx_v").df.head().getInt(0) == 15)
+
+      // a body needing the dialect rewrite is readable in-txn (the
+      // stored plan is parsed from the REWRITTEN text)
+      engine.execute("BEGIN")
+      engine.execute(
+        "CREATE VIEW main.vx_w AS SELECT CAST(x AS VARCHAR) AS s FROM main.vx_t")
+      assert(engine.execute("SELECT s FROM main.vx_w").df.head().getString(0) == "10")
+      // a same-txn view joined with itself still resolves
+      assert(engine.execute(
+        "SELECT count(*) FROM main.vx_w a JOIN main.vx_w b ON a.s = b.s")
+        .df.head().getLong(0) == 1L)
+      // name collisions against the created view are caught up front
+      intercept[org.apache.spark.sql.AnalysisException] {
+        engine.execute("CREATE TABLE main.vx_w (z INT)")
+      }
+      intercept[org.apache.spark.sql.AnalysisException] {
+        engine.execute("ALTER TABLE main.vx_t RENAME TO main.vx_w")
+      }
+      engine.execute("ROLLBACK")
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => () }
+      engine.execute("DROP VIEW IF EXISTS main.vx_v")
+      engine.execute("DROP VIEW IF EXISTS main.vx_w")
+      engine.execute("DROP TABLE IF EXISTS main.vx_t")
+    }
+  }
+
+  test("recovery tolerates drop + view ops sharing a name in one journal") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dvj").toString
+    spark.sql("CREATE DATABASE IF NOT EXISTS main")
+    fresh("dvj_t")
+    spark.sql("DROP VIEW IF EXISTS main.dvj_t")
+    try {
+      val e1 = new Engine(spark, allowFileIo = true, dbPath = Some(tmp))
+      e1.execute("CREATE TABLE main.dvj_t (x INT)")
+      e1.execute("INSERT INTO main.dvj_t VALUES (1)")
+      // BEGIN; DROP TABLE t; CREATE VIEW t AS …; COMMIT crashed right
+      // after journaling: a drop op and a vcreate op share the name —
+      // the laterDone scan must not call tableDirOf on the view op's
+      // EMPTY source field (pre-fix: MatchError aborted boot recovery)
+      def b64(s: String) = java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+      val stmt = "CREATE OR REPLACE VIEW main.dvj_t AS SELECT 42 AS x"
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp, "publish_journal_8.tsv"),
+        s"drop\tmain.dvj_t\t\t\t\nvcreate\tmain.dvj_t\t\t\t${b64(stmt)}"
+          .getBytes("UTF-8"))
+      spark.sql("DROP TABLE IF EXISTS main.dvj_t")
+      val e2 = new Engine(spark, allowFileIo = true, dbPath = Some(tmp))
+      e2.loadPersisted() // pre-fix: MatchError here
+      assert(e2.execute("SELECT x FROM main.dvj_t").df.head().getInt(0) == 42)
+    } finally {
+      spark.sql("DROP VIEW IF EXISTS main.dvj_t")
+      spark.sql("DROP TABLE IF EXISTS main.dvj_t")
+    }
+  }
+
   test("transactional CREATE/DROP TYPE (enum intents)") {
     fresh("te_t")
     engine.execute("DROP TYPE IF EXISTS te_mood")
