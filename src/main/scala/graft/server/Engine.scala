@@ -281,11 +281,13 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * RESTRICT via [[recheckFkAppends]] (child rows appended after the
     * pin that reference keys this txn removes abort the commit).
     * Rewrite-vs-rewrite commits commute at ROW granularity when both
-    * sides are attributable by PRIMARY KEY with disjoint key sets and
+    * sides are attributable by the table's IDENTITY KEY — primary key,
+    * else its first UNIQUE set (r12b) — with disjoint key sets and
     * no appends interleaved ([[canCommuteRewrites]] /
     * [[mergeDisjointRewrite]], r12 — DuckDB's row-level MVCC
-    * behavior); unattributable rewrites (no PK, key-column update,
-    * TRUNCATE, upsert, over-cap) abort at table granularity.
+    * behavior); unattributable rewrites (no key, key-column update,
+    * NULL key tuples, TRUNCATE, upsert, over-cap) abort at table
+    * granularity.
     * Publishes: deltas with INSERT INTO (append), staged images with
     * INSERT OVERWRITE (altered tables by DROP+RENAME replace); a
     * mid-publish failure preserves the not-yet-published images and
@@ -403,12 +405,13 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       // deleted the SURVIVING base table's PK/UNIQUE/FK registrations.)
       txnConstraints: scala.collection.mutable.HashMap[String, Option[Constraints]] =
         scala.collection.mutable.HashMap.empty,
-      // PRIMARY-KEY tuples this txn's writes touched, per table (r12
-      // rewrite-vs-rewrite commute): Some(tuples) = the exact key set
-      // this txn inserted/updated/deleted (its staged image differs
-      // from its pinned base ONLY on these keys), None = unknown
-      // (over-cap, PK-column update, TRUNCATE, upsert, no PK) — a
-      // concurrent rewrite then aborts at table granularity as before
+      // identity-key tuples (PK, else first UNIQUE — r12b) this txn's
+      // writes touched, per table (r12 rewrite-vs-rewrite commute):
+      // Some(tuples) = the exact key set this txn inserted/updated/
+      // deleted (its staged image differs from its pinned base ONLY on
+      // these keys), None = unknown (over-cap, key-column update,
+      // NULL in a tuple, TRUNCATE, upsert, no key) — a concurrent
+      // rewrite then aborts at table granularity as before
       changedKeys: scala.collection.mutable.HashMap[String, Option[Vector[Seq[Any]]]] =
         scala.collection.mutable.HashMap.empty) {
     def reset(): Unit = {
@@ -494,13 +497,27 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       case p if p.expressions.exists(e => e.exists(!_.deterministic)) => p
     }.isEmpty
 
-  /** Accumulate PK tuples the open txn's write touched on `table`;
-    * None poisons the table's set (unknown → no commute). */
+  /** The ROW-IDENTITY key the rewrite-commute machinery attributes
+    * changes by: the PRIMARY KEY, else the table's FIRST declared
+    * UNIQUE set (r12b — widens the commute to PK-less tables). The
+    * choice is deterministic, so every transaction attributes a given
+    * table in the same key space. NULL-able unique tuples are handled
+    * at capture: a NULL cannot identify a row (UNIQUE admits multiple
+    * NULL rows), so [[recordChangedKeys]] poisons such sets. */
+  private def identityKeyOf(table: String): Seq[String] =
+    constraintsOf(table).map(c =>
+      if (c.pk.nonEmpty) c.pk else c.unique.headOption.getOrElse(Nil))
+      .getOrElse(Nil)
+
+  /** Accumulate identity-key tuples the open txn's write touched on
+    * `table`; None poisons the table's set (unknown → no commute), as
+    * does any tuple containing NULL (not a row identity). */
   private def recordChangedKeys(table: String, keys: Option[Seq[Seq[Any]]]): Unit = {
     val st = txn.get()
     if (!st.open) return
     val q = qualify(table)
-    val merged = (st.changedKeys.getOrElse(q, Some(Vector.empty[Seq[Any]])), keys) match {
+    val safe = keys.filter(_.forall(_.forall(_ != null)))
+    val merged = (st.changedKeys.getOrElse(q, Some(Vector.empty[Seq[Any]])), safe) match {
       case (Some(a), Some(b)) if a.size + b.size <= ChangedKeyCap => Some(a ++ b.toVector)
       case _ => None
     }
@@ -561,7 +578,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     import org.apache.spark.sql.functions.col
     val stg = st.staged(t)
     val keys = st.changedKeys(t).get
-    val pkCols = constraintsOf(t).map(_.pk).getOrElse(Nil)
+    val pkCols = identityKeyOf(t)
     val live = spark.table(t)
     val keySchema = live.select(pkCols.map(col): _*).schema
     val keysDf = spark.createDataFrame(
@@ -2307,7 +2324,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
           // rewrite upgrades the delta, and a concurrent rewrite must
           // see them in the disjointness check
           if (isTxnOpen) {
-            val pkCols = constraintsOf(table).map(_.pk).getOrElse(Nil)
+            val pkCols = identityKeyOf(table)
             if (pkCols.nonEmpty) {
               val rows =
                 if (pkCols.forall(pc => cols.exists(_.equalsIgnoreCase(pc))) &&
@@ -3463,7 +3480,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       // either IS the exact count (replacing the count job) or proves
       // the set over-cap. A key-column SET changes row identities both
       // ways — unattributable, poison the set.
-      val pkCols = constraintsOf(table).map(_.pk).getOrElse(Nil)
+      val pkCols = identityKeyOf(table)
       var keysOpt: Option[Seq[Seq[Any]]] = None
       var exactCount = -1L
       if (pkCols.nonEmpty && !pkCols.exists(pc => sets.contains(pc.toLowerCase))) {
@@ -3539,7 +3556,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       // key columns, so the predicate's PK tuples fully attribute it —
       // the LIMIT cap+1 collect doubles as the exact removed-count for
       // small deletes (same trade as copyOnWriteUpdate)
-      val pkCols = constraintsOf(table).map(_.pk).getOrElse(Nil)
+      val pkCols = identityKeyOf(table)
       var keysOpt: Option[Seq[Seq[Any]]] = None
       var exactCount = -1L
       if (pkCols.nonEmpty) {
@@ -4882,7 +4899,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         st.writes = true
         // r12 rewrite commute: batch-appended keys join the change set
         // (the rows are in memory — no extra job)
-        val pkCols = constraintsOf(table).map(_.pk).getOrElse(Nil)
+        val pkCols = identityKeyOf(table)
         if (pkCols.nonEmpty) {
           val idx = pkCols.map(pc => columns.indexWhere(_.equalsIgnoreCase(pc)))
           recordChangedKeys(table,

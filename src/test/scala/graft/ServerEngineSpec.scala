@@ -2005,6 +2005,41 @@ class ServerEngineSpec extends SparkSpecBase {
     }
   }
 
+  test("disjoint rewrites commute on a UNIQUE-keyed table without a PK (r12b)") {
+    fresh("txuq")
+    engine.execute("CREATE TABLE main.txuq (id INT UNIQUE, v STRING)")
+    try {
+      engine.execute("INSERT INTO main.txuq VALUES (1,'a'), (2,'b'), (3,'c')")
+      engine.execute("BEGIN")
+      engine.execute("UPDATE main.txuq SET v = 'T1' WHERE id = 1")
+      val other = new Thread(() =>
+        engine.execute("UPDATE main.txuq SET v = 'T2' WHERE id = 2"))
+      other.start(); other.join()
+      engine.execute("COMMIT") // commutes: disjoint identity keys
+      val rows = engine.execute("SELECT id, v FROM main.txuq ORDER BY id").df
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      assert(rows == Seq((1, "T1"), (2, "T2"), (3, "c")), rows)
+
+      // a NULL identity tuple cannot attribute a row: the commute is
+      // declined and the concurrent rewrite aborts this txn instead
+      engine.execute("INSERT INTO main.txuq VALUES (NULL,'n1')")
+      engine.execute("BEGIN")
+      engine.execute("UPDATE main.txuq SET v = 'nx' WHERE id IS NULL")
+      val o2 = new Thread(() =>
+        engine.execute("UPDATE main.txuq SET v = 'T3' WHERE id = 3"))
+      o2.start(); o2.join()
+      val e = intercept[IllegalArgumentException] { engine.execute("COMMIT") }
+      assert(e.getMessage.contains("serialization"), e.getMessage)
+      val rows2 = engine.execute(
+        "SELECT v FROM main.txuq WHERE id = 3 OR id IS NULL ORDER BY v").df
+        .collect().map(_.getString(0)).toSeq
+      assert(rows2 == Seq("T3", "n1"), rows2)
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => () }
+      engine.execute("DROP TABLE IF EXISTS main.txuq")
+    }
+  }
+
   // ---- ALTER TABLE … RENAME TO (r12b) --------------------------------------
 
   test("rename moves the constraint registration with the table") {
