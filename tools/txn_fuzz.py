@@ -393,7 +393,11 @@ def interleave_scripts(port, n_scripts, r, finds):
         dcur = [dcon.cursor(), dcon.cursor()]
         seed = f"INSERT INTO {tname} VALUES " + ", ".join(
             f"({i}, {r.randint(0, 50)})" for i in range(0, 6))
-        for s_ in (f"CREATE TABLE {tname} (id INTEGER PRIMARY KEY, a INTEGER)", seed):
+        # half the schedules use a UNIQUE-keyed table with no PK: since
+        # r12b the engine attributes rewrites by the first UNIQUE set
+        # too, so the same disjoint-key commutes must hold there
+        key = "id INTEGER PRIMARY KEY" if r.random() < 0.5 else "id INTEGER UNIQUE"
+        for s_ in (f"CREATE TABLE {tname} ({key}, a INTEGER)", seed):
             pg[0].query(s_)
             run_duck(dcur[0], s_)
         in_txn = [False, False]
