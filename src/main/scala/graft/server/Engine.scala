@@ -1047,6 +1047,20 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       // the staged image is the only intact copy). Without the journal
       // the restart's stale-staging reclaim would DELETE that only
       // copy. No dbPath → no durability contract → no journal.
+      // the commit's full rename map, captured BEFORE the publish
+      // passes consume st.renames: a table CREATED in this txn may
+      // reference a renamed parent by its in-txn (new) name OR its
+      // pre-rename name — its committed FK registration must carry the
+      // POST-rename spelling (review find: pass 4 published the stale
+      // refTable and fkChildrenOf never matched it again)
+      // (an FK already spelled with the post-rename name needs nothing:
+      // that IS the committed name; only pre-rename spellings map)
+      val commitRenames: Map[String, String] = st.renames.toMap
+      def rekeyCreatedFks(c: Constraints): Constraints =
+        c.copy(fks = c.fks.map { f =>
+          commitRenames.get(qualify(f.refTable))
+            .map(n => f.copy(refTable = n)).getOrElse(f)
+        })
       val journal: Option[java.io.File] = dbPath.map { p =>
         val ops = tables.flatMap { t =>
           val drop = if (st.dropped.contains(t)) Seq(s"drop\t$t\t\t\t") else Nil
@@ -1054,7 +1068,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
             if (st.created.contains(t)) {
               val cl = st.txnConstraints.get(t).flatten.filterNot(_.isEmpty)
                 .map(c => java.util.Base64.getEncoder.encodeToString(
-                  constraintLine(t, c).getBytes("UTF-8"))).getOrElse("")
+                  constraintLine(t, rekeyCreatedFks(c)).getBytes("UTF-8"))).getOrElse("")
               Seq(s"rename\t$t\t${st.staged(t)}\t\t$cl")
             } else if (st.altered.contains(t)) Seq(s"replace\t$t\t${st.staged(t)}\t\t")
             else st.staged.get(t) match {
@@ -1174,9 +1188,12 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
             spark.sql(s"ALTER TABLE ${st.staged(t)} RENAME TO $t")
             st.created.remove(t)
             st.staged.remove(t)
-            // the txn-local constraint registration becomes committed
+            // the txn-local constraint registration becomes committed —
+            // FK refTables rekeyed through the commit's renames (the
+            // txn-local overlay was never touched by pass 3b's rekey of
+            // the GLOBAL map)
             st.txnConstraints.remove(t).flatten.foreach { c =>
-              constraints.put(t, c); persistConstraints()
+              constraints.put(t, rekeyCreatedFks(c)); persistConstraints()
             }
             bumpEpoch(t)
             published += t
@@ -1665,16 +1682,42 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
           st.renames.valuesIterator.contains(q)))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         q.split('.').toIndexedSeq)
+    // a name this txn renamed AWAY cannot host a view: reads would
+    // hit the renamed-away failure before the view lookup (same corner
+    // tables reject via rejectRecreateOfRenamedAway)
+    if (st.renames.contains(q))
+      throw new IllegalArgumentException(
+        s"cannot create view $q: the name was freed by a RENAME in this " +
+          "transaction (re-creating a renamed-away name in the same " +
+          "transaction is not supported; COMMIT the rename first)")
     // PRE-EXPAND the body now (dialect-rewritten, nested txn names
-    // substituted) — creation-time binding: a later OR REPLACE of a
-    // nested view, or a self-reference, must not re-expand into it —
-    // and ANALYZE it through the overlay so binder errors surface at
-    // CREATE time (DuckDB binds views at creation)
-    val expanded = substituteTxnNames(
-      spark.sessionState.sqlParser.parsePlan(rewrite(query)), st)
+    // substituted) and ANALYZE it through the overlay so binder errors
+    // surface at CREATE time (DuckDB binds views at creation)
+    val parsed = spark.sessionState.sqlParser.parsePlan(rewrite(query))
+    val expanded = substituteTxnNames(parsed, st)
+    // cyclic definitions are rejected like Spark's own non-txn
+    // CREATE OR REPLACE cyclic-view check: a self-reference in the RAW
+    // body (its COMMIT text could never publish), or one introduced
+    // through an inlined in-txn view (mutual recursion) — binder-class,
+    // the block stays usable
+    def refs(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p.collectWithSubqueries {
+        case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+            if r.multipartIdentifier.length <= 2 &&
+              qualify(r.multipartIdentifier.mkString(".")) == q => true
+      }.nonEmpty
+    if (refs(parsed) || refs(expanded))
+      org.apache.spark.sql.GraftBridge.analysisError(
+        s"recursive view $q detected (view definition references itself, " +
+          "directly or through another view created in this transaction)")
     redirectAnalyzed(spark.sessionState.executePlan(expanded).analyzed, st)
     st.createdViews(q) = query
-    st.createdViewPlans(q) = expanded
+    // store the UNEXPANDED parsed body: reads expand it through the
+    // fixpoint against the CURRENT txn state, so nested views — in-txn
+    // and catalog alike — late-bind uniformly (a later OR REPLACE of a
+    // nested view is visible through this one, DuckDB semantics); the
+    // `expanded` form above served only validation + cycle detection
+    st.createdViewPlans(q) = parsed
     st.droppedViews -= q // drop-then-recreate: the new body serves reads
     absorbedDdl.set(true)
     ExecResult(null, "CREATE VIEW")
@@ -1791,12 +1834,12 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * post-analysis redirect applies as usual. Created tables resolve
     * to their staged names; created VIEWS inline their PRE-EXPANDED
     * stored plans. The loop iterates to a FIXPOINT — a substituted
-    * rename/staged name is re-examined but stable — and each created-
-    * view name expands in at most ONE round: stored plans are already
-    * fully expanded, so the only created-view name one can contain is
-    * a SELF reference, which must keep its creation-time (catalog)
-    * binding instead of nesting (judge-class: `CREATE OR REPLACE VIEW
-    * v AS SELECT x+1 FROM v` read back must add 1, not 8). */
+    * rename/staged name is re-examined but stable, and view expansion
+    * terminates because CYCLIC view definitions are rejected at CREATE
+    * time ([[transactionalCreateView]]); a catalog view name inside a
+    * stored plan that a LATER statement replaced re-expands to the new
+    * body — LATE binding, uniformly for every query shape, matching
+    * DuckDB's view semantics. */
   private def substituteTxnNames(
       finalPlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       st: TxnState): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
@@ -1817,11 +1860,9 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     var plan = finalPlan
     var rounds = 0
     var changed = true
-    val expandedViews = scala.collection.mutable.Set.empty[String]
     while (changed && rounds < 8) {
       changed = false
       rounds += 1
-      val expandedThisRound = scala.collection.mutable.Set.empty[String]
       val cteNames: Set[String] = plan.collectWithSubqueries {
         case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
       }.flatten.toSet
@@ -1847,11 +1888,9 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
                 droppedInTxn(q)
             }
             st.createdViewPlans.get(q) match {
-              case Some(body) if !expandedViews.contains(q) =>
+              case Some(body) =>
                 changed = true
-                expandedThisRound += q
                 SubqueryAlias(p.last, body)
-              case Some(_) => r // self-reference: creation-time binding
               case None => preAnalysis.get(q) match {
                 case Some(stg) =>
                   changed = true
@@ -1862,7 +1901,6 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
             }
           }
       }
-      expandedViews ++= expandedThisRound
     }
     plan
   }

@@ -19,4 +19,13 @@ object GraftBridge {
   def dataset(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** A plain binder-class error (the AnalysisException constructor is
+    * private[sql]) — the transaction layer raises these for
+    * catalog-shaped rejections that must NOT abort the open block
+    * (DuckDB semantics: binder errors leave the transaction usable). */
+  def analysisError(message: String): Nothing =
+    throw new AnalysisException(
+      errorClass = "_LEGACY_ERROR_TEMP_3100", // generic message passthrough
+      messageParameters = Map("message" -> message))
 }

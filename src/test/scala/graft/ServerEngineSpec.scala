@@ -2423,13 +2423,30 @@ class ServerEngineSpec extends SparkSpecBase {
       engine.execute("COMMIT")
       assert(engine.execute("SELECT x FROM main.vx_v").df.head().getInt(0) == 15)
 
-      // self-referential OR REPLACE keeps the creation-time binding:
-      // the body's vx_v is the OLD view (x+5), so reads add exactly 1
+      // self-referential OR REPLACE is rejected binder-class, exactly
+      // like Spark's non-txn cyclic-view check (its COMMIT text could
+      // never publish); the block stays usable
       engine.execute("BEGIN")
-      engine.execute("CREATE OR REPLACE VIEW main.vx_v AS SELECT x + 1 AS x FROM main.vx_v")
-      assert(engine.execute("SELECT x FROM main.vx_v").df.head().getInt(0) == 16)
+      val cyc = intercept[org.apache.spark.sql.AnalysisException] {
+        engine.execute(
+          "CREATE OR REPLACE VIEW main.vx_v AS SELECT x + 1 AS x FROM main.vx_v")
+      }
+      assert(cyc.getMessage.contains("recursive"), cyc.getMessage)
+      assert(engine.txnStatus == 'T')
       engine.execute("ROLLBACK")
       assert(engine.execute("SELECT x FROM main.vx_v").df.head().getInt(0) == 15)
+
+      // nested views LATE-BIND uniformly: replacing vx_v mid-txn is
+      // visible through a view created earlier in the same txn, in any
+      // query shape
+      engine.execute("BEGIN")
+      engine.execute("CREATE VIEW main.vx_n AS SELECT x FROM main.vx_v")
+      engine.execute("CREATE OR REPLACE VIEW main.vx_v AS SELECT x + 100 AS x FROM main.vx_t")
+      assert(engine.execute("SELECT x FROM main.vx_n").df.head().getInt(0) == 110)
+      assert(engine.execute(
+        "SELECT n.x FROM main.vx_n n JOIN main.vx_v v ON n.x = v.x")
+        .df.head().getInt(0) == 110)
+      engine.execute("ROLLBACK")
 
       // a body needing the dialect rewrite is readable in-txn (the
       // stored plan is parsed from the REWRITTEN text)
@@ -2449,11 +2466,51 @@ class ServerEngineSpec extends SparkSpecBase {
         engine.execute("ALTER TABLE main.vx_t RENAME TO main.vx_w")
       }
       engine.execute("ROLLBACK")
+
+      // a renamed-away name cannot host a view (the symmetric corner to
+      // rejectRecreateOfRenamedAway; reads of it would fail)
+      engine.execute("BEGIN")
+      engine.execute("ALTER TABLE main.vx_t RENAME TO main.vx_t2")
+      val rn = intercept[IllegalArgumentException] {
+        engine.execute("CREATE VIEW main.vx_t AS SELECT 1 AS one")
+      }
+      assert(rn.getMessage.contains("RENAME"), rn.getMessage)
+      engine.execute("ROLLBACK")
     } finally {
       try engine.execute("ROLLBACK") catch { case _: Throwable => () }
       engine.execute("DROP VIEW IF EXISTS main.vx_v")
       engine.execute("DROP VIEW IF EXISTS main.vx_w")
       engine.execute("DROP TABLE IF EXISTS main.vx_t")
+    }
+  }
+
+  test("in-txn created child's FK follows a same-txn parent rename at COMMIT") {
+    fresh("fkr_p"); fresh("fkr_p2"); fresh("fkr_c")
+    engine.execute("CREATE TABLE main.fkr_p (id INT PRIMARY KEY)")
+    engine.execute("INSERT INTO main.fkr_p VALUES (1)")
+    try {
+      engine.execute("BEGIN")
+      // FK declared against the PRE-rename name, then the parent moves
+      engine.execute(
+        "CREATE TABLE main.fkr_c (ck INT, FOREIGN KEY (ck) REFERENCES main.fkr_p (id))")
+      engine.execute("ALTER TABLE main.fkr_p RENAME TO main.fkr_p2")
+      engine.execute("COMMIT")
+      // the committed registration must reference the NEW name: valid
+      // child inserts pass, dangling ones fail, parent deletes RESTRICT
+      engine.execute("INSERT INTO main.fkr_c VALUES (1)")
+      val bad = intercept[IllegalArgumentException] {
+        engine.execute("INSERT INTO main.fkr_c VALUES (99)")
+      }
+      assert(bad.getMessage.toLowerCase.contains("foreign key"), bad.getMessage)
+      val del = intercept[IllegalArgumentException] {
+        engine.execute("DELETE FROM main.fkr_p2 WHERE id = 1")
+      }
+      assert(del.getMessage.toLowerCase.contains("foreign key"), del.getMessage)
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => () }
+      engine.execute("DROP TABLE IF EXISTS main.fkr_c")
+      engine.execute("DROP TABLE IF EXISTS main.fkr_p")
+      engine.execute("DROP TABLE IF EXISTS main.fkr_p2")
     }
   }
 
