@@ -1855,8 +1855,13 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       st.created.toMap ++
         st.altered.iterator.filterNot(st.renames.contains)
           .flatMap(q => st.staged.get(q).map(q -> _)) ++ renameTargets
+    // rewritePins participate too: even with nothing to substitute,
+    // round 1's pinned-rewrite-epoch check must run — a concurrent
+    // RENAME/DROP removed the catalog entry, and analysis would raise
+    // a raw not-found instead of the clean serialization error
     if (preAnalysis.isEmpty && st.renames.isEmpty &&
-        st.createdViews.isEmpty && st.droppedViews.isEmpty) return finalPlan
+        st.createdViews.isEmpty && st.droppedViews.isEmpty &&
+        st.rewritePins.isEmpty) return finalPlan
     var plan = finalPlan
     var rounds = 0
     var changed = true
@@ -1878,6 +1883,20 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
             // resolves TO the renamed-away original, and in-txn
             // view bodies were validated at CREATE time
             if (rounds == 1) {
+              // a PINNED table rewritten by a concurrent commit must
+              // fail with the clean serialization error even when the
+              // rewrite was a RENAME or DROP that removed the catalog
+              // entry — without this check the ANALYZER raises a raw
+              // not-found first (fuzz find, seed 1709: concurrent
+              // rename vs an open txn's reads)
+              st.rewritePins.get(q).foreach { e =>
+                if (rewriteEpochOf(q) != e)
+                  throw new IllegalArgumentException(
+                    s"could not serialize access: table $q had existing rows " +
+                      "rewritten by a concurrent transaction after this " +
+                      "transaction first read it; the transaction must be " +
+                      "rolled back")
+              }
               // a read of a view this txn DROPPED fails binder-class
               if (st.droppedViews.contains(q)) droppedInTxn(q)
               // a DIRECT read of a name this txn renamed AWAY fails

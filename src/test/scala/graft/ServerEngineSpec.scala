@@ -2484,6 +2484,32 @@ class ServerEngineSpec extends SparkSpecBase {
     }
   }
 
+  test("concurrent rename of a pinned table raises a serialization error, not not-found") {
+    fresh("rnp_a"); fresh("rnp_b")
+    engine.execute("CREATE TABLE main.rnp_a (id INT PRIMARY KEY, v STRING)")
+    engine.execute("INSERT INTO main.rnp_a VALUES (1,'a')")
+    try {
+      engine.execute("BEGIN")
+      engine.execute("INSERT INTO main.rnp_a VALUES (2,'b')") // pins the table
+      // another connection renames it (auto-commit): the catalog entry
+      // moves, so WITHOUT the pinned-epoch pre-check the next read
+      // raised a raw TABLE_OR_VIEW_NOT_FOUND (fuzz find, seed 1709)
+      val other = new Thread(() =>
+        engine.execute("ALTER TABLE main.rnp_a RENAME TO main.rnp_b"))
+      other.start(); other.join()
+      val e = intercept[IllegalArgumentException] {
+        engine.execute("SELECT count(*) FROM main.rnp_a").df.collect()
+      }
+      assert(e.getMessage.contains("could not serialize"), e.getMessage)
+      engine.execute("ROLLBACK")
+      assert(engine.execute("SELECT count(*) FROM main.rnp_b").df.head().getLong(0) == 1L)
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => () }
+      engine.execute("DROP TABLE IF EXISTS main.rnp_a")
+      engine.execute("DROP TABLE IF EXISTS main.rnp_b")
+    }
+  }
+
   test("in-txn created child's FK follows a same-txn parent rename at COMMIT") {
     fresh("fkr_p"); fresh("fkr_p2"); fresh("fkr_c")
     engine.execute("CREATE TABLE main.fkr_p (id INT PRIMARY KEY)")

@@ -413,6 +413,14 @@ def interleave_scripts(port, n_scripts, r, finds):
             elif in_txn[c] and roll < 0.3:
                 sql = r.choice(["COMMIT", "COMMIT", "ROLLBACK"])
                 in_txn[c] = False
+            elif roll > 0.93:
+                # rare RENAME races (r12b): a rename intent vs the other
+                # connection's DML. Conflicts land in the declared
+                # serialization class (divergent schedule); renames that
+                # COMMIT make later statements fail identically on both
+                # sides (old name gone), and rename-backs restore play.
+                sql = r.choice([f"ALTER TABLE {tname} RENAME TO {tname}_r",
+                                f"ALTER TABLE {tname}_r RENAME TO {tname}"])
             else:
                 sql = r.choice([
                     f"INSERT INTO {tname} VALUES ({r.randint(6, 40)}, {r.randint(0, 50)}) "
@@ -464,6 +472,7 @@ def interleave_scripts(port, n_scripts, r, finds):
                 diverged = True
         pg[0].query("ROLLBACK"); pg[1].query("ROLLBACK")
         pg[0].query(f"DROP TABLE IF EXISTS {tname}")
+        pg[0].query(f"DROP TABLE IF EXISTS {tname}_r")
         pg[0].close(); pg[1].close()
         dcon.close()
         if divergent:
