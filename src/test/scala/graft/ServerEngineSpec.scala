@@ -2484,6 +2484,32 @@ class ServerEngineSpec extends SparkSpecBase {
     }
   }
 
+  test("rename composes with deltas and ALTER in one transaction") {
+    fresh("rcx_a"); fresh("rcx_b")
+    engine.execute("CREATE TABLE main.rcx_a (k INT)")
+    engine.execute("INSERT INTO main.rcx_a VALUES (1)")
+    try {
+      engine.execute("BEGIN")
+      engine.execute("INSERT INTO main.rcx_a VALUES (2)") // delta pre-rename
+      engine.execute("ALTER TABLE main.rcx_a RENAME TO main.rcx_b")
+      assert(engine.execute("SELECT count(*) FROM main.rcx_b").df.head().getLong(0) == 2L)
+      engine.execute("ALTER TABLE main.rcx_b ADD COLUMN z INT") // alter via new name
+      engine.execute("INSERT INTO main.rcx_b VALUES (3, 30)")
+      val rows = engine.execute("SELECT k, z FROM main.rcx_b ORDER BY k").df
+        .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) -1 else r.getInt(1))).toSeq
+      assert(rows == Seq((1, -1), (2, -1), (3, 30)), rows)
+      engine.execute("COMMIT")
+      assert(!spark.catalog.tableExists("main.rcx_a"))
+      val fin = engine.execute("SELECT k, z FROM main.rcx_b ORDER BY k").df
+        .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) -1 else r.getInt(1))).toSeq
+      assert(fin == Seq((1, -1), (2, -1), (3, 30)), fin)
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => () }
+      engine.execute("DROP TABLE IF EXISTS main.rcx_a")
+      engine.execute("DROP TABLE IF EXISTS main.rcx_b")
+    }
+  }
+
   test("concurrent rename of a pinned table raises a serialization error, not not-found") {
     fresh("rnp_a"); fresh("rnp_b")
     engine.execute("CREATE TABLE main.rnp_a (id INT PRIMARY KEY, v STRING)")
