@@ -1405,6 +1405,9 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     val q = qualify(resolveRenamed(table)) // post-rename names alter the original's overlay
     if (st.dropped.contains(q) && !st.created.contains(q)) droppedInTxn(q)
     if (!st.created.contains(q) && !spark.catalog.tableExists(q)) return None
+    // a VIEW falls through to Spark's own wrong-object-type error —
+    // staging would CTAS-copy the view's DATA into a table image
+    if (!st.created.contains(q) && isView(q)) return None
     val stg = physWrite(q) // existing overlay, or pin + snapshot copy
     alterColTypeRe.findFirstMatchIn(sql) match {
       case Some(m) =>
@@ -1606,6 +1609,11 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       if (ifExists) return ok()
       droppedInTxn(qo0)
     }
+    // a VIEW cannot be renamed with ALTER TABLE (Spark and DuckDB
+    // agree); binder-class so the block stays usable
+    if (qo == qo0 && isView(qo))
+      org.apache.spark.sql.GraftBridge.analysisError(
+        s"$qo is a view; ALTER TABLE … RENAME TO expects a table")
     if (qo == qn) { st.renames.remove(qo); return ok() } // renamed back: net no-op
     validateRenameTarget(st, qn)
     val lock = lockFor(qo).readLock()
@@ -2097,7 +2105,10 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
           if (ifExists) { absorbedDdl.set(true); return ExecResult(null, "DROP TABLE") }
           droppedInTxn(q) // already dropped in this txn: not found
         }
-        if (spark.catalog.tableExists(q)) {
+        // a VIEW under the name falls through to the generic path,
+        // which raises Spark's own wrong-object-type error (staging it
+        // as a transactional TABLE drop would mis-publish at COMMIT)
+        if (spark.catalog.tableExists(q) && !isView(q)) {
           st.staged.remove(q).foreach(s =>
             try spark.sql(s"DROP TABLE IF EXISTS $s") catch { case _: Throwable => })
           st.deltas.remove(q).foreach(d =>

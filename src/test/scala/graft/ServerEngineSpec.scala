@@ -2484,6 +2484,34 @@ class ServerEngineSpec extends SparkSpecBase {
     }
   }
 
+  test("in-txn table DDL against a VIEW name raises Spark's own type errors") {
+    fresh("vt_t")
+    engine.execute("DROP VIEW IF EXISTS main.vt_v")
+    engine.execute("CREATE TABLE main.vt_t (x INT)")
+    engine.execute("INSERT INTO main.vt_t VALUES (1)")
+    engine.execute("CREATE VIEW main.vt_v AS SELECT x FROM main.vt_t")
+    try {
+      engine.execute("BEGIN")
+      intercept[org.apache.spark.sql.AnalysisException] {
+        engine.execute("DROP TABLE main.vt_v")
+      }
+      intercept[org.apache.spark.sql.AnalysisException] {
+        engine.execute("ALTER TABLE main.vt_v ADD COLUMN y INT")
+      }
+      intercept[org.apache.spark.sql.AnalysisException] {
+        engine.execute("ALTER TABLE main.vt_v RENAME TO main.vt_w")
+      }
+      assert(engine.txnStatus == 'T') // all binder-class: block usable
+      engine.execute("ROLLBACK")
+      // the view is untouched
+      assert(engine.execute("SELECT x FROM main.vt_v").df.head().getInt(0) == 1)
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => () }
+      engine.execute("DROP VIEW IF EXISTS main.vt_v")
+      engine.execute("DROP TABLE IF EXISTS main.vt_t")
+    }
+  }
+
   test("rename composes with deltas and ALTER in one transaction") {
     fresh("rcx_a"); fresh("rcx_b")
     engine.execute("CREATE TABLE main.rcx_a (k INT)")
