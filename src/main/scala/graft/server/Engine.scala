@@ -1057,10 +1057,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       // that IS the committed name; only pre-rename spellings map)
       val commitRenames: Map[String, String] = st.renames.toMap
       def rekeyCreatedFks(c: Constraints): Constraints =
-        c.copy(fks = c.fks.map { f =>
-          commitRenames.get(qualify(f.refTable))
-            .map(n => f.copy(refTable = n)).getOrElse(f)
-        })
+        rekeyFksThrough(c, commitRenames)
       val journal: Option[java.io.File] = dbPath.map { p =>
         val ops = tables.flatMap { t =>
           val drop = if (st.dropped.contains(t)) Seq(s"drop\t$t\t\t\t") else Nil
@@ -1495,17 +1492,14 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       renameMap: Map[String, String], excluded: Set[String]): Seq[String] = {
     import scala.jdk.CollectionConverters._
     def b64(s: String) = java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
-    def rekeyFks(c: Constraints): Constraints =
-      c.copy(fks = c.fks.map(f =>
-        renameMap.get(qualify(f.refTable)).map(n => f.copy(refTable = n)).getOrElse(f)))
     val regLine = Option(constraints.get(qo)).filterNot(_.isEmpty)
-      .map(c => b64(constraintLine(qn, rekeyFks(c)))).getOrElse("")
+      .map(c => b64(constraintLine(qn, rekeyFksThrough(c, renameMap)))).getOrElse("")
     // children that are THEMSELVES renamed carry their registration in
     // their own mv op's regLine; dropped children carry none
     val childLines = constraints.asScala.toSeq.collect {
       case (k, c) if k != qo && !excluded(k) && !renameMap.contains(k) &&
           c.fks.exists(f => qualify(f.refTable) == qo) =>
-        s"constraint\t$k\t\t\t${b64(constraintLine(k, rekeyFks(c)))}"
+        s"constraint\t$k\t\t\t${b64(constraintLine(k, rekeyFksThrough(c, renameMap)))}"
     }
     s"mv\t$qn\t$qo\t\t$regLine" +: childLines
   }
@@ -1597,6 +1591,20 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       // name, which this txn must keep seeing as gone
       if (st.dropped.contains(qo0)) st.txnConstraints(qo0) = None
       st.changedKeys.remove(qo0).foreach(v => st.changedKeys(qn) = v)
+      // sibling created tables' FKs that reference the renamed CREATED
+      // table rekey IMMEDIATELY: this rename never enters st.renames
+      // (the overlay maps were rekeyed above), so neither the mid-txn
+      // renameBase resolution nor COMMIT's commitRenames would ever
+      // map the old spelling (review find: the committed registration
+      // kept a dangling refTable)
+      val m = Map(qo0 -> qn)
+      st.txnConstraints.keys.toSeq.foreach { k =>
+        st.txnConstraints(k) match {
+          case Some(c) if c.fks.exists(f => qualify(f.refTable) == qo0) =>
+            st.txnConstraints(k) = Some(rekeyFksThrough(c, m))
+          case _ =>
+        }
+      }
       return ok()
     }
     if (st.renames.contains(qo0)) { // renamed away: gone from this txn's view
@@ -1658,6 +1666,48 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         qn.split('.').toIndexedSeq)
   }
 
+  /** Created-view names transitively referenced from `start`'s body
+    * `plan0` (with `plan0` standing in for start's stored plan — the
+    * OR REPLACE case). CTE-shadowed names and catalog-prefixed
+    * spellings are treated exactly like the substitution pass. */
+  private def viewRefClosure(start: String,
+      plan0: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      st: TxnState): Set[String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith
+    def directRefs(
+        p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Set[String] = {
+      val ctes: Set[String] = p.collectWithSubqueries {
+        case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
+      }.flatten.toSet
+      p.collectWithSubqueries {
+        case r: UnresolvedRelation =>
+          val parts = if (r.multipartIdentifier.length == 3)
+            r.multipartIdentifier.drop(1) else r.multipartIdentifier
+          if (parts.length > 2 || ctes.contains(parts.last.toLowerCase)) None
+          else Some(qualify(parts.mkString(".")))
+      }.flatten.toSet
+    }
+    val seen = scala.collection.mutable.Set.empty[String]
+    var frontier = directRefs(plan0)
+      .filter(n => st.createdViewPlans.contains(n) || n == start)
+    while (frontier.nonEmpty) {
+      seen ++= frontier
+      frontier = frontier.filter(_ != start).flatMap(n =>
+        st.createdViewPlans.get(n).map(directRefs).getOrElse(Set.empty[String]))
+        .filter(n => (st.createdViewPlans.contains(n) || n == start) && !seen(n))
+    }
+    seen.toSet
+  }
+
+  /** Rekey every FK refTable through a rename map (old → new);
+    * spellings not in the map — including already-new ones — pass
+    * through. Shared by the journal builder, the COMMIT publish of
+    * created tables, and created-table renames. */
+  private def rekeyFksThrough(c: Constraints, m: Map[String, String]): Constraints =
+    c.copy(fks = c.fks.map(f =>
+      m.get(qualify(f.refTable)).map(n => f.copy(refTable = n)).getOrElse(f)))
+
   private def isView(q: String): Boolean =
     try spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(q)).tableType ==
@@ -1702,23 +1752,19 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     // substituted) and ANALYZE it through the overlay so binder errors
     // surface at CREATE time (DuckDB binds views at creation)
     val parsed = spark.sessionState.sqlParser.parsePlan(rewrite(query))
-    val expanded = substituteTxnNames(parsed, st)
     // cyclic definitions are rejected like Spark's own non-txn
-    // CREATE OR REPLACE cyclic-view check: a self-reference in the RAW
-    // body (its COMMIT text could never publish), or one introduced
-    // through an inlined in-txn view (mutual recursion) — binder-class,
-    // the block stays usable
-    def refs(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
-      p.collectWithSubqueries {
-        case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-            if r.multipartIdentifier.length <= 2 &&
-              qualify(r.multipartIdentifier.mkString(".")) == q => true
-      }.nonEmpty
-    if (refs(parsed) || refs(expanded))
+    // CREATE OR REPLACE cyclic-view check: reachability over the
+    // created-view REFERENCE GRAPH, with this statement's NEW body
+    // standing in for q — catches direct self-references AND mutual
+    // recursion introduced by an OR REPLACE of an already-created view
+    // (an expansion-based check inlined the OLD body and missed it).
+    // Binder-class: the block stays usable.
+    if (viewRefClosure(q, parsed, st).contains(q))
       org.apache.spark.sql.GraftBridge.analysisError(
         s"recursive view $q detected (view definition references itself, " +
           "directly or through another view created in this transaction)")
-    redirectAnalyzed(spark.sessionState.executePlan(expanded).analyzed, st)
+    val expanded = substituteTxnNames(parsed, st)
+    redirectAnalyzed(analyzeTxn(expanded, st), st)
     st.createdViews(q) = query
     // store the UNEXPANDED parsed body: reads expand it through the
     // fixpoint against the CURRENT txn state, so nested views — in-txn
@@ -1830,9 +1876,36 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     // base catalog entry still has the old one.
     // CTE names shadow table names, conservatively.
     val withCreated = substituteTxnNames(finalPlan, st)
-    val analyzed = spark.sessionState.executePlan(withCreated).analyzed
-    org.apache.spark.sql.GraftBridge.dataset(spark, redirectAnalyzed(analyzed, st))
+    org.apache.spark.sql.GraftBridge.dataset(spark,
+      redirectAnalyzed(analyzeTxn(withCreated, st), st))
   }
+
+  /** Analyze a substituted plan, converting a not-found that a
+    * CONCURRENT rename/drop of a pinned table caused into the clean
+    * serialization error (fuzz find, seed 1709). Checking at analysis-
+    * failure time covers every shape — the literal name, reads through
+    * catalog views, and reads through this txn's renamed-to names —
+    * where a pre-analysis name check only saw the literal spelling. A
+    * genuine unknown-name error (no pinned epoch moved) passes
+    * through untouched. */
+  private def analyzeTxn(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      st: TxnState): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    try spark.sessionState.executePlan(plan).analyzed
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getErrorClass != null &&
+            e.getErrorClass.startsWith("TABLE_OR_VIEW_NOT_FOUND") =>
+        st.rewritePins.collectFirst {
+          case (t, ep) if rewriteEpochOf(t) != ep => t
+        } match {
+          case Some(t) => throw new IllegalArgumentException(
+            s"could not serialize access: table $t had existing rows rewritten " +
+              "by a concurrent transaction after this transaction first read " +
+              "it; the transaction must be rolled back")
+          case None => throw e
+        }
+    }
 
   /** Pre-analysis substitution of the open transaction's name intents
     * (shared by [[txnExec]] and view-body expansion at CREATE time).
@@ -1863,17 +1936,16 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       st.created.toMap ++
         st.altered.iterator.filterNot(st.renames.contains)
           .flatMap(q => st.staged.get(q).map(q -> _)) ++ renameTargets
-    // rewritePins participate too: even with nothing to substitute,
-    // round 1's pinned-rewrite-epoch check must run — a concurrent
-    // RENAME/DROP removed the catalog entry, and analysis would raise
-    // a raw not-found instead of the clean serialization error
     if (preAnalysis.isEmpty && st.renames.isEmpty &&
-        st.createdViews.isEmpty && st.droppedViews.isEmpty &&
-        st.rewritePins.isEmpty) return finalPlan
+        st.createdViews.isEmpty && st.droppedViews.isEmpty) return finalPlan
     var plan = finalPlan
     var rounds = 0
     var changed = true
-    while (changed && rounds < 8) {
+    // each round expands ONE view-nesting level, so the bound must
+    // cover a chain through every created view (cycles are rejected at
+    // CREATE, so this terminates well before the cap in practice)
+    val maxRounds = math.max(8, st.createdViewPlans.size + 2)
+    while (changed && rounds < maxRounds) {
       changed = false
       rounds += 1
       val cteNames: Set[String] = plan.collectWithSubqueries {
@@ -1890,27 +1962,19 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
             // themselves inserted — a rename target legitimately
             // resolves TO the renamed-away original, and in-txn
             // view bodies were validated at CREATE time
+            // a read of a view this txn DROPPED fails binder-class —
+            // at EVERY depth (a dropped view reached through another
+            // view's body must not serve its stale catalog text);
+            // nothing ever legitimately substitutes TO a dropped-view
+            // name, so the check is depth-safe
+            if (st.droppedViews.contains(q)) droppedInTxn(q)
             if (rounds == 1) {
-              // a PINNED table rewritten by a concurrent commit must
-              // fail with the clean serialization error even when the
-              // rewrite was a RENAME or DROP that removed the catalog
-              // entry — without this check the ANALYZER raises a raw
-              // not-found first (fuzz find, seed 1709: concurrent
-              // rename vs an open txn's reads)
-              st.rewritePins.get(q).foreach { e =>
-                if (rewriteEpochOf(q) != e)
-                  throw new IllegalArgumentException(
-                    s"could not serialize access: table $q had existing rows " +
-                      "rewritten by a concurrent transaction after this " +
-                      "transaction first read it; the transaction must be " +
-                      "rolled back")
-              }
-              // a read of a view this txn DROPPED fails binder-class
-              if (st.droppedViews.contains(q)) droppedInTxn(q)
               // a DIRECT read of a name this txn renamed AWAY fails
               // binder-class (the table answers to its new name
               // only); a same-txn CREATE may have retaken the name,
-              // in which case the created entry below serves it
+              // in which case the created entry below serves it.
+              // Round 1 only: a rename-target substitution
+              // legitimately resolves TO the renamed-away original.
               if (st.renames.contains(q) && !st.created.contains(q))
                 droppedInTxn(q)
             }
@@ -2125,11 +2189,17 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
           absorbedDdl.set(true) // fully rollback-able: a write, not auto-commit DDL
           return ExecResult(null, "DROP TABLE")
         }
-        // name unknown: IF EXISTS is a transactional no-op (same
-        // absorbedDdl bookkeeping as above — nothing auto-commits); a
-        // plain DROP falls through and raises spark's binder-class
-        // not-found (non-aborting)
-        if (ifExists) { absorbedDdl.set(true); return ExecResult(null, "DROP TABLE") }
+        // name genuinely unknown: IF EXISTS is a transactional no-op
+        // (same absorbedDdl bookkeeping as above — nothing
+        // auto-commits). A name that EXISTS as a VIEW falls through
+        // even with IF EXISTS — Spark raises its wrong-object-type
+        // error regardless of the clause, and a silent no-op would
+        // leave scripts believing the view was dropped. A plain DROP
+        // of an unknown name falls through to spark's binder-class
+        // not-found (non-aborting).
+        if (ifExists && !spark.catalog.tableExists(q)) {
+          absorbedDdl.set(true); return ExecResult(null, "DROP TABLE")
+        }
       }
       alterTableAnyRe.findFirstMatchIn(sql).foreach { m =>
         // quoted-identifier RENAME forms bypass alterRenameFullRe and

@@ -2484,6 +2484,102 @@ class ServerEngineSpec extends SparkSpecBase {
     }
   }
 
+  test("review-3 corners: created-parent rename FK, mutual cycles, CTE names, deep chains, dropped-view depth, IF EXISTS view") {
+    fresh("r3p"); fresh("r3p2"); fresh("r3c")
+    engine.execute("DROP VIEW IF EXISTS main.r3_a")
+    engine.execute("DROP VIEW IF EXISTS main.r3_b")
+    engine.execute("DROP VIEW IF EXISTS main.r3_cte")
+    try {
+      // (1) rename of an in-txn CREATED parent rekeys a sibling
+      // created child's FK — the committed registration must not dangle
+      engine.execute("BEGIN")
+      engine.execute("CREATE TABLE main.r3p (id INT PRIMARY KEY)")
+      engine.execute("INSERT INTO main.r3p VALUES (1)")
+      engine.execute(
+        "CREATE TABLE main.r3c (k INT, FOREIGN KEY (k) REFERENCES main.r3p (id))")
+      engine.execute("ALTER TABLE main.r3p RENAME TO main.r3p2")
+      engine.execute("COMMIT")
+      engine.execute("INSERT INTO main.r3c VALUES (1)") // FK resolves to r3p2
+      intercept[IllegalArgumentException] {
+        engine.execute("INSERT INTO main.r3c VALUES (9)")
+      }
+      intercept[IllegalArgumentException] {
+        engine.execute("DELETE FROM main.r3p2 WHERE id = 1")
+      }
+
+      // (2) mutual recursion introduced by OR REPLACE is rejected
+      engine.execute("BEGIN")
+      engine.execute("CREATE VIEW main.r3_a AS SELECT 1 AS x")
+      engine.execute("CREATE VIEW main.r3_b AS SELECT x FROM main.r3_a")
+      val cyc = intercept[org.apache.spark.sql.AnalysisException] {
+        engine.execute("CREATE OR REPLACE VIEW main.r3_a AS SELECT x FROM main.r3_b")
+      }
+      assert(cyc.getMessage.contains("recursive"), cyc.getMessage)
+      // (5) a CTE named like the view is NOT a self-reference
+      engine.execute(
+        "CREATE VIEW main.r3_cte AS WITH r3_cte AS (SELECT 7 AS x) SELECT x FROM r3_cte")
+      assert(engine.execute("SELECT x FROM main.r3_cte").df.head().getInt(0) == 7)
+      // (7) a 9-deep in-txn view chain still resolves (cap scales)
+      engine.execute("CREATE VIEW main.r3_d1 AS SELECT 5 AS x")
+      (2 to 9).foreach(i => engine.execute(
+        s"CREATE VIEW main.r3_d$i AS SELECT x FROM main.r3_d${i - 1}"))
+      assert(engine.execute("SELECT x FROM main.r3_d9").df.head().getInt(0) == 5)
+      engine.execute("ROLLBACK")
+
+      // (6) a catalog view DROPPED in-txn fails reads at ANY depth
+      engine.execute("CREATE VIEW main.r3_a AS SELECT 1 AS x")
+      engine.execute("BEGIN")
+      engine.execute("CREATE VIEW main.r3_b AS SELECT x FROM main.r3_a")
+      engine.execute("DROP VIEW main.r3_a")
+      intercept[org.apache.spark.sql.AnalysisException] {
+        engine.execute("SELECT x FROM main.r3_b").df.collect()
+      }
+      engine.execute("ROLLBACK")
+
+      // (4) DROP TABLE IF EXISTS on a VIEW errors (no silent no-op)
+      engine.execute("BEGIN")
+      intercept[org.apache.spark.sql.AnalysisException] {
+        engine.execute("DROP TABLE IF EXISTS main.r3_a")
+      }
+      engine.execute("ROLLBACK")
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => () }
+      engine.execute("DROP VIEW IF EXISTS main.r3_a")
+      engine.execute("DROP VIEW IF EXISTS main.r3_b")
+      engine.execute("DROP VIEW IF EXISTS main.r3_cte")
+      engine.execute("DROP TABLE IF EXISTS main.r3c")
+      engine.execute("DROP TABLE IF EXISTS main.r3p")
+      engine.execute("DROP TABLE IF EXISTS main.r3p2")
+    }
+  }
+
+  test("serialization error covers reads through views and renamed names (review 3)") {
+    fresh("rvp_t"); fresh("rvp_u")
+    engine.execute("DROP VIEW IF EXISTS main.rvp_v")
+    engine.execute("CREATE TABLE main.rvp_t (x INT)")
+    engine.execute("INSERT INTO main.rvp_t VALUES (1)")
+    engine.execute("CREATE VIEW main.rvp_v AS SELECT x FROM main.rvp_t")
+    try {
+      engine.execute("BEGIN")
+      engine.execute("SELECT count(*) FROM main.rvp_t").df.collect() // pins t
+      val other = new Thread(() =>
+        engine.execute("ALTER TABLE main.rvp_t RENAME TO main.rvp_u"))
+      other.start(); other.join()
+      // the read goes THROUGH A CATALOG VIEW — the plan never names the
+      // pinned table, so only the analysis-failure converter can map
+      // the not-found to the serialization class
+      val e = intercept[IllegalArgumentException] {
+        engine.execute("SELECT count(*) FROM main.rvp_v").df.collect()
+      }
+      assert(e.getMessage.contains("could not serialize"), e.getMessage)
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => () }
+      engine.execute("DROP VIEW IF EXISTS main.rvp_v")
+      engine.execute("DROP TABLE IF EXISTS main.rvp_t")
+      engine.execute("DROP TABLE IF EXISTS main.rvp_u")
+    }
+  }
+
   test("in-txn table DDL against a VIEW name raises Spark's own type errors") {
     fresh("vt_t")
     engine.execute("DROP VIEW IF EXISTS main.vt_v")
