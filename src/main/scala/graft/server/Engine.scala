@@ -1666,10 +1666,14 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         qn.split('.').toIndexedSeq)
   }
 
-  /** Created-view names transitively referenced from `start`'s body
-    * `plan0` (with `plan0` standing in for start's stored plan — the
-    * OR REPLACE case). CTE-shadowed names and catalog-prefixed
-    * spellings are treated exactly like the substitution pass. */
+  /** View names transitively referenced from `start`'s body `plan0`
+    * (with `plan0` standing in for start's stored plan — the OR
+    * REPLACE case). Traverses BOTH in-txn created views and CATALOG
+    * views (a cycle can route through an untouched catalog view whose
+    * text references the replaced name — COMMIT's CREATE OR REPLACE
+    * would fail Spark's own cyclic check and be swallowed). CTE-
+    * shadowed names and catalog-prefixed spellings are treated exactly
+    * like the substitution pass. */
   private def viewRefClosure(start: String,
       plan0: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       st: TxnState): Set[String] = {
@@ -1688,14 +1692,22 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
           else Some(qualify(parts.mkString(".")))
       }.flatten.toSet
     }
+    def bodyOf(n: String): Option[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
+      st.createdViewPlans.get(n).orElse {
+        if (!isView(n)) None
+        else try spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(n)).viewText
+          .map(t => spark.sessionState.sqlParser.parsePlan(t))
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
     val seen = scala.collection.mutable.Set.empty[String]
     var frontier = directRefs(plan0)
-      .filter(n => st.createdViewPlans.contains(n) || n == start)
     while (frontier.nonEmpty) {
       seen ++= frontier
-      frontier = frontier.filter(_ != start).flatMap(n =>
-        st.createdViewPlans.get(n).map(directRefs).getOrElse(Set.empty[String]))
-        .filter(n => (st.createdViewPlans.contains(n) || n == start) && !seen(n))
+      frontier = frontier.filter(_ != start)
+        .flatMap(n => bodyOf(n).map(directRefs).getOrElse(Set.empty[String]))
+        .diff(seen)
     }
     seen.toSet
   }
@@ -1896,9 +1908,15 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       case e: org.apache.spark.sql.AnalysisException
           if e.getErrorClass != null &&
             e.getErrorClass.startsWith("TABLE_OR_VIEW_NOT_FOUND") =>
-        st.rewritePins.collectFirst {
-          case (t, ep) if rewriteEpochOf(t) != ep => t
-        } match {
+        // convert ONLY when the name that failed to resolve IS a pinned
+        // table whose rewrite epoch moved — a genuine typo of an
+        // unrelated name must keep its non-aborting binder error even
+        // while concurrent commits are landing elsewhere
+        val missing = Option(e.getMessageParameters.get("relationName"))
+          .map(_.replace("`", ""))
+          .map(n => qualify(n.split('.').takeRight(2).mkString(".")))
+        missing.filter(m =>
+          st.rewritePins.get(m).exists(_ != rewriteEpochOf(m))) match {
           case Some(t) => throw new IllegalArgumentException(
             s"could not serialize access: table $t had existing rows rewritten " +
               "by a concurrent transaction after this transaction first read " +
@@ -1964,10 +1982,12 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
             // view bodies were validated at CREATE time
             // a read of a view this txn DROPPED fails binder-class —
             // at EVERY depth (a dropped view reached through another
-            // view's body must not serve its stale catalog text);
-            // nothing ever legitimately substitutes TO a dropped-view
-            // name, so the check is depth-safe
-            if (st.droppedViews.contains(q)) droppedInTxn(q)
+            // view's body must not serve its stale catalog text). One
+            // exemption: a name freed by the drop and RETAKEN as a
+            // rename target resolves through the rename instead
+            // (DROP VIEW w; ALTER TABLE t RENAME TO w is supported).
+            if (st.droppedViews.contains(q) &&
+                !st.renames.valuesIterator.contains(q)) droppedInTxn(q)
             if (rounds == 1) {
               // a DIRECT read of a name this txn renamed AWAY fails
               // binder-class (the table answers to its new name
@@ -2148,6 +2168,20 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         }
         // a name this txn renamed AWAY is gone from its own view
         if (st.renames.contains(q0)) {
+          if (ifExists) { absorbedDdl.set(true); return ExecResult(null, "DROP TABLE") }
+          droppedInTxn(q0)
+        }
+        // a VIEW created in this txn: DROP TABLE is the wrong command,
+        // IF EXISTS or not (the catalog cannot see the intent, so the
+        // generic fall-through would no-op/not-found instead)
+        if (st.createdViews.contains(q0))
+          org.apache.spark.sql.GraftBridge.analysisError(
+            s"$q0 is a view. 'DROP TABLE' expects a table; use DROP VIEW instead")
+        // a catalog view this txn DROPPED is absent from its viewpoint:
+        // IF EXISTS no-ops, a plain DROP raises not-found (the catalog
+        // still holds the view until COMMIT, so the generic path would
+        // wrongly raise the wrong-object-type error)
+        if (st.droppedViews.contains(q0)) {
           if (ifExists) { absorbedDdl.set(true); return ExecResult(null, "DROP TABLE") }
           droppedInTxn(q0)
         }

@@ -2580,6 +2580,81 @@ class ServerEngineSpec extends SparkSpecBase {
     }
   }
 
+  test("review-4 corners: created/dropped-view DROP TABLE, catalog-view cycles, drop-then-rename-onto, typo errors") {
+    fresh("r4t"); fresh("r4u")
+    engine.execute("DROP VIEW IF EXISTS main.r4_v")
+    engine.execute("DROP VIEW IF EXISTS main.r4_cv")
+    engine.execute("DROP VIEW IF EXISTS main.r4_a")
+    engine.execute("CREATE TABLE main.r4t (x INT)")
+    engine.execute("INSERT INTO main.r4t VALUES (3)")
+    try {
+      // (1) DROP TABLE IF EXISTS on an in-txn CREATED view: wrong
+      // command, not a silent no-op
+      engine.execute("BEGIN")
+      engine.execute("CREATE VIEW main.r4_v AS SELECT x FROM main.r4t")
+      val wc = intercept[org.apache.spark.sql.AnalysisException] {
+        engine.execute("DROP TABLE IF EXISTS main.r4_v")
+      }
+      assert(wc.getMessage.contains("DROP VIEW"), wc.getMessage)
+      assert(engine.execute("SELECT x FROM main.r4_v").df.head().getInt(0) == 3)
+      engine.execute("ROLLBACK")
+
+      // (3) DROP TABLE [IF EXISTS] on a view this txn DROPPED: the
+      // name is absent from its viewpoint — no-op / not-found
+      engine.execute("CREATE VIEW main.r4_v AS SELECT 1 AS x")
+      engine.execute("BEGIN")
+      engine.execute("DROP VIEW main.r4_v")
+      engine.execute("DROP TABLE IF EXISTS main.r4_v") // no-op, no error
+      intercept[org.apache.spark.sql.AnalysisException] {
+        engine.execute("DROP TABLE main.r4_v")
+      }
+      engine.execute("ROLLBACK")
+      engine.execute("DROP VIEW main.r4_v")
+
+      // (2) a cycle routed through an untouched CATALOG view is
+      // rejected at CREATE (commit's swallowed publish would lose it)
+      engine.execute("CREATE VIEW main.r4_a AS SELECT 1 AS x")
+      engine.execute("CREATE VIEW main.r4_cv AS SELECT x FROM main.r4_a")
+      engine.execute("BEGIN")
+      val cyc = intercept[org.apache.spark.sql.AnalysisException] {
+        engine.execute("CREATE OR REPLACE VIEW main.r4_a AS SELECT x FROM main.r4_cv")
+      }
+      assert(cyc.getMessage.contains("recursive"), cyc.getMessage)
+      engine.execute("ROLLBACK")
+
+      // (4) DROP VIEW w then RENAME t onto w: reads of w serve the
+      // renamed TABLE, not the dropped-view error
+      engine.execute("BEGIN")
+      engine.execute("DROP VIEW main.r4_cv")
+      engine.execute("ALTER TABLE main.r4t RENAME TO main.r4_cv")
+      assert(engine.execute("SELECT x FROM main.r4_cv").df.head().getInt(0) == 3)
+      engine.execute("COMMIT")
+      assert(engine.execute("SELECT x FROM main.r4_cv").df.head().getInt(0) == 3)
+      engine.execute("ALTER TABLE main.r4_cv RENAME TO main.r4t") // restore
+
+      // (5) a genuine TYPO keeps its non-aborting binder error even
+      // while a concurrent commit moved a pinned table's epoch
+      engine.execute("BEGIN")
+      engine.execute("SELECT count(*) FROM main.r4t").df.collect() // pins r4t
+      val other = new Thread(() =>
+        engine.execute("UPDATE main.r4t SET x = 4 WHERE x = 3"))
+      other.start(); other.join()
+      intercept[org.apache.spark.sql.AnalysisException] {
+        engine.execute("SELECT * FROM main.r4_no_such").df.collect()
+      }
+      assert(engine.txnStatus == 'T') // binder-class: block usable
+      engine.execute("ROLLBACK")
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => () }
+      engine.execute("DROP VIEW IF EXISTS main.r4_v")
+      engine.execute("DROP VIEW IF EXISTS main.r4_cv")
+      engine.execute("DROP VIEW IF EXISTS main.r4_a")
+      engine.execute("DROP TABLE IF EXISTS main.r4t")
+      engine.execute("DROP TABLE IF EXISTS main.r4_cv")
+      engine.execute("DROP TABLE IF EXISTS main.r4u")
+    }
+  }
+
   test("in-txn table DDL against a VIEW name raises Spark's own type errors") {
     fresh("vt_t")
     engine.execute("DROP VIEW IF EXISTS main.vt_v")
