@@ -1679,8 +1679,13 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       st: TxnState): Set[String] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
     import org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith
+    // unqualified names inside a body qualify against the DATABASE the
+    // body belongs to — the session db for in-txn plans, the view's
+    // OWN namespace for catalog views (a db2 view's bare `a` means
+    // db2.a, not <current>.a)
     def directRefs(
-        p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Set[String] = {
+        p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        db: String): Set[String] = {
       val ctes: Set[String] = p.collectWithSubqueries {
         case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
       }.flatten.toSet
@@ -1689,24 +1694,38 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
           val parts = if (r.multipartIdentifier.length == 3)
             r.multipartIdentifier.drop(1) else r.multipartIdentifier
           if (parts.length > 2 || ctes.contains(parts.last.toLowerCase)) None
-          else Some(qualify(parts.mkString(".")))
+          else if (parts.length == 2) Some(parts.mkString(".").toLowerCase)
+          else Some(s"$db.${parts.last.toLowerCase}")
       }.flatten.toSet
     }
+    // (plan, body's default db); views this txn DROPPED never form a
+    // post-commit cycle and their stale text must not reject a CREATE
     def bodyOf(n: String): Option[
-        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
-      st.createdViewPlans.get(n).orElse {
-        if (!isView(n)) None
-        else try spark.sessionState.catalog.getTableMetadata(
-          spark.sessionState.sqlParser.parseTableIdentifier(n)).viewText
-          .map(t => spark.sessionState.sqlParser.parsePlan(t))
-        catch { case scala.util.control.NonFatal(_) => None }
-      }
+        (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String)] =
+      st.createdViewPlans.get(n)
+        .map(p => (p, spark.catalog.currentDatabase.toLowerCase))
+        .orElse {
+          if (st.droppedViews.contains(n)) None
+          else try {
+            val meta = spark.sessionState.catalog.getTableMetadata(
+              spark.sessionState.sqlParser.parseTableIdentifier(n))
+            if (meta.tableType !=
+                org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW) None
+            else meta.viewText.map { t =>
+              val vdb = meta.viewCatalogAndNamespace.lastOption
+                .getOrElse(n.split('.').head).toLowerCase
+              (spark.sessionState.sqlParser.parsePlan(t), vdb)
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }
+    val sessionDb = spark.catalog.currentDatabase.toLowerCase
     val seen = scala.collection.mutable.Set.empty[String]
-    var frontier = directRefs(plan0)
+    var frontier = directRefs(plan0, sessionDb)
     while (frontier.nonEmpty) {
       seen ++= frontier
       frontier = frontier.filter(_ != start)
-        .flatMap(n => bodyOf(n).map(directRefs).getOrElse(Set.empty[String]))
+        .flatMap(n => bodyOf(n).map { case (p, db) => directRefs(p, db) }
+          .getOrElse(Set.empty[String]))
         .diff(seen)
     }
     seen.toSet
@@ -1774,7 +1793,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     if (viewRefClosure(q, parsed, st).contains(q))
       org.apache.spark.sql.GraftBridge.analysisError(
         s"recursive view $q detected (view definition references itself, " +
-          "directly or through another view created in this transaction)")
+          "directly or through another view)")
     val expanded = substituteTxnNames(parsed, st)
     redirectAnalyzed(analyzeTxn(expanded, st), st)
     st.createdViews(q) = query
@@ -1808,6 +1827,11 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       return ok()
     }
     if (st.droppedViews.contains(q)) {
+      // a dropped-view name RETAKEN as a rename target now resolves to
+      // a TABLE from this txn's viewpoint — wrong command
+      if (st.renames.valuesIterator.contains(q))
+        org.apache.spark.sql.GraftBridge.analysisError(
+          s"$q is a table. 'DROP VIEW' expects a view; use DROP TABLE instead")
       if (ifExists) return ok()
       droppedInTxn(q)
     }
@@ -2180,8 +2204,11 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         // a catalog view this txn DROPPED is absent from its viewpoint:
         // IF EXISTS no-ops, a plain DROP raises not-found (the catalog
         // still holds the view until COMMIT, so the generic path would
-        // wrongly raise the wrong-object-type error)
-        if (st.droppedViews.contains(q0)) {
+        // wrongly raise the wrong-object-type error). A name RETAKEN
+        // as a rename target is exempt — it now resolves to the
+        // renamed table, and the renamed-TO collapse below drops it.
+        if (st.droppedViews.contains(q0) &&
+            !st.renames.valuesIterator.contains(q0)) {
           if (ifExists) { absorbedDdl.set(true); return ExecResult(null, "DROP TABLE") }
           droppedInTxn(q0)
         }

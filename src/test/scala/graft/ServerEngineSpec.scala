@@ -2655,6 +2655,54 @@ class ServerEngineSpec extends SparkSpecBase {
     }
   }
 
+  test("review-5 corners: DROP of a rename-retaken name, dropped views in cycle detection") {
+    fresh("r5t")
+    engine.execute("DROP VIEW IF EXISTS main.r5_w")
+    engine.execute("DROP VIEW IF EXISTS main.r5_cv")
+    engine.execute("CREATE TABLE main.r5t (x INT)")
+    engine.execute("INSERT INTO main.r5t VALUES (1)")
+    engine.execute("CREATE VIEW main.r5_w AS SELECT 9 AS x")
+    try {
+      // DROP TABLE on a name freed by DROP VIEW and retaken by RENAME
+      // drops the renamed TABLE (collapse path), not a false not-found
+      engine.execute("BEGIN")
+      engine.execute("DROP VIEW main.r5_w")
+      engine.execute("ALTER TABLE main.r5t RENAME TO main.r5_w")
+      // DROP VIEW of the retaken name: it is a table now
+      val wt = intercept[org.apache.spark.sql.AnalysisException] {
+        engine.execute("DROP VIEW main.r5_w")
+      }
+      assert(wt.getMessage.contains("DROP TABLE"), wt.getMessage)
+      engine.execute("DROP TABLE main.r5_w") // drops the renamed table
+      intercept[org.apache.spark.sql.AnalysisException] {
+        engine.execute("SELECT * FROM main.r5_w").df.collect()
+      }
+      engine.execute("COMMIT")
+      assert(!spark.catalog.tableExists("main.r5t"))
+      assert(!spark.catalog.tableExists("main.r5_w"))
+
+      // a view DROPPED in-txn never forms a post-commit cycle: a new
+      // body referencing it must fail with the dropped-view NOT-FOUND,
+      // not a spurious "recursive view" from its stale catalog text
+      engine.execute("CREATE VIEW main.r5_w AS SELECT 1 AS x")
+      engine.execute("CREATE VIEW main.r5_cv AS SELECT x FROM main.r5_w")
+      engine.execute("BEGIN")
+      engine.execute("DROP VIEW main.r5_cv")
+      val nf = intercept[org.apache.spark.sql.AnalysisException] {
+        engine.execute("CREATE OR REPLACE VIEW main.r5_w AS SELECT x FROM main.r5_cv")
+      }
+      assert(!nf.getMessage.contains("recursive"), nf.getMessage)
+      assert(engine.txnStatus == 'T')
+      engine.execute("ROLLBACK")
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => () }
+      engine.execute("DROP VIEW IF EXISTS main.r5_cv")
+      engine.execute("DROP VIEW IF EXISTS main.r5_w")
+      engine.execute("DROP TABLE IF EXISTS main.r5t")
+      engine.execute("DROP TABLE IF EXISTS main.r5_w")
+    }
+  }
+
   test("in-txn table DDL against a VIEW name raises Spark's own type errors") {
     fresh("vt_t")
     engine.execute("DROP VIEW IF EXISTS main.vt_v")
