@@ -755,8 +755,14 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     if (!st.open || st.renames.isEmpty) return t
     val q = qualify(t)
     if (st.created.contains(q)) t
-    else if (st.renames.contains(q)) droppedInTxn(q)
-    else st.renames.collectFirst { case (o, n) if n == q => o }.getOrElse(t)
+    // a rename TARGET resolves to its source — even when the same name
+    // was ALSO renamed away (r13 chains: `t → t_old; t_new → t` makes
+    // t denote the former t_new); only a freed-and-not-retaken name is
+    // gone from this txn's view
+    else st.renames.collectFirst { case (o, n) if n == q => o } match {
+      case Some(o) => o
+      case None => if (st.renames.contains(q)) droppedInTxn(q) else t
+    }
   }
 
   private def readTable(t: String): DataFrame = {
@@ -1030,8 +1036,11 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         // freed by this txn's own DROP (table or view), which publishes
         // first
         st.renames.toSeq.sortBy(_._1).foreach { case (_, n) =>
+          // a target this txn's OWN rename frees publishes first
+          // (dependency order, r13); only a name nothing in this
+          // commit vacates is a genuine conflict
           if (!st.dropped.contains(n) && !st.droppedViews.contains(n) &&
-              spark.catalog.tableExists(n))
+              !st.renames.contains(n) && spark.catalog.tableExists(n))
             throw new IllegalArgumentException(
               s"could not commit transaction: table $n was created by a concurrent " +
                 "transaction (serialization conflict); the transaction was rolled back")
@@ -1058,6 +1067,28 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       val commitRenames: Map[String, String] = st.renames.toMap
       def rekeyCreatedFks(c: Constraints): Constraints =
         rekeyFksThrough(c, commitRenames)
+      // dependency order for the rename publishes (r13 chains): a
+      // rename ONTO a name another rename frees must apply after it —
+      // repeatedly emit any rename whose target is not a still-pending
+      // old name. Pure cycles were rejected at staging
+      // ([[rejectRenameCycle]]), so this always drains; the guard
+      // throws rather than publishing a wrong order if an unexpected
+      // cycle ever slipped through. Shared by the journal (recovery
+      // replays mv ops in file order) and pass 3b.
+      val orderedRenames: Seq[(String, String)] = {
+        val pending = scala.collection.mutable.LinkedHashMap(
+          st.renames.toSeq.sortBy(_._1): _*)
+        val out = scala.collection.mutable.Buffer.empty[(String, String)]
+        while (pending.nonEmpty) {
+          pending.find { case (_, n) => !pending.contains(n) } match {
+            case Some((o, n)) => out += ((o, n)); pending.remove(o)
+            case None => throw new IllegalStateException(
+              "internal: rename intents form a cycle at COMMIT: " +
+                pending.map { case (o, n) => s"$o->$n" }.mkString(", "))
+          }
+        }
+        out.toSeq
+      }
       val journal: Option[java.io.File] = dbPath.map { p =>
         val ops = tables.flatMap { t =>
           val drop = if (st.dropped.contains(t)) Seq(s"drop\t$t\t\t\t") else Nil
@@ -1084,11 +1115,13 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         } ++ locally {
           val renameMap = st.renames.toMap
           val droppedSet = st.dropped.toSet
-          st.renames.toSeq.sortBy(_._1).flatMap { case (o, n) =>
+          orderedRenames.flatMap { case (o, n) =>
             // rename intents: `mv` moves the (post-publish) old dir to
             // the new name and rekeys the registration; recovery applies
             // them AFTER the per-table publishes and BEFORE created-
-            // table publishes (a same-txn recreate of the freed name)
+            // table publishes (a same-txn recreate of the freed name).
+            // Dependency order (r13): replay must free a chained
+            // target's dir before the next mv lands on it.
             renameJournalOps(o, n, renameMap, droppedSet)
           }
         } ++ st.droppedViews.toSeq.sorted.map(v => s"vdrop\t$v\t\t\t") ++
@@ -1170,8 +1203,17 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         }
         // ---- pass 3b: renames — the freshly-published (or untouched)
         // old-name table takes its new name; locks on both names held
-        st.renames.toSeq.sortBy(_._1).foreach { case (o, n) =>
-          applyRenamePhysical(o, n)
+        orderedRenames.foreach { case (o, n) =>
+          try applyRenamePhysical(o, n)
+          catch { case p: PartialRenameFailure =>
+            // catalog renamed: the rename IS applied from every other
+            // connection's viewpoint — count it published so the
+            // failure report doesn't claim it "not applied", and let
+            // the catch below keep the journal for boot roll-forward
+            st.renames.remove(o)
+            if (!published.contains(o)) published += o
+            throw p
+          }
           st.renames.remove(o)
           if (!published.contains(o)) published += o
         }
@@ -1226,8 +1268,20 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         case e: Throwable =>
           // an in-process publish FAILURE (no crash) is handled here
           // authoritatively — the journal must not also roll it
-          // forward at a later restart, so it goes first
-          journal.foreach(_.delete())
+          // forward at a later restart, so it goes first. ONE
+          // exception: a rename that failed AFTER its catalog step
+          // (PartialRenameFailure) is already visible to every
+          // connection and can only roll FORWARD — the journal
+          // survives, shrunk to exactly that rename's outstanding
+          // dir-move/rekey ops (every other op would otherwise
+          // re-apply over post-failure writes at boot).
+          e match {
+            case p: PartialRenameFailure =>
+              journal.foreach(f => writeFile(f.getAbsolutePath,
+                partialRenameRepairOps(p.qo, p.qn, p.constraintsPersisted)
+                  .mkString("\n")))
+            case _ => journal.foreach(_.delete())
+          }
           // published tables' images are consumed — drop those; keep
           // the unpublished ones ON DISK and name them, so a partial
           // multi-table commit failure is recoverable by the operator
@@ -1250,7 +1304,14 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
           if (kept.nonEmpty) throw new IllegalStateException(
             s"COMMIT failed mid-publish: [${published.mkString(", ")}] committed; " +
               s"NOT committed: ${kept.mkString("; ")}: ${e.getMessage}", e)
-          throw e
+          e match {
+            case p: PartialRenameFailure => throw new IllegalStateException(
+              s"COMMIT applied but the rename ${p.qo} -> ${p.qn} only " +
+                "partially finished (catalog renamed); the remaining steps " +
+                "are journaled and complete at the next restart: " +
+                p.getCause.getMessage, p.getCause)
+            case _ => throw e
+          }
       }
     } finally locks.reverse.foreach(_.unlock())
   }
@@ -1465,6 +1526,13 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         if (ifExists) return ExecResult(null, "ALTER TABLE")
         droppedInTxn(qo)
       }
+      // a VIEW cannot be renamed with ALTER TABLE (same rejection as
+      // the in-txn path): Spark's catalog rename would SUCCEED on a
+      // view, but views.sql is never rewritten, so the rename would
+      // silently revert at the next restart's views.sql replay
+      if (isView(qo))
+        org.apache.spark.sql.GraftBridge.analysisError(
+          s"$qo is a view; ALTER TABLE … RENAME TO expects a table")
       if (spark.catalog.tableExists(qn))
         throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
           qn.split('.').toIndexedSeq)
@@ -1473,7 +1541,21 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       // leave a renamed dir with an old-name registration
       val journal = renameJournal(qo, qn)
       try applyRenamePhysical(qo, qn)
-      catch { case e: Throwable => journal.foreach(_.delete()); throw e }
+      catch {
+        case p: PartialRenameFailure =>
+          // catalog renamed but a later step failed: the journal must
+          // SURVIVE (boot rolls the rename forward) — shrunk to exactly
+          // the ops still outstanding, so completed steps can't be
+          // re-applied over later in-process edits
+          journal.foreach(f => writeFile(f.getAbsolutePath,
+            partialRenameRepairOps(qo, qn, p.constraintsPersisted)
+              .mkString("\n")))
+          throw new IllegalStateException(
+            s"ALTER TABLE RENAME partially applied ($qo is now $qn in the " +
+              "catalog); the remaining steps are journaled and complete at " +
+              s"the next restart: ${p.getCause.getMessage}", p.getCause)
+        case e: Throwable => journal.foreach(_.delete()); throw e
+      }
       journal.foreach(_.delete())
       ExecResult(null, "ALTER TABLE")
     } finally locks.reverse.foreach(_.unlock())
@@ -1501,7 +1583,13 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
           c.fks.exists(f => qualify(f.refTable) == qo) =>
         s"constraint\t$k\t\t\t${b64(constraintLine(k, rekeyFksThrough(c, renameMap)))}"
     }
-    s"mv\t$qn\t$qo\t\t$regLine" +: childLines
+    // field 3 records whether the SOURCE had a warehouse-canonical dir
+    // when the journal was written: recovery's completion heuristic for
+    // a preceding same-name `drop` needs to know whether source-dir
+    // absence means "moved pre-crash" (wh) or "never had one" (ext —
+    // a genuinely external location, where dir absence proves nothing)
+    val marker = if (tableDirOf(qo).isDirectory) "wh" else "ext"
+    s"mv\t$qn\t$qo\t$marker\t$regLine" +: childLines
   }
 
   private def renameJournal(qo: String, qn: String): Option[java.io.File] =
@@ -1512,9 +1600,27 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       f
     }
 
+  /** A rename failed AFTER its catalog step succeeded: the point of no
+    * return is `ALTER TABLE … RENAME` (concurrent connections already
+    * resolve the new name), so the only safe direction is FORWARD —
+    * the caller must KEEP (not delete) the publish journal so boot
+    * recovery finishes the dir move / constraint rekey.
+    * `constraintsPersisted` = the registration rekey made it to disk;
+    * only the dir move still needs the journal then, and the kept
+    * journal shrinks to a bare `mv` so a LATER in-process constraint
+    * edit can't be clobbered by a stale journaled line at boot. */
+  private final class PartialRenameFailure(
+      val qo: String, val qn: String, val constraintsPersisted: Boolean,
+      cause: Throwable) extends RuntimeException(cause)
+
   /** Apply a rename NOW (both names' locks held by the caller):
     * catalog rename, EXTERNAL-dir move, registration + FK rekey,
-    * epoch bumps on both names. */
+    * epoch bumps on both names. A failure BEFORE the catalog rename
+    * propagates as-is (nothing happened — the caller may delete its
+    * journal); a failure AFTER it finishes the remaining in-memory
+    * bookkeeping (rekey + epoch bumps — the live process must stay
+    * consistent with the catalog) and throws [[PartialRenameFailure]]
+    * so the caller keeps the journal for boot-time roll-forward. */
   private def applyRenamePhysical(qo: String, qn: String): Unit = {
     import scala.jdk.CollectionConverters._
     val external =
@@ -1523,7 +1629,12 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL
       catch { case scala.util.control.NonFatal(_) => false }
     spark.sql(s"ALTER TABLE $qo RENAME TO $qn")
-    if (external) moveExternalDir(qo, qn)
+    // ---- point of no return: catalog renamed
+    var firstFailure: Option[Throwable] = None
+    var persisted = true
+    if (external)
+      try moveExternalDir(qo, qn)
+      catch { case scala.util.control.NonFatal(e) => firstFailure = Some(e) }
     val removed = Option(constraints.remove(qo))
     removed.filterNot(_.isEmpty).foreach(constraints.put(qn, _))
     var fkMoved = false
@@ -1534,11 +1645,41 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         fkMoved = true
       }
     }
-    if (removed.isDefined || fkMoved) persistConstraints()
+    if (removed.isDefined || fkMoved)
+      try persistConstraints()
+      catch { case scala.util.control.NonFatal(e) =>
+        persisted = false
+        if (firstFailure.isEmpty) firstFailure = Some(e)
+      }
     // concurrent transactions pinned on either name abort cleanly at
     // their next read or COMMIT
     bumpEpoch(qo); bumpRewriteEpoch(qo); logRewrite(qo, None)
     bumpEpoch(qn); bumpRewriteEpoch(qn)
+    firstFailure.foreach(e =>
+      throw new PartialRenameFailure(qo, qn, persisted, e))
+  }
+
+  /** The journal ops a PARTIALLY-applied rename still needs at boot,
+    * regenerated from the CURRENT in-memory constraint map (which
+    * [[applyRenamePhysical]] rekeyed before throwing): the dir move,
+    * plus — only when the rekey never reached disk — the rekeyed
+    * registration lines, so recovery makes constraints.tsv match the
+    * map the live process was already serving. */
+  private def partialRenameRepairOps(
+      qo: String, qn: String, constraintsPersisted: Boolean): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    if (constraintsPersisted) Seq(s"mv\t$qn\t$qo\t\t")
+    else {
+      def b64(s: String) =
+        java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+      val regLine = Option(constraints.get(qn)).filterNot(_.isEmpty)
+        .map(c => b64(constraintLine(qn, c))).getOrElse("")
+      val childLines = constraints.asScala.toSeq.collect {
+        case (k, c) if k != qn && c.fks.exists(f => qualify(f.refTable) == qn) =>
+          s"constraint\t$k\t\t\t${b64(constraintLine(k, c))}"
+      }
+      s"mv\t$qn\t$qo\t\t$regLine" +: childLines
+    }
   }
 
   /** Move a boot-registered EXTERNAL table's warehouse dir to the new
@@ -1574,8 +1715,10 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * binder-class. Chains collapse (t→u then u→v stores t→v), so
     * sources are always pre-existing base tables; renaming BACK to the
     * original name cancels the intent. Renaming ONTO a name another
-    * rename freed (a swap) is rejected — it would need ordered
-    * multi-step publish (declared); a name freed by a same-txn DROP is
+    * rename freed is supported (r13): COMMIT publishes the renames in
+    * dependency order and the retaken name denotes the retaking table
+    * mid-txn. Only a pure CYCLE (a⇄b swap) is rejected, binder-class
+    * ([[rejectRenameCycle]]); a name freed by a same-txn DROP is
     * fine (drops publish first). */
   private def transactionalRename(ifExists: Boolean, qo0: String, qn: String): ExecResult = {
     val st = txn.get()
@@ -1624,6 +1767,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         s"$qo is a view; ALTER TABLE … RENAME TO expects a table")
     if (qo == qn) { st.renames.remove(qo); return ok() } // renamed back: net no-op
     validateRenameTarget(st, qn)
+    rejectRenameCycle(st, qo, qn)
     val lock = lockFor(qo).readLock()
     lock.lock()
     try pinOrCheck(qo) finally lock.unlock()
@@ -1641,11 +1785,19 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * recreate in SEPARATE transactions both work). */
   private def rejectRecreateOfRenamedAway(table: String): Unit = {
     val st = txn.get()
-    if (st.open && st.renames.contains(qualify(table)))
+    val q = qualify(table)
+    if (st.open && st.renames.contains(q)) {
+      // a name freed by one rename and RETAKEN by another (r13 chains)
+      // is simply occupied — the plain already-exists error, not the
+      // renamed-away limitation text
+      if (st.renames.valuesIterator.contains(q))
+        throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+          q.split('.').toIndexedSeq)
       throw new IllegalArgumentException(
         s"cannot re-create table $table: the name was freed by a RENAME in this " +
           "transaction (re-creating a renamed-away name in the same transaction " +
           "is not supported; COMMIT the rename first)")
+    }
   }
 
   /** A rename (or created-table rename) TARGET must be free from this
@@ -1653,17 +1805,35 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * DROPPED it — drops publish first), not created in this txn, and
     * not already the target of another rename. */
   private def validateRenameTarget(st: TxnState, qn: String): Unit = {
-    if (st.renames.contains(qn))
-      throw new IllegalArgumentException(
-        s"cannot rename onto $qn: the name was freed by another RENAME in this " +
-          "transaction (swap-style renames need ordered publish and are not " +
-          "supported in a single transaction)")
     if (st.created.contains(qn) || st.createdViews.contains(qn) ||
         st.renames.valuesIterator.contains(qn) ||
         (spark.catalog.tableExists(qn) && !st.dropped.contains(qn) &&
-          !st.droppedViews.contains(qn)))
+          !st.droppedViews.contains(qn) && !st.renames.contains(qn)))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         qn.split('.').toIndexedSeq)
+  }
+
+  /** Renaming ONTO a name another rename in this txn freed is allowed
+    * (r13) — COMMIT publishes the renames in dependency order, so
+    * `RENAME t TO t_old; RENAME t_new TO t` works like DuckDB. The one
+    * remaining declared rejection is a PURE CYCLE (a⇄b swaps): no
+    * publish order exists without a temp hop, and mid-txn both names
+    * would denote each other's table. Staging `o → n` closes a cycle
+    * iff following old-name edges from n leads back to o. */
+  private def rejectRenameCycle(st: TxnState, qo: String, qn: String): Unit = {
+    var cur = qn
+    var hops = 0
+    while (st.renames.contains(cur) && hops <= st.renames.size) {
+      cur = st.renames(cur)
+      hops += 1
+      if (cur == qo)
+        // binder-class: the block stays usable, like other catalog-
+        // shaped rename rejections
+        org.apache.spark.sql.GraftBridge.analysisError(
+          s"cannot rename onto $qn: this would close a rename CYCLE inside one " +
+            "transaction (pure swaps need a temporary name; rename through a " +
+            "third name or COMMIT between the renames)")
+    }
   }
 
   /** View names transitively referenced from `start`'s body `plan0`
@@ -1995,6 +2165,13 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       }.flatten.toSet
       plan = plan transformUpWithSubqueries {
         case r: UnresolvedRelation =>
+          // a node a RENAME-TARGET substitution already produced is
+          // FINAL (marked below): with rename chains (r13 — `b → c;
+          // a → b`), re-examining the inserted original name would
+          // chase it through the NEXT rename (c → b → a) and serve the
+          // wrong table — the maps must apply simultaneously, once
+          if (r.multipartIdentifier.headOption.contains(Engine.ResolvedMarker)) r
+          else {
           val p = baseParts(r.multipartIdentifier)
           if (p.length > 2 || cteNames.contains(p.last.toLowerCase)) r
           else {
@@ -2019,7 +2196,10 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
               // in which case the created entry below serves it.
               // Round 1 only: a rename-target substitution
               // legitimately resolves TO the renamed-away original.
-              if (st.renames.contains(q) && !st.created.contains(q))
+              // A name freed AND retaken by another rename (r13
+              // chains) resolves through the retaking rename instead.
+              if (st.renames.contains(q) && !st.created.contains(q) &&
+                  !st.renames.valuesIterator.contains(q))
                 droppedInTxn(q)
             }
             st.createdViewPlans.get(q) match {
@@ -2029,13 +2209,25 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
               case None => preAnalysis.get(q) match {
                 case Some(stg) =>
                   changed = true
-                  SubqueryAlias(p.last,
-                    UnresolvedRelation(stg.split('.').toIndexedSeq))
+                  val parts0 = stg.split('.').toIndexedSeq
+                  // rename-target results are FINAL: prefix them with
+                  // the marker so later rounds can't chase the
+                  // inserted original through another rename intent
+                  val parts =
+                    if (renameTargets.contains(q)) Engine.ResolvedMarker +: parts0
+                    else parts0
+                  SubqueryAlias(p.last, UnresolvedRelation(parts))
                 case None => r
               }
             }
           }
+          }
       }
+    }
+    if (st.renames.nonEmpty) plan = plan transformUpWithSubqueries {
+      case r: UnresolvedRelation
+          if r.multipartIdentifier.headOption.contains(Engine.ResolvedMarker) =>
+        UnresolvedRelation(r.multipartIdentifier.drop(1))
     }
     plan
   }
@@ -2190,8 +2382,10 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
           absorbedDdl.set(true) // absorbed: ROLLBACK has nothing left to undo
           return ExecResult(null, "DROP TABLE")
         }
-        // a name this txn renamed AWAY is gone from its own view
-        if (st.renames.contains(q0)) {
+        // a name this txn renamed AWAY is gone from its own view — but
+        // a name RETAKEN by another rename (r13 chains) now denotes the
+        // retaking table; the renamed-TO collapse below handles it
+        if (st.renames.contains(q0) && !st.renames.valuesIterator.contains(q0)) {
           if (ifExists) { absorbedDdl.set(true); return ExecResult(null, "DROP TABLE") }
           droppedInTxn(q0)
         }
@@ -4550,8 +4744,12 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     requireFileIo()
     val df =
       if (src.trim.startsWith("(")) spark.sql(rewrite(src.trim.stripPrefix("(").stripSuffix(")")))
-      // readTable, not spark.table: COPY <table> TO inside a txn must
-      // see the txn's own overlay, and a post-rename name must resolve
+      // inside a transaction the name goes through the SAME read path
+      // as a SELECT (substituteTxnNames + overlay redirect + pinning):
+      // a view CREATED in this txn resolves via its stored plan, a
+      // renamed-to name resolves, and a dropped name fails binder-class
+      // — readTable alone sees table overlays but not view intents
+      else if (isTxnOpen) txnExec(rewrite(s"SELECT * FROM ${src.trim}"))
       else readTable(resolveRenamed(src.trim))
     val format = formatOf(opts, path)
     val n = df.count()
@@ -4831,9 +5029,24 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         val t = o(1)
         // only DIR-publishing ops count as same-name completion
         // evidence — view/enum intents (vcreate/vdrop/ecreate/edrop)
-        // carry no source dir (empty x(2) would crash tableDirOf)
+        // carry no source dir (empty x(2) would crash tableDirOf).
+        // For staged-image ops (overwrite/append/replace/rename) a
+        // MISSING source dir means the image was consumed = completed.
+        // For `mv` the source is a REAL table: its journaled field 3
+        // says whether it HAD a warehouse dir at journal-write time —
+        // "ext" (genuinely external location) never had one, so dir
+        // absence proves nothing and the drop must proceed (the mv
+        // phase is a harmless no-op on dirs); otherwise completion
+        // evidence is source-gone AND target-present (the moved dir —
+        // target-present alone is ambiguous with the DROPPED table's
+        // own dir in a drop-then-rename-onto-the-name commit).
         val laterDone = ops.exists(x => x(1) == t && x(0) != "drop" &&
-          x(0) != "constraint" && x(2).nonEmpty && !tableDirOf(x(2)).exists())
+          x(0) != "constraint" && x(2).nonEmpty && {
+            val srcGone = !tableDirOf(x(2)).exists()
+            if (x(0) == "mv")
+              x(3) != "ext" && srcGone && tableDirOf(x(1)).exists()
+            else srcGone
+          })
         if (!laterDone) { val d = tableDirOf(t); if (d.exists()) rm(d) }
         dropNames += t
       }
@@ -5120,6 +5333,11 @@ object Engine {
     * that fails) only costs an extra rebuild — never staleness. */
   private[server] val ddlEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
   private[server] val ddlRe = """(?is)^\s*(create|drop|alter)\b""".r
+
+  /** Sentinel first part of a multipart identifier marking a relation
+    * a rename-target substitution already resolved — stripped before
+    * analysis ([[Engine.substituteTxnNames]]); never a real catalog. */
+  private[server] val ResolvedMarker = "__graft_renamed__"
 
   // intercepts (case-insensitive), mirroring reference pg_conn.go:274-307
   private val createUserRe =

@@ -2953,4 +2953,293 @@ class ServerEngineSpec extends SparkSpecBase {
       spark.sql("DROP TABLE IF EXISTS main.rps_b")
     }
   }
+
+  test("ALTER TABLE RENAME rejects a view outside a transaction") {
+    fresh("rnv_t")
+    engine.execute("CREATE TABLE main.rnv_t (k INT) USING parquet")
+    engine.execute("CREATE VIEW main.rnv_v AS SELECT k FROM main.rnv_t")
+    try {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        engine.execute("ALTER TABLE main.rnv_v RENAME TO main.rnv_w")
+      }
+      assert(e.getMessage.contains("is a view"), e.getMessage)
+      // the view is untouched and still reads
+      assert(spark.catalog.tableExists("main.rnv_v"))
+      assert(engine.execute("SELECT count(*) AS c FROM main.rnv_v").df.head().getLong(0) == 0L)
+    } finally {
+      spark.sql("DROP VIEW IF EXISTS main.rnv_v")
+      spark.sql("DROP TABLE IF EXISTS main.rnv_t")
+    }
+  }
+
+  test("COPY TO of an in-txn created view resolves through the txn overlay") {
+    fresh("cpv_t")
+    engine.execute("CREATE TABLE main.cpv_t (k INT, v STRING) USING parquet")
+    engine.execute("INSERT INTO main.cpv_t VALUES (1,'a'), (2,'b'), (3,'c')")
+    val out = Files.createTempDirectory("graft-copy-txnview").toFile
+    val dest = new java.io.File(out, "v.parquet").getAbsolutePath
+    try {
+      engine.execute("BEGIN")
+      // the view AND an overlay write it must see, both inside the txn
+      engine.execute("INSERT INTO main.cpv_t VALUES (4,'d')")
+      engine.execute("CREATE VIEW main.cpv_v AS SELECT k FROM main.cpv_t WHERE k > 1")
+      val r = engine.execute(s"COPY main.cpv_v TO '$dest' (FORMAT parquet)")
+      assert(r.tag == "COPY 3", r.tag) // k = 2, 3 and the in-txn 4
+      assert(spark.read.parquet(dest).collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 3, 4))
+      // a name this txn DROPPED fails binder-class from COPY too
+      engine.execute("DROP VIEW main.cpv_v")
+      val gone = intercept[Exception] {
+        engine.execute(s"COPY main.cpv_v TO '$dest' (FORMAT parquet)")
+      }
+      assert(gone.getMessage.toLowerCase.contains("cpv_v"), gone.getMessage)
+      engine.execute("ROLLBACK")
+      // rolled back: the view never reached the catalog
+      assert(!spark.catalog.tableExists("main.cpv_v"))
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => }
+      spark.sql("DROP VIEW IF EXISTS main.cpv_v")
+      spark.sql("DROP TABLE IF EXISTS main.cpv_t")
+    }
+  }
+
+  test("partial rename keeps a repair journal; boot completes the rekey") {
+    val tmp = Files.createTempDirectory("graft-prn").toFile.getAbsolutePath
+    fresh("prn_t"); fresh("prn_u")
+    val block = new java.io.File(tmp, "constraints.tsv.tmp")
+    try {
+      val e1 = new Engine(spark, allowFileIo = true, dbPath = Some(tmp))
+      e1.execute("CREATE TABLE main.prn_t (k INT PRIMARY KEY, v STRING) USING parquet")
+      e1.execute("INSERT INTO main.prn_t VALUES (1,'a')")
+      // wedge persistConstraints: its atomic-write temp path is a DIR
+      assert(block.mkdirs())
+      val err = intercept[IllegalStateException] {
+        e1.execute("ALTER TABLE main.prn_t RENAME TO main.prn_u")
+      }
+      assert(err.getMessage.contains("partially applied"), err.getMessage)
+      // catalog renamed (point of no return) and the LIVE process is
+      // consistent: the PK registration followed the table in memory
+      assert(spark.catalog.tableExists("main.prn_u"))
+      assert(!spark.catalog.tableExists("main.prn_t"))
+      intercept[IllegalArgumentException] {
+        e1.execute("INSERT INTO main.prn_u VALUES (1,'dup')")
+      }
+      // the journal SURVIVED, shrunk to the outstanding mv + regline
+      val jf = new java.io.File(tmp).listFiles()
+        .filter(_.getName.startsWith("publish_journal_"))
+      assert(jf.length == 1, jf.mkString(","))
+      val ops = scala.io.Source.fromFile(jf.head).mkString
+      assert(ops.startsWith("mv\tmain.prn_u\tmain.prn_t\t"), ops)
+      assert(ops.split("\t", -1)(4).nonEmpty, s"regline must repair the tsv: $ops")
+      // unwedge; a restart rolls the registration forward durably
+      assert(block.delete())
+      val e2 = new Engine(spark, allowFileIo = true, dbPath = Some(tmp))
+      e2.loadPersisted()
+      assert(!new java.io.File(tmp, jf.head.getName).exists(), "journal consumed")
+      val tsv = scala.io.Source.fromFile(s"$tmp/constraints.tsv").mkString
+      assert(tsv.contains("main.prn_u") && !tsv.contains("main.prn_t"), tsv)
+      intercept[IllegalArgumentException] {
+        e2.execute("INSERT INTO main.prn_u VALUES (1,'dup2')")
+      }
+    } finally {
+      block.delete()
+      spark.sql("DROP TABLE IF EXISTS main.prn_t")
+      spark.sql("DROP TABLE IF EXISTS main.prn_u")
+    }
+  }
+
+  test("partial rename at COMMIT keeps only the rename's repair ops") {
+    val tmp = Files.createTempDirectory("graft-prnc").toFile.getAbsolutePath
+    fresh("prnc_t"); fresh("prnc_u")
+    val block = new java.io.File(tmp, "constraints.tsv.tmp")
+    try {
+      val e1 = new Engine(spark, allowFileIo = true, dbPath = Some(tmp))
+      e1.execute("CREATE TABLE main.prnc_t (k INT PRIMARY KEY, v STRING) USING parquet")
+      e1.execute("INSERT INTO main.prnc_t VALUES (1,'a')")
+      e1.execute("BEGIN")
+      e1.execute("INSERT INTO main.prnc_t VALUES (2,'b')") // delta publishes first
+      e1.execute("ALTER TABLE main.prnc_t RENAME TO main.prnc_u")
+      assert(block.mkdirs())
+      val err = intercept[IllegalStateException] { e1.execute("COMMIT") }
+      assert(err.getMessage.contains("partially"), err.getMessage)
+      assert(spark.catalog.tableExists("main.prnc_u"))
+      // the surviving journal was REWRITTEN: only the rename's mv op —
+      // the already-published delta op must NOT replay at boot over
+      // post-failure state
+      val jf = new java.io.File(tmp).listFiles()
+        .filter(_.getName.startsWith("publish_journal_"))
+      assert(jf.length == 1, jf.mkString(","))
+      val lines = scala.io.Source.fromFile(jf.head).getLines().filter(_.nonEmpty).toList
+      assert(lines.forall(l => l.startsWith("mv\t") || l.startsWith("constraint\t")), lines.mkString("|"))
+      assert(lines.head.startsWith("mv\tmain.prnc_u\tmain.prnc_t\t"), lines.head)
+      assert(block.delete())
+      val e2 = new Engine(spark, allowFileIo = true, dbPath = Some(tmp))
+      e2.loadPersisted()
+      spark.catalog.refreshTable("main.prnc_u")
+      // both the delta row and the rename committed, exactly once
+      assert(spark.table("main.prnc_u").count() == 2)
+      val tsv = scala.io.Source.fromFile(s"$tmp/constraints.tsv").mkString
+      assert(tsv.contains("main.prnc_u"), tsv)
+      intercept[IllegalArgumentException] {
+        e2.execute("INSERT INTO main.prnc_u VALUES (2,'dup')")
+      }
+    } finally {
+      block.delete()
+      try engine.execute("ROLLBACK") catch { case _: Throwable => }
+      spark.sql("DROP TABLE IF EXISTS main.prnc_t")
+      spark.sql("DROP TABLE IF EXISTS main.prnc_u")
+    }
+  }
+
+  test("rename chains: rename onto a name freed by another rename (r13)") {
+    fresh("rch_t"); fresh("rch_old"); fresh("rch_new")
+    engine.execute("CREATE TABLE main.rch_t (k INT PRIMARY KEY, v STRING) USING parquet")
+    engine.execute("INSERT INTO main.rch_t VALUES (1,'orig')")
+    engine.execute("CREATE TABLE main.rch_new (k INT PRIMARY KEY, v STRING) USING parquet")
+    engine.execute("INSERT INTO main.rch_new VALUES (10,'next')")
+    try {
+      engine.execute("BEGIN")
+      engine.execute("ALTER TABLE main.rch_t RENAME TO main.rch_old")
+      engine.execute("ALTER TABLE main.rch_new RENAME TO main.rch_t")
+      // mid-txn: t denotes the former t_new, t_old the former t,
+      // t_new is gone
+      assert(engine.execute("SELECT v FROM main.rch_t").df.head().getString(0) == "next")
+      assert(engine.execute("SELECT v FROM main.rch_old").df.head().getString(0) == "orig")
+      intercept[Exception] { engine.execute("SELECT * FROM main.rch_new") }
+      // DML through the retaken name lands on the retaking table
+      engine.execute("INSERT INTO main.rch_t VALUES (11,'nxt2')")
+      engine.execute("COMMIT")
+      assert(spark.table("main.rch_t").collect().map(_.getInt(0)).sorted.toSeq == Seq(10, 11))
+      assert(spark.table("main.rch_old").head().getString(1) == "orig")
+      assert(!spark.catalog.tableExists("main.rch_new"))
+      // constraint registrations followed both tables through the chain
+      intercept[IllegalArgumentException] {
+        engine.execute("INSERT INTO main.rch_t VALUES (10,'dup')")
+      }
+      intercept[IllegalArgumentException] {
+        engine.execute("INSERT INTO main.rch_old VALUES (1,'dup')")
+      }
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => }
+      spark.sql("DROP TABLE IF EXISTS main.rch_t")
+      spark.sql("DROP TABLE IF EXISTS main.rch_old")
+      spark.sql("DROP TABLE IF EXISTS main.rch_new")
+    }
+  }
+
+  test("rename chains: ROLLBACK forgets, cycles rejected, chain via dropped name") {
+    fresh("rcy_a"); fresh("rcy_b"); fresh("rcy_c")
+    engine.execute("CREATE TABLE main.rcy_a (k INT) USING parquet")
+    engine.execute("INSERT INTO main.rcy_a VALUES (1)")
+    engine.execute("CREATE TABLE main.rcy_b (k INT) USING parquet")
+    engine.execute("INSERT INTO main.rcy_b VALUES (2)")
+    try {
+      engine.execute("BEGIN")
+      engine.execute("ALTER TABLE main.rcy_b RENAME TO main.rcy_c")
+      engine.execute("ALTER TABLE main.rcy_a RENAME TO main.rcy_b")
+      // closing the cycle (c -> a collapses to b -> a; a is renamed
+      // away by a->b) is the declared rejection — binder-class, block
+      // stays usable
+      val cyc = intercept[org.apache.spark.sql.AnalysisException] {
+        engine.execute("ALTER TABLE main.rcy_c RENAME TO main.rcy_a")
+      }
+      assert(cyc.getMessage.contains("CYCLE"), cyc.getMessage)
+      assert(engine.execute("SELECT k FROM main.rcy_b").df.head().getInt(0) == 1)
+      engine.execute("ROLLBACK")
+      // everything back: a and b hold their original rows, c unknown
+      assert(spark.table("main.rcy_a").head().getInt(0) == 1)
+      assert(spark.table("main.rcy_b").head().getInt(0) == 2)
+      assert(!spark.catalog.tableExists("main.rcy_c"))
+
+      // chain through a transactional DROP: DROP b; rename a onto b
+      engine.execute("BEGIN")
+      engine.execute("DROP TABLE main.rcy_b")
+      engine.execute("ALTER TABLE main.rcy_a RENAME TO main.rcy_b")
+      engine.execute("COMMIT")
+      assert(spark.table("main.rcy_b").head().getInt(0) == 1)
+      assert(!spark.catalog.tableExists("main.rcy_a"))
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => }
+      spark.sql("DROP TABLE IF EXISTS main.rcy_a")
+      spark.sql("DROP TABLE IF EXISTS main.rcy_b")
+      spark.sql("DROP TABLE IF EXISTS main.rcy_c")
+    }
+  }
+
+  test("rename chains: FK rekeys through the chain; durable across restart") {
+    val tmp = Files.createTempDirectory("graft-rchfk").toFile.getAbsolutePath
+    fresh("rcf_p"); fresh("rcf_pold"); fresh("rcf_pnew"); fresh("rcf_child")
+    try {
+      val e1 = new Engine(spark, allowFileIo = true, dbPath = Some(tmp))
+      e1.execute("CREATE TABLE main.rcf_p (id INT PRIMARY KEY) USING parquet")
+      e1.execute("INSERT INTO main.rcf_p VALUES (1)")
+      e1.execute("CREATE TABLE main.rcf_pnew (id INT PRIMARY KEY) USING parquet")
+      e1.execute("INSERT INTO main.rcf_pnew VALUES (7)")
+      e1.execute("CREATE TABLE main.rcf_child (pid INT REFERENCES main.rcf_p(id)) USING parquet")
+      e1.execute("BEGIN")
+      e1.execute("ALTER TABLE main.rcf_p RENAME TO main.rcf_pold")
+      e1.execute("ALTER TABLE main.rcf_pnew RENAME TO main.rcf_p")
+      e1.execute("COMMIT")
+      // the child's FK now references the RENAMED original (rcf_pold)
+      e1.execute("INSERT INTO main.rcf_child VALUES (1)")
+      intercept[IllegalArgumentException] {
+        e1.execute("INSERT INTO main.rcf_child VALUES (7)") // only in new rcf_p
+      }
+      // registrations survive a restart with the post-chain names
+      val e2 = new Engine(spark, allowFileIo = true, dbPath = Some(tmp))
+      e2.loadPersisted()
+      intercept[IllegalArgumentException] {
+        e2.execute("INSERT INTO main.rcf_child VALUES (99)")
+      }
+      intercept[IllegalArgumentException] {
+        e2.execute("INSERT INTO main.rcf_p VALUES (7)") // PK followed the chain
+      }
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => }
+      spark.sql("DROP TABLE IF EXISTS main.rcf_p")
+      spark.sql("DROP TABLE IF EXISTS main.rcf_pold")
+      spark.sql("DROP TABLE IF EXISTS main.rcf_pnew")
+      spark.sql("DROP TABLE IF EXISTS main.rcf_child")
+    }
+  }
+
+  test("recovery: drop-then-rename with an external-location source still drops the dir") {
+    val tmp = Files.createTempDirectory("graft-ldh").toFile.getAbsolutePath
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def dir(t: String) = new java.io.File(wh, s"main.db/$t")
+    spark.sql("CREATE DATABASE IF NOT EXISTS main")
+    fresh("ldh_n"); fresh("ldh2_n"); fresh("ldh2_s")
+    try {
+      // case 1 (the ADVICE find): journaled `DROP n; RENAME u TO n`
+      // where u lives at an EXTERNAL location — u never had a
+      // warehouse dir, so its absence must NOT read as "mv completed";
+      // the dropped n's dir has to go
+      spark.sql("CREATE TABLE main.ldh_n USING parquet AS SELECT 1 AS k")
+      assert(dir("ldh_n").isDirectory)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp, "publish_journal_1.tsv"),
+        "drop\tmain.ldh_n\t\t\t\nmv\tmain.ldh_n\tmain.ldh_u\text\t".getBytes("UTF-8"))
+      val e1 = new Engine(spark, allowFileIo = true, dbPath = Some(tmp))
+      e1.loadPersisted()
+      assert(!dir("ldh_n").exists(), "dropped table's dir must be removed")
+
+      // case 2: same shape, warehouse-resident source whose mv COMPLETED
+      // pre-crash (source gone, target present) — the moved dir is the
+      // PUBLISHED table and must be kept
+      spark.sql("DROP TABLE IF EXISTS main.ldh_n")
+      spark.sql("CREATE TABLE main.ldh2_n USING parquet AS SELECT 41 AS k")
+      // simulate: the old n-dir was removed and s was moved onto n
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp, "publish_journal_2.tsv"),
+        "drop\tmain.ldh2_n\t\t\t\nmv\tmain.ldh2_n\tmain.ldh2_s\twh\t".getBytes("UTF-8"))
+      val e2 = new Engine(spark, allowFileIo = true, dbPath = Some(tmp))
+      e2.loadPersisted()
+      assert(dir("ldh2_n").isDirectory, "moved dir is the published table — kept")
+      spark.catalog.refreshTable("main.ldh2_n")
+      assert(spark.table("main.ldh2_n").head().getInt(0) == 41)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS main.ldh_n")
+      spark.sql("DROP TABLE IF EXISTS main.ldh2_n")
+      spark.sql("DROP TABLE IF EXISTS main.ldh2_s")
+    }
+  }
 }

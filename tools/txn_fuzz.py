@@ -125,6 +125,33 @@ def gen_events(r, tname, n_ops, vname=None, aux=None):
     in_txn = False
     deleted_in_txn = False   # see ON CONFLICT note below
     renamed_in_txn = False   # see RENAME note below
+    txn_renames = {}         # mirror of the engine's rename-intent map
+
+    # r13 chains: renaming onto a name another in-txn rename freed is
+    # supported; the ONE remaining declared rejection is a pure CYCLE
+    # (engine: binder error; DuckDB: allowed). Screen cycle-closing
+    # candidates at generation time with the same collapse + walk the
+    # engine runs (approximate: assumes emitted renames succeeded —
+    # over-screening is harmless, the candidate pool stays rich).
+    def rename_ok(src, dst):
+        src2 = next((o for o, n in txn_renames.items() if n == src), src)
+        if src2 == dst:
+            return True  # rename-back: cancels, never a cycle
+        cur, hops = dst, 0
+        while cur in txn_renames and hops <= len(txn_renames):
+            cur = txn_renames[cur]
+            hops += 1
+            if cur == src2:
+                return False
+        return True
+
+    def rename_apply(src, dst):
+        src2 = next((o for o, n in txn_renames.items() if n == src), src)
+        if src2 == dst:
+            txn_renames.pop(src2, None)
+        else:
+            txn_renames[src2] = dst
+
     for _ in range(n_ops):
         roll = r.random()
         if not in_txn and roll < 0.30:
@@ -132,11 +159,13 @@ def gen_events(r, tname, n_ops, vname=None, aux=None):
             in_txn = True
             deleted_in_txn = False
             renamed_in_txn = False
+            txn_renames = {}
         elif in_txn and roll < 0.25:
             events.append((r.choice(["COMMIT", "ROLLBACK"]), "end"))
             in_txn = False
             deleted_in_txn = False
             renamed_in_txn = False
+            txn_renames = {}
         elif aux and roll < 0.40:
             # transactional DDL surface: CREATE/DROP/ALTER/INSERT/SELECT
             # on an aux table, differentially vs DuckDB's transactional
@@ -175,17 +204,34 @@ def gen_events(r, tname, n_ops, vname=None, aux=None):
                      f"SELECT count(*) FROM {aux}",
                      f"SELECT * FROM {aux} ORDER BY 1",
                      f"SELECT count(*) FROM {aux}_r",
+                     f"SELECT count(*) FROM {aux}_s",
                      f"ALTER TABLE {aux} ADD COLUMN y INTEGER",
                      f"ALTER TABLE {aux} DROP COLUMN y",
                      f"ALTER TABLE {aux} RENAME TO {aux}_r",
                      f"ALTER TABLE {aux}_r RENAME TO {aux}",
+                     # third name (r13): random walks over three
+                     # spellings generate CHAINS — a name freed by one
+                     # rename and retaken by another inside the txn
+                     f"ALTER TABLE {aux} RENAME TO {aux}_s",
+                     f"ALTER TABLE {aux}_s RENAME TO {aux}",
+                     f"ALTER TABLE {aux}_r RENAME TO {aux}_s",
+                     f"ALTER TABLE {aux}_s RENAME TO {aux}_r",
                      f"CREATE VIEW {aux}_v AS SELECT * FROM {aux}",
                      f"DROP VIEW {aux}_v",
                      f"DROP TABLE {aux}",
-                     f"DROP TABLE {aux}_r"]
+                     f"DROP TABLE {aux}_r",
+                     f"DROP TABLE {aux}_s"]
+            rn = re.compile(r"ALTER TABLE (\S+) RENAME TO (\S+)")
+            if in_txn:
+                def keep(c):
+                    m = rn.match(c)
+                    return m is None or rename_ok(m.group(1), m.group(2))
+                cands = [c for c in cands if keep(c)]
             sql = r.choice(cands)
             if in_txn and "RENAME" in sql:
                 renamed_in_txn = True
+                m = rn.match(sql)
+                rename_apply(m.group(1), m.group(2))
             events.append((sql, "dml"))
         else:
             op = r.random()
