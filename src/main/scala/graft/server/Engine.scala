@@ -100,10 +100,16 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * answered from the txn-local overlay (its own inserts must enforce
     * the set it declared; a dropped name has none), everything else —
     * and every other connection — from the committed global map. */
-  private def constraintsOf(table: String): Option[Constraints] = {
+  private def constraintsOf(table: String): Option[Constraints] =
     // a post-rename name answers from the original's registration (the
     // overlay maps and the global map stay keyed by it until COMMIT)
-    val q = renameBase(qualify(table))
+    constraintsOfOriginal(renameBase(qualify(table)))
+
+  /** Registration lookup by ORIGINAL key, no rename resolution —
+    * COMMIT-time rechecks iterate original keys directly, and with
+    * rename chains (r13) an original key can double as another
+    * rename's target, which [[renameBase]] would mis-resolve. */
+  private def constraintsOfOriginal(q: String): Option[Constraints] = {
     val st = txn.get()
     val reg =
       if (st.open && st.txnConstraints.contains(q)) st.txnConstraints(q)
@@ -126,11 +132,14 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         case (m, (k, None)) => m - k
       }
     merged.toSeq.flatMap { case (child, c2) =>
-      // refTable may carry either spelling mid-txn: committed children
-      // reference the pre-rename name, same-txn-created children the
-      // post-rename one — both must restrict the same base table
+      // refTables are ORIGINAL keys: committed children carry
+      // committed names, in-txn created children normalize their
+      // spellings at CREATE ([[createTableWithConstraints]]). Only the
+      // user-facing `table` spelling resolves through renameBase —
+      // re-resolving the refTable side would mis-land on a RETAKING
+      // table when a chain reuses an original key as a target (r13)
       c2.fks.filter(f =>
-        renameBase(qualify(f.refTable)) == renameBase(qualify(table)))
+        qualify(f.refTable) == qualify(table))
         .map(child -> _)
     }
   }
@@ -152,7 +161,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
   private def enforceConstraints(table: String, newData: DataFrame,
       againstExisting: Boolean = true): Unit = {
     enforceRowLocal(table, newData)
-    constraintsOf(table).foreach { c =>
+    constraintsOfOriginal(qualify(table)).foreach { c =>
       import org.apache.spark.sql.functions.{col, count, lit}
       enforceNotNull((c.notNull ++ c.pk).distinct, newData)
       val keySets = (if (c.pk.nonEmpty) Seq(c.pk) else Nil) ++ c.unique
@@ -168,7 +177,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         // againstExisting=false on whole-table rewrites (UPDATE): the
         // rewritten rows ARE the table, so only intra-batch dups apply
         if (againstExisting &&
-            keyed.join(readTable(table).select(kc: _*), keys, "left_semi")
+            keyed.join(readOriginal(qualify(table)).select(kc: _*), keys, "left_semi")
             .limit(1).count() > 0)
           throw new IllegalArgumentException(
             s"duplicate key value violates unique constraint (${keys.mkString(", ")})")
@@ -180,7 +189,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         val present = newData
           .filter(fk.cols.map(col(_).isNotNull).reduce(_ && _))
           .select(fk.cols.map(col): _*)
-        val ref = readTable(fk.refTable)
+        val ref = readOriginal(qualify(fk.refTable))
           .select(fk.refCols.map(col): _*).toDF(fk.cols: _*)
         if (present.join(ref, fk.cols, "left_anti").limit(1).count() > 0)
           throw new IllegalArgumentException(
@@ -196,7 +205,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * evaluate CHECK on the incoming row BEFORE conflict resolution,
     * and on the SET-updated image). */
   private def enforceRowLocal(table: String, newData: DataFrame): Unit =
-    constraintsOf(table).foreach { c =>
+    constraintsOfOriginal(qualify(table)).foreach { c =>
       import org.apache.spark.sql.functions.{col, lit}
       // CHECK constraints: row-local predicate sweep (PG semantics —
       // a NULL check result passes, only FALSE rejects)
@@ -505,7 +514,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * at capture: a NULL cannot identify a row (UNIQUE admits multiple
     * NULL rows), so [[recordChangedKeys]] poisons such sets. */
   private def identityKeyOf(table: String): Seq[String] =
-    constraintsOf(table).map(c =>
+    constraintsOfOriginal(qualify(table)).map(c =>
       if (c.pk.nonEmpty) c.pk else c.unique.headOption.getOrElse(Nil))
       .getOrElse(Nil)
 
@@ -578,7 +587,9 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     import org.apache.spark.sql.functions.col
     val stg = st.staged(t)
     val keys = st.changedKeys(t).get
-    val pkCols = identityKeyOf(t)
+    val pkCols = constraintsOfOriginal(t).map(c =>
+      if (c.pk.nonEmpty) c.pk else c.unique.headOption.getOrElse(Nil))
+      .getOrElse(Nil)
     val live = spark.table(t)
     val keySchema = live.select(pkCols.map(col): _*).schema
     val keysDf = spark.createDataFrame(
@@ -587,7 +598,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     val bKeys = org.apache.spark.sql.functions.broadcast(keysDf) // <=cap rows
     val baseKept = live.join(bKeys, pkCols.toSeq, "left_anti")
     val mineRows = spark.table(stg).join(bKeys, pkCols.toSeq, "left_semi")
-    constraintsOf(t).foreach { c =>
+    constraintsOfOriginal(t).foreach { c =>
       c.unique.foreach { u =>
         val uc = u.map(col)
         val hit = mineRows.filter(u.map(col(_).isNotNull).reduce(_ && _))
@@ -765,10 +776,23 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     }
   }
 
+  /** Read a table by its USER-facing spelling: post-rename names
+    * resolve to the original's overlays ([[renameBase]]). */
   private def readTable(t: String): DataFrame = {
     val st = txn.get()
     if (!st.open) return spark.table(t)
-    val q = renameBase(qualify(t))
+    readOriginal(renameBase(qualify(t)))
+  }
+
+  /** Read a table by its ORIGINAL (registration) key, with NO rename
+    * resolution. Constraint machinery must use this for registration-
+    * keyed names (FK refTables, fkChildrenOf child keys): with rename
+    * chains (r13) an original key can ALSO be another rename's target,
+    * so re-resolving it through [[renameBase]] would serve the
+    * RETAKING table instead of the one the registration names. */
+  private def readOriginal(q: String): DataFrame = {
+    val st = txn.get()
+    if (!st.open) return spark.table(q)
     // staged first: a table DROPPED and then RE-CREATED in this txn is
     // readable again through its new overlay
     st.staged.get(q) match {
@@ -1065,8 +1089,16 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       // (an FK already spelled with the post-rename name needs nothing:
       // that IS the committed name; only pre-rename spellings map)
       val commitRenames: Map[String, String] = st.renames.toMap
+      // names of tables CREATED in this txn, captured before the
+      // publish passes consume st.created: a created table may RETAKE
+      // a name another rename freed (created-branch rename), and an FK
+      // referencing that name means the CREATED table — mapping it
+      // through commitRenames would chase the FREED name's rename
+      val createdNames: Set[String] = st.created.keySet.toSet
       def rekeyCreatedFks(c: Constraints): Constraints =
-        rekeyFksThrough(c, commitRenames)
+        rekeyFksThrough(c, commitRenames.filterNot {
+          case (o, _) => createdNames.contains(o)
+        })
       // dependency order for the rename publishes (r13 chains): a
       // rename ONTO a name another rename frees must apply after it —
       // repeatedly emit any rename whose target is not a still-pending
@@ -1337,7 +1369,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     if (newFiles.isEmpty) return // epoch moved without new files (zero-row insert)
     val stg = st.staged(t)
     val appended = spark.read.schema(spark.table(stg).schema).parquet(newFiles: _*)
-    constraintsOf(t).foreach { c =>
+    constraintsOfOriginal(t).foreach { c =>
       val keySets = (if (c.pk.nonEmpty) Seq(c.pk) else Nil) ++ c.unique
       keySets.foreach { keys =>
         val kc = keys.map(col)
@@ -1371,7 +1403,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
   private def recheckFkAppends(child: String, st: TxnState): Unit = {
     import org.apache.spark.sql.functions.col
     val written = st.staged.keySet ++ st.dropped
-    val fks = constraintsOf(child).map(_.fks).getOrElse(Nil)
+    val fks = constraintsOfOriginal(child).map(_.fks).getOrElse(Nil)
       .filter(f => written.contains(qualify(f.refTable)))
     if (fks.isEmpty) return
     val pinned = st.pinnedFiles.getOrElse(child, None).getOrElse(noSnapshotError(child))
@@ -1413,7 +1445,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * table's epoch actually moved. NULL keys never collide
     * (unique-index semantics, same as enforceConstraints). */
   private def recheckDeltaKeys(table: String, delta: String): Unit =
-    constraintsOf(table).foreach { c =>
+    constraintsOfOriginal(table).foreach { c =>
       import org.apache.spark.sql.functions.col
       val keySets = (if (c.pk.nonEmpty) Seq(c.pk) else Nil) ++ c.unique
       keySets.foreach { keys =>
@@ -1727,6 +1759,17 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     // nothing publishes under the old name at COMMIT
     if (st.created.contains(qo0)) {
       validateRenameTarget(st, qn)
+      // a CREATED table may not retake a name a base-table rename
+      // freed: an FK spelling of that name would be ambiguous between
+      // the renamed-away original (commit spelling = its new name) and
+      // this created table (commit spelling = the name itself) —
+      // declared rejection, binder-class; chains among BASE tables
+      // stay fully supported
+      if (st.renames.contains(qn))
+        org.apache.spark.sql.GraftBridge.analysisError(
+          s"cannot rename a table created in this transaction onto $qn: the " +
+            "name was freed by another RENAME in the same transaction " +
+            "(rename it to a fresh name, or COMMIT first)")
       st.created.remove(qo0).foreach(stg => st.created(qn) = stg)
       st.staged.remove(qo0).foreach(stg => st.staged(qn) = stg)
       st.txnConstraints.remove(qo0).foreach(v => st.txnConstraints(qn) = v)
@@ -1750,7 +1793,11 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       }
       return ok()
     }
-    if (st.renames.contains(qo0)) { // renamed away: gone from this txn's view
+    // renamed away: gone from this txn's view — unless RETAKEN by
+    // another rename (r13 chains), in which case the collapse below
+    // resolves it to the retaking table
+    if (st.renames.contains(qo0) &&
+        !st.renames.valuesIterator.contains(qo0)) {
       if (ifExists) return ok()
       droppedInTxn(qo0)
     }
@@ -2698,7 +2745,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       // constraint check, lock, and change set by the ORIGINAL name;
       // the renamed-away original fails binder-class
       val table = resolveRenamed(m.group(1))
-      if (constraintsOf(table).isDefined) {
+      if (constraintsOfOriginal(qualify(table)).isDefined) {
         // constraint check + insert must be one atomic unit — without
         // the write lock two concurrent inserts of the same key both
         // pass the PK check (round-2 TOCTOU), and an insert racing a
@@ -2707,7 +2754,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         lock.lock()
         try {
           val cols = Option(m.group(2)).map(_.split(",").map(_.trim).toSeq)
-            .getOrElse(readTable(table).schema.fieldNames.toSeq)
+            .getOrElse(readOriginal(qualify(table)).schema.fieldNames.toSeq)
           val srcSql = m.group(3).trim
           val src = if (srcSql.toLowerCase.startsWith("values")) spark.sql(s"SELECT * FROM $srcSql")
             else txnExec(rewrite(srcSql))
@@ -3914,7 +3961,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
             val newKeys = txnExec(s"SELECT $proj FROM $rel")
               .select(fk.refCols.map(col): _*)
             val removed = oldKeys.except(newKeys).toDF(fk.cols: _*)
-            val hit = readTable(child)
+            val hit = readOriginal(qualify(child))
               .select(fk.cols.map(col): _*)
               .filter(fk.cols.map(col(_).isNotNull).reduce(_ && _))
               .join(removed, fk.cols, "left_semi")
@@ -3989,8 +4036,9 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
           // self-FK: child rows deleted by this same statement cannot
           // hold a reference afterwards — check the POST-delete image
           val childRows =
-            if (qualify(child) == qualify(table)) txnExec(s"SELECT * $remainingSql")
-            else readTable(child)
+            if (qualify(child) == qualify(table))
+              txnExec(s"SELECT * $remainingSql") // self-FK; both originals
+            else readOriginal(qualify(child))
           val hit = childRows
             .select(fk.cols.map(col): _*)
             .filter(fk.cols.map(col(_).isNotNull).reduce(_ && _))
@@ -4039,7 +4087,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         else lit(null).cast(target.schema(c).dataType).as(c)
       }
       val keys = conflictCols
-        .orElse(constraintsOf(table).map(c => if (c.pk.nonEmpty) c.pk else c.unique.headOption.getOrElse(Nil)))
+        .orElse(constraintsOfOriginal(qualify(table)).map(c => if (c.pk.nonEmpty) c.pk else c.unique.headOption.getOrElse(Nil)))
         .filter(_.nonEmpty)
         .getOrElse(throw new IllegalArgumentException(
           "ON CONFLICT requires a conflict target or a declared PRIMARY KEY/UNIQUE constraint"))
@@ -4077,7 +4125,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
             .filter(col("__oc_n") > 1).limit(1).count() > 0)
           throw new IllegalArgumentException(
             "PRIMARY KEY or UNIQUE constraint violated: duplicate key in inserted rows")
-        constraintsOf(table).foreach(c =>
+        constraintsOfOriginal(qualify(table)).foreach(c =>
           enforceNotNull((c.notNull ++ c.pk).distinct, raw))
         keyed.unionAll(raw.filter(keyNull)).drop("__oc_rowid")
           .createOrReplaceTempView(srcTable + "_v")
@@ -4107,7 +4155,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
             // Non-target unique constraints under DO UPDATE stay a
             // documented divergence (validating them on the merged
             // image needs a second full pass).
-            constraintsOf(table).foreach(c =>
+            constraintsOfOriginal(qualify(table)).foreach(c =>
               enforceNotNull((c.notNull ++ c.pk).distinct, staged))
             enforceRowLocal(table, staged)
             // DO UPDATE: new table image = existing rows (updated where
@@ -4537,7 +4585,16 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       }
       throw e
     }
-    val newCons = Constraints(pk, unique, notNull, fks, enumCols, checks)
+    // in-txn FK refTable spellings normalize to ORIGINAL keys
+    // (renameBase): with rename chains (r13) a spelling like `b` is
+    // ambiguous — original-b before `b→c` staged, the RETAKING table
+    // after `a→b` — but the original key is unique, and COMMIT's
+    // rekeyCreatedFks (orig→final map) then lands on the right
+    // committed spelling in either order
+    val fksNorm =
+      if (isTxnOpen) fks.map(f => f.copy(refTable = renameBase(qualify(f.refTable))))
+      else fks
+    val newCons = Constraints(pk, unique, notNull, fksNorm, enumCols, checks)
     if (phys != table) txn.get().txnConstraints(qualify(table)) = Some(newCons)
     else {
       constraints.put(qualify(table), newCons)
@@ -5284,7 +5341,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     // exclude); constrained tables need check+insert to be atomic, so
     // concurrent appenders serialize on the write lock
     val lock =
-      if (constraintsOf(table).isDefined) lockFor(table).writeLock()
+      if (constraintsOfOriginal(qualify(table)).isDefined) lockFor(table).writeLock()
       else lockFor(table).readLock()
     lock.lock()
     try {

@@ -3202,6 +3202,78 @@ class ServerEngineSpec extends SparkSpecBase {
     }
   }
 
+  test("rename chains: deep chain resolution, re-rename of retaken names, FK spellings") {
+    fresh("dcx_a"); fresh("dcx_b"); fresh("dcx_c"); fresh("dcx_d"); fresh("dcx_k")
+    // three tables so the chain runs two deep: c->d, b->c, a->b
+    engine.execute("CREATE TABLE main.dcx_a (k INT PRIMARY KEY, v STRING) USING parquet")
+    engine.execute("INSERT INTO main.dcx_a VALUES (1,'a')")
+    engine.execute("CREATE TABLE main.dcx_b (k INT PRIMARY KEY, v STRING) USING parquet")
+    engine.execute("INSERT INTO main.dcx_b VALUES (2,'b')")
+    engine.execute("CREATE TABLE main.dcx_c (k INT PRIMARY KEY, v STRING) USING parquet")
+    engine.execute("INSERT INTO main.dcx_c VALUES (3,'c')")
+    try {
+      engine.execute("BEGIN")
+      engine.execute("ALTER TABLE main.dcx_c RENAME TO main.dcx_d")
+      engine.execute("ALTER TABLE main.dcx_b RENAME TO main.dcx_c")
+      engine.execute("ALTER TABLE main.dcx_a RENAME TO main.dcx_b")
+      // every spelling denotes the right original, one hop only
+      assert(engine.execute("SELECT v FROM main.dcx_d").df.head().getString(0) == "c")
+      assert(engine.execute("SELECT v FROM main.dcx_c").df.head().getString(0) == "b")
+      assert(engine.execute("SELECT v FROM main.dcx_b").df.head().getString(0) == "a")
+      intercept[Exception] { engine.execute("SELECT * FROM main.dcx_a") }
+      // writes through MIDDLE spellings key by the right original
+      engine.execute("INSERT INTO main.dcx_c VALUES (5,'b2')")
+      engine.execute("UPDATE main.dcx_d SET v = 'c9' WHERE k = 3")
+      // re-rename of a RETAKEN name collapses to the retaking table
+      engine.execute("ALTER TABLE main.dcx_b RENAME TO main.dcx_k")
+      assert(engine.execute("SELECT v FROM main.dcx_k").df.head().getString(0) == "a")
+      intercept[Exception] { engine.execute("SELECT * FROM main.dcx_b") }
+      // an in-txn child referencing a retaken spelling binds the
+      // RETAKING table (former b, now spelled dcx_c)
+      engine.execute("CREATE TABLE main.dcx_child (pid INT REFERENCES main.dcx_c(k)) USING parquet")
+      engine.execute("INSERT INTO main.dcx_child VALUES (5)") // in former b
+      engine.execute("COMMIT")
+      assert(spark.table("main.dcx_k").head().getString(1) == "a")
+      assert(spark.table("main.dcx_c").collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 5))
+      assert(spark.table("main.dcx_d").head().getString(1) == "c9")
+      assert(!spark.catalog.tableExists("main.dcx_a"))
+      assert(!spark.catalog.tableExists("main.dcx_b"))
+      // committed FK spelling followed the chain: still binds dcx_c
+      intercept[IllegalArgumentException] {
+        engine.execute("INSERT INTO main.dcx_child VALUES (99)")
+      }
+      engine.execute("INSERT INTO main.dcx_child VALUES (2)")
+      // constraint probes through a FRESH mid-txn chain (each aborts
+      // the block — DuckDB semantics — so each runs in its own txn):
+      // dcx_b is free again; chain c->b, d->c inside one txn
+      engine.execute("BEGIN")
+      engine.execute("ALTER TABLE main.dcx_c RENAME TO main.dcx_b")
+      engine.execute("ALTER TABLE main.dcx_d RENAME TO main.dcx_c")
+      // spelled b = former dcx_c table (keys 2,5): a double-resolution
+      // would validate against the wrong original's PK set
+      val dup = intercept[IllegalArgumentException] {
+        engine.execute("INSERT INTO main.dcx_b VALUES (2,'dup')")
+      }
+      assert(dup.getMessage.toLowerCase.contains("unique") ||
+        dup.getMessage.toLowerCase.contains("constraint"), dup.getMessage)
+      engine.execute("ROLLBACK")
+      // chain FK probe: child references dcx_c; mid-chain the parent's
+      // original key is retaken by another rename — enforcement must
+      // still bind the registration's table, not the retaking one
+      engine.execute("BEGIN")
+      engine.execute("ALTER TABLE main.dcx_c RENAME TO main.dcx_b")
+      engine.execute("ALTER TABLE main.dcx_d RENAME TO main.dcx_c")
+      intercept[IllegalArgumentException] {
+        engine.execute("INSERT INTO main.dcx_child VALUES (3)") // not in former dcx_c
+      }
+      engine.execute("ROLLBACK")
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => }
+      Seq("dcx_child", "dcx_a", "dcx_b", "dcx_c", "dcx_d", "dcx_k").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS main.$t"))
+    }
+  }
+
   test("recovery: drop-then-rename with an external-location source still drops the dir") {
     val tmp = Files.createTempDirectory("graft-ldh").toFile.getAbsolutePath
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")

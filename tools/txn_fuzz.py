@@ -390,6 +390,7 @@ def differential_scripts(port, n_scripts, r, finds):
             pg1.query(f"DROP VIEW IF EXISTS {tname}_aux_v")
             pg1.query(f"DROP TABLE IF EXISTS {tname}_aux")
             pg1.query(f"DROP TABLE IF EXISTS {tname}_aux_r")
+            pg1.query(f"DROP TABLE IF EXISTS {tname}_aux_s")
             pg1.query(f"DROP TABLE IF EXISTS {tname}")
             pg1.close()
             pg2.close()
