@@ -422,7 +422,17 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       // NULL in a tuple, TRUNCATE, upsert, no key) — a concurrent
       // rewrite then aborts at table granularity as before
       changedKeys: scala.collection.mutable.HashMap[String, Option[Vector[Seq[Any]]]] =
-        scala.collection.mutable.HashMap.empty) {
+        scala.collection.mutable.HashMap.empty,
+      // schemas CREATED inside this transaction (r13): created EAGERLY
+      // in the catalog (its tables must be stageable), COMPENSATED at
+      // ROLLBACK by a RESTRICT drop — the one visible-to-others txn
+      // artifact, declared (a namespace, no data). Schemas DROPPED are
+      // pure intents: empty-from-this-txn's-view at staging, applied
+      // at COMMIT after the table passes, journaled (`sdrop`).
+      createdSchemas: scala.collection.mutable.LinkedHashSet[String] =
+        scala.collection.mutable.LinkedHashSet.empty,
+      droppedSchemas: scala.collection.mutable.LinkedHashSet[String] =
+        scala.collection.mutable.LinkedHashSet.empty) {
     def reset(): Unit = {
       open = false; writes = false; ddl = false; aborted = false
       staged.clear(); deltas.clear(); baseEpochs.clear()
@@ -430,6 +440,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       renames.clear(); altered.clear(); createdViews.clear(); droppedViews.clear()
       createdViewPlans.clear(); createdEnums.clear(); droppedEnums.clear()
       txnConstraints.clear(); changedKeys.clear()
+      createdSchemas.clear(); droppedSchemas.clear()
     }
   }
   private val txn: ThreadLocal[TxnState] = ThreadLocal.withInitial(() => TxnState())
@@ -879,6 +890,14 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     // view exactly; the global map (and the surviving base table's
     // registrations under a drop-then-recreate) was never modified
     st.txnConstraints.clear()
+    // compensate eagerly-created schemas (AFTER the staged drops above
+    // freed them); RESTRICT — content a concurrent connection put there
+    // survives, and the schema stays with it (declared best-effort)
+    st.createdSchemas.foreach(s =>
+      try spark.sql(s"DROP DATABASE IF EXISTS `$s`")
+      catch { case _: Throwable => })
+    st.createdSchemas.clear()
+    st.droppedSchemas.clear() // pure intents: ROLLBACK forgets
   }
 
   /** Register a table CREATED inside the open transaction: it lives
@@ -888,6 +907,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * DuckDB's transactional DDL. Returns the physical name to create. */
   private def stageCreatedTable(table: String): String = {
     val st = txn.get()
+    guardDroppedSchema(table) // r13: no new objects in a dropped schema
     val q = qualify(table)
     val stg = q + "__txn" + txnSeq.incrementAndGet()
     st.created(q) = stg
@@ -965,7 +985,11 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
   private def commitTxn(st: TxnState): Unit = {
     if (st.staged.isEmpty && st.deltas.isEmpty && st.dropped.isEmpty &&
         st.renames.isEmpty && st.createdViews.isEmpty && st.droppedViews.isEmpty &&
-        st.createdEnums.isEmpty && st.droppedEnums.isEmpty) {
+        st.createdEnums.isEmpty && st.droppedEnums.isEmpty &&
+        st.droppedSchemas.isEmpty) {
+      // created schemas were eager — committing is just consuming the
+      // compensation record so a later ROLLBACK path can't undo them
+      st.createdSchemas.clear()
       st.baseEpochs.clear(); return
     }
     // rename SOURCES are written (their catalog entry and dir move);
@@ -1069,6 +1093,10 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
               s"could not commit transaction: table $n was created by a concurrent " +
                 "transaction (serialization conflict); the transaction was rolled back")
         }
+        // dropped schemas must STILL be empty (r13): a concurrent
+        // CREATE between intent staging and COMMIT aborts cleanly here
+        // instead of failing RESTRICT mid-publish
+        st.droppedSchemas.toSeq.sorted.foreach(emptySchemaOrError(st, _))
       } catch { case e: Throwable => dropStaged(st); throw e }
       // ---- publish journal (r12): validation passed, so the commit
       // DECISION is made — record the op list (atomically, via
@@ -1169,7 +1197,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
             // persistEnums writes)
             s"ecreate\t$n\t\t\t" + java.util.Base64.getEncoder
               .encodeToString(s"$n\t${vs.mkString(",")}".getBytes("UTF-8"))
-          }
+          } ++ st.droppedSchemas.toSeq.sorted.map(s => s"sdrop\t$s\t\t\t")
         val f = new java.io.File(p, s"publish_journal_${txnSeq.incrementAndGet()}.tsv")
         writeFile(f.getAbsolutePath, ops.mkString("\n"))
         f
@@ -1237,7 +1265,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         // old-name table takes its new name; locks on both names held
         orderedRenames.foreach { case (o, n) =>
           try applyRenamePhysical(o, n)
-          catch { case p: PartialRenameFailure =>
+          catch { case p: Engine.PartialRenameFailure =>
             // catalog renamed: the rename IS applied from every other
             // connection's viewpoint — count it published so the
             // failure report doesn't claim it "not applied", and let
@@ -1294,6 +1322,17 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
           st.createdEnums.clear()
           persistEnums()
         }
+        // ---- pass 7: schema intents (r13) — created schemas were
+        // eager (just consume the compensation record so dropStaged
+        // doesn't undo a committed schema); dropped schemas apply LAST,
+        // after pass 1 removed their remaining tables. RESTRICT: a
+        // table a concurrent connection slipped in fails the drop and
+        // surfaces through the publish-failure path.
+        st.createdSchemas.clear()
+        st.droppedSchemas.toSeq.sorted.foreach { s =>
+          spark.sql(s"DROP DATABASE IF EXISTS `$s`")
+          st.droppedSchemas.remove(s)
+        }
         dropStaged(st)
         journal.foreach(_.delete())
       } catch {
@@ -1308,7 +1347,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
           // dir-move/rekey ops (every other op would otherwise
           // re-apply over post-failure writes at boot).
           e match {
-            case p: PartialRenameFailure =>
+            case p: Engine.PartialRenameFailure =>
               journal.foreach(f => writeFile(f.getAbsolutePath,
                 partialRenameRepairOps(p.qo, p.qn, p.constraintsPersisted)
                   .mkString("\n")))
@@ -1337,7 +1376,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
             s"COMMIT failed mid-publish: [${published.mkString(", ")}] committed; " +
               s"NOT committed: ${kept.mkString("; ")}: ${e.getMessage}", e)
           e match {
-            case p: PartialRenameFailure => throw new IllegalStateException(
+            case p: Engine.PartialRenameFailure => throw new IllegalStateException(
               s"COMMIT applied but the rename ${p.qo} -> ${p.qn} only " +
                 "partially finished (catalog renamed); the remaining steps " +
                 "are journaled and complete at the next restart: " +
@@ -1574,7 +1613,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       val journal = renameJournal(qo, qn)
       try applyRenamePhysical(qo, qn)
       catch {
-        case p: PartialRenameFailure =>
+        case p: Engine.PartialRenameFailure =>
           // catalog renamed but a later step failed: the journal must
           // SURVIVE (boot rolls the rename forward) — shrunk to exactly
           // the ops still outstanding, so completed steps can't be
@@ -1632,19 +1671,6 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       f
     }
 
-  /** A rename failed AFTER its catalog step succeeded: the point of no
-    * return is `ALTER TABLE … RENAME` (concurrent connections already
-    * resolve the new name), so the only safe direction is FORWARD —
-    * the caller must KEEP (not delete) the publish journal so boot
-    * recovery finishes the dir move / constraint rekey.
-    * `constraintsPersisted` = the registration rekey made it to disk;
-    * only the dir move still needs the journal then, and the kept
-    * journal shrinks to a bare `mv` so a LATER in-process constraint
-    * edit can't be clobbered by a stale journaled line at boot. */
-  private final class PartialRenameFailure(
-      val qo: String, val qn: String, val constraintsPersisted: Boolean,
-      cause: Throwable) extends RuntimeException(cause)
-
   /** Apply a rename NOW (both names' locks held by the caller):
     * catalog rename, EXTERNAL-dir move, registration + FK rekey,
     * epoch bumps on both names. A failure BEFORE the catalog rename
@@ -1688,7 +1714,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     bumpEpoch(qo); bumpRewriteEpoch(qo); logRewrite(qo, None)
     bumpEpoch(qn); bumpRewriteEpoch(qn)
     firstFailure.foreach(e =>
-      throw new PartialRenameFailure(qo, qn, persisted, e))
+      throw new Engine.PartialRenameFailure(qo, qn, persisted, e))
   }
 
   /** The journal ops a PARTIALLY-applied rename still needs at boot,
@@ -1822,6 +1848,91 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     ok()
   }
 
+  /** Transactional CREATE SCHEMA (r13): the schema is created EAGERLY
+    * (tables staged under it need a real namespace) and recorded for
+    * ROLLBACK compensation — the one txn artifact other connections
+    * can see mid-txn is an empty namespace (declared). A schema this
+    * same txn DROPPED un-drops (net no-op, both were intents on the
+    * same empty namespace). */
+  private def transactionalCreateSchema(ifNotExists: Boolean, name: String): ExecResult = {
+    val st = txn.get()
+    val s = name.replace("\"", "")
+    def ok(): ExecResult = { absorbedDdl.set(true); ExecResult(null, "CREATE SCHEMA") }
+    if (st.droppedSchemas.contains(s)) { st.droppedSchemas -= s; return ok() }
+    if (st.createdSchemas.contains(s) || spark.catalog.databaseExists(s)) {
+      if (ifNotExists) return ok()
+      org.apache.spark.sql.GraftBridge.analysisError(s"schema $s already exists")
+    }
+    spark.sql(s"CREATE DATABASE `$s`")
+    st.createdSchemas += s
+    ok()
+  }
+
+  /** Transactional DROP SCHEMA (r13, RESTRICT only — CASCADE keeps the
+    * declared auto-commit path): a schema created in this txn drops
+    * eagerly (undoing the eager create); a pre-existing schema stages
+    * an intent, applied at COMMIT after pass 1 removed the txn's own
+    * dropped tables, journaled (`sdrop`) for crash roll-forward. The
+    * schema must be empty FROM THIS TXN'S VIEWPOINT: catalog tables or
+    * views it hasn't dropped, names it created or renamed into the
+    * schema, all block the drop binder-class. */
+  private def transactionalDropSchema(ifExists: Boolean, name: String): ExecResult = {
+    val st = txn.get()
+    val s = name.replace("\"", "")
+    def ok(): ExecResult = { absorbedDdl.set(true); ExecResult(null, "DROP SCHEMA") }
+    if (s == "main" || s == "default")
+      throw new IllegalArgumentException(s"cannot drop schema $s")
+    def inS(q: String) = q.startsWith(s + ".")
+    if (st.createdSchemas.contains(s)) {
+      if (st.created.keys.exists(inS) || st.createdViews.keys.exists(inS) ||
+          st.renames.valuesIterator.exists(inS))
+        org.apache.spark.sql.GraftBridge.analysisError(
+          s"cannot drop schema $s: it is not empty")
+      try spark.sql(s"DROP DATABASE `$s`")
+      catch { case scala.util.control.NonFatal(e) =>
+        org.apache.spark.sql.GraftBridge.analysisError(
+          s"cannot drop schema $s: ${e.getMessage}") }
+      st.createdSchemas -= s
+      return ok()
+    }
+    if (st.droppedSchemas.contains(s) || !spark.catalog.databaseExists(s)) {
+      if (ifExists) return ok()
+      org.apache.spark.sql.GraftBridge.analysisError(s"schema $s does not exist")
+    }
+    emptySchemaOrError(st, s)
+    st.droppedSchemas += s
+    ok()
+  }
+
+  /** Binder error unless `s` is empty from this txn's viewpoint —
+    * shared by intent staging and COMMIT re-validation (a concurrent
+    * CREATE between the two must abort cleanly, not fail mid-publish). */
+  private def emptySchemaOrError(st: TxnState, s: String): Unit = {
+    def inS(q: String) = q.startsWith(s + ".")
+    val catalogLive = spark.sessionState.catalog
+      .listTables(s, "*", includeLocalTempViews = false)
+      .map(ti => s + "." + ti.table)
+      .filterNot(q => Engine.isInternalTable(q.split('.').last) ||
+        st.staged.valuesIterator.contains(q) || st.deltas.valuesIterator.contains(q) ||
+        st.dropped.contains(q) || st.droppedViews.contains(q) ||
+        st.renames.contains(q))
+    val txnLive = st.created.keys.filter(inS) ++
+      st.createdViews.keys.filter(inS) ++ st.renames.valuesIterator.filter(inS)
+    if (catalogLive.nonEmpty || txnLive.nonEmpty)
+      org.apache.spark.sql.GraftBridge.analysisError(
+        s"cannot drop schema $s: it is not empty")
+  }
+
+  /** A name in a schema this txn DROPPED cannot host new objects. */
+  private def guardDroppedSchema(name: String): Unit = {
+    val st = txn.get()
+    if (!st.open || st.droppedSchemas.isEmpty) return
+    val db = qualify(name).split('.')(0)
+    if (st.droppedSchemas.contains(db))
+      org.apache.spark.sql.GraftBridge.analysisError(
+        s"schema $db was dropped in this transaction")
+  }
+
   /** Re-creating a name this transaction renamed AWAY is rejected: the
     * overlay maps are keyed by the original name, so a re-create would
     * make the renamed base's and the new table's overlays collide —
@@ -1852,6 +1963,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * DROPPED it — drops publish first), not created in this txn, and
     * not already the target of another rename. */
   private def validateRenameTarget(st: TxnState, qn: String): Unit = {
+    guardDroppedSchema(qn) // r13: no renames into a dropped schema
     if (st.created.contains(qn) || st.createdViews.contains(qn) ||
         st.renames.valuesIterator.contains(qn) ||
         (spark.catalog.tableExists(qn) && !st.dropped.contains(qn) &&
@@ -1973,6 +2085,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
   private def transactionalCreateView(orReplace: Boolean, ifNotExists: Boolean,
       name: String, query: String): ExecResult = {
     val st = txn.get()
+    guardDroppedSchema(name) // r13: no new objects in a dropped schema
     val q = qualify(name)
     val viewHere = st.createdViews.contains(q) ||
       (isView(q) && !st.droppedViews.contains(q))
@@ -2410,6 +2523,15 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     // ADD/RENAME/DROP COLUMN would make COMMIT's INSERT OVERWRITE
     // publish a schema-mismatched image)
     if (isTxnOpen) {
+      // transactional schema DDL (r13): eager-compensated CREATE,
+      // intent-staged empty-only DROP; CASCADE falls through to the
+      // declared auto-commit path
+      txnCreateSchemaRe.findFirstMatchIn(sql).foreach { m =>
+        return transactionalCreateSchema(m.group(1) != null, m.group(2))
+      }
+      txnDropSchemaRe.findFirstMatchIn(sql).foreach { m =>
+        return transactionalDropSchema(m.group(1) != null, m.group(2))
+      }
       dropTableRe.findFirstMatchIn(sql).foreach { m =>
         // DROP of a table CREATED in this same transaction is a clean
         // net no-op (DuckDB allows it): drop the overlay, unregister
@@ -5191,6 +5313,21 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         val out = kept ++ ecreates
         writeFile(f.getPath, out.mkString("\n"))
       }
+      // ---- phase 7: schema-drop intents (r13) — remove the schema's
+      // warehouse dir so the boot dir-walk doesn't resurrect it.
+      // RESTRICT at recovery too: only when nothing but stale staging
+      // leftovers remain inside (phase 1 already removed the commit's
+      // own dropped tables; a table from a pre-crash concurrent commit
+      // keeps the schema alive)
+      ops.filter(_(0) == "sdrop").foreach { o =>
+        val dbDir = new java.io.File(
+          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+          s"${o(1)}.db")
+        val contents = Option(dbDir.listFiles()).getOrElse(Array.empty)
+        if (dbDir.isDirectory &&
+            contents.forall(f => f.isDirectory && staleStagingRe.matches(f.getName)))
+          rm(dbDir)
+      }
       jf.delete()
     }
     if (dropNames.nonEmpty || addLines.nonEmpty) {
@@ -5384,6 +5521,19 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
 object Engine {
   case class ExecResult(df: DataFrame, tag: String)
 
+  /** A rename failed AFTER its catalog step succeeded: the point of no
+    * return is `ALTER TABLE … RENAME` (concurrent connections already
+    * resolve the new name), so the only safe direction is FORWARD —
+    * the caller must KEEP (not delete) the publish journal so boot
+    * recovery finishes the dir move / constraint rekey.
+    * `constraintsPersisted` = the registration rekey made it to disk;
+    * only the dir move still needs the journal then, and the kept
+    * journal shrinks to a bare `mv` so a LATER in-process constraint
+    * edit can't be clobbered by a stale journaled line at boot. */
+  private[server] final class PartialRenameFailure(
+      val qo: String, val qn: String, val constraintsPersisted: Boolean,
+      cause: Throwable) extends RuntimeException(cause)
+
   /** Global DDL epoch (JVM-wide: all connections share the warehouse).
     * Bumped on any CREATE/DROP/ALTER entering execute(); the per-family
     * catalog-view rebuilds memoize against it. Over-bumping (e.g. a DDL
@@ -5460,6 +5610,13 @@ object Engine {
     * deliberately don't match (they keep auto-commit, declared). */
   private val txnCreateTableRe =
     """(?is)^\s*create\s+table\s+(if\s+not\s+exists\s+)?([\w.]+)\s*(?:\(|as\b|using\b|$).*""".r
+  /** Schema DDL forms eligible for TRANSACTIONAL handling inside a txn
+    * (r13). DROP … CASCADE deliberately doesn't match: it keeps the
+    * declared auto-commit path (its table drops are not staged). */
+  private val txnCreateSchemaRe =
+    """(?is)^\s*create\s+schema\s+(if\s+not\s+exists\s+)?([\w"]+)\s*;?\s*$""".r
+  private val txnDropSchemaRe =
+    """(?is)^\s*drop\s+schema\s+(if\s+exists\s+)?([\w"]+)\s*(?:restrict\s*)?;?\s*$""".r
 
   /** Engine-internal staging tables (txn overlays + deltas, CoW/upsert/
     * ALTER scratch) — hidden from every catalog listing the user can

@@ -1132,20 +1132,19 @@ class ServerEngineSpec extends SparkSpecBase {
 
   test("auto-commit DDL inside a transaction: ROLLBACK says so honestly") {
     try {
-      // table CREATE/DROP/ALTER and views are transactional since
-      // r10/r11/r12/r12b — the auto-commit honesty contract covers the
-      // REST (schemas, types, temp views)
+      // table CREATE/DROP/ALTER, views, types and schemas are
+      // transactional since r10/r11/r12/r12b/r13 — the auto-commit
+      // honesty contract covers the REST (temp views)
       engine.execute("CREATE TABLE txn_ddl (a BIGINT)")
-      engine.execute("DROP SCHEMA IF EXISTS txn_ddl_s")
       engine.execute("BEGIN")
-      engine.execute("CREATE SCHEMA txn_ddl_s")
+      engine.execute("CREATE TEMP VIEW txn_ddl_tv AS SELECT 1 AS one")
       engine.execute("INSERT INTO txn_ddl VALUES (1)")
       val e = intercept[IllegalArgumentException] { engine.execute("ROLLBACK") }
       assert(e.getMessage.contains("DDL"), e.getMessage)
-      // the schema (auto-commit DDL) survives; the staged DML rolled back
-      assert(spark.catalog.databaseExists("txn_ddl_s"))
+      // the temp view (auto-commit DDL) survives; the staged DML rolled back
+      assert(engine.execute("SELECT one FROM txn_ddl_tv").df.head().getInt(0) == 1)
       assert(engine.execute("SELECT count(*) AS c FROM txn_ddl").df.head().getLong(0) == 0L)
-      engine.execute("DROP SCHEMA txn_ddl_s")
+      spark.catalog.dropTempView("txn_ddl_tv")
       // ALTER … RENAME TO is transactional too (r12b): it composes
       // with uncommitted txn changes — the overlays answer to the new
       // name — and ROLLBACK undoes both the rename and the DML
@@ -3271,6 +3270,88 @@ class ServerEngineSpec extends SparkSpecBase {
       try engine.execute("ROLLBACK") catch { case _: Throwable => }
       Seq("dcx_child", "dcx_a", "dcx_b", "dcx_c", "dcx_d", "dcx_k").foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS main.$t"))
+    }
+  }
+
+  test("transactional CREATE/DROP SCHEMA: rollback compensates, commit publishes") {
+    spark.sql("DROP DATABASE IF EXISTS txs_a CASCADE")
+    spark.sql("DROP DATABASE IF EXISTS txs_b CASCADE")
+    try {
+      // CREATE SCHEMA rolls back (compensated)
+      engine.execute("BEGIN")
+      engine.execute("CREATE SCHEMA txs_a")
+      engine.execute("CREATE TABLE txs_a.t (k INT) USING parquet")
+      engine.execute("INSERT INTO txs_a.t VALUES (1)")
+      assert(engine.execute("SELECT k FROM txs_a.t").df.head().getInt(0) == 1)
+      engine.execute("ROLLBACK")
+      assert(!spark.catalog.databaseExists("txs_a"))
+      // CREATE SCHEMA + table commits as a unit
+      engine.execute("BEGIN")
+      engine.execute("CREATE SCHEMA txs_a")
+      engine.execute("CREATE TABLE txs_a.t (k INT) USING parquet")
+      engine.execute("INSERT INTO txs_a.t VALUES (2)")
+      engine.execute("COMMIT")
+      assert(spark.table("txs_a.t").head().getInt(0) == 2)
+      // DROP SCHEMA: non-empty rejected binder-class (block usable);
+      // empty-after-in-txn-drop stages and applies at COMMIT
+      engine.execute("BEGIN")
+      val full = intercept[org.apache.spark.sql.AnalysisException] {
+        engine.execute("DROP SCHEMA txs_a")
+      }
+      assert(full.getMessage.contains("not empty"), full.getMessage)
+      engine.execute("DROP TABLE txs_a.t")
+      engine.execute("DROP SCHEMA txs_a")
+      // no new objects in a dropped schema
+      intercept[org.apache.spark.sql.AnalysisException] {
+        engine.execute("CREATE TABLE txs_a.u (k INT) USING parquet")
+      }
+      engine.execute("ROLLBACK")
+      // rollback: schema AND its table intact
+      assert(spark.catalog.databaseExists("txs_a"))
+      assert(spark.table("txs_a.t").head().getInt(0) == 2)
+      // the same sequence COMMITs: table and schema both gone
+      engine.execute("BEGIN")
+      engine.execute("DROP TABLE txs_a.t")
+      engine.execute("DROP SCHEMA txs_a")
+      engine.execute("COMMIT")
+      assert(!spark.catalog.databaseExists("txs_a"))
+      // create-then-drop in one txn is a net no-op; drop-then-recreate
+      // un-drops
+      engine.execute("BEGIN")
+      engine.execute("CREATE SCHEMA txs_b")
+      engine.execute("DROP SCHEMA txs_b")
+      engine.execute("CREATE SCHEMA txs_b")
+      engine.execute("COMMIT")
+      assert(spark.catalog.databaseExists("txs_b"))
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => }
+      spark.sql("DROP DATABASE IF EXISTS txs_a CASCADE")
+      spark.sql("DROP DATABASE IF EXISTS txs_b CASCADE")
+    }
+  }
+
+  test("recovery: sdrop journal op removes an empty schema dir, keeps a live one") {
+    val tmp = Files.createTempDirectory("graft-sdrop").toFile.getAbsolutePath
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    spark.sql("DROP DATABASE IF EXISTS sdr_gone CASCADE")
+    spark.sql("DROP DATABASE IF EXISTS sdr_kept CASCADE")
+    try {
+      spark.sql("CREATE DATABASE sdr_gone")
+      spark.sql("CREATE DATABASE sdr_kept")
+      spark.sql("CREATE TABLE sdr_kept.alive USING parquet AS SELECT 1 AS k")
+      new java.io.File(wh, "sdr_gone.db").mkdirs() // dir may not exist until first table
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp, "publish_journal_1.tsv"),
+        "sdrop\tsdr_gone\t\t\t\nsdrop\tsdr_kept\t\t\t".getBytes("UTF-8"))
+      val e = new Engine(spark, allowFileIo = true, dbPath = Some(tmp))
+      e.loadPersisted()
+      assert(!new java.io.File(wh, "sdr_gone.db").exists(), "empty schema dir removed")
+      // RESTRICT at recovery: a concurrent table keeps the schema alive
+      assert(new java.io.File(wh, "sdr_kept.db").isDirectory)
+      assert(spark.table("sdr_kept.alive").head().getInt(0) == 1)
+    } finally {
+      spark.sql("DROP DATABASE IF EXISTS sdr_gone CASCADE")
+      spark.sql("DROP DATABASE IF EXISTS sdr_kept CASCADE")
     }
   }
 

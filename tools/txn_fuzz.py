@@ -220,7 +220,16 @@ def gen_events(r, tname, n_ops, vname=None, aux=None):
                      f"DROP VIEW {aux}_v",
                      f"DROP TABLE {aux}",
                      f"DROP TABLE {aux}_r",
-                     f"DROP TABLE {aux}_s"]
+                     f"DROP TABLE {aux}_s",
+                     # transactional schema DDL (r13): CREATE rolls back
+                     # (compensated), DROP is an empty-only staged
+                     # intent — both differential vs DuckDB's
+                     # transactional catalog
+                     f"CREATE SCHEMA {aux}sch",
+                     f"DROP SCHEMA {aux}sch",
+                     f"CREATE TABLE {aux}sch.st (x INTEGER)",
+                     f"DROP TABLE {aux}sch.st",
+                     f"SELECT count(*) FROM {aux}sch.st"]
             rn = re.compile(r"ALTER TABLE (\S+) RENAME TO (\S+)")
             if in_txn:
                 def keep(c):
@@ -391,6 +400,8 @@ def differential_scripts(port, n_scripts, r, finds):
             pg1.query(f"DROP TABLE IF EXISTS {tname}_aux")
             pg1.query(f"DROP TABLE IF EXISTS {tname}_aux_r")
             pg1.query(f"DROP TABLE IF EXISTS {tname}_aux_s")
+            pg1.query(f"DROP TABLE IF EXISTS {tname}_auxsch.st")
+            pg1.query(f"DROP SCHEMA IF EXISTS {tname}_auxsch")
             pg1.query(f"DROP TABLE IF EXISTS {tname}")
             pg1.close()
             pg2.close()
@@ -488,6 +499,17 @@ def interleave_scripts(port, n_scripts, r, finds):
             ser_d = derr is not None and (ser_re.search(str(derr)) or
                                           duck_artifact_re.search(str(derr)))
             if ser_s or ser_d:
+                divergent = True
+                break
+            # catalog-visibility timing class (declared): DuckDB pins
+            # its CATALOG at txn start, so a name a concurrent
+            # connection's committed rename just created reads as
+            # not-found in an older duck txn, while the engine resolves
+            # the live catalog and aborts at COMMIT via the epoch pins
+            # (first-committer-wins either way). The schedules diverge
+            # at this statement — screen like the serialization class.
+            if (serr is None) and derr is not None and \
+                    "does not exist" in str(derr) and tname in str(derr):
                 divergent = True
                 break
             if (serr is None) != (derr is None):
