@@ -1127,24 +1127,29 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         rekeyFksThrough(c, commitRenames.filterNot {
           case (o, _) => createdNames.contains(o)
         })
-      // dependency order for the rename publishes (r13 chains): a
-      // rename ONTO a name another rename frees must apply after it —
-      // repeatedly emit any rename whose target is not a still-pending
-      // old name. Pure cycles were rejected at staging
-      // ([[rejectRenameCycle]]), so this always drains; the guard
-      // throws rather than publishing a wrong order if an unexpected
-      // cycle ever slipped through. Shared by the journal (recovery
-      // replays mv ops in file order) and pass 3b.
-      val orderedRenames: Seq[(String, String)] = {
+      // dependency order for the rename publishes (r13 chains, r13b
+      // cycles): a rename ONTO a name another rename frees must apply
+      // after it — repeatedly emit any rename whose target is not a
+      // still-pending old name. A pure CYCLE (a⇄b swap, rotations)
+      // has no such order: break it by hopping one member through a
+      // txn-temp name (src → tmp now, tmp → target once the cycle
+      // unwinds); the tmp hop is marked non-final (its orig's
+      // registration/report bookkeeping waits for the last hop).
+      // Shared by the journal (recovery replays mv ops in file order)
+      // and pass 3b. Steps: (src, dst, origOld, isLast).
+      val renameSteps: Seq[(String, String, String, Boolean)] = {
         val pending = scala.collection.mutable.LinkedHashMap(
-          st.renames.toSeq.sortBy(_._1): _*)
-        val out = scala.collection.mutable.Buffer.empty[(String, String)]
+          st.renames.toSeq.sortBy(_._1).map { case (o, n) => o -> ((n, o)) }: _*)
+        val out = scala.collection.mutable.Buffer.empty[(String, String, String, Boolean)]
         while (pending.nonEmpty) {
-          pending.find { case (_, n) => !pending.contains(n) } match {
-            case Some((o, n)) => out += ((o, n)); pending.remove(o)
-            case None => throw new IllegalStateException(
-              "internal: rename intents form a cycle at COMMIT: " +
-                pending.map { case (o, n) => s"$o->$n" }.mkString(", "))
+          pending.find { case (_, (n, _)) => !pending.contains(n) } match {
+            case Some((src, (n, orig))) =>
+              out += ((src, n, orig, true)); pending.remove(src)
+            case None =>
+              val (src, (n, orig)) = pending.head
+              val tmp = src + "__txn" + txnSeq.incrementAndGet()
+              out += ((src, tmp, orig, false))
+              pending.remove(src); pending(tmp) = ((n, orig))
           }
         }
         out.toSeq
@@ -1175,14 +1180,28 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         } ++ locally {
           val renameMap = st.renames.toMap
           val droppedSet = st.dropped.toSet
-          orderedRenames.flatMap { case (o, n) =>
+          renameSteps.flatMap { case (src, dst, orig, last) =>
             // rename intents: `mv` moves the (post-publish) old dir to
             // the new name and rekeys the registration; recovery applies
             // them AFTER the per-table publishes and BEFORE created-
             // table publishes (a same-txn recreate of the freed name).
             // Dependency order (r13): replay must free a chained
-            // target's dir before the next mv lands on it.
-            renameJournalOps(o, n, renameMap, droppedSet)
+            // target's dir before the next mv lands on it. Cycle temp
+            // hops (r13b) journal as bare dir moves ("chain" — never
+            // drop-completion evidence; a cycle member is never a
+            // dropped name); the FINAL hop carries the registration,
+            // moving FROM the temp when the chain was broken.
+            if (!last) Seq(s"mv\t$dst\t$src\tchain\t")
+            else {
+              val ops = renameJournalOps(orig, dst, renameMap, droppedSet)
+              if (src == orig) ops
+              else ops.zipWithIndex.map { case (l, i) =>
+                if (i == 0) {
+                  val f = l.split("\t", -1)
+                  s"mv\t$dst\t$src\tchain\t${f(4)}"
+                } else l
+              }
+            }
           }
         } ++ st.droppedViews.toSeq.sorted.map(v => s"vdrop\t$v\t\t\t") ++
           st.createdViews.toSeq.map { case (v, text) =>
@@ -1263,19 +1282,45 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         }
         // ---- pass 3b: renames — the freshly-published (or untouched)
         // old-name table takes its new name; locks on both names held
-        orderedRenames.foreach { case (o, n) =>
-          try applyRenamePhysical(o, n)
-          catch { case p: Engine.PartialRenameFailure =>
-            // catalog renamed: the rename IS applied from every other
-            // connection's viewpoint — count it published so the
-            // failure report doesn't claim it "not applied", and let
-            // the catch below keep the journal for boot roll-forward
-            st.renames.remove(o)
-            if (!published.contains(o)) published += o
-            throw p
+        locally {
+          // a failure after ANY hop's catalog step rolls the WHOLE
+          // remaining rename phase forward at boot (same direction as
+          // a crash): the journal is rewritten to the outstanding dir
+          // moves + final registration lines, and every rename reports
+          // as published (it completes at the restart) — a half-rotated
+          // cycle has no consistent backward state to return to
+          var idx = 0
+          try renameSteps.foreach { case (src, dst, orig, last) =>
+            applyRenamePhysical(src, dst)
+            idx += 1
+            if (last) {
+              st.renames.remove(orig)
+              if (!published.contains(orig)) published += orig
+            }
+          } catch {
+            case e: Throwable =>
+              val applied = e.isInstanceOf[Engine.PartialRenameFailure]
+              if (idx == 0 && !applied) throw e // phase untouched: plain abort
+              val partialMv = e match {
+                case p: Engine.PartialRenameFailure =>
+                  Seq(s"mv\t${p.qn}\t${p.qo}\tchain\t")
+                case _ => Nil
+              }
+              val unpersisted = e match {
+                case p: Engine.PartialRenameFailure if !p.constraintsPersisted =>
+                  Some(p.qn)
+                case _ => None
+              }
+              val rest = renameSteps.drop(if (applied) idx + 1 else idx)
+              renameSteps.foreach { case (_, _, orig, last) =>
+                if (last) {
+                  st.renames.remove(orig)
+                  if (!published.contains(orig)) published += orig
+                }
+              }
+              throw new Engine.RenamePhaseFailure(
+                partialMv ++ renamePhaseRepairOps(rest, unpersisted), e)
           }
-          st.renames.remove(o)
-          if (!published.contains(o)) published += o
         }
         // ---- pass 4: created tables — publish by RENAME (no data
         // movement); existence was verified in the conflict phase, and
@@ -1347,10 +1392,9 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
           // dir-move/rekey ops (every other op would otherwise
           // re-apply over post-failure writes at boot).
           e match {
-            case p: Engine.PartialRenameFailure =>
+            case rp: Engine.RenamePhaseFailure =>
               journal.foreach(f => writeFile(f.getAbsolutePath,
-                partialRenameRepairOps(p.qo, p.qn, p.constraintsPersisted)
-                  .mkString("\n")))
+                rp.repairOps.mkString("\n")))
             case _ => journal.foreach(_.delete())
           }
           // published tables' images are consumed — drop those; keep
@@ -1376,11 +1420,11 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
             s"COMMIT failed mid-publish: [${published.mkString(", ")}] committed; " +
               s"NOT committed: ${kept.mkString("; ")}: ${e.getMessage}", e)
           e match {
-            case p: Engine.PartialRenameFailure => throw new IllegalStateException(
-              s"COMMIT applied but the rename ${p.qo} -> ${p.qn} only " +
-                "partially finished (catalog renamed); the remaining steps " +
-                "are journaled and complete at the next restart: " +
-                p.getCause.getMessage, p.getCause)
+            case rp: Engine.RenamePhaseFailure => throw new IllegalStateException(
+              "COMMIT applied but the rename phase only partially finished " +
+                "(catalog steps already visible); the remaining dir moves and " +
+                "registrations are journaled and complete at the next " +
+                s"restart: ${rp.getCause.getMessage}", rp.getCause)
             case _ => throw e
           }
       }
@@ -1775,8 +1819,10 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * original name cancels the intent. Renaming ONTO a name another
     * rename freed is supported (r13): COMMIT publishes the renames in
     * dependency order and the retaken name denotes the retaking table
-    * mid-txn. Only a pure CYCLE (a⇄b swap) is rejected, binder-class
-    * ([[rejectRenameCycle]]); a name freed by a same-txn DROP is
+    * mid-txn. Pure CYCLES (a⇄b swaps, rotations) publish too (r13b):
+    * COMMIT breaks each cycle with a temp-name hop; mid-txn both
+    * spellings denote each other's table through the one-shot
+    * simultaneous-map substitution. A name freed by a same-txn DROP is
     * fine (drops publish first). */
   private def transactionalRename(ifExists: Boolean, qo0: String, qn: String): ExecResult = {
     val st = txn.get()
@@ -1840,7 +1886,6 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         s"$qo is a view; ALTER TABLE … RENAME TO expects a table")
     if (qo == qn) { st.renames.remove(qo); return ok() } // renamed back: net no-op
     validateRenameTarget(st, qn)
-    rejectRenameCycle(st, qo, qn)
     val lock = lockFor(qo).readLock()
     lock.lock()
     try pinOrCheck(qo) finally lock.unlock()
@@ -1972,27 +2017,40 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         qn.split('.').toIndexedSeq)
   }
 
-  /** Renaming ONTO a name another rename in this txn freed is allowed
-    * (r13) — COMMIT publishes the renames in dependency order, so
-    * `RENAME t TO t_old; RENAME t_new TO t` works like DuckDB. The one
-    * remaining declared rejection is a PURE CYCLE (a⇄b swaps): no
-    * publish order exists without a temp hop, and mid-txn both names
-    * would denote each other's table. Staging `o → n` closes a cycle
-    * iff following old-name edges from n leads back to o. */
-  private def rejectRenameCycle(st: TxnState, qo: String, qn: String): Unit = {
-    var cur = qn
-    var hops = 0
-    while (st.renames.contains(cur) && hops <= st.renames.size) {
-      cur = st.renames(cur)
-      hops += 1
-      if (cur == qo)
-        // binder-class: the block stays usable, like other catalog-
-        // shaped rename rejections
-        org.apache.spark.sql.GraftBridge.analysisError(
-          s"cannot rename onto $qn: this would close a rename CYCLE inside one " +
-            "transaction (pure swaps need a temporary name; rename through a " +
-            "third name or COMMIT between the renames)")
+  /** Journal ops that roll the REMAINING rename phase forward at boot
+    * after an in-process mid-phase failure (r13b cycles): the
+    * outstanding dir moves in order, plus `constraint` lines giving
+    * every touched registration its FINAL name/references — computed
+    * from the CURRENT in-memory map (which [[applyRenamePhysical]]
+    * keeps correct even on a partial hop) composed through the
+    * remaining hops. `partialUnpersisted` names a hop whose in-memory
+    * rekey never reached constraints.tsv, so its registration (and
+    * children referencing it) must be journaled even when no remaining
+    * hop touches them. */
+  private def renamePhaseRepairOps(
+      remaining: Seq[(String, String, String, Boolean)],
+      partialUnpersisted: Option[String]): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    def b64(x: String) =
+      java.util.Base64.getEncoder.encodeToString(x.getBytes("UTF-8"))
+    val m0 = remaining.map { case (src, dst, _, _) => src -> dst }.toMap
+    // each OBJECT moves exactly once across the remaining hops (a
+    // broken cycle member's two hops straddle the failure point, so at
+    // most one remains) — the final name is a SINGLE map application;
+    // composing would chase a dst into a DIFFERENT object's move
+    def fin(k: String): String = m0.getOrElse(k, k)
+    val mvs = remaining.map { case (src, dst, _, _) => s"mv\t$dst\t$src\tchain\t" }
+    val regs = constraints.asScala.toSeq.flatMap { case (k, c) =>
+      val f = fin(k)
+      val c2 = c.copy(fks = c.fks.map(fk =>
+        fk.copy(refTable = fin(qualify(fk.refTable)))))
+      val touched = f != k || c2 != c || partialUnpersisted.contains(k) ||
+        c.fks.exists(fk => partialUnpersisted.contains(qualify(fk.refTable)))
+      if (touched && !c.isEmpty)
+        Some(s"constraint\t$f\t\t\t${b64(constraintLine(f, c2))}")
+      else None
     }
+    mvs ++ regs
   }
 
   /** View names transitively referenced from `start`'s body `plan0`
@@ -5533,6 +5591,14 @@ object Engine {
   private[server] final class PartialRenameFailure(
       val qo: String, val qn: String, val constraintsPersisted: Boolean,
       cause: Throwable) extends RuntimeException(cause)
+
+  /** The COMMIT rename phase failed after at least one hop's catalog
+    * step: `repairOps` is the journal content that rolls the REMAINING
+    * phase forward at the next boot (outstanding dir moves + final
+    * registration lines). */
+  private[server] final class RenamePhaseFailure(
+      val repairOps: Seq[String], cause: Throwable)
+    extends RuntimeException(cause)
 
   /** Global DDL epoch (JVM-wide: all connections share the warehouse).
     * Bumped on any CREATE/DROP/ALTER entering execute(); the per-family

@@ -3125,7 +3125,7 @@ class ServerEngineSpec extends SparkSpecBase {
     }
   }
 
-  test("rename chains: ROLLBACK forgets, cycles rejected, chain via dropped name") {
+  test("rename chains: ROLLBACK forgets, swap-close collapses, chain via dropped name") {
     fresh("rcy_a"); fresh("rcy_b"); fresh("rcy_c")
     engine.execute("CREATE TABLE main.rcy_a (k INT) USING parquet")
     engine.execute("INSERT INTO main.rcy_a VALUES (1)")
@@ -3135,14 +3135,11 @@ class ServerEngineSpec extends SparkSpecBase {
       engine.execute("BEGIN")
       engine.execute("ALTER TABLE main.rcy_b RENAME TO main.rcy_c")
       engine.execute("ALTER TABLE main.rcy_a RENAME TO main.rcy_b")
-      // closing the cycle (c -> a collapses to b -> a; a is renamed
-      // away by a->b) is the declared rejection — binder-class, block
-      // stays usable
-      val cyc = intercept[org.apache.spark.sql.AnalysisException] {
-        engine.execute("ALTER TABLE main.rcy_c RENAME TO main.rcy_a")
-      }
-      assert(cyc.getMessage.contains("CYCLE"), cyc.getMessage)
+      // closing the cycle (c -> a collapses to b -> a) is supported
+      // since r13b: a⇄b swap — each spelling denotes the other's table
+      engine.execute("ALTER TABLE main.rcy_c RENAME TO main.rcy_a")
       assert(engine.execute("SELECT k FROM main.rcy_b").df.head().getInt(0) == 1)
+      assert(engine.execute("SELECT k FROM main.rcy_a").df.head().getInt(0) == 2)
       engine.execute("ROLLBACK")
       // everything back: a and b hold their original rows, c unknown
       assert(spark.table("main.rcy_a").head().getInt(0) == 1)
@@ -3270,6 +3267,147 @@ class ServerEngineSpec extends SparkSpecBase {
       try engine.execute("ROLLBACK") catch { case _: Throwable => }
       Seq("dcx_child", "dcx_a", "dcx_b", "dcx_c", "dcx_d", "dcx_k").foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS main.$t"))
+    }
+  }
+
+  test("rename cycles: pure swap and 3-rotation commit via temp hops (r13b)") {
+    val tmp = Files.createTempDirectory("graft-swap").toFile.getAbsolutePath
+    fresh("swp_a"); fresh("swp_b"); fresh("swp_c")
+    try {
+      val e1 = new Engine(spark, allowFileIo = true, dbPath = Some(tmp))
+      e1.execute("CREATE TABLE main.swp_a (k INT PRIMARY KEY, v STRING) USING parquet")
+      e1.execute("INSERT INTO main.swp_a VALUES (1,'a')")
+      e1.execute("CREATE TABLE main.swp_b (k INT PRIMARY KEY, v STRING) USING parquet")
+      e1.execute("INSERT INTO main.swp_b VALUES (2,'b')")
+      // a⇄b swap in ONE transaction (staged via collapse: b->c, a->b, c->a)
+      e1.execute("BEGIN")
+      e1.execute("ALTER TABLE main.swp_b RENAME TO main.swp_c")
+      e1.execute("ALTER TABLE main.swp_a RENAME TO main.swp_b")
+      e1.execute("ALTER TABLE main.swp_c RENAME TO main.swp_a")
+      // mid-txn: each spelling denotes the other's table, writes land right
+      e1.execute("INSERT INTO main.swp_a VALUES (20,'b2')") // into former b
+      e1.execute("COMMIT")
+      assert(spark.table("main.swp_a").collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 20))
+      assert(spark.table("main.swp_b").head().getString(1) == "a")
+      assert(!spark.catalog.tableExists("main.swp_c"))
+      // constraints swapped with the tables (PK keyed per-table)
+      intercept[IllegalArgumentException] {
+        e1.execute("INSERT INTO main.swp_a VALUES (2,'dup')")
+      }
+      intercept[IllegalArgumentException] {
+        e1.execute("INSERT INTO main.swp_b VALUES (1,'dup')")
+      }
+      // durable across a restart (journal consumed, registrations swapped)
+      val e2 = new Engine(spark, allowFileIo = true, dbPath = Some(tmp))
+      e2.loadPersisted()
+      intercept[IllegalArgumentException] {
+        e2.execute("INSERT INTO main.swp_a VALUES (2,'dup2')")
+      }
+      assert(e2.execute("SELECT v FROM main.swp_b").df.head().getString(0) == "a")
+
+      // 3-rotation: a->b->c->a in one txn
+      e2.execute("CREATE TABLE main.swp_c (k INT, v STRING) USING parquet")
+      e2.execute("INSERT INTO main.swp_c VALUES (3,'c')")
+      e2.execute("BEGIN")
+      e2.execute("ALTER TABLE main.swp_a RENAME TO main.swp_x")
+      e2.execute("ALTER TABLE main.swp_c RENAME TO main.swp_a")
+      e2.execute("ALTER TABLE main.swp_b RENAME TO main.swp_c")
+      e2.execute("ALTER TABLE main.swp_x RENAME TO main.swp_b")
+      e2.execute("COMMIT")
+      assert(spark.table("main.swp_a").head().getString(1) == "c")
+      assert(spark.table("main.swp_b").collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 20))
+      assert(spark.table("main.swp_c").head().getString(1) == "a")
+      assert(!spark.catalog.tableExists("main.swp_x"))
+    } finally {
+      try engine.execute("ROLLBACK") catch { case _: Throwable => }
+      Seq("swp_a", "swp_b", "swp_c", "swp_x").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS main.$t"))
+    }
+  }
+
+  test("in-process mid-cycle failure keeps a whole-phase repair journal") {
+    val tmp = Files.createTempDirectory("graft-swapfail").toFile.getAbsolutePath
+    fresh("swf_a"); fresh("swf_b")
+    val block = new java.io.File(tmp, "constraints.tsv.tmp")
+    try {
+      val e1 = new Engine(spark, allowFileIo = true, dbPath = Some(tmp))
+      e1.execute("CREATE TABLE main.swf_a (k INT PRIMARY KEY, v STRING) USING parquet")
+      e1.execute("INSERT INTO main.swf_a VALUES (1,'a')")
+      e1.execute("CREATE TABLE main.swf_b (k INT PRIMARY KEY, v STRING) USING parquet")
+      e1.execute("INSERT INTO main.swf_b VALUES (2,'b')")
+      e1.execute("BEGIN")
+      e1.execute("ALTER TABLE main.swf_b RENAME TO main.swf_x")
+      e1.execute("ALTER TABLE main.swf_a RENAME TO main.swf_b")
+      e1.execute("ALTER TABLE main.swf_x RENAME TO main.swf_a")
+      // wedge persistConstraints: the FIRST hop (a -> temp) fails
+      // partially, the whole rename phase must roll forward at boot
+      assert(block.mkdirs())
+      val err = intercept[IllegalStateException] { e1.execute("COMMIT") }
+      assert(err.getMessage.contains("partially"), err.getMessage)
+      val jf = new java.io.File(tmp).listFiles()
+        .filter(_.getName.startsWith("publish_journal_"))
+      assert(jf.length == 1, jf.mkString(","))
+      val lines = scala.io.Source.fromFile(jf.head).getLines().filter(_.nonEmpty).toList
+      assert(lines.forall(l => l.startsWith("mv\t") || l.startsWith("constraint\t")),
+        lines.mkString("|"))
+      assert(block.delete())
+      val e2 = new Engine(spark, allowFileIo = true, dbPath = Some(tmp))
+      e2.loadPersisted()
+      spark.catalog.refreshTable("main.swf_a"); spark.catalog.refreshTable("main.swf_b")
+      // the swap completed at boot, registrations followed
+      assert(spark.read.parquet(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:") + "/main.db/swf_a").head().getString(1) == "b")
+      intercept[IllegalArgumentException] {
+        e2.execute("INSERT INTO main.swf_a VALUES (2,'dup')")
+      }
+      intercept[IllegalArgumentException] {
+        e2.execute("INSERT INTO main.swf_b VALUES (1,'dup')")
+      }
+    } finally {
+      block.delete()
+      try engine.execute("ROLLBACK") catch { case _: Throwable => }
+      Seq("swf_a", "swf_b", "swf_x").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS main.$t"))
+    }
+  }
+
+  test("recovery: mid-cycle crash rolls the whole swap forward from the journal") {
+    val tmp = Files.createTempDirectory("graft-swapcrash").toFile.getAbsolutePath
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def dir(t: String) = new java.io.File(wh, s"main.db/$t")
+    fresh("swc_a"); fresh("swc_b")
+    try {
+      spark.sql("CREATE TABLE main.swc_a USING parquet AS SELECT 'a' AS v")
+      spark.sql("CREATE TABLE main.swc_b USING parquet AS SELECT 'b' AS v")
+      // the journal a swap commit writes: a->tmp, b->a, tmp->b.
+      // Crash simulated at three points by pre-applying 0/1/2 dir moves.
+      val cl = java.util.Base64.getEncoder.encodeToString(
+        "main.swc_b\tv\t\t\t\t\t".getBytes("UTF-8")) // a's (empty-ish) reg under b
+      val ops = "mv\tmain.swc_a__txn901\tmain.swc_a\tchain\t\n" +
+        "mv\tmain.swc_a\tmain.swc_b\tchain\t\n" +
+        s"mv\tmain.swc_b\tmain.swc_a__txn901\tchain\t$cl"
+      // crash BEFORE any move ran
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp, "publish_journal_1.tsv"), ops.getBytes("UTF-8"))
+      val e1 = new Engine(spark, allowFileIo = true, dbPath = Some(tmp))
+      e1.loadPersisted()
+      spark.catalog.refreshTable("main.swc_a"); spark.catalog.refreshTable("main.swc_b")
+      assert(spark.read.parquet(dir("swc_a").getAbsolutePath).head().getString(0) == "b")
+      assert(spark.read.parquet(dir("swc_b").getAbsolutePath).head().getString(0) == "a")
+      assert(!dir("swc_a__txn901").exists())
+      // crash midway: first hop already ran (a's dir sits at the temp)
+      java.nio.file.Files.move(dir("swc_a").toPath, dir("swc_a__txn901").toPath)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp, "publish_journal_2.tsv"), ops.getBytes("UTF-8"))
+      val e2 = new Engine(spark, allowFileIo = true, dbPath = Some(tmp))
+      e2.loadPersisted()
+      // the swap completes again: contents swap BACK relative to run 1
+      assert(spark.read.parquet(dir("swc_a").getAbsolutePath).head().getString(0) == "a")
+      assert(spark.read.parquet(dir("swc_b").getAbsolutePath).head().getString(0) == "b")
+      assert(!dir("swc_a__txn901").exists())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS main.swc_a")
+      spark.sql("DROP TABLE IF EXISTS main.swc_b")
     }
   }
 

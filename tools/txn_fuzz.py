@@ -125,32 +125,6 @@ def gen_events(r, tname, n_ops, vname=None, aux=None):
     in_txn = False
     deleted_in_txn = False   # see ON CONFLICT note below
     renamed_in_txn = False   # see RENAME note below
-    txn_renames = {}         # mirror of the engine's rename-intent map
-
-    # r13 chains: renaming onto a name another in-txn rename freed is
-    # supported; the ONE remaining declared rejection is a pure CYCLE
-    # (engine: binder error; DuckDB: allowed). Screen cycle-closing
-    # candidates at generation time with the same collapse + walk the
-    # engine runs (approximate: assumes emitted renames succeeded —
-    # over-screening is harmless, the candidate pool stays rich).
-    def rename_ok(src, dst):
-        src2 = next((o for o, n in txn_renames.items() if n == src), src)
-        if src2 == dst:
-            return True  # rename-back: cancels, never a cycle
-        cur, hops = dst, 0
-        while cur in txn_renames and hops <= len(txn_renames):
-            cur = txn_renames[cur]
-            hops += 1
-            if cur == src2:
-                return False
-        return True
-
-    def rename_apply(src, dst):
-        src2 = next((o for o, n in txn_renames.items() if n == src), src)
-        if src2 == dst:
-            txn_renames.pop(src2, None)
-        else:
-            txn_renames[src2] = dst
 
     for _ in range(n_ops):
         roll = r.random()
@@ -159,13 +133,11 @@ def gen_events(r, tname, n_ops, vname=None, aux=None):
             in_txn = True
             deleted_in_txn = False
             renamed_in_txn = False
-            txn_renames = {}
         elif in_txn and roll < 0.25:
             events.append((r.choice(["COMMIT", "ROLLBACK"]), "end"))
             in_txn = False
             deleted_in_txn = False
             renamed_in_txn = False
-            txn_renames = {}
         elif aux and roll < 0.40:
             # transactional DDL surface: CREATE/DROP/ALTER/INSERT/SELECT
             # on an aux table, differentially vs DuckDB's transactional
@@ -230,17 +202,12 @@ def gen_events(r, tname, n_ops, vname=None, aux=None):
                      f"CREATE TABLE {aux}sch.st (x INTEGER)",
                      f"DROP TABLE {aux}sch.st",
                      f"SELECT count(*) FROM {aux}sch.st"]
-            rn = re.compile(r"ALTER TABLE (\S+) RENAME TO (\S+)")
-            if in_txn:
-                def keep(c):
-                    m = rn.match(c)
-                    return m is None or rename_ok(m.group(1), m.group(2))
-                cands = [c for c in cands if keep(c)]
+            # r13b: chains AND pure cycles are both supported — every
+            # rename candidate (including cycle-closers over the three
+            # spellings) fuzzes differentially vs DuckDB
             sql = r.choice(cands)
             if in_txn and "RENAME" in sql:
                 renamed_in_txn = True
-                m = rn.match(sql)
-                rename_apply(m.group(1), m.group(2))
             events.append((sql, "dml"))
         else:
             op = r.random()
