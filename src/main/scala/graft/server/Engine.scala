@@ -1415,7 +1415,8 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
                 else None // rename target / pin-only name: nothing pending
             }) ++
             st.droppedViews.toSeq.map(v => s"$v (transactional DROP VIEW not applied)") ++
-            st.createdViews.keys.map(v => s"$v (transactional CREATE VIEW not applied)")
+            st.createdViews.keys.map(v => s"$v (transactional CREATE VIEW not applied)") ++
+            st.droppedSchemas.toSeq.map(s => s"$s (transactional DROP SCHEMA not applied)")
           if (kept.nonEmpty) throw new IllegalStateException(
             s"COMMIT failed mid-publish: [${published.mkString(", ")}] committed; " +
               s"NOT committed: ${kept.mkString("; ")}: ${e.getMessage}", e)

@@ -156,6 +156,31 @@ rm -f "$FIFO3"
 start_server
 chk "mid-txn rename rolled back" "1|a,2|b,9|i" "$(psql $P -tA -F'|' -c 'select k, v from main.ct3 order by k' 2>&1 | paste -sd, -)"
 chk "new name never materialized" "gone" "$(psql $P -tA -c 'select count(*) from main.ct4' >/dev/null 2>&1 && echo present || echo gone)"
+
+# ---- scenario 5: pure rename CYCLE (r13b) commits and survives restart ----
+# a⇄b swap staged via collapse (b->c, a->b, c->a); the publish breaks
+# the cycle with a journaled temp hop — restart must come back with the
+# swap fully applied and the PKs following each table
+chk "swap setup a" "CREATE TABLE" "$(psql $P -c 'create table main.swa (k int primary key, v varchar)' 2>&1 | head -1)"
+chk "swap setup b" "CREATE TABLE" "$(psql $P -c 'create table main.swb (k int primary key, v varchar)' 2>&1 | head -1)"
+psql $P -c "insert into main.swa values (1,'a')" >/dev/null 2>&1
+psql $P -c "insert into main.swb values (2,'b')" >/dev/null 2>&1
+chk "swap txn commits" "COMMIT" "$(psql $P 2>&1 <<'SQL' | tail -1
+BEGIN;
+ALTER TABLE main.swb RENAME TO main.swc;
+ALTER TABLE main.swa RENAME TO main.swb;
+ALTER TABLE main.swc RENAME TO main.swa;
+COMMIT;
+SQL
+)"
+chk "swapped a holds b rows" "2|b" "$(psql $P -tA -F'|' -c 'select k, v from main.swa' 2>&1)"
+chk "swapped b holds a rows" "1|a" "$(psql $P -tA -F'|' -c 'select k, v from main.swb' 2>&1)"
+kill "$SRV_PID" 2>/dev/null; wait "$SRV_PID" 2>/dev/null
+start_server
+chk "swap survives restart" "2|b,1|a" "$(psql $P -tA -F'|' -c 'select k, v from main.swa union all select k, v from main.swb' 2>&1 | paste -sd, -)"
+chk "temp hop never materialized" "0" "$(ls -d "$DB"/warehouse/main.db/*__txn* 2>/dev/null | wc -l)"
+chk "pk followed swap a" "dup" "$(psql $P -c "insert into main.swa values (2,'dup')" 2>&1 | grep -q 'duplicate key' && echo dup || echo accepted)"
+chk "pk followed swap b" "dup" "$(psql $P -c "insert into main.swb values (1,'dup')" 2>&1 | grep -q 'duplicate key' && echo dup || echo accepted)"
 kill "$SRV_PID" 2>/dev/null; wait "$SRV_PID" 2>/dev/null
 
 rm -rf "$DB"
