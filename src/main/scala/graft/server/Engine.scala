@@ -1902,7 +1902,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * same empty namespace). */
   private def transactionalCreateSchema(ifNotExists: Boolean, name: String): ExecResult = {
     val st = txn.get()
-    val s = name.replace("\"", "")
+    val s = name.replace("\"", "").toLowerCase
     def ok(): ExecResult = { absorbedDdl.set(true); ExecResult(null, "CREATE SCHEMA") }
     if (st.droppedSchemas.contains(s)) { st.droppedSchemas -= s; return ok() }
     if (st.createdSchemas.contains(s) || spark.catalog.databaseExists(s)) {
@@ -1924,9 +1924,10 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * schema, all block the drop binder-class. */
   private def transactionalDropSchema(ifExists: Boolean, name: String): ExecResult = {
     val st = txn.get()
-    val s = name.replace("\"", "")
+    val s = name.replace("\"", "").toLowerCase
     def ok(): ExecResult = { absorbedDdl.set(true); ExecResult(null, "DROP SCHEMA") }
-    if (s == "main" || s == "default")
+    if (s == "main" || s == "default" ||
+        s == spark.catalog.currentDatabase.toLowerCase)
       throw new IllegalArgumentException(s"cannot drop schema $s")
     def inS(q: String) = q.startsWith(s + ".")
     if (st.createdSchemas.contains(s)) {
