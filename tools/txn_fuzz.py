@@ -444,8 +444,15 @@ def interleave_scripts(port, n_scripts, r, finds):
                 # serialization class (divergent schedule); renames that
                 # COMMIT make later statements fail identically on both
                 # sides (old name gone), and rename-backs restore play.
+                # r13b: chains and swap-closing renames race across
+                # connections too — conflicts land in the declared
+                # serialization / catalog-visibility screens
                 sql = r.choice([f"ALTER TABLE {tname} RENAME TO {tname}_r",
-                                f"ALTER TABLE {tname}_r RENAME TO {tname}"])
+                                f"ALTER TABLE {tname}_r RENAME TO {tname}",
+                                f"ALTER TABLE {tname} RENAME TO {tname}_s",
+                                f"ALTER TABLE {tname}_s RENAME TO {tname}",
+                                f"ALTER TABLE {tname}_r RENAME TO {tname}_s",
+                                f"ALTER TABLE {tname}_s RENAME TO {tname}_r"])
             else:
                 sql = r.choice([
                     f"INSERT INTO {tname} VALUES ({r.randint(6, 40)}, {r.randint(0, 50)}) "
@@ -509,6 +516,7 @@ def interleave_scripts(port, n_scripts, r, finds):
         pg[0].query("ROLLBACK"); pg[1].query("ROLLBACK")
         pg[0].query(f"DROP TABLE IF EXISTS {tname}")
         pg[0].query(f"DROP TABLE IF EXISTS {tname}_r")
+        pg[0].query(f"DROP TABLE IF EXISTS {tname}_s")
         pg[0].close(); pg[1].close()
         dcon.close()
         if divergent:
