@@ -3102,7 +3102,20 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       rewritten = rewritten.substring(0, m.start) + s"SELECT $cols FROM ${m.group(2)}" +
         rewritten.substring(m.end)
     }
-    val df =
+    // a non-txn CREATE TABLE/CTAS serializes on the table's write lock
+    // (r13b): a COMMIT publishing renames holds its target names'
+    // write locks through validation AND publish — a lockless CREATE
+    // could otherwise slip into a freed name mid-publish and strand a
+    // cycle hop at its temp name (the recovery rescue covers the
+    // residue; this closes the window). Spark DDL executes eagerly on
+    // spark.sql, so unlocking after txnExec returns is sound.
+    val createLock =
+      if (!isTxnOpen)
+        txnCreateTableRe.findFirstMatchIn(sql)
+          .map(m => lockFor(qualify(m.group(2))).writeLock())
+      else None
+    createLock.foreach(_.lock())
+    val df = try {
       try txnExec(rewritten)
       catch {
         // DuckDB allows unnest() nested inside a SELECT-list expression
@@ -3122,6 +3135,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
             case None => throw e
           }
       }
+    } finally createLock.foreach(_.unlock())
     val verb = sql.split("\\s+").head.toUpperCase
     verb match {
       case "SELECT" | "WITH" | "VALUES" | "TABLE" | "SHOW" | "DESCRIBE" | "DESC" | "EXPLAIN" | "PIVOT" | "FROM" =>
@@ -4757,16 +4771,23 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         rejectRecreateOfRenamedAway(table)
         stageCreatedTable(table)
       } else table
-    try spark.sql(rewrite(s"CREATE TABLE $phys (${kept.mkString(", ")}) $rest"))
-    catch { case e: Throwable =>
-      // failed CREATE must not leave a phantom staged registration
-      // behind (ADVICE r10) — same contract as the CTAS path
-      if (phys != table) {
-        unstageCreatedTable(table)
-        try spark.sql(s"DROP TABLE IF EXISTS $phys") catch { case _: Throwable => }
+    // non-txn: the table's write lock serializes this CREATE against a
+    // concurrent COMMIT publishing a rename onto the same name (r13b)
+    val createLock =
+      if (phys == table) Some(lockFor(qualify(table)).writeLock()) else None
+    createLock.foreach(_.lock())
+    try {
+      try spark.sql(rewrite(s"CREATE TABLE $phys (${kept.mkString(", ")}) $rest"))
+      catch { case e: Throwable =>
+        // failed CREATE must not leave a phantom staged registration
+        // behind (ADVICE r10) — same contract as the CTAS path
+        if (phys != table) {
+          unstageCreatedTable(table)
+          try spark.sql(s"DROP TABLE IF EXISTS $phys") catch { case _: Throwable => }
+        }
+        throw e
       }
-      throw e
-    }
+    } finally createLock.foreach(_.unlock())
     // in-txn FK refTable spellings normalize to ORIGINAL keys
     // (renameBase): with rename chains (r13) a spelling like `b` is
     // ambiguous — original-b before `b→c` staged, the RETAKING table
@@ -5319,9 +5340,25 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       // the table has no warehouse dir to move)
       ops.filter(_(0) == "mv").foreach { o =>
         val nDir = tableDirOf(o(1)); val oDir = tableDirOf(o(2))
+        var rescued = false
         if (oDir.exists() && !nDir.exists()) Files.move(oDir.toPath, nDir.toPath)
+        else if (oDir.exists() && nDir.exists() &&
+            staleStagingRe.matches(o(2).split('.').last)) {
+          // a chain hop stranded at its TEMP name with the target
+          // occupied (a table created in the unlocked window before
+          // the rename phase failed): the temp dir is REAL DATA one
+          // reclaim away from deletion — move it to a visible rescue
+          // name instead of completing the (now impossible) hop
+          val rescue = tableDirOf(o(1) + "__rescued")
+          if (!rescue.exists()) {
+            Files.move(oDir.toPath, rescue.toPath)
+            rescued = true
+          }
+        }
         dropNames += o(2)
-        if (o(4).nonEmpty) addLines(o(1)) = b64dec(o(4))
+        // a rescued table keeps NO registration under the occupied
+        // target name — that line would bind the CONCURRENT table
+        if (o(4).nonEmpty && !rescued) addLines(o(1)) = b64dec(o(4))
       }
       ops.filter(_(0) == "constraint").foreach { o =>
         if (o(4).nonEmpty) addLines(o(1)) = b64dec(o(4))

@@ -3468,6 +3468,35 @@ class ServerEngineSpec extends SparkSpecBase {
     }
   }
 
+  test("recovery: a chain hop blocked by an occupied target rescues the temp dir") {
+    val tmp = Files.createTempDirectory("graft-rescue").toFile.getAbsolutePath
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def dir(t: String) = new java.io.File(wh, s"main.db/$t")
+    fresh("rsq_n"); fresh("rsq_n__rescued"); fresh("rsq_u__txn955")
+    try {
+      // the OCCUPIED target: a table created concurrently pre-crash
+      spark.sql("CREATE TABLE main.rsq_n USING parquet AS SELECT 'winner' AS v")
+      // the stranded chain hop: real data sitting at a temp name
+      spark.sql("CREATE TABLE main.rsq_u__txn955 USING parquet AS SELECT 'stranded' AS v")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp, "publish_journal_1.tsv"),
+        "mv\tmain.rsq_n\tmain.rsq_u__txn955\tchain\t".getBytes("UTF-8"))
+      val e = new Engine(spark, allowFileIo = true, dbPath = Some(tmp))
+      e.loadPersisted()
+      // the temp dir was RESCUED to a visible name, not left for the
+      // stale-staging reclaim; the concurrent winner is untouched
+      assert(dir("rsq_n__rescued").isDirectory, "rescued dir exists")
+      assert(spark.read.parquet(dir("rsq_n__rescued").getAbsolutePath)
+        .head().getString(0) == "stranded")
+      assert(spark.table("main.rsq_n").head().getString(0) == "winner")
+      assert(!dir("rsq_u__txn955").exists())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS main.rsq_n")
+      spark.sql("DROP TABLE IF EXISTS main.rsq_n__rescued")
+      spark.sql("DROP TABLE IF EXISTS main.rsq_u__txn955")
+    }
+  }
+
   test("recovery: sdrop journal op removes an empty schema dir, keeps a live one") {
     val tmp = Files.createTempDirectory("graft-sdrop").toFile.getAbsolutePath
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
