@@ -117,11 +117,22 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     reg.filterNot(_.isEmpty)
   }
 
-  /** All (child-table, FK) pairs referencing `table`, merged with the
-    * open transaction's overlay (a child CREATED in this txn must
+  /** All (child-table, FK) pairs referencing `originalKey`, merged with
+    * the open transaction's overlay (a child CREATED in this txn must
     * restrict this txn's own parent deletes; a child this txn dropped
-    * must not). Other connections see only the committed map. */
-  private def fkChildrenOf(table: String): Seq[(String, Fk)] = {
+    * must not). Other connections see only the committed map.
+    *
+    * CONTRACT: `originalKey` must already be an ORIGINAL (registration)
+    * key — callers holding a user-facing post-rename spelling resolve it
+    * via [[resolveRenamed]] FIRST. This function resolves neither side:
+    * refTables are stored as original keys (committed children carry
+    * committed names; in-txn created children normalize their spellings
+    * at CREATE, [[createTableWithConstraints]]), and re-resolving here
+    * through renameBase would mis-land on a RETAKING table when a chain
+    * reuses an original key as a target (r13). A caller passing an
+    * unresolved post-rename spelling would silently miss FK children
+    * (ADVICE r13). */
+  private def fkChildrenOf(originalKey: String): Seq[(String, Fk)] = {
     import scala.jdk.CollectionConverters._
     val st = txn.get()
     val base = constraints.asScala.toMap
@@ -132,14 +143,8 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         case (m, (k, None)) => m - k
       }
     merged.toSeq.flatMap { case (child, c2) =>
-      // refTables are ORIGINAL keys: committed children carry
-      // committed names, in-txn created children normalize their
-      // spellings at CREATE ([[createTableWithConstraints]]). Only the
-      // user-facing `table` spelling resolves through renameBase —
-      // re-resolving the refTable side would mis-land on a RETAKING
-      // table when a chain reuses an original key as a target (r13)
       c2.fks.filter(f =>
-        qualify(f.refTable) == qualify(table))
+        qualify(f.refTable) == qualify(originalKey))
         .map(child -> _)
     }
   }
@@ -444,6 +449,266 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     }
   }
   private val txn: ThreadLocal[TxnState] = ThreadLocal.withInitial(() => TxnState())
+
+  /** Per-connection TEMP object namespace (r14). The reference gives
+    * every PG connection its own DuckDB `driver.Conn` (pg_conn.go:51),
+    * so temp tables/views are connection-private by construction. Here
+    * one SparkSession serves every connection, so privacy comes from a
+    * name substitution instead: `CREATE TEMP VIEW v` / `CREATE TEMP
+    * TABLE t` register the user spelling in THIS connection's map and
+    * create the object under a mangled catalog name
+    * (`v__tmpc<connId>`), and every later statement on this thread
+    * resolves the user spelling back through the map — reads
+    * pre-analysis on the parsed plan ([[substituteConnTempReads]]),
+    * write/DDL targets at keyword-anchored text positions
+    * ([[substituteTempTargets]]). Mangled names are hidden from all
+    * catalog listings ([[Engine.isHiddenTable]]), reserved against
+    * direct user creation, reclaimed at restart (a crash cannot leak
+    * them — temp objects die with the server, like DuckDB's), and
+    * dropped at connection end / DISCARD ALL ([[releaseConnTemps]]).
+    * Temp-object DDL auto-commits inside a transaction (the engine's
+    * declared temp-view divergence, extended to temp tables); temp
+    * TABLE DML is fully transactional — the mangled name is an
+    * ordinary table, so the overlay/pinning machinery applies as-is. */
+  private final class TempNs(val id: Long) {
+    val views = scala.collection.mutable.Map.empty[String, String]
+    val tables = scala.collection.mutable.Map.empty[String, String]
+    def isEmpty: Boolean = views.isEmpty && tables.isEmpty
+    def mangle(name: String): String = name + "__tmpc" + id
+  }
+  private val tempNsSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val tempNs: ThreadLocal[TempNs] =
+    ThreadLocal.withInitial(() => new TempNs(tempNsSeq.incrementAndGet()))
+
+  /** The connection-local temp name behind a user spelling, if the
+    * spelling CAN denote a temp object: unqualified or `temp.`-
+    * qualified (DuckDB's temp catalog), identifier-quoted or not.
+    * Any other qualification never resolves to a temp object. */
+  private def tempUserName(raw: String): Option[String] = {
+    val parts = raw.replace("\"", "").toLowerCase.split('.')
+    parts match {
+      case Array(n) => Some(n)
+      case Array("temp", n) => Some(n)
+      case Array("temp", "main", n) => Some(n)
+      case _ => None
+    }
+  }
+
+  private val createTempViewStmtRe =
+    """(?is)^\s*create\s+(or\s+replace\s+)?(?:global\s+)?temp(?:orary)?\s+view\s+(if\s+not\s+exists\s+)?([\w."]+)\s*(\([^)]*\))?\s+as\s+(.+)$""".r
+  private val createTempTableStmtRe =
+    """(?is)^\s*create\s+(or\s+replace\s+)?(?:global\s+)?temp(?:orary)?\s+table\s+(if\s+not\s+exists\s+)?([\w."]+)\s*(.+)$""".r
+
+  /** CREATE/DROP/RENAME intercepts for the per-connection TEMP
+    * namespace — see [[TempNs]]. Returns Some when the statement was
+    * fully handled, possibly by re-dispatching under the mangled name
+    * (`allowReserved = true` skips this intercept AND the reserved-
+    * suffix guard on re-entry). */
+  private def connTempIntercept(sql: String): Option[ExecResult] = {
+    val ns = tempNs.get()
+    def reject(kind: String, raw: String): String = {
+      val n = tempUserName(raw).getOrElse(throw new IllegalArgumentException(
+        s"cannot create temp $kind $raw: temporary objects live in the temp " +
+          "schema (use an unqualified or temp.-qualified name)"))
+      if (Engine.isTempConnName(n)) throw new IllegalArgumentException(
+        s"""$kind name "$n" uses the reserved connection-temp suffix """ +
+          "(__tmpc<N>); choose another name")
+      n
+    }
+    createTempViewStmtRe.findFirstMatchIn(sql).foreach { m =>
+      val orRepl = m.group(1) != null
+      val ifNx = m.group(2) != null
+      val n = reject("view", m.group(3))
+      if (ns.tables.contains(n))
+        org.apache.spark.sql.GraftBridge.analysisError(
+          s"""cannot create temp view "$n": a temp table with that name """ +
+            "exists in this session")
+      if (ns.views.contains(n) && !orRepl) {
+        if (ifNx) return Some(ExecResult(null, "CREATE VIEW"))
+        org.apache.spark.sql.GraftBridge.analysisError(
+          s"""temp view "$n" already exists""")
+      }
+      val mangled = ns.mangle(n)
+      val cols = Option(m.group(4)).getOrElse("")
+      val r = executeInner(
+        s"CREATE OR REPLACE TEMPORARY VIEW $mangled $cols AS ${m.group(5)}",
+        allowReserved = true)
+      ns.views(n) = mangled
+      return Some(ExecResult(r.df, "CREATE VIEW"))
+    }
+    createTempTableStmtRe.findFirstMatchIn(sql).foreach { m =>
+      val orRepl = m.group(1) != null
+      val ifNx = m.group(2) != null
+      val n = reject("table", m.group(3))
+      if (ns.views.contains(n))
+        org.apache.spark.sql.GraftBridge.analysisError(
+          s"""cannot create temp table "$n": a temp view with that name """ +
+            "exists in this session")
+      if (ns.tables.contains(n)) {
+        if (ifNx) return Some(ExecResult(null, "CREATE TABLE"))
+        if (!orRepl)
+          throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+            Seq("temp", n))
+        dropConnTempTable(n, ns.tables(n)) // OR REPLACE: drop, then create
+      }
+      val mangled = ns.mangle(n)
+      val r = executeInner(s"CREATE TABLE $mangled ${m.group(4)}", allowReserved = true)
+      ns.tables(n) = mangled
+      return Some(ExecResult(r.df, "CREATE TABLE"))
+    }
+    dropViewRe.findFirstMatchIn(sql).foreach { m =>
+      tempUserName(m.group(1)).foreach { n =>
+        ns.views.get(n) match {
+          case Some(mangled) =>
+            spark.catalog.dropTempView(mangled)
+            ns.views.remove(n)
+            return Some(ExecResult(null, "DROP VIEW"))
+          case None =>
+            if (ns.tables.contains(n))
+              org.apache.spark.sql.GraftBridge.analysisError(
+                s"$n is a temp table. 'DROP VIEW' expects a view; use DROP TABLE instead")
+        }
+      }
+    }
+    dropTableRe.findFirstMatchIn(sql).foreach { m =>
+      tempUserName(m.group(1)).foreach { n =>
+        ns.tables.get(n) match {
+          case Some(mangled) =>
+            dropConnTempTable(n, mangled)
+            return Some(ExecResult(null, "DROP TABLE"))
+          case None =>
+            if (ns.views.contains(n))
+              org.apache.spark.sql.GraftBridge.analysisError(
+                s"$n is a temp view. 'DROP TABLE' expects a table; use DROP VIEW instead")
+        }
+      }
+    }
+    // RENAME within the temp namespace: re-mangle and move the map
+    // entry. In-txn temp DDL auto-commits (declared), but renameTable's
+    // in-txn path is a transactional INTENT — the map update here would
+    // desync on ROLLBACK, so reject the combination cleanly instead.
+    alterRenameFullRe.findFirstMatchIn(sql).foreach { m =>
+      tempUserName(m.group(2)).foreach { n =>
+        ns.tables.get(n).foreach { mangled =>
+          if (isTxnOpen) throw new IllegalArgumentException(
+            "cannot RENAME a temp table inside a transaction (temp DDL " +
+              "auto-commits in this engine; COMMIT or ROLLBACK first)")
+          val tgt = reject("table", m.group(3))
+          if (ns.tables.contains(tgt) || ns.views.contains(tgt))
+            throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+              Seq("temp", tgt))
+          val mangledTgt = ns.mangle(tgt)
+          val r = renameTable(m.group(1) != null, mangled, mangledTgt)
+          ns.tables.remove(n)
+          ns.tables(tgt) = mangledTgt
+          return Some(r)
+        }
+      }
+    }
+    None
+  }
+
+  /** Auto-commit drop of a connection-temp table: any open txn's
+    * overlays on it die with it, then the real table drops under its
+    * write lock (registry + dir cleanup via [[afterDropTable]]). */
+  private def dropConnTempTable(n: String, mangled: String): Unit = {
+    val st = txn.get()
+    val q = qualify(mangled)
+    if (st.open) {
+      st.staged.remove(q).foreach(s =>
+        try spark.sql(s"DROP TABLE IF EXISTS $s") catch { case _: Throwable => })
+      st.deltas.remove(q).foreach(d =>
+        try spark.sql(s"DROP TABLE IF EXISTS $d") catch { case _: Throwable => })
+      st.altered -= q
+    }
+    val lock = lockFor(mangled).writeLock()
+    lock.lock()
+    try {
+      spark.sql(s"DROP TABLE IF EXISTS $mangled")
+      afterDropTable(mangled)
+    } finally lock.unlock()
+    tempNs.get().tables.remove(n)
+  }
+
+  /** Keyword-anchored TEXT substitution of connection-temp names in
+    * write/DDL target positions (INSERT INTO / UPDATE / DELETE FROM /
+    * TRUNCATE / COPY / ALTER TABLE / DESCRIBE / SUMMARIZE) — those
+    * paths extract their target from the statement text, where the
+    * plan-level read substitution cannot reach. Anchoring on the
+    * keyword keeps column names and string literals safe. Reads go
+    * through [[substituteConnTempReads]] instead. */
+  private def substituteTempTargets(sql: String): String = {
+    val ns = tempNs.get()
+    if (ns.isEmpty) return sql
+    var s = sql
+    def sub(keys: String, n: String, mangled: String): Unit = {
+      val re = ("(?is)\\b(" + keys + ")\\s+(?:temp\\.)?\"?" +
+        java.util.regex.Pattern.quote(n) + "\"?(?![\\w.])").r
+      s = re.replaceAllIn(s, mm =>
+        java.util.regex.Matcher.quoteReplacement(mm.group(1) + " " + mangled))
+    }
+    for ((n, m) <- ns.tables)
+      sub("""insert\s+into|update|delete\s+from|truncate\s+table|truncate|copy|alter\s+table(?:\s+if\s+exists)?|describe|summarize""",
+        n, m)
+    for ((n, m) <- ns.views) sub("""copy|describe|summarize""", n, m)
+    s
+  }
+
+  /** Pre-analysis READ substitution for the connection's TEMP
+    * namespace: an unqualified (or `temp.`-qualified) relation
+    * reference matching a registered temp object resolves to the
+    * mangled catalog name — the analog of DuckDB's temp-first search
+    * path (temp objects shadow same-named catalog tables). CTE names
+    * shadow temp names, same guard as [[substituteTxnNames]]. */
+  private def substituteConnTempReads(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val ns = tempNs.get()
+    if (ns.isEmpty) return plan
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith
+    val cteNames: Set[String] = plan.collectWithSubqueries {
+      case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
+    }.flatten.toSet
+    plan transformUpWithSubqueries {
+      case r: UnresolvedRelation =>
+        val nOpt = r.multipartIdentifier match {
+          case Seq(one) if !cteNames.contains(one.toLowerCase) => Some(one.toLowerCase)
+          case Seq(t, two) if t.equalsIgnoreCase("temp") => Some(two.toLowerCase)
+          case _ => None
+        }
+        nOpt.flatMap(n => ns.tables.get(n).orElse(ns.views.get(n))) match {
+          case Some(m) => UnresolvedRelation(Seq(m))
+          case None => r
+        }
+    }
+  }
+
+  /** Drop every temp object THIS connection (thread) registered —
+    * called at connection teardown, per CH request (pooled threads),
+    * and by DISCARD ALL. Mirrors the reference, where closing the PG
+    * connection closes its private DuckDB conn and its temp objects
+    * with it. */
+  def releaseConnTemps(): Unit = {
+    val ns = tempNs.get()
+    if (ns.isEmpty) return
+    ns.views.values.foreach(m =>
+      try spark.catalog.dropTempView(m) catch { case _: Throwable => })
+    ns.views.clear()
+    val ts = ns.tables.toMap
+    ns.tables.clear()
+    ts.valuesIterator.foreach { m =>
+      try {
+        val lock = lockFor(m).writeLock()
+        lock.lock()
+        try {
+          spark.sql(s"DROP TABLE IF EXISTS $m")
+          afterDropTable(m)
+        } finally lock.unlock()
+      } catch { case _: Throwable => }
+    }
+  }
+
   private def isWriteTag(tag: String): Boolean =
     tag != null && Seq("INSERT", "UPDATE", "DELETE", "CREATE", "DROP",
       "ALTER", "COPY", "TRUNCATE").exists(tag.startsWith)
@@ -893,9 +1158,11 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     // compensate eagerly-created schemas (AFTER the staged drops above
     // freed them); RESTRICT — content a concurrent connection put there
     // survives, and the schema stays with it (declared best-effort)
-    st.createdSchemas.foreach(s =>
+    st.createdSchemas.foreach { s =>
       try spark.sql(s"DROP DATABASE IF EXISTS `$s`")
-      catch { case _: Throwable => })
+      catch { case _: Throwable => }
+      clearSchemaMarker(s)
+    }
     st.createdSchemas.clear()
     st.droppedSchemas.clear() // pure intents: ROLLBACK forgets
   }
@@ -989,6 +1256,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         st.droppedSchemas.isEmpty) {
       // created schemas were eager — committing is just consuming the
       // compensation record so a later ROLLBACK path can't undo them
+      st.createdSchemas.foreach(clearSchemaMarker)
       st.createdSchemas.clear()
       st.baseEpochs.clear(); return
     }
@@ -1368,11 +1636,13 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
           persistEnums()
         }
         // ---- pass 7: schema intents (r13) — created schemas were
-        // eager (just consume the compensation record so dropStaged
-        // doesn't undo a committed schema); dropped schemas apply LAST,
+        // eager (just consume the compensation record — in-memory AND
+        // the crash marker — so neither dropStaged nor boot recovery
+        // undoes a committed schema); dropped schemas apply LAST,
         // after pass 1 removed their remaining tables. RESTRICT: a
         // table a concurrent connection slipped in fails the drop and
         // surfaces through the publish-failure path.
+        st.createdSchemas.foreach(clearSchemaMarker)
         st.createdSchemas.clear()
         st.droppedSchemas.toSeq.sorted.foreach { s =>
           spark.sql(s"DROP DATABASE IF EXISTS `$s`")
@@ -1771,7 +2041,16 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
   private def partialRenameRepairOps(
       qo: String, qn: String, constraintsPersisted: Boolean): Seq[String] = {
     import scala.jdk.CollectionConverters._
-    if (constraintsPersisted) Seq(s"mv\t$qn\t$qo\t\t")
+    // carry the wh/ext marker exactly like renameJournalOps — "did the
+    // SOURCE (qo) have a warehouse-canonical dir when this journal was
+    // written": recovery's drop-completion heuristic keys on field 3,
+    // and while repair journals never hold drop ops TODAY, an empty
+    // field would silently break that invariant if their contents ever
+    // grow (ADVICE r13). Post-rename a consumed source dir probes
+    // "ext", which conservatively disables completion evidence — the
+    // safe direction for the heuristic.
+    val marker = if (tableDirOf(qo).isDirectory) "wh" else "ext"
+    if (constraintsPersisted) Seq(s"mv\t$qn\t$qo\t$marker\t")
     else {
       def b64(s: String) =
         java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
@@ -1781,7 +2060,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         case (k, c) if k != qn && c.fks.exists(f => qualify(f.refTable) == qn) =>
           s"constraint\t$k\t\t\t${b64(constraintLine(k, c))}"
       }
-      s"mv\t$qn\t$qo\t\t$regLine" +: childLines
+      s"mv\t$qn\t$qo\t$marker\t$regLine" +: childLines
     }
   }
 
@@ -1909,10 +2188,24 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       if (ifNotExists) return ok()
       org.apache.spark.sql.GraftBridge.analysisError(s"schema $s already exists")
     }
+    // write-ahead compensation marker (ADVICE r13): the in-process
+    // ROLLBACK path drops the eager schema, but a kill -9 mid-txn
+    // would otherwise leak a permanent user-visible orphan — boot
+    // recovery consumes the marker and drops the schema if still empty
+    pendingSchemaMarker(s).foreach(f => writeFile(f.getAbsolutePath, s))
     spark.sql(s"CREATE DATABASE `$s`")
     st.createdSchemas += s
     ok()
   }
+
+  /** Crash-compensation marker for an eagerly-created in-txn schema:
+    * written BEFORE the CREATE, deleted once the schema's fate is
+    * decided (COMMIT keeps it, ROLLBACK / same-txn un-create drops
+    * it). A crash in between leaves the marker for [[loadPersisted]]. */
+  private def pendingSchemaMarker(s: String): Option[java.io.File] =
+    dbPath.map(p => new java.io.File(p, s"pending_schema_$s.marker"))
+  private def clearSchemaMarker(s: String): Unit =
+    pendingSchemaMarker(s).foreach(f => if (f.exists()) f.delete())
 
   /** Transactional DROP SCHEMA (r13, RESTRICT only — CASCADE keeps the
     * declared auto-commit path): a schema created in this txn drops
@@ -1940,6 +2233,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         org.apache.spark.sql.GraftBridge.analysisError(
           s"cannot drop schema $s: ${e.getMessage}") }
       st.createdSchemas -= s
+      clearSchemaMarker(s)
       return ok()
     }
     if (st.droppedSchemas.contains(s) || !spark.catalog.databaseExists(s)) {
@@ -1959,7 +2253,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     val catalogLive = spark.sessionState.catalog
       .listTables(s, "*", includeLocalTempViews = false)
       .map(ti => s + "." + ti.table)
-      .filterNot(q => Engine.isInternalTable(q.split('.').last) ||
+      .filterNot(q => Engine.isHiddenTable(q.split('.').last) ||
         st.staged.valuesIterator.contains(q) || st.deltas.valuesIterator.contains(q) ||
         st.dropped.contains(q) || st.droppedViews.contains(q) ||
         st.renames.contains(q))
@@ -2269,11 +2563,21 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * hand-approximated. */
   private def txnExec(sqlText: String): DataFrame = {
     val st = txn.get()
-    if (!st.open) return spark.sql(sqlText)
+    if (!st.open) {
+      // no transaction: exactly spark.sql — except when this connection
+      // holds TEMP objects, whose unqualified reads must resolve
+      // through the namespace map pre-analysis (r14)
+      if (tempNs.get().isEmpty) return spark.sql(sqlText)
+      val parsed0 =
+        try spark.sessionState.sqlParser.parsePlan(sqlText)
+        catch { case scala.util.control.NonFatal(_) => return spark.sql(sqlText) }
+      return org.apache.spark.sql.GraftBridge.dataset(spark,
+        substituteConnTempReads(parsed0))
+    }
     import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
     import org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
     val parsed =
-      try spark.sessionState.sqlParser.parsePlan(sqlText)
+      try substituteConnTempReads(spark.sessionState.sqlParser.parsePlan(sqlText))
       catch { case scala.util.control.NonFatal(_) => return spark.sql(sqlText) }
     // strip a leading catalog qualifier; >2 parts after that is not ours
     def baseParts(parts: Seq[String]): Seq[String] =
@@ -2542,30 +2846,41 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     r
   }
 
-  private def executeInner(sql0: String): ExecResult = {
-    val sql = sql0.trim.stripSuffix(";").trim
-    if (sql.isEmpty) return ExecResult(null, "EMPTY")
+  private def executeInner(sql0: String, allowReserved: Boolean = false): ExecResult = {
+    val sqlRaw = sql0.trim.stripSuffix(";").trim
+    if (sqlRaw.isEmpty) return ExecResult(null, "EMPTY")
     // DDL epoch: catalog-compat views (information_schema / pg_catalog /
     // system.*) are rebuilt lazily — only when a query references them
     // AND the epoch moved since that family's last rebuild. psql \d
     // bursts (several catalog queries per meta-command) previously paid
     // a full listTables×listColumns walk EACH; now one per DDL epoch.
-    if (Engine.ddlRe.findFirstIn(sql).isDefined) Engine.ddlEpoch.incrementAndGet()
+    if (Engine.ddlRe.findFirstIn(sqlRaw).isDefined) Engine.ddlEpoch.incrementAndGet()
 
-    // engine-internal staging suffixes are RESERVED table names: a user
-    // table named *__cow/*__txnN/… would be hidden from every catalog
-    // listing and DELETED by the next restart's stale-staging reclaim
-    // (ADVICE r11 escalation) — reject at CREATE / RENAME TO time.
-    // Engine-internal staging itself calls spark.sql directly and never
-    // passes through here.
-    reservedNameTargetRe.findFirstMatchIn(sql).foreach { m =>
+    // engine-internal staging suffixes and connection-temp mangles are
+    // RESERVED table names: a user table named *__cow/*__txnN/*__tmpcN
+    // would be hidden from every catalog listing and DELETED by the
+    // next restart's stale-staging reclaim (ADVICE r11 escalation) —
+    // reject at CREATE / RENAME TO time. Engine-internal staging and
+    // the temp-namespace re-dispatch (allowReserved) never pass
+    // through this guard.
+    if (!allowReserved) reservedNameTargetRe.findFirstMatchIn(sqlRaw).foreach { m =>
       val bare = m.group(1).split('.').last
-      if (Engine.isInternalTable(bare))
+      if (Engine.isHiddenTable(bare))
         throw new IllegalArgumentException(
-          s"""table name "$bare" uses a reserved engine-internal staging suffix """ +
-            "(__cow, __oc_src, __oc_src_raw, __oc_stage, __alter, __txn<N>[delta]); " +
-            "choose another name")
+          s"""table name "$bare" uses a reserved engine-internal suffix """ +
+            "(__cow, __oc_src, __oc_src_raw, __oc_stage, __alter, __txn<N>[delta], " +
+            "__tmpc<N>); choose another name")
     }
+
+    // per-connection TEMP namespace (r14): CREATE/DROP/RENAME of temp
+    // objects re-dispatch under the connection's mangled names; write
+    // targets naming a temp table substitute at the text level. The
+    // allowReserved re-dispatch skips both (its names are already
+    // mangled).
+    if (!allowReserved) {
+      connTempIntercept(sqlRaw).foreach(r => return r)
+    }
+    val sql = if (allowReserved) sqlRaw else substituteTempTargets(sqlRaw)
 
     // ALTER TABLE … RENAME TO (r12b): routed through [[renameTable]]
     // in AND outside transactions — outside for the constraint/FK/epoch
@@ -2591,6 +2906,20 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       }
       txnDropSchemaRe.findFirstMatchIn(sql).foreach { m =>
         return transactionalDropSchema(m.group(1) != null, m.group(2))
+      }
+      // a schema-DDL spelling the transactional regexes DON'T cover
+      // (quoted names with spaces/dots, AUTHORIZATION clauses) must not
+      // silently fall through to the auto-commit path — a later
+      // ROLLBACK would raise "cannot undo DDL" for a statement that
+      // looked transactional (ADVICE r13). DROP … CASCADE keeps its
+      // declared auto-commit route.
+      anySchemaDdlRe.findFirstMatchIn(sql).foreach { _ =>
+        if (!"""(?is)\bcascade\s*;?\s*$""".r.findFirstIn(sql).isDefined)
+          org.apache.spark.sql.GraftBridge.analysisError(
+            "unsupported schema DDL spelling inside a transaction (only " +
+              "CREATE/DROP SCHEMA with a plain single-identifier name is " +
+              "transactional; quoted multi-part names and AUTHORIZATION " +
+              "clauses are not) — COMMIT or ROLLBACK first")
       }
       dropTableRe.findFirstMatchIn(sql).foreach { m =>
         // DROP of a table CREATED in this same transaction is a clean
@@ -2740,7 +3069,11 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         return ExecResult(null, "CREATE ROLE")
       case None =>
     }
-    if (sql.equalsIgnoreCase("discard all")) return ExecResult(null, "DISCARD ALL")
+    if (sql.equalsIgnoreCase("discard all")) {
+      // PG semantics: DISCARD ALL drops the session's temporary objects
+      releaseConnTemps()
+      return ExecResult(null, "DISCARD ALL")
+    }
 
     createSeqRe.findFirstMatchIn(sql).foreach { m =>
       val ifNotExists = m.group(1) != null
@@ -2812,9 +3145,10 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
           st.reset()
           if (hadDdl) throw new IllegalArgumentException(
             "ROLLBACK cannot undo DDL: this transaction ran a statement that " +
-              "auto-commits (ALTER TABLE RENAME TO, view/schema/type DDL — table " +
-              "CREATE/DROP/ALTER are transactional); the staged DML changes in " +
-              "this transaction HAVE been rolled back")
+              "auto-commits (TEMP object DDL, OR REPLACE forms, DROP SCHEMA " +
+              "CASCADE, quoted-identifier RENAME — table/view/type/schema " +
+              "CREATE/DROP/ALTER and RENAME TO are transactional); the staged " +
+              "DML changes in this transaction HAVE been rolled back")
           return ExecResult(null, "ROLLBACK")
         case _ =>
           return ExecResult(null, kw)
@@ -2879,7 +3213,9 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     // constrained forms took createTableWithConstraints above. Guarded
     // to exclude OR REPLACE / TEMP / VIEW / DATABASE, which keep their
     // auto-commit behavior (declared).
-    if (isTxnOpen) txnCreateTableRe.findFirstMatchIn(sql).foreach { m =>
+    if (isTxnOpen) txnCreateTableRe.findFirstMatchIn(sql)
+        .filterNot(m => Engine.isTempConnName(m.group(2).split('.').last))
+        .foreach { m =>
       val ifNotExists = m.group(1) != null
       val table = m.group(2)
       // a name this txn DROPPED is free to re-create (drop-then-create
@@ -4463,7 +4799,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
           case "show_tables" =>
             import spark.implicits._
             val names = spark.catalog.listTables().collect().map(_.name)
-              .filterNot(Engine.isInternalTable).sorted.toSeq
+              .filterNot(Engine.isHiddenTable).sorted.toSeq
             ExecResult(names.toDF("name"), s"SELECT ${names.size}")
           case "version" =>
             import spark.implicits._
@@ -4615,7 +4951,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       .createOrReplaceTempView("__is_schemata")
     val tables = dbs.flatMap { d =>
       spark.catalog.listTables(d).collect().filterNot(_.isTemporary)
-        .filterNot(t => Engine.isInternalTable(t.name)).map(t =>
+        .filterNot(t => Engine.isHiddenTable(t.name)).map(t =>
         ("spark", d, t.name, t.tableType match {
           case "VIEW" => "VIEW"
           case _ => "BASE TABLE"
@@ -4756,9 +5092,11 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     // and what a drop-then-recreate's surviving base table still owns
     // after ROLLBACK — stays untouched until COMMIT; r11 judge find)
     val phys =
-      if (isTxnOpen) {
+      if (isTxnOpen && !Engine.isTempConnName(table.split('.').last)) {
         // a dropped name is free (drop publishes before creates at
         // COMMIT); a rename-target or created-view name is taken
+        // (connection-temp creates skip staging: temp DDL auto-commits,
+        // declared — r14)
         if ((spark.catalog.tableExists(table)
               && !txn.get().dropped.contains(qualify(table))
               && !txn.get().renames.contains(qualify(table))
@@ -4825,7 +5163,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     // collisions need >10k tables in one db
     val tables = dbs.flatMap { d =>
       spark.catalog.listTables(d).collect().filterNot(_.isTemporary)
-      .filterNot(t => Engine.isInternalTable(t.name)).sortBy(_.name)
+      .filterNot(t => Engine.isHiddenTable(t.name)).sortBy(_.name)
         .zipWithIndex.map { case (t, i) => (100000 + (nsOid(d) - 1000) * 10000 + i, d, t) }
     }
     tables.map { case (oid, d, t) =>
@@ -4941,7 +5279,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     dbs.toSeq.toDF("name").createOrReplaceTempView("__sys_databases")
     val tables = dbs.flatMap { d =>
       spark.catalog.listTables(d).collect().filterNot(_.isTemporary)
-      .filterNot(t => Engine.isInternalTable(t.name))
+      .filterNot(t => Engine.isHiddenTable(t.name))
         .filter(_.tableType != "VIEW")
         .map(t => (t.name, d, "uuid", "graft", 0, ""))
     }
@@ -4949,7 +5287,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       .createOrReplaceTempView("__sys_tables")
     val columns = dbs.flatMap { d =>
       spark.catalog.listTables(d).collect().filterNot(_.isTemporary)
-        .filterNot(t => Engine.isInternalTable(t.name)).flatMap { t =>
+        .filterNot(t => Engine.isHiddenTable(t.name)).flatMap { t =>
         try spark.catalog.listColumns(s"$d.${t.name}").collect().map(c =>
           (d, t.name, c.name, c.dataType, "", c.dataType, ""))
         catch { case scala.util.control.NonFatal(_) =>
@@ -5045,7 +5383,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     dir.mkdirs()
     val db = spark.catalog.currentDatabase
     val tables = spark.catalog.listTables(db).collect()
-      .filterNot(t => Engine.isInternalTable(t.name))
+      .filterNot(t => Engine.isHiddenTable(t.name))
       .filter(t => t.tableType == "MANAGED" || t.tableType == "EXTERNAL")
       .map(_.name).sorted
     val schemaSql = new StringBuilder
@@ -5180,7 +5518,11 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
   private def persistConstraints(): Unit = dbPath.foreach { p =>
     val lines = {
       import scala.jdk.CollectionConverters._
-      constraints.asScala.toSeq.sortBy(_._1).map { case (t, c) => constraintLine(t, c) }
+      // connection-temp tables die with the server — persisting their
+      // registrations would leave orphan rows after a crash (r14)
+      constraints.asScala.toSeq.sortBy(_._1)
+        .filterNot { case (t, _) => Engine.isTempConnName(t.split('.').last) }
+        .map { case (t, c) => constraintLine(t, c) }
     }
     writeFile(s"$p/constraints.tsv", lines.mkString("\n"))
   }
@@ -5532,6 +5874,25 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     lines("views.sql").foreach { ddl =>
       try spark.sql(rewrite(ddl)) catch { case scala.util.control.NonFatal(_) => }
     }
+    // eager in-txn CREATE SCHEMA compensation (ADVICE r13): a crash
+    // mid-txn strands the write-ahead marker — the schema is an
+    // uncommitted artifact, dropped here if still empty (committed
+    // content that re-registered above keeps it alive, the same
+    // RESTRICT stance as the in-process ROLLBACK compensation). The
+    // marker is consumed either way. Runs AFTER table re-registration
+    // and stale-staging reclaim so "empty" is judged on live content.
+    Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("pending_schema_") &&
+        f.getName.endsWith(".marker"))
+      .foreach { f =>
+        val s = f.getName.stripPrefix("pending_schema_").stripSuffix(".marker")
+        try {
+          if (spark.catalog.databaseExists(s) &&
+              spark.catalog.listTables(s).collect().isEmpty)
+            spark.sql(s"DROP DATABASE IF EXISTS `$s`")
+        } catch { case scala.util.control.NonFatal(_) => }
+        f.delete()
+      }
   }
 
   /** DROP TABLE under --db_path must also remove the on-disk dir, or
@@ -5722,12 +6083,29 @@ object Engine {
     """(?is)^\s*create\s+schema\s+(if\s+not\s+exists\s+)?([\w"]+)\s*;?\s*$""".r
   private val txnDropSchemaRe =
     """(?is)^\s*drop\s+schema\s+(if\s+exists\s+)?([\w"]+)\s*(?:restrict\s*)?;?\s*$""".r
+  /** Any CREATE/DROP SCHEMA spelling — the in-txn guard that rejects
+    * forms the transactional regexes above don't cover (ADVICE r13). */
+  private val anySchemaDdlRe =
+    """(?is)^\s*(?:create|drop)\s+schema\b""".r
 
   /** Engine-internal staging tables (txn overlays + deltas, CoW/upsert/
     * ALTER scratch) — hidden from every catalog listing the user can
     * see. */
   private[server] def isInternalTable(name: String): Boolean =
     name.matches("(?i).*__(txn\\d+(delta)?|cow|oc_src(_raw)?|oc_stage|alter)$")
+  /** Per-connection TEMP object (r14): `<name>__tmpc<connId>` — the
+    * mangled catalog spelling behind a connection-private temp
+    * table/view name (the reference gets connection privacy from one
+    * DuckDB `driver.Conn` per PG connection, pg_conn.go:51; here one
+    * shared SparkSession serves every connection, so privacy is a
+    * per-connection name substitution instead). */
+  private[server] def isTempConnName(name: String): Boolean =
+    name.matches("(?i).*__tmpc\\d+$")
+  /** Engine staging OR a connection's temp object — hidden from every
+    * user-visible catalog listing and reserved against direct user
+    * creation. */
+  private[server] def isHiddenTable(name: String): Boolean =
+    isInternalTable(name) || isTempConnName(name)
   private val dropViewRe = """(?is)^\s*drop\s+view\s+(?:if\s+exists\s+)?([\w.]+)\s*$""".r
   /** Staging dirs a crash may leave behind — never re-register them.
     * __txn overlays/deltas are included (a crash mid-transaction must
@@ -5735,7 +6113,7 @@ object Engine {
     * deliberately NOT — after a mid-ALTER crash the stage can be the
     * only surviving copy of the data. */
   private val staleStagingRe =
-    """.*(__cow|__oc_src|__oc_src_raw|__oc_stage|__txn\d+(delta)?)$""".r
+    """.*(__cow|__oc_src|__oc_src_raw|__oc_stage|__txn\d+(delta)?|__tmpc\d+)$""".r
 
   private val copyToRe =
     """(?is)^\s*copy\s+(\([^)]+\)|[\w.]+)\s+to\s+'([^']+)'\s*(?:\(((?:[^()]|\([^()]*\))*)\)|with\s*\(((?:[^()]|\([^()]*\))*)\))?\s*$""".r

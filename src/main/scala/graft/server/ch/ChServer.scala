@@ -71,6 +71,10 @@ final class ChServer(engine: Engine, port: Int, authEnabled: Boolean,
       // per-thread) would silently stage later, unrelated requests'
       // writes into never-committed copies. Reset unconditionally.
       try engine.rollbackDanglingTxn() catch { case NonFatal(_) => }
+      // same pooled-thread hazard for temp objects (r14): HTTP is
+      // stateless, so a request's temp views/tables must not leak into
+      // later, unrelated requests that land on the same pool thread
+      try engine.releaseConnTemps() catch { case NonFatal(_) => }
       ex.close()
     }
 

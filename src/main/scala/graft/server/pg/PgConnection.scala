@@ -55,6 +55,9 @@ final class PgConnection(socket: Socket, server: PgServer) extends Runnable {
       // roll back: the thread is about to die, and without this its
       // staged overlay tables would leak on disk forever
       try engine.rollbackDanglingTxn() catch { case NonFatal(_) => }
+      // temp objects are connection-private (r14) and die with the
+      // connection, like the reference's per-conn DuckDB temp catalog
+      try engine.releaseConnTemps() catch { case NonFatal(_) => }
       server.unregister(this)
       try socket.close() catch { case NonFatal(_) => }
     }

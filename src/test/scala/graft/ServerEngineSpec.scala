@@ -142,6 +142,60 @@ class ServerEngineSpec extends SparkSpecBase {
     e2.execute("drop table main.c_persist")
   }
 
+  test("in-txn schema DDL: unsupported spellings reject binder-class, not auto-commit") {
+    val e = new Engine(spark)
+    e.execute("begin")
+    // quoted multi-word name — falls outside the transactional regexes;
+    // must reject with a clear error, not silently auto-commit (ADVICE r13)
+    val bad = intercept[org.apache.spark.sql.AnalysisException] {
+      e.execute("""create schema "weird name"""")
+    }
+    assert(bad.getMessage.contains("inside a transaction"))
+    val auth = intercept[org.apache.spark.sql.AnalysisException] {
+      e.execute("create schema s_auth authorization bob")
+    }
+    assert(auth.getMessage.contains("inside a transaction"))
+    // binder-class: the block stays usable, plain ROLLBACK succeeds
+    e.execute("select 1")
+    e.execute("rollback")
+    // DROP SCHEMA … CASCADE keeps its declared auto-commit path
+    e.execute("create schema tsg_casc")
+    e.execute("begin")
+    e.execute("drop schema tsg_casc cascade")
+    val rb = intercept[IllegalArgumentException] { e.execute("rollback") }
+    assert(rb.getMessage.contains("cannot undo DDL"))
+    assert(!spark.catalog.databaseExists("tsg_casc"))
+  }
+
+  test("crash-stranded in-txn CREATE SCHEMA reclaims at boot if still empty") {
+    val tmp = Files.createTempDirectory("graft-db").toFile.getAbsolutePath
+    val e1 = new Engine(spark, allowFileIo = true, dbPath = Some(tmp))
+    e1.execute("begin")
+    e1.execute("create schema tsg_orphan")
+    assert(spark.catalog.databaseExists("tsg_orphan"))
+    // the write-ahead compensation marker exists while the txn is open
+    val marker = new java.io.File(tmp, "pending_schema_tsg_orphan.marker")
+    assert(marker.exists())
+    // simulate kill -9: no ROLLBACK ever runs; a fresh engine boots
+    val e2 = new Engine(spark, allowFileIo = true, dbPath = Some(tmp))
+    e2.loadPersisted()
+    assert(!spark.catalog.databaseExists("tsg_orphan"),
+      "boot recovery must drop the empty orphan schema")
+    assert(!marker.exists(), "boot recovery must consume the marker")
+    // clear e1's dangling txn state on this thread
+    e1.rollbackDanglingTxn()
+    // COMMIT consumes the marker — a later restart keeps the schema
+    val e3 = new Engine(spark, allowFileIo = true, dbPath = Some(tmp))
+    e3.execute("begin")
+    e3.execute("create schema tsg_kept")
+    e3.execute("commit")
+    assert(!new java.io.File(tmp, "pending_schema_tsg_kept.marker").exists())
+    val e4 = new Engine(spark, allowFileIo = true, dbPath = Some(tmp))
+    e4.loadPersisted()
+    assert(spark.catalog.databaseExists("tsg_kept"))
+    e4.execute("drop schema tsg_kept")
+  }
+
   test("INSERT ON CONFLICT: DO UPDATE merges, DO NOTHING skips, null keys insert") {
     fresh("oc_t")
     engine.execute("create table main.oc_t (k INT PRIMARY KEY, v STRING) using parquet")

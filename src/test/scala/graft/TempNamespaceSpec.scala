@@ -1,0 +1,187 @@
+package graft
+
+import java.util.concurrent.LinkedBlockingQueue
+
+import graft.server.Engine
+
+/** Per-connection TEMP object namespace (r14, SURVEY B.9 / VERDICT r13
+  * Missing #1): the reference gives every PG connection a private
+  * DuckDB conn (pg_conn.go:51), so `CREATE TEMP VIEW v` in two psql
+  * sessions neither collides nor leaks. Here one SparkSession serves
+  * every connection; privacy comes from the per-thread name
+  * substitution in Engine. Each spawned thread below is one
+  * "connection" (PgServer spawns a thread per socket). */
+class TempNamespaceSpec extends SparkSpecBase {
+
+  private lazy val engine: Engine = {
+    spark.sql("CREATE DATABASE IF NOT EXISTS main")
+    spark.sql("USE main")
+    new Engine(spark)
+  }
+
+  /** A simulated connection: statements execute on a dedicated thread
+    * (the engine keys temp/txn state by thread), results come back on
+    * a queue. close() mimics PgConnection's teardown. */
+  private final class Conn {
+    private val in = new LinkedBlockingQueue[Option[String]]()
+    private val out = new LinkedBlockingQueue[Either[Throwable, Seq[String]]]()
+    private val t = new Thread(() => {
+      var next = in.take()
+      while (next.isDefined) {
+        out.put(
+          try Right {
+            val r = engine.execute(next.get)
+            Option(r.df).map(_.collect().toSeq.map(_.toString)).getOrElse(Seq(r.tag))
+          } catch { case e: Throwable => Left(e) })
+        next = in.take()
+      }
+      engine.releaseConnTemps()
+    })
+    t.start()
+    def exec(sql: String): Seq[String] = {
+      in.put(Some(sql))
+      out.take() match {
+        case Right(rows) => rows
+        case Left(e) => throw e
+      }
+    }
+    def fails(sql: String): Throwable =
+      intercept[Throwable] { exec(sql) }
+    def close(): Unit = { in.put(None); t.join() }
+  }
+
+  test("two connections: same temp view name, independent values and drops") {
+    val a = new Conn; val b = new Conn
+    try {
+      a.exec("create temp view tns_v as select 1 as x")
+      b.exec("create temp view tns_v as select 2 as x")
+      assert(a.exec("select * from tns_v") == Seq("[1]"))
+      assert(b.exec("select * from tns_v") == Seq("[2]"))
+      a.exec("drop view tns_v")
+      // a's drop does not touch b's view; a's name is gone
+      assert(b.exec("select * from tns_v") == Seq("[2]"))
+      val e = a.fails("select * from tns_v")
+      assert(e.getMessage.contains("tns_v"))
+    } finally { a.close(); b.close() }
+  }
+
+  test("temp tables are connection-private, writable, constraint-enforced") {
+    val a = new Conn; val b = new Conn
+    try {
+      a.exec("create temp table tns_t (id INT PRIMARY KEY, v STRING)")
+      b.exec("create temp table tns_t as select 99 as id")
+      a.exec("insert into tns_t values (1, 'one'), (2, 'two')")
+      val dup = a.fails("insert into tns_t values (1, 'dup')")
+      assert(dup.getMessage.contains("unique") || dup.getMessage.contains("duplicate"))
+      a.exec("update tns_t set v = 'ONE' where id = 1")
+      a.exec("delete from tns_t where id = 2")
+      assert(a.exec("select id, v from tns_t") == Seq("[1,ONE]"))
+      assert(b.exec("select id from tns_t") == Seq("[99]"))
+      b.exec("drop table tns_t")
+      assert(a.exec("select count(*) as n from tns_t") == Seq("[1]"))
+      a.exec("drop table tns_t")
+    } finally { a.close(); b.close() }
+  }
+
+  test("temp table DML is transactional (ROLLBACK restores), DDL auto-commits") {
+    val a = new Conn
+    try {
+      a.exec("create temp table tns_tx (id INT)")
+      a.exec("insert into tns_tx values (1)")
+      a.exec("begin")
+      a.exec("insert into tns_tx values (2)")
+      assert(a.exec("select count(*) as n from tns_tx") == Seq("[2]"))
+      a.exec("rollback")
+      assert(a.exec("select count(*) as n from tns_tx") == Seq("[1]"))
+      // temp DDL inside a txn auto-commits (declared divergence —
+      // same class as the pre-existing temp-view behavior): ROLLBACK
+      // raises the honest cannot-undo-DDL error and the object stays
+      a.exec("begin")
+      a.exec("create temp table tns_ddl as select 5 as x")
+      val e = a.fails("rollback")
+      assert(e.getMessage.contains("cannot undo DDL"))
+      assert(a.exec("select x from tns_ddl") == Seq("[5]"))
+      a.exec("drop table tns_ddl")
+      a.exec("drop table tns_tx")
+    } finally a.close()
+  }
+
+  test("temp name shadows a same-named catalog table; drop unshadows") {
+    val a = new Conn
+    try {
+      a.exec("drop table if exists main.tns_shadow")
+      a.exec("create table main.tns_shadow as select 'real' as v")
+      a.exec("create temp view tns_shadow as select 'temp' as v")
+      assert(a.exec("select v from tns_shadow") == Seq("[temp]"))
+      // the qualified spelling still reaches the catalog table
+      assert(a.exec("select v from main.tns_shadow") == Seq("[real]"))
+      a.exec("drop view tns_shadow")
+      assert(a.exec("select v from tns_shadow") == Seq("[real]"))
+      // CTE names shadow temp names (analyzer order, DuckDB-matching)
+      a.exec("create temp view tns_cte as select 1 as x")
+      assert(a.exec("with tns_cte as (select 42 as x) select x from tns_cte")
+        == Seq("[42]"))
+      a.exec("drop view tns_cte")
+      a.exec("drop table main.tns_shadow")
+    } finally a.close()
+  }
+
+  test("connection close and DISCARD ALL drop the connection's temps") {
+    val a = new Conn
+    a.exec("create temp table tns_d1 as select 1 as x")
+    a.exec("create temp view tns_d2 as select 2 as x")
+    a.exec("discard all")
+    assert(a.fails("select * from tns_d1").getMessage.contains("tns_d1"))
+    assert(a.fails("select * from tns_d2").getMessage.contains("tns_d2"))
+    a.exec("create temp table tns_d3 as select 3 as x")
+    a.close() // teardown path: releaseConnTemps on the conn thread
+    // nothing mangled survives in the shared catalog
+    val leftovers = spark.catalog.listTables("main").collect()
+      .map(_.name).filter(_.matches("(?i).*__tmpc\\d+$"))
+    assert(leftovers.isEmpty, s"leaked temp tables: ${leftovers.mkString(",")}")
+    assert(!spark.catalog.listTables().collect()
+      .exists(t => t.isTemporary && t.name.matches("(?i).*__tmpc\\d+$")))
+  }
+
+  test("temp DDL errors: duplicates, wrong object class, reserved suffix") {
+    val a = new Conn
+    try {
+      a.exec("create temp view tns_e as select 1 as x")
+      val dup = a.fails("create temp view tns_e as select 2 as x")
+      assert(dup.getMessage.contains("already exists"))
+      a.exec("create or replace temp view tns_e as select 2 as x")
+      assert(a.exec("select x from tns_e") == Seq("[2]"))
+      val cross = a.fails("create temp table tns_e (a INT)")
+      assert(cross.getMessage.contains("temp view"))
+      val wrongDrop = a.fails("drop table tns_e")
+      assert(wrongDrop.getMessage.contains("DROP VIEW"))
+      a.exec("drop view tns_e")
+      a.exec("create temp table tns_e2 (a INT)")
+      val wrongDrop2 = a.fails("drop view tns_e2")
+      assert(wrongDrop2.getMessage.contains("DROP TABLE"))
+      a.exec("create temp table if not exists tns_e2 (a INT)") // no-op
+      a.exec("drop table tns_e2")
+      val reserved = a.fails("create table tns__tmpc7 (a INT)")
+      assert(reserved.getMessage.contains("reserved"))
+      val reservedTemp = a.fails("create temp view tns__tmpc7 as select 1")
+      assert(reservedTemp.getMessage.contains("reserved"))
+    } finally a.close()
+  }
+
+  test("temp objects are hidden from catalog listings; rename stays in-namespace") {
+    val a = new Conn
+    try {
+      a.exec("create temp table tns_h (a INT)")
+      a.exec("create temp view tns_hv as select 1 as x")
+      val names = a.exec(
+        "select table_name from information_schema.tables where table_name like '%tmpc%'")
+      assert(names.isEmpty)
+      a.exec("alter table tns_h rename to tns_h2")
+      a.exec("insert into tns_h2 values (7)")
+      assert(a.exec("select a from tns_h2") == Seq("[7]"))
+      assert(a.fails("select * from tns_h").getMessage.contains("tns_h"))
+      a.exec("drop table tns_h2")
+      a.exec("drop view tns_hv")
+    } finally a.close()
+  }
+}

@@ -131,6 +131,22 @@ chk "pg qualify"      "0|0"      "$(psql $P -tA -c "select n_regionkey, n_nation
 chk "pg distinct on"  "0|0"      "$(psql $P -tA -c "select distinct on (n_regionkey) n_regionkey, n_nationkey from nation order by n_regionkey, n_nationkey limit 1" 2>&1)"
 chk "pg similar to"   "5"        "$(psql $P -tA -c "select count(*) from region where r_name similar to '[A-Z ]+'" 2>&1)"
 chk "pg union by name" "26"      "$(psql $P -tA -c "select n_name as a from nation union all by name select 1 as b, 'x' as a" 2>&1 | wc -l)"
+# per-connection TEMP namespace (r14): two concurrent psql sessions
+# create/query/drop the SAME temp view name independently — the
+# reference gets this from one DuckDB conn per PG connection
+# (pg_conn.go:51). Each psql invocation is its own connection; a
+# multi-statement invocation keeps one connection for all -c flags.
+chk "pg temp view conn A" "1" "$(psql $P -tA -c "create temp view tns_smoke as select 1 as x" -c "select x from tns_smoke" 2>&1 | tail -1)"
+chk "pg temp view conn B" "2" "$(psql $P -tA -c "create temp view tns_smoke as select 2 as x" -c "select x from tns_smoke" 2>&1 | tail -1)"
+# conn C: the name is free again (A's and B's views died with their conns)
+chk "pg temp view gone"   "free" "$(psql $P -tA -c "select x from tns_smoke" 2>&1 | grep -q 'tns_smoke' && echo free)"
+# temp TABLE: private, writable, dropped at disconnect
+chk "pg temp table"       "7"  "$(psql $P -tA -c "create temp table tns_tsmoke (a int)" -c "insert into tns_tsmoke values (7)" -c "select a from tns_tsmoke" 2>&1 | tail -1)"
+chk "pg temp tbl gone"    "free" "$(psql $P -tA -c "select a from tns_tsmoke" 2>&1 | grep -q 'tns_tsmoke' && echo free)"
+# same name in two LIVE sessions via interleaved single-conn batches:
+# A creates+reads while B holds a different value in the same name
+chk "pg temp shadow"      "real" "$(psql $P -tA -c "drop table if exists main.tns_sh" -c "create table main.tns_sh as select 'real' as v" -c "create temp view tns_sh as select 'temp' as v" -c "drop view tns_sh" -c "select v from tns_sh" 2>&1 | tail -1)"
+psql $P -c "drop table if exists main.tns_sh" >/dev/null 2>&1
 $CURL "http://127.0.0.1:$CH/" -d 'DROP TABLE main.smoke2' >/dev/null
 psql $P -c "drop table main.smoke" >/dev/null 2>&1
 
