@@ -131,9 +131,23 @@ object TpchQueries {
       // TABLE (a serial driver build that would be nonsense at scale);
       // a per-partition hash join on the orderkey with the selective
       // side as build is the right shape at every tier (measured
-      // 1.55 s → 0.94 s at sf0.1, AQE-off)
-      ord.join(t.customer.select(col("c_custkey"), col("c_nationkey")),
-          col("o_custkey") === col("c_custkey"))
+      // 1.55 s → 0.94 s at sf0.1, AQE-off). r14 A/B (Q5AB, BENCH_NOTES):
+      // the hint is NOT pessimizing larger tiers — sf1 1.26 vs 1.18
+      // hint-free (window noise), sf10 6.11 vs 6.24 (tie).
+      //
+      // customer side (r14 A/B): broadcasting the 2-column projection
+      // beats the o_custkey shuffle at sf1 (1.26 → 1.03 s) and ties at
+      // sf0.1/sf10 — but customer SCALES with SF, so a forced
+      // broadcast() would exceed Spark's 8 GB broadcast cap (and die)
+      // around sf3000. ADAPTIVE instead: broadcast only while the
+      // optimizer's size estimate of the pruned projection stays under
+      // 256 MB (plan-time metadata, no job); past that the plan reverts
+      // to the shuffle join — the only shape that exists at 100 TB.
+      ord.join({
+          val cust = t.customer.select(col("c_custkey"), col("c_nationkey"))
+          val est = cust.queryExecution.optimizedPlan.stats.sizeInBytes
+          if (est < (256L << 20)) broadcast(cust) else cust
+        }, col("o_custkey") === col("c_custkey"))
         .hint("shuffle_hash")
         .join(li, col("o_orderkey") === col("l_orderkey"))
         .join(supp, col("l_suppkey") === col("s_suppkey")
