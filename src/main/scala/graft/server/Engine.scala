@@ -684,6 +684,22 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     }
   }
 
+  /** Lazily analyze a row-returning statement for the extended
+    * protocol's Parse/Describe (no job, no execution): dialect rewrite
+    * plus the connection's temp-name substitution — a prepared
+    * `SELECT … FROM tempview` must describe through the same namespace
+    * Execute resolves (r14; the bare spark.sql path couldn't see the
+    * mangled names). */
+  def analyzeOnly(sql: String): DataFrame = {
+    val rewritten = rewrite(sql)
+    if (tempNs.get().isEmpty) spark.sql(rewritten)
+    else {
+      val parsed = spark.sessionState.sqlParser.parsePlan(rewritten)
+      org.apache.spark.sql.GraftBridge.dataset(spark,
+        substituteConnTempReads(parsed))
+    }
+  }
+
   /** Drop every temp object THIS connection (thread) registered —
     * called at connection teardown, per CH request (pooled threads),
     * and by DISCARD ALL. Mirrors the reference, where closing the PG
@@ -5887,8 +5903,10 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       .foreach { f =>
         val s = f.getName.stripPrefix("pending_schema_").stripSuffix(".marker")
         try {
+          // PERSISTENT tables only: catalog.listTables(db) also lists
+          // session temp views, which must not keep an orphan alive
           if (spark.catalog.databaseExists(s) &&
-              spark.catalog.listTables(s).collect().isEmpty)
+              spark.catalog.listTables(s).collect().forall(_.isTemporary))
             spark.sql(s"DROP DATABASE IF EXISTS `$s`")
         } catch { case scala.util.control.NonFatal(_) => }
         f.delete()

@@ -321,7 +321,10 @@ final class PgConnection(socket: Socket, server: PgServer) extends Runnable {
       throw new IllegalStateException(s"prepared statement \"$name\" already exists")
     val numParams = maxParamIndex(sql)
     val stmt = Stmt(sql, numParams,
-      () => spark.sql(engine.rewrite(substituteParams(sql, Seq.fill(numParams)(None)))))
+      // analyzeOnly: dialect rewrite + the connection's TEMP-namespace
+      // substitution (r14) — lazy analysis, no job, like spark.sql on
+      // a SELECT
+      () => engine.analyzeOnly(substituteParams(sql, Seq.fill(numParams)(None))))
     // Parse-time validation (the reference gets this from DuckDB's
     // Prepare): analyze row-returning statements now so bad SQL errors
     // at Parse, not Execute. Lazy analysis only — no job runs.

@@ -1198,7 +1198,8 @@ class ServerEngineSpec extends SparkSpecBase {
       // the temp view (auto-commit DDL) survives; the staged DML rolled back
       assert(engine.execute("SELECT one FROM txn_ddl_tv").df.head().getInt(0) == 1)
       assert(engine.execute("SELECT count(*) AS c FROM txn_ddl").df.head().getLong(0) == 0L)
-      spark.catalog.dropTempView("txn_ddl_tv")
+      // drop through the engine: temp names are connection-mangled (r14)
+      engine.execute("DROP VIEW txn_ddl_tv")
       // ALTER … RENAME TO is transactional too (r12b): it composes
       // with uncommitted txn changes — the overlays answer to the new
       // name — and ROLLBACK undoes both the rename and the DML

@@ -114,7 +114,41 @@ def main(port):
     if not ok:
         failures.append("close")
 
-    # 5. CancelRequest: fire a slow query, cancel from a second conn
+    # 5. per-connection TEMP namespace through the EXTENDED protocol
+    # (r14): Parse/Describe must resolve a temp view created on this
+    # connection (the old bare-spark Describe path couldn't see the
+    # mangled name), and a second connection must NOT see it.
+    c.send(msg(b"Q", cstr("create temp view ext_tns as select 11 as y")))
+    c.drain_until_ready()
+    c.send(
+        msg(b"P", cstr("st") + cstr("select y from ext_tns") + struct.pack(">h", 0)),
+        msg(b"D", b"S" + cstr("st")),
+        msg(b"B", cstr("") + cstr("st") + struct.pack(">hhh", 0, 0, 0)),
+        msg(b"E", cstr("") + struct.pack(">i", 0)),
+        msg(b"S", b""))
+    seq = c.drain_until_ready()
+    kinds = types_of(seq)
+    datarows = [p for t, p in seq if t == b"D"]
+    # DataRow: int16 ncols, int32 len, value bytes — single-column here
+    val = datarows[0][6:] if datarows else b""
+    ok = kinds == "1tT2DCZ" and val == b"11"
+    print(("PASS" if ok else "FAIL") + f" temp-ext flow: {kinds} row={val}")
+    if not ok:
+        failures.append("temp-ext")
+    c2 = Conn(port)
+    c2.send(msg(b"Q", cstr("select y from ext_tns")))
+    seq2 = c2.drain_until_ready()
+    ok = "E" in types_of(seq2)  # other conn: not found
+    print(("PASS" if ok else "FAIL") + f" temp-ext private: {types_of(seq2)}")
+    if not ok:
+        failures.append("temp-ext-private")
+    c2.s.close()
+    c.send(msg(b"C", b"S" + cstr("st")), msg(b"S", b""))
+    c.drain_until_ready()
+    c.send(msg(b"Q", cstr("drop view ext_tns")))
+    c.drain_until_ready()
+
+    # 6. CancelRequest: fire a slow query, cancel from a second conn
     # data-independent and reliably minutes-long uncancelled
     slow = "select sum(id) from range(20000000000)"
     c.send(msg(b"Q", cstr(slow)))

@@ -23,6 +23,12 @@ are compared statement-by-statement and on final content.
 A third mode races parent-deletes against child-appends under a
 FOREIGN KEY and asserts the committed state never contains orphans.
 
+A fourth mode (r14) fires TRUE-PARALLEL threads: a non-txn CREATE
+TABLE AS racing a COMMIT that publishes a rename chain or swap cycle
+onto the same name — invariant-checked (the window the r13b
+CREATE-lock closed; DuckDB has no equivalent window to differential
+against).
+
 Usage: python3 tools/txn_fuzz.py [port] [n_scripts] [seed]
 """
 import random
@@ -30,6 +36,7 @@ import re
 import socket
 import struct
 import sys
+import time
 
 import duckdb
 
@@ -595,19 +602,140 @@ def fk_scripts(port, n_scripts, r, finds):
     return ok
 
 
+def create_race_scripts(port, n_scripts, r, finds):
+    """TRUE-PARALLEL race: a non-txn CREATE TABLE ... AS fired from a
+    second connection simultaneously with a COMMIT publishing a rename
+    CHAIN (frees the name) or a swap CYCLE (keeps both names occupied,
+    breaks via a journaled temp hop) onto the same name. This is the
+    exact window the r13b lock closed (non-txn CREATE serializes on the
+    target's write lock, which COMMIT holds through validation AND
+    publish) — prevention is now a lock, so the fuzzer proves it with
+    real threads instead of a statement interleave. Invariants, not a
+    DuckDB differential (DuckDB has no equivalent of the window):
+      chain  — renamed-to name carries the old rows; the freed name is
+               either the CREATE's table (it won, post-publish) or
+               absent (it lost, already-exists error pre-publish);
+               never both, never empty-with-success.
+      cycle  — contents swapped EXACTLY; the CREATE must have errored
+               (both names stay occupied at every point of the publish);
+               no hop stranded (no %__txn% / %__rescued% in the catalog).
+    """
+    import threading
+    ok = 0
+    for si in range(n_scripts):
+        tag = f"{r.randint(0, 10**9)}_{si}"
+        a, b, cnew = f"crr_a_{tag}", f"crr_b_{tag}", f"crr_c_{tag}"
+        pg = [PgSession(port), PgSession(port)]
+        pg[0].query(f"CREATE TABLE {a} (k INTEGER PRIMARY KEY, v INTEGER)")
+        pg[0].query(f"INSERT INTO {a} VALUES (1, 10)")
+        pg[0].query(f"CREATE TABLE {b} (k INTEGER PRIMARY KEY, v INTEGER)")
+        pg[0].query(f"INSERT INTO {b} VALUES (2, 20)")
+        cycle = r.random() < 0.5
+        pg[0].query("BEGIN")
+        if cycle:
+            # a<->b swap via the collapse spelling; COMMIT breaks the
+            # cycle with a temp hop. The racing CREATE targets a.
+            pg[0].query(f"ALTER TABLE {b} RENAME TO {cnew}")
+            pg[0].query(f"ALTER TABLE {a} RENAME TO {b}")
+            pg[0].query(f"ALTER TABLE {cnew} RENAME TO {a}")
+            target = a
+        else:
+            # chain: a -> cnew frees a; the racing CREATE targets a.
+            pg[0].query(f"ALTER TABLE {a} RENAME TO {cnew}")
+            target = a
+        commit_err = [None]
+        create_err = [None]
+        stagger = r.random() * 0.02  # 0-20 ms either side of the COMMIT
+        create_first = r.random() < 0.5
+
+        def do_commit():
+            if not create_first:
+                pass
+            else:
+                time.sleep(stagger)
+            _, e, _ = pg[0].query("COMMIT")
+            commit_err[0] = e
+
+        def do_create():
+            if create_first:
+                pass
+            else:
+                time.sleep(stagger)
+            _, e, _ = pg[1].query(
+                f"CREATE TABLE {target} AS SELECT 777 AS x")
+            create_err[0] = e
+
+        t1 = threading.Thread(target=do_commit)
+        t2 = threading.Thread(target=do_create)
+        t1.start(); t2.start(); t1.join(); t2.join()
+
+        def rows_of(t):
+            rws, err, _ = pg[0].query(f"SELECT * FROM {t} ORDER BY 1")
+            return (rws, err)
+        diverged = False
+        if commit_err[0] is not None:
+            finds.append(("RACE-COMMIT", "commit failed", commit_err[0], None))
+            diverged = True
+        elif cycle:
+            ra, ea = rows_of(a)
+            rb, eb = rows_of(b)
+            if ea is not None or eb is not None or \
+                    ra != ["2|20"] or rb != ["1|10"]:
+                finds.append(("RACE-SWAP", f"{a}/{b}", (ra, ea, rb, eb), "swapped"))
+                diverged = True
+            if create_err[0] is None:
+                finds.append(("RACE-SWAP-CREATE", target,
+                              "create succeeded on an occupied name", None))
+                diverged = True
+        else:
+            rc, ec = rows_of(cnew)
+            if ec is not None or rc != ["1|10"]:
+                finds.append(("RACE-CHAIN", cnew, (rc, ec), "old a rows"))
+                diverged = True
+            ra, ea = rows_of(a)
+            if create_err[0] is None:
+                # CREATE won post-publish: a must be ITS table
+                if ea is not None or ra != ["777"]:
+                    finds.append(("RACE-CHAIN-WON", a, (ra, ea), "777"))
+                    diverged = True
+            else:
+                # CREATE lost pre-publish: a must be absent
+                if ea is None:
+                    finds.append(("RACE-CHAIN-LOST", a,
+                                  f"create errored ({str(create_err[0])[:80]}) "
+                                  f"but {a} still resolves to {ra}", "absent"))
+                    diverged = True
+        # stranded staging / hops / rescues are catalog-visible names
+        strays, serr, _ = pg[0].query(
+            "SELECT table_name FROM information_schema.tables WHERE "
+            "table_name LIKE '%\\_\\_txn%' ESCAPE '\\' OR "
+            "table_name LIKE '%\\_\\_rescued%' ESCAPE '\\'")
+        if serr is None and strays:
+            finds.append(("RACE-STRAY", "staging leaked", strays, None))
+            diverged = True
+        for t in (a, b, cnew):
+            pg[0].query(f"DROP TABLE IF EXISTS {t}")
+        pg[0].close(); pg[1].close()
+        if not diverged:
+            ok += 1
+    return ok
+
+
 def main(port, n_scripts, seed):
     r = random.Random(seed)
     finds = []
     ok1 = differential_scripts(port, n_scripts, r, finds)
     ok2 = interleave_scripts(port, max(1, n_scripts // 2), r, finds)
     ok3 = fk_scripts(port, max(1, n_scripts // 2), r, finds)
+    ok4 = create_race_scripts(port, max(1, n_scripts // 2), r, finds)
     for kind, st, got, want in finds[:20]:
         print(f"{kind}  {st}")
         print(f"    server: {str(got)[:400]}")
         print(f"    oracle: {str(want)[:400]}")
     print(f"\nSEED {seed} SUMMARY diff_ok={ok1}/{n_scripts} "
           f"interleave_ok={ok2}/{max(1, n_scripts // 2)} "
-          f"fk_ok={ok3}/{max(1, n_scripts // 2)} finds={len(finds)}")
+          f"fk_ok={ok3}/{max(1, n_scripts // 2)} "
+          f"race_ok={ok4}/{max(1, n_scripts // 2)} finds={len(finds)}")
     return 1 if finds else 0
 
 
