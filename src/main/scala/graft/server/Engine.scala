@@ -684,6 +684,15 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     }
   }
 
+  /** Resolve a user table spelling through THIS connection's temp
+    * namespace (r14): an unqualified / temp.-qualified name registered
+    * as a connection-temp TABLE answers to its mangled catalog name.
+    * Protocol paths that take their target from wire text rather than
+    * a SQL statement (COPY FROM STDIN, ClickHouse INSERT ingest) call
+    * this before touching the catalog. */
+  def resolveConnTemp(name: String): String =
+    tempUserName(name).flatMap(n => tempNs.get().tables.get(n)).getOrElse(name)
+
   /** Lazily analyze a row-returning statement for the extended
     * protocol's Parse/Describe (no job, no execution): dialect rewrite
     * plus the connection's temp-name substitution — a prepared
@@ -5949,7 +5958,9 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * visibility at completion = the reference's Appender Flush. */
   def appendBatch(table0: String, columns: Seq[String], rows: Seq[Seq[Any]]): Unit = {
     if (rows.isEmpty) return
-    val table = resolveRenamed(table0) // post-rename names key by the original
+    // conn-temp names first (protocol-text targets, r14), then
+    // post-rename names key by the original
+    val table = resolveRenamed(resolveConnTemp(table0))
     // constraint-free appends can interleave (read lock; COW writers
     // exclude); constrained tables need check+insert to be atomic, so
     // concurrent appenders serialize on the write lock

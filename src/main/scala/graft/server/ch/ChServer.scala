@@ -144,7 +144,12 @@ final class ChServer(engine: Engine, port: Int, authEnabled: Boolean,
       format: String, payload: String): Unit = {
     if (!Formats.names.contains(format))
       { respond(ex, 400, s"unknown format $format\n"); return }
-    val table = if (table0.contains(".")) table0 else s"main.$table0"
+    // conn-temp names resolve first (protocol-text target, r14); a
+    // non-temp bare name qualifies to main as before
+    val resolved = engine.resolveConnTemp(table0)
+    val table =
+      if (resolved != table0) resolved
+      else if (table0.contains(".")) table0 else s"main.$table0"
     val target = spark.table(table)
     val columns = cols.getOrElse(target.schema.fieldNames.toSeq)
     val parsers = columns.map(c => CsvValues.parserFor(target.schema(c).dataType))

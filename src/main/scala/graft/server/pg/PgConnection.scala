@@ -269,7 +269,10 @@ final class PgConnection(socket: Socket, server: PgServer) extends Runnable {
   private val copyFromStdinRe =
     """(?is)^\s*copy\s+([\w.]+)\s*(?:\(([^)]*)\))?\s+from\s+stdin.*$""".r
 
-  private def copyInMode(table: String, colList: Option[String]): Unit = {
+  private def copyInMode(table0: String, colList: Option[String]): Unit = {
+    // COPY targets come from wire text, not a SQL statement — resolve
+    // the connection's temp namespace here (r14)
+    val table = engine.resolveConnTemp(table0)
     val target = spark.table(table)
     // honor the statement's column list: fields bind to the listed
     // columns in order, the rest null-fill in appendBatch (round-2 bug:
@@ -280,7 +283,7 @@ final class PgConnection(socket: Socket, server: PgServer) extends Runnable {
         .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
         .map(c => target.schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
           throw new IllegalArgumentException(
-            s"""column "$c" of relation "$table" does not exist"""))))
+            s"""column "$c" of relation "$table0" does not exist"""))))
       .getOrElse(target.schema.fieldNames.toSeq)
     out.copyInResponse(cols.size)
     // accumulate raw bytes and decode ONCE at CopyDone — a CopyData

@@ -168,6 +168,27 @@ class TempNamespaceSpec extends SparkSpecBase {
     } finally a.close()
   }
 
+  test("appendBatch (COPY FROM STDIN / CH ingest path) resolves temp names") {
+    @volatile var result: Seq[String] = Nil
+    @volatile var err: Throwable = null
+    val t = new Thread(() => {
+      try {
+        engine.execute("create temp table tns_ab (k INT, v STRING)")
+        // the wire paths hand appendBatch the USER spelling from
+        // protocol text — it must land in this connection's temp table
+        engine.appendBatch("tns_ab", Seq("k", "v"),
+          Seq(Seq(1, "x"), Seq(2, "y")))
+        result = engine.execute("select k, v from tns_ab order by k")
+          .df.collect().toSeq.map(_.toString)
+        engine.execute("drop table tns_ab")
+      } catch { case e: Throwable => err = e }
+      finally engine.releaseConnTemps()
+    })
+    t.start(); t.join()
+    if (err != null) throw err
+    assert(result == Seq("[1,x]", "[2,y]"))
+  }
+
   test("temp objects are hidden from catalog listings; rename stays in-namespace") {
     val a = new Conn
     try {
