@@ -470,8 +470,19 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * declared temp-view divergence, extended to temp tables); temp
     * TABLE DML is fully transactional — the mangled name is an
     * ordinary table, so the overlay/pinning machinery applies as-is. */
+  /** A connection-temp VIEW: the dialect-rewritten body text (for
+    * error messages / reporting) and its PARSED, UNexpanded plan.
+    * Reads inline the plan to a fixpoint ([[substituteConnTempReads]])
+    * so temp views LATE-BIND like DuckDB's — a temp table dropped and
+    * recreated under the same name is seen fresh through the view
+    * (Spark's own temp views re-analyze their original TEXT, which
+    * would hold this connection's names another connection can't
+    * resolve — so no session-global temp view is ever created). */
+  private final class TempViewDef(val text: String,
+      val plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+
   private final class TempNs(val id: Long) {
-    val views = scala.collection.mutable.Map.empty[String, String]
+    val views = scala.collection.mutable.Map.empty[String, TempViewDef]
     val tables = scala.collection.mutable.Map.empty[String, String]
     def isEmpty: Boolean = views.isEmpty && tables.isEmpty
     def mangle(name: String): String = name + "__tmpc" + id
@@ -528,13 +539,32 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         org.apache.spark.sql.GraftBridge.analysisError(
           s"""temp view "$n" already exists""")
       }
-      val mangled = ns.mangle(n)
-      val cols = Option(m.group(4)).getOrElse("")
-      val r = executeInner(
-        s"CREATE OR REPLACE TEMPORARY VIEW $mangled $cols AS ${m.group(5)}",
-        allowReserved = true)
-      ns.views(n) = mangled
-      return Some(ExecResult(r.df, "CREATE VIEW"))
+      // optional column-alias list: wrap as a subquery alias with the
+      // declared names (Spark supports `FROM (q) AS t(a, b)`)
+      val bodyText = Option(m.group(4)) match {
+        case Some(cols) =>
+          s"SELECT * FROM (${m.group(5)}) AS __tv${cols.trim}"
+        case None => m.group(5)
+      }
+      val parsed = spark.sessionState.sqlParser.parsePlan(rewrite(bodyText))
+      // recursion guard: the closure of temp-view references reached
+      // from the NEW body must not lead back to n (direct self-refs
+      // and OR REPLACE-introduced mutual recursion both land here)
+      if (tempViewRefClosure(parsed, ns).contains(n))
+        org.apache.spark.sql.GraftBridge.analysisError(
+          s"recursive temp view $n detected (view definition references " +
+            "itself, directly or through another temp view)")
+      // bind-at-create validation (DuckDB binds views at creation):
+      // expand the namespace, then — inside a transaction — the txn's
+      // own name intents, and analyze; binder errors surface NOW
+      val expanded = substituteConnTempReadsOver(parsed, ns)
+      val st = txn.get()
+      val toAnalyze = if (st.open) substituteTxnNames(expanded, st) else expanded
+      spark.sessionState.executePlan(toAnalyze).analyzed
+      // store the UNexpanded plan: reads inline it against the
+      // CURRENT namespace/txn state (late binding, like DuckDB)
+      ns.views(n) = new TempViewDef(bodyText, parsed)
+      return Some(ExecResult(null, "CREATE VIEW"))
     }
     createTempTableStmtRe.findFirstMatchIn(sql).foreach { m =>
       val orRepl = m.group(1) != null
@@ -558,16 +588,11 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     }
     dropViewRe.findFirstMatchIn(sql).foreach { m =>
       tempUserName(m.group(1)).foreach { n =>
-        ns.views.get(n) match {
-          case Some(mangled) =>
-            spark.catalog.dropTempView(mangled)
-            ns.views.remove(n)
-            return Some(ExecResult(null, "DROP VIEW"))
-          case None =>
-            if (ns.tables.contains(n))
-              org.apache.spark.sql.GraftBridge.analysisError(
-                s"$n is a temp table. 'DROP VIEW' expects a view; use DROP TABLE instead")
-        }
+        if (ns.views.remove(n).isDefined)
+          return Some(ExecResult(null, "DROP VIEW"))
+        if (ns.tables.contains(n))
+          org.apache.spark.sql.GraftBridge.analysisError(
+            s"$n is a temp table. 'DROP VIEW' expects a view; use DROP TABLE instead")
       }
     }
     dropTableRe.findFirstMatchIn(sql).foreach { m =>
@@ -650,38 +675,110 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     for ((n, m) <- ns.tables)
       sub("""insert\s+into|update|delete\s+from|truncate\s+table|truncate|copy|alter\s+table(?:\s+if\s+exists)?|describe|summarize""",
         n, m)
-    for ((n, m) <- ns.views) sub("""copy|describe|summarize""", n, m)
+    for ((n, _) <- ns.views) {
+      val re = ("(?is)\\b(describe)\\s+(?:temp\\.)?\"?" +
+        java.util.regex.Pattern.quote(n) + "\"?(?![\\w.])").r
+      s = re.replaceAllIn(s, mm =>
+        java.util.regex.Matcher.quoteReplacement(mm.group(1) + " select * from " + n))
+    }
     s
   }
 
   /** Pre-analysis READ substitution for the connection's TEMP
     * namespace: an unqualified (or `temp.`-qualified) relation
-    * reference matching a registered temp object resolves to the
-    * mangled catalog name — the analog of DuckDB's temp-first search
-    * path (temp objects shadow same-named catalog tables). CTE names
-    * shadow temp names, same guard as [[substituteTxnNames]]. */
+    * reference matching a registered temp object resolves — a temp
+    * TABLE to its mangled catalog name, a temp VIEW by INLINING its
+    * stored parsed body (late binding: the body re-resolves against
+    * the CURRENT namespace each read, so recreated temp objects are
+    * seen fresh, like DuckDB). The analog of DuckDB's temp-first
+    * search path (temp objects shadow same-named catalog tables);
+    * CTE names shadow temp names, same guard as
+    * [[substituteTxnNames]]. Fixpoint with a rounds cap: view bodies
+    * may reference other temp objects (cycles are rejected at CREATE
+    * by [[tempViewRefClosure]]). */
   private def substituteConnTempReads(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    substituteConnTempReadsOver(plan, tempNs.get())
+
+  private def substituteConnTempReadsOver(
+      plan0: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      ns: TempNs)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
-    val ns = tempNs.get()
-    if (ns.isEmpty) return plan
+    if (ns.isEmpty) return plan0
     import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-    import org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith
-    val cteNames: Set[String] = plan.collectWithSubqueries {
-      case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
-    }.flatten.toSet
-    plan transformUpWithSubqueries {
-      case r: UnresolvedRelation =>
-        val nOpt = r.multipartIdentifier match {
-          case Seq(one) if !cteNames.contains(one.toLowerCase) => Some(one.toLowerCase)
-          case Seq(t, two) if t.equalsIgnoreCase("temp") => Some(two.toLowerCase)
-          case _ => None
-        }
-        nOpt.flatMap(n => ns.tables.get(n).orElse(ns.views.get(n))) match {
-          case Some(m) => UnresolvedRelation(Seq(m))
-          case None => r
-        }
+    import org.apache.spark.sql.catalyst.plans.logical.{SubqueryAlias, UnresolvedWith}
+    // CREATE TEMPORARY VIEW parses straight to CreateViewCommand, whose
+    // body lives in the `plan` FIELD (innerChildren) — invisible to the
+    // tree transform below. Recurse into it explicitly (reachable via
+    // the GLOBAL TEMP form, which is not conn-namespaced).
+    plan0 match {
+      case c: org.apache.spark.sql.execution.command.CreateViewCommand =>
+        return c.copy(plan = substituteConnTempReadsOver(c.plan, ns))
+      case _ =>
     }
+    var plan = plan0
+    var rounds = 0
+    var changed = true
+    val maxRounds = math.max(8, ns.views.size + 2)
+    while (changed && rounds < maxRounds) {
+      changed = false
+      rounds += 1
+      val cteNames: Set[String] = plan.collectWithSubqueries {
+        case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
+      }.flatten.toSet
+      plan = plan transformUpWithSubqueries {
+        case r: UnresolvedRelation =>
+          val nOpt = r.multipartIdentifier match {
+            case Seq(one) if !cteNames.contains(one.toLowerCase) =>
+              Some(one.toLowerCase)
+            case Seq(t, two) if t.equalsIgnoreCase("temp") => Some(two.toLowerCase)
+            case _ => None
+          }
+          nOpt match {
+            case Some(n) => ns.views.get(n) match {
+              case Some(vd) =>
+                changed = true
+                SubqueryAlias(n, vd.plan)
+              case None => ns.tables.get(n) match {
+                case Some(m) =>
+                  changed = true
+                  UnresolvedRelation(Seq(m))
+                case None => r
+              }
+            }
+            case None => r
+          }
+      }
+    }
+    plan
+  }
+
+  /** Transitive closure of temp-view names referenced from `plan`
+    * through the namespace's stored bodies — the CREATE-time recursion
+    * guard (a cycle would make the read-time inlining fixpoint spin to
+    * its cap instead of failing cleanly). */
+  private def tempViewRefClosure(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      ns: TempNs): Set[String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    def refs(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Set[String] =
+      p.collectWithSubqueries {
+        case r: UnresolvedRelation => r.multipartIdentifier match {
+          case Seq(one) => Seq(one.toLowerCase)
+          case Seq(t, two) if t.equalsIgnoreCase("temp") => Seq(two.toLowerCase)
+          case _ => Nil
+        }
+      }.flatten.toSet
+    var seen = refs(plan)
+    var frontier = seen
+    while (frontier.nonEmpty) {
+      val next = frontier.flatMap(n => ns.views.get(n).map(vd => refs(vd.plan)))
+        .flatten -- seen
+      seen ++= next
+      frontier = next
+    }
+    seen
   }
 
   /** Resolve a user table spelling through THIS connection's temp
@@ -717,9 +814,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
   def releaseConnTemps(): Unit = {
     val ns = tempNs.get()
     if (ns.isEmpty) return
-    ns.views.values.foreach(m =>
-      try spark.catalog.dropTempView(m) catch { case _: Throwable => })
-    ns.views.clear()
+    ns.views.clear() // namespace entries only — no catalog object exists
     val ts = ns.tables.toMap
     ns.tables.clear()
     ts.valuesIterator.foreach { m =>
@@ -3402,7 +3497,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       return summarize(q)
     }
     describeQueryRe.findFirstMatchIn(sql).foreach { m =>
-      val schema = spark.sql(rewrite(m.group(1))).schema
+      val schema = analyzeOnly(m.group(1)).schema
       import spark.implicits._
       val df = schema.fields.toSeq
         .map(f => (f.name, graft.functions.DuckTypeNames.of(f.dataType),
@@ -4853,7 +4948,8 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
   private def summarize(query: String): ExecResult = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    val df = spark.sql(rewrite(query))
+    // txnExec: conn-temp names and txn overlays resolve like any SELECT
+    val df = txnExec(rewrite(query))
     val fields = df.schema.fields
     def nullStr = lit(null).cast("string")
     val aggs = fields.toSeq.flatMap { f =>
@@ -5373,6 +5469,10 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       // renamed-to name resolves, and a dropped name fails binder-class
       // — readTable alone sees table overlays but not view intents
       else if (isTxnOpen) txnExec(rewrite(s"SELECT * FROM ${src.trim}"))
+      // conn-temp names (r14) resolve through the same SELECT path —
+      // readTable alone cannot see the namespace (views have no
+      // catalog object; tables answer to mangled names)
+      else if (!tempNs.get().isEmpty) txnExec(rewrite(s"SELECT * FROM ${src.trim}"))
       else readTable(resolveRenamed(src.trim))
     val format = formatOf(opts, path)
     val n = df.count()

@@ -168,6 +168,35 @@ class TempNamespaceSpec extends SparkSpecBase {
     } finally a.close()
   }
 
+  test("temp views LATE-BIND: they compose over temp tables and see recreates") {
+    val a = new Conn
+    try {
+      a.exec("create temp table tns_lb (a INT)")
+      a.exec("insert into tns_lb values (1)")
+      a.exec("create temp view tns_lbv as select a from tns_lb")
+      assert(a.exec("select * from tns_lbv") == Seq("[1]"))
+      // drop + recreate the underlying temp table: the view re-binds
+      // (DuckDB semantics; an analyzed-plan view would serve stale files)
+      a.exec("drop table tns_lb")
+      a.exec("create temp table tns_lb (a INT)")
+      a.exec("insert into tns_lb values (99)")
+      assert(a.exec("select * from tns_lbv") == Seq("[99]"))
+      // view over view, plus a column-alias list
+      a.exec("create temp view tns_lbv2 (b) as select a + 1 from tns_lbv")
+      assert(a.exec("select b from tns_lbv2") == Seq("[100]"))
+      // recursion guard: OR REPLACE that closes a cycle is rejected
+      val rec = a.fails(
+        "create or replace temp view tns_lbv as select * from tns_lbv2")
+      assert(rec.getMessage.contains("recursive"))
+      // describe resolves through the namespace
+      val desc = a.exec("describe tns_lbv2")
+      assert(desc.exists(_.contains("b")))
+      a.exec("drop view tns_lbv2")
+      a.exec("drop view tns_lbv")
+      a.exec("drop table tns_lb")
+    } finally a.close()
+  }
+
   test("appendBatch (COPY FROM STDIN / CH ingest path) resolves temp names") {
     @volatile var result: Seq[String] = Nil
     @volatile var err: Throwable = null
