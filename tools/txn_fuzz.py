@@ -208,7 +208,24 @@ def gen_events(r, tname, n_ops, vname=None, aux=None):
                      f"DROP SCHEMA {aux}sch",
                      f"CREATE TABLE {aux}sch.st (x INTEGER)",
                      f"DROP TABLE {aux}sch.st",
-                     f"SELECT count(*) FROM {aux}sch.st"]
+                     f"SELECT count(*) FROM {aux}sch.st"] + \
+                    ([
+                     # per-connection TEMP objects (r14): DDL only
+                     # OUTSIDE a txn (declared auto-commit vs DuckDB's
+                     # transactional temp DDL — the ROLLBACK ok/fail bit
+                     # would diverge by design); temp DML and reads fuzz
+                     # differentially ANY time, in- and out-of-txn (the
+                     # overlay machinery applies to the mangled table
+                     # like any other)
+                     f"CREATE TEMP TABLE {aux}t (x INTEGER)",
+                     f"CREATE TEMP VIEW {aux}tv AS SELECT * FROM {aux}t",
+                     f"DROP TABLE {aux}t",
+                     f"DROP VIEW {aux}tv"] if not in_txn else []) + \
+                    [f"INSERT INTO {aux}t VALUES ({r.randint(0, 4)})",
+                     f"SELECT count(*) FROM {aux}t",
+                     f"SELECT count(*) FROM {aux}tv",
+                     f"UPDATE {aux}t SET x = x + 1",
+                     f"DELETE FROM {aux}t WHERE x = {r.randint(0, 4)}"]
             # r13b: chains AND pure cycles are both supported — every
             # rename candidate (including cycle-closers over the three
             # spellings) fuzzes differentially vs DuckDB
