@@ -581,7 +581,12 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
             Seq("temp", n))
         dropConnTempTable(n, ns.tables(n)) // OR REPLACE: drop, then create
       }
-      val mangled = ns.mangle(n)
+      // mangled names pin to `main` explicitly (it always exists and
+      // cannot be dropped) — the closest analog of DuckDB's separate
+      // temp catalog: a later USE <schema> cannot strand the entry,
+      // and DROP SCHEMA of a user schema never collides with a temp
+      // object hidden from its emptiness check
+      val mangled = "main." + ns.mangle(n)
       val r = executeInner(s"CREATE TABLE $mangled ${m.group(4)}", allowReserved = true)
       ns.tables(n) = mangled
       return Some(ExecResult(r.df, "CREATE TABLE"))
@@ -622,7 +627,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
           if (ns.tables.contains(tgt) || ns.views.contains(tgt))
             throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
               Seq("temp", tgt))
-          val mangledTgt = ns.mangle(tgt)
+          val mangledTgt = "main." + ns.mangle(tgt)
           val r = renameTable(m.group(1) != null, mangled, mangledTgt)
           ns.tables.remove(n)
           ns.tables(tgt) = mangledTgt
@@ -743,7 +748,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
               case None => ns.tables.get(n) match {
                 case Some(m) =>
                   changed = true
-                  UnresolvedRelation(Seq(m))
+                  UnresolvedRelation(m.split('.').toIndexedSeq)
                 case None => r
               }
             }

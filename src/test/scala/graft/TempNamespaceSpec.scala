@@ -218,6 +218,26 @@ class TempNamespaceSpec extends SparkSpecBase {
     assert(result == Seq("[1,x]", "[2,y]"))
   }
 
+  test("temp tables are pinned to main: USE schema cannot strand them") {
+    val a = new Conn
+    try {
+      a.exec("create schema if not exists tns_other")
+      a.exec("create temp table tns_u (a INT)")
+      a.exec("insert into tns_u values (5)")
+      a.exec("use tns_other")
+      // reads, writes and drops keep resolving after the schema switch
+      assert(a.exec("select a from tns_u") == Seq("[5]"))
+      a.exec("insert into tns_u values (6)")
+      assert(a.exec("select count(*) as n from tns_u") == Seq("[2]"))
+      a.exec("use main")
+      a.exec("drop table tns_u")
+      a.exec("drop schema tns_other")
+    } finally {
+      try a.exec("use main") catch { case _: Throwable => }
+      a.close()
+    }
+  }
+
   test("temp objects are hidden from catalog listings; rename stays in-namespace") {
     val a = new Conn
     try {
