@@ -37,7 +37,12 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
   private[server] val sequences = new ConcurrentHashMap[String, SeqState]()
 
   private def seqOrFail(name: String, fn: String): SeqState = {
-    val st = sequences.get(qualify(name))
+    // conn-temp sequences shadow persistent ones (r14, DuckDB
+    // temp-first search path); the map holds the mangled key
+    val key = tempUserName(name)
+      .flatMap(n => tempNs.get().seqs.get(n))
+      .getOrElse(qualify(name))
+    val st = sequences.get(key)
     if (st == null) throw new IllegalArgumentException(
       s"$fn: sequence $name does not exist")
     st
@@ -484,7 +489,8 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
   private final class TempNs(val id: Long) {
     val views = scala.collection.mutable.Map.empty[String, TempViewDef]
     val tables = scala.collection.mutable.Map.empty[String, String]
-    def isEmpty: Boolean = views.isEmpty && tables.isEmpty
+    val seqs = scala.collection.mutable.Map.empty[String, String]
+    def isEmpty: Boolean = views.isEmpty && tables.isEmpty && seqs.isEmpty
     def mangle(name: String): String = name + "__tmpc" + id
   }
   private val tempNsSeq = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -820,6 +826,8 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     val ns = tempNs.get()
     if (ns.isEmpty) return
     ns.views.clear() // namespace entries only — no catalog object exists
+    ns.seqs.valuesIterator.foreach(sequences.remove)
+    ns.seqs.clear()
     val ts = ns.tables.toMap
     ns.tables.clear()
     ts.valuesIterator.foreach { m =>
@@ -3201,14 +3209,34 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     }
 
     createSeqRe.findFirstMatchIn(sql).foreach { m =>
-      val ifNotExists = m.group(1) != null
-      val name = qualify(m.group(2))
-      val opts = Option(m.group(3)).getOrElse("")
+      val isTemp = m.group(1) != null
+      val ifNotExists = m.group(2) != null
+      val opts = Option(m.group(4)).getOrElse("")
       val start = seqStartRe.findFirstMatchIn(opts).map(_.group(1).toLong).getOrElse(1L)
       val inc = seqIncRe.findFirstMatchIn(opts).map(_.group(1).toLong).getOrElse(1L)
+      if (isTemp) {
+        // connection-private sequence (r14): lives under a mangled key,
+        // never persisted, dies with the connection / DISCARD ALL
+        val ns = tempNs.get()
+        val n = tempUserName(m.group(3)).getOrElse(
+          throw new IllegalArgumentException(
+            s"cannot create temp sequence ${m.group(3)}: temporary objects " +
+              "live in the temp schema"))
+        if (ns.seqs.contains(n)) {
+          if (!ifNotExists) throw new IllegalArgumentException(
+            s"""Sequence with name "$n" already exists!""")
+          return ExecResult(null, "CREATE SEQUENCE")
+        }
+        val key = "main." + ns.mangle(n)
+        ns.seqs(n) = key
+        sequences.put(key, new SeqState(
+          new java.util.concurrent.atomic.AtomicLong(start), inc))
+        return ExecResult(null, "CREATE SEQUENCE")
+      }
+      val name = qualify(m.group(3))
       if (sequences.containsKey(name)) {
         if (!ifNotExists)
-          throw new IllegalArgumentException(s"""Sequence with name "${m.group(2)}" already exists!""")
+          throw new IllegalArgumentException(s"""Sequence with name "${m.group(3)}" already exists!""")
       } else {
         sequences.put(name, new SeqState(new java.util.concurrent.atomic.AtomicLong(start), inc))
         persistSequences()
@@ -3216,6 +3244,12 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       return ExecResult(null, "CREATE SEQUENCE")
     }
     dropSeqRe.findFirstMatchIn(sql).foreach { m =>
+      // temp sequences shadow persistent ones on DROP too
+      tempUserName(m.group(2)).flatMap(n =>
+          tempNs.get().seqs.remove(n).map(n -> _)).foreach { case (_, key) =>
+        sequences.remove(key)
+        return ExecResult(null, "DROP SEQUENCE")
+      }
       val name = qualify(m.group(2))
       if (sequences.remove(name) == null && m.group(1) == null)
         throw new IllegalArgumentException(s"Sequence ${m.group(2)} does not exist")
@@ -5625,7 +5659,9 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
   private def persistSequences(): Unit = dbPath.foreach { p =>
     val lines = {
       import scala.jdk.CollectionConverters._
-      sequences.asScala.toSeq.sortBy(_._1).map { case (n, s) =>
+      sequences.asScala.toSeq.sortBy(_._1)
+        .filterNot { case (n, _) => Engine.isTempConnName(n.split('.').last) }
+        .map { case (n, s) =>
         s"$n\t${s.next.get()}\t${s.inc}"
       }
     }
@@ -6259,7 +6295,7 @@ object Engine {
   private val describeQueryRe = """(?is)^\s*describe\s+((?:select|with|values)\b.+)$""".r
   private val summarizeRe = """(?is)^\s*summarize\s+(.+)$""".r
   private val createSeqRe =
-    """(?is)^\s*create\s+sequence\s+(if\s+not\s+exists\s+)?([\w.]+)(.*)$""".r
+    """(?is)^\s*create\s+(temp(?:orary)?\s+)?sequence\s+(if\s+not\s+exists\s+)?([\w.]+)(.*)$""".r
   private val dropSeqRe = """(?is)^\s*drop\s+sequence\s+(if\s+exists\s+)?([\w.]+)\s*$""".r
   private val seqStartRe = """(?i)start\s+(?:with\s+)?(-?\d+)""".r
   private val seqIncRe = """(?i)increment\s+(?:by\s+)?(-?\d+)""".r

@@ -218,6 +218,31 @@ class TempNamespaceSpec extends SparkSpecBase {
     assert(result == Seq("[1,x]", "[2,y]"))
   }
 
+  test("temp sequences are connection-private and die with the connection") {
+    val a = new Conn; val b = new Conn
+    try {
+      a.exec("create temp sequence tns_sq start with 100")
+      b.exec("create temp sequence tns_sq start with 500")
+      assert(a.exec("select nextval('tns_sq') as v") == Seq("[100]"))
+      assert(a.exec("select nextval('tns_sq') as v") == Seq("[101]"))
+      assert(b.exec("select nextval('tns_sq') as v") == Seq("[500]"))
+      assert(a.exec("select currval('tns_sq') as v") == Seq("[101]"))
+      // temp shadows a same-named persistent sequence
+      a.exec("create sequence tns_sqp start with 1")
+      a.exec("create temp sequence tns_sqp start with 77")
+      assert(a.exec("select nextval('tns_sqp') as v") == Seq("[77]"))
+      a.exec("drop sequence tns_sqp") // drops the TEMP one first
+      assert(a.exec("select nextval('tns_sqp') as v") == Seq("[1]"))
+      a.exec("drop sequence tns_sqp")
+      a.exec("drop sequence tns_sq")
+      assert(a.fails("select nextval('tns_sq')").getMessage.contains("tns_sq"))
+    } finally { a.close(); b.close() }
+    // b's temp sequence died with its connection: a fresh conn can't see it
+    val c = new Conn
+    try assert(c.fails("select nextval('tns_sq')").getMessage.contains("tns_sq"))
+    finally c.close()
+  }
+
   test("temp tables are pinned to main: USE schema cannot strand them") {
     val a = new Conn
     try {
