@@ -5501,7 +5501,11 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
   private def copyTo(src: String, path: String, opts: String): ExecResult = {
     requireFileIo()
     val df =
-      if (src.trim.startsWith("(")) spark.sql(rewrite(src.trim.stripPrefix("(").stripSuffix(")")))
+      // subquery form routes through txnExec too (r14): conn-temp
+      // names AND the open txn's overlays must resolve inside
+      // `COPY (SELECT …) TO` exactly like a standalone SELECT — the
+      // r13 fix covered only the bare-name form
+      if (src.trim.startsWith("(")) txnExec(rewrite(src.trim.stripPrefix("(").stripSuffix(")")))
       // inside a transaction the name goes through the SAME read path
       // as a SELECT (substituteTxnNames + overlay redirect + pinning):
       // a view CREATED in this txn resolves via its stored plan, a
@@ -6285,8 +6289,11 @@ object Engine {
   private val staleStagingRe =
     """.*(__cow|__oc_src|__oc_src_raw|__oc_stage|__txn\d+(delta)?|__tmpc\d+)$""".r
 
+  // the subquery form allows TWO paren-nesting levels (function calls
+  // and casts inside the SELECT — `\([^)]+\)` broke on the FIRST `)`
+  // of any sum(x), silently failing the whole statement to the parser)
   private val copyToRe =
-    """(?is)^\s*copy\s+(\([^)]+\)|[\w.]+)\s+to\s+'([^']+)'\s*(?:\(((?:[^()]|\([^()]*\))*)\)|with\s*\(((?:[^()]|\([^()]*\))*)\))?\s*$""".r
+    """(?is)^\s*copy\s+(\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\)|[\w.]+)\s+to\s+'([^']+)'\s*(?:\(((?:[^()]|\([^()]*\))*)\)|with\s*\(((?:[^()]|\([^()]*\))*)\))?\s*$""".r
   private val copyFromFileRe =
     """(?is)^\s*copy\s+([\w.]+)\s+from\s+'([^']+)'\s*(?:\(([^)]*)\)|with\s*\(([^)]*)\))?\s*$""".r
   private val pragmaRe = """(?is)^\s*pragma\s+(.+)$""".r

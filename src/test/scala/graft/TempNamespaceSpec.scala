@@ -218,6 +218,33 @@ class TempNamespaceSpec extends SparkSpecBase {
     assert(result == Seq("[1,x]", "[2,y]"))
   }
 
+  test("COPY TO resolves temp names — bare and subquery forms") {
+    val a = new Conn
+    val dir = java.nio.file.Files.createTempDirectory("tns-copy").toFile
+    try {
+      a.exec("create temp table tns_cp (k INT)")
+      a.exec("insert into tns_cp values (1), (2), (3)")
+      a.exec("create temp view tns_cpv as select k * 10 as k10 from tns_cp")
+      a.exec(s"copy tns_cpv to '${dir.getAbsolutePath}/v' (format csv, header)")
+      a.exec(s"copy (select sum(k) as s from tns_cp) to '${dir.getAbsolutePath}/q' (format csv, header)")
+      val vOut = new java.io.File(dir, "v").listFiles().filter(_.getName.endsWith(".csv"))
+        .flatMap(f => scala.io.Source.fromFile(f).getLines()).toSeq
+      assert(vOut.contains("k10") && vOut.contains("30"))
+      val qOut = new java.io.File(dir, "q").listFiles().filter(_.getName.endsWith(".csv"))
+        .flatMap(f => scala.io.Source.fromFile(f).getLines()).toSeq
+      assert(qOut == Seq("s", "6"))
+      a.exec("drop view tns_cpv")
+      a.exec("drop table tns_cp")
+    } finally {
+      a.close()
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("temp sequences are connection-private and die with the connection") {
     val a = new Conn; val b = new Conn
     try {
