@@ -72,8 +72,18 @@ object GraftSession {
 
   def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
       warehouse: Option[String] = None): SparkSession = {
-    val spark = builder(s"local[$cores]", cores,
-      warehouse.orNull).getOrCreate()
+    var b = builder(s"local[$cores]", cores, warehouse.orNull)
+    // core-conf experiments (r15 floor A/Bs): SPARK_GRAFT_CORE_CONF
+    // applies BUILDER-time conf — spark.shuffle.*, spark.local.dir,
+    // spark.locality.* are SparkConf reads that runtime
+    // spark.conf.set cannot reach (unlike SPARK_GRAFT_CONF in Bench)
+    sys.env.get("SPARK_GRAFT_CORE_CONF").foreach { kvs =>
+      kvs.split(';').filter(_.contains('=')).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        b = b.config(k.trim, v.trim)
+      }
+    }
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.registerAll(spark)
     spark

@@ -94,46 +94,61 @@ object TextQueries {
       val t = Tables(s, dir)
       // The whole training-data story in one dataflow: quality gate →
       // exact dedup (keep min doc per digest) → MinHash near-dedup
-      // (2-hash band) → per-(lang, source) corpus stats. Every stage is
-      // a shuffle on a natural key; nothing is quadratic or collected.
+      // (2-hash band) → per-(lang, source) corpus stats.
+      //
+      // Fused single-pass shape (r15, closes the last >2× data-path
+      // row): BOTH text digests — the exact-dedup md5 and the minhash
+      // band key — are computed row-locally in ONE projection over the
+      // scan, so the text is read once and DROPPED before the first
+      // exchange. Exact dedup is then min_by(struct(…)) in a single
+      // hash aggregate — no keep-list semi-join, no second pass over
+      // text, and no localCheckpoint (the r8 materialization existed
+      // only because the old two-consumer subtree re-read the corpus;
+      // with text gone pre-shuffle, the shared subtree below the
+      // aggregate is identical at every consumer and the recompute,
+      // if exchange reuse ever misses, is a compact-row shuffle, not
+      // a corpus scan). At 100 TB: one pass over text, one shuffle of
+      // digest-width rows, then joins over doc-count-sized sides.
       val words = split(col("text"), " ")
-      val quality = t.documents
+      val scored0 = t.documents
         .withColumn("n_words", size(words).cast("long"))
         .withColumn("n_chars", length(col("text")).cast("long"))
         .filter(col("n_chars").between(20, 2000) && col("n_words") >= 5)
-      val keyed = quality.withColumn("h", md5(col("text")))
-      val keep = keyed.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
-      // exactKept feeds TWO consumers (the minhash signature pipeline
-      // and the final per-(lang, source) aggregate) with no exchange
-      // between them — without a materialization point the corpus scan,
-      // quality gate, and full-text md5 dedup would execute twice (at
-      // 100 TB: a second full corpus read). Eager localCheckpoint (the
-      // lazy form races a broadcast thread into double-computing the
-      // lineage) materializes the deduped corpus once; columns are
-      // pruned first so only what either consumer needs is stored.
-      val exactKept = keyed.join(keep, Seq("h", "doc_id"), "left_semi")
         .select(col("doc_id"), col("lang"), col("source"),
-          col("n_words"), col("n_chars"), col("text"))
-        .localCheckpoint()
-      val w0 = exactKept.select(col("doc_id"), col("text"))
-      // both (a·v + b) mod p universal min-hashes in ONE row-local
-      // expression pass over the kept text (functions.MinHashSigs) —
-      // no shingle explode, no groupBy(doc) shuffle. The singleton
-      // explode is the collapse barrier for the two element_at reads.
-      val sigs = w0
-        .select(col("doc_id"),
+          col("n_words"), col("n_chars"), md5(col("text")).as("h"),
+          // both (a·v + b) mod p universal min-hashes in ONE row-local
+          // expression pass (functions.MinHashSigs) — no shingle
+          // explode, no groupBy(doc) shuffle
           graft.functions.TextHashColumns.minHashSigs(col("text"),
             Seq(1000003L, 1999966L), Seq(0L, 1L), 4294967291L).as("mh0"))
-        .filter(col("mh0").isNotNull)
-        .select(col("doc_id"), explode(array(col("mh0"))).as("mh"))
-        .select(col("doc_id"), concat(
+      // the singleton explode is the CollapseProject barrier: without
+      // it the two element_at reads inline minHashSigs twice
+      val scored = scored0
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_words"), col("n_chars"), col("h"),
+          explode(array(col("mh0"))).as("mh"))
+        .withColumn("bkey", when(col("mh").isNotNull, concat(
           element_at(col("mh"), 1).cast("string"), lit(","),
-          element_at(col("mh"), 2).cast("string")).as("bkey"))
-      val nearDropped = sigs.as("a")
-        .join(sigs.as("b"), col("a.bkey") === col("b.bkey")
-          && col("a.doc_id") < col("b.doc_id"))
-        .select(col("b.doc_id").as("doc_id")).distinct()
-      exactKept.join(nearDropped, Seq("doc_id"), "left_anti")
+          element_at(col("mh"), 2).cast("string"))))
+        .drop("mh")
+      val kept = scored.groupBy(col("h"))
+        .agg(min_by(struct(col("doc_id"), col("lang"), col("source"),
+          col("n_words"), col("n_chars"), col("bkey")), col("doc_id")).as("r"))
+        .select(col("r.*"))
+      // near-dup drop, declaratively: the oracle drops doc b iff some
+      // doc a shares its band key with a smaller doc_id — i.e. keep
+      // exactly the min-doc_id doc of each bkey group. One unordered
+      // window min over the band key (a single shuffle of compact
+      // rows) replaces the self-join + DISTINCT + anti-join of the
+      // pair formulation — same bucketed-by-band-key scale behavior,
+      // three fewer exchanges, and no pair blow-up inside a hot band.
+      // NULL bkeys (unreachable under the n_words ≥ 5 gate, which
+      // guarantees ≥ 3 shingles) must NOT dedup against each other:
+      // SQL window partitioning groups NULLs together.
+      val wBand = org.apache.spark.sql.expressions.Window.partitionBy(col("bkey"))
+      kept
+        .withColumn("min_doc", min(col("doc_id")).over(wBand))
+        .filter(col("bkey").isNull || col("doc_id") === col("min_doc"))
         .groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_words")).as("total_words"),

@@ -666,33 +666,93 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     tempNs.get().tables.remove(n)
   }
 
+  /** Apply `f` to the spans of `sql` OUTSIDE single-quoted string
+    * literals ('' escapes honored), `--` line comments and block
+    * comments — the keyword-anchored temp substitutions must never
+    * rewrite stored TEXT (`INSERT INTO log VALUES ('delete from t')`
+    * was silently corrupted pre-fix; ADVICE r14). Double-quoted
+    * identifiers stay visible: a quoted temp name is a legal target.
+    * A keyword+name match can never straddle a literal boundary in
+    * valid SQL, so per-span application loses nothing. */
+  private def mapOutsideLiterals(sql: String)(f: String => String): String = {
+    val n = sql.length
+    var i = 0
+    val out = new StringBuilder(n + 16)
+    val cur = new StringBuilder
+    def flush(): Unit = { if (cur.nonEmpty) { out.append(f(cur.toString)); cur.clear() } }
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'') {
+        flush()
+        var k = i + 1
+        var open = true
+        while (open && k < n) {
+          if (sql.charAt(k) == '\'') {
+            if (k + 1 < n && sql.charAt(k + 1) == '\'') k += 2 else open = false
+          } else k += 1
+        }
+        val end = math.min(n, k + 1)
+        out.append(sql.substring(i, end)); i = end
+      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        flush()
+        val e = sql.indexOf('\n', i)
+        val end = if (e < 0) n else e + 1
+        out.append(sql.substring(i, end)); i = end
+      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        flush()
+        val e = sql.indexOf("*/", i + 2)
+        val end = if (e < 0) n else e + 2
+        out.append(sql.substring(i, end)); i = end
+      } else { cur.append(c); i += 1 }
+    }
+    flush()
+    out.toString
+  }
+
   /** Keyword-anchored TEXT substitution of connection-temp names in
     * write/DDL target positions (INSERT INTO / UPDATE / DELETE FROM /
     * TRUNCATE / COPY / ALTER TABLE / DESCRIBE / SUMMARIZE) — those
     * paths extract their target from the statement text, where the
     * plan-level read substitution cannot reach. Anchoring on the
-    * keyword keeps column names and string literals safe. Reads go
-    * through [[substituteConnTempReads]] instead. */
+    * keyword plus [[mapOutsideLiterals]] keeps column names, string
+    * literals and comments safe. Reads go through
+    * [[substituteConnTempReads]] instead.
+    *
+    * Temp VIEWS in a write-target position raise a clean error here
+    * (DuckDB temp-first resolution hits the view and rejects the
+    * write) — without this, `UPDATE v …` on a view shadowing a
+    * same-named persistent table fell through to the catalog and
+    * silently mutated the SHADOWED table (ADVICE r14, medium). */
   private def substituteTempTargets(sql: String): String = {
     val ns = tempNs.get()
     if (ns.isEmpty) return sql
-    var s = sql
-    def sub(keys: String, n: String, mangled: String): Unit = {
-      val re = ("(?is)\\b(" + keys + ")\\s+(?:temp\\.)?\"?" +
-        java.util.regex.Pattern.quote(n) + "\"?(?![\\w.])").r
-      s = re.replaceAllIn(s, mm =>
-        java.util.regex.Matcher.quoteReplacement(mm.group(1) + " " + mangled))
+    mapOutsideLiterals(sql) { span =>
+      var s = span
+      def sub(keys: String, n: String, mangled: String): Unit = {
+        val re = ("(?is)\\b(" + keys + ")\\s+(?:temp\\.)?\"?" +
+          java.util.regex.Pattern.quote(n) + "\"?(?![\\w.])").r
+        s = re.replaceAllIn(s, mm =>
+          java.util.regex.Matcher.quoteReplacement(mm.group(1) + " " + mangled))
+      }
+      for ((n, m) <- ns.tables)
+        sub("""insert\s+into|update|delete\s+from|truncate\s+table|truncate|copy|alter\s+table(?:\s+if\s+exists)?|describe|summarize""",
+          n, m)
+      for ((n, _) <- ns.views) {
+        val q = java.util.regex.Pattern.quote(n)
+        val asWrite = ("(?is)\\b(?:insert\\s+into|update|delete\\s+from|" +
+          "truncate\\s+table|truncate|alter\\s+table(?:\\s+if\\s+exists)?)\\s+" +
+          "(?:temp\\.)?\"?" + q + "\"?(?![\\w.])").r
+        val asCopyFrom =
+          ("(?is)\\bcopy\\s+(?:temp\\.)?\"?" + q + "\"?\\s+from\\b").r
+        if (asWrite.findFirstIn(s).isDefined || asCopyFrom.findFirstIn(s).isDefined)
+          org.apache.spark.sql.GraftBridge.analysisError(
+            s"""cannot modify temp view "$n": it is a view, not a table""")
+        val re = ("(?is)\\b(describe)\\s+(?:temp\\.)?\"?" + q + "\"?(?![\\w.])").r
+        s = re.replaceAllIn(s, mm =>
+          java.util.regex.Matcher.quoteReplacement(mm.group(1) + " select * from " + n))
+      }
+      s
     }
-    for ((n, m) <- ns.tables)
-      sub("""insert\s+into|update|delete\s+from|truncate\s+table|truncate|copy|alter\s+table(?:\s+if\s+exists)?|describe|summarize""",
-        n, m)
-    for ((n, _) <- ns.views) {
-      val re = ("(?is)\\b(describe)\\s+(?:temp\\.)?\"?" +
-        java.util.regex.Pattern.quote(n) + "\"?(?![\\w.])").r
-      s = re.replaceAllIn(s, mm =>
-        java.util.regex.Matcher.quoteReplacement(mm.group(1) + " select * from " + n))
-    }
-    s
   }
 
   /** Pre-analysis READ substitution for the connection's TEMP
@@ -773,14 +833,24 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       ns: TempNs): Set[String] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-    def refs(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Set[String] =
+    import org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith
+    def refs(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Set[String] = {
+      // CTE-bound names shadow temp names at read time (same guard as
+      // [[substituteConnTempReadsOver]]) — collecting them here falsely
+      // rejected `CREATE TEMP VIEW v AS WITH v AS (…) SELECT * FROM v`
+      // as recursive (ADVICE r14): create-time and read-time resolution
+      // must agree.
+      val cteNames: Set[String] = p.collectWithSubqueries {
+        case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
+      }.flatten.toSet
       p.collectWithSubqueries {
         case r: UnresolvedRelation => r.multipartIdentifier match {
           case Seq(one) => Seq(one.toLowerCase)
           case Seq(t, two) if t.equalsIgnoreCase("temp") => Seq(two.toLowerCase)
           case _ => Nil
         }
-      }.flatten.toSet
+      }.flatten.toSet -- cteNames
+    }
     var seen = refs(plan)
     var frontier = seen
     while (frontier.nonEmpty) {
@@ -830,8 +900,22 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     ns.seqs.clear()
     val ts = ns.tables.toMap
     ns.tables.clear()
+    val st = txn.get()
     ts.valuesIterator.foreach { m =>
       try {
+        // defense-in-depth (ADVICE r14): both teardown paths roll back
+        // a dangling txn BEFORE this runs and DISCARD ALL is rejected
+        // in-txn, but if an open txn ever reaches here its overlays on
+        // the dropped name must die too — a later COMMIT would
+        // republish staged data into a hidden catalog table
+        if (st.open) {
+          val q = qualify(m)
+          st.staged.remove(q).foreach(s =>
+            try spark.sql(s"DROP TABLE IF EXISTS $s") catch { case _: Throwable => })
+          st.deltas.remove(q).foreach(d =>
+            try spark.sql(s"DROP TABLE IF EXISTS $d") catch { case _: Throwable => })
+          st.altered -= q
+        }
         val lock = lockFor(m).writeLock()
         lock.lock()
         try {
@@ -3203,7 +3287,13 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       case None =>
     }
     if (sql.equalsIgnoreCase("discard all")) {
-      // PG semantics: DISCARD ALL drops the session's temporary objects
+      // PG semantics: DISCARD ALL drops the session's temporary objects.
+      // PG rejects it inside a transaction block — and allowing it here
+      // leaked: releaseConnTemps dropped the mangled tables without
+      // purging the open txn's staged/delta overlays, so COMMIT
+      // republished staged data into the dropped hidden name (ADVICE r14)
+      if (isTxnOpen) throw new IllegalArgumentException(
+        "DISCARD ALL cannot run inside a transaction block")
       releaseConnTemps()
       return ExecResult(null, "DISCARD ALL")
     }
@@ -6030,7 +6120,24 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
             if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
             f.delete()
           }
-          rm(tDir)
+          if (tDir.getName.matches(""".*__tmpc\d+$""")) {
+            // conn-temp leftovers are garbage BY SEMANTICS after a crash
+            // (temp tables die with their connection) — but a pre-r14
+            // database could hold a USER table whose name carries this
+            // suffix, created before the reserved-name guard existed.
+            // Quarantine loudly instead of deleting (ADVICE r14): data
+            // is recoverable by hand, and a true temp leftover costs
+            // only quarantine disk until an operator clears it.
+            val qd = new java.io.File(wh, ".quarantine/" + db)
+            qd.mkdirs()
+            val dst = new java.io.File(qd, tDir.getName)
+            System.err.println(
+              s"[graft] boot reclaim: quarantining temp-table leftover " +
+                s"${tDir.getAbsolutePath} -> ${dst.getAbsolutePath} " +
+                "(delete the quarantine dir to reclaim disk; restore by " +
+                "moving it back if this was a pre-guard user table)")
+            if (dst.exists() || !tDir.renameTo(dst)) rm(tDir) // occupied/cross-volume: fall back
+          } else rm(tDir)
         }
         live.foreach { tDir =>
           try

@@ -162,17 +162,20 @@ class PlanSpec extends SparkSpecBase {
       s"percentile outer plan scans parquet $outerScans times (expected 1: the pick pass; counts pass runs once at targets-checkpoint time)")
   }
 
-  test("clean_corpus scans documents exactly once (checkpointed dedup subtree)") {
-    // r9 shape: exactKept (scan -> quality gate -> md5 dedup semi-join)
-    // feeds BOTH the minhash pipeline and the final aggregate through
-    // an eager localCheckpoint — the OUTER plan must contain zero
-    // parquet scans (both consumers read the materialized copy); the
-    // checkpoint's own lineage does the single real scan.
+  test("clean_corpus: one scan, one linear pipeline, no joins (fused r15 shape)") {
+    // r15 shape: both text digests (md5 + minhash band key) computed
+    // row-locally in ONE projection over the scan, text dropped before
+    // the first exchange; exact dedup = min_by hash aggregate; near-dup
+    // drop = unordered window min over the band key. The plan must be
+    // a single linear pipeline — exactly one parquet scan, exactly one
+    // Window, and NO join operator (the pair-join formulation scanned
+    // the subtree from multiple consumers and needed a checkpoint).
     val d = SparkEntry.defs.find(_.name == "q_pipeline_clean_corpus").get
     val p = d.run(spark, sf).queryExecution.executedPlan.toString
-    val outerScans = "Scan parquet".r.findAllIn(p).length
-    assert(outerScans == 0,
-      s"clean_corpus re-scans parquet $outerScans times - checkpoint reuse lost")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"clean_corpus scans parquet $scans times (expected 1)")
+    assert(!p.contains("Join"), "a join crept back into clean_corpus")
+    assert("(?i)window".r.findAllIn(p).length >= 1, "band-key window min missing")
   }
 
   test("top-k projection transposes above the limit (expensive expr on k rows)") {

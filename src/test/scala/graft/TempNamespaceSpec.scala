@@ -290,6 +290,86 @@ class TempNamespaceSpec extends SparkSpecBase {
     }
   }
 
+  test("writes targeting a temp VIEW fail cleanly even when it shadows a table") {
+    val a = new Conn
+    try {
+      a.exec("drop table if exists main.tns_wv")
+      a.exec("create table main.tns_wv as select 'keep' as v")
+      a.exec("create temp view tns_wv as select 'temp' as v")
+      // DuckDB temp-first resolution reaches the VIEW and rejects the
+      // write; falling through to the shadowed catalog table would
+      // silently mutate it (ADVICE r14, medium)
+      for (stmt <- Seq(
+        "update tns_wv set v = 'boom'",
+        "delete from tns_wv",
+        "insert into tns_wv values ('boom')",
+        "truncate table tns_wv"))
+        assert(a.fails(stmt).getMessage.contains("temp view"), stmt)
+      assert(a.exec("select v from main.tns_wv") == Seq("[keep]"))
+      // COPY view TO is a READ and stays legal; COPY view FROM is not
+      assert(a.fails("copy tns_wv from '/tmp/nope.csv'")
+        .getMessage.contains("temp view"))
+      a.exec("drop view tns_wv")
+      a.exec("drop table main.tns_wv")
+    } finally a.close()
+  }
+
+  test("temp-name substitution never rewrites string literals or comments") {
+    val a = new Conn
+    try {
+      a.exec("create temp table tns_lit (k INT)")
+      a.exec("drop table if exists main.tns_log")
+      a.exec("create table main.tns_log (msg STRING)")
+      // pre-fix the keyword-anchored regex rewrote the LITERAL to the
+      // mangled name, corrupting stored data (ADVICE r14)
+      a.exec("insert into main.tns_log values ('delete from tns_lit')")
+      a.exec("insert into main.tns_log values ('update tns_lit now') " +
+        "-- comment mentioning update tns_lit")
+      assert(a.exec("select msg from main.tns_log order by msg") ==
+        Seq("[delete from tns_lit]", "[update tns_lit now]"))
+      // the real target outside the literal still substitutes
+      a.exec("insert into tns_lit values (1)")
+      assert(a.exec("select k from tns_lit") == Seq("[1]"))
+      a.exec("drop table main.tns_log")
+      a.exec("drop table tns_lit")
+    } finally a.close()
+  }
+
+  test("CTE names shadow temp names at CREATE VIEW time too (no false recursion)") {
+    val a = new Conn
+    try {
+      // pre-fix the closure walk collected the CTE name as a temp-view
+      // ref and rejected this as recursive — create-time and read-time
+      // resolution disagreed (ADVICE r14)
+      a.exec("create temp view tns_ctv as with tns_ctv as (select 1 as x) " +
+        "select x from tns_ctv")
+      assert(a.exec("select x from tns_ctv") == Seq("[1]"))
+      // a REAL cycle is still rejected
+      a.exec("create temp view tns_ctv2 as select x from tns_ctv")
+      val rec = a.fails(
+        "create or replace temp view tns_ctv as select x from tns_ctv2")
+      assert(rec.getMessage.contains("recursive"))
+      a.exec("drop view tns_ctv2")
+      a.exec("drop view tns_ctv")
+    } finally a.close()
+  }
+
+  test("DISCARD ALL is rejected inside a transaction block (PG semantics)") {
+    val a = new Conn
+    try {
+      a.exec("create temp table tns_da (k INT)")
+      a.exec("begin")
+      a.exec("insert into tns_da values (1)")
+      val e = a.fails("discard all")
+      assert(e.getMessage.contains("transaction block"))
+      a.exec("rollback")
+      // the namespace survived the rejected DISCARD; outside a txn it works
+      assert(a.exec("select count(*) as n from tns_da") == Seq("[0]"))
+      a.exec("discard all")
+      assert(a.fails("select * from tns_da").getMessage.contains("tns_da"))
+    } finally a.close()
+  }
+
   test("temp objects are hidden from catalog listings; rename stays in-namespace") {
     val a = new Conn
     try {

@@ -183,6 +183,41 @@ chk "pk followed swap a" "dup" "$(psql $P -c "insert into main.swa values (2,'du
 chk "pk followed swap b" "dup" "$(psql $P -c "insert into main.swb values (1,'dup')" 2>&1 | grep -q 'duplicate key' && echo dup || echo accepted)"
 kill "$SRV_PID" 2>/dev/null; wait "$SRV_PID" 2>/dev/null
 
+# ---- scenario 6: SIGKILL with LIVE temp tables/sequences (r15) ----
+# conn-temp tables are real __tmpc<N> parquet dirs; a crash strands
+# them. Boot reclaim must (a) keep them out of the catalog, (b) move
+# the dirs to .quarantine (NOT delete — a pre-guard user table with
+# that suffix would be unrecoverable), logging loudly.
+start_server
+FIFO4=$(mktemp -u /tmp/graft_crash_fifo4.XXXXXX)
+mkfifo "$FIFO4"
+psql $P -f /dev/stdin < "$FIFO4" > /tmp/graft_crash_psql4.log 2>&1 &
+PSQL4_PID=$!
+exec 6>"$FIFO4"
+cat >&6 <<'SQL'
+CREATE TEMP TABLE crash_tt (k INT);
+INSERT INTO crash_tt VALUES (1), (2);
+CREATE TEMP SEQUENCE crash_sq START WITH 5;
+CREATE TEMP VIEW crash_tv AS SELECT k FROM crash_tt;
+SELECT pg_sleep(0);
+SQL
+sleep 8
+tmpc_before=$(ls -d "$DB"/warehouse/main.db/*__tmpc* 2>/dev/null | wc -l)
+if [ "$tmpc_before" -ge 1 ]; then ok "temp-table dir on disk pre-crash"; else bad "no __tmpc dir pre-crash"; fi
+kill -9 "$SRV_PID" 2>/dev/null
+wait "$SRV_PID" 2>/dev/null
+exec 6>&-
+kill "$PSQL4_PID" 2>/dev/null; wait "$PSQL4_PID" 2>/dev/null
+rm -f "$FIFO4"
+start_server
+chk "tmpc dirs gone from warehouse" "0" "$(ls -d "$DB"/warehouse/main.db/*__tmpc* 2>/dev/null | wc -l)"
+chk "tmpc dirs quarantined, not deleted" "$tmpc_before" "$(ls -d "$DB"/warehouse/.quarantine/main/*__tmpc* 2>/dev/null | wc -l)"
+grep -q "quarantining temp-table leftover" "$LOG" && ok "loud reclaim log present" || bad "no reclaim log line"
+chk "no phantom tmpc in catalog" "" "$(psql $P -tA -c "select table_name from information_schema.tables where table_name like '%tmpc%'" 2>&1)"
+chk "temp table gone for new conns" "gone" "$(psql $P -tA -c 'select count(*) from crash_tt' >/dev/null 2>&1 && echo present || echo gone)"
+chk "temp name reusable after reclaim" "CREATE TABLE" "$(psql $P -c 'create temp table crash_tt (z INT)' 2>&1 | head -1)"
+kill "$SRV_PID" 2>/dev/null; wait "$SRV_PID" 2>/dev/null
+
 rm -rf "$DB"
 echo "crash-recovery: $pass passed, $fail failed"
 [ "$fail" -eq 0 ]
