@@ -3445,17 +3445,19 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       return ExecResult(null, "DROP TYPE")
     }
     createTableRe.findFirstMatchIn(sql).foreach { m =>
-      return createTableWithConstraints(m.group(1), m.group(2), Option(m.group(3)).getOrElse(""))
+      return createTableWithConstraints(m.group(2), m.group(3),
+        Option(m.group(4)).getOrElse(""), m.group(1) != null)
     }
     // a plain column-list CREATE TABLE (no constraint keywords) still
     // needs the constraints path when a column is enum-typed
     if (anyEnums) plainCreateTableRe.findFirstMatchIn(sql).foreach { m =>
-      val mentionsEnum = splitTopLevel(m.group(2), ',').exists { item =>
+      val mentionsEnum = splitTopLevel(m.group(3), ',').exists { item =>
         val t = item.trim.split("\\s+", 3)
         t.length >= 2 && enumExists(t(1))
       }
       if (mentionsEnum)
-        return createTableWithConstraints(m.group(1), m.group(2), Option(m.group(3)).getOrElse(""))
+        return createTableWithConstraints(m.group(2), m.group(3),
+          Option(m.group(4)).getOrElse(""), m.group(1) != null)
     }
     // transactional CREATE for the remaining table-creating forms
     // (plain column list without constraints, CTAS, USING) — the
@@ -5237,7 +5239,23 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
   /** CREATE TABLE with PG/DuckDB constraint syntax: Spark's parser
     * rejects PRIMARY KEY / UNIQUE / NOT NULL, so they are parsed out
     * here, recorded, and the stripped DDL executed (SURVEY §2-B.9). */
-  private def createTableWithConstraints(table: String, colSpec: String, rest: String): ExecResult = {
+  private def createTableWithConstraints(table: String, colSpec: String,
+      rest: String, ifNotExists: Boolean = false): ExecResult = {
+    if (ifNotExists) {
+      // IF NOT EXISTS: no-op when the name resolves in the caller's
+      // view (inside a txn that includes its own staged creates/renames
+      // minus its drops — same resolution the conflict check uses)
+      val st = txn.get()
+      val q = qualify(table)
+      val exists =
+        if (st.open)
+          (spark.catalog.tableExists(table) && !st.dropped.contains(q) &&
+            !st.renames.contains(q) && !st.droppedViews.contains(q)) ||
+            st.created.contains(q) || st.createdViews.contains(q) ||
+            st.renames.valuesIterator.contains(q)
+        else spark.catalog.tableExists(table)
+      if (exists) return ExecResult(null, "CREATE TABLE")
+    }
     var pk = Seq.empty[String]
     var unique = Seq.empty[Seq[String]]
     var notNull = Seq.empty[String]
@@ -5373,6 +5391,11 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
           unstageCreatedTable(table)
           try spark.sql(s"DROP TABLE IF EXISTS $phys") catch { case _: Throwable => }
         }
+        // IF NOT EXISTS losing a create-create race to a concurrent
+        // connection is still a no-op, not an error
+        if (ifNotExists && phys == table &&
+            e.isInstanceOf[org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException])
+          return ExecResult(null, "CREATE TABLE")
         throw e
       }
     } finally createLock.foreach(_.unlock())
@@ -6312,10 +6335,13 @@ object Engine {
   private val createEnumRe =
     """(?is)^\s*create\s+type\s+([\w.]+)\s+as\s+enum\s*\(([^)]*)\)\s*$""".r
   private val dropTypeRe = """(?is)^\s*drop\s+type\s+(if\s+exists\s+)?([\w.]+)\s*$""".r
+  // IF NOT EXISTS is captured, not excluded (r15, soak find): the raw
+  // Spark fall-through cannot parse constraint keywords, so the
+  // constrained form with IF NOT EXISTS died with UNSUPPORTED_FEATURE
   private val plainCreateTableRe =
-    """(?is)^\s*create\s+table\s+(?!if\s)([\w.]+)\s*\((.*)\)\s*(using\s+\w+)?\s*$""".r
+    """(?is)^\s*create\s+table\s+(?:(if\s+not\s+exists)\s+)?([\w.]+)\s*\((.*)\)\s*(using\s+\w+)?\s*$""".r
   private val createTableRe =
-    """(?is)^\s*create\s+table\s+(?!if\s)([\w.]+)\s*\((.*(?:primary\s+key|unique|not\s+null|foreign\s+key|references\s|check\s*\().*)\)\s*(using\s+\w+)?\s*$""".r
+    """(?is)^\s*create\s+table\s+(?:(if\s+not\s+exists)\s+)?([\w.]+)\s*\((.*(?:primary\s+key|unique|not\s+null|foreign\s+key|references\s|check\s*\().*)\)\s*(using\s+\w+)?\s*$""".r
   private val insertStmtRe =
     """(?is)^\s*insert\s+into\s+([\w.]+)\s*(?:\(([^)]*)\))?\s*(values\b.+|select\b.+|with\b.+)$""".r
   private val onConflictRe =

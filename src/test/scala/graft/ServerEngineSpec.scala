@@ -50,6 +50,32 @@ class ServerEngineSpec extends SparkSpecBase {
     engine.execute("drop table main.c_nnu")
   }
 
+  test("CREATE TABLE IF NOT EXISTS with constraints: created, enforced, no-op on repeat") {
+    fresh("c_ine")
+    // pre-fix the constrained IF NOT EXISTS form fell through to raw
+    // Spark (the intercept excluded `if`), which cannot parse PRIMARY
+    // KEY → UNSUPPORTED_FEATURE (r15 soak find)
+    engine.execute("create table if not exists main.c_ine (k INT PRIMARY KEY, v STRING) using parquet")
+    engine.execute("insert into main.c_ine values (1, 'a')")
+    val dup = intercept[IllegalArgumentException] {
+      engine.execute("insert into main.c_ine values (1, 'b')")
+    }
+    assert(dup.getMessage.contains("unique") || dup.getMessage.contains("duplicate"))
+    // repeat is a no-op: content and constraints survive
+    engine.execute("create table if not exists main.c_ine (k INT PRIMARY KEY, v STRING) using parquet")
+    assert(spark.table("main.c_ine").count() == 1)
+    val dup2 = intercept[IllegalArgumentException] {
+      engine.execute("insert into main.c_ine values (1, 'c')")
+    }
+    assert(dup2.getMessage.contains("unique") || dup2.getMessage.contains("duplicate"))
+    // in-txn: IF NOT EXISTS of a name this txn created is a no-op too
+    engine.execute("begin")
+    engine.execute("create table if not exists main.c_ine (k INT PRIMARY KEY) using parquet")
+    engine.execute("commit")
+    assert(spark.table("main.c_ine").count() == 1)
+    engine.execute("drop table main.c_ine")
+  }
+
   test("concurrent same-key PK inserts admit exactly one (TOCTOU closed)") {
     fresh("c_race")
     engine.execute("create table main.c_race (id INT PRIMARY KEY, v STRING) using parquet")
