@@ -150,7 +150,19 @@ psql $P -c "drop table if exists main.tns_sh" >/dev/null 2>&1
 $CURL "http://127.0.0.1:$CH/" -d 'DROP TABLE main.smoke2' >/dev/null
 psql $P -c "drop table main.smoke" >/dev/null 2>&1
 
+# clickhouse-jdbc-shaped request: query in POST body with an explicit
+# FORMAT clause; the names+types header pair is what the driver parses
+chk "ch jdbc-style TSVWithNamesAndTypes" "x;Int32;1" "$($CURL "http://127.0.0.1:$CH/" -d 'SELECT 1 AS x FORMAT TabSeparatedWithNamesAndTypes' | paste -sd';' -)"
+
 python3 "$(dirname "$0")/pg_extended_test.py" "$PG" | sed 's/^/  ext /'
+
+# pgJDBC wire-sequence probe (no JDBC jar exists in this container —
+# the probe replays the driver's exact message sequences; see its doc)
+if python3 "$(dirname "$0")/jdbc_smoke.py" "$PG" | sed 's/^/  jdbc /'; then
+  pass=$((pass+1))
+else
+  fail=$((fail+1)); echo "FAIL jdbc_smoke"
+fi
 
 echo "smoke: $pass passed, $fail failed"
 exit $((fail > 0))
