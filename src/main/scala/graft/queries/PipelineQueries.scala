@@ -32,6 +32,97 @@ object PipelineQueries {
     * words here; the packing shape is what scales, not the tokenizer). */
   private val PackCapacity = 2048L
 
+  /** Connected components of an undirected edge list. Returns (u, c):
+    * every node that appears in an edge, mapped to its component's
+    * minimum node id.
+    *
+    * ADAPTIVE, like the q5 broadcast (the r14 pattern for anything
+    * that scales with data): the edge count is already known from the
+    * materializing count, so
+    *  - at or under `driverLimit` edges the graph is metadata-sized —
+    *    driver union-find (path-compressed, min-rooted) answers in
+    *    microseconds where even ONE distributed round costs ~10 stage
+    *    floors (measured 1.0-1.5 s/round on a 276-edge residual);
+    *  - past the limit, alternating LARGE-STAR / SMALL-STAR rounds
+    *    (Kiveris et al., "Connected Components in MapReduce and
+    *    Beyond") — O(log n) rounds on ANY topology, including the
+    *    chain graphs where plain min-label propagation needs
+    *    O(diameter) rounds (the r14-declared boundary, closed r15).
+    *    Convergence is an EXACT set comparison; localCheckpoint
+    *    truncates per-round lineage.
+    * The default limit collects ≤ ~16 MB of edge pairs — same class
+    * as a broadcast-join build side, with the distributed path as the
+    * overflow, never a failure. */
+  private[graft] def starComponents(edges0: DataFrame,
+      driverLimit: Long = 1000000L): DataFrame = {
+    val spark = edges0.sparkSession
+    var star = edges0
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u").cast("long"), col("v").cast("long")).as("u"),
+        least(col("u").cast("long"), col("v").cast("long")).as("v"))
+      .distinct()
+      .localCheckpoint(false)
+    var residual = star.count()
+    if (residual <= driverLimit) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      val nodes = scala.collection.mutable.HashSet.empty[Long]
+      star.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        nodes += a; nodes += b
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val rows = nodes.toSeq.map(n => Row(n, find(n)))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("u", LongType), StructField("c", LongType))))
+    }
+    var iter = 0
+    var converged = false
+    while (!converged && iter < 30) {
+      // LARGE-STAR: for each node u, every strictly-larger neighbor v
+      // re-attaches to m = min(N(u) ∪ {u})
+      val nbrs = star.select(col("u"), col("v"))
+        .union(star.select(col("v").as("u"), col("u").as("v"))) // both directions
+      val mu = nbrs.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val large = nbrs.join(mu, "u")
+        .filter(col("v") > col("u") && col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // SMALL-STAR: edges point large→small already (u > v); every
+      // smaller neighbor and u itself attach to the smallest
+      val mv = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val withM = large.join(mv, "u")
+      val small = withM
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .union(withM.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(false)
+      // exact fixpoint test: equal count + containment ⇒ equal sets
+      val n2 = small.count()
+      converged = n2 == residual && small.exceptAll(star).isEmpty
+      star = small
+      residual = n2
+      iter += 1
+    }
+    // at the fixpoint every component is a star around its min: each
+    // non-center node carries exactly one edge to the center
+    star.groupBy(col("u")).agg(min(col("v")).as("c"))
+      .union(star.select(col("v").as("u"), col("v").as("c")).distinct())
+      .groupBy(col("u")).agg(min(col("c")).as("c"))
+  }
+
   /** Fixed-weight logistic quality score over a `text` column — the
     * deployment artifact shared by the batch operator
     * (q_pipeline_quality_score) and the streaming gate
@@ -210,65 +301,55 @@ object PipelineQueries {
       // Near-duplicate clusters = connected components of the minhash
       // candidate-pair graph; the cluster id is the component's min
       // doc_id (the canonical document a dedup pass would keep).
-      // Iterative min-label propagation: each round every node takes the
-      // min of its own and its neighbors' labels. Rounds are plain
-      // join+groupBy dataflow; convergence is detected by the label-sum
-      // action (min-propagation is monotone — the sum strictly decreases
-      // until the fixpoint, so equal sums == converged). localCheckpoint
-      // truncates the per-round lineage (blocks are reclaimed by the
-      // ContextCleaner when unreferenced — no CacheManager leak across
-      // bench reps). Diameter of near-dup clusters is tiny (band buckets
-      // are near-cliques); a pathological chain would need the
-      // alternating large-star/small-star contraction (Kiveris et al.,
-      // "Connected Components in MapReduce and Beyond") — the iteration
-      // cap documents that boundary.
+      //
+      // r15 shape (closes the r14-declared pathological-chain boundary):
+      //   1. SEED (round-0 contraction): each doc's label = min doc_id
+      //     over every band bucket it belongs to — a bucket is a clique
+      //     in the pair graph, so this resolves intra-bucket structure
+      //     with two groupBys, no edge iteration.
+      //   2. CONTRACT: pairs project onto seed labels; only pairs whose
+      //     endpoints carry DIFFERENT labels survive (docs bridging two
+      //     buckets). The residual graph is label-count-sized — empty
+      //     for bucket-disjoint corpora (checked with one count: the
+      //     common case runs ZERO rounds).
+      //   3. LARGE-STAR / SMALL-STAR alternation (Kiveris et al.,
+      //     "Connected Components in MapReduce and Beyond") on the
+      //     residual graph — O(log n) rounds on ANY topology, including
+      //     the chain shapes where plain min-label propagation needs
+      //     O(diameter). Each round is two groupBy+join dataflows over
+      //     edges; convergence = (count, endpoint-sum) signature
+      //     fixpoint (both ops only shrink endpoints, so the signature
+      //     is monotone). localCheckpoint truncates per-round lineage.
       // The band table is checkpointed ONCE and feeds both the edge
       // list and the label seed — the shingle→minhash pipeline (the
       // expensive part) runs exactly one job.
       val bands = DedupQueries.minhashBands(t.documents).localCheckpoint()
-      val a = bands.select(col("doc_id").as("d1"), col("band"), col("bkey"))
-      val b = bands.select(col("doc_id").as("d2"),
-        col("band").as("band2"), col("bkey").as("bkey2"))
-      val pairs = a.join(b, col("band") === col("band2")
-          && col("bkey") === col("bkey2") && col("d1") < col("d2"))
-        .select(col("d1"), col("d2")).distinct()
-      val edges = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-        .select(col("d1").as("src"), col("d2").as("dst"))
-        .localCheckpoint()
-      // Label seed = min doc_id over every band bucket the doc belongs
-      // to (including itself). A band bucket is a clique in the pair
-      // graph, so this IS the result of propagation round 1, computed
-      // as two groupBys on the cached bands instead of an edge join —
-      // near-clique LSH clusters then converge in ~1 further round.
       val bmin = bands.groupBy(col("band"), col("bkey"))
         .agg(min(col("doc_id")).as("bmin"))
       val seed = bands.join(bmin, Seq("band", "bkey"))
-        .groupBy(col("doc_id")).agg(min(col("bmin")).as("nlbl"))
-      var labels = t.documents.select(col("doc_id"))
+        .groupBy(col("doc_id")).agg(min(col("bmin")).as("lbl"))
+        .localCheckpoint()
+      // Residual graph over LABELS, usually empty; [[starComponents]]
+      // resolves it in O(log n) rounds regardless of topology.
+      // NO pair self-join anywhere: a bucket is a clique, so its
+      // connectivity is fully captured by star edges to the bucket min
+      // — every member doc contributes (its label, the bucket min);
+      // a doc in two buckets is exactly what bridges them. This is both
+      // the correctness-preserving contraction of the pair graph AND
+      // the scale shape (|bands| rows, never the quadratic bucket
+      // blow-up a hot bucket's explicit pair list would cost).
+      val residualEdges = bands.join(bmin, Seq("band", "bkey"))
+        .join(seed, "doc_id")
+        .filter(col("lbl") =!= col("bmin"))
+        .select(col("lbl").as("u"), col("bmin").as("v"))
+      // star map: residual-component members → component min; identity
+      // for labels the contraction never touched
+      val center = starComponents(residualEdges)
+      val labels = t.documents.select(col("doc_id"))
         .join(seed, Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("nlbl"), col("doc_id")).as("lbl"))
-        .localCheckpoint(false)
-      var lastSum = labels.agg(sum(col("lbl"))).head().getLong(0)
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 20) {
-        val nbrMin = edges
-          .join(labels.select(col("doc_id").as("nbr"), col("lbl").as("nbr_lbl")),
-            col("dst") === col("nbr"))
-          .groupBy(col("src")).agg(min(col("nbr_lbl")).as("min_nbr"))
-        // lazy checkpoint: the convergence-sum action below doubles as
-        // the materializing job — one job per round, not two
-        val next = labels
-          .join(nbrMin, col("doc_id") === col("src"), "left")
-          .select(col("doc_id"),
-            least(col("lbl"), coalesce(col("min_nbr"), col("lbl"))).as("lbl"))
-          .localCheckpoint(false)
-        val s2 = next.agg(sum(col("lbl"))).head().getLong(0)
-        converged = s2 == lastSum
-        lastSum = s2
-        labels = next
-        iter += 1
-      }
+        .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("lbl"))
+        .join(center, col("lbl") === col("u"), "left")
+        .select(col("doc_id"), coalesce(col("c"), col("lbl")).as("lbl"))
       labels.groupBy(col("lbl").as("cluster"))
         .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("last_doc"))
         .filter(col("n_docs") >= 2)

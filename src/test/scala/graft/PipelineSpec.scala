@@ -74,6 +74,45 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("starComponents: chains, cycles, stars, multi-component, noisy edge lists") {
+    import spark.implicits._
+    // every topology runs through BOTH paths: the driver union-find
+    // (default gate) and the distributed large/small-star rounds
+    // (forced by driverLimit = 0) must agree exactly
+    def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val fast = graft.queries.PipelineQueries.starComponents(edges.toDF("u", "v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = graft.queries.PipelineQueries
+        .starComponents(edges.toDF("u", "v"), driverLimit = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast == dist, s"paths disagree: fast=$fast dist=$dist")
+      fast
+    }
+    // a 64-node CHAIN — the exact topology where min-label propagation
+    // needs O(diameter) rounds; star contraction must land everyone on 0
+    val chain = (0L until 63L).map(i => i -> (i + 1))
+    val c1 = cc(chain)
+    assert((0L to 63L).forall(c1(_) == 0L), s"chain: $c1")
+    // a cycle plus a pendant, reversed and duplicated edges, self-loop
+    val messy = Seq(5L -> 6L, 6L -> 7L, 7L -> 5L, 7L -> 7L, 6L -> 5L, 9L -> 7L)
+    val c2 = cc(messy)
+    assert(Seq(5L, 6L, 7L, 9L).forall(c2(_) == 5L), s"cycle+pendant: $c2")
+    // two components + a star with a LATE center (high ids around a low)
+    val multi = Seq(10L -> 11L, 30L -> 31L, 31L -> 32L,
+      100L -> 1L, 101L -> 1L, 102L -> 1L)
+    val c3 = cc(multi)
+    assert(c3(10L) == 10L && c3(11L) == 10L)
+    assert(Seq(30L, 31L, 32L).forall(c3(_) == 30L))
+    assert(Seq(1L, 100L, 101L, 102L).forall(c3(_) == 1L))
+    // empty residual: no rounds, empty map
+    assert(cc(Seq.empty).isEmpty)
+    // chain of 2-cliques bridged pairwise (bucket-bridge shape)
+    val bridged = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L,
+      20L -> 21L)
+    val c4 = cc(bridged)
+    assert((1L to 6L).forall(c4(_) == 1L) && c4(21L) == 20L, s"$c4")
+  }
+
   test("dup clusters: ids are member minima, sizes >= 2, members exist") {
     val clusters = run("q_pipeline_dup_clusters").collect()
     clusters.foreach { r =>
