@@ -443,8 +443,19 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         scala.collection.mutable.LinkedHashSet.empty,
       droppedSchemas: scala.collection.mutable.LinkedHashSet[String] =
         scala.collection.mutable.LinkedHashSet.empty) {
+    // global epoch snapshot captured at this transaction's FIRST
+    // statement (r15 fuzz find): DuckDB fixes its whole-database
+    // snapshot at the first statement (successful or failed), while
+    // per-table pins are taken lazily at first TOUCH — a commit
+    // landing in between was visible here and not in DuckDB. First-
+    // touch pins check against this map and raise the serialization
+    // error on drift (conservative: DuckDB serves the older image,
+    // this engine cannot reconstruct one that no longer exists).
+    // null = not yet captured; own auto-commit bumps update it.
+    var snapEpochs: Map[String, Long] = null
     def reset(): Unit = {
       open = false; writes = false; ddl = false; aborted = false
+      snapEpochs = null
       staged.clear(); deltas.clear(); baseEpochs.clear()
       rewritePins.clear(); pinnedFiles.clear(); created.clear(); dropped.clear()
       renames.clear(); altered.clear(); createdViews.clear(); droppedViews.clear()
@@ -948,9 +959,17 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
   private def epochOf(t: String): Long = {
     val a = tableEpochs.get(qualify(t)); if (a == null) 0L else a.get()
   }
-  private def bumpEpoch(t: String): Unit =
-    tableEpochs.computeIfAbsent(qualify(t),
+  private def bumpEpoch(t: String): Unit = {
+    val q = qualify(t)
+    val e = tableEpochs.computeIfAbsent(q,
       _ => new java.util.concurrent.atomic.AtomicLong(0L)).incrementAndGet()
+    // a bump on THIS thread while its txn is open is the txn's OWN
+    // auto-commit action (temp DDL, declared auto-commit classes) —
+    // keep the snapshot map current so the txn's later first touch of
+    // q doesn't read its own action as concurrent drift
+    val st = txn.get()
+    if (st.open && st.snapEpochs != null) st.snapEpochs += q -> e
+  }
 
   /** Like [[tableEpochs]] but bumped ONLY by operations that change or
     * remove EXISTING rows (UPDATE/DELETE/TRUNCATE/upsert/ALTER/DROP and
@@ -1129,11 +1148,36 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * snapshot scan, so a concurrent writer landing mid-scan shows up
     * as epoch movement at COMMIT — a spurious abort at worst, never a
     * lost update. No-op outside a transaction. */
+  /** Capture the transaction's global snapshot point: a copy of every
+    * table's committed-write epoch, taken at the txn's FIRST statement
+    * — the same instant DuckDB fixes its whole-database snapshot
+    * (measured: a failed first statement fixes it too; a commit that
+    * lands after BEGIN but before the first statement IS visible).
+    * First-touch pins compare against this map. */
+  private def ensureSnapEpochs(st: TxnState): Unit =
+    if (st.open && st.snapEpochs == null) {
+      import scala.jdk.CollectionConverters._
+      st.snapEpochs = tableEpochs.asScala.map { case (k, v) => k -> v.get() }.toMap
+    }
+
   private def pinOrCheck(q: String): Unit = {
     val st = txn.get()
     if (!st.open) return
+    ensureSnapEpochs(st)
     st.rewritePins.get(q) match {
       case None =>
+        // first touch of q: the pin must represent the state as of the
+        // txn's snapshot point. If q's epoch moved since, that state's
+        // files may no longer exist — abort in the declared
+        // serialization class instead of silently serving a snapshot
+        // NEWER than the rest of this transaction's reads (r15 fuzz
+        // find: DuckDB's global snapshot would not see that commit)
+        if (st.snapEpochs != null &&
+            epochOf(q) != st.snapEpochs.getOrElse(q, 0L))
+          throw new IllegalArgumentException(
+            s"could not serialize access: table $q was modified by a " +
+              "concurrent transaction after this transaction's snapshot " +
+              "was established; the transaction must be rolled back")
         st.rewritePins(q) = rewriteEpochOf(q)
         st.baseEpochs.getOrElseUpdate(q, epochOf(q))
         st.pinnedFiles.getOrElseUpdate(q, listPinnedFiles(q))
@@ -1217,6 +1261,8 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       if (st.baseEpochs.contains(q)) st.baseEpochs(q) = epochOf(q)
       if (st.rewritePins.contains(q)) st.rewritePins(q) = rewriteEpochOf(q)
       if (st.pinnedFiles.contains(q)) st.pinnedFiles(q) = listPinnedFiles(q)
+      // own DDL must not read as snapshot drift at a later first touch
+      if (st.snapEpochs != null) st.snapEpochs += q -> epochOf(q)
     }
   }
 
@@ -3036,6 +3082,9 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         !txnRe.matches(sql0.trim.stripSuffix(";").trim))
       throw new IllegalArgumentException(
         "current transaction is aborted, commands ignored until end of transaction block")
+    // the txn's FIRST statement (even one that will fail) fixes the
+    // global snapshot point, like DuckDB's — captured BEFORE execution
+    ensureSnapEpochs(st)
     val r =
       try executeInner(sql0)
       catch {

@@ -50,6 +50,61 @@ class ServerEngineSpec extends SparkSpecBase {
     engine.execute("drop table main.c_nnu")
   }
 
+  test("txn snapshot point is the FIRST statement, like DuckDB (r15 fuzz find)") {
+    fresh("c_snap"); fresh("c_snap_u")
+    engine.execute("create table main.c_snap (id INT, a INT) using parquet")
+    engine.execute("create table main.c_snap_u (x INT) using parquet")
+    engine.execute("insert into main.c_snap values (1, 1), (2, 2)")
+    // a dedicated thread = one connection (engine txn state is per-thread)
+    val exec = java.util.concurrent.Executors.newSingleThreadExecutor()
+    def a(sql: String): Either[Throwable, Seq[String]] =
+      exec.submit(() =>
+        try Right(Option(engine.execute(sql).df)
+          .map(_.collect().toSeq.map(_.toString)).getOrElse(Nil))
+        catch { case e: Throwable => Left(e) }).get()
+    try {
+      // DuckDB parity 1: a commit BETWEEN BEGIN and the first statement
+      // IS visible (the snapshot is fixed at the first statement, not
+      // at BEGIN — measured against DuckDB)
+      assert(a("begin").isRight)
+      engine.execute("insert into main.c_snap values (3, 3)")
+      assert(a("select count(*) as n from main.c_snap") == Right(Seq("[3]")))
+      assert(a("rollback").isRight)
+      // DuckDB parity 2: a FAILED first statement still fixes the
+      // snapshot — a commit after it must never become visible. DuckDB
+      // serves the older image; this engine cannot reconstruct one, so
+      // the first touch aborts in the declared serialization class
+      // (never silently serves the too-new state — the r15 fuzz find)
+      assert(a("begin").isRight)
+      assert(a("alter table main.snap_nosuch rename to main.snap_x").isLeft)
+      engine.execute("insert into main.c_snap values (4, 4)")
+      val drift = a("select count(*) from main.c_snap")
+      assert(drift.isLeft &&
+        drift.swap.toOption.get.getMessage.contains("could not serialize"),
+        s"expected serialization abort, got $drift")
+      assert(a("rollback").isRight)
+      // DuckDB parity 3: a successful statement on ANOTHER table fixes
+      // the snapshot for every table, not just the touched one
+      assert(a("begin").isRight)
+      assert(a("select count(*) from main.c_snap_u").isRight)
+      engine.execute("insert into main.c_snap values (5, 5)")
+      val drift2 = a("select count(*) from main.c_snap")
+      assert(drift2.isLeft &&
+        drift2.swap.toOption.get.getMessage.contains("could not serialize"))
+      assert(a("rollback").isRight)
+      // and with no interleaved commit, everything reads normally
+      assert(a("begin").isRight)
+      assert(a("select count(*) from main.c_snap_u").isRight)
+      assert(a("select count(*) as n from main.c_snap") == Right(Seq("[5]")))
+      assert(a("commit").isRight)
+    } finally {
+      a("rollback")
+      exec.shutdown()
+      engine.execute("drop table main.c_snap")
+      engine.execute("drop table main.c_snap_u")
+    }
+  }
+
   test("CREATE TABLE IF NOT EXISTS with constraints: created, enforced, no-op on repeat") {
     fresh("c_ine")
     // pre-fix the constrained IF NOT EXISTS form fell through to raw

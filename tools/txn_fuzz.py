@@ -311,6 +311,11 @@ def differential_scripts(port, n_scripts, r, finds):
         diverged = False
         vname = f"{tname}_v"
         try:
+            # DROP first: a killed previous same-seed run strands these
+            # deterministic names (see interleave_scripts note)
+            pg1.query(f"DROP VIEW IF EXISTS {vname}")
+            pg1.query(f"DROP TABLE IF EXISTS {tname}")
+            pg1.query(f"DROP TABLE IF EXISTS {tname}_aux")
             for setup in (ddl, f"INSERT INTO {tname} VALUES {seed_rows}",
                           f"CREATE VIEW {vname} AS SELECT * FROM {tname}"):
                 _, de = run_duck(dcon, setup)
@@ -446,7 +451,14 @@ def interleave_scripts(port, n_scripts, r, finds):
         # r12b the engine attributes rewrites by the first UNIQUE set
         # too, so the same disjoint-key commutes must hold there
         key = "id INTEGER PRIMARY KEY" if r.random() < 0.5 else "id INTEGER UNIQUE"
-        for s_ in (f"CREATE TABLE {tname} ({key}, a INTEGER)", seed):
+        # DROP first: a KILLED previous run of the same seed strands a
+        # same-named table (names are seed-deterministic) whose stale
+        # content silently survives the unchecked CREATE + seed INSERT
+        # and reads as a phantom engine divergence (r15: two such
+        # "finds", both immediately after a timeout-killed run; the
+        # arithmetic matched the leftover exactly)
+        for s_ in (f"DROP TABLE IF EXISTS {tname}",
+                   f"CREATE TABLE {tname} ({key}, a INTEGER)", seed):
             pg[0].query(s_)
             run_duck(dcur[0], s_)
         in_txn = [False, False]
@@ -490,9 +502,17 @@ def interleave_scripts(port, n_scripts, r, finds):
                     f"SELECT count(*) FROM {tname}",
                     f"SELECT * FROM {tname} ORDER BY id",
                 ])
-            trace.append(f"conn{c}: {sql}")
             srows, serr, _ = pg[c].query(sql)
             drows, derr = run_duck(dcur[c], sql)
+            # full-fidelity trace: statement + both sides' outcome, so a
+            # FLAKY final-content divergence (r15: one-in-several-runs)
+            # pinpoints the exact statement where the sides split
+            trace.append(
+                f"conn{c}: {sql}"
+                + (f"  [s={canon_pg(srows) if serr is None else 'ERR:' + str(serr)[:60]}"
+                   f" d={canon_duck(drows) if derr is None else 'ERR:' + str(derr)[:60]}]"
+                   if sql.startswith("SELECT") or serr or derr else
+                   ("" if serr is None else f"  [ERR {str(serr)[:60]}]")))
             ser_s = serr is not None and ser_re.search(str(serr))
             ser_d = derr is not None and (ser_re.search(str(derr)) or
                                           duck_artifact_re.search(str(derr)))
@@ -569,6 +589,8 @@ def fk_scripts(port, n_scripts, r, finds):
         p = f"fkp_{r.randint(0, 10**9)}_{si}"
         c = f"fkc_{r.randint(0, 10**9)}_{si}"
         pg = [PgSession(port), PgSession(port)]
+        pg[0].query(f"DROP TABLE IF EXISTS {c}")  # killed-run leftovers
+        pg[0].query(f"DROP TABLE IF EXISTS {p}")
         pg[0].query(f"CREATE TABLE {p} (id INTEGER PRIMARY KEY)")
         pg[0].query(f"CREATE TABLE {c} (cid INTEGER, pid INTEGER, "
                     f"FOREIGN KEY (pid) REFERENCES {p}(id))")
