@@ -31,6 +31,13 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
   private def lockFor(t: String) =
     tableLocks.computeIfAbsent(qualify(t), _ => new ReentrantReadWriteLock())
 
+  /** Engine-wide count of OPEN transaction blocks, every connection.
+    * Maintained by the single BEGIN site and [[TxnState.reset]] (the
+    * one funnel every txn exit passes — COMMIT, ROLLBACK, and the
+    * disconnect hook's [[rollbackDanglingTxn]]). Read by CHECKPOINT's
+    * DuckDB-faithful refusal while other transactions are active. */
+  private val openTxns = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** DuckDB-style sequences (reference pass-through surface): name →
     * counter state. Allocation is driver-side and statement-scoped —
     * see the nextval intercept in execute(). */
@@ -454,6 +461,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     // null = not yet captured; own auto-commit bumps update it.
     var snapEpochs: Map[String, Long] = null
     def reset(): Unit = {
+      if (open) openTxns.decrementAndGet()
       open = false; writes = false; ddl = false; aborted = false
       snapEpochs = null
       staged.clear(); deltas.clear(); baseEpochs.clear()
@@ -3429,7 +3437,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         case "BEGIN" | "START" =>
           // BEGIN inside an open transaction: PG warns and no-ops —
           // the open transaction (and its staged writes) continue
-          if (!st.open) { st.reset(); st.open = true }
+          if (!st.open) { st.reset(); st.open = true; openTxns.incrementAndGet() }
           return ExecResult(null, if (kw == "START") "START TRANSACTION" else "BEGIN")
         case "COMMIT" | "END" =>
           val wasAborted = st.aborted
@@ -3664,7 +3672,17 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       return ExecResult(lines.toDF("plan"), "SELECT")
     }
     pragmaRe.findFirstMatchIn(sql).foreach { m =>
-      return pragma(m.group(1).trim)
+      val body = m.group(1).trim
+      if (body.equalsIgnoreCase("force_checkpoint"))
+        return checkpointDatabase(force = true, None)
+      return pragma(body)
+    }
+    checkpointRe.findFirstMatchIn(sql).foreach { m =>
+      return checkpointDatabase(m.group(1) != null, Option(m.group(2)))
+    }
+    vacuumAnalyzeRe.findFirstMatchIn(sql).foreach { m =>
+      return vacuumAnalyze(m.group(1).trim.toUpperCase.startsWith("VACUUM"),
+        Option(m.group(2)))
     }
     if (attachRe.matches(sql))
       throw new UnsupportedOperationException(
@@ -5044,6 +5062,166 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         spark.sql(s"DROP TABLE IF EXISTS $rawTable")
       }
     } finally lock.unlock()
+  }
+
+  /** DuckDB `CHECKPOINT [db]` / `FORCE CHECKPOINT` / `PRAGMA
+    * force_checkpoint` — the reference forwards these to embedded
+    * DuckDB (duck_server routes all statement text unchanged), where
+    * they flush the WAL into the database file and merge adjacent row
+    * groups. Spark-native reinterpretation: publishes here are already
+    * durable at COMMIT (journaled parquet swaps), so the WAL half is a
+    * no-op; the half that matters at 100 TB is the storage maintenance
+    * — tables fragmented by single-row appends / COW deltas degrade
+    * every later scan's split planning, and periodic CHECKPOINT is the
+    * lake-maintenance compaction pass. Each table of the target
+    * database whose parquet file count exceeds its ~128 MB-target
+    * shape is compacted one at a time under that table's write lock
+    * ([[compactTable]]). Like DuckDB, plain CHECKPOINT refuses while
+    * other transactions are active; FORCE CHECKPOINT proceeds —
+    * DuckDB aborts the conflicting transactions eagerly, here their
+    * pins abort in the declared serialization class at their next
+    * touch of a compacted table (same outcome, lazily). */
+  private def checkpointDatabase(force: Boolean, db0: Option[String]): ExecResult = {
+    if (isTxnOpen)
+      throw new IllegalArgumentException(
+        "CHECKPOINT cannot be executed inside a transaction block")
+    if (!force && openTxns.get() > 0)
+      throw new IllegalArgumentException(
+        "Cannot CHECKPOINT: there are other transactions active " +
+          "(COMMIT/ROLLBACK them first, or use FORCE CHECKPOINT)")
+    // DuckDB schemas map to Spark databases here, and CHECKPOINT
+    // flushes the WHOLE database file (every schema): a bare
+    // CHECKPOINT sweeps all of them. The optional name (an ATTACHED
+    // database in DuckDB — exactly one exists here) is accepted as a
+    // single-schema filter.
+    val dbs = db0.map(_.toLowerCase) match {
+      case Some(d) =>
+        if (!spark.catalog.databaseExists(d))
+          throw new IllegalArgumentException(s"""database "$d" does not exist""")
+        Seq(d)
+      case None =>
+        spark.catalog.listDatabases().collect().map(_.name.toLowerCase).toSeq
+          .filterNot(catalogCompatDbs)
+    }
+    dbs.foreach { db =>
+      spark.catalog.listTables(db).collect()
+        .filter(t => !t.isTemporary && t.tableType != "VIEW")
+        .map(_.name.toLowerCase)
+        .filterNot(Engine.isHiddenTable)
+        .foreach(n => compactTable(s"$db.$n"))
+    }
+    ExecResult(null, "CHECKPOINT")
+  }
+
+  /** The engine-managed catalog-compat namespaces (pg_catalog,
+    * information_schema, system shapes) hold views only, but skipping
+    * them by name keeps the CHECKPOINT/ANALYZE sweeps from paying a
+    * listTables walk over hundreds of compat entries. */
+  private val catalogCompatDbs: Set[String] =
+    Set("pg_catalog", "information_schema", "system")
+
+  /** Compact one parquet table's file set to its ~target-size shape:
+    * a staged `coalesce` copy (no shuffle — a file merge is IO-bound,
+    * partition count drops monotonically) swapped in under the
+    * table's write lock with the same DROP+RENAME recipe as
+    * transactional ALTER, journaled with a `replace` op so a kill
+    * between the DROP and the RENAME rolls the swap FORWARD from the
+    * fully-materialized stage at boot. Returns false when the table
+    * is already in shape (or not parquet-backed). Content is
+    * identical but the FILE SET is new: both epochs move so
+    * concurrently pinned readers abort with the clean serialization
+    * error instead of chasing deleted files — the same declared class
+    * as any rewrite. Constraint registrations are keyed by the name,
+    * which does not change. */
+  private def compactTable(q: String, targetBytes: Long = 128L << 20): Boolean = {
+    val lock = lockFor(q).writeLock()
+    lock.lock()
+    try {
+      val files = listPinnedFiles(q).getOrElse(return false)
+      if (files.size <= 1) return false
+      val bytes = files
+        .map(f => new java.io.File(f.stripPrefix("file:")).length()).sum
+      val target = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      if (files.size <= target) return false
+      val stage = q + "__alter"
+      spark.sql(s"DROP TABLE IF EXISTS $stage")
+      spark.table(q).coalesce(target).write.format("parquet").saveAsTable(stage)
+      // journal BEFORE the destructive step; deleted once the swap is
+      // done in-process (recoverPublishJournals `replace`: stage dir
+      // still present at boot = swap incomplete → rm target, move in)
+      val journal = dbPath.map { p =>
+        val f = new java.io.File(p,
+          s"publish_journal_${txnSeq.incrementAndGet()}.tsv")
+        writeFile(f.getAbsolutePath, s"replace\t$q\t$stage")
+        f
+      }
+      try {
+        spark.sql(s"DROP TABLE $q")
+        removeTableDir(q) // boot-registered EXTERNAL dirs survive DROP
+        spark.sql(s"ALTER TABLE $stage RENAME TO $q")
+      } catch {
+        // same preservation ladder as alterColumnType: before the DROP
+        // nothing happened (discard the stage); after it the stage IS
+        // the table — retry the rename (the content is identical, so a
+        // successful retry simply completes the compaction), else leave
+        // the stage + journal for boot roll-forward
+        case e: Throwable =>
+          val originalExists =
+            try spark.catalog.tableExists(q) catch { case _: Throwable => false }
+          if (originalExists) {
+            spark.sql(s"DROP TABLE IF EXISTS $stage")
+            journal.foreach(_.delete())
+            throw e
+          }
+          val renamedIn =
+            try { spark.sql(s"ALTER TABLE $stage RENAME TO $q"); true }
+            catch { case _: Throwable => false }
+          if (!renamedIn)
+            throw new IllegalStateException(
+              s"CHECKPOINT failed mid-swap on $q; data preserved in " +
+                s"staging table $stage, boot rolls the swap forward: " +
+                e.getMessage, e)
+      }
+      journal.foreach(_.delete())
+      bumpEpoch(q); bumpRewriteEpoch(q)
+      logRewrite(q, None)
+      true
+    } finally lock.unlock()
+  }
+
+  /** DuckDB `VACUUM` / `ANALYZE` / `VACUUM ANALYZE [t [(cols)]]` — in
+    * DuckDB 1.0 these recompute table statistics (the reclaim half of
+    * VACUUM is itself a no-op there). Spark-native: route to `ANALYZE
+    * TABLE … COMPUTE STATISTICS`, which feeds the same cost-based
+    * decisions this engine already leans on — the q5-class adaptive
+    * broadcast reads `optimizedPlan.stats.sizeInBytes`, and accurate
+    * row counts tighten every join-strategy estimate. No table named
+    * → sweep every user table of the current database (column lists
+    * are accepted and ignored, like DuckDB, which samples all
+    * columns). */
+  private def vacuumAnalyze(isVacuum: Boolean, table: Option[String]): ExecResult = {
+    if (isTxnOpen)
+      throw new IllegalArgumentException(
+        "VACUUM/ANALYZE cannot be executed inside a transaction block")
+    val targets = table match {
+      case Some(t) =>
+        val q = qualify(resolveConnTemp(t))
+        if (!spark.catalog.tableExists(q) || isView(q))
+          throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+            q.split('.').toIndexedSeq)
+        Seq(q)
+      case None =>
+        spark.catalog.listDatabases().collect().map(_.name.toLowerCase).toSeq
+          .filterNot(catalogCompatDbs).flatMap { db =>
+            spark.catalog.listTables(db).collect()
+              .filter(t => !t.isTemporary && t.tableType != "VIEW")
+              .map(_.name.toLowerCase)
+              .filterNot(Engine.isHiddenTable)
+              .map(n => s"$db.$n")
+          }
+    }
+    targets.foreach(q => spark.sql(s"ANALYZE TABLE $q COMPUTE STATISTICS"))
+    ExecResult(null, if (isVacuum) "VACUUM" else "ANALYZE")
   }
 
   /** DuckDB PRAGMA compat (VERDICT r7 missing #3): GUI tools and the
@@ -6480,6 +6658,16 @@ object Engine {
     """(?is)^\s*copy\s+([\w.]+)\s+from\s+'([^']+)'\s*(?:\(([^)]*)\)|with\s*\(([^)]*)\))?\s*$""".r
   private val pragmaRe = """(?is)^\s*pragma\s+(.+)$""".r
   private val attachRe = """(?is)^\s*(attach|detach)\b.*""".r
+  // DuckDB maintenance statements. CHECKPOINT takes an optional
+  // DATABASE name (never a table). VACUUM/ANALYZE take an optional
+  // table (+ ignored column list, like DuckDB, which samples all
+  // columns anyway); Spark's own `ANALYZE TABLE t COMPUTE STATISTICS`
+  // spelling has trailing keywords, fails the $ anchor, and falls
+  // through to the generic path untouched.
+  private val checkpointRe =
+    """(?is)^\s*(force\s+)?checkpoint(?:\s+([a-zA-Z_]\w*))?\s*$""".r
+  private val vacuumAnalyzeRe =
+    """(?is)^\s*(vacuum(?:\s+analyze)?|analyze)(?:\s+([\w.]+)\s*(?:\([^)]*\))?)?\s*$""".r
 
   private val describeQueryRe = """(?is)^\s*describe\s+((?:select|with|values)\b.+)$""".r
   private val summarizeRe = """(?is)^\s*summarize\s+(.+)$""".r

@@ -105,6 +105,70 @@ class ServerEngineSpec extends SparkSpecBase {
     }
   }
 
+  test("CHECKPOINT compacts fragmented tables; DuckDB txn semantics; ANALYZE feeds stats") {
+    fresh("c_ckpt")
+    engine.execute("create table main.c_ckpt (id INT PRIMARY KEY, v STRING) using parquet")
+    for (i <- 1 to 12)
+      engine.execute(s"insert into main.c_ckpt values ($i, 'r$i')")
+    val before = spark.table("main.c_ckpt").inputFiles.length
+    assert(before >= 12, s"expected one file per single-row insert, got $before")
+    val pre = engine.execute("select * from main.c_ckpt order by id")
+      .df.collect().map(_.toString).toSeq
+    val exec = java.util.concurrent.Executors.newSingleThreadExecutor()
+    def b(sql: String): Either[Throwable, Seq[String]] =
+      exec.submit(() =>
+        try Right(Option(engine.execute(sql).df)
+          .map(_.collect().toSeq.map(_.toString)).getOrElse(Nil))
+        catch { case e: Throwable => Left(e) }).get()
+    try {
+      // inside a transaction block: refused (DuckDB errors here too)
+      engine.execute("begin")
+      val inTxn = intercept[IllegalArgumentException] { engine.execute("checkpoint") }
+      assert(inTxn.getMessage.contains("transaction block"))
+      engine.execute("rollback")
+      // another connection's OPEN transaction: plain CHECKPOINT refuses
+      assert(b("begin").isRight)
+      assert(b("select count(*) from main.c_ckpt").isRight) // pins the file set
+      val busy = intercept[IllegalArgumentException] { engine.execute("checkpoint") }
+      assert(busy.getMessage.contains("other transactions active"))
+      // FORCE CHECKPOINT proceeds; the pinned reader aborts at its
+      // next touch in the declared serialization class (DuckDB aborts
+      // it eagerly — same outcome)
+      engine.execute("force checkpoint")
+      val after = spark.table("main.c_ckpt").inputFiles.length
+      assert(after < before && after <= 2, s"compaction: $before -> $after files")
+      val aborted = b("select count(*) from main.c_ckpt")
+      assert(aborted.isLeft &&
+        aborted.swap.toOption.get.getMessage.contains("could not serialize"))
+      assert(b("rollback").isRight)
+      // content identical, PK registration survives the swap
+      assert(engine.execute("select * from main.c_ckpt order by id")
+        .df.collect().map(_.toString).toSeq == pre)
+      val dup = intercept[IllegalArgumentException] {
+        engine.execute("insert into main.c_ckpt values (1, 'dup')")
+      }
+      assert(dup.getMessage.toLowerCase.contains("key"))
+      // idempotent: a second sweep finds everything already in shape
+      engine.execute("checkpoint")
+      assert(spark.table("main.c_ckpt").inputFiles.length == after)
+      // PRAGMA force_checkpoint spelling answers too
+      engine.execute("pragma force_checkpoint")
+      // VACUUM / ANALYZE recompute catalog stats (the CBO inputs the
+      // adaptive-broadcast plans read)
+      engine.execute("vacuum analyze main.c_ckpt")
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier("main.c_ckpt"))
+      assert(meta.stats.exists(_.rowCount.contains(BigInt(12))),
+        s"ANALYZE should record rowCount=12, got ${meta.stats}")
+      // Spark's own ANALYZE TABLE spelling still reaches the generic path
+      engine.execute("analyze table main.c_ckpt compute statistics")
+    } finally {
+      b("rollback")
+      exec.shutdown()
+      engine.execute("drop table main.c_ckpt")
+    }
+  }
+
   test("CREATE TABLE IF NOT EXISTS with constraints: created, enforced, no-op on repeat") {
     fresh("c_ine")
     // pre-fix the constrained IF NOT EXISTS form fell through to raw

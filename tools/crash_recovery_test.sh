@@ -218,6 +218,34 @@ chk "temp table gone for new conns" "gone" "$(psql $P -tA -c 'select count(*) fr
 chk "temp name reusable after reclaim" "CREATE TABLE" "$(psql $P -c 'create temp table crash_tt (z INT)' 2>&1 | head -1)"
 kill "$SRV_PID" 2>/dev/null; wait "$SRV_PID" 2>/dev/null
 
+# ---- scenario 7: CHECKPOINT compaction + mid-swap roll-forward (r15) ----
+# Live: CHECKPOINT merges a fragmented table's parquet files. Crash:
+# the compaction swap's journal (`replace` op) rolls the table forward
+# at boot when the kill landed between the DROP and the RENAME — the
+# stage is the only copy; the state is fabricated on disk exactly as
+# compactTable leaves it at that instant.
+start_server
+psql $P -c 'create table main.ckt (k int, v string) using parquet' >/dev/null 2>&1
+for i in 1 2 3 4 5 6; do
+  psql $P -c "insert into main.ckt values ($i, 'v$i')" >/dev/null 2>&1
+done
+files_before=$(ls "$DB"/warehouse/main.db/ckt/*.parquet 2>/dev/null | wc -l)
+if [ "$files_before" -ge 6 ]; then ok "fragmented pre-checkpoint ($files_before files)"; else bad "expected >=6 files, got $files_before"; fi
+chk "checkpoint tag" "CHECKPOINT" "$(psql $P -tA -c 'checkpoint' 2>&1 | tail -1)"
+files_after=$(ls "$DB"/warehouse/main.db/ckt/*.parquet 2>/dev/null | wc -l)
+if [ "$files_after" -lt "$files_before" ]; then ok "compacted ($files_before -> $files_after files)"; else bad "no compaction ($files_before -> $files_after)"; fi
+chk "content after compaction" "6|1|6" "$(psql $P -tA -F'|' -c 'select count(*), min(k), max(k) from main.ckt' 2>&1)"
+kill -9 "$SRV_PID" 2>/dev/null; wait "$SRV_PID" 2>/dev/null
+# fabricate the mid-swap instant: table dir gone, stage dir holds the
+# only copy, journal present
+mv "$DB"/warehouse/main.db/ckt "$DB"/warehouse/main.db/ckt__alter
+printf 'replace\tmain.ckt\tmain.ckt__alter\n' > "$DB"/publish_journal_999999.tsv
+start_server
+chk "mid-swap rolled forward" "6|1|6" "$(psql $P -tA -F'|' -c 'select count(*), min(k), max(k) from main.ckt' 2>&1)"
+chk "stage not registered" "" "$(psql $P -tA -c "select table_name from information_schema.tables where table_name like '%ckt__alter%'" 2>&1)"
+chk "stage dir consumed" "0" "$(ls -d "$DB"/warehouse/main.db/ckt__alter 2>/dev/null | wc -l)"
+kill "$SRV_PID" 2>/dev/null; wait "$SRV_PID" 2>/dev/null
+
 rm -rf "$DB"
 echo "crash-recovery: $pass passed, $fail failed"
 [ "$fail" -eq 0 ]

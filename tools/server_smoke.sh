@@ -154,6 +154,18 @@ psql $P -c "drop table main.smoke" >/dev/null 2>&1
 # FORMAT clause; the names+types header pair is what the driver parses
 chk "ch jdbc-style TSVWithNamesAndTypes" "x;Int32;1" "$($CURL "http://127.0.0.1:$CH/" -d 'SELECT 1 AS x FORMAT TabSeparatedWithNamesAndTypes' | paste -sd';' -)"
 
+# DuckDB maintenance statements (r15): CHECKPOINT compacts fragmented
+# parquet tables under the txn locks (FORCE skips the active-txn
+# refusal); VACUUM/ANALYZE recompute the CBO's catalog stats; all
+# refused inside a transaction block like DuckDB
+psql $P -c "drop table if exists main.ckpt_smoke" >/dev/null 2>&1
+chk "pg checkpoint"   "CHECKPOINT" "$(psql $P -tA -c "create table main.ckpt_smoke (a int)" -c "insert into ckpt_smoke values (1)" -c "insert into ckpt_smoke values (2)" -c "checkpoint" 2>&1 | tail -1)"
+chk "pg ckpt content" "2|1" "$(psql $P -tA -c "select count(*), min(a) from main.ckpt_smoke" 2>&1)"
+chk "pg analyze"      "ANALYZE" "$(psql $P -tA -c "analyze main.ckpt_smoke" 2>&1 | tail -1)"
+chk "pg vacuum"       "VACUUM"  "$(psql $P -tA -c "vacuum main.ckpt_smoke" 2>&1 | tail -1)"
+chk "pg ckpt in txn"  "refused" "$(psql $P -tA -c "begin" -c "checkpoint" 2>&1 | grep -q 'transaction block' && echo refused)"
+psql $P -c "drop table main.ckpt_smoke" >/dev/null 2>&1
+
 python3 "$(dirname "$0")/pg_extended_test.py" "$PG" | sed 's/^/  ext /'
 
 # pgJDBC wire-sequence probe (no JDBC jar exists in this container —
