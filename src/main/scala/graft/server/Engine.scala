@@ -505,11 +505,259 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
   private final class TempViewDef(val text: String,
       val plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
 
+  /** DuckDB `CREATE [OR REPLACE] [TEMP] MACRO name(params) AS [TABLE]
+    * body` — a first-class reference surface (duck_server forwards the
+    * statement text to embedded DuckDB unchanged). Macros are UNTYPED
+    * parameterized SQL, so Spark's typed `CREATE FUNCTION … RETURNS`
+    * cannot host them; instead the definition is stored as text and
+    * every call site is expanded to the parameter-substituted body
+    * pre-analysis, to a fixpoint ([[expandMacros]]). Catalyst then
+    * plans the expanded expression directly — a macro costs nothing at
+    * runtime (no UDF boundary, full whole-stage codegen), which is the
+    * Spark-native shape for the feature at any scale. Divergences,
+    * declared: expansion is textual (DuckDB binds an AST), so macros
+    * referenced inside later CREATE VIEW bodies are frozen at view
+    * creation rather than late-bound; macro DDL inside a transaction
+    * auto-commits (same declared class as temp-object DDL). Scalar
+    * params substitute as parenthesized expressions; TABLE macros
+    * splice as a parenthesized subquery. */
+  private case class MacroDef(params: Seq[String], defaults: Map[String, String],
+      body: String, isTable: Boolean)
+  private val macros = new ConcurrentHashMap[String, MacroDef]()
+
+  /** Bare lower-case macro name: macros live in one namespace like
+    * DuckDB's (schema qualifiers accepted and dropped). */
+  private def macroBareName(raw: String): String =
+    raw.replace("\"", "").split('.').last.toLowerCase
+
+  /** Index of the `)` balancing the `(` at `open`, skipping
+    * single-quoted literals ('' escapes honored). */
+  private def balancedClose(s: String, open: Int): Option[Int] = {
+    var depth = 0; var i = open; var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return Some(i)
+        case _ =>
+      }
+      i += 1
+    }
+    None
+  }
+
+  private val createMacroHeadRe =
+    """(?is)^\s*create\s+(or\s+replace\s+)?(temp(?:orary)?\s+)?macro\s+([\w."]+)\s*\(""".r
+  private val dropMacroRe =
+    """(?is)^\s*drop\s+(?:temp(?:orary)?\s+)?macro\s+(?:table\s+)?(if\s+exists\s+)?([\w."]+)\s*$""".r
+
+  /** CREATE/DROP MACRO intercept. MUST run before [[expandMacros]]:
+    * `CREATE OR REPLACE MACRO m(x) AS …` while `m` exists would
+    * otherwise have its own definition's call-shaped text expanded. */
+  private def macroIntercept(sql: String): Option[ExecResult] = {
+    dropMacroRe.findFirstMatchIn(sql).foreach { m =>
+      val n = macroBareName(m.group(2))
+      val removed =
+        tempNs.get().macros.remove(n).isDefined || macros.remove(n) != null
+      if (removed) persistMacros()
+      else if (m.group(1) == null)
+        throw new IllegalArgumentException(s"""macro "$n" does not exist""")
+      return Some(ExecResult(null, "DROP MACRO"))
+    }
+    val head = createMacroHeadRe.findFirstMatchIn(sql).getOrElse(return None)
+    val orReplace = head.group(1) != null
+    val isTemp = head.group(2) != null
+    val n = macroBareName(head.group(3))
+    val open = head.end - 1
+    val close = balancedClose(sql, open).getOrElse(throw new IllegalArgumentException(
+      "unterminated macro parameter list"))
+    val rest = sql.substring(close + 1)
+    val bodyM = """(?is)^\s*as\s+(table\s+)?(.+)$""".r.findFirstMatchIn(rest)
+      .getOrElse(throw new IllegalArgumentException(
+        "expected AS <expression> (or AS TABLE <query>) after the macro parameter list"))
+    val isTable = bodyM.group(1) != null
+    val body = bodyM.group(2).trim.stripSuffix(";").trim
+    // params: `name` or `name := default` (defaults may be arbitrary
+    // expressions — the list was captured with the balanced scan)
+    val ps = scala.collection.mutable.ArrayBuffer.empty[String]
+    val ds = scala.collection.mutable.Map.empty[String, String]
+    splitTopLevel(sql.substring(open + 1, close), ',').foreach { it =>
+      it.split(":=", 2) match {
+        case Array(p, d) => val pn = p.trim.toLowerCase; ps += pn; ds(pn) = d.trim
+        case _ => ps += it.trim.toLowerCase
+      }
+    }
+    if (ps.exists(p => !p.matches("[a-z_]\\w*")))
+      throw new IllegalArgumentException(
+        "macro parameters must be plain identifiers")
+    // shadowing a real function would silently change every query's
+    // meaning — DuckDB errors at CREATE on the catalog conflict too
+    if (!isTable && spark.catalog.functionExists(n))
+      throw new IllegalArgumentException(
+        s"""cannot create macro "$n": a function with that name already exists""")
+    val ns = tempNs.get()
+    val exists = if (isTemp) ns.macros.contains(n) else macros.containsKey(n)
+    if (exists && !orReplace)
+      throw new IllegalArgumentException(
+        s"""macro "$n" already exists (use CREATE OR REPLACE MACRO)""")
+    val d = MacroDef(ps.toSeq, ds.toMap, body, isTable)
+    if (isTemp) ns.macros(n) = d
+    else { macros.put(n, d); persistMacros() }
+    Some(ExecResult(null, "CREATE MACRO"))
+  }
+
+  /** Expand every macro call in `sql` to a fixpoint. Fast path: no
+    * macros registered anywhere → the input string, untouched. */
+  private def expandMacros(sql0: String): String = {
+    val ns = tempNs.get()
+    if (macros.isEmpty && ns.macros.isEmpty) return sql0
+    var sql = sql0
+    var steps = 0
+    var next = expandFirstMacroCall(sql, ns)
+    while (next.isDefined) {
+      steps += 1
+      if (steps > 64) throw new IllegalArgumentException(
+        "macro expansion exceeded 64 steps — recursive macro definitions " +
+          "are not supported")
+      sql = next.get
+      next = expandFirstMacroCall(sql, ns)
+    }
+    sql
+  }
+
+  /** Find the first `name(args)` call site outside string literals,
+    * comments, and quoted identifiers whose name is a registered macro
+    * (temp-first), and splice in the substituted body. Qualified call
+    * spellings (`main.m(…)`, `temp.m(…)`) resolve by the bare name. */
+  private def expandFirstMacroCall(sql: String, ns: TempNs): Option[String] = {
+    def lookup(name: String): Option[MacroDef] = {
+      val n = name.toLowerCase
+      ns.macros.get(n).orElse(Option(macros.get(n)))
+    }
+    val len = sql.length
+    var i = 0
+    while (i < len) {
+      val c = sql.charAt(i)
+      if (c == '\'') {
+        i += 1
+        var closed = false
+        while (i < len && !closed) {
+          if (sql.charAt(i) == '\'') {
+            if (i + 1 < len && sql.charAt(i + 1) == '\'') i += 2 // '' escape
+            else { closed = true; i += 1 }
+          } else i += 1
+        }
+      } else if (c == '"') {
+        i += 1; while (i < len && sql.charAt(i) != '"') i += 1; i += 1
+      } else if (c == '-' && i + 1 < len && sql.charAt(i + 1) == '-') {
+        while (i < len && sql.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < len && sql.charAt(i + 1) == '*') {
+        val e = sql.indexOf("*/", i + 2); i = if (e < 0) len else e + 2
+      } else if (Character.isLetter(c) || c == '_') {
+        var j = i
+        while (j < len && (Character.isLetterOrDigit(sql.charAt(j)) ||
+          sql.charAt(j) == '_' || sql.charAt(j) == '$')) j += 1
+        val prev = if (i > 0) sql.charAt(i - 1) else ' '
+        val name = sql.substring(i, j)
+        var k = j
+        while (k < len && Character.isWhitespace(sql.charAt(k))) k += 1
+        if (prev != '.' && k < len && sql.charAt(k) == '(') {
+          lookup(name) match {
+            case Some(d) =>
+              val close = balancedClose(sql, k).getOrElse(return None)
+              val args = bindMacroArgs(name, d, sql.substring(k + 1, close))
+              val expanded = "(" + substituteMacroParams(d.body, d.params, args) + ")"
+              return Some(sql.substring(0, i) + expanded + sql.substring(close + 1))
+            case None =>
+          }
+        } else if (prev == '.' && k < len && sql.charAt(k) == '(') {
+          // qualified call: only main./temp. qualifiers denote the
+          // macro namespace; other qualifiers are left alone
+          val qual = """(?is)(main|temp)\s*\.\s*$""".r
+            .findFirstMatchIn(sql.substring(0, i))
+          if (qual.isDefined && lookup(name).isDefined) {
+            val d = lookup(name).get
+            val close = balancedClose(sql, k).getOrElse(return None)
+            val args = bindMacroArgs(name, d, sql.substring(k + 1, close))
+            val expanded = "(" + substituteMacroParams(d.body, d.params, args) + ")"
+            return Some(sql.substring(0, qual.get.start) + expanded +
+              sql.substring(close + 1))
+          }
+        }
+        i = j
+      } else i += 1
+    }
+    None
+  }
+
+  /** Bind a call's argument list to the macro's parameters with
+    * DuckDB's exact model (measured): a parameter declared WITHOUT a
+    * default is positional-ONLY, one declared WITH `:=` is named-ONLY
+    * — `m(1, 2)` against `m(a, b := 3)` and `m(a := 1)` are both
+    * binder errors there, not conveniences. */
+  private def bindMacroArgs(name: String, d: MacroDef,
+      argText: String): Map[String, String] = {
+    val items =
+      if (argText.trim.isEmpty) Nil else splitTopLevel(argText, ',')
+    val positional = d.params.filterNot(d.defaults.contains)
+    val named = scala.collection.mutable.Map.empty[String, String]
+    val pos = scala.collection.mutable.ArrayBuffer.empty[String]
+    items.foreach { it =>
+      """(?s)^\s*([A-Za-z_]\w*)\s*:=\s*(.+)$""".r.findFirstMatchIn(it) match {
+        case Some(m) =>
+          val p = m.group(1).toLowerCase
+          if (!d.defaults.contains(p))
+            throw new IllegalArgumentException(
+              s"""macro "$name" does not have default parameter "$p"""")
+          named(p) = m.group(2).trim
+        case _ => pos += it.trim
+      }
+    }
+    if (pos.size != positional.size)
+      throw new IllegalArgumentException(
+        s"""macro "$name" requires ${positional.size} positional """ +
+          s"argument(s), but ${pos.size} were provided")
+    val bound = positional.zip(pos).toMap ++ named
+    d.params.map(p => p -> bound.getOrElse(p, d.defaults(p))).toMap
+  }
+
+  /** Substitute parameter names in the macro body (word-boundary,
+    * case-insensitive, outside string literals — a param name inside
+    * quoted TEXT is data, and `t.x` with a param named x is a column
+    * reference) with the parenthesized argument expressions. */
+  private def substituteMacroParams(body: String, params: Seq[String],
+      args: Map[String, String]): String =
+    mapOutsideLiterals(body) { span =>
+      params.foldLeft(span) { (s, p) =>
+        s.replaceAll("(?i)(?<![\\w$.])" + java.util.regex.Pattern.quote(p) + "(?![\\w$])",
+          java.util.regex.Matcher.quoteReplacement("(" + args(p) + ")"))
+      }
+    }
+
+  private def persistMacros(): Unit = dbPath.foreach { p =>
+    import scala.jdk.CollectionConverters._
+    def b64(s: String) =
+      java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+    val lines = macros.asScala.toSeq.sortBy(_._1).map { case (n, d) =>
+      val ps = d.params.map(pp =>
+        if (d.defaults.contains(pp)) s"$pp:=${b64(d.defaults(pp))}" else pp)
+        .mkString(",")
+      s"$n\t${if (d.isTable) "T" else "S"}\t$ps\t${b64(d.body)}"
+    }
+    writeFile(s"$p/macros.tsv", lines.mkString("\n"))
+  }
+
   private final class TempNs(val id: Long) {
     val views = scala.collection.mutable.Map.empty[String, TempViewDef]
     val tables = scala.collection.mutable.Map.empty[String, String]
     val seqs = scala.collection.mutable.Map.empty[String, String]
-    def isEmpty: Boolean = views.isEmpty && tables.isEmpty && seqs.isEmpty
+    // connection-private macros (r15) — temp-first at expansion, like
+    // every other temp object's search path
+    val macros = scala.collection.mutable.Map.empty[String, MacroDef]
+    def isEmpty: Boolean =
+      views.isEmpty && tables.isEmpty && seqs.isEmpty && macros.isEmpty
     def mangle(name: String): String = name + "__tmpc" + id
   }
   private val tempNsSeq = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -897,7 +1145,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     * Execute resolves (r14; the bare spark.sql path couldn't see the
     * mangled names). */
   def analyzeOnly(sql: String): DataFrame = {
-    val rewritten = rewrite(sql)
+    val rewritten = rewrite(expandMacros(sql))
     if (tempNs.get().isEmpty) spark.sql(rewritten)
     else {
       val parsed = spark.sessionState.sqlParser.parsePlan(rewritten)
@@ -914,6 +1162,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
   def releaseConnTemps(): Unit = {
     val ns = tempNs.get()
     if (ns.isEmpty) return
+    ns.macros.clear() // namespace entries only — nothing on disk
     ns.views.clear() // namespace entries only — no catalog object exists
     ns.seqs.valuesIterator.foreach(sequences.remove)
     ns.seqs.clear()
@@ -3151,10 +3400,18 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     // targets naming a temp table substitute at the text level. The
     // allowReserved re-dispatch skips both (its names are already
     // mangled).
+    // macro DDL first (a CREATE OR REPLACE of an existing macro must
+    // not have its own body's call-shaped text expanded), then macro
+    // CALL expansion — before the temp intercept so a CREATE TEMP VIEW
+    // body using macros stores the expanded text
     if (!allowReserved) {
-      connTempIntercept(sqlRaw).foreach(r => return r)
+      macroIntercept(sqlRaw).foreach(r => return r)
     }
-    val sql = if (allowReserved) sqlRaw else substituteTempTargets(sqlRaw)
+    val sqlExp = if (allowReserved) sqlRaw else expandMacros(sqlRaw)
+    if (!allowReserved) {
+      connTempIntercept(sqlExp).foreach(r => return r)
+    }
+    val sql = if (allowReserved) sqlExp else substituteTempTargets(sqlExp)
 
     // ALTER TABLE … RENAME TO (r12b): routed through [[renameTable]]
     // in AND outside transactions — outside for the constraint/FK/epoch
@@ -6316,6 +6573,21 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     lines("enums.tsv").foreach { l =>
       l.split("\t", -1) match {
         case Array(n, vs) => enums.put(n, if (vs.isEmpty) Nil else vs.split(",").toSeq)
+        case _ =>
+      }
+    }
+    lines("macros.tsv").foreach { l =>
+      l.split("\t", -1) match {
+        case Array(n, t, ps, b) =>
+          def dec(s: String) =
+            new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+          val items = if (ps.isEmpty) Nil else ps.split(",").toSeq
+          val params = items.map(_.split(":=", 2)(0))
+          val defaults = items.flatMap(_.split(":=", 2) match {
+            case Array(p, d) => Some(p -> dec(d))
+            case _ => None
+          }).toMap
+          macros.put(n, MacroDef(params, defaults, dec(b), t == "T"))
         case _ =>
       }
     }

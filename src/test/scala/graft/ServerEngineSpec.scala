@@ -169,6 +169,91 @@ class ServerEngineSpec extends SparkSpecBase {
     }
   }
 
+  test("CREATE MACRO: scalar/table, defaults+named args, temp privacy, literal safety") {
+    def one(sql: String): String =
+      engine.execute(sql).df.collect().head.toString
+    engine.execute("drop macro if exists madd")
+    engine.execute("drop macro if exists mfull")
+    engine.execute("drop macro if exists mtab")
+    // scalar macro over a real table column
+    fresh("c_mac")
+    engine.execute("create table main.c_mac (k INT) using parquet")
+    engine.execute("insert into main.c_mac values (1), (2)")
+    engine.execute("create macro madd(a, b) as a + b")
+    assert(one("select madd(k, 100) as v from main.c_mac order by k limit 1") == "[101]")
+    engine.execute("drop table main.c_mac")
+    // composition: a macro calling a macro, plus defaults and := named
+    // args — DuckDB's model (measured): a defaulted param is
+    // named-ONLY, a plain param is positional-ONLY
+    engine.execute("create macro mfull(x, y := 10) as madd(x, y) * 2")
+    assert(one("select mfull(1) as v") == "[22]")
+    assert(one("select mfull(1, y := 5) as v") == "[12]")
+    val posOnDflt = intercept[IllegalArgumentException] {
+      engine.execute("select mfull(1, 2)")
+    }
+    assert(posOnDflt.getMessage.contains("positional"))
+    val namedOnPos = intercept[IllegalArgumentException] {
+      engine.execute("select mfull(y := 5, x := 1)")
+    }
+    assert(namedOnPos.getMessage.contains("does not have default parameter"))
+    // table macro in FROM position, user-aliased and bare
+    engine.execute("create macro mtab(n) as table select id from range(n)")
+    assert(one("select count(*) as c from mtab(5)") == "[5]")
+    assert(one("select max(z.id) as m from mtab(4) z") == "[3]")
+    // OR REPLACE rebinding; plain CREATE on an existing name refused
+    engine.execute("create or replace macro madd(a, b) as a - b")
+    assert(one("select madd(10, 4) as v") == "[6]")
+    val dup = intercept[IllegalArgumentException] {
+      engine.execute("create macro madd(a) as a")
+    }
+    assert(dup.getMessage.contains("already exists"))
+    // refusals: builtin-name shadowing, arity, missing param, recursion
+    val builtin = intercept[IllegalArgumentException] {
+      engine.execute("create macro abs(a) as a")
+    }
+    assert(builtin.getMessage.contains("function with that name"))
+    val arity = intercept[IllegalArgumentException] {
+      engine.execute("select madd(1, 2, 3)")
+    }
+    assert(arity.getMessage.contains("argument"))
+    val missing = intercept[IllegalArgumentException] {
+      engine.execute("select mfull(y := 5)")
+    }
+    assert(missing.getMessage.contains("positional"))
+    engine.execute("create macro mrec(a) as mrec(a) + 1")
+    val rec = intercept[IllegalArgumentException] { engine.execute("select mrec(1)") }
+    assert(rec.getMessage.contains("recursive"))
+    engine.execute("drop macro mrec")
+    // literal safety: a call-shaped string stays data; a param name in
+    // the body's own literal stays text
+    assert(one("select 'madd(1,2)' as s") == "[madd(1,2)]")
+    engine.execute("create or replace macro mlit(a) as concat('a=', cast(a as string))")
+    assert(one("select mlit(7) as s") == "[a=7]")
+    engine.execute("drop macro mlit")
+    // temp macro: connection-private, shadows the persistent name
+    val exec = java.util.concurrent.Executors.newSingleThreadExecutor()
+    def b(sql: String): Either[Throwable, String] =
+      exec.submit(() =>
+        try Right(Option(engine.execute(sql).df)
+          .map(_.collect().head.toString).getOrElse(""))
+        catch { case e: Throwable => Left(e) }).get()
+    try {
+      assert(b("create temp macro madd(a, b) as a * b").isRight)
+      assert(b("select madd(3, 4) as v") == Right("[12]")) // temp-first
+      assert(one("select madd(3, 4) as v") == "[-1]")      // this conn: persistent (a - b)
+      assert(b("drop macro madd").isRight)                 // removes the TEMP one first
+      assert(b("select madd(3, 4) as v") == Right("[-1]")) // back to persistent
+    } finally exec.shutdown()
+    // DROP MACRO: gone means gone
+    engine.execute("drop macro mfull")
+    engine.execute("drop macro mtab")
+    engine.execute("drop macro madd")
+    val gone = intercept[Exception] { engine.execute("select madd(1, 2)") }
+    assert(gone.getMessage.toLowerCase.contains("madd"))
+    val dropGone = intercept[IllegalArgumentException] { engine.execute("drop macro madd") }
+    assert(dropGone.getMessage.contains("does not exist"))
+  }
+
   test("CREATE TABLE IF NOT EXISTS with constraints: created, enforced, no-op on repeat") {
     fresh("c_ine")
     // pre-fix the constrained IF NOT EXISTS form fell through to raw

@@ -387,6 +387,36 @@ def documented(sql):
     return bool(_re.search(r"format\(", sql) and _re.search(r"floor\(|ceil\(", sql))
 
 
+# bodies valid in BOTH engines once expanded (graft) / bound (duckdb);
+# every body references both params so arg plumbing is exercised
+MACRO_BODIES = [
+    "a + b", "a - b * 2", "abs(a) + abs(b)", "a * a + b",
+    "case when a > b then a else b end",
+    "coalesce(a, b, 0)", "greatest(a, b) - least(a, b)",
+    "(a + b) % 7", "case when b = 0 then a else a % b end",
+    "concat(cast(a as varchar), ':', cast(b as varchar))",
+    "length(concat(cast(a as varchar), cast(b as varchar)))",
+]
+
+
+def gen_macro_case(r, nm):
+    """(setup, query, teardown): a random macro defined identically on
+    both sides, called positionally, via the default, or with := named
+    args — the differential check covers definition, binding, and
+    expansion in one case."""
+    body = r.choice(MACRO_BODIES)
+    dflt = lit(r, "int")
+    setup = f"create or replace macro {nm}(a, b := {dflt}) as {body}"
+    x, y = lit(r, "int"), lit(r, "int")
+    call = r.choice([
+        f"{nm}({x}, {y})",
+        f"{nm}({x})",                    # default fills b
+        f"{nm}(b := {y}, a := {x})",     # named args, reordered
+        f"{nm}({x}, b := {y})",          # mixed positional + named
+    ])
+    return setup, f"select {call} as v", f"drop macro {nm}"
+
+
 def main(port, n, seed):
     con = duckdb.connect()
     r = random.Random(seed)
@@ -394,6 +424,7 @@ def main(port, n, seed):
     fails = []
     for i in range(n):
         kind = r.random()
+        pre, post = (), ()
         if kind < 0.20:
             sql = gen_agg(r)
         elif kind < 0.32:
@@ -404,13 +435,22 @@ def main(port, n, seed):
             sql = gen_setop(r)
         elif kind < 0.56:
             sql = gen_rollup(r)
-        elif kind < 0.70:
+        elif kind < 0.64:
+            setup, sql, drop = gen_macro_case(r, f"fm_{seed}_{i}")
+            pre, post = (setup,), (drop,)
+        elif kind < 0.74:
             sql = gen_datetime(r)
         else:
             ty = r.choice(["int", "double", "str", "bool"])
             sql = f"select {gen(r, ty, 3)} as v"
+        for s in pre:
+            run_duck(con, s)
+            run_pg(port, s)
         drows, derr = run_duck(con, sql)
         srows, serr = run_pg(port, sql)
+        for s in post:
+            run_duck(con, s)
+            run_pg(port, s)
         if derr is not None and serr is not None:
             counts["PARITY_ERR"] += 1
         elif derr is not None:

@@ -32,6 +32,7 @@ chk "create table"  "CREATE TABLE" "$(psql $P -c 'create table main.pt (k int pr
 chk "insert"        "INSERT 0 2"  "$(psql $P -c "insert into main.pt values (1,'a'),(2,'b')" 2>&1 | head -1)"
 chk "create view"   "CREATE"      "$(psql $P -c 'create view main.pv as select k+10 as k10 from main.pt' 2>&1 | head -1)"
 chk "create user"   "CREATE ROLE" "$(psql $P -c "create user persist with password 'ppw'" 2>&1 | head -1)"
+chk "create macro"  "CREATE MACRO" "$(psql $P -c 'create macro pmac(a, b := 100) as a + b' 2>&1 | head -1)"
 stop_server
 
 start_server
@@ -40,12 +41,15 @@ chk "data survives"   "a"   "$(psql $P -tA -c 'select v from main.pt where k=1' 
 chk "view survives"   "11"  "$(psql $P -tA -c 'select min(k10) from main.pv' 2>&1)"
 chk "user survives"   "1"   "$(curl -s -u persist:ppw "http://127.0.0.1:$CH/?query=SELECT%201")"
 chk "pk survives"     "dup" "$(psql $P -c "insert into main.pt values (1,'dup')" 2>&1 | grep -q 'unique' && echo dup)"
+chk "macro survives"  "103"  "$(psql $P -tA -c 'select pmac(3)' 2>&1)"
+chk "drop macro"      "DROP MACRO" "$(psql $P -c 'drop macro pmac' 2>&1 | head -1)"
 chk "drop table"      "DROP"  "$(psql $P -c 'drop view main.pv' >/dev/null 2>&1; psql $P -c 'drop table main.pt' 2>&1 | head -1)"
 stop_server
 
 # dropped table stays dropped across restart
 start_server
 chk "drop survives"  "gone"  "$(psql $P -tA -c 'select count(*) from main.pt' >/dev/null 2>&1 && echo present || echo gone)"
+chk "macro drop survives" "gone" "$(psql $P -tA -c 'select pmac(3)' >/dev/null 2>&1 && echo present || echo gone)"
 stop_server
 
 rm -rf "$DB"

@@ -154,6 +154,15 @@ psql $P -c "drop table main.smoke" >/dev/null 2>&1
 # FORMAT clause; the names+types header pair is what the driver parses
 chk "ch jdbc-style TSVWithNamesAndTypes" "x;Int32;1" "$($CURL "http://127.0.0.1:$CH/" -d 'SELECT 1 AS x FORMAT TabSeparatedWithNamesAndTypes' | paste -sd';' -)"
 
+# DuckDB macros (r15): scalar + table, expanded pre-analysis to plain
+# Catalyst expressions; TEMP MACRO is connection-private like every
+# other temp object (dies with the connection)
+chk "pg macro scalar" "7" "$(psql $P -tA -c 'create or replace macro smoke_mac(a, b := 5) as a + b' -c 'select smoke_mac(2)' 2>&1 | tail -1)"
+chk "pg macro table"  "3" "$(psql $P -tA -c 'create or replace macro smoke_mtab(n) as table select id from range(n)' -c 'select count(*) from smoke_mtab(3)' 2>&1 | tail -1)"
+chk "pg temp macro dies with conn" "free" "$(psql $P -c 'create temp macro smoke_tm(a) as a * 2' >/dev/null 2>&1; psql $P -tA -c 'select smoke_tm(4)' 2>&1 | grep -qi 'smoke_tm' && echo free)"
+psql $P -c 'drop macro if exists smoke_mac' >/dev/null 2>&1
+psql $P -c 'drop macro if exists smoke_mtab' >/dev/null 2>&1
+
 # DuckDB maintenance statements (r15): CHECKPOINT compacts fragmented
 # parquet tables under the txn locks (FORCE skips the active-txn
 # refusal); VACUUM/ANALYZE recompute the CBO's catalog stats; all
