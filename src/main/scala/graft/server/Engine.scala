@@ -31,6 +31,27 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
   private def lockFor(t: String) =
     tableLocks.computeIfAbsent(qualify(t), _ => new ReentrantReadWriteLock())
 
+  /** Append-vs-append serialization (r15 torture-spec find): appends
+    * correctly interleave with everything lighter than a rewriter's
+    * write lock, but two SIMULTANEOUS append JOBS into one table
+    * share the FileOutputCommitter `_temporary` staging under the
+    * table dir — the first job to commit deletes it recursively and
+    * the second dies mid-write (or silently loses task output).
+    * Concurrent jobs writing one directory are unsupported by every
+    * Hadoop committer, local or cluster. So every auto-commit append
+    * path (SQL INSERT, appendBatch, COPY FROM file) holds the table's
+    * append MUTEX in addition to its read lock: parallel WITHIN the
+    * job (its partitions), serial across jobs per table — DuckDB's
+    * own effective per-table write discipline. Lock order is always
+    * mutex → read-lock; rewriters take only the write lock, so no
+    * cycle exists. In-txn appends write private per-txn delta tables
+    * and need neither. */
+  private val appendMutexes =
+    new ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
+  private def appendMutexFor(t: String) =
+    appendMutexes.computeIfAbsent(qualify(t),
+      _ => new java.util.concurrent.locks.ReentrantLock())
+
   /** Engine-wide count of OPEN transaction blocks, every connection.
     * Maintained by the single BEGIN site and [[TxnState.reset]] (the
     * one funnel every txn exit passes — COMMIT, ROLLBACK, and the
@@ -4026,6 +4047,21 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
           .map(m => lockFor(qualify(m.group(2))).writeLock())
       else None
     createLock.foreach(_.lock())
+    // INSERT commands ALSO execute eagerly inside txnExec (spark.sql
+    // and Dataset.ofRows both run commands at creation), so the append
+    // locks must be held BEFORE it — the r9-era read lock around the
+    // row-count read alone left the write itself uncovered (r15
+    // torture-spec find; see [[appendMutexes]] for why concurrent
+    // append jobs additionally serialize on the mutex).
+    val appendLockPair =
+      if (!isTxnOpen)
+        insertStmtRe.findFirstMatchIn(sql).map { m =>
+          val mu = appendMutexFor(m.group(1)); mu.lock()
+          val rl = lockFor(m.group(1)).readLock(); rl.lock()
+          (mu, rl)
+        }
+      else None
+    try {
     val df = try {
       try txnExec(rewritten)
       catch {
@@ -4054,18 +4090,12 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       case "INSERT" =>
         insertStmtRe.findFirstMatchIn(sql) match {
           case Some(m) if !isTxnOpen =>
-            // append + epoch bump under the table READ lock: appends
-            // interleave with each other (like appendBatch) but exclude
-            // CoW rewriters' write lock — without it an INSERT landing
-            // during a concurrent UPDATE's stage-and-swap was silently
-            // erased by the swap (ADVICE r9 lost-update window)
-            val lock = lockFor(m.group(1)).readLock()
-            lock.lock()
-            try {
-              val r = runInsert(df)
-              bumpEpoch(m.group(1))
-              r
-            } finally lock.unlock()
+            // locks already held since BEFORE txnExec (appendLockPair):
+            // mutex vs other append jobs, read lock vs CoW rewriters'
+            // write lock (the ADVICE-r9 lost-update window)
+            val r = runInsert(df)
+            bumpEpoch(m.group(1))
+            r
           case _ => runInsert(df)
         }
       case _ =>
@@ -4083,6 +4113,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         }
         ExecResult(null, verb)
     }
+    } finally appendLockPair.foreach { case (mu, rl) => rl.unlock(); mu.unlock() }
   }
 
   /** Run an INSERT eagerly and derive its row count from the write
@@ -6214,6 +6245,10 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       case "json" => reader.json(path)
       case _ => reader.parquet(path)
     }
+    // mutex vs other append jobs (see [[appendMutexes]]), read lock vs
+    // rewriters
+    val mutex = appendMutexFor(table)
+    mutex.lock()
     val lock = lockFor(table).readLock()
     lock.lock()
     try {
@@ -6222,7 +6257,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       df.write.insertInto(phys)
       if (!isTxnOpen) bumpEpoch(table)
       ExecResult(null, s"COPY $n")
-    } finally lock.unlock()
+    } finally { lock.unlock(); mutex.unlock() }
   }
 
   private def formatOf(opts: String, path: String): String = {
@@ -6735,11 +6770,16 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     // conn-temp names first (protocol-text targets, r14), then
     // post-rename names key by the original
     val table = resolveRenamed(resolveConnTemp(table0))
-    // constraint-free appends can interleave (read lock; COW writers
-    // exclude); constrained tables need check+insert to be atomic, so
-    // concurrent appenders serialize on the write lock
+    // constrained tables need check+insert atomic → write lock.
+    // Constraint-free appends exclude only rewriters (read lock) BUT
+    // serialize among THEMSELVES on the append mutex — concurrent
+    // append jobs into one dir corrupt each other's committer staging
+    // (see [[appendMutexes]]; r15 find).
+    val constrained = constraintsOfOriginal(qualify(table)).isDefined
+    val mutex = if (constrained) None else Some(appendMutexFor(table))
+    mutex.foreach(_.lock())
     val lock =
-      if (constraintsOfOriginal(qualify(table)).isDefined) lockFor(table).writeLock()
+      if (constrained) lockFor(table).writeLock()
       else lockFor(table).readLock()
     lock.lock()
     try {
@@ -6775,7 +6815,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
             else None)
         }
       } else bumpEpoch(table)
-    } finally lock.unlock()
+    } finally { lock.unlock(); mutex.foreach(_.unlock()) }
   }
 }
 

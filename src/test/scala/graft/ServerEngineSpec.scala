@@ -169,6 +169,88 @@ class ServerEngineSpec extends SparkSpecBase {
     }
   }
 
+  test("concurrent INSERT jobs into one unconstrained table: every row lands, zero errors") {
+    // pre-r15 the append read-lock was taken AFTER txnExec had already
+    // executed the write eagerly, so concurrent INSERT jobs shared the
+    // committer's _temporary staging and killed each other's tasks —
+    // this asserts the append mutex + pre-exec lock placement
+    fresh("c_capp")
+    engine.execute("create table main.c_capp (id INT) using parquet")
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val pool = (0 until 4).map(_ => java.util.concurrent.Executors.newSingleThreadExecutor())
+    val futures = pool.zipWithIndex.map { case (ex, w) =>
+      ex.submit(new Runnable {
+        def run(): Unit = for (i <- 0 until 10) {
+          try engine.execute(s"insert into main.c_capp values (${w * 100 + i})")
+          catch { case e: Throwable => errors.add(String.valueOf(e.getMessage)) }
+        }
+      })
+    }
+    futures.foreach(_.get(180, java.util.concurrent.TimeUnit.SECONDS))
+    pool.foreach(_.shutdown())
+    assert(errors.isEmpty, s"append errors: ${errors.toArray.mkString("; ")}")
+    val rows = engine.execute("select count(*) as n, count(distinct id) as d from main.c_capp")
+      .df.collect().head
+    assert(rows.getLong(0) == 40 && rows.getLong(1) == 40,
+      s"expected 40 distinct rows, got $rows")
+    engine.execute("drop table main.c_capp")
+  }
+
+  test("FORCE CHECKPOINT racing writers: no deadlock, no lost rows, declared aborts only") {
+    fresh("c_ckc")
+    engine.execute("create table main.c_ckc (id INT) using parquet")
+    val committed = new java.util.concurrent.atomic.AtomicInteger(0)
+    val badErrors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def declaredAbort(e: Throwable): Boolean = {
+      val m = Option(e.getMessage).getOrElse("")
+      // both serialization spellings (read-path "could not serialize",
+      // commit-path "serialization conflict") are the declared class
+      m.contains("serializ") || m.contains("aborted")
+    }
+    // 3 append writers (auto-commit, read-lock path) + 2 txn writers
+    // (BEGIN/INSERT/COMMIT, pin path) + 1 FORCE CHECKPOINT loop — each
+    // on its own thread (engine txn state is per-thread)
+    val pool = (0 until 6).map(_ => java.util.concurrent.Executors.newSingleThreadExecutor())
+    val futures = new scala.collection.mutable.ArrayBuffer[java.util.concurrent.Future[_]]()
+    for (w <- 0 until 3) futures += pool(w).submit(new Runnable {
+      def run(): Unit = for (i <- 0 until 12) {
+        try { engine.execute(s"insert into main.c_ckc values (${w * 1000 + i})"); committed.incrementAndGet() }
+        catch { case e: Throwable => if (!declaredAbort(e)) badErrors.add(s"append: ${e.getMessage}") }
+      }
+    })
+    for (w <- 3 until 5) futures += pool(w).submit(new Runnable {
+      def run(): Unit = for (i <- 0 until 8) {
+        try {
+          engine.execute("begin")
+          engine.execute(s"insert into main.c_ckc values (${w * 1000 + i})")
+          engine.execute("commit")
+          committed.incrementAndGet()
+        } catch {
+          case e: Throwable =>
+            if (!declaredAbort(e)) badErrors.add(s"txn: ${e.getMessage}")
+            try engine.execute("rollback") catch { case _: Throwable => }
+        }
+      }
+    })
+    futures += pool(5).submit(new Runnable {
+      def run(): Unit = for (_ <- 0 until 10) {
+        try engine.execute("force checkpoint")
+        catch { case e: Throwable => badErrors.add(s"checkpoint: ${e.getMessage}") }
+        Thread.sleep(50)
+      }
+    })
+    // watchdog: everything must finish — a deadlock in the compaction
+    // write lock vs the append/commit lock order would hang here
+    futures.foreach(f => f.get(180, java.util.concurrent.TimeUnit.SECONDS))
+    pool.foreach(_.shutdown())
+    assert(badErrors.isEmpty, s"undeclared errors: ${badErrors.toArray.mkString("; ")}")
+    val rows = engine.execute("select count(*) as n from main.c_ckc")
+      .df.collect().head.getLong(0)
+    assert(rows == committed.get(),
+      s"committed ${committed.get()} inserts but table has $rows rows")
+    engine.execute("drop table main.c_ckc")
+  }
+
   test("CREATE MACRO: scalar/table, defaults+named args, temp privacy, literal safety") {
     def one(sql: String): String =
       engine.execute(sql).df.collect().head.toString
