@@ -3434,6 +3434,40 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     }
     val sql = if (allowReserved) sqlExp else substituteTempTargets(sqlExp)
 
+    // DuckDB CREATE OR REPLACE TABLE (after the temp intercept — the
+    // TEMP spelling routes to the connection namespace): drop-if-
+    // exists + create, re-dispatched through the engine's own
+    // transactional/constraint machinery. In-txn this composes the
+    // transactional DROP and CREATE intents (drop-then-recreate
+    // publishes drop-first, already documented); outside one the
+    // write lock is held across both so no locker sees a half-state.
+    orReplaceTableRe.findFirstMatchIn(sql).foreach { m =>
+      val t = m.group(1)
+      val createSql = sql.replaceFirst("""(?is)or\s+replace\s+""", "")
+      if (isTxnOpen) {
+        executeInner(s"drop table if exists $t", allowReserved)
+        return executeInner(createSql, allowReserved)
+      }
+      val lock = lockFor(t.replace("\"", "")).writeLock()
+      lock.lock()
+      try {
+        executeInner(s"drop table if exists $t", allowReserved)
+        return executeInner(createSql, allowReserved)
+      } finally lock.unlock()
+    }
+
+    // DuckDB session variables: SET VARIABLE auto-declares (Spark's
+    // own SET VAR requires a prior DECLARE), RESET VARIABLE drops;
+    // getvariable('x') reads rewrite to system.session.x in rewrite()
+    setVariableRe.findFirstMatchIn(sql).foreach { m =>
+      spark.sql(s"DECLARE OR REPLACE VARIABLE ${m.group(1)} = ${rewrite(m.group(2))}")
+      return ExecResult(null, "SET")
+    }
+    resetVariableRe.findFirstMatchIn(sql).foreach { m =>
+      spark.sql(s"DROP TEMPORARY VARIABLE IF EXISTS ${m.group(1)}")
+      return ExecResult(null, "RESET")
+    }
+
     // ALTER TABLE … RENAME TO (r12b): routed through [[renameTable]]
     // in AND outside transactions — outside for the constraint/FK/epoch
     // rekeying and the journaled dir move the generic spark.sql path
@@ -4251,6 +4285,28 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     s = semiAntiRe.replaceAllIn(s, m =>
       if (m.group(1) != null) Regex.quoteReplacement(m.matched)
       else s"LEFT ${m.group(2).toUpperCase} JOIN")
+    // DuckDB `USING SAMPLE n% | n [ROWS] | method(n unit) [(method
+    // [, seed])] [REPEATABLE (seed)]` after a relation → Spark
+    // TABLESAMPLE (bare n = ROWS, DuckDB's default). The post-WHERE
+    // placement DuckDB also allows cannot attach to a relation
+    // textually and keeps erroring loudly at parse (declared).
+    s = replaceOutsideLiteralsF(s, usingSampleRe) { m =>
+      val n = Option(m.group(2)).getOrElse(m.group(4))
+      val unit = Option(m.group(3)).orElse(Option(m.group(5))).map(_.toLowerCase)
+      val isPct = unit.exists(u => u == "%" || u == "percent")
+      val seed = Option(m.group(7)).orElse(Option(m.group(8)))
+      Regex.quoteReplacement(
+        s"TABLESAMPLE ($n ${if (isPct) "PERCENT" else "ROWS"})" +
+          seed.map(x => s" REPEATABLE ($x)").getOrElse(""))
+    }
+    // DuckDB `getvariable('x')` → the Spark session-variable reference
+    // (SET VARIABLE is intercepted to DECLARE OR REPLACE). Plain
+    // replace — the pattern itself contains the quoted name, so the
+    // outside-literals splitter could never see a whole match.
+    // Declared: an UNDECLARED variable errors here where DuckDB
+    // returns NULL — an honest binder error beats a silent NULL.
+    s = getVariableRe.replaceAllIn(s, m =>
+      Regex.quoteReplacement(s"system.session.${m.group(1)}"))
     // DuckDB/PG in-aggregate ordering: string_agg(e, sep ORDER BY k) →
     // sorted-struct collect + array_join (array_join skips NULL
     // elements, matching string_agg). NOT Spark's WITHIN GROUP
@@ -6978,6 +7034,22 @@ object Engine {
   // through to the generic path untouched.
   private val checkpointRe =
     """(?is)^\s*(force\s+)?checkpoint(?:\s+([a-zA-Z_]\w*))?\s*$""".r
+  // DuckDB USING SAMPLE: groups 1-3 = method(n unit), 4-5 = bare
+  // n unit, 6-7 = trailing (method[, seed]), 8 = REPEATABLE seed
+  private val usingSampleRe =
+    ("""(?is)\busing\s+sample\s+""" +
+      """(?:(reservoir|bernoulli|system)\s*\(\s*([\d.]+)\s*(%|percent|rows)?\s*\)""" +
+      """|([\d.]+)\s*(%|percent|rows)?)""" +
+      """(?:\s*\(\s*(\w+)\s*(?:,\s*(\d+))?\s*\))?""" +
+      """(?:\s+repeatable\s*\(\s*(\d+)\s*\))?""").r
+  private val getVariableRe =
+    """(?i)\bgetvariable\s*\(\s*'(\w+)'\s*\)""".r
+  private val setVariableRe =
+    """(?is)^\s*set\s+variable\s+(\w+)\s*=\s*(.+)$""".r
+  private val resetVariableRe =
+    """(?is)^\s*reset\s+variable\s+(\w+)\s*$""".r
+  private val orReplaceTableRe =
+    """(?is)^\s*create\s+or\s+replace\s+table\s+([\w."]+)\s*([\s(].*)$""".r
   private val vacuumAnalyzeRe =
     """(?is)^\s*(vacuum(?:\s+analyze)?|analyze)(?:\s+([\w.]+)\s*(?:\([^)]*\))?)?\s*$""".r
 

@@ -169,6 +169,48 @@ class ServerEngineSpec extends SparkSpecBase {
     }
   }
 
+  test("dialect: CREATE OR REPLACE TABLE, USING SAMPLE, SET VARIABLE/getvariable") {
+    def one(sql: String): String =
+      engine.execute(sql).df.collect().head.toString
+    fresh("c_ort")
+    engine.execute("create table main.c_ort (x INT) using parquet")
+    engine.execute("insert into main.c_ort values (1)")
+    // OR REPLACE swaps content and schema under the write lock
+    engine.execute("create or replace table main.c_ort as select 'v' as s, 9 as y")
+    assert(one("select * from main.c_ort") == "[v,9]")
+    // in-txn it composes the transactional DROP + CREATE intents:
+    // ROLLBACK restores the original table entirely
+    engine.execute("begin")
+    engine.execute("create or replace table main.c_ort as select 1 as z")
+    assert(one("select * from main.c_ort") == "[1]")
+    engine.execute("rollback")
+    assert(one("select * from main.c_ort") == "[v,9]")
+    engine.execute("drop table main.c_ort")
+    // USING SAMPLE spellings → TABLESAMPLE
+    fresh("c_smp")
+    engine.execute("create table main.c_smp (k INT) using parquet")
+    engine.execute("insert into main.c_smp select id from range(100)")
+    assert(one("select count(*) as n from main.c_smp using sample 5 rows") == "[5]")
+    assert(one("select count(*) as n from main.c_smp using sample 5") == "[5]")
+    assert(one("select count(*) as n from main.c_smp using sample 100%") == "[100]")
+    assert(one("select count(*) as n from main.c_smp using sample reservoir(7 rows)") == "[7]")
+    val r1 = engine.execute("select k from main.c_smp using sample 20% (bernoulli, 42) order by k")
+      .df.collect().map(_.toString).toSeq
+    val r2 = engine.execute("select k from main.c_smp using sample 20 percent repeatable (42) order by k")
+      .df.collect().map(_.toString).toSeq
+    assert(r1 == r2, "same seed must sample the same rows")
+    engine.execute("drop table main.c_smp")
+    // session variables: SET VARIABLE auto-declares, getvariable reads,
+    // RESET drops (undeclared read errors — declared divergence from
+    // DuckDB's NULL)
+    engine.execute("set variable c_mv = 40 + 2")
+    assert(one("select getvariable('c_mv') as v") == "[42]")
+    engine.execute("set variable c_mv = 'abc'")
+    assert(one("select getvariable('c_mv') as v") == "[abc]")
+    engine.execute("reset variable c_mv")
+    intercept[Exception] { engine.execute("select getvariable('c_mv')") }
+  }
+
   test("concurrent INSERT jobs into one unconstrained table: every row lands, zero errors") {
     // pre-r15 the append read-lock was taken AFTER txnExec had already
     // executed the write eagerly, so concurrent INSERT jobs shared the

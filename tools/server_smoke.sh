@@ -154,6 +154,13 @@ psql $P -c "drop table main.smoke" >/dev/null 2>&1
 # FORMAT clause; the names+types header pair is what the driver parses
 chk "ch jdbc-style TSVWithNamesAndTypes" "x;Int32;1" "$($CURL "http://127.0.0.1:$CH/" -d 'SELECT 1 AS x FORMAT TabSeparatedWithNamesAndTypes' | paste -sd';' -)"
 
+# DuckDB dialect additions (r15b): CREATE OR REPLACE TABLE, USING
+# SAMPLE spellings, session variables
+chk "pg or-replace table" "9" "$(psql $P -tA -c 'create or replace table main.ort_smoke as select 1 as x' -c 'create or replace table main.ort_smoke as select 9 as x' -c 'select x from main.ort_smoke' 2>&1 | tail -1)"
+psql $P -c 'drop table main.ort_smoke' >/dev/null 2>&1
+chk "pg using sample rows" "3" "$(psql $P -tA -c 'select count(*) from (select * from nation using sample 3 rows)' 2>&1)"
+chk "pg set variable" "42" "$(psql $P -tA -c 'set variable smoke_v = 42' -c "select getvariable('smoke_v')" 2>&1 | tail -1)"
+
 # DuckDB macros (r15): scalar + table, expanded pre-analysis to plain
 # Catalyst expressions; TEMP MACRO is connection-private like every
 # other temp object (dies with the connection)
