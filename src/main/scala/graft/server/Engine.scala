@@ -777,8 +777,14 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     // connection-private macros (r15) — temp-first at expansion, like
     // every other temp object's search path
     val macros = scala.collection.mutable.Map.empty[String, MacroDef]
+    // connection-private session variables (r15b): Spark variables are
+    // SESSION-wide and one SparkSession serves every connection, so a
+    // bare DECLARE would leak across connections where DuckDB's
+    // variables are per-connection — user name → mangled Spark name
+    val vars = scala.collection.mutable.Map.empty[String, String]
     def isEmpty: Boolean =
-      views.isEmpty && tables.isEmpty && seqs.isEmpty && macros.isEmpty
+      views.isEmpty && tables.isEmpty && seqs.isEmpty &&
+        macros.isEmpty && vars.isEmpty
     def mangle(name: String): String = name + "__tmpc" + id
   }
   private val tempNsSeq = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -1184,6 +1190,11 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     val ns = tempNs.get()
     if (ns.isEmpty) return
     ns.macros.clear() // namespace entries only — nothing on disk
+    ns.vars.valuesIterator.foreach { mangled =>
+      try spark.sql(s"DROP TEMPORARY VARIABLE IF EXISTS $mangled")
+      catch { case _: Throwable => }
+    }
+    ns.vars.clear()
     ns.views.clear() // namespace entries only — no catalog object exists
     ns.seqs.valuesIterator.foreach(sequences.remove)
     ns.seqs.clear()
@@ -3460,11 +3471,16 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     // own SET VAR requires a prior DECLARE), RESET VARIABLE drops;
     // getvariable('x') reads rewrite to system.session.x in rewrite()
     setVariableRe.findFirstMatchIn(sql).foreach { m =>
-      spark.sql(s"DECLARE OR REPLACE VARIABLE ${m.group(1)} = ${rewrite(m.group(2))}")
+      val ns = tempNs.get()
+      val n = m.group(1).toLowerCase
+      val mangled = ns.vars.getOrElseUpdate(n, ns.mangle(n))
+      spark.sql(s"DECLARE OR REPLACE VARIABLE $mangled = ${rewrite(m.group(2))}")
       return ExecResult(null, "SET")
     }
     resetVariableRe.findFirstMatchIn(sql).foreach { m =>
-      spark.sql(s"DROP TEMPORARY VARIABLE IF EXISTS ${m.group(1)}")
+      tempNs.get().vars.remove(m.group(1).toLowerCase).foreach { mangled =>
+        spark.sql(s"DROP TEMPORARY VARIABLE IF EXISTS $mangled")
+      }
       return ExecResult(null, "RESET")
     }
 
@@ -4299,14 +4315,18 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         s"TABLESAMPLE ($n ${if (isPct) "PERCENT" else "ROWS"})" +
           seed.map(x => s" REPEATABLE ($x)").getOrElse(""))
     }
-    // DuckDB `getvariable('x')` → the Spark session-variable reference
-    // (SET VARIABLE is intercepted to DECLARE OR REPLACE). Plain
-    // replace — the pattern itself contains the quoted name, so the
-    // outside-literals splitter could never see a whole match.
+    // DuckDB `getvariable('x')` → THIS connection's mangled Spark
+    // session variable (Spark variables are session-wide and the
+    // session is shared, so bare names would leak across connections).
+    // Plain replace — the pattern itself contains the quoted name, so
+    // the outside-literals splitter could never see a whole match.
     // Declared: an UNDECLARED variable errors here where DuckDB
     // returns NULL — an honest binder error beats a silent NULL.
-    s = getVariableRe.replaceAllIn(s, m =>
-      Regex.quoteReplacement(s"system.session.${m.group(1)}"))
+    s = getVariableRe.replaceAllIn(s, m => {
+      val n = m.group(1).toLowerCase
+      val ref = tempNs.get().vars.getOrElse(n, n)
+      Regex.quoteReplacement(s"system.session.$ref")
+    })
     // DuckDB/PG in-aggregate ordering: string_agg(e, sep ORDER BY k) →
     // sorted-struct collect + array_join (array_join skips NULL
     // elements, matching string_agg). NOT Spark's WITHIN GROUP

@@ -207,6 +207,16 @@ class ServerEngineSpec extends SparkSpecBase {
     assert(one("select getvariable('c_mv') as v") == "[42]")
     engine.execute("set variable c_mv = 'abc'")
     assert(one("select getvariable('c_mv') as v") == "[abc]")
+    // connection-private (DuckDB semantics): another connection cannot
+    // read this one's variable — Spark variables are session-wide, so
+    // privacy comes from the per-connection name mangle
+    val exec = java.util.concurrent.Executors.newSingleThreadExecutor()
+    try {
+      val other = exec.submit(() =>
+        try Right(engine.execute("select getvariable('c_mv')").df.collect().head.toString)
+        catch { case e: Throwable => Left(e) }).get()
+      assert(other.isLeft, s"variable leaked across connections: $other")
+    } finally exec.shutdown()
     engine.execute("reset variable c_mv")
     intercept[Exception] { engine.execute("select getvariable('c_mv')") }
   }
