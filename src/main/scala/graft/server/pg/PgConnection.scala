@@ -23,7 +23,8 @@ final class PgConnection(socket: Socket, server: PgServer) extends Runnable {
   private val out = new WireOut(socket.getOutputStream)
 
   private case class Stmt(sql: String, numParams: Int, df: () => DataFrame)
-  private final class Portal(val stmt: Stmt, val params: Seq[Option[String]]) {
+  private final class Portal(val stmt: Stmt, val params: Seq[Option[String]],
+      val resultFmts: Seq[Int] = Nil) {
     // live cursor state for Execute.maxRows / PortalSuspended (Q7 done
     // properly — the reference ignores maxRows, pg_conn.go:509-532)
     var it: java.util.Iterator[org.apache.spark.sql.Row] = _
@@ -355,7 +356,12 @@ final class PgConnection(socket: Socket, server: PgServer) extends Runnable {
         else Some(binaryParamToText(bs)) // minimal binary support: int4/int8 by length
       }
     }
-    portals(portal) = new Portal(stmt, params)
+    // result-format codes follow the params in the Bind body (r15b —
+    // previously unread, so binary-requesting clients like pgx's
+    // default query mode decoded text bytes as binary garbage)
+    val nRes = p.int16()
+    val resFmts = (0 until nRes).map(_ => p.int16())
+    portals(portal) = new Portal(stmt, params, resFmts)
     out.bindComplete()
   }
 
@@ -370,17 +376,18 @@ final class PgConnection(socket: Socket, server: PgServer) extends Runnable {
         sendDescription(stmt)
       case 'P' =>
         val portal = portals.getOrElse(name, throw new IllegalStateException(s"unknown portal \"$name\""))
-        sendDescription(portal.stmt)
+        sendDescription(portal.stmt, portal.resultFmts)
     }
   }
 
-  private def sendDescription(stmt: Stmt): Unit = {
+  private def sendDescription(stmt: Stmt, fmts: Seq[Int] = Nil): Unit = {
     if (!looksRowReturning(stmt.sql)) { out.noData(); return }
     // lazy analysis only — no job runs (improvement over the reference's
     // `describe <q>` probe round-trip, pg_conn.go:652-670)
     val schema = stmt.df().schema
     if (schema.isEmpty) out.noData()
-    else out.rowDescription(schema.fields.toSeq.map(f => f.name -> PgTypes.oidOf(f.dataType)))
+    else out.rowDescription(
+      schema.fields.toSeq.map(f => f.name -> PgTypes.oidOf(f.dataType)), fmts)
   }
 
   private def executePortal(body: Array[Byte]): Unit = withJobGroup {
@@ -396,12 +403,28 @@ final class PgConnection(socket: Socket, server: PgServer) extends Runnable {
       portal.schema = res.df.schema
       portal.tag = res.tag
     }
-    // stream up to maxRows (0 = all); suspend if the cursor survives
+    // stream up to maxRows (0 = all); suspend if the cursor survives.
+    // Cell formats follow the Bind result codes (PG rules: none = all
+    // text, one = applies to every column, else per-column)
+    val nCols = portal.schema.length
+    val fmts = (0 until nCols).map { i =>
+      if (portal.resultFmts.isEmpty) 0
+      else if (portal.resultFmts.size == 1) portal.resultFmts.head
+      else if (i < portal.resultFmts.size) portal.resultFmts(i)
+      else 0
+    }
+    val anyBinary = fmts.contains(1)
     var n = 0L
     val it = portal.it
     while (it.hasNext && (maxRows <= 0 || n < maxRows)) {
       val row = it.next()
-      out.dataRow((0 until portal.schema.length).map(i => PgTypes.render(row.get(i))))
+      if (!anyBinary)
+        out.dataRow((0 until nCols).map(i => PgTypes.render(row.get(i))))
+      else
+        out.dataRowBytes((0 until nCols).map { i =>
+          if (fmts(i) == 1) PgTypes.renderBinary(row.get(i))
+          else PgTypes.render(row.get(i)).map(_.getBytes(UTF_8))
+        })
       n += 1
     }
     if (it.hasNext) out.portalSuspended()

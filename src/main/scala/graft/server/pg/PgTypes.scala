@@ -11,11 +11,14 @@ import org.apache.spark.sql.types._
   * OIDs, decimals rendered exactly — the reference's float64 round-trip
   * at pg_types.go:96-100 loses precision ≥2^53).
   *
-  * Values always travel in text format (format code 0), matching the
-  * reference (pg_conn.go:348,379); renderings follow PostgreSQL text
-  * conventions: bool t/f, timestamp "2006-01-02 15:04:05.999999" with
-  * trailing-zero-trimmed micros, arrays {a,b} with quoting, NULL as
-  * length −1 (handled by the wire layer via Option).
+  * Simple-query values travel in text format (format code 0), matching
+  * the reference (pg_conn.go:348,379); renderings follow PostgreSQL
+  * text conventions: bool t/f, timestamp "2006-01-02 15:04:05.999999"
+  * with trailing-zero-trimmed micros, arrays {a,b} with quoting, NULL
+  * as length −1 (handled by the wire layer via Option). The extended
+  * protocol additionally honors Bind's RESULT format codes (r15b,
+  * beyond the reference): [[renderBinary]] encodes the PG binary
+  * layouts pgx-class clients request by default.
   */
 object PgTypes {
   // OIDs from the PostgreSQL catalog (public protocol constants)
@@ -184,6 +187,99 @@ object PgTypes {
       if (s.isEmpty || s.exists(c => c == ',' || c == '{' || c == '}' || c == '"' || c == '\\' || c.isWhitespace))
         "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
       else s
+  }
+
+  // -- binary result format (r15b, extended protocol only) ------------------
+  // pgx's default query mode requests binary results for every OID it
+  // has a codec for; a text body under a binary format code is garbage
+  // to the client. Encoders below cover every OID [[oidOf]] declares
+  // whose PG binary layout differs from its text bytes; json (114) and
+  // the struct/map renderings are text-identical by PG definition.
+
+  private val PgEpochDay = 10957L // 2000-01-01 in unix days
+  private val PgEpochMicros = 946684800000000L // 2000-01-01T00:00Z in unix micros
+
+  private def be16(x: Int): Array[Byte] =
+    Array[Byte](((x >> 8) & 0xff).toByte, (x & 0xff).toByte)
+  private def be32(x: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4).putInt(x).array
+  private def be64(x: Long): Array[Byte] =
+    java.nio.ByteBuffer.allocate(8).putLong(x).array
+
+  /** PG `numeric` wire format: base-10000 digit groups with a weight
+    * exponent, sign flag 0x4000 for negative, and the display scale. */
+  private def numericBinary(b0: java.math.BigDecimal): Array[Byte] = {
+    val dscale = math.max(0, b0.scale)
+    val b = b0.setScale(dscale)
+    if (b.signum == 0)
+      return be16(0) ++ be16(0) ++ be16(0) ++ be16(dscale)
+    val neg = b.signum < 0
+    val plain = b.abs.toPlainString
+    val (ip0, fp0) = plain.indexOf('.') match {
+      case -1 => (plain, "")
+      case i => (plain.substring(0, i), plain.substring(i + 1))
+    }
+    val ip = "0" * ((4 - ip0.length % 4) % 4) + ip0
+    val fp = fp0 + "0" * ((4 - fp0.length % 4) % 4)
+    var digits = (ip + fp).grouped(4).map(_.toInt).toVector
+    var weight = ip.length / 4 - 1
+    while (digits.nonEmpty && digits.head == 0) { digits = digits.tail; weight -= 1 }
+    while (digits.nonEmpty && digits.last == 0) digits = digits.dropRight(1)
+    be16(digits.size) ++ be16(weight) ++ be16(if (neg) 0x4000 else 0) ++
+      be16(dscale) ++ digits.toArray.flatMap(be16)
+  }
+
+  private def tsMicros(ldt: LocalDateTime): Long =
+    ldt.toEpochSecond(ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L - PgEpochMicros
+
+  /** Render one value in PG BINARY wire format (None ⇒ SQL NULL).
+    * Unlisted types (struct/map/json text renderings) fall back to
+    * their UTF-8 text bytes — identical to PG's binary layout for
+    * json, and the declared last resort elsewhere. */
+  def renderBinary(v: Any): Option[Array[Byte]] = v match {
+    case null => None
+    case b: Boolean => Some(Array[Byte](if (b) 1 else 0))
+    case b: Byte => Some(be16(b.toInt))
+    case s: Short => Some(be16(s.toInt))
+    case i: Int => Some(be32(i))
+    case l: Long => Some(be64(l))
+    case f: Float => Some(be32(java.lang.Float.floatToIntBits(f)))
+    case d: Double => Some(be64(java.lang.Double.doubleToLongBits(d)))
+    case b: java.math.BigDecimal => Some(numericBinary(b))
+    case b: scala.math.BigDecimal => Some(numericBinary(b.bigDecimal))
+    case s: String => Some(s.getBytes("UTF-8"))
+    case bytes: Array[Byte] => Some(bytes)
+    case d: java.sql.Date => Some(be32((d.toLocalDate.toEpochDay - PgEpochDay).toInt))
+    case d: LocalDate => Some(be32((d.toEpochDay - PgEpochDay).toInt))
+    case t: java.sql.Timestamp => Some(be64(tsMicros(t.toLocalDateTime)))
+    case t: LocalDateTime => Some(be64(tsMicros(t)))
+    case t: Instant =>
+      Some(be64(t.getEpochSecond * 1000000L + t.getNano / 1000L - PgEpochMicros))
+    case t: java.time.LocalTime => Some(be64(t.toNanoOfDay / 1000L))
+    case seq: scala.collection.Seq[_] =>
+      // 1-D text[] (OID 1009 is what oidOf declares for every Spark
+      // array): ndim, hasnull, elem oid, dim {len, lbound=1}, then
+      // per-element len + the element's TEXT bytes (lengths delimit —
+      // no array-literal quoting in binary)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(be32(1)); out.write(be32(if (seq.contains(null)) 1 else 0))
+      out.write(be32(OidText)); out.write(be32(seq.size)); out.write(be32(1))
+      seq.foreach { e =>
+        render(e) match {
+          case None => out.write(be32(-1))
+          case Some(s) =>
+            val bs = s.getBytes("UTF-8"); out.write(be32(bs.length)); out.write(bs)
+        }
+      }
+      Some(out.toByteArray)
+    case d: java.time.Duration => // interval: micros, days, months
+      val us = d.getSeconds * 1000000L + d.getNano / 1000L
+      Some(be64(us % 86400000000L) ++ be32((us / 86400000000L).toInt) ++ be32(0))
+    case p: java.time.Period =>
+      Some(be64(0L) ++ be32(p.getDays) ++ be32(p.getYears * 12 + p.getMonths))
+    case ci: org.apache.spark.unsafe.types.CalendarInterval =>
+      Some(be64(ci.microseconds) ++ be32(ci.days) ++ be32(ci.months))
+    case other => render(other).map(_.getBytes("UTF-8"))
   }
 
 }

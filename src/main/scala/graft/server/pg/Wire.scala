@@ -98,10 +98,12 @@ final class WireOut(out: OutputStream) {
     flush()
   }
 
-  def rowDescription(cols: Seq[(String, Int)]): Unit = message('T') { b =>
+  def rowDescription(cols: Seq[(String, Int)], fmts: Seq[Int] = Nil): Unit = message('T') { b =>
     b.int16(cols.size)
-    cols.foreach { case (name, oid) =>
-      b.cstr(name); b.int32(0); b.int16(0); b.int32(oid); b.int16(-1); b.int32(-1); b.int16(0)
+    cols.zipWithIndex.foreach { case ((name, oid), i) =>
+      val f = if (fmts.isEmpty) 0 else if (fmts.size == 1) fmts.head
+              else if (i < fmts.size) fmts(i) else 0
+      b.cstr(name); b.int32(0); b.int16(0); b.int32(oid); b.int16(-1); b.int32(-1); b.int16(f)
     }
   }
 
@@ -116,6 +118,17 @@ final class WireOut(out: OutputStream) {
       case Some(s) =>
         val bs = s.getBytes(UTF_8)
         b.int32(bs.length); b.bytes(bs)
+    }
+  }
+
+  /** DataRow from pre-encoded cell bodies — the mixed text/binary
+    * extended-protocol path (r15b): each cell is already in the format
+    * its Bind result code requested. */
+  def dataRowBytes(values: Seq[Option[Array[Byte]]]): Unit = message('D') { b =>
+    b.int16(values.size)
+    values.foreach {
+      case None => b.int32(-1)
+      case Some(bs) => b.int32(bs.length); b.bytes(bs)
     }
   }
 

@@ -169,6 +169,38 @@ class ServerEngineSpec extends SparkSpecBase {
     }
   }
 
+  test("PG binary numeric encoding: base-10000 wire layout round-trips") {
+    import graft.server.pg.PgTypes
+    def decode(bs: Array[Byte]): java.math.BigDecimal = {
+      val b = java.nio.ByteBuffer.wrap(bs)
+      val nd = b.getShort; val w = b.getShort; val sign = b.getShort; val ds = b.getShort
+      var v = java.math.BigDecimal.ZERO
+      for (k <- 0 until nd)
+        v = v.add(java.math.BigDecimal.valueOf(b.getShort.toLong)
+          .scaleByPowerOfTen(4 * (w - k)))
+      v = v.setScale(ds)
+      if (sign == 0x4000) v.negate() else v
+    }
+    val samples = Seq("0", "0.1", "-0.1", "1234.56", "-1234.56", "10000",
+      "99999999.9999", "-0.0001", "12345678901234567890.123",
+      "0.00010000", "1000", "9999", "10001", "123.4500")
+    samples.foreach { s =>
+      val in = new java.math.BigDecimal(s)
+      val enc = PgTypes.renderBinary(in).get
+      val out = decode(enc)
+      assert(out.compareTo(in) == 0, s"$s decoded as $out")
+      assert(out.scale == math.max(0, in.scale), s"$s scale ${out.scale}")
+    }
+    // the other fixed-layout codecs, spot checks
+    assert(PgTypes.renderBinary(7).get.toSeq == Seq[Byte](0, 0, 0, 7))
+    assert(PgTypes.renderBinary(true).get.toSeq == Seq[Byte](1))
+    assert(PgTypes.renderBinary(java.time.LocalDate.of(2000, 1, 2)).get.toSeq ==
+      Seq[Byte](0, 0, 0, 1))
+    assert(java.nio.ByteBuffer.wrap(
+      PgTypes.renderBinary(java.time.LocalDateTime.of(2000, 1, 1, 0, 0, 1)).get)
+      .getLong == 1000000L)
+  }
+
   test("dialect: CREATE OR REPLACE TABLE, USING SAMPLE, SET VARIABLE/getvariable") {
     def one(sql: String): String =
       engine.execute(sql).df.collect().head.toString

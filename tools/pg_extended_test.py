@@ -148,6 +148,76 @@ def main(port):
     c.send(msg(b"Q", cstr("drop view ext_tns")))
     c.drain_until_ready()
 
+    # 5b. BINARY result formats (r15b): Bind with result-format 1 — the
+    # pgx-default path. One query covering every binary codec family:
+    # int4/int8/float8/bool/text/numeric/date/timestamp/text[]; decode
+    # each cell with the PG wire layouts and compare exact values.
+    sql_bin = ("select 7 as i4, cast(40000000000 as bigint) as i8, "
+               "cast(2.5 as double) as f8, true as b, 'hi' as s, "
+               "cast(-1234.56 as decimal(10,2)) as num, "
+               "date '2024-03-15' as d, "
+               "timestamp '2024-03-15 12:30:45' as ts, "
+               "array('a', 'b,c') as arr")
+    c.send(
+        msg(b"P", cstr("sb") + cstr(sql_bin) + struct.pack(">h", 0)),
+        msg(b"B", cstr("") + cstr("sb") + struct.pack(">h", 0) + struct.pack(">h", 0)
+            + struct.pack(">h", 1) + struct.pack(">h", 1)),  # 1 result fmt: binary
+        msg(b"D", b"P" + cstr("")),
+        msg(b"E", cstr("") + struct.pack(">i", 0)),
+        msg(b"S", b""))
+    seq = c.drain_until_ready()
+    row = next((p for t, p in seq if t == b"D"), None)
+    rowdesc = next((p for t, p in seq if t == b"T"), None)
+    ok = row is not None and rowdesc is not None
+    if ok:
+        # RowDescription format fields must echo the requested binary
+        ncols = struct.unpack(">h", rowdesc[:2])[0]
+        off, fmts_seen = 2, []
+        for _ in range(ncols):
+            end = rowdesc.index(b"\0", off)
+            fmts_seen.append(struct.unpack(">h", rowdesc[end + 17:end + 19])[0])
+            off = end + 19
+        ok = all(f == 1 for f in fmts_seen)
+        # decode DataRow cells
+        cells, off = [], 2
+        n = struct.unpack(">h", row[:2])[0]
+        for _ in range(n):
+            ln = struct.unpack(">i", row[off:off + 4])[0]
+            off += 4
+            cells.append(None if ln < 0 else row[off:off + ln])
+            off += ln if ln > 0 else 0
+        i4 = struct.unpack(">i", cells[0])[0]
+        i8 = struct.unpack(">q", cells[1])[0]
+        f8 = struct.unpack(">d", cells[2])[0]
+        bv = cells[3] == b"\x01"
+        sv = cells[4].decode()
+        nd, w, sign, dscale = struct.unpack(">hhhh", cells[5][:8])
+        digits = [struct.unpack(">h", cells[5][8 + 2 * k:10 + 2 * k])[0] for k in range(nd)]
+        numv = sum(d * (10000 ** (w - k)) for k, d in enumerate(digits))
+        if sign == 0x4000:
+            numv = -numv
+        import datetime
+        dv = datetime.date(2000, 1, 1) + datetime.timedelta(days=struct.unpack(">i", cells[6])[0])
+        tsv = datetime.datetime(2000, 1, 1) + datetime.timedelta(
+            microseconds=struct.unpack(">q", cells[7])[0])
+        a = cells[8]
+        ndim, hasnull, eloid, alen, lb = struct.unpack(">iiiii", a[:20])
+        aoff, elems = 20, []
+        for _ in range(alen):
+            eln = struct.unpack(">i", a[aoff:aoff + 4])[0]
+            aoff += 4
+            elems.append(a[aoff:aoff + eln].decode())
+            aoff += eln
+        ok = ok and i4 == 7 and i8 == 40000000000 and f8 == 2.5 and bv \
+            and sv == "hi" and abs(numv - (-1234.56)) < 1e-9 and str(dv) == "2024-03-15" \
+            and str(tsv) == "2024-03-15 12:30:45" and ndim == 1 and eloid == 25 \
+            and elems == ["a", "b,c"]
+    print(("PASS" if ok else "FAIL") + " binary result formats")
+    if not ok:
+        failures.append("binary-results")
+    c.send(msg(b"C", b"S" + cstr("sb")), msg(b"S", b""))
+    c.drain_until_ready()
+
     # 6. CancelRequest: fire a slow query, cancel from a second conn
     # data-independent and reliably minutes-long uncancelled
     slow = "select sum(id) from range(20000000000)"
