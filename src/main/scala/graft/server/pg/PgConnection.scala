@@ -22,7 +22,8 @@ final class PgConnection(socket: Socket, server: PgServer) extends Runnable {
   private val in = new WireIn(socket.getInputStream)
   private val out = new WireOut(socket.getOutputStream)
 
-  private case class Stmt(sql: String, numParams: Int, df: () => DataFrame)
+  private case class Stmt(sql: String, numParams: Int, df: () => DataFrame,
+      paramOids: Seq[Int] = Nil)
   private final class Portal(val stmt: Stmt, val params: Seq[Option[String]],
       val resultFmts: Seq[Int] = Nil) {
     // live cursor state for Execute.maxRows / PortalSuspended (Q7 done
@@ -323,12 +324,20 @@ final class PgConnection(socket: Socket, server: PgServer) extends Runnable {
     val sql = p.cstr()
     if (name.nonEmpty && stmts.contains(name))
       throw new IllegalStateException(s"prepared statement \"$name\" already exists")
+    // the client's declared param OIDs trail the SQL (r15b — pgx
+    // declares them from the Go types and then sends BINARY param
+    // values, which can only be decoded per-OID: a float8 and an int8
+    // are both 8 bytes)
+    val declaredOids =
+      try { val n = p.int16(); (0 until n).map(_ => p.int32()) }
+      catch { case _: Throwable => Seq.empty[Int] }
     val numParams = maxParamIndex(sql)
     val stmt = Stmt(sql, numParams,
       // analyzeOnly: dialect rewrite + the connection's TEMP-namespace
       // substitution (r14) — lazy analysis, no job, like spark.sql on
       // a SELECT
-      () => engine.analyzeOnly(substituteParams(sql, Seq.fill(numParams)(None))))
+      () => engine.analyzeOnly(substituteParams(sql, Seq.fill(numParams)(None))),
+      declaredOids)
     // Parse-time validation (the reference gets this from DuckDB's
     // Prepare): analyze row-returning statements now so bad SQL errors
     // at Parse, not Execute. Lazy analysis only — no job runs.
@@ -353,7 +362,8 @@ final class PgConnection(socket: Socket, server: PgServer) extends Runnable {
         val fmt = if (fmts.isEmpty) 0 else if (fmts.size == 1) fmts.head else fmts(i)
         val bs = p.bytes(len)
         if (fmt == 0) Some(new String(bs, UTF_8))
-        else Some(binaryParamToText(bs)) // minimal binary support: int4/int8 by length
+        else Some(binaryParamToText(bs,
+          if (i < stmt.paramOids.size) stmt.paramOids(i) else 0))
       }
     }
     // result-format codes follow the params in the Bind body (r15b —
@@ -372,7 +382,9 @@ final class PgConnection(socket: Socket, server: PgServer) extends Runnable {
     kind match {
       case 'S' =>
         val stmt = stmts.getOrElse(name, throw new IllegalStateException(s"unknown statement \"$name\""))
-        out.parameterDescription(Seq.fill(stmt.numParams)(0)) // OID 0 = unspecified, like reference
+        // echo declared OIDs where the client sent them, 0 elsewhere
+        out.parameterDescription((0 until stmt.numParams).map(i =>
+          if (i < stmt.paramOids.size) stmt.paramOids(i) else 0))
         sendDescription(stmt)
       case 'P' =>
         val portal = portals.getOrElse(name, throw new IllegalStateException(s"unknown portal \"$name\""))
@@ -492,11 +504,45 @@ final class PgConnection(socket: Socket, server: PgServer) extends Runnable {
       else "'" + s.replace("'", "''") + "'"
   }
 
-  private def binaryParamToText(bs: Array[Byte]): String = bs.length match {
-    case 2 => java.nio.ByteBuffer.wrap(bs).getShort.toString
-    case 4 => java.nio.ByteBuffer.wrap(bs).getInt.toString
-    case 8 => java.nio.ByteBuffer.wrap(bs).getLong.toString
-    case _ => new String(bs, UTF_8)
+  /** Decode a BINARY param value to its text spelling, by the OID the
+    * client declared at Parse (r15b — a float8 and an int8 are both 8
+    * bytes; only the OID disambiguates). OID 0/unknown falls back to
+    * the pre-r15 length guess, which is correct for the int family the
+    * undeclared case sends in practice. */
+  private def binaryParamToText(bs: Array[Byte], oid: Int): String = {
+    def buf = java.nio.ByteBuffer.wrap(bs)
+    oid match {
+      case PgTypes.OidBool => if (bs.nonEmpty && bs(0) == 1) "true" else "false"
+      case PgTypes.OidInt2 => buf.getShort.toString
+      case PgTypes.OidInt4 => buf.getInt.toString
+      case PgTypes.OidInt8 => buf.getLong.toString
+      case PgTypes.OidFloat4 => java.lang.Float.intBitsToFloat(buf.getInt).toString
+      case PgTypes.OidFloat8 => java.lang.Double.longBitsToDouble(buf.getLong).toString
+      case PgTypes.OidDate =>
+        java.time.LocalDate.ofEpochDay(buf.getInt + 10957L).toString
+      case PgTypes.OidTimestamp | PgTypes.OidTimestamptz =>
+        val micros = buf.getLong
+        val secs = java.lang.Math.floorDiv(micros, 1000000L) + 946684800L
+        val nanos = (java.lang.Math.floorMod(micros, 1000000L) * 1000L).toInt
+        PgTypes.render(java.time.LocalDateTime.ofEpochSecond(
+          secs, nanos, java.time.ZoneOffset.UTC)).get
+      case PgTypes.OidNumeric =>
+        val b = buf
+        val nd = b.getShort; val w = b.getShort; val sign = b.getShort; val ds = b.getShort
+        var v = java.math.BigDecimal.ZERO
+        for (k <- 0 until nd)
+          v = v.add(java.math.BigDecimal.valueOf(b.getShort.toLong)
+            .scaleByPowerOfTen(4 * (w - k)))
+        v = v.setScale(ds)
+        (if (sign == 0x4000) v.negate() else v).toPlainString
+      case PgTypes.OidText => new String(bs, UTF_8)
+      case _ => bs.length match {
+        case 2 => buf.getShort.toString
+        case 4 => buf.getInt.toString
+        case 8 => buf.getLong.toString
+        case _ => new String(bs, UTF_8)
+      }
+    }
   }
 
   private def looksRowReturning(sql: String): Boolean = {

@@ -218,6 +218,43 @@ def main(port):
     c.send(msg(b"C", b"S" + cstr("sb")), msg(b"S", b""))
     c.drain_until_ready()
 
+    # 5c. BINARY param values with declared OIDs (r15b): pgx declares
+    # param OIDs at Parse and sends binary — a float8 is 8 bytes like
+    # an int8, only the OID disambiguates. $1 float8=2.5, $2 date=
+    # 2000-01-02 (day 1 of the PG epoch), $3 numeric=-12.75.
+    c.send(
+        msg(b"P", cstr("sp") + cstr("select $1 * 2 as v, $2 as d, $3 as n")
+            + struct.pack(">h", 3) + struct.pack(">iii", 701, 1082, 1700)),
+        msg(b"B", cstr("") + cstr("sp")
+            + struct.pack(">h", 1) + struct.pack(">h", 1)     # all params binary
+            + struct.pack(">h", 3)
+            + struct.pack(">i", 8) + struct.pack(">d", 2.5)
+            + struct.pack(">i", 4) + struct.pack(">i", 1)
+            + struct.pack(">i", 12) + struct.pack(">hhhh", 2, 0, 0x4000, 2)
+            + struct.pack(">hh", 12, 7500)
+            + struct.pack(">h", 0)),                          # results: text
+        msg(b"E", cstr("") + struct.pack(">i", 0)),
+        msg(b"S", b""))
+    seq = c.drain_until_ready()
+    row = next((p for t, p in seq if t == b"D"), None)
+    ok = row is not None
+    if ok:
+        cells, off = [], 2
+        n = struct.unpack(">h", row[:2])[0]
+        for _ in range(n):
+            ln = struct.unpack(">i", row[off:off + 4])[0]
+            off += 4
+            cells.append(None if ln < 0 else row[off:off + ln].decode())
+            off += max(0, ln)
+        ok = cells[0] == "5.0" and cells[1] == "2000-01-02" and cells[2] == "-12.75"
+        if not ok:
+            print(f"  binary-param cells: {cells}")
+    print(("PASS" if ok else "FAIL") + " binary param values by declared OID")
+    if not ok:
+        failures.append("binary-params")
+    c.send(msg(b"C", b"S" + cstr("sp")), msg(b"S", b""))
+    c.drain_until_ready()
+
     # 6. CancelRequest: fire a slow query, cancel from a second conn
     # data-independent and reliably minutes-long uncancelled
     slow = "select sum(id) from range(20000000000)"
