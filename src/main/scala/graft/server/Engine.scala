@@ -6429,7 +6429,14 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
   /** Crash-safe replace: write <file>.tmp, then ATOMIC_MOVE over the
     * target — a crash mid-write leaves the old file intact instead of a
     * truncated journal that silently drops users/constraints on load. */
-  private def writeFile(path: String, content: String): Unit = {
+  /** Serialized across callers: the stage file is `path + ".tmp"`, so
+    * two concurrent persists of the SAME file (e.g. constrained
+    * CREATEs of different tables from two connections — the per-table
+    * locks don't order them; macro DDL from two connections) would
+    * interleave content in one tmp or race the move. The files are
+    * tiny metadata; one lock costs nothing. */
+  private val writeFileLock = new Object
+  private def writeFile(path: String, content: String): Unit = writeFileLock.synchronized {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val f = new java.io.File(path)
     f.getParentFile.mkdirs()

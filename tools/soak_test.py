@@ -219,6 +219,29 @@ class Client(threading.Thread):
         if sql.startswith("select table_name") and rows:
             self.fail(f"mangled temp visible in catalog: {rows[:3]}")
 
+    def act_macro(self, s):
+        # one SHARED persistent macro name churned by every client
+        # (CREATE OR REPLACE races on the engine's macro map): a call
+        # must always see SOME client's definition — x + cid with cid
+        # in range. Temp macro and session variable are private by the
+        # namespace mangle; any foreign value is a leak.
+        r = self.r
+        a = r.randint(1, 9)
+        s.query(f"create or replace macro soak_m(x) as x + {self.cid}")
+        rows, err, _ = s.query(f"select soak_m({a})")
+        if err:
+            return self.fail(f"macro call: {err[:120]}")
+        if rows and not (a <= int(rows[0]) <= a + 100):
+            self.fail(f"macro result out of range: {rows[0]}")
+        s.query(f"create or replace temp macro soak_tm(x) as x * 1000 + {self.cid}")
+        rows, err, _ = s.query("select soak_tm(2)")
+        if not err and rows and rows[0] != str(2000 + self.cid):
+            self.fail(f"TEMP MACRO LEAK: {rows[0]}")
+        s.query(f"set variable soak_var = {self.cid}")
+        rows, err, _ = s.query("select getvariable('soak_var')")
+        if not err and rows and rows[0] != str(self.cid):
+            self.fail(f"VARIABLE LEAK: {rows[0]}")
+
     def act_cancel(self, s):
         # fire a long query, cancel it from the side, verify the conn
         # survives and still computes correctly
@@ -249,7 +272,7 @@ class Client(threading.Thread):
                "(k int primary key, tag int) using parquet")
         acts = ([self.act_temp] * 4 + [self.act_txn] * 5 +
                 [self.act_rename] * 1 + [self.act_copy] * 2 +
-                [self.act_read] * 2)
+                [self.act_read] * 2 + [self.act_macro] * 2)
         while time.time() < self.stop_at and len(self.errors) < 5:
             a = self.r.choice(acts)
             try:
