@@ -782,9 +782,12 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     // bare DECLARE would leak across connections where DuckDB's
     // variables are per-connection — user name → mangled Spark name
     val vars = scala.collection.mutable.Map.empty[String, String]
+    // SQL-level PREPARE statements (r15b): name → statement text with
+    // $n placeholders, connection-scoped like PG/DuckDB
+    val prepared = scala.collection.mutable.Map.empty[String, String]
     def isEmpty: Boolean =
       views.isEmpty && tables.isEmpty && seqs.isEmpty &&
-        macros.isEmpty && vars.isEmpty
+        macros.isEmpty && vars.isEmpty && prepared.isEmpty
     def mangle(name: String): String = name + "__tmpc" + id
   }
   private val tempNsSeq = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -1190,6 +1193,7 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     val ns = tempNs.get()
     if (ns.isEmpty) return
     ns.macros.clear() // namespace entries only — nothing on disk
+    ns.prepared.clear()
     ns.vars.valuesIterator.foreach { mangled =>
       try spark.sql(s"DROP TEMPORARY VARIABLE IF EXISTS $mangled")
       catch { case _: Throwable => }
@@ -3465,6 +3469,43 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         executeInner(s"drop table if exists $t", allowReserved)
         return executeInner(createSql, allowReserved)
       } finally lock.unlock()
+    }
+
+    // SQL-level PREPARE/EXECUTE/DEALLOCATE (PG and DuckDB both; the
+    // wire-level Parse/Bind is a separate machine in PgConnection).
+    // Connection-scoped; EXECUTE splices the argument expressions into
+    // the $n placeholders outside string literals and re-dispatches,
+    // so the statement passes through every engine layer (txn overlay,
+    // temp namespace, macros) at execution time.
+    prepareStmtRe.findFirstMatchIn(sql).foreach { m =>
+      tempNs.get().prepared(m.group(1).toLowerCase) = m.group(2).trim
+      return ExecResult(null, "PREPARE")
+    }
+    executeStmtSqlRe.findFirstMatchIn(sql).foreach { m =>
+      val n = m.group(1).toLowerCase
+      val body = tempNs.get().prepared.getOrElse(n,
+        throw new IllegalArgumentException(
+          s"""prepared statement "$n" does not exist"""))
+      val args = Option(m.group(2)).map(a => splitTopLevel(a, ',')).getOrElse(Nil)
+      val subbed = mapOutsideLiterals(body) { span =>
+        """\$(\d+)""".r.replaceAllIn(span, mm => {
+          val k = mm.group(1).toInt
+          if (k < 1 || k > args.size)
+            throw new IllegalArgumentException(
+              s"""prepared statement "$n": no value bound for parameter """ +
+                s"$$$k (${args.size} given)")
+          Regex.quoteReplacement("(" + args(k - 1) + ")")
+        })
+      }
+      return executeInner(subbed, allowReserved)
+    }
+    deallocateRe.findFirstMatchIn(sql).foreach { m =>
+      val ns = tempNs.get()
+      if (m.group(1).equalsIgnoreCase("all")) ns.prepared.clear()
+      else if (ns.prepared.remove(m.group(1).toLowerCase).isEmpty)
+        throw new IllegalArgumentException(
+          s"""prepared statement "${m.group(1)}" does not exist""")
+      return ExecResult(null, "DEALLOCATE")
     }
 
     // DuckDB session variables: SET VARIABLE auto-declares (Spark's
@@ -7077,6 +7118,15 @@ object Engine {
     """(?is)^\s*reset\s+variable\s+(\w+)\s*$""".r
   private val orReplaceTableRe =
     """(?is)^\s*create\s+or\s+replace\s+table\s+([\w."]+)\s*([\s(].*)$""".r
+  // SQL-level prepared statements (PG/DuckDB both): the optional
+  // parenthesized type list after the name is accepted and ignored
+  // (argument splicing is textual, types come out of analysis)
+  private val prepareStmtRe =
+    """(?is)^\s*prepare\s+(\w+)\s*(?:\([^)]*\))?\s+as\s+(.+)$""".r
+  private val executeStmtSqlRe =
+    """(?is)^\s*execute\s+(\w+)\s*(?:\((.*)\))?\s*$""".r
+  private val deallocateRe =
+    """(?is)^\s*deallocate\s+(?:prepare\s+)?(all|\w+)\s*$""".r
   private val vacuumAnalyzeRe =
     """(?is)^\s*(vacuum(?:\s+analyze)?|analyze)(?:\s+([\w.]+)\s*(?:\([^)]*\))?)?\s*$""".r
 

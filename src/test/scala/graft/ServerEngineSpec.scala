@@ -169,6 +169,34 @@ class ServerEngineSpec extends SparkSpecBase {
     }
   }
 
+  test("SQL-level PREPARE/EXECUTE/DEALLOCATE: params splice, connection-scoped") {
+    def one(sql: String): String =
+      engine.execute(sql).df.collect().head.toString
+    assert(engine.execute("prepare c_pq as select $1 + $2 as v").tag == "PREPARE")
+    assert(one("execute c_pq(40, 2)") == "[42]")
+    assert(one("execute c_pq(1, -1)") == "[0]")
+    // expression args, and $n inside a literal stays text
+    engine.execute("prepare c_pq2 as select concat('$1:', cast($1 as string)) as s")
+    assert(one("execute c_pq2(7 * 2)") == "[$1:14]")
+    // missing arg / unknown name / deallocate semantics
+    val missing = intercept[IllegalArgumentException] { engine.execute("execute c_pq(1)") }
+    assert(missing.getMessage.contains("no value bound"))
+    val unknown = intercept[IllegalArgumentException] { engine.execute("execute c_nope") }
+    assert(unknown.getMessage.contains("does not exist"))
+    engine.execute("deallocate c_pq2")
+    intercept[IllegalArgumentException] { engine.execute("execute c_pq2(1)") }
+    // connection-scoped: another connection cannot EXECUTE this one's
+    val exec = java.util.concurrent.Executors.newSingleThreadExecutor()
+    try {
+      val other = exec.submit(() =>
+        try Right(engine.execute("execute c_pq(1, 2)").df.collect().head.toString)
+        catch { case e: Throwable => Left(e.getMessage) }).get()
+      assert(other.isLeft, s"prepared statement leaked: $other")
+    } finally exec.shutdown()
+    engine.execute("deallocate all")
+    intercept[IllegalArgumentException] { engine.execute("execute c_pq(1, 2)") }
+  }
+
   test("PG binary numeric encoding: base-10000 wire layout round-trips") {
     import graft.server.pg.PgTypes
     def decode(bs: Array[Byte]): java.math.BigDecimal = {

@@ -154,6 +154,11 @@ psql $P -c "drop table main.smoke" >/dev/null 2>&1
 # FORMAT clause; the names+types header pair is what the driver parses
 chk "ch jdbc-style TSVWithNamesAndTypes" "x;Int32;1" "$($CURL "http://127.0.0.1:$CH/" -d 'SELECT 1 AS x FORMAT TabSeparatedWithNamesAndTypes' | paste -sd';' -)"
 
+# SQL-level prepared statements (r15b): PREPARE/EXECUTE/DEALLOCATE on
+# one connection; a second connection must not see the name
+chk "pg prepare/execute" "42" "$(psql $P -tA -c "prepare smoke_pq as select \$1 + \$2" -c "execute smoke_pq(40, 2)" -c "deallocate smoke_pq" 2>&1 | head -2 | tail -1)"
+chk "pg prepare conn-scoped" "free" "$(psql $P -c 'prepare smoke_pq2 as select 1' >/dev/null 2>&1; psql $P -tA -c 'execute smoke_pq2' 2>&1 | grep -qi 'smoke_pq2' && echo free)"
+
 # DuckDB dialect additions (r15b): CREATE OR REPLACE TABLE, USING
 # SAMPLE spellings, session variables
 chk "pg or-replace table" "9" "$(psql $P -tA -c 'create or replace table main.ort_smoke as select 1 as x' -c 'create or replace table main.ort_smoke as select 9 as x' -c 'select x from main.ort_smoke' 2>&1 | tail -1)"
