@@ -3471,6 +3471,11 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       } finally lock.unlock()
     }
 
+    // DuckDB statement-level PIVOT/UNPIVOT (simplified spellings)
+    if ("""(?is)^\s*(un)?pivot\b.*""".r.matches(sql)) {
+      pivotUnpivotIntercept(sql).foreach(r => return r)
+    }
+
     // SQL-level PREPARE/EXECUTE/DEALLOCATE (PG and DuckDB both; the
     // wire-level Parse/Bind is a separate machine in PgConnection).
     // Connection-scoped; EXECUTE splices the argument expressions into
@@ -4090,6 +4095,10 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     if (sysCatalogRe.findFirstIn(rewritten).isDefined) {
       refreshSystemCatalog()
       rewritten = sysCatalogRe.replaceAllIn(rewritten, m => s"__sys_${m.group(1).toLowerCase}")
+    }
+    if (duckCatalogRe.findFirstIn(rewritten).isDefined) {
+      refreshDuckCatalog()
+      rewritten = duckCatalogRe.replaceAllIn(rewritten, m => s"__duck_${m.group(1).toLowerCase}")
     }
     if (rewritten.toLowerCase.contains("pg_catalog.") || pgRelRe.findFirstIn(rewritten).isDefined) {
       refreshPgCatalog()
@@ -5469,6 +5478,106 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     } finally lock.unlock()
   }
 
+  /** DuckDB statement-level `PIVOT <src> ON <col> [IN (…)] USING
+    * <agg> [GROUP BY …] [ORDER BY …] [LIMIT n]` and `UNPIVOT <src> ON
+    * c1, c2 [, …] [INTO NAME n VALUE v]` — the simplified spellings
+    * (duckdb PIVOT docs; the reference forwards them to DuckDB). The
+    * Spark-native mapping is the DataFrame API: pivot values are
+    * DISCOVERED with a bounded distinct scan when no IN list is given
+    * (the pivot width is inherently small for a usable result — capped
+    * at 1000 with a clear error), passed TYPED to
+    * `RelationalGroupedDataset.pivot` so no literal-rendering layer
+    * exists, and the implicit grouping is DuckDB's measured rule: all
+    * source columns not referenced by ON or USING. count-family
+    * aggregates zero-fill absent cells like DuckDB (Spark's pivot
+    * leaves null). Spark's own FROM-clause PIVOT/UNPIVOT passes
+    * through the generic path untouched — only statement-INITIAL
+    * spellings land here. */
+  private def pivotUnpivotIntercept(sql: String): Option[Engine.ExecResult] = {
+    val head = """(?is)^\s*(un)?pivot\b\s*""".r.findFirstMatchIn(sql).getOrElse(return None)
+    val isUn = head.group(1) != null
+    var i = head.end
+    while (i < sql.length && Character.isWhitespace(sql.charAt(i))) i += 1
+    if (i >= sql.length) return None
+    val (source, rest) =
+      if (sql.charAt(i) == '(') {
+        val c = balancedClose(sql, i).getOrElse(return None)
+        (sql.substring(i, c + 1), sql.substring(c + 1))
+      } else {
+        val m = """^[\w."]+""".r.findFirstMatchIn(sql.substring(i)).getOrElse(return None)
+        (m.matched, sql.substring(i + m.end))
+      }
+    val src = txnExec(rewrite(s"SELECT * FROM $source __piv_src"))
+    val schema = src.schema.fieldNames.toSeq
+    def colsOf(text: String): Seq[String] = {
+      // identifiers in an expression that name source columns (crude
+      // token scan; a token followed by '(' is a function name)
+      val toks = """\b[A-Za-z_]\w*\b""".r.findAllMatchIn(text).filterNot { m =>
+        val after = text.drop(m.end).dropWhile(_.isWhitespace)
+        after.startsWith("(")
+      }.map(_.matched.toLowerCase).toSet
+      schema.filter(c => toks(c.toLowerCase))
+    }
+    import org.apache.spark.sql.functions.{col => fcol, coalesce, lit, expr}
+    if (isUn) {
+      val m = """(?is)^\s*on\s+(.+?)(?:\s+into\s+name\s+(\w+)\s+value\s+(\w+))?\s*;?\s*$""".r
+        .findFirstMatchIn(rest).getOrElse(throw new IllegalArgumentException(
+          "UNPIVOT: expected ON <columns> [INTO NAME n VALUE v]"))
+      val onCols = splitTopLevel(m.group(1), ',').map(_.replace("\"", "").trim)
+      val nameCol = Option(m.group(2)).getOrElse("name")
+      val valCol = Option(m.group(3)).getOrElse("value")
+      val onSet = onCols.map(_.toLowerCase).toSet
+      val ids = schema.filterNot(c => onSet(c.toLowerCase))
+      val out = src.unpivot(ids.map(fcol).toArray,
+        onCols.map(fcol).toArray, nameCol, valCol)
+      return Some(Engine.ExecResult(out, "SELECT"))
+    }
+    val m = ("""(?is)^\s*on\s+([\w."]+)\s*(?:in\s*\(([^)]*)\)\s*)?using\s+(.+?)""" +
+      """(?:\s+group\s+by\s+(.+?))?(?:\s+order\s+by\s+(.+?))?""" +
+      """(?:\s+limit\s+(\d+))?\s*;?\s*$""").r
+      .findFirstMatchIn(rest).getOrElse(throw new IllegalArgumentException(
+        "PIVOT: expected ON <column> [IN (…)] USING <aggregate> " +
+          "[GROUP BY …] (single ON column and USING aggregate supported)"))
+    val onCol = m.group(1).replace("\"", "")
+    val aggText = m.group(3).trim
+    val vals: Seq[Any] = Option(m.group(2)) match {
+      case Some(inList) =>
+        splitTopLevel(inList, ',').map { it =>
+          val t = it.trim
+          if (t.startsWith("'") && t.endsWith("'"))
+            t.substring(1, t.length - 1).replace("''", "'")
+          else scala.util.Try(t.toLong).getOrElse(
+            scala.util.Try(t.toDouble).getOrElse(t): Any)
+        }
+      case None =>
+        val d = src.select(fcol(onCol)).distinct().orderBy(fcol(onCol))
+          .limit(1001).collect().map(_.get(0)).toSeq
+        if (d.size > 1000) throw new IllegalArgumentException(
+          s"PIVOT: column $onCol has more than 1000 distinct values; " +
+            "give an explicit IN (…) list")
+        d.filter(_ != null)
+    }
+    val groupCols = Option(m.group(4)) match {
+      case Some(g) => splitTopLevel(g, ',').map(_.replace("\"", "").trim)
+      case None =>
+        // DuckDB's implicit grouping (measured): every source column
+        // not referenced by ON or USING
+        val used = (colsOf(aggText) :+ onCol).map(_.toLowerCase).toSet
+        schema.filterNot(c => used(c.toLowerCase))
+    }
+    var out = src.groupBy(groupCols.map(fcol): _*)
+      .pivot(onCol, vals).agg(expr(aggText))
+    val fn = aggText.takeWhile(_ != '(').trim.toLowerCase
+    if (fn == "count")
+      out = out.select((groupCols.map(fcol) ++
+        vals.map(v => coalesce(fcol(s"`${v.toString}`"), lit(0)).as(v.toString))): _*)
+    Option(m.group(5)).foreach { ob =>
+      out = out.orderBy(splitTopLevel(ob, ',').map(e => expr(e.trim)): _*)
+    }
+    Option(m.group(6)).foreach(n => out = out.limit(n.toInt))
+    Some(Engine.ExecResult(out, "SELECT"))
+  }
+
   /** DuckDB `CHECKPOINT [db]` / `FORCE CHECKPOINT` / `PRAGMA
     * force_checkpoint` — the reference forwards these to embedded
     * DuckDB (duck_server routes all statement text unchanged), where
@@ -5825,6 +5934,107 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
   private val pgSeen = new java.util.concurrent.atomic.AtomicLong(-1L)
   private val procSeen = new java.util.concurrent.atomic.AtomicLong(-1L)
   private val sysSeen = new java.util.concurrent.atomic.AtomicLong(-1L)
+  private val duckSeen = new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  /** DuckDB's own introspection TVFs — `duckdb_tables()`,
+    * `duckdb_columns()`, … (duckdb catalog functions; scripts ported
+    * from the reference's backing engine use them directly). Same
+    * lazy-per-DDL-epoch temp-view pattern as the `system.*` family;
+    * the TVF call rewrites to the view name. Core columns of each
+    * DuckDB 1.0 shape; macros and sequences surface the engine's own
+    * registries (a created MACRO is introspectable here). */
+  private def refreshDuckCatalog(): Unit = {
+    val epoch = Engine.ddlEpoch.get()
+    if (duckSeen.get() == epoch) return
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val dbs = spark.catalog.listDatabases().collect().map(_.name.toLowerCase).sorted.toSeq
+    Seq(("memory", 0L, "", false, "duckdb"))
+      .toDF("database_name", "database_oid", "path", "internal", "type")
+      .createOrReplaceTempView("__duck_databases")
+    dbs.zipWithIndex.map { case (d, i) => (i.toLong, "memory", d, false) }
+      .toDF("oid", "database_name", "schema_name", "internal")
+      .createOrReplaceTempView("__duck_schemas")
+    val tbls = dbs.flatMap { d =>
+      spark.catalog.listTables(d).collect()
+        .filterNot(t => t.isTemporary || Engine.isHiddenTable(t.name))
+    .filter(_.tableType != "VIEW")
+        .map { t =>
+          val q = s"$d.${t.name.toLowerCase}"
+          val cols = try spark.table(q).schema.size catch { case _: Throwable => 0 }
+          ("memory", d, t.name.toLowerCase, false, false,
+            Option(constraints.get(q)).exists(_.pk.nonEmpty), cols.toLong)
+        }
+    }
+    tbls.toDF("database_name", "schema_name", "table_name", "internal",
+        "temporary", "has_primary_key", "column_count")
+      .createOrReplaceTempView("__duck_tables")
+    val vws = dbs.flatMap { d =>
+      spark.catalog.listTables(d).collect()
+        .filter(t => !t.isTemporary && t.tableType == "VIEW")
+        .map(t => ("memory", d, t.name.toLowerCase, false, false))
+    }
+    vws.toDF("database_name", "schema_name", "view_name", "internal", "temporary")
+      .createOrReplaceTempView("__duck_views")
+    val cols = dbs.flatMap { d =>
+      spark.catalog.listTables(d).collect()
+        .filterNot(t => t.isTemporary || Engine.isHiddenTable(t.name))
+        .flatMap { t =>
+          val rows: Seq[(String, String, String, String, Long, Boolean, String, Boolean)] =
+            try spark.table(s"$d.${t.name}").schema.fields.zipWithIndex.toSeq.map {
+              case (f, i) =>
+                ("memory", d, t.name.toLowerCase, f.name, i.toLong, false,
+                  graft.functions.DuckTypeNames.of(f.dataType), f.nullable)
+            } catch { case scala.util.control.NonFatal(_) => Nil }
+          rows
+        }
+    }
+    cols.toDF("database_name", "schema_name", "table_name", "column_name",
+        "column_index", "internal", "data_type", "is_nullable")
+      .createOrReplaceTempView("__duck_columns")
+    val fns = spark.catalog.listFunctions().collect().toSeq
+      .map(f => ("memory", "main", f.name.toLowerCase, "scalar", "")) ++
+      macros.asScala.toSeq.sortBy(_._1).map { case (n, d) =>
+        ("memory", "main", n, if (d.isTable) "table_macro" else "macro",
+          s"${n}(${d.params.mkString(", ")}) AS ${d.body}")
+      }
+    fns.toDF("database_name", "schema_name", "function_name",
+        "function_type", "macro_definition")
+      .createOrReplaceTempView("__duck_functions")
+    val seqs = sequences.asScala.toSeq
+      .filterNot { case (n, _) => Engine.isTempConnName(n.split('.').last) }
+      .sortBy(_._1).map { case (n, s) =>
+        val parts = n.split('.')
+        ("memory", if (parts.length > 1) parts(0) else "main", parts.last,
+          s.inc, s.next.get())
+      }
+    seqs.toDF("database_name", "schema_name", "sequence_name",
+        "increment_by", "last_value")
+      .createOrReplaceTempView("__duck_sequences")
+    val cons = constraints.asScala.toSeq.sortBy(_._1).flatMap { case (q, c) =>
+      val parts = q.split('.')
+      val (db, t) = (if (parts.length > 1) parts(0) else "main", parts.last)
+      def row(kind: String, cols: Seq[String], ex: String = "") =
+        ("memory", db, t, kind, cols, ex)
+      (if (c.pk.nonEmpty) Seq(row("PRIMARY KEY", c.pk)) else Nil) ++
+        c.unique.map(u => row("UNIQUE", u)) ++
+        c.notNull.map(nn => row("NOT NULL", Seq(nn))) ++
+        c.fks.map(f => row("FOREIGN KEY", f.cols,
+          s"REFERENCES ${f.refTable}(${f.refCols.mkString(", ")})")) ++
+        c.checks.map(ck => row("CHECK", Nil, ck))
+    }
+    cons.toDF("database_name", "schema_name", "table_name",
+        "constraint_type", "constraint_column_names", "expression")
+      .createOrReplaceTempView("__duck_constraints")
+    Seq(("threads", spark.sparkContext.defaultParallelism.toString,
+          "number of worker threads", "BIGINT"),
+        ("memory_limit", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"),
+          "memory limit", "VARCHAR"),
+        ("version", spark.version, "engine version", "VARCHAR"))
+      .toDF("name", "value", "description", "input_type")
+      .createOrReplaceTempView("__duck_settings")
+    duckSeen.set(epoch)
+  }
 
   private def refreshInformationSchema(): Unit = {
     val epoch = Engine.ddlEpoch.get()
@@ -7512,6 +7722,8 @@ object Engine {
   private val infoSchemaRe =
     """(?i)information_schema\.(schemata|tables|columns|constraint_column_usage)""".r
   private val sysCatalogRe = """(?i)\bsystem\.(databases|tables|columns|functions)\b""".r
+  private val duckCatalogRe =
+    """(?i)\bduckdb_(tables|columns|views|schemas|databases|functions|settings|sequences|constraints)\s*\(\s*\)""".r
   private val pgRelRe =
     """(?i)\bpg_(class|namespace|am|proc|attribute|attrdef|collation|index|constraint|database|roles)\b""".r
   private val psqlStubRe =

@@ -169,6 +169,67 @@ class ServerEngineSpec extends SparkSpecBase {
     }
   }
 
+  test("duckdb_* introspection TVFs: tables/columns/functions/sequences/constraints") {
+    def rows(sql: String): Seq[String] =
+      engine.execute(sql).df.collect().map(_.toString).toSeq
+    fresh("c_dintro")
+    engine.execute("create table main.c_dintro (id INT PRIMARY KEY, v STRING) using parquet")
+    engine.execute("create macro dintro_mac(a) as a + 1")
+    engine.execute("drop sequence if exists main.dintro_seq")
+    engine.execute("create sequence main.dintro_seq start with 5")
+    try {
+      assert(rows("select table_name, has_primary_key, column_count from duckdb_tables() " +
+        "where table_name = 'c_dintro'") == Seq("[c_dintro,true,2]"))
+      assert(rows("select column_name, data_type, is_nullable from duckdb_columns() " +
+        "where table_name = 'c_dintro' order by column_index").size == 2)
+      assert(rows("select function_type, macro_definition from duckdb_functions() " +
+        "where function_name = 'dintro_mac'") == Seq("[macro,dintro_mac(a) AS a + 1]"))
+      assert(rows("select sequence_name, increment_by from duckdb_sequences() " +
+        "where sequence_name = 'dintro_seq'") == Seq("[dintro_seq,1]"))
+      assert(rows("select constraint_type from duckdb_constraints() " +
+        "where table_name = 'c_dintro'").contains("[PRIMARY KEY]"))
+      assert(rows("select database_name from duckdb_databases()") == Seq("[memory]"))
+      assert(rows("select schema_name from duckdb_schemas() where schema_name = 'main'").nonEmpty)
+      assert(rows("select value from duckdb_settings() where name = 'version'").nonEmpty)
+    } finally {
+      engine.execute("drop macro if exists dintro_mac")
+      engine.execute("drop sequence if exists main.dintro_seq")
+      engine.execute("drop table if exists main.c_dintro")
+    }
+  }
+
+  test("statement-level PIVOT/UNPIVOT: DuckDB simplified spellings") {
+    fresh("c_piv")
+    engine.execute("create table main.c_piv as " +
+      "select id % 3 as r, id as k, concat('x', id) as s from range(6)")
+    // implicit grouping = all columns not referenced by ON/USING
+    // (measured against DuckDB: schema k,s,0,1,2; count zero-fills)
+    val p1 = engine.execute("pivot main.c_piv on r using count(*)").df
+    assert(p1.schema.fieldNames.toSeq == Seq("k", "s", "0", "1", "2"))
+    assert(p1.orderBy("k").collect().map(_.toString).toSeq.head == "[0,x0,1,0,0]")
+    // explicit GROUP BY keeps only the named columns; sum leaves null
+    val p2 = engine.execute("pivot main.c_piv on r using sum(k) group by s").df
+    assert(p2.schema.fieldNames.toSeq == Seq("s", "0", "1", "2"))
+    assert(p2.filter(org.apache.spark.sql.functions.col("s") === "x3")
+      .collect().head.toString == "[x3,3,null,null]")
+    // explicit IN list restricts and orders the pivot columns
+    val p3 = engine.execute(
+      "pivot main.c_piv on r in (2, 0) using sum(k) group by s").df
+    assert(p3.schema.fieldNames.toSeq == Seq("s", "2", "0"))
+    // trailing ORDER BY / LIMIT
+    val p4 = engine.execute(
+      "pivot main.c_piv on r using sum(k) group by s order by s limit 2").df
+    assert(p4.collect().map(_.getString(0)).toSeq == Seq("x0", "x1"))
+    // UNPIVOT with default and custom output names
+    val u1 = engine.execute("unpivot (select 1 as a, 2 as b) on a, b").df
+    assert(u1.schema.fieldNames.toSeq == Seq("name", "value"))
+    assert(u1.collect().map(_.toString).toSeq == Seq("[a,1]", "[b,2]"))
+    val u2 = engine.execute(
+      "unpivot (select 1 as a, 2 as b, 'z' as id) on a, b into name n2 value v").df
+    assert(u2.schema.fieldNames.toSeq == Seq("id", "n2", "v"))
+    engine.execute("drop table main.c_piv")
+  }
+
   test("SQL-level PREPARE/EXECUTE/DEALLOCATE: params splice, connection-scoped") {
     def one(sql: String): String =
       engine.execute(sql).df.collect().head.toString

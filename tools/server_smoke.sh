@@ -154,6 +154,17 @@ psql $P -c "drop table main.smoke" >/dev/null 2>&1
 # FORMAT clause; the names+types header pair is what the driver parses
 chk "ch jdbc-style TSVWithNamesAndTypes" "x;Int32;1" "$($CURL "http://127.0.0.1:$CH/" -d 'SELECT 1 AS x FORMAT TabSeparatedWithNamesAndTypes' | paste -sd';' -)"
 
+# DuckDB introspection TVFs (r15b)
+chk "pg duckdb_tables" "nation_raw" "$(psql $P -tA -c "select table_name from duckdb_tables() where table_name = 'nation_raw'" 2>&1)"
+chk "pg duckdb_views"  "nation" "$(psql $P -tA -c "select view_name from duckdb_views() where view_name = 'nation'" 2>&1)"
+chk "pg duckdb_columns" "3" "$(psql $P -tA -c "select count(*) from duckdb_columns() where table_name = 'nation'" 2>&1)"
+chk "pg duckdb_settings" "ok" "$(psql $P -tA -c "select 'ok' from duckdb_settings() where name = 'version'" 2>&1)"
+
+# DuckDB statement-level PIVOT/UNPIVOT (r15b): 25 nations pivot to 25
+# rows (group by nationkey), 5 region columns; unpivot to name/value
+chk "pg pivot stmt rows" "25" "$(psql $P -tA -c 'pivot nation on n_regionkey using count(*) group by n_nationkey' 2>&1 | wc -l)"
+chk "pg unpivot stmt" "a|1" "$(psql $P -tA -F'|' -c 'unpivot (select 1 as a, 2 as b) on a, b' 2>&1 | head -1)"
+
 # SQL-level prepared statements (r15b): PREPARE/EXECUTE/DEALLOCATE on
 # one connection; a second connection must not see the name
 chk "pg prepare/execute" "42" "$(psql $P -tA -c "prepare smoke_pq as select \$1 + \$2" -c "execute smoke_pq(40, 2)" -c "deallocate smoke_pq" 2>&1 | head -2 | tail -1)"
