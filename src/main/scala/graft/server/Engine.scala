@@ -52,6 +52,18 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
     appendMutexes.computeIfAbsent(qualify(t),
       _ => new java.util.concurrent.locks.ReentrantLock())
 
+  /** index name → (qualified table, columns, unique) — see the
+    * CREATE INDEX intercept doc at [[Engine.createIndexRe]]. */
+  private val indexes =
+    new ConcurrentHashMap[String, (String, Seq[String], Boolean)]()
+  private def persistIndexes(): Unit = dbPath.foreach { p =>
+    import scala.jdk.CollectionConverters._
+    val lines = indexes.asScala.toSeq.sortBy(_._1).map { case (n, (t, cs, u)) =>
+      s"$n\t$t\t${cs.mkString(",")}\t${if (u) "U" else ""}"
+    }
+    writeFile(s"$p/indexes.tsv", lines.mkString("\n"))
+  }
+
   /** Engine-wide count of OPEN transaction blocks, every connection.
     * Maintained by the single BEGIN site and [[TxnState.reset]] (the
     * one funnel every txn exit passes — COMMIT, ROLLBACK, and the
@@ -3476,6 +3488,83 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       pivotUnpivotIntercept(sql).foreach(r => return r)
     }
 
+    // DuckDB INSERT OR IGNORE / OR REPLACE: sugar over the ON CONFLICT
+    // machinery. OR REPLACE updates every non-key column from the
+    // incoming row (DuckDB semantics); a table whose every column IS
+    // the key degenerates to DO NOTHING (nothing left to update).
+    insertOrRe.findFirstMatchIn(sql).foreach { m =>
+      val tbl = m.group(2)
+      val rest = m.group(3)
+      if (m.group(1).equalsIgnoreCase("ignore"))
+        return executeInner(s"insert into $tbl $rest on conflict do nothing",
+          allowReserved)
+      val q = qualify(resolveRenamed(resolveConnTemp(tbl.replace("\"", ""))))
+      val key = identityKeyOf(q)
+      if (key.isEmpty)
+        throw new IllegalArgumentException(
+          s"INSERT OR REPLACE requires a PRIMARY KEY or UNIQUE constraint on $tbl")
+      val keySet = key.map(_.toLowerCase).toSet
+      val sets = spark.table(q).schema.fieldNames
+        .filterNot(c => keySet(c.toLowerCase))
+        .map(c => s"$c = excluded.$c").mkString(", ")
+      return executeInner(
+        if (sets.isEmpty) s"insert into $tbl $rest on conflict do nothing"
+        else s"insert into $tbl $rest on conflict do update set $sets",
+        allowReserved)
+    }
+
+    // DuckDB CREATE [UNIQUE] INDEX / DROP INDEX (see [[indexes]])
+    createIndexRe.findFirstMatchIn(sql).foreach { m =>
+      val unique = m.group(1) != null
+      val ifNotExists = m.group(2) != null
+      val name = m.group(3).toLowerCase
+      val tbl = m.group(4)
+      val cols = splitTopLevel(m.group(5), ',').map(_.replace("\"", "").trim.toLowerCase)
+      val q = qualify(resolveRenamed(resolveConnTemp(tbl.replace("\"", ""))))
+      if (!spark.catalog.tableExists(q))
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+          q.split('.').toIndexedSeq)
+      if (indexes.containsKey(name)) {
+        if (ifNotExists) return ExecResult(null, "CREATE INDEX")
+        throw new IllegalArgumentException(s"""index "$name" already exists""")
+      }
+      if (unique) {
+        // a UNIQUE index is a constraint: existing rows must already
+        // satisfy it (DuckDB validates at creation too)
+        val sel = cols.map(c => s"`$c`").mkString(", ")
+        val dup = txnExec(
+          s"SELECT $sel FROM $q GROUP BY $sel HAVING count(*) > 1 LIMIT 1")
+        if (dup.limit(1).collect().nonEmpty)
+          throw new IllegalArgumentException(
+            s"""could not create unique index "$name": table $tbl contains """ +
+              s"duplicate values on (${cols.mkString(", ")})")
+        val c0 = Option(constraints.get(q)).getOrElse(Constraints(Nil, Nil, Nil))
+        constraints.put(q, c0.copy(unique = c0.unique :+ cols))
+        persistConstraints()
+      }
+      indexes.put(name, (q, cols, unique))
+      persistIndexes()
+      return ExecResult(null, "CREATE INDEX")
+    }
+    dropIndexRe.findFirstMatchIn(sql).foreach { m =>
+      val name = m.group(2).toLowerCase
+      Option(indexes.remove(name)) match {
+        case Some((t, cols, unique)) =>
+          if (unique) Option(constraints.get(t)).foreach { c =>
+            val i = c.unique.indexOf(cols)
+            if (i >= 0)
+              constraints.put(t, c.copy(unique =
+                c.unique.patch(i, Nil, 1)))
+            persistConstraints()
+          }
+          persistIndexes()
+        case None =>
+          if (m.group(1) == null)
+            throw new IllegalArgumentException(s"""index "$name" does not exist""")
+      }
+      return ExecResult(null, "DROP INDEX")
+    }
+
     // SQL-level PREPARE/EXECUTE/DEALLOCATE (PG and DuckDB both; the
     // wire-level Parse/Bind is a separate machine in PgConnection).
     // Connection-scoped; EXECUTE splices the argument expressions into
@@ -5154,9 +5243,12 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       val rel = if (phys == table) table else s"$phys ${table0.split('.').last}"
       val schema = spark.table(phys).schema
       val cols = schema.fieldNames
+      // quoted assigned-column spellings match the field name (same
+      // r15b fix as the ON CONFLICT SET parser: `SET "v" = …` silently
+      // skipped the assignment)
       val sets = splitTopLevel(setClause, ',').map { a =>
         val Array(c, e) = a.split("=", 2).map(_.trim)
-        c.toLowerCase -> e
+        c.replace("\"", "").replace("`", "").toLowerCase -> e
       }.toMap
       val pred = where.getOrElse("true")
       // assignment cast: the SET expression coerces to the COLUMN's
@@ -5424,9 +5516,14 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
             enforceRowLocal(table, staged)
             // DO UPDATE: new table image = existing rows (updated where
             // a source row matches) + non-matching source rows
+            // strip identifier quoting when matching the assigned
+            // column: `SET "v" = …` / `SET \`v\` = …` silently skipped
+            // the assignment pre-fix (the lowercased quoted spelling
+            // never matched a field name — r15b find, surfaced by the
+            // INSERT OR REPLACE sugar generating backticked sets)
             val sets = splitTopLevel(setsPart, ',').map { a =>
               val Array(c, e) = a.split("=", 2).map(_.trim)
-              c.toLowerCase -> e
+              c.replace("\"", "").replace("`", "").toLowerCase -> e
             }.toMap
             val upd = whereOpt match {
               case Some(w) => s"excluded.`${keys.head}` IS NOT NULL AND ($w)"
@@ -6960,6 +7057,13 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
         case _ =>
       }
     }
+    lines("indexes.tsv").foreach { l =>
+      l.split("\t", -1) match {
+        case Array(n, t, cs, u) =>
+          indexes.put(n, (t, if (cs.isEmpty) Nil else cs.split(",").toSeq, u == "U"))
+        case _ =>
+      }
+    }
     lines("constraints.tsv").foreach { l =>
       val parts = l.split("\t", -1)
       if (parts.length >= 4) {
@@ -7328,6 +7432,19 @@ object Engine {
     """(?is)^\s*reset\s+variable\s+(\w+)\s*$""".r
   private val orReplaceTableRe =
     """(?is)^\s*create\s+or\s+replace\s+table\s+([\w."]+)\s*([\s(].*)$""".r
+  // DuckDB INSERT OR IGNORE / OR REPLACE — sugar over ON CONFLICT
+  private val insertOrRe =
+    """(?is)^\s*insert\s+or\s+(ignore|replace)\s+into\s+([\w."]+)\s*(.*)$""".r
+  // DuckDB CREATE [UNIQUE] INDEX / DROP INDEX. There are no secondary
+  // indexes over parquet scans — a plain index is an honest no-op
+  // (results identical, DuckDB's ART only changes speed) — but a
+  // UNIQUE index is a CONSTRAINT and must enforce: it registers a
+  // unique set on the table (validated against existing rows first)
+  // that every write path then checks, and DROP INDEX deregisters it.
+  private val createIndexRe =
+    """(?is)^\s*create\s+(unique\s+)?index\s+(if\s+not\s+exists\s+)?(\w+)\s+on\s+([\w."]+)\s*\(([^)]+)\)\s*$""".r
+  private val dropIndexRe =
+    """(?is)^\s*drop\s+index\s+(if\s+exists\s+)?(\w+)\s*$""".r
   // SQL-level prepared statements (PG/DuckDB both): the optional
   // parenthesized type list after the name is accepted and ignored
   // (argument splicing is textual, types come out of analysis)

@@ -169,6 +169,58 @@ class ServerEngineSpec extends SparkSpecBase {
     }
   }
 
+  test("INSERT OR IGNORE/REPLACE sugar; CREATE UNIQUE INDEX enforces, plain is a no-op") {
+    def rows(sql: String): Seq[String] =
+      engine.execute(sql).df.collect().map(_.toString).toSeq
+    fresh("c_ins")
+    engine.execute("create table main.c_ins (id INT PRIMARY KEY, v STRING) using parquet")
+    engine.execute("insert into main.c_ins values (1, 'a')")
+    engine.execute("insert or ignore into main.c_ins values (1, 'dup'), (2, 'b')")
+    assert(rows("select * from main.c_ins order by id") == Seq("[1,a]", "[2,b]"))
+    engine.execute("insert or replace into main.c_ins values (1, 'A'), (3, 'c')")
+    assert(rows("select * from main.c_ins order by id") == Seq("[1,A]", "[2,b]", "[3,c]"))
+    // a UNIQUE index registers an enforced constraint; existing
+    // duplicates refuse creation
+    engine.execute("drop index if exists c_ins_v_uq")
+    engine.execute("create unique index c_ins_v_uq on main.c_ins (v)")
+    val dup = intercept[IllegalArgumentException] {
+      engine.execute("insert into main.c_ins values (4, 'A')")
+    }
+    assert(dup.getMessage.toLowerCase.contains("unique"))
+    val dupAtCreate = intercept[IllegalArgumentException] {
+      engine.execute("insert into main.c_ins values (4, 'd')")
+      engine.execute("insert into main.c_ins values (5, 'd')")
+    }
+    assert(dupAtCreate.getMessage.toLowerCase.contains("unique"))
+    engine.execute("delete from main.c_ins where id >= 4")
+    // DROP INDEX deregisters: the duplicate inserts cleanly after
+    engine.execute("drop index c_ins_v_uq")
+    engine.execute("insert into main.c_ins values (4, 'A')")
+    assert(rows("select count(*) from main.c_ins") == Seq("[4]"))
+    // plain index: accepted no-op, duplicate names refused, DROP works
+    engine.execute("create index c_ins_plain on main.c_ins (id)")
+    val dupIdx = intercept[IllegalArgumentException] {
+      engine.execute("create index c_ins_plain on main.c_ins (v)")
+    }
+    assert(dupIdx.getMessage.contains("already exists"))
+    engine.execute("create index if not exists c_ins_plain on main.c_ins (v)")
+    engine.execute("drop index c_ins_plain")
+    val gone = intercept[IllegalArgumentException] { engine.execute("drop index c_ins_plain") }
+    assert(gone.getMessage.contains("does not exist"))
+    // quoted assigned-column spellings update (silently skipped
+    // pre-fix in BOTH set parsers — surfaced by the sugar's generated
+    // backticks)
+    engine.execute("update main.c_ins set \"v\" = 'QQ' where id = 2")
+    assert(rows("select v from main.c_ins where id = 2") == Seq("[QQ]"))
+    // create-unique refused while duplicates exist
+    engine.execute("insert into main.c_ins values (9, 'A')")
+    val refuse = intercept[IllegalArgumentException] {
+      engine.execute("create unique index c_ins_bad on main.c_ins (v)")
+    }
+    assert(refuse.getMessage.contains("duplicate values"))
+    engine.execute("drop table main.c_ins")
+  }
+
   test("duckdb_* introspection TVFs: tables/columns/functions/sequences/constraints") {
     def rows(sql: String): Seq[String] =
       engine.execute(sql).df.collect().map(_.toString).toSeq

@@ -154,6 +154,13 @@ psql $P -c "drop table main.smoke" >/dev/null 2>&1
 # FORMAT clause; the names+types header pair is what the driver parses
 chk "ch jdbc-style TSVWithNamesAndTypes" "x;Int32;1" "$($CURL "http://127.0.0.1:$CH/" -d 'SELECT 1 AS x FORMAT TabSeparatedWithNamesAndTypes' | paste -sd';' -)"
 
+# INSERT OR IGNORE/REPLACE + CREATE [UNIQUE] INDEX (r15b)
+psql $P -c "drop table if exists main.ins_smoke" >/dev/null 2>&1
+chk "pg insert or replace" "1|B" "$(psql $P -tA -F'|' -c 'create table main.ins_smoke (id int primary key, v string)' -c "insert into ins_smoke values (1, 'a')" -c "insert or replace into ins_smoke values (1, 'B')" -c 'select * from ins_smoke' 2>&1 | tail -1)"
+chk "pg unique index" "blocked" "$(psql $P -c 'create unique index ins_smoke_uq on main.ins_smoke (v)' >/dev/null 2>&1; psql $P -c "insert into ins_smoke values (2, 'B')" 2>&1 | grep -q 'unique' && echo blocked)"
+psql $P -c 'drop index ins_smoke_uq' >/dev/null 2>&1
+psql $P -c "drop table main.ins_smoke" >/dev/null 2>&1
+
 # DuckDB introspection TVFs (r15b)
 chk "pg duckdb_tables" "nation_raw" "$(psql $P -tA -c "select table_name from duckdb_tables() where table_name = 'nation_raw'" 2>&1)"
 chk "pg duckdb_views"  "nation" "$(psql $P -tA -c "select view_name from duckdb_views() where view_name = 'nation'" 2>&1)"
