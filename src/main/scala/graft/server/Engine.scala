@@ -6634,6 +6634,38 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       schemaSql.append(s"CREATE TABLE $t (${(colDefs ++ tail).mkString(", ")});\n")
       loadSql.append(s"COPY $t FROM '$out' (FORMAT PARQUET);\n")
     }
+    // the rest of the catalog DuckDB's own EXPORT carries (r15b):
+    // sequences at their CURRENT position, views (late-bound text),
+    // macros, and PLAIN indexes — unique indexes are deliberately
+    // absent because their enforcement already exported as a UNIQUE
+    // table constraint above (re-declaring both would double-register
+    // at IMPORT, whose replay runs schema.sql through execute())
+    sequences.asScala.toSeq
+      .filterNot { case (n, _) => Engine.isTempConnName(n.split('.').last) }
+      .sortBy(_._1).foreach { case (n, s) =>
+        schemaSql.append(s"CREATE SEQUENCE ${n.split('.').last} START WITH " +
+          s"${s.next.get()} INCREMENT BY ${s.inc};\n")
+      }
+    spark.catalog.listTables(db).collect()
+      .filter(t => !t.isTemporary && t.tableType == "VIEW")
+      .map(_.name).sorted.foreach { v =>
+        val text =
+          try spark.sessionState.catalog.getTableMetadata(
+            spark.sessionState.sqlParser.parseTableIdentifier(s"$db.$v")).viewText
+          catch { case scala.util.control.NonFatal(_) => None }
+        text.foreach(b => schemaSql.append(s"CREATE VIEW $v AS $b;\n"))
+      }
+    macros.asScala.toSeq.sortBy(_._1).foreach { case (n, d) =>
+      val ps = d.params.map(p =>
+        d.defaults.get(p).map(dd => s"$p := $dd").getOrElse(p)).mkString(", ")
+      schemaSql.append(s"CREATE MACRO $n($ps) AS " +
+        s"${if (d.isTable) "TABLE " else ""}${d.body};\n")
+    }
+    indexes.asScala.toSeq.sortBy(_._1).foreach { case (n, (t, cs, unique)) =>
+      if (!unique)
+        schemaSql.append(s"CREATE INDEX $n ON ${t.split('.').last} " +
+          s"(${cs.mkString(", ")});\n")
+    }
     writeFile(s"$path/schema.sql", schemaSql.toString)
     writeFile(s"$path/load.sql", loadSql.toString)
     ExecResult(null, s"EXPORT ${tables.length}")

@@ -1302,13 +1302,31 @@ class ServerEngineSpec extends SparkSpecBase {
     val prevDb = spark.catalog.currentDatabase
     spark.catalog.setCurrentDatabase("expdb")
     try {
+      // the r15b additions DuckDB's own EXPORT also carries
+      engine.execute("drop view if exists expdb.exp_v")
+      engine.execute("drop macro if exists exp_mac")
+      engine.execute("drop index if exists exp_idx")
+      engine.execute("drop sequence if exists exp_seq")
+      engine.execute("create view expdb.exp_v as select k + 1 as k1 from expdb.exp_t")
+      engine.execute("create macro exp_mac(a, b := 5) as a * b")
+      engine.execute("create index exp_idx on expdb.exp_t (v)")
+      engine.execute("create sequence exp_seq start with 41")
+      assert(engine.execute("select nextval('exp_seq') as n").df.head().getLong(0) == 41L)
       val ex = engine.execute(s"EXPORT DATABASE '$dir'")
       assert(ex.tag.startsWith("EXPORT"))
       val schema = new String(Files.readAllBytes(new java.io.File(dir, "schema.sql").toPath))
       assert(schema.contains("CREATE TYPE exp_kind AS ENUM"))
       assert(schema.contains("PRIMARY KEY (k)") && schema.contains("v VARCHAR NOT NULL"))
+      assert(schema.contains("CREATE VIEW exp_v AS"))
+      assert(schema.contains("CREATE MACRO exp_mac(a, b := 5) AS a * b"))
+      assert(schema.contains("CREATE INDEX exp_idx ON exp_t (v)"))
+      assert(schema.contains("CREATE SEQUENCE exp_seq START WITH 42"))
       assert(new java.io.File(dir, "exp_t.parquet").exists())
       // wipe and re-import
+      engine.execute("drop view expdb.exp_v")
+      engine.execute("drop macro exp_mac")
+      engine.execute("drop index exp_idx")
+      engine.execute("drop sequence exp_seq")
       engine.execute("drop table expdb.exp_t")
       engine.execute("DROP TYPE exp_kind")
       val im = engine.execute(s"IMPORT DATABASE '$dir'")
@@ -1321,8 +1339,18 @@ class ServerEngineSpec extends SparkSpecBase {
         engine.execute("insert into expdb.exp_t values (1, 'dup', 'a')") }
       intercept[IllegalArgumentException] {
         engine.execute("insert into expdb.exp_t values (3, 'z', 'nope')") }
+      // the re-imported catalog extras answer: view reads through the
+      // re-imported table, the macro binds, the sequence CONTINUES
+      // from its exported position
+      assert(engine.execute("select min(k1) as m from expdb.exp_v").df.head().getLong(0) == 2L)
+      assert(engine.execute("select exp_mac(3) as v").df.head().getInt(0) == 15)
+      assert(engine.execute("select nextval('exp_seq') as n").df.head().getLong(0) == 42L)
     } finally {
       spark.catalog.setCurrentDatabase(prevDb)
+      engine.execute("drop view if exists expdb.exp_v")
+      engine.execute("drop macro if exists exp_mac")
+      engine.execute("drop index if exists exp_idx")
+      engine.execute("drop sequence if exists exp_seq")
       engine.execute("drop table if exists expdb.exp_t")
       engine.execute("DROP TYPE IF EXISTS exp_kind")
     }
