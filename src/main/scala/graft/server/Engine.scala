@@ -31,6 +31,21 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
   private def lockFor(t: String) =
     tableLocks.computeIfAbsent(qualify(t), _ => new ReentrantReadWriteLock())
 
+  // PG current_setting: clients/tools probe a handful of GUCs, often
+  // as the FIRST statement of a connect sequence — registered at
+  // construction, NOT in the lazy pg-catalog refresh (which only
+  // fires once a query references pg_catalog). Common GUCs answered,
+  // empty string otherwise (a hard error breaks whole connects).
+  spark.udf.register("current_setting", (name: String) =>
+    Option(name).map(_.toLowerCase).getOrElse("") match {
+      case "search_path" => "main"
+      case "server_version" => "15.0 (graft)"
+      case "server_encoding" | "client_encoding" => "UTF8"
+      case "timezone" => "UTC"
+      case "max_index_keys" => "32"
+      case _ => ""
+    })
+
   /** Append-vs-append serialization (r15 torture-spec find): appends
     * correctly interleave with everything lighter than a rewriter's
     * write lock, but two SIMULTANEOUS append JOBS into one table
@@ -4157,14 +4172,19 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
               else s"SELECT * FROM $target"
       return summarize(q)
     }
-    describeQueryRe.findFirstMatchIn(sql).foreach { m =>
-      val schema = analyzeOnly(m.group(1)).schema
+    def describeShape(schema: org.apache.spark.sql.types.StructType): ExecResult = {
       import spark.implicits._
       val df = schema.fields.toSeq
         .map(f => (f.name, graft.functions.DuckTypeNames.of(f.dataType),
           if (f.nullable) "YES" else "NO"))
         .toDF("column_name", "column_type", "null")
-      return ExecResult(df, "SELECT")
+      ExecResult(df, "SELECT")
+    }
+    describeQueryRe.findFirstMatchIn(sql).foreach { m =>
+      return describeShape(analyzeOnly(m.group(1)).schema)
+    }
+    describeTableRe.findFirstMatchIn(sql).foreach { m =>
+      return describeShape(analyzeOnly(s"SELECT * FROM ${m.group(1)}").schema)
     }
 
     // psql footer queries over catalogs with no analog here (extended
@@ -7490,6 +7510,11 @@ object Engine {
     """(?is)^\s*(vacuum(?:\s+analyze)?|analyze)(?:\s+([\w.]+)\s*(?:\([^)]*\))?)?\s*$""".r
 
   private val describeQueryRe = """(?is)^\s*describe\s+((?:select|with|values)\b.+)$""".r
+  // bare `DESCRIBE <table>` answers the same DuckDB 3-column shape as
+  // the query form (Spark's own DESCRIBE prints Spark type names —
+  // `int` where every DuckDB client expects INTEGER)
+  private val describeTableRe =
+    """(?is)^\s*describe\s+(?:table\s+)?([\w."]+)\s*$""".r
   private val summarizeRe = """(?is)^\s*summarize\s+(.+)$""".r
   private val createSeqRe =
     """(?is)^\s*create\s+(temp(?:orary)?\s+)?sequence\s+(if\s+not\s+exists\s+)?([\w.]+)(.*)$""".r

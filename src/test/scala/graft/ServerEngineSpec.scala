@@ -392,6 +392,17 @@ class ServerEngineSpec extends SparkSpecBase {
     } finally exec.shutdown()
     engine.execute("reset variable c_mv")
     intercept[Exception] { engine.execute("select getvariable('c_mv')") }
+    // bare DESCRIBE <table> answers the DuckDB 3-column shape with
+    // DuckDB type names (Spark's native DESCRIBE says `int`)
+    fresh("c_desc")
+    engine.execute("create table main.c_desc (id INT, v STRING) using parquet")
+    val d = engine.execute("describe main.c_desc").df
+    assert(d.schema.fieldNames.toSeq == Seq("column_name", "column_type", "null"))
+    assert(d.collect().map(_.toString).toSeq ==
+      Seq("[id,INTEGER,YES]", "[v,VARCHAR,YES]"))
+    engine.execute("drop table main.c_desc")
+    // PG current_setting shim answers the common GUCs
+    assert(one("select current_setting('search_path') as p") == "[main]")
   }
 
   test("concurrent INSERT jobs into one unconstrained table: every row lands, zero errors") {

@@ -154,6 +154,10 @@ psql $P -c "drop table main.smoke" >/dev/null 2>&1
 # FORMAT clause; the names+types header pair is what the driver parses
 chk "ch jdbc-style TSVWithNamesAndTypes" "x;Int32;1" "$($CURL "http://127.0.0.1:$CH/" -d 'SELECT 1 AS x FORMAT TabSeparatedWithNamesAndTypes' | paste -sd';' -)"
 
+# DESCRIBE <table> in DuckDB shape + current_setting shim (r15b)
+chk "pg describe table" "n_nationkey|INTEGER|YES" "$(psql $P -tA -F'|' -c 'describe nation' 2>&1 | head -1)"
+chk "pg current_setting" "main" "$(psql $P -tA -c "select current_setting('search_path')" 2>&1)"
+
 # INSERT OR IGNORE/REPLACE + CREATE [UNIQUE] INDEX (r15b)
 psql $P -c "drop table if exists main.ins_smoke" >/dev/null 2>&1
 chk "pg insert or replace" "1|B" "$(psql $P -tA -F'|' -c 'create table main.ins_smoke (id int primary key, v string)' -c "insert into ins_smoke values (1, 'a')" -c "insert or replace into ins_smoke values (1, 'B')" -c 'select * from ins_smoke' 2>&1 | tail -1)"
