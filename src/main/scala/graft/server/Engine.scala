@@ -3539,6 +3539,9 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       if (!spark.catalog.tableExists(q))
         throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
           q.split('.').toIndexedSeq)
+      if (isView(q))
+        throw new IllegalArgumentException(
+          s"""cannot create index "$name": $tbl is a view""")
       if (indexes.containsKey(name)) {
         if (ifNotExists) return ExecResult(null, "CREATE INDEX")
         throw new IllegalArgumentException(s"""index "$name" already exists""")
