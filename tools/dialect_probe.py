@@ -189,6 +189,10 @@ def setnorm(lines):
 
 
 BATTERY = r"""
+-- r15b statement surface: simplified PIVOT/UNPIVOT, USING SAMPLE
+pivot nation on n_regionkey using count(*) group by n_nationkey order by n_nationkey limit 3
+unpivot (select 1 as a, 2 as b) on a, b
+select count(*) from (select * from nation using sample 10 rows)
 -- scalar string
 select reverse('abc')
 select repeat('ab', 3)
