@@ -3542,25 +3542,29 @@ final class Engine(val spark: SparkSession, val allowFileIo: Boolean = true,
       if (isView(q))
         throw new IllegalArgumentException(
           s"""cannot create index "$name": $tbl is a view""")
-      if (indexes.containsKey(name)) {
+      // atomic claim of the name (two racing CREATEs must not both
+      // pass a containsKey check); the placeholder is replaced by the
+      // real entry below, or removed on a validation failure
+      if (indexes.putIfAbsent(name, (q, cols, unique)) != null) {
         if (ifNotExists) return ExecResult(null, "CREATE INDEX")
         throw new IllegalArgumentException(s"""index "$name" already exists""")
       }
-      if (unique) {
-        // a UNIQUE index is a constraint: existing rows must already
-        // satisfy it (DuckDB validates at creation too)
-        val sel = cols.map(c => s"`$c`").mkString(", ")
-        val dup = txnExec(
-          s"SELECT $sel FROM $q GROUP BY $sel HAVING count(*) > 1 LIMIT 1")
-        if (dup.limit(1).collect().nonEmpty)
-          throw new IllegalArgumentException(
-            s"""could not create unique index "$name": table $tbl contains """ +
-              s"duplicate values on (${cols.mkString(", ")})")
-        val c0 = Option(constraints.get(q)).getOrElse(Constraints(Nil, Nil, Nil))
-        constraints.put(q, c0.copy(unique = c0.unique :+ cols))
-        persistConstraints()
-      }
-      indexes.put(name, (q, cols, unique))
+      try {
+        if (unique) {
+          // a UNIQUE index is a constraint: existing rows must already
+          // satisfy it (DuckDB validates at creation too)
+          val sel = cols.map(c => s"`$c`").mkString(", ")
+          val dup = txnExec(
+            s"SELECT $sel FROM $q GROUP BY $sel HAVING count(*) > 1 LIMIT 1")
+          if (dup.limit(1).collect().nonEmpty)
+            throw new IllegalArgumentException(
+              s"""could not create unique index "$name": table $tbl contains """ +
+                s"duplicate values on (${cols.mkString(", ")})")
+          val c0 = Option(constraints.get(q)).getOrElse(Constraints(Nil, Nil, Nil))
+          constraints.put(q, c0.copy(unique = c0.unique :+ cols))
+          persistConstraints()
+        }
+      } catch { case e: Throwable => indexes.remove(name); throw e }
       persistIndexes()
       return ExecResult(null, "CREATE INDEX")
     }
