@@ -234,7 +234,6 @@ object DedupQueries {
         |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
         |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
-      import org.apache.spark.sql.expressions.Window
       // r9: PPJoin-faithful verification. The md5 pass materializes as
       // ONE COMPACT ROW PER DOC — (doc_id, distinct-shingle array) —
       // and the candidate pairs verify by ROW-LOCAL array intersection:
@@ -260,15 +259,30 @@ object DedupQueries {
         .select(col("doc_id"), size(col("arr")).cast("long").as("n"),
           explode(col("arr")).as("sh"))
       val dfc = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      // per-doc rarest-first rank window: an r15 A/B of a row-local
+      // alternative (collect the (df, sh) postings per doc, sort_array,
+      // slice the prefix) was NOT faster — the object-buffer aggregate
+      // allocates a struct list per doc while the window sorts flat
+      // rows in codegen — so the proven window shape stays
+      import org.apache.spark.sql.expressions.Window
       val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
       val pre = sh.join(dfc, "sh")
         .withColumn("rk", row_number().over(wDoc))
         .filter(col("rk") <= col("n") - ceil(col("n") * 0.5) + 1)
         .select(col("doc_id"), col("sh"))
-      val cand = pre.select(col("doc_id").as("d1"), col("sh"))
-        .join(pre.select(col("doc_id").as("d2"), col("sh").as("shb")),
-          col("sh") === col("shb") && col("d1") < col("d2"))
-        .select(col("d1"), col("d2")).distinct()
+      // candidate pairs from grouped prefix postings (the bucket shape
+      // q_dedup_jaccard uses, minus the cap — the prefix filter must
+      // stay lossless): one exchange on the shingle key + an in-group
+      // ordered-pair explode replaces the prefix self-join (2 exchanges
+      // + sort-merge) feeding DISTINCT. Buckets are small by
+      // construction — prefixes hold each doc's RAREST shingles.
+      val cand = pre.groupBy(col("sh"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")) >= 2)
+        .select(explode(flatten(transform(col("ds"), (x, i) =>
+          transform(slice(col("ds"), i + 2, greatest(size(col("ds")) - i - 1, lit(0))),
+            y => struct(x.as("d1"), y.as("d2")))))).as("p"))
+        .select(col("p.d1").as("d1"), col("p.d2").as("d2")).distinct()
       cand
         .join(docArr.select(col("doc_id").as("d1"), col("arr").as("a1")), "d1")
         .join(docArr.select(col("doc_id").as("d2"), col("arr").as("a2")), "d2")
@@ -409,6 +423,12 @@ object DedupQueries {
             y => struct(x.getField("doc_id").as("d1"), x.getField("fp").as("f1"),
               y.getField("doc_id").as("d2"), y.getField("fp").as("f2")))))
         val hamming = bit_count(col("f1").bitwiseXOR(col("f2"))).cast("long")
+        // (r15 negative A/B: filtering hamming ≤ 3 BEFORE the distinct —
+        // "shuffle fewer rows" — measured consistently ~10% SLOWER here:
+        // the candidate stream is already tiny at any tier, the extra
+        // projection breaks the explode→aggregate fusion, and the map-
+        // side partial distinct dedups the band collisions before the
+        // exchange anyway. Kept as-is: dedup first, then the residual.)
         buckets.select(explode(pairArr).as("p")).select(col("p.*")).distinct()
           .withColumn("hamming", hamming)
           .filter(col("hamming") <= 3)

@@ -281,25 +281,44 @@ object TextQueries {
       val t = Tables(s, dir)
       // Shannon character entropy per document — the cheap gibberish /
       // binary-noise detector (very low entropy = repeated filler, very
-      // high = random bytes). Explode to (doc, char) then two
-      // aggregations; at 100 TB the first groupBy carries (doc, char)
-      // keys — bounded by alphabet size per doc — and partial
-      // aggregation collapses most of the explosion map-side.
+      // high = random bytes). The (doc, char) explode + hash aggregate
+      // stays in whole-stage codegen (an all-row-local HOF run-length
+      // variant was A/B'd this round and measured SLOWER — higher-order
+      // lambdas are interpreted, and they ran per CHARACTER); what the
+      // r15 rework removes is everything AFTER the histogram: the
+      // former second aggregate (per-doc totals) and the join back are
+      // replaced by ONE groupBy(doc) that carries the run counts out as
+      // a doc-sized list and folds the entropy terms row-locally — per
+      // DISTINCT char, not per char. 2 exchanges instead of 4 + join.
       val chars = t.documents
         .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
         .filter(col("ch") =!= "")
       val cc = chars.groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("n"))
-      val tot = cc.groupBy(col("doc_id")).agg(sum(col("n")).as("nt"))
-      val p = col("n") * 1.0 / col("nt")
-      // each term is a deterministic double; casting it to DECIMAL
-      // before the sum makes the aggregate order-independent (double
-      // addition is not associative — partial-agg order would differ
-      // between engines), per the QueryDef determinism contract
-      cc.join(tot, "doc_id")
-        .groupBy(col("doc_id"))
-        .agg(max(col("nt")).cast("long").as("n_chars"),
+      val agg2 = cc.groupBy(col("doc_id"))
+        .agg(sum(col("n")).cast("long").as("n_chars"),
           count(lit(1)).as("n_distinct"),
-          round((-sum((p * log2(p)).cast("decimal(28,15)"))).cast("double"), 9).as("entropy"))
+          collect_list(col("n")).as("ns"))
+      // the fold accumulates the EXACT unscaled decimal sum in a long:
+      // each term is the oracle's cast((n/nt)·log2(n/nt) as
+      // decimal(28,15)); |term| < 1, so term × 10^15 is an integer
+      // < 10^15 (the decimal multiply is exact — integer value, no
+      // scale rounding) and all terms share a sign, so every partial
+      // sum is bounded by |Σ| ≤ log2(nt) × 10^15 ≪ Long.Max. A direct
+      // decimal(38,15) fold is impossible — ANSI addition at precision
+      // 38 must shed a scale digit. MakeDecimal rebuilds decimal(38,15)
+      // from the unscaled sum, bit-identical to Spark's own
+      // sum(decimal(28,15)) accumulator, so the final double equals the
+      // oracle's CAST(sum AS DOUBLE) exactly, in any term order.
+      val terms = transform(col("ns"), n => {
+        val p = n * 1.0 / col("n_chars")
+        ((p * log2(p)).cast("decimal(28,15)") * lit(1000000000000000L)).cast("long")
+      })
+      val sumU = aggregate(terms, lit(0L), (acc, x) => acc + x)
+      val entDec = org.apache.spark.sql.GraftBridge.toColumn(
+        org.apache.spark.sql.catalyst.expressions.MakeDecimal(
+          org.apache.spark.sql.GraftBridge.toExpression(-sumU), 38, 15, false))
+      agg2.select(col("doc_id"), col("n_chars"), col("n_distinct"),
+          round(entDec.cast("double"), 9).as("entropy"))
         .orderBy(col("doc_id"))
     },
 
@@ -508,17 +527,30 @@ object TextQueries {
         |FROM words JOIN vocab USING (word) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
-      val words = t.documents
+      // r15: ONE explode pass instead of three. The former shape ran
+      // the scan+split+explode subtree once per consumer (vocab, the
+      // corpus total, and the probe side); here the (doc, word)
+      // occurrence counts are aggregated first, the vocab and the
+      // total both derive from that compact table (ReuseExchange keeps
+      // the (doc,word) shuffle single), and the per-occurrence decimal
+      // sum becomes an exact per-(doc,word) multiple: c copies of a
+      // decimal term summed == the term (cast decimal(20,15), value-
+      // preserving) times c (decimal(8,0)) — decimal(29,15), exact, so
+      // the fold is bit-identical to the oracle's occurrence-level sum.
+      // At 100 TB the text is tokenized once, not three times.
+      val wd = t.documents
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      val vocab = words.groupBy(col("word")).agg(count(lit(1)).as("n"))
-      val tot = words.agg(count(lit(1)).as("total"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+      val vocab = wd.groupBy(col("word")).agg(sum(col("c")).as("n"))
+      val tot = vocab.agg(sum(col("n")).as("total"))
       val p = col("n") * 1.0 / col("total")
-      words.join(broadcast(vocab), "word")
+      val term = log(p).cast("decimal(28,15)").cast("decimal(20,15)")
+      wd.join(broadcast(vocab), "word")
         .crossJoin(broadcast(tot))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_words"),
-          round((sum(log(p).cast("decimal(28,15)")) / count(lit(1))).cast("double"), 9).as("avg_ll"),
-          round(sum(when(p < 0.001, 1).otherwise(0)) * 1.0 / count(lit(1)), 9).as("rare_frac"))
+        .agg(sum(col("c")).as("n_words"),
+          round((sum(term * col("c").cast("decimal(8,0)")) / sum(col("c"))).cast("double"), 9).as("avg_ll"),
+          round(sum(when(p < 0.001, 1).otherwise(0) * col("c")) * 1.0 / sum(col("c")), 9).as("rare_frac"))
         .orderBy(col("doc_id"))
     },
 

@@ -381,6 +381,15 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("windowspecdefinition()") &&
       p.contains("windowspecdefinition(doc_id"),
       "prefix rank window lost its per-doc partitioning")
+    // r15: candidate pairs come from grouped prefix postings (in-bucket
+    // ordered-pair explode over the sort_array'd posting list), not a
+    // prefix self-join feeding DISTINCT. sort_array sits in the
+    // aggregate's result projection, which the physical toString elides
+    // — assert on the optimized plan.
+    val opt = SparkEntry.defs.find(_.name == "q_dedup_jaccard_prefix").get
+      .run(spark, sf).queryExecution.optimizedPlan.toString
+    assert(opt.contains("sort_array(collect_list(doc_id"),
+      "bucket-grouped candidate generation missing")
   }
 
   test("dedup apply is one hash aggregation, no window, no join back to the fact") {
