@@ -65,8 +65,9 @@ object DedupQueries {
       .select(col("doc_id"), size(col("arr")).cast("long").as("n"), explode(col("arr")).as("sh"))
 
   /** (doc_id, band, bkey) rows of the 4-band minhash signature — the
-    * LSH bucket table shared by minhashPairs and (as the batch
-    * reference) the streaming near-dup spec.
+    * LSH bucket table for the dup-cluster pipeline, cross-corpus
+    * decontamination and (as the batch reference) the streaming
+    * near-dup spec.
     *
     * (An all-row-local variant — shingle hashes in an array column, 8
     * array_min(transform(...)) signatures, no groupBy — was measured
@@ -97,18 +98,55 @@ object DedupQueries {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
   }
 
-  /** Banded-minhash candidate pairs (d1 < d2, distinct), shared by the
-    * LSH dedup query and the dup-cluster connected-components pipeline
-    * (PipelineQueries). See q_dedup_minhash_lsh for the plan notes:
-    * one shingle scan, all 8 Carter-Wegman min-hashes in ONE aggregate
-    * pass, 4-band explode, bucket equi-join — 2 shuffles total. */
+  /** Banded-minhash candidate pairs (d1 < d2, distinct), for the LSH
+    * dedup query (q_dedup_minhash_lsh; the dup-cluster pipeline
+    * consumes minhashBands directly).
+    *
+    * r15 shape: bucket-grouped pair generation with FIRST-COLLIDING-BAND
+    * dedup, no self-join, no DISTINCT exchange. Each (band, bkey) group
+    * collects its members once (signature rides along) and explodes
+    * ordered pairs in-group; a pair that collides in several bands is
+    * emitted ONLY at its smallest colliding band — checkable row-locally
+    * from the two signatures (band bp's key is mh[2bp+1],mh[2bp+2]; the
+    * comma-joined string key equals iff the two longs equal) — so the
+    * pair stream is unique BY CONSTRUCTION and the old DISTINCT shuffle
+    * disappears. Sound here because q_dedup_minhash_lsh's oracle has NO
+    * bucket cap: every colliding band qualifies, so "smallest colliding
+    * band" is always an emitted bucket. (q_dedup_simhash_near CANNOT use
+    * this trick: its ≤1000 cap drops whole buckets, and a pair whose
+    * first colliding band was capped must still be emitted by a later
+    * band — bucket qualification is not row-locally decidable there.)
+    * Plan: one exchange on (band, bkey) + the presentation sort, versus
+    * the former join (2 exchanges) + DISTINCT (1 exchange). */
   private[graft] def minhashPairs(docs: DataFrame): DataFrame = {
-    val bands = minhashBands(docs)
-    val a = bands.select(col("doc_id").as("d1"), col("band"), col("bkey"))
-    val b = bands.select(col("doc_id").as("d2"), col("band").as("band2"), col("bkey").as("bkey2"))
-    a.join(b, col("band") === col("band2") && col("bkey") === col("bkey2")
-        && col("d1") < col("d2"))
-      .select(col("d1"), col("d2")).distinct()
+    val sigs = docs.select(col("doc_id"),
+        graft.functions.TextHashColumns.minHashSigs(col("text"),
+          (0 to 7).map(seed => 1000003L + 999983L * seed),
+          (0 to 7).map(_.toLong), 4294967291L).as("mh0"))
+      .filter(col("mh0").isNotNull)
+      .select(col("doc_id"), explode(array(col("mh0"))).as("mh"))
+    val bandArr = array((0 to 3).map(b => struct(
+      lit(b).as("band"),
+      concat(element_at(col("mh"), 2 * b + 1).cast("string"), lit(","),
+        element_at(col("mh"), 2 * b + 2).cast("string")).as("bkey"))): _*)
+    val bands = sigs.select(col("doc_id"), col("mh"), explode(bandArr).as("bs"))
+      .select(col("doc_id"), col("mh"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+    val buckets = bands.groupBy(col("band"), col("bkey"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("mh")))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    def bandEq(x: Column, y: Column, bp: Int): Column =
+      (element_at(x.getField("mh"), 2 * bp + 1) === element_at(y.getField("mh"), 2 * bp + 1)) &&
+        (element_at(x.getField("mh"), 2 * bp + 2) === element_at(y.getField("mh"), 2 * bp + 2))
+    val pairArr = flatten(transform(col("ds"), (x, i) =>
+      transform(slice(col("ds"), i + 2, greatest(size(col("ds")) - i - 1, lit(0))),
+        y => struct(x.getField("doc_id").as("d1"), y.getField("doc_id").as("d2"),
+          // true iff NO band before this bucket's band also collides —
+          // i.e. this bucket is the pair's first witness
+          (0 to 2).map(bp => col("band") <= bp || !bandEq(x, y, bp))
+            .reduce(_ && _).as("first")))))
+    buckets.select(explode(pairArr).as("p"))
+      .filter(col("p.first"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
   }
 
   val all: Seq[QueryDef] = Seq(
@@ -312,17 +350,16 @@ object DedupQueries {
         |SELECT d1, d2 FROM pairs ORDER BY d1, d2""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
       // min over a multiset == min over the set, so shingles need no
-      // distinct here (unlike Jaccard); and all 8 min-hashes fold in ONE
-      // aggregate pass — conditional-min per seed — instead of an 8×
-      // explode through two shuffles. Plan: scan → groupBy(doc) →
-      // tiny 4-way band explode → equi-join. 2 shuffles total.
+      // distinct here (unlike Jaccard); all 8 min-hashes are ONE
+      // row-local expression pass (no shingle explode, no groupBy).
       // md5 runs ONCE per shingle; the 8 per-seed hashes are a
       // Carter-Wegman universal family (a·v + b) mod p over its first
       // 32 bits (p = largest 32-bit prime) — 8× fewer digest calls
       // than hashing "seed:shingle" per seed, same independence, and
       // integer arithmetic both engines evaluate bit-identically.
-      // (Pair generation lives in minhashPairs, shared with the
-      // dup-cluster connected-components pipeline.)
+      // Pair generation lives in minhashPairs (r15: bucket-grouped,
+      // first-colliding-band dedup — ONE exchange, no join, no
+      // DISTINCT; see its doc comment for the soundness argument).
       minhashPairs(t.documents).orderBy(col("d1"), col("d2"))
     },
 

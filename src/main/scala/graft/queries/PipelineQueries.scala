@@ -377,15 +377,24 @@ object PipelineQueries {
         |  string_agg(chunk, ' ' ORDER BY cpos) AS cleaned
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
+      val chunkArr = transform(
+        sequence(lit(0), (ceil(size(col("words")) / lit(10.0)) - 1).cast("int")),
+        i => array_join(slice(col("words"), i * 10 + 1, lit(10)), " "))
       val chunks = t.documents
         .select(col("doc_id"), split(col("text"), " ").as("words"))
-        .select(col("doc_id"), posexplode(
-          transform(
-            sequence(lit(0), (ceil(size(col("words")) / lit(10.0)) - 1).cast("int")),
-            i => array_join(slice(col("words"), i * 10 + 1, lit(10)), " ")))
-          .as(Seq("cpos", "chunk")))
-      val boiler = chunks.groupBy(col("chunk"))
-        .agg(countDistinct(col("doc_id")).as("df"))
+        .select(col("doc_id"), posexplode(chunkArr).as(Seq("cpos", "chunk")))
+      // df counts DISTINCT docs per chunk, and a (chunk, doc) pair can
+      // only repeat inside one document's own row — dedup ROW-LOCALLY
+      // (array_distinct before the explode) so the boiler side is a
+      // plain count with map-side partial aggregation, not the
+      // two-phase distinct aggregate (one exchange fewer, and the
+      // surviving exchange carries one row per (doc, distinct chunk)
+      // instead of every chunk occurrence). Same r9 move as the
+      // shingle suites.
+      val boiler = t.documents
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .select(explode(array_distinct(chunkArr)).as("chunk"))
+        .groupBy(col("chunk")).agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2).select(col("chunk"))
       chunks.join(boiler, Seq("chunk"), "left_anti")
         .groupBy(col("doc_id"))
