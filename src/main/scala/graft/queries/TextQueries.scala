@@ -527,30 +527,27 @@ object TextQueries {
         |FROM words JOIN vocab USING (word) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
-      // r15: ONE explode pass instead of three. The former shape ran
-      // the scan+split+explode subtree once per consumer (vocab, the
-      // corpus total, and the probe side); here the (doc, word)
-      // occurrence counts are aggregated first, the vocab and the
-      // total both derive from that compact table (ReuseExchange keeps
-      // the (doc,word) shuffle single), and the per-occurrence decimal
-      // sum becomes an exact per-(doc,word) multiple: c copies of a
-      // decimal term summed == the term (cast decimal(20,15), value-
-      // preserving) times c (decimal(8,0)) — decimal(29,15), exact, so
-      // the fold is bit-identical to the oracle's occurrence-level sum.
-      // At 100 TB the text is tokenized once, not three times.
-      val wd = t.documents
+      // (r15 negative A/B, measured at TWO scales: pre-aggregating
+      // (doc, word) counts so the text is tokenized once instead of
+      // three times won −11% at sf0.1 — but REGRESSED at sf1 and was
+      // reverted. The pre-aggregation replaces this shape's probe side
+      // — whose groupBy(doc) shuffle is map-side-combined down to one
+      // partial row per (doc, partition) — with a (doc, word) exchange
+      // of nearly every word occurrence: strictly more shuffled bytes
+      // at every scale, and the shuffle, not the tokenize CPU, is what
+      // grows with the corpus (guide §2.2). Three explode passes of a
+      // row-local split stay cheaper than one extra wide exchange.)
+      val words = t.documents
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
-      val vocab = wd.groupBy(col("word")).agg(sum(col("c")).as("n"))
-      val tot = vocab.agg(sum(col("n")).as("total"))
+      val vocab = words.groupBy(col("word")).agg(count(lit(1)).as("n"))
+      val tot = words.agg(count(lit(1)).as("total"))
       val p = col("n") * 1.0 / col("total")
-      val term = log(p).cast("decimal(28,15)").cast("decimal(20,15)")
-      wd.join(broadcast(vocab), "word")
+      words.join(broadcast(vocab), "word")
         .crossJoin(broadcast(tot))
         .groupBy(col("doc_id"))
-        .agg(sum(col("c")).as("n_words"),
-          round((sum(term * col("c").cast("decimal(8,0)")) / sum(col("c"))).cast("double"), 9).as("avg_ll"),
-          round(sum(when(p < 0.001, 1).otherwise(0) * col("c")) * 1.0 / sum(col("c")), 9).as("rare_frac"))
+        .agg(count(lit(1)).as("n_words"),
+          round((sum(log(p).cast("decimal(28,15)")) / count(lit(1))).cast("double"), 9).as("avg_ll"),
+          round(sum(when(p < 0.001, 1).otherwise(0)) * 1.0 / count(lit(1)), 9).as("rare_frac"))
         .orderBy(col("doc_id"))
     },
 
