@@ -137,16 +137,23 @@ object DedupQueries {
     def bandEq(x: Column, y: Column, bp: Int): Column =
       (element_at(x.getField("mh"), 2 * bp + 1) === element_at(y.getField("mh"), 2 * bp + 1)) &&
         (element_at(x.getField("mh"), 2 * bp + 2) === element_at(y.getField("mh"), 2 * bp + 2))
-    val pairArr = flatten(transform(col("ds"), (x, i) =>
-      transform(slice(col("ds"), i + 2, greatest(size(col("ds")) - i - 1, lit(0))),
-        y => struct(x.getField("doc_id").as("d1"), y.getField("doc_id").as("d2"),
-          // true iff NO band before this bucket's band also collides —
-          // i.e. this bucket is the pair's first witness
-          (0 to 2).map(bp => col("band") <= bp || !bandEq(x, y, bp))
-            .reduce(_ && _).as("first")))))
-    buckets.select(explode(pairArr).as("p"))
-      .filter(col("p.first"))
-      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+    // two-step explode, NOT one flattened pair array: a k-member bucket
+    // (k identical-signature near-dups — large exact-dup clusters are
+    // normal in a dedup corpus) would otherwise materialize all k²/2
+    // pair structs as ONE array value in memory before exploding; here
+    // each generated row carries at most the k-element tail slice, so
+    // per-row memory is O(k) and the k²/2 pairs stream through the
+    // generators exactly like the old join streamed them.
+    buckets
+      .select(col("band"), col("ds"), posexplode(col("ds")).as(Seq("i", "x")))
+      .select(col("band"), col("x"),
+        explode(slice(col("ds"), col("i") + 2,
+          greatest(size(col("ds")) - col("i") - 1, lit(0)))).as("y"))
+      // keep the pair iff NO band before this bucket's band also
+      // collides — i.e. this bucket is the pair's first witness
+      .filter((0 to 2).map(bp => col("band") <= bp || !bandEq(col("x"), col("y"), bp))
+        .reduce(_ && _))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
   }
 
   val all: Seq[QueryDef] = Seq(
@@ -314,13 +321,17 @@ object DedupQueries {
       // ordered-pair explode replaces the prefix self-join (2 exchanges
       // + sort-merge) feeding DISTINCT. Buckets are small by
       // construction — prefixes hold each doc's RAREST shingles.
+      // two-step explode (see minhashPairs): the prefix filter is
+      // uncapped (losslessness), so a pathological bucket must stream
+      // its pairs through the generators with O(k) per-row memory, not
+      // materialize one k²/2 pair array
       val cand = pre.groupBy(col("sh"))
         .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
         .filter(size(col("ds")) >= 2)
-        .select(explode(flatten(transform(col("ds"), (x, i) =>
-          transform(slice(col("ds"), i + 2, greatest(size(col("ds")) - i - 1, lit(0))),
-            y => struct(x.as("d1"), y.as("d2")))))).as("p"))
-        .select(col("p.d1").as("d1"), col("p.d2").as("d2")).distinct()
+        .select(col("ds"), posexplode(col("ds")).as(Seq("i", "d1")))
+        .select(col("d1"), explode(slice(col("ds"), col("i") + 2,
+          greatest(size(col("ds")) - col("i") - 1, lit(0)))).as("d2"))
+        .distinct()
       cand
         .join(docArr.select(col("doc_id").as("d1"), col("arr").as("a1")), "d1")
         .join(docArr.select(col("doc_id").as("d2"), col("arr").as("a2")), "d2")
