@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench contract requires graft.Bench's one-line JSON summary to
+// reach the caller's stdout RAW: sbt's default forked-output strategy
+// prefixes every child line with "[info] "/"[error] ", which has made
+// the driver's parse fail every round (BENCH_r10..r15: parsed=null).
+// StdoutOutput passes the child's stdout/stderr through unprefixed.
+outputStrategy := Some(StdoutOutput)
+// …and drop sbt's trailing "[success] Total time: …" stdout line so the
+// bench's summary JSON is the LAST line a tail capture sees.
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

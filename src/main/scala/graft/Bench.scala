@@ -192,10 +192,18 @@ object Bench {
     // bench notes (value = FULL corpus total either way).
     val detailPath = "BENCH_DETAIL.json"
     val all = results.toSeq.sortBy(-_._2)
-    scala.util.Try {
-      val w = new java.io.FileWriter(detailPath)
-      try w.write(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"calib_before":${fmt(calibBefore)},"calib_after":${fmt(calibAfter)},"queries":${mapJson(all)},"first_rep":${mapJson(firstTimes.toSeq)},"sf":"$sfDir"}""" + "\n")
-      finally w.close()
+    val detailJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"calib_before":${fmt(calibBefore)},"calib_after":${fmt(calibAfter)},"queries":${mapJson(all)},"first_rep":${mapJson(firstTimes.toSeq)},"sf":"$sfDir"}""" + "\n"
+    // r16: ALSO write a configuration-keyed copy — BENCH_DETAIL.json is
+    // overwritten by every run, so a 32-core board was destroyed by the
+    // next 8-core run (round-after-round evidence loss, VERDICT r15 #2).
+    val sfTag = new java.io.File(sfDir).getName
+    val cpusTag = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    Seq(detailPath, s"BENCH_DETAIL_${sfTag}_c$cpusTag.json").foreach { p =>
+      scala.util.Try {
+        val w = new java.io.FileWriter(p)
+        try w.write(detailJson)
+        finally w.close()
+      }
     }
     // r6 post-mortem: even a 1500-char queries budget left the wire line
     // ~1700 chars; with sbt's [info] prefix, trailing [success] line and

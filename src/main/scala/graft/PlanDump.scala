@@ -16,7 +16,10 @@ import java.io.{File, FileWriter}
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val outDir = sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR", "plans/r15")
+    // ADVICE r15: no round-numbered default — a forgotten env var must
+    // not silently refresh a PREVIOUS round's committed evidence
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR",
+      sys.error("SPARK_GRAFT_PLAN_DIR is required (e.g. plans/r16)"))
     val suffix = sys.env.getOrElse("SPARK_GRAFT_PLAN_SUFFIX", "before")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = graft.engine.GraftSession.local()
@@ -30,6 +33,9 @@ object PlanDump {
     new File(outDir).mkdirs()
     graft.engine.Tables(spark, sfDir)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
+    // ADVICE r15: track failures and exit non-zero — a run where every
+    // dump fails must not exit 0 and leave stale plan evidence behind
+    var failed = 0
     SparkEntry.defs.foreach { d =>
       if (only.forall(re => d.name.matches(re))) {
         try {
@@ -40,10 +46,16 @@ object PlanDump {
           try w.write(plan) finally w.close()
           println(s"[plandump] ${d.name} ok")
         } catch {
-          case e: Throwable => println(s"[plandump] ${d.name} FAILED: $e")
+          case e: Throwable =>
+            failed += 1
+            println(s"[plandump] ${d.name} FAILED: $e")
         }
       }
     }
     spark.stop()
+    if (failed > 0) {
+      System.err.println(s"[plandump] $failed queries failed")
+      sys.exit(1)
+    }
   }
 }

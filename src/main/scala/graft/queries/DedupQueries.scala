@@ -75,28 +75,38 @@ object DedupQueries {
     * signature projections re-evaluate the interpreted md5 transform
     * per seed. The explode+groupBy shape below keeps the md5 in
     * whole-stage codegen, computed once per shingle.) */
-  private[graft] def minhashBands(docs: DataFrame): DataFrame = {
-    // ALL 8 Carter-Wegman min-hashes in ONE row-local pass over the
-    // text bytes (functions.MinHashSigs): no shingle explode, no
-    // groupBy(doc) shuffle — the signature is computed where the row
-    // already is. Docs with < 3 words have no shingles (null sig),
-    // matching the min-over-empty-group semantics of the aggregate
-    // spelling. The singleton-array explode is the usual collapse
-    // barrier so the 8 element_at references downstream read ONE
-    // computed array.
-    val sigs = docs.select(col("doc_id"),
+  /** (doc_id, mh) rows — the 8-element Carter-Wegman min-hash signature,
+    * computed in ONE row-local pass over the text bytes
+    * (functions.MinHashSigs): no shingle explode, no groupBy(doc)
+    * shuffle — the signature is computed where the row already is. Docs
+    * with < 3 words have no shingles (null sig), matching the
+    * min-over-empty-group semantics of the aggregate spelling. The
+    * singleton-array explode is the usual collapse barrier so the 8
+    * element_at references downstream read ONE computed array.
+    *
+    * SHARED by minhashBands and minhashPairs (ADVICE r15): the
+    * first-colliding-band dedup in minhashPairs is only sound while the
+    * signature and band-key construction stay bit-identical between the
+    * two — one definition makes drift impossible. */
+  private[graft] def minhashSigs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
         graft.functions.TextHashColumns.minHashSigs(col("text"),
           (0 to 7).map(seed => 1000003L + 999983L * seed),
           (0 to 7).map(_.toLong), 4294967291L).as("mh0"))
       .filter(col("mh0").isNotNull)
       .select(col("doc_id"), explode(array(col("mh0"))).as("mh"))
-    val bandArr = array((0 to 3).map(b => struct(
-      lit(b).as("band"),
-      concat(element_at(col("mh"), 2 * b + 1).cast("string"), lit(","),
-        element_at(col("mh"), 2 * b + 2).cast("string")).as("bkey"))): _*)
-    sigs.select(col("doc_id"), explode(bandArr).as("bs"))
+
+  /** 4-band struct array over the `mh` signature column: band b's key is
+    * mh[2b+1],mh[2b+2] comma-joined (string equality ⇔ the two longs
+    * equal, which is what bandEq in minhashPairs relies on). */
+  private[graft] def minhashBandStructs: Column = array((0 to 3).map(b => struct(
+    lit(b).as("band"),
+    concat(element_at(col("mh"), 2 * b + 1).cast("string"), lit(","),
+      element_at(col("mh"), 2 * b + 2).cast("string")).as("bkey"))): _*)
+
+  private[graft] def minhashBands(docs: DataFrame): DataFrame =
+    minhashSigs(docs).select(col("doc_id"), explode(minhashBandStructs).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
-  }
 
   /** Banded-minhash candidate pairs (d1 < d2, distinct), for the LSH
     * dedup query (q_dedup_minhash_lsh; the dup-cluster pipeline
@@ -118,25 +128,41 @@ object DedupQueries {
     * band — bucket qualification is not row-locally decidable there.)
     * Plan: one exchange on (band, bkey) + the presentation sort, versus
     * the former join (2 exchanges) + DISTINCT (1 exchange). */
+  /** Bucket-size boundary between the grouped-explode pair path and the
+    * streaming self-join overflow path (r16, VERDICT r15 item 4 / guide
+    * §5): a grouped `collect_list` holds the whole bucket membership in
+    * ONE aggregation-buffer row, which cannot spill per-group — fine for
+    * ordinary buckets, a task OOM for a degenerate one (a multi-million-
+    * member exact-dup cluster at 100 TB is normal). Buckets above the
+    * cap instead take the pre-r15 self-join, which streams and spills.
+    * Plan-only knob — both paths emit the identical pair set. */
+  private def bucketExplodeCap(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.dedup.bucketExplodeCap")
+      .map(_.toInt).getOrElse(100000)
+
   private[graft] def minhashPairs(docs: DataFrame): DataFrame = {
-    val sigs = docs.select(col("doc_id"),
-        graft.functions.TextHashColumns.minHashSigs(col("text"),
-          (0 to 7).map(seed => 1000003L + 999983L * seed),
-          (0 to 7).map(_.toLong), 4294967291L).as("mh0"))
-      .filter(col("mh0").isNotNull)
-      .select(col("doc_id"), explode(array(col("mh0"))).as("mh"))
-    val bandArr = array((0 to 3).map(b => struct(
-      lit(b).as("band"),
-      concat(element_at(col("mh"), 2 * b + 1).cast("string"), lit(","),
-        element_at(col("mh"), 2 * b + 2).cast("string")).as("bkey"))): _*)
-    val bands = sigs.select(col("doc_id"), col("mh"), explode(bandArr).as("bs"))
+    val cap = bucketExplodeCap(docs.sparkSession)
+    val bands = minhashSigs(docs)
+      .select(col("doc_id"), col("mh"), explode(minhashBandStructs).as("bs"))
       .select(col("doc_id"), col("mh"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
-    val buckets = bands.groupBy(col("band"), col("bkey"))
+    // bucket sizes first (fixed-size aggregation state — scale-safe),
+    // then tag each posting with its bucket size. The count aggregate,
+    // the tag join and both downstream paths all consume the SAME
+    // (band, bkey) exchange (ReuseExchange) — the map side (signature
+    // computation) runs once. bc >= 2 also drops singleton buckets
+    // BEFORE the collect_list, so singletons never enter its buffer
+    // (the former shape collected every posting, then filtered).
+    val counts = bands.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bc")).filter(col("bc") >= 2)
+    val tagged = bands.join(counts, Seq("band", "bkey"))
+    val buckets = tagged.filter(col("bc") <= cap)
+      .groupBy(col("band"), col("bkey"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("mh")))).as("ds"))
-      .filter(size(col("ds")) >= 2)
     def bandEq(x: Column, y: Column, bp: Int): Column =
       (element_at(x.getField("mh"), 2 * bp + 1) === element_at(y.getField("mh"), 2 * bp + 1)) &&
         (element_at(x.getField("mh"), 2 * bp + 2) === element_at(y.getField("mh"), 2 * bp + 2))
+    def firstBandFilter(x: Column, y: Column): Column =
+      (0 to 2).map(bp => col("band") <= bp || !bandEq(x, y, bp)).reduce(_ && _)
     // two-step explode, NOT one flattened pair array: a k-member bucket
     // (k identical-signature near-dups — large exact-dup clusters are
     // normal in a dedup corpus) would otherwise materialize all k²/2
@@ -144,16 +170,28 @@ object DedupQueries {
     // each generated row carries at most the k-element tail slice, so
     // per-row memory is O(k) and the k²/2 pairs stream through the
     // generators exactly like the old join streamed them.
-    buckets
+    val smallPairs = buckets
       .select(col("band"), col("ds"), posexplode(col("ds")).as(Seq("i", "x")))
       .select(col("band"), col("x"),
         explode(slice(col("ds"), col("i") + 2,
           greatest(size(col("ds")) - col("i") - 1, lit(0)))).as("y"))
       // keep the pair iff NO band before this bucket's band also
       // collides — i.e. this bucket is the pair's first witness
-      .filter((0 to 2).map(bp => col("band") <= bp || !bandEq(col("x"), col("y"), bp))
-        .reduce(_ && _))
+      .filter(firstBandFilter(col("x"), col("y")))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+    // overflow path: oversized buckets stream their pairs through the
+    // pre-r15 in-bucket join (spillable sort-merge, O(1) per-row state).
+    // The first-colliding-band filter applies identically on the joined
+    // rows, so the union stays unique BY CONSTRUCTION — a pair's bucket
+    // is either entirely in the small path or entirely in the big one.
+    val big = tagged.filter(col("bc") > cap)
+      .select(col("band"), col("bkey"), struct(col("doc_id"), col("mh")).as("m"))
+    val bigPairs = big.select(col("band"), col("bkey"), col("m").as("x"))
+      .join(big.select(col("band"), col("bkey"), col("m").as("y")), Seq("band", "bkey"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .filter(firstBandFilter(col("x"), col("y")))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+    smallPairs.union(bigPairs)
   }
 
   val all: Seq[QueryDef] = Seq(
@@ -324,14 +362,31 @@ object DedupQueries {
       // two-step explode (see minhashPairs): the prefix filter is
       // uncapped (losslessness), so a pathological bucket must stream
       // its pairs through the generators with O(k) per-row memory, not
-      // materialize one k²/2 pair array
-      val cand = pre.groupBy(col("sh"))
+      // materialize one k²/2 pair array.
+      // r16 (VERDICT item 4, guide §5): same adaptive split as
+      // minhashPairs — posting-list sizes pre-counted with fixed-size
+      // aggregation state; buckets over the cap take the pre-r15
+      // streaming self-join instead of building an uncapped
+      // collect_list row (one exchange on sh, reused by the count, the
+      // tag join and both paths; bc >= 2 drops singleton postings
+      // before the collect). Both paths feed the same DISTINCT, so the
+      // candidate set is unchanged.
+      val cap = bucketExplodeCap(s)
+      val shCounts = pre.groupBy(col("sh"))
+        .agg(count(lit(1)).as("bc")).filter(col("bc") >= 2)
+      val preTagged = pre.join(shCounts, Seq("sh"))
+      val smallCand = preTagged.filter(col("bc") <= cap)
+        .groupBy(col("sh"))
         .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        .filter(size(col("ds")) >= 2)
         .select(col("ds"), posexplode(col("ds")).as(Seq("i", "d1")))
         .select(col("d1"), explode(slice(col("ds"), col("i") + 2,
           greatest(size(col("ds")) - col("i") - 1, lit(0)))).as("d2"))
-        .distinct()
+      val bigPost = preTagged.filter(col("bc") > cap)
+      val bigCand = bigPost.select(col("sh"), col("doc_id").as("d1"))
+        .join(bigPost.select(col("sh"), col("doc_id").as("d2")), "sh")
+        .filter(col("d1") < col("d2"))
+        .select(col("d1"), col("d2"))
+      val cand = smallCand.union(bigCand).distinct()
       cand
         .join(docArr.select(col("doc_id").as("d1"), col("arr").as("a1")), "d1")
         .join(docArr.select(col("doc_id").as("d2"), col("arr").as("a2")), "d2")

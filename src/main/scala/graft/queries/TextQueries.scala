@@ -29,6 +29,55 @@ object TextQueries {
 
   private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** Shannon character entropy per document — the cheap gibberish /
+    * binary-noise detector (very low entropy = repeated filler, very
+    * high = random bytes). The (doc, char) explode + hash aggregate
+    * stays in whole-stage codegen (an all-row-local HOF run-length
+    * variant was A/B'd in r15 and measured SLOWER — higher-order
+    * lambdas are interpreted, and they ran per CHARACTER); what the
+    * r15 rework removes is everything AFTER the histogram: the
+    * former second aggregate (per-doc totals) and the join back are
+    * replaced by ONE groupBy(doc) that carries the run counts out as
+    * a doc-sized list and folds the entropy terms row-locally — per
+    * DISTINCT char, not per char. 2 exchanges instead of 4 + join.
+    *
+    * Factored over an arbitrary (doc_id, text) frame so the exactness
+    * argument below is pinned by a unit test on crafted docs
+    * (ADVICE r15: MakeDecimal is a catalyst-internal API whose
+    * semantics a Spark upgrade could change silently). */
+  private[graft] def charEntropy(docs: DataFrame): DataFrame = {
+    val chars = docs
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+    val cc = chars.groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("n"))
+    val agg2 = cc.groupBy(col("doc_id"))
+      .agg(sum(col("n")).cast("long").as("n_chars"),
+        count(lit(1)).as("n_distinct"),
+        collect_list(col("n")).as("ns"))
+    // the fold accumulates the EXACT unscaled decimal sum in a long:
+    // each term is the oracle's cast((n/nt)·log2(n/nt) as
+    // decimal(28,15)); |term| < 1, so term × 10^15 is an integer
+    // < 10^15 (the decimal multiply is exact — integer value, no
+    // scale rounding) and all terms share a sign, so every partial
+    // sum is bounded by |Σ| ≤ log2(nt) × 10^15 ≪ Long.Max. A direct
+    // decimal(38,15) fold is impossible — ANSI addition at precision
+    // 38 must shed a scale digit. MakeDecimal rebuilds decimal(38,15)
+    // from the unscaled sum, bit-identical to Spark's own
+    // sum(decimal(28,15)) accumulator, so the final double equals the
+    // oracle's CAST(sum AS DOUBLE) exactly, in any term order.
+    val terms = transform(col("ns"), n => {
+      val p = n * 1.0 / col("n_chars")
+      ((p * log2(p)).cast("decimal(28,15)") * lit(1000000000000000L)).cast("long")
+    })
+    val sumU = aggregate(terms, lit(0L), (acc, x) => acc + x)
+    val entDec = org.apache.spark.sql.GraftBridge.toColumn(
+      org.apache.spark.sql.catalyst.expressions.MakeDecimal(
+        org.apache.spark.sql.GraftBridge.toExpression(-sumU), 38, 15, false))
+    agg2.select(col("doc_id"), col("n_chars"), col("n_distinct"),
+        round(entDec.cast("double"), 9).as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     q("q_fn_lambda",
@@ -279,47 +328,7 @@ object TextQueries {
         |FROM cc JOIN tot ON cc.doc_id = tot.doc_id
         |GROUP BY cc.doc_id ORDER BY cc.doc_id""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
-      // Shannon character entropy per document — the cheap gibberish /
-      // binary-noise detector (very low entropy = repeated filler, very
-      // high = random bytes). The (doc, char) explode + hash aggregate
-      // stays in whole-stage codegen (an all-row-local HOF run-length
-      // variant was A/B'd this round and measured SLOWER — higher-order
-      // lambdas are interpreted, and they ran per CHARACTER); what the
-      // r15 rework removes is everything AFTER the histogram: the
-      // former second aggregate (per-doc totals) and the join back are
-      // replaced by ONE groupBy(doc) that carries the run counts out as
-      // a doc-sized list and folds the entropy terms row-locally — per
-      // DISTINCT char, not per char. 2 exchanges instead of 4 + join.
-      val chars = t.documents
-        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
-        .filter(col("ch") =!= "")
-      val cc = chars.groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("n"))
-      val agg2 = cc.groupBy(col("doc_id"))
-        .agg(sum(col("n")).cast("long").as("n_chars"),
-          count(lit(1)).as("n_distinct"),
-          collect_list(col("n")).as("ns"))
-      // the fold accumulates the EXACT unscaled decimal sum in a long:
-      // each term is the oracle's cast((n/nt)·log2(n/nt) as
-      // decimal(28,15)); |term| < 1, so term × 10^15 is an integer
-      // < 10^15 (the decimal multiply is exact — integer value, no
-      // scale rounding) and all terms share a sign, so every partial
-      // sum is bounded by |Σ| ≤ log2(nt) × 10^15 ≪ Long.Max. A direct
-      // decimal(38,15) fold is impossible — ANSI addition at precision
-      // 38 must shed a scale digit. MakeDecimal rebuilds decimal(38,15)
-      // from the unscaled sum, bit-identical to Spark's own
-      // sum(decimal(28,15)) accumulator, so the final double equals the
-      // oracle's CAST(sum AS DOUBLE) exactly, in any term order.
-      val terms = transform(col("ns"), n => {
-        val p = n * 1.0 / col("n_chars")
-        ((p * log2(p)).cast("decimal(28,15)") * lit(1000000000000000L)).cast("long")
-      })
-      val sumU = aggregate(terms, lit(0L), (acc, x) => acc + x)
-      val entDec = org.apache.spark.sql.GraftBridge.toColumn(
-        org.apache.spark.sql.catalyst.expressions.MakeDecimal(
-          org.apache.spark.sql.GraftBridge.toExpression(-sumU), 38, 15, false))
-      agg2.select(col("doc_id"), col("n_chars"), col("n_distinct"),
-          round(entDec.cast("double"), 9).as("entropy"))
-        .orderBy(col("doc_id"))
+      charEntropy(t.documents)
     },
 
     q("q_text_tokens",

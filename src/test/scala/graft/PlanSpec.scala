@@ -324,6 +324,24 @@ class PlanSpec extends SparkSpecBase {
       "dup-cluster aggregation funnels through one partition")
   }
 
+  // r16 (VERDICT r15 item 4, guide §5): the uncapped bucket collect_list
+  // is bounded — bucket sizes are pre-counted with fixed-size state, and
+  // oversized buckets take a streaming self-join instead of building an
+  // unspillable O(k) aggregation-buffer row. Both paths and their union
+  // must be in the plan.
+  test("minhash/prefix pair generation adaptively splits on bucket size") {
+    val edges = graft.queries.DedupQueries
+      .minhashPairs(graft.engine.Tables(spark, sf).documents)
+    val opt = edges.queryExecution.optimizedPlan.toString
+    assert(opt.contains("collect_list"), "minhash grouped-explode path missing")
+    assert(opt.contains("Union"), "minhash adaptive split lost its union")
+    assert(opt.toLowerCase.contains("join"), "minhash streaming overflow join path missing")
+    val pfx = SparkEntry.defs.find(_.name == "q_dedup_jaccard_prefix").get
+      .run(spark, sf).queryExecution.optimizedPlan.toString
+    assert(pfx.contains("Union"), "prefix adaptive split lost its union")
+    assert(pfx.contains("collect_list(doc_id"), "prefix grouped-explode path missing")
+  }
+
   test("bm25 keeps corpus stats in-plan and broadcasts the term sides") {
     val d = SparkEntry.defs.find(_.name == "q_text_bm25").get
     val df = d.run(spark, sf)

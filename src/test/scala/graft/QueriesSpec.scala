@@ -62,4 +62,53 @@ class QueriesSpec extends SparkSpecBase {
     val rendered = graft.server.pg.PgTypes.render(rows.head.getSeq[Long](1)).get
     assert(rendered.matches("""\{\d+(,\d+)*\}"""), s"unexpected wire render: $rendered")
   }
+
+  // r16 (VERDICT r15 item 4): the adaptive bucket split must be
+  // result-invariant — forcing EVERY bucket through the streaming
+  // self-join overflow path (cap=1) emits the identical pair set the
+  // grouped-explode path emits with the default cap.
+  test("adaptive bucket split: overflow join path emits the identical pair set") {
+    val docs = graft.engine.Tables(spark, sf).documents
+    def minhash(): Set[(Long, Long)] = graft.queries.DedupQueries.minhashPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def prefix(): Seq[Seq[Any]] = SparkEntry.defs.find(_.name == "q_dedup_jaccard_prefix").get
+      .run(spark, sf).collect().toSeq.map(_.toSeq)
+    val (mhDefault, pfDefault) = (minhash(), prefix())
+    spark.conf.set("spark.graft.dedup.bucketExplodeCap", "1")
+    try {
+      assert(minhash() == mhDefault, "minhash overflow path diverged from the grouped-explode path")
+      assert(prefix() == pfDefault, "prefix overflow path diverged from the grouped-explode path")
+    } finally spark.conf.unset("spark.graft.dedup.bucketExplodeCap")
+    assert(mhDefault.nonEmpty, "fixture produced no minhash pairs — the equivalence test is vacuous")
+  }
+
+  // ADVICE r15: the entropy fold reaches through catalyst internals
+  // (MakeDecimal over an exact unscaled-long accumulator); pin its
+  // result against the oracle-shaped sum(CAST(... AS DECIMAL(28,15)))
+  // — Spark's own decimal sum accumulator — so a Spark upgrade that
+  // changes MakeDecimal semantics fails fast, on crafted docs with
+  // hand-checkable anchors.
+  test("char entropy decimal fold matches the oracle-shaped sum(decimal) exactly") {
+    import spark.implicits._
+    val docs = Seq((1L, "aab"), (2L, "abcd"), (3L, "aaaa"),
+        (4L, "mississippi banana mississippi riverbank"))
+      .toDF("doc_id", "text")
+    val got = graft.queries.TextQueries.charEntropy(docs).collect()
+    docs.createOrReplaceTempView("ent_docs")
+    val ref = spark.sql(
+      """WITH c AS (SELECT doc_id, explode(split(text, '')) AS ch FROM ent_docs),
+        |cc AS (SELECT doc_id, ch, count(*) AS n FROM c WHERE ch <> '' GROUP BY doc_id, ch),
+        |tot AS (SELECT doc_id, sum(n) AS nt FROM cc GROUP BY doc_id)
+        |SELECT cc.doc_id,
+        |  CAST(max(nt) AS BIGINT) AS n_chars,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  round(CAST(-sum(CAST((n * 1.0 / nt) * log2(n * 1.0 / nt) AS DECIMAL(28,15))) AS DOUBLE), 9) AS entropy
+        |FROM cc JOIN tot ON cc.doc_id = tot.doc_id
+        |GROUP BY cc.doc_id ORDER BY cc.doc_id""".stripMargin).collect()
+    assert(got.toSeq.map(_.toSeq) == ref.toSeq.map(_.toSeq),
+      s"fold diverged from sum(decimal): ${got.toSeq} vs ${ref.toSeq}")
+    val byId = got.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(byId(2L) == 2.0, "uniform 4-char doc must be exactly 2 bits")
+    assert(byId(3L) == 0.0, "constant doc must be exactly 0 bits")
+  }
 }
