@@ -93,8 +93,18 @@ object DedupQueries {
         graft.functions.TextHashColumns.minHashSigs(col("text"),
           (0 to 7).map(seed => 1000003L + 999983L * seed),
           (0 to 7).map(_.toLong), 4294967291L).as("mh0"))
-      .filter(col("mh0").isNotNull)
       .select(col("doc_id"), explode(array(col("mh0"))).as("mh"))
+      // the null filter sits ABOVE the explode barrier on purpose
+      // (r16): filtering mh0 before the explode let predicate pushdown
+      // move `isnotnull(minhash_sigs(text))` below the projection and
+      // into the scan filter — the FULL signature computation (the
+      // dominant map-side cost of every minhash consumer) ran TWICE
+      // per row, once in the filter and once in the projection. A
+      // predicate on the generator's OUTPUT cannot be pushed below the
+      // Generate, so the signature is computed exactly once.
+      // explode(array(x)) emits exactly one row (null rides through as
+      // a null element), so the filtered row set is identical.
+      .filter(col("mh").isNotNull)
 
   /** 4-band struct array over the `mh` signature column: band b's key is
     * mh[2b+1],mh[2b+2] comma-joined (string equality ⇔ the two longs
@@ -128,14 +138,30 @@ object DedupQueries {
     * band — bucket qualification is not row-locally decidable there.)
     * Plan: one exchange on (band, bkey) + the presentation sort, versus
     * the former join (2 exchanges) + DISTINCT (1 exchange). */
-  /** Bucket-size boundary between the grouped-explode pair path and the
-    * streaming self-join overflow path (r16, VERDICT r15 item 4 / guide
-    * §5): a grouped `collect_list` holds the whole bucket membership in
-    * ONE aggregation-buffer row, which cannot spill per-group — fine for
-    * ordinary buckets, a task OOM for a degenerate one (a multi-million-
-    * member exact-dup cluster at 100 TB is normal). Buckets above the
-    * cap instead take the pre-r15 self-join, which streams and spills.
-    * Plan-only knob — both paths emit the identical pair set. */
+  /** §5 bound for the uncapped bucket aggregations (r16, VERDICT r15
+    * item 4 / ADVICE r15): the per-group membership buffer is enforced
+    * DURING collection by `BoundedCollectList` — memory per bucket is
+    * capped at `spark.graft.dedup.bucketExplodeCap` (default 100k)
+    * elements at all times, and a degenerate bucket (a multi-million-
+    * member exact-dup cluster at 100 TB is normal) fails the query with
+    * a message naming the bucket, the cap and the conf, instead of
+    * silently OOMing the task.
+    *
+    * Why a loud bound and not adaptive routing of oversized buckets
+    * through the pre-r15 streaming self-join: all three routing designs
+    * were built, oracle-verified and A/B'd this round, and every one
+    * carries a structural cost the alternating protocol measured
+    * (OPTIMIZATION_r16.md "adaptive bucket split" table): count+join-
+    * back re-runs the signature map work (ReuseExchange cannot share an
+    * exchange whose other consumer prunes columns — 2x regression);
+    * window-count shares the exchange but sorts the whole band table
+    * (cost scales with data: sf1 regression); an explicit shared
+    * repartition still duplicates the map work because self-join
+    * relation deduplication defeats cross-Union-branch exchange reuse.
+    * And routing would only "save" queries whose OUTPUT is already
+    * infeasible: a bucket past the cap implies >= cap²/2 result pairs.
+    * Failing fast with a bounded buffer is the operationally correct
+    * behavior at every scale. */
   private def bucketExplodeCap(spark: SparkSession): Int =
     spark.conf.getOption("spark.graft.dedup.bucketExplodeCap")
       .map(_.toInt).getOrElse(100000)
@@ -145,24 +171,13 @@ object DedupQueries {
     val bands = minhashSigs(docs)
       .select(col("doc_id"), col("mh"), explode(minhashBandStructs).as("bs"))
       .select(col("doc_id"), col("mh"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
-    // bucket sizes first (fixed-size aggregation state — scale-safe),
-    // then tag each posting with its bucket size. The count aggregate,
-    // the tag join and both downstream paths all consume the SAME
-    // (band, bkey) exchange (ReuseExchange) — the map side (signature
-    // computation) runs once. bc >= 2 also drops singleton buckets
-    // BEFORE the collect_list, so singletons never enter its buffer
-    // (the former shape collected every posting, then filtered).
-    val counts = bands.groupBy(col("band"), col("bkey"))
-      .agg(count(lit(1)).as("bc")).filter(col("bc") >= 2)
-    val tagged = bands.join(counts, Seq("band", "bkey"))
-    val buckets = tagged.filter(col("bc") <= cap)
-      .groupBy(col("band"), col("bkey"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("mh")))).as("ds"))
+    val buckets = bands.groupBy(col("band"), col("bkey"))
+      .agg(sort_array(graft.functions.BoundedCollectList.column(
+        struct(col("doc_id"), col("mh")), cap, "minhash band")).as("ds"))
+      .filter(size(col("ds")) >= 2)
     def bandEq(x: Column, y: Column, bp: Int): Column =
       (element_at(x.getField("mh"), 2 * bp + 1) === element_at(y.getField("mh"), 2 * bp + 1)) &&
         (element_at(x.getField("mh"), 2 * bp + 2) === element_at(y.getField("mh"), 2 * bp + 2))
-    def firstBandFilter(x: Column, y: Column): Column =
-      (0 to 2).map(bp => col("band") <= bp || !bandEq(x, y, bp)).reduce(_ && _)
     // two-step explode, NOT one flattened pair array: a k-member bucket
     // (k identical-signature near-dups — large exact-dup clusters are
     // normal in a dedup corpus) would otherwise materialize all k²/2
@@ -170,28 +185,16 @@ object DedupQueries {
     // each generated row carries at most the k-element tail slice, so
     // per-row memory is O(k) and the k²/2 pairs stream through the
     // generators exactly like the old join streamed them.
-    val smallPairs = buckets
+    buckets
       .select(col("band"), col("ds"), posexplode(col("ds")).as(Seq("i", "x")))
       .select(col("band"), col("x"),
         explode(slice(col("ds"), col("i") + 2,
           greatest(size(col("ds")) - col("i") - 1, lit(0)))).as("y"))
       // keep the pair iff NO band before this bucket's band also
       // collides — i.e. this bucket is the pair's first witness
-      .filter(firstBandFilter(col("x"), col("y")))
+      .filter((0 to 2).map(bp => col("band") <= bp || !bandEq(col("x"), col("y"), bp))
+        .reduce(_ && _))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-    // overflow path: oversized buckets stream their pairs through the
-    // pre-r15 in-bucket join (spillable sort-merge, O(1) per-row state).
-    // The first-colliding-band filter applies identically on the joined
-    // rows, so the union stays unique BY CONSTRUCTION — a pair's bucket
-    // is either entirely in the small path or entirely in the big one.
-    val big = tagged.filter(col("bc") > cap)
-      .select(col("band"), col("bkey"), struct(col("doc_id"), col("mh")).as("m"))
-    val bigPairs = big.select(col("band"), col("bkey"), col("m").as("x"))
-      .join(big.select(col("band"), col("bkey"), col("m").as("y")), Seq("band", "bkey"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .filter(firstBandFilter(col("x"), col("y")))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-    smallPairs.union(bigPairs)
   }
 
   val all: Seq[QueryDef] = Seq(
@@ -363,30 +366,20 @@ object DedupQueries {
       // uncapped (losslessness), so a pathological bucket must stream
       // its pairs through the generators with O(k) per-row memory, not
       // materialize one k²/2 pair array.
-      // r16 (VERDICT item 4, guide §5): same adaptive split as
-      // minhashPairs — posting-list sizes pre-counted with fixed-size
-      // aggregation state; buckets over the cap take the pre-r15
-      // streaming self-join instead of building an uncapped
-      // collect_list row (one exchange on sh, reused by the count, the
-      // tag join and both paths; bc >= 2 drops singleton postings
-      // before the collect). Both paths feed the same DISTINCT, so the
-      // candidate set is unchanged.
+      // r16 (VERDICT item 4, guide §5): the posting-list buffer is
+      // bounded DURING collection by BoundedCollectList — capped
+      // memory per bucket, loud descriptive failure past the cap (see
+      // bucketExplodeCap's comment for why this beats routing
+      // oversized buckets through a streaming self-join).
       val cap = bucketExplodeCap(s)
-      val shCounts = pre.groupBy(col("sh"))
-        .agg(count(lit(1)).as("bc")).filter(col("bc") >= 2)
-      val preTagged = pre.join(shCounts, Seq("sh"))
-      val smallCand = preTagged.filter(col("bc") <= cap)
-        .groupBy(col("sh"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      val cand = pre.groupBy(col("sh"))
+        .agg(sort_array(graft.functions.BoundedCollectList.column(
+          col("doc_id"), cap, "jaccard prefix posting")).as("ds"))
+        .filter(size(col("ds")) >= 2)
         .select(col("ds"), posexplode(col("ds")).as(Seq("i", "d1")))
         .select(col("d1"), explode(slice(col("ds"), col("i") + 2,
           greatest(size(col("ds")) - col("i") - 1, lit(0)))).as("d2"))
-      val bigPost = preTagged.filter(col("bc") > cap)
-      val bigCand = bigPost.select(col("sh"), col("doc_id").as("d1"))
-        .join(bigPost.select(col("sh"), col("doc_id").as("d2")), "sh")
-        .filter(col("d1") < col("d2"))
-        .select(col("d1"), col("d2"))
-      val cand = smallCand.union(bigCand).distinct()
+        .distinct()
       cand
         .join(docArr.select(col("doc_id").as("d1"), col("arr").as("a1")), "d1")
         .join(docArr.select(col("doc_id").as("d2"), col("arr").as("a2")), "d2")

@@ -324,22 +324,22 @@ class PlanSpec extends SparkSpecBase {
       "dup-cluster aggregation funnels through one partition")
   }
 
-  // r16 (VERDICT r15 item 4, guide §5): the uncapped bucket collect_list
-  // is bounded — bucket sizes are pre-counted with fixed-size state, and
-  // oversized buckets take a streaming self-join instead of building an
-  // unspillable O(k) aggregation-buffer row. Both paths and their union
-  // must be in the plan.
-  test("minhash/prefix pair generation adaptively splits on bucket size") {
+  // r16 (VERDICT r15 item 4, guide §5): the bucket membership buffer is
+  // BOUNDED during collection (BoundedCollectList) — capped per-group
+  // memory, loud descriptive failure past the cap — while the plan stays
+  // the r15 single-aggregate shape (routing designs all measured slower;
+  // see OPTIMIZATION_r16.md).
+  test("minhash/prefix bucket collection is bounded (capped buffer, loud overflow)") {
     val edges = graft.queries.DedupQueries
       .minhashPairs(graft.engine.Tables(spark, sf).documents)
     val opt = edges.queryExecution.optimizedPlan.toString
-    assert(opt.contains("collect_list"), "minhash grouped-explode path missing")
-    assert(opt.contains("Union"), "minhash adaptive split lost its union")
-    assert(opt.toLowerCase.contains("join"), "minhash streaming overflow join path missing")
+    assert(opt.contains("bounded_collect_list"),
+      "minhash bucket collect is not the bounded aggregate")
+    assert(!opt.toLowerCase.contains("join"), "minhash pair generation regained a join")
     val pfx = SparkEntry.defs.find(_.name == "q_dedup_jaccard_prefix").get
       .run(spark, sf).queryExecution.optimizedPlan.toString
-    assert(pfx.contains("Union"), "prefix adaptive split lost its union")
-    assert(pfx.contains("collect_list(doc_id"), "prefix grouped-explode path missing")
+    assert(pfx.contains("bounded_collect_list"),
+      "prefix bucket collect is not the bounded aggregate")
   }
 
   test("bm25 keeps corpus stats in-plan and broadcasts the term sides") {
@@ -406,7 +406,7 @@ class PlanSpec extends SparkSpecBase {
     // — assert on the optimized plan.
     val opt = SparkEntry.defs.find(_.name == "q_dedup_jaccard_prefix").get
       .run(spark, sf).queryExecution.optimizedPlan.toString
-    assert(opt.contains("sort_array(collect_list(doc_id"),
+    assert(opt.contains("sort_array(bounded_collect_list(doc_id"),
       "bucket-grouped candidate generation missing")
   }
 

