@@ -51,10 +51,13 @@ object EntropyAB {
       // run boundaries of the sorted char list: positions i where
       // cs[i] != cs[i+1], bracketed by 0 and n; run lengths are the
       // consecutive differences
-      val bounds = concat(array(lit(0)),
+      // flatten(array(...)) not concat(...): the session registers the
+      // DuckDB-dialect concat (string concat_ws semantics), which
+      // intercepts the resolved-by-name array concat
+      val bounds = flatten(array(array(lit(0)),
         filter(sequence(lit(1), n - 1),
           i => element_at(col("cs"), i) =!= element_at(col("cs"), i + 1)),
-        array(n))
+        array(n)))
       val ns = transform(sequence(lit(1), size(bounds) - 1),
         j => (element_at(bounds, j + 1) - element_at(bounds, j)).cast("long"))
       val withNs = agg.select(col("doc_id"), n.cast("long").as("n_chars"), ns.as("ns"))
